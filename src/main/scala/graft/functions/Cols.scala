@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+/** Pure-`Column` helper functions — the engine's scalar-function surface.
+  *
+  * Everything here stays inside Catalyst/whole-stage-codegen (no Scala
+  * UDFs): each helper just composes built-in expressions, so predicate
+  * pushdown and codegen are preserved on the 100 TB path.
+  *
+  * Reference semantics replicated (file:line cites are into
+  * /root/reference/):
+  *  - matchAnd  — ES `matchQuery(...).operator(AND)` approximation
+  *                (publisher/.../PublisherMapperImpl.java:143,191)
+  *  - highlight — ES highlighter `<em>` wrapping
+  *                (publisher/.../PublisherMapperImpl.java:199-218)
+  *  - ageYears  — `Period.between(birthday, now).getYears`
+  *                (sparkStreaming-realtime/.../DwdDauApp.scala:157-165)
+  *  - dt / hr   — epoch → "yyyy-MM-dd" / hour split
+  *                (DwdDauApp.scala:142,187-195)
+  *  - cdcOp     — Maxwell op-type decode (OdsBaseDbApp.scala:116-126)
+  *  - topicName — dynamic DWD topic synthesis (OdsBaseDbApp.scala:135)
+  */
+object Cols {
+
+  /** Event date as "yyyy-MM-dd" (reference derives `dt` from epoch-ms). */
+  def dt(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
+
+  /** Event hour 0-23 as INT (reference `hr` column). */
+  def hr(ts: Column): Column = hour(ts)
+
+  /** Whole years between `birth` and `asOf` — Java `Period.getYears`
+    * semantics: calendar years, minus one if the anniversary hasn't
+    * happened yet. Written as pure year/month/day arithmetic so the exact
+    * same formula is expressible in the DuckDB oracle.
+    */
+  def ageYears(asOf: Column, birth: Column): Column =
+    (year(asOf) - year(birth)) - when(
+      month(asOf) < month(birth) ||
+        (month(asOf) === month(birth) && dayofmonth(asOf) < dayofmonth(birth)),
+      1).otherwise(0)
+
+  /** Lower-cased whitespace tokens of `text`. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** ES match-AND: every token of `query` must appear as a token of
+    * `text`. Pure-Column: N `array_contains` conjuncts over one `split`.
+    */
+  def matchAnd(text: Column, query: String): Column = {
+    val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    require(qs.nonEmpty, "matchAnd needs a non-empty query")
+    qs.map(t => array_contains(tokens(text), t)).reduce(_ && _)
+  }
+
+  /** ES-highlighter analog: wrap every query token occurring in `text`
+    * (word-bounded, case-insensitive) in pre/post tags.
+    */
+  def highlight(text: Column, query: String,
+                pre: String = "<em>", post: String = "</em>"): Column = {
+    val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(java.util.regex.Pattern.quote)
+    regexp_replace(text, "(?i)\\b(" + qs.mkString("|") + ")\\b",
+      pre + "$1" + post)
+  }
+
+  /** Maxwell CDC op decode: insert/bootstrap-insert→I, update→U,
+    * delete→D, anything else → NULL (caller filters).
+    * Generalized over an arbitrary source column via the mapping arg.
+    */
+  def decode3(c: Column, i: Seq[String], u: Seq[String], d: Seq[String]): Column =
+    when(c.isin(i: _*), "I")
+      .when(c.isin(u: _*), "U")
+      .when(c.isin(d: _*), "D")
+
+  /** Dynamic Kafka topic synthesis: DWD_{TABLE}_{op}. */
+  def topicName(table: Column, op: Column): Column =
+    concat(lit("DWD_"), upper(table), lit("_"), op)
+
+  // --- float-determinism helpers -------------------------------------
+  // Summing doubles is partition-order dependent; the DuckDB oracle would
+  // hash-mismatch on the low bits. Route money sums through DECIMAL
+  // (exact, order-independent) and cast the final result to DOUBLE — both
+  // engines then produce bit-identical values. This is also the right
+  // call at 100 TB: decimal aggregation of money avoids drift entirely.
+
+  /** Order-independent SUM of a double money column: exact decimal
+    * accumulation, final value as double.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** Order-independent AVG: exact decimal sum / count, in double. */
+  def decAvg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 4))).cast(DoubleType) /
+      count(c).cast(DoubleType))
+
+  /** Exact-decimal revenue term: price * (1 - discount). */
+  def discPrice(price: Column, discount: Column): Column =
+    price.cast(DecimalType(18, 4)) *
+      (lit(1).cast(DecimalType(18, 4)) - discount.cast(DecimalType(18, 4)))
+}
