@@ -1,11 +1,284 @@
 package graft.extensions
 
 import graft.Q
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tables.Tables._
+import org.apache.spark.sql.functions._
 
-/** Large-scale training-data-pipeline operators (dedup, similarity
-  * search, text analysis, multimodal) — assembled here; implementations
-  * land module by module.
+/** Large-scale training-data-pipeline operators — dedup family,
+  * similarity search, text analysis, multimodal plumbing — wired to the
+  * driver's `documents`/`embeddings` tables with exact DuckDB oracles.
+  *
+  * Oracle-parity ground rules (why these match bit-for-bit):
+  *  - integer hashing is md5-prefix (`conv(substr(md5,1,8),16,10)` ≡
+  *    DuckDB `CAST('0x'||substr(md5,1,8) AS BIGINT)`);
+  *  - all float reductions are sequential folds over arrays (Spark
+  *    `aggregate`, DuckDB `list_sum`) in double — same order, same
+  *    IEEE result — never an unordered SUM over exploded rows;
+  *  - ratios divide exact integers in double.
+  *
+  * The heavy lifting lives in [[graft.operators.Dedup]],
+  * [[graft.operators.Similarity]], [[graft.operators.TextAnalysis]],
+  * [[graft.operators.Multimodal]] — this file is the wiring + SQL.
   */
 object ExtensionQueries {
-  val all: Seq[Q] = Seq.empty
+
+  // ---- shared oracle SQL fragments (DuckDB dialect) -------------------
+
+  /** Lower-cased whitespace tokens of `text`. */
+  private val TOKS = "string_split_regex(lower(text), '\\s+')"
+
+  /** 32-bit md5-prefix hash of an expression. */
+  private def h32(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** Distinct word n-gram shingles of `text` (mirrors TextFns.shingles
+    * + array_distinct).
+    */
+  private def shSql(n: Int) =
+    s"list_distinct(list_transform(range(1, len($TOKS) - ${n - 2}), " +
+      s"i -> array_to_string(($TOKS)[i:i+${n - 1}], ' ')))"
+
+  /** Sequential-fold cosine similarity between two FLOAT[] columns
+    * (mirrors VectorFns.cosine: double casts, fold order, sqrt placement).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** LSH bucket id from `planes` deterministic hyperplanes (mirrors
+    * VectorFns.lshBucket; i is 0-based there, range is 1-based here).
+    */
+  private def bucketSql(v: String, planes: Int): String =
+    (0 until planes).map { j =>
+      val hp = s"((($j * 2654435761) + (i-1) * 40503) % 1000003)" +
+        "::DOUBLE / 1000003.0 - 0.5"
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST($v[i] AS DOUBLE) * ($hp))) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** k-wide MinHash signature over distinct n-gram shingles (mirrors
+    * TextFns.minhash).
+    */
+  private def minhashSql(n: Int, k: Int): String =
+    s"list_transform(range(0, $k), j -> coalesce(" +
+      s"list_min(list_transform(${shSql(n)}, s -> " +
+      s"((j*2+1) * ${h32("s")} + (j+1) * 40503) % 2147483647)), 2147483647))"
+
+  /** 16-bit SimHash over tokens (mirrors TextFns.simhash16). */
+  private val simhashSql: String =
+    (0 until 16).map { b =>
+      s"(CASE WHEN list_sum(list_transform($TOKS, t -> " +
+        s"CASE WHEN (${h32("t")} >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val stopSql: Map[String, String] =
+    TextAnalysis.stopwords.toMap.map { case (lang, words) =>
+      lang -> (s"len(list_filter($TOKS, t -> list_contains(" +
+        words.mkString("['", "','", "']") + ", t)))")
+    }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- text analysis ------------------------------------------------
+    Q("ext_tok_stats",
+      s"""SELECT doc_id,
+         | CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         | CAST(len(list_distinct($TOKS)) AS BIGINT) AS n_distinct,
+         | CAST(length(text) AS BIGINT) AS n_chars,
+         | CAST(list_sum(list_transform($TOKS, x -> len(x))) AS DOUBLE)
+         |   / CAST(len($TOKS) AS DOUBLE) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.tokenStats(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    Q("ext_lang_id", {
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val folds = langs.tail.zipWithIndex.map { case (lang, i) =>
+        val (ph, pl) = (s"h$i", s"l$i")
+        val sc = stopSql(lang)
+        s"f${i + 1} AS (SELECT doc_id, " +
+          s"CASE WHEN s.$lang > $ph THEN s.$lang ELSE $ph END AS h${i + 1}, " +
+          s"CASE WHEN s.$lang > $ph THEN '$lang' ELSE $pl END AS l${i + 1} " +
+          s"FROM f$i JOIN s USING (doc_id))"
+      }
+      val n = langs.size - 1
+      s"""WITH s AS (SELECT doc_id,
+         | ${langs.map(l => s"${stopSql(l)} AS $l").mkString(", ")}
+         | FROM documents),
+         |f0 AS (SELECT doc_id, ${langs.head} AS h0, '${langs.head}' AS l0 FROM s),
+         |${folds.mkString(",\n")}
+         |SELECT doc_id, l$n AS pred_lang, CAST(h$n AS BIGINT) AS hits
+         |FROM f$n ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.languageId(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    Q("ext_quality", {
+      val nTok = s"CAST(len($TOKS) AS DOUBLE)"
+      val stopHits = TextAnalysis.stopwords.map(sw => stopSql(sw._1))
+        .mkString("(", " + ", ")")
+      s"""SELECT doc_id,
+         | least($nTok / 100.0, 1.0) * 0.3
+         | + (CAST(len(list_distinct($TOKS)) AS DOUBLE) / $nTok) * 0.3
+         | + least(CAST($stopHits AS DOUBLE) * 4.0 / $nTok, 1.0) * 0.2
+         | + (1.0 - least(CAST(len(string_split_regex(text, '[.!?,;:]')) - 1
+         |     AS DOUBLE) / $nTok, 1.0)) * 0.2 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.qualityScore(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    Q("ext_fingerprint",
+      s"""SELECT doc_id,
+         | md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS exact_fp,
+         | coalesce(list_min(list_transform(${shSql(3)}, s -> md5(s))), '')
+         |   AS shingle_fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.fingerprints(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- dedup family --------------------------------------------------
+    Q("ext_dedup_exact",
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |  AS text_hash,
+        | min(doc_id) AS canonical_id, count(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin) {
+      (s, d) =>
+        Dedup.exact(documents(s, d), "doc_id", "text")
+          .orderBy(col("text_hash"))
+    },
+
+    Q("ext_dedup_jaccard",
+      s"""WITH sh AS (SELECT doc_id AS did, unnest(${shSql(3)}) AS sh
+         |  FROM documents),
+         |cnt AS (SELECT did, count(*) AS nsh FROM sh GROUP BY did),
+         |inter AS (SELECT a.did AS id_a, b.did AS id_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.did < b.did
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         | CAST(i AS DOUBLE) / CAST(ca.nsh + cb.nsh - i AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON id_a = ca.did JOIN cnt cb ON id_b = cb.did
+         |WHERE CAST(i AS DOUBLE) / CAST(ca.nsh + cb.nsh - i AS DOUBLE) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    Q("ext_dedup_minhash", {
+      val k = 24; val bands = 6; val rows = k / bands
+      val bandKeys = s"list_transform(range(0, $bands), b -> " +
+        s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
+      s"""WITH sigs AS (SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
+         |  FROM documents),
+         |banded AS (SELECT did, sig, unnest($bandKeys) AS band FROM sigs),
+         |cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b,
+         |    a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.did < b.did)
+         |SELECT id_a, id_b,
+         | CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2]))
+         |   AS DOUBLE) / $k.0 AS est_jaccard
+         |FROM cand
+         |WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), x -> x[1] = x[2]))
+         |   AS DOUBLE) / $k.0 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+          n = 3, k = 24, bands = 6, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    Q("ext_dedup_simhash",
+      s"""WITH sigs AS (SELECT doc_id AS did, $simhashSql AS sig
+         |  FROM documents)
+         |SELECT a.did AS id_a, b.did AS id_b,
+         | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b
+         |  ON a.did < b.did AND bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    Q("ext_dedup_embed", {
+      val b = bucketSql("a.embedding", 8)
+      val b2 = bucketSql("b.embedding", 8)
+      val cos = cosSql("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id < b.vec_id AND $b = $b2
+         |WHERE $cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      Dedup.embeddingPairs(embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, planes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- similarity search ---------------------------------------------
+    Q("ext_knn_brute", {
+      val cos = cosSql("c.embedding", "q.embedding")
+      s"""SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $cos DESC, c.vec_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         | WHERE q.vec_id < 10)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.bruteKnn(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    Q("ext_knn_lsh", {
+      val cos = cosSql("c.embedding", "q.embedding")
+      val bq = bucketSql("q.embedding", 8)
+      val bc = bucketSql("c.embedding", 8)
+      s"""SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $cos DESC, c.vec_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM embeddings q JOIN embeddings c
+         |   ON q.vec_id != c.vec_id AND $bq = $bc
+         | WHERE q.vec_id < 10)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.lshKnn(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, planes = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- multimodal plumbing -------------------------------------------
+    // Text bytes stand in for image payloads; the decode is the stub —
+    // the oracle checks the deterministic fake arithmetic end-to-end
+    // through the binary column + mapPartitions plumbing.
+    Q("ext_mm_decode",
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        | CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS height,
+        | CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames,
+        | CAST(ascii(substr(text, 1, 1)) AS DOUBLE) AS f0,
+        | CAST(ascii(substr(text, 2, 1)) AS DOUBLE) AS f1
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.documentAssets(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }
+  )
 }

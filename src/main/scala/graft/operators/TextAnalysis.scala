@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators: token stats, quality scoring, language ID,
+  * document fingerprinting. All pure-`Column` pipelines — one narrow
+  * pass over the corpus, no shuffle, fully codegen'd.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and public-knowledge; real pipelines
+    * plug in bigger lists — the operator shape is what matters.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** Token statistics: n_tokens, n_distinct_tokens, total_chars,
+    * avg_token_len (double, exact int division).
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextFns.toks(col(textCol))
+    docs.select(col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
+        size(t).cast(DoubleType)).as("avg_token_len"))
+  }
+
+  /** Language-ID: stopword-hit count per language, argmax with
+    * first-listed-language tiebreak. Adds (pred_lang, hits).
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextFns.toks(col(textCol))
+    val scores: Seq[(String, Column)] =
+      stopwords.map { case (lang, words) =>
+        lang -> TextFns.hitCount(t, words)
+      }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("hits"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("hits"),
+          struct(sc.as("hits"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    docs.select(col(idCol), best.getField("lang").as("pred_lang"),
+      best.getField("hits").cast("long").as("hits"))
+  }
+
+  /** Quality score in [0,1]: weighted blend of length saturation,
+    * lexical diversity, stopword ratio and punct scarcity. All terms are
+    * exact integer ratios in double — deterministic and oracle-matchable.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = TextFns.toks(col(textCol))
+    val nTok = size(t).cast(DoubleType)
+    val lenTerm = least(nTok / 100.0, lit(1.0))
+    val diversity = size(array_distinct(t)).cast(DoubleType) / nTok
+    val stopHits = stopwords.map(sw => TextFns.hitCount(t, sw._2))
+      .reduce(_ + _).cast(DoubleType)
+    val stopTerm = least(stopHits * 4.0 / nTok, lit(1.0))
+    val punct = size(split(col(textCol), "[.!?,;:]")) - 1
+    val punctTerm = lit(1.0) - least(
+      punct.cast(DoubleType) / nTok, lit(1.0))
+    docs.select(col(idCol),
+      (lenTerm * 0.3 + diversity * 0.3 + stopTerm * 0.2 + punctTerm * 0.2)
+        .as("quality"))
+  }
+
+  /** Document fingerprints: md5 of normalized text (exact identity) plus
+    * a rolling 3-gram min-hash (content fingerprint robust to small
+    * edits — the MinHash-1 of the shingle set).
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normed = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    docs.select(col(idCol),
+      md5(normed).as("exact_fp"),
+      coalesce(array_min(transform(
+        TextFns.shingles(col(textCol), 3), s => md5(s))), lit(""))
+        .as("shingle_fp"))
+  }
+}
