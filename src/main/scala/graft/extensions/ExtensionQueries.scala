@@ -50,11 +50,13 @@ object ExtensionQueries {
   }
 
   /** LSH bucket id from `planes` deterministic hyperplanes (mirrors
-    * VectorFns.lshBucket; i is 0-based there, range is 1-based here).
+    * VectorFns.lshBucket; i is 0-based there, range is 1-based here;
+    * `seed` selects the independent hash table).
     */
-  private def bucketSql(v: String, planes: Int): String =
+  private def bucketSql(v: String, planes: Int, seed: Int = 0): String =
     (0 until planes).map { j =>
-      val hp = s"((($j * 2654435761) + (i-1) * 40503) % 1000003)" +
+      val g = seed * planes + j
+      val hp = s"((($g * 2654435761) + (i-1) * 40503) % 1000003)" +
         "::DOUBLE / 1000003.0 - 0.5"
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> " +
         s"CAST($v[i] AS DOUBLE) * ($hp))) > 0 THEN ${1L << j} ELSE 0 END)"
@@ -245,22 +247,33 @@ object ExtensionQueries {
     },
 
     Q("ext_knn_lsh", {
+      val (planes, tabs) = (6, 4)
       val cos = cosSql("c.embedding", "q.embedding")
-      val bq = bucketSql("q.embedding", 8)
-      val bc = bucketSql("c.embedding", 8)
-      s"""SELECT query_id, neighbor_id, rank, cosine FROM (
-         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  CAST(row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY $cos DESC, c.vec_id) AS INT) AS rank,
+      val bucketCase = (0 until tabs).map(t =>
+        s"WHEN $t THEN ${bucketSql("embedding", planes, t)}")
+        .mkString("CASE t ", " ", " END")
+      s"""WITH b AS (
+         | SELECT vec_id, embedding, t, $bucketCase AS bucket
+         | FROM embeddings, (SELECT unnest(range(0, $tabs)) AS t)),
+         |cand AS (
+         | SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         | FROM b bq JOIN b bc
+         |   ON bq.t = bc.t AND bq.bucket = bc.bucket
+         |   AND bq.vec_id != bc.vec_id
+         | WHERE bq.vec_id < 10)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT query_id, neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cos DESC, neighbor_id) AS INT) AS rank,
          |  $cos AS cosine
-         | FROM embeddings q JOIN embeddings c
-         |   ON q.vec_id != c.vec_id AND $bq = $bc
-         | WHERE q.vec_id < 10)
+         | FROM cand
+         | JOIN embeddings q ON q.vec_id = query_id
+         | JOIN embeddings c ON c.vec_id = neighbor_id)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     }) { (s, d) =>
       val e = embeddings(s, d)
       Similarity.lshKnn(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, planes = 8)
+          "vec_id", "embedding", k = 5, planes = 6, tables = 4)
         .orderBy(col("query_id"), col("rank"))
     },
 

@@ -40,13 +40,16 @@ object VectorFns {
       .cast(DoubleType) / 1000003.0 - 0.5
 
   /** Random-hyperplane LSH bucket id for a float vector: `planes` sign
-    * bits packed into an int. Same bucket ⇔ ANN candidate.
+    * bits packed into an int. Same bucket ⇔ ANN candidate. `seed`
+    * selects an independent hash table (OR-amplification: check
+    * candidates in ANY of several tables to recover recall lost to
+    * AND-ing sign bits).
     */
-  def lshBucket(vec: Column, planes: Int): Column =
+  def lshBucket(vec: Column, planes: Int, seed: Int = 0): Column =
     (0 until planes).map { j =>
       val dotJ = fsum(zip_with(vec,
         sequence(lit(0), size(vec) - 1),
-        (x, i) => d(x) * hyperplane(j, i)))
+        (x, i) => d(x) * hyperplane(seed * planes + j, i)))
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

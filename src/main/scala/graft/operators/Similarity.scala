@@ -40,21 +40,34 @@ object Similarity {
         col("rank").cast("int").as("rank"), col("cosine"))
   }
 
-  /** LSH-bucketed ANN: score only same-bucket corpus vectors.
+  /** LSH-bucketed ANN with OR-amplification: `tables` independent
+    * hyperplane hash tables of `planes` sign bits each; a corpus vector
+    * is a candidate for a query if they share a bucket in ANY table.
     * Output: (query_id, neighbor_id, rank, cosine) — per-query top-k
-    * *within the bucket* (fewer than k rows when the bucket is small).
+    * over the candidate set (fewer than k rows when candidates are few).
+    *
+    * Recall/cost dial: more planes → smaller buckets (cheaper, lower
+    * recall per table); more tables → recall ≈ 1-(1-p^planes)^tables.
+    * Each vector is expanded `tables`× before the bucket equi-join —
+    * still shuffle-by-key, never O(n²).
     */
   def lshKnn(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             planes: Int = 8): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"),
-      VectorFns.lshBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"),
-      VectorFns.lshBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+             planes: Int = 6, tables: Int = 4): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            VectorFns.lshBucket(col(vecCol), planes, t).as("bucket"))): _*))
+          .as("tb"))
+        .select(col(id), col(v), col("tb.t").as("t"),
+          col("tb.bucket").as("bucket"))
+    val q = withBuckets(queries, "query_id", "qv")
+    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val cand = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ColsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ageYears: Period.getYears semantics incl. pre-anniversary") {
+    val df = Seq(
+      ("2026-01-01", "2000-01-01", 26), // anniversary today
+      ("2026-01-01", "2000-01-02", 25), // one day short
+      ("2026-06-15", "2000-06-16", 25),
+      ("2026-06-15", "2000-06-14", 26),
+      ("2026-02-28", "2000-03-01", 25)
+    ).toDF("asof", "birth", "expect")
+    val got = df.select(
+      Cols.ageYears(to_date($"asof"), to_date($"birth")).as("age"),
+      $"expect").collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
+  test("matchAnd requires every query token") {
+    val df = Seq("small widget deluxe", "small gizmo", "WIDGET small")
+      .toDF("name")
+    val got = df.filter(Cols.matchAnd($"name", "small widget"))
+      .as[String].collect().toSet
+    assert(got == Set("small widget deluxe", "WIDGET small"))
+  }
+
+  test("highlight wraps word-bounded case-insensitive tokens") {
+    val df = Seq("Small widgets and small widget").toDF("t")
+    val got = df.select(Cols.highlight($"t", "small widget"))
+      .as[String].head()
+    // "widgets" must NOT match (word boundary), both "small"/"Small" must
+    assert(got == "<em>Small</em> widgets and <em>small</em> <em>widget</em>")
+  }
+
+  test("decode3 maps op classes and nulls unknowns") {
+    val df = Seq("insert", "bootstrap-insert", "update", "delete", "weird")
+      .toDF("t")
+    val got = df.select(Cols.decode3($"t",
+      Seq("insert", "bootstrap-insert"), Seq("update"), Seq("delete")))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("I"), Some("I"), Some("U"), Some("D"), None))
+  }
+
+  test("decSum is partition-order independent") {
+    val vals = (1 to 1000).map(i => i * 0.37)
+    val a = vals.toDF("v").repartition(1)
+      .agg(Cols.decSum($"v")).as[Double].head()
+    val b = vals.reverse.toDF("v").repartition(7)
+      .agg(Cols.decSum($"v")).as[Double].head()
+    assert(a == b) // exact equality, not approx
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1↔2 exact dup (mod case/space), 3≈4 near-dup (one token edited),
+  // 5 unrelated.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick  brown fox jumps over the LAZY dog"),
+    (3L, "pack my box with five dozen liquor jugs tonight friend"),
+    (4L, "pack my box with five dozen liquor jugs tonight buddy"),
+    (5L, "sphinx of black quartz judge my vow again and again")
+  ).toDF("doc_id", "text")
+
+  test("exact: case/whitespace-normalized duplicates group together") {
+    val groups = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(groups.length == 4) // 1+2 merged
+    val dupGroup = groups.filter(_._3 == 2L)
+    assert(dupGroup.length == 1 && dupGroup.head._2 == 1L) // canonical=min
+  }
+
+  test("jaccardPairs finds near-dups through the shingle index") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((3L, 4L)))
+    assert(ids.contains((1L, 2L)))   // identical after lowering = 1.0
+    assert(!ids.exists(p => p._1 == 5L || p._2 == 5L))
+    val j34 = pairs.find(p => (p._1, p._2) == (3L, 4L)).get._3
+    assert(j34 == 7.0 / 9.0) // 7 shared of (8+8-7) distinct shingles
+  }
+
+  test("jaccardPairs is partition-invariant") {
+    val base = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().toSet
+    val repart = Dedup.jaccardPairs(docs.repartition(7), "doc_id", "text",
+      3, 0.5).collect().toSet
+    assert(base == repart)
+  }
+
+  test("minhashLshPairs surfaces the same high-sim pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 24, bands = 6, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(ids.contains((3L, 4L)))
+    val est12 = pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3
+    assert(est12 == 1.0) // identical shingle sets → identical signatures
+  }
+
+  test("simhashPairs: near-identical docs within small hamming radius") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 0) // same tokens → same signature
+  }
+
+  test("embeddingPairs: only same-bucket pairs, cosine thresholded") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Seq(1.0f, 0.21f, 0.1f, 0.0f)),  // ≈ v1
+      (3L, Seq(-1.0f, 0.0f, 0.3f, 0.9f))   // far away
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(embs, "vec_id", "embedding",
+        threshold = 0.99, planes = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.999)
+  }
+}
