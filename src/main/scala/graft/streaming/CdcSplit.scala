@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.functions.Cols
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Maxwell-CDC splitter (reference F4/P6-P8, OdsBaseDbApp.scala:110-171):
+  * decode the op type, route fact tables to per-table per-op topics and
+  * dim tables to a keyed upsert store.
+  *
+  * The reference holds the fact/dim table registries in Redis sets
+  * re-read each batch; here they're plain parameters — a `foreachBatch`
+  * caller can re-read its own config table per batch and pass fresh
+  * sets, keeping the dynamic-registry behavior without external state.
+  */
+object CdcSplit {
+
+  /** Maxwell envelope; `data` stays a raw JSON string because its
+    * schema varies per table (SURVEY §1) — downstream consumers apply
+    * their table's schema with from_json.
+    */
+  val envelope: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("type", StringType),
+    StructField("ts", LongType),
+    StructField("data", StringType)))
+
+  /** Parse raw Maxwell JSON. `data` is re-extracted as raw JSON text. */
+  def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw.select(
+      get_json_object(col(valueCol), "$.database").as("database"),
+      get_json_object(col(valueCol), "$.table").as("table"),
+      get_json_object(col(valueCol), "$.type").as("type"),
+      get_json_object(col(valueCol), "$.ts").cast(LongType).as("ts"),
+      get_json_object(col(valueCol), "$.data").as("data"))
+
+  /** Op decode: insert/bootstrap-insert→I, update→U, delete→D, other
+    * rows dropped (reference OdsBaseDbApp.scala:116-126).
+    */
+  def decoded(parsed: DataFrame): DataFrame =
+    parsed.withColumn("op", Cols.decode3(col("type"),
+        Seq("insert", "bootstrap-insert"), Seq("update"), Seq("delete")))
+      .filter(col("op").isNotNull)
+
+  /** Fact branch: rows for `factTables`, each with its synthesized
+    * DWD_{TABLE}_{op} topic (reference :130-141) — ready for a Kafka
+    * sink with a `topic` column, or any per-topic fan-out.
+    */
+  def facts(decodedDf: DataFrame, factTables: Set[String]): DataFrame =
+    decodedDf.filter(col("table").isin(factTables.toSeq: _*))
+      .withColumn("topic", Cols.topicName(col("table"), col("op")))
+
+  /** Dim branch: last-write-wins upsert set for `dimTables`, keyed by
+    * (table, id) — id extracted from the row payload (reference
+    * :144-163 keys Redis as DIM:{TABLE}:{id}). Within one batch the
+    * latest ts wins; the caller merges into its dim store per batch.
+    */
+  def dims(decodedDf: DataFrame, dimTables: Set[String]): DataFrame = {
+    val d = decodedDf.filter(col("table").isin(dimTables.toSeq: _*))
+      .withColumn("id", get_json_object(col("data"), "$.id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table"), col("id"))
+      .orderBy(col("ts").desc)
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("table"), col("id"), col("data"), col("op"), col("ts"))
+  }
+}

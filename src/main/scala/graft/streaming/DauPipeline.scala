@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.functions.Cols
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Daily-active-users pipeline (reference DwdDauApp.scala): session-
+  * start filter → first-visit-per-device-per-day dedup → dimension
+  * enrichment.
+  *
+  * The reference's Redis SADD test-and-set (DwdDauApp.scala:87-135)
+  * becomes `withWatermark(24h) + dropDuplicates(mid, dt)` — the state
+  * store is partitioned by key, so first-wins needs no external
+  * coordination, and the 24 h watermark bounds state exactly like the
+  * reference's intended Redis TTL (comment at :94). Its ES read-back
+  * restart path (revertState, :238-260) disappears: checkpointing
+  * restores dedup state natively.
+  */
+object DauPipeline {
+
+  /** Session starts only: the reference's "self-audit" pre-filter
+    * (last_page_id == null, DwdDauApp.scala:78-80).
+    */
+  def sessionStarts(pages: DataFrame): DataFrame =
+    pages.filter(col("last_page_id").isNull)
+
+  /** First event per (mid, event-date). Streaming: callers must attach
+    * a watermark on `event_ts` first (see [[dau]]); batch: plain
+    * dropDuplicates gives the same keyed first-wins.
+    */
+  def dedupDaily(starts: DataFrame): DataFrame =
+    starts
+      .withColumn("event_ts", timestamp_millis(col("ts")))
+      .withColumn("dt", Cols.dt(col("event_ts")))
+      .withColumn("hr", Cols.hr(col("event_ts")))
+      .dropDuplicates("mid", "dt")
+
+  /** Full streaming DAU wide-row: watermarked dedup + user/province dim
+    * enrichment (broadcast joins against slowly-changing dim snapshots,
+    * reference J1/J2 at DwdDauApp.scala:149-185).
+    *
+    * `dimUser(id, gender, birthday, ...)`, `dimProvince(id, name,
+    * area_code, iso_code, iso_3166_2)` are batch dim tables maintained
+    * by [[CdcSplit.dims]].
+    */
+  def dau(pages: DataFrame, dimUser: DataFrame,
+          dimProvince: DataFrame): DataFrame = {
+    val deduped =
+      dedupDaily(
+        sessionStarts(pages)
+          .withColumn("event_ts", timestamp_millis(col("ts")))
+          .withWatermark("event_ts", "24 hours")
+          .drop("event_ts"))
+    deduped
+      .join(broadcast(dimUser).as("u"),
+        deduped("user_id") === col("u.id"), "left")
+      .withColumn("user_gender", col("u.gender"))
+      .withColumn("user_age",
+        Cols.ageYears(current_date(), to_date(col("u.birthday"))))
+      .join(broadcast(dimProvince).as("p"),
+        deduped("province_id") === col("p.id"), "left")
+      .withColumn("province_name", col("p.name"))
+      .withColumn("province_area_code", col("p.area_code"))
+      .withColumn("province_iso_code", col("p.iso_code"))
+      .withColumn("province_3166_2", col("p.iso_3166_2"))
+      .drop("u.id", "u.gender", "u.birthday")
+      .drop("p.id", "p.name", "p.area_code", "p.iso_code", "p.iso_3166_2")
+  }
+}
