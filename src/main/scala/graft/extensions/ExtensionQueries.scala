@@ -182,7 +182,7 @@ object ExtensionQueries {
       val bandKeys = s"list_transform(range(0, $bands), b -> " +
         s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
       s"""WITH sigs AS (SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
-         |  FROM documents),
+         |  FROM documents WHERE len(${shSql(3)}) > 0),
          |banded AS (SELECT did, sig, unnest($bandKeys) AS band FROM sigs),
          |cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b,
          |    a.sig AS sig_a, b.sig AS sig_b

@@ -49,10 +49,19 @@ object Dedup {
         count(lit(1)).as("group_size"))
   }
 
+  /** Spread a (possibly single-split) corpus across the cluster before
+    * CPU-heavy per-row work: hashing/shingling cost dwarfs the shuffle
+    * of raw text. On a real cluster big inputs arrive pre-split and
+    * this is a near-no-op; on small single-file inputs it's the
+    * difference between 1 busy core and all of them.
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Distinct (docId, shingle) pairs plus per-doc shingle counts. */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
-    docs.select(col(idCol).as("did"),
+    fanOut(docs).select(col(idCol).as("did"),
         explode(array_distinct(TextFns.shingles(col(textCol), n))).as("sh"))
 
   /** All-pairs n-gram Jaccard ≥ `threshold` via shingle inverted index.
@@ -91,43 +100,95 @@ object Dedup {
   /** MinHash+LSH near-dup candidates: k-wide signatures, `bands` bands;
     * docs sharing any band key pair up; `est_jaccard` = fraction of
     * matching signature components; keep pairs ≥ `threshold`.
+    *
+    * Signatures are computed in the scalable shape: explode shingles,
+    * hash each ONCE, then k integer-`min` aggregates in one hash-agg —
+    * not k nested array traversals re-hashing every shingle (which is
+    * interpreted, quadratic in practice, and re-evaluated per join
+    * side). One md5 per (doc, shingle) row total.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
-    val sigs = docs.select(col(idCol).as("did"),
-      TextFns.minhash(array_distinct(TextFns.shingles(col(textCol), n)), k)
-        .as("sig"))
+    val P = 2147483647L
+    val hashed = shingled(docs, idCol, textCol, n)
+      .select(col("did"), TextFns.hash32(col("sh")).as("m"))
+    val minAggs = (0 until k).map(j =>
+      min((lit(2L * j + 1) * col("m") + lit(40503L * (j + 1))) % P)
+        .as(s"mh$j"))
+    val sigs = hashed.groupBy("did")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("did"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
     val banded = sigs.select(col("did"), col("sig"),
       explode(TextFns.lshBands(col("sig"), k, bands)).as("band"))
-    val cand = banded.as("a")
+    // estimate + threshold BEFORE the pair dedup: the candidate set is
+    // the big intermediate (bucket-size²); the surviving pairs are tiny
+    banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.did") < col("b.did"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"),
           (x, y) => x === y), b => b)).cast(DoubleType) / k)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash near-dup pairs: 16-bit signatures, pairs within Hamming
-    * distance ≤ `maxHamming`. Joins on the *distinct signature* set
-    * (bounded by 2^16), then maps back to docs.
+    * distance ≤ `maxHamming` (≤ 3 here by construction of the blocking).
+    *
+    * Two scale moves vs the naive form:
+    *  - signature built by exploding tokens, hashing each once, and
+    *    16 conditional-sum aggregates (one hash-agg pass);
+    *  - candidate pairs via pigeonhole blocking: the 16 bits split
+    *    into 4 bands of 4 — any pair within Hamming ≤ 3 must agree on
+    *    at least one whole band, so candidates come from a band-value
+    *    equi-join, never an O(n²) theta join.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col(idCol).as("did"),
-      TextFns.simhash16(TextFns.toks(col(textCol))).as("sig"))
-    sigs.as("a")
-      .join(sigs.as("b"), col("a.did") < col("b.did") &&
-        TextFns.hamming(col("a.sig"), col("b.sig")) <= maxHamming)
-      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
-        TextFns.hamming(col("a.sig"), col("b.sig")).cast("int")
+    require(maxHamming <= 3,
+      "4-band pigeonhole blocking only covers Hamming <= 3")
+    val hashed = fanOut(docs).select(col(idCol).as("did"),
+        explode(TextFns.toks(col(textCol))).as("t"))
+      .select(col("did"), TextFns.hash32(col("t")).as("m"))
+    val bitAggs = (0 until 16).map(b =>
+      sum(when(shiftright(col("m"), b) % 2 === 1, 1L).otherwise(-1L))
+        .as(s"b$b"))
+    val sigs = hashed.groupBy("did")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("did"),
+        (0 until 16).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+    // Pair by DISTINCT signature first: |sigs| ≪ |docs| on real corpora
+    // (16-bit space caps it at 65536 regardless of corpus size), so all
+    // banding/Hamming work runs on the signature set and doc pairs are
+    // produced by direct expansion joins — no doc-level candidate dedup.
+    val distinctSigs = sigs.select(col("sig")).distinct()
+    val banded = distinctSigs
+      .select(col("sig"), explode(array((0 until 4).map(i =>
+        struct(lit(i).as("bi"),
+          (shiftright(col("sig"), 4 * i) % 16).as("bv"))): _*)).as("band"))
+      .select(col("sig"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+    // ordered signature pairs (incl. self-pairs) within the radius;
+    // ordered + the did_a < did_b constraint below yields each unordered
+    // doc pair exactly once
+    val sigPairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv"))
+      .select(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"),
+        TextFns.hamming(col("x.sig"), col("y.sig")).cast("int")
           .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("sig_a", "sig_b")
+    sigs.as("a")
+      .join(broadcast(sigPairs), col("a.sig") === col("sig_a"))
+      .join(sigs.as("b"),
+        col("b.sig") === col("sig_b") && col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        col("hamming"))
   }
 
   /** Embedding cosine near-dup pairs ≥ `threshold`, LSH-blocked: only
@@ -135,7 +196,7 @@ object Dedup {
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 8): DataFrame = {
-    val b = embs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+    val b = fanOut(embs).select(col(idCol).as("vid"), col(vecCol).as("v"),
       VectorFns.lshBucket(col(vecCol), planes).as("bucket"))
     b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") &&

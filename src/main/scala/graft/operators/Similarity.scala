@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Spread a (possibly single-split) corpus before per-row vector math
+    * — see Dedup.fanOut for rationale.
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Output: (query_id, neighbor_id, rank, cosine).
     */
@@ -27,7 +33,7 @@ object Similarity {
                idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
@@ -63,7 +69,7 @@ object Similarity {
         .select(col(id), col(v), col("tb.t").as("t"),
           col("tb.bucket").as("bucket"))
     val q = withBuckets(queries, "query_id", "qv")
-    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val c = withBuckets(fanOut(corpus), "neighbor_id", "cv")
     val cand = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

@@ -11,6 +11,12 @@ import org.apache.spark.sql.types.DoubleType
   */
 object TextAnalysis {
 
+  /** Spread a (possibly single-split) corpus before per-row text work —
+    * see Dedup.fanOut for rationale.
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and public-knowledge; real pipelines
     * plug in bigger lists — the operator shape is what matters.
@@ -26,8 +32,8 @@ object TextAnalysis {
     * avg_token_len (double, exact int division).
     */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = TextFns.toks(col(textCol))
-    docs.select(col(idCol),
+    val t = col("__toks")
+    fanOut(docs).withColumn("__toks", TextFns.toks(col(textCol))).select(col(idCol),
       size(t).cast("long").as("n_tokens"),
       size(array_distinct(t)).cast("long").as("n_distinct"),
       length(col(textCol)).cast("long").as("n_chars"),
@@ -39,7 +45,8 @@ object TextAnalysis {
     * first-listed-language tiebreak. Adds (pred_lang, hits).
     */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = TextFns.toks(col(textCol))
+    val t = col("__toks")
+    val docsT = fanOut(docs).withColumn("__toks", TextFns.toks(col(textCol)))
     val scores: Seq[(String, Column)] =
       stopwords.map { case (lang, words) =>
         lang -> TextFns.hitCount(t, words)
@@ -50,7 +57,7 @@ object TextAnalysis {
         when(sc > acc.getField("hits"),
           struct(sc.as("hits"), lit(lang).as("lang"))).otherwise(acc)
     }
-    docs.select(col(idCol), best.getField("lang").as("pred_lang"),
+    docsT.select(col(idCol), best.getField("lang").as("pred_lang"),
       best.getField("hits").cast("long").as("hits"))
   }
 
@@ -59,7 +66,8 @@ object TextAnalysis {
     * exact integer ratios in double — deterministic and oracle-matchable.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = TextFns.toks(col(textCol))
+    val t = col("__toks")
+    val docsT = fanOut(docs).withColumn("__toks", TextFns.toks(col(textCol)))
     val nTok = size(t).cast(DoubleType)
     val lenTerm = least(nTok / 100.0, lit(1.0))
     val diversity = size(array_distinct(t)).cast(DoubleType) / nTok
@@ -69,21 +77,25 @@ object TextAnalysis {
     val punct = size(split(col(textCol), "[.!?,;:]")) - 1
     val punctTerm = lit(1.0) - least(
       punct.cast(DoubleType) / nTok, lit(1.0))
-    docs.select(col(idCol),
+    docsT.select(col(idCol),
       (lenTerm * 0.3 + diversity * 0.3 + stopTerm * 0.2 + punctTerm * 0.2)
         .as("quality"))
   }
 
   /** Document fingerprints: md5 of normalized text (exact identity) plus
     * a rolling 3-gram min-hash (content fingerprint robust to small
-    * edits — the MinHash-1 of the shingle set).
+    * edits — the MinHash-1 of the shingle set). The shingle min runs as
+    * explode + min-aggregate (one md5 per shingle row, codegen'd hash
+    * agg) rather than an interpreted per-row array traversal.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val normed = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    docs.select(col(idCol),
-      md5(normed).as("exact_fp"),
-      coalesce(array_min(transform(
-        TextFns.shingles(col(textCol), 3), s => md5(s))), lit(""))
-        .as("shingle_fp"))
+    val exact = docs.select(col(idCol), md5(normed).as("exact_fp"))
+    val shfp = fanOut(docs)
+      .select(col(idCol), explode(TextFns.shingles(col(textCol), 3)).as("sh"))
+      .groupBy(col(idCol)).agg(min(md5(col("sh"))).as("shfp"))
+    exact.join(shfp, Seq(idCol), "left")
+      .select(col(idCol), col("exact_fp"),
+        coalesce(col("shfp"), lit("")).as("shingle_fp"))
   }
 }
