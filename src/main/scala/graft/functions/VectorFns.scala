@@ -28,8 +28,23 @@ object VectorFns {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(fsum(transform(a, x => d(x) * d(x))))
 
-  /** Cosine similarity (NULL if either norm is 0). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity. Declarative (HOF) formulation — kept as the
+    * readable reference; [[cosineFast]] is the production path.
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the codegen'd Catalyst expression
+    * [[graft.expressions.CosineSimilarity]] — bit-identical to
+    * [[cosineHof]] (same sequential double folds), but compiled into
+    * the surrounding WholeStageCodegen loop instead of crossing an
+    * interpreted lambda per element.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   /** Deterministic pseudo-random hyperplane component for plane `j`,
     * dimension `i` (0-based): integer LCG-style mix mapped into

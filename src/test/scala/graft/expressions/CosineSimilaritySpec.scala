@@ -1,0 +1,56 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.functions.VectorFns
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("codegen cosine is BIT-identical to the HOF fold on real embeddings") {
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    val both = e.as("a").crossJoin(e.as("b"))
+      .select(
+        VectorFns.cosine($"a.embedding", $"b.embedding").as("fast"),
+        VectorFns.cosineHof($"a.embedding", $"b.embedding").as("hof"))
+    val diff = both.filter(
+      !($"fast" === $"hof" || ($"fast".isNull && $"hof".isNull))).count()
+    assert(diff == 0)
+  }
+
+  test("null and length-mismatch semantics match zip_with null-pad") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f))),     // length mismatch
+      (None, Some(Seq(1.0f, 2.0f))))                // null side
+      .toDF("a", "b")
+    val got = df.select(VectorFns.cosine($"a", $"b")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).exists(v => math.abs(v - 1.0) < 1e-15))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("SQL registration through GraftExtensions") {
+    // extensions apply at session BUILD time — getOrCreate must not find
+    // an existing session, so clear active+default (the SparkContext is
+    // reused) and restore afterwards
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val withExt = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      val r = withExt.sql(
+        "SELECT cosine_similarity(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))," +
+          " array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS c," +
+          " dot_product(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT))) AS d")
+        .collect().head
+      assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 6.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+    }
+  }
+}
