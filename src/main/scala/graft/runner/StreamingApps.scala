@@ -1,0 +1,161 @@
+package graft.runner
+
+import graft.sources.Sources
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Runnable wiring of the four reference apps (OdsBaseLogApp,
+  * OdsBaseDbApp, DwdDauApp, DwdOrderApp) on Structured Streaming —
+  * Kafka in, Kafka/serving-table out, 5 s triggers, checkpoints.
+  *
+  * Each `main` takes [servers, checkpointRoot, outputRoot]. These need
+  * a live Kafka broker, so CI covers the transform layers via
+  * MemoryStream specs (see graft.streaming specs) and these mains stay
+  * thin: source → transform (all tested) → sink.
+  */
+object StreamingApps {
+
+  private def session(name: String): SparkSession = {
+    val s = SparkSession.builder()
+      .appName(name)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** ODS log splitter: one Kafka topic in → five DWD topics out, all
+    * branches in one foreachBatch so the source is read once per
+    * micro-batch and offsets commit atomically with the writes.
+    */
+  object OdsLogApp {
+    def main(args: Array[String]): Unit = {
+      val Array(servers, ckpt, _) = args.padTo(3, "")
+      val spark = session("graft-ods-log")
+      val parsed = LogSplit.parse(
+        Sources.kafka(spark, servers, "ODS_BASE_LOG"))
+      val q = parsed.writeStream
+        .trigger(Trigger.ProcessingTime("5 seconds"))
+        .option("checkpointLocation", s"$ckpt/ods_log")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cached = batch.persist()
+          try LogSplit.split(cached).foreach { case (topic, branch) =>
+            branch
+              .select(to_json(struct(branch.columns.map(col): _*))
+                .as("value"))
+              .write.format("kafka")
+              .option("kafka.bootstrap.servers", servers)
+              .option("topic", topic)
+              .save()
+          } finally { cached.unpersist(); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
+  /** ODS CDC splitter: Maxwell topic in → per-table per-op fact topics
+    * + dim-table upserts (parquet keyed store standing in for Redis).
+    */
+  object OdsDbApp {
+    def main(args: Array[String]): Unit = {
+      val Array(servers, ckpt, out) = args.padTo(3, "")
+      val spark = session("graft-ods-db")
+      val factTables = Set("order_info", "order_detail")
+      val dimTables = Set("user_info", "base_province")
+      val decoded = CdcSplit.decoded(CdcSplit.parse(
+        Sources.kafka(spark, servers, "ODS_BASE_DB")))
+      val q = decoded.writeStream
+        .trigger(Trigger.ProcessingTime("5 seconds"))
+        .option("checkpointLocation", s"$ckpt/ods_db")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cached = batch.persist()
+          try {
+            CdcSplit.facts(cached, factTables)
+              .select(col("topic"),
+                to_json(struct(col("table"), col("op"), col("ts"),
+                  col("data"))).as("value"))
+              .write.format("kafka")
+              .option("kafka.bootstrap.servers", servers)
+              .save()
+            CdcSplit.dims(cached, dimTables)
+              .write.mode("append").partitionBy("table")
+              .parquet(s"$out/dim_store")
+          } finally { cached.unpersist(); () }
+        }
+        .start()
+      q.awaitTermination()
+    }
+  }
+
+  /** DWD DAU: page-log topic in → deduped + enriched wide rows →
+    * dt-partitioned keyed serving table.
+    */
+  object DwdDauApp {
+    def main(args: Array[String]): Unit = {
+      val Array(servers, ckpt, out) = args.padTo(3, "")
+      val spark = session("graft-dwd-dau")
+      val pages = LogSplit.parse(
+        Sources.kafka(spark, servers, "DWD_PAGE_LOG_TOPIC"))
+      val pageRows = LogSplit.pages(pages)
+      val dimUser = spark.read.parquet(s"$out/dim_store")
+        .filter(col("table") === "user_info")
+        .select(get_json_object(col("data"), "$.id").as("id"),
+          get_json_object(col("data"), "$.gender").as("gender"),
+          get_json_object(col("data"), "$.birthday").as("birthday"))
+      val dimProvince = spark.read.parquet(s"$out/dim_store")
+        .filter(col("table") === "base_province")
+        .select(get_json_object(col("data"), "$.id").as("id"),
+          get_json_object(col("data"), "$.name").as("name"),
+          get_json_object(col("data"), "$.area_code").as("area_code"),
+          get_json_object(col("data"), "$.iso_code").as("iso_code"),
+          get_json_object(col("data"), "$.iso_3166_2").as("iso_3166_2"))
+      val dau = DauPipeline.dau(pageRows, dimUser, dimProvince)
+      Sinks.keyedParquetSink(dau, s"$out/dau", "mid", s"$ckpt/dau")
+        .start().awaitTermination()
+    }
+  }
+
+  /** DWD order-wide: info + detail fact topics in → watermarked
+    * stream-stream join → dt-partitioned keyed serving table.
+    */
+  object DwdOrderApp {
+    def main(args: Array[String]): Unit = {
+      val Array(servers, ckpt, out) = args.padTo(3, "")
+      val spark = session("graft-dwd-order")
+      def factStream(topic: String) =
+        Sources.kafka(spark, servers, topic)
+          .select(get_json_object(col("value"), "$.data").as("data"))
+      val info = factStream("DWD_ORDER_INFO_I")
+        .select(
+          get_json_object(col("data"), "$.id").cast("long").as("id"),
+          get_json_object(col("data"), "$.user_id").cast("long")
+            .as("user_id"),
+          get_json_object(col("data"), "$.total_amount").cast("double")
+            .as("total_amount"),
+          to_timestamp(get_json_object(col("data"), "$.create_time"))
+            .as("create_ts"))
+      val detail = factStream("DWD_ORDER_DETAIL_I")
+        .select(
+          get_json_object(col("data"), "$.id").cast("long")
+            .as("detail_id"),
+          get_json_object(col("data"), "$.order_id").cast("long")
+            .as("order_id"),
+          get_json_object(col("data"), "$.sku_id").cast("long")
+            .as("sku_id"),
+          get_json_object(col("data"), "$.sku_name").as("sku_name"),
+          get_json_object(col("data"), "$.split_total_amount")
+            .cast("double").as("split_total_amount"),
+          to_timestamp(get_json_object(col("data"), "$.create_time"))
+            .as("create_ts"))
+      val wide = OrderWidePipeline.orderWide(info, detail)
+        .withColumn("dt", graft.functions.Cols.dt(col("i.create_ts")))
+      Sinks.keyedParquetSink(wide, s"$out/order_wide", "detail_id",
+        s"$ckpt/order_wide").start().awaitTermination()
+    }
+  }
+}

@@ -44,4 +44,29 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .foreachBatch((batch: DataFrame, _: Long) =>
         upsertBatch(batch, path, pk))
+
+  /** Kafka sink (reference K1, MyKafkaUtils.scala:61-114): rows
+    * serialized as JSON values; per-record topic routing via an
+    * existing `topic` column (the CdcSplit fact branch) or a fixed
+    * topic. Flush-before-commit, acks and idempotent produce are the
+    * sink's own contract — none of the reference's hand-rolled producer
+    * lifecycle survives.
+    */
+  def kafkaSink(df: DataFrame, servers: String, checkpoint: String,
+                topic: Option[String] = None,
+                trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
+      : DataStreamWriter[Row] = {
+    val dataCols = df.columns.filter(_ != "topic").map(col)
+    val payload =
+      if (df.columns.contains("topic") && topic.isEmpty)
+        df.select(col("topic"), to_json(struct(dataCols: _*)).as("value"))
+      else
+        df.select(to_json(struct(dataCols: _*)).as("value"))
+    val w = payload.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+    topic.fold(w)(t => w.option("topic", t))
+  }
 }
