@@ -58,13 +58,23 @@ object VectorFns {
     * bits packed into an int. Same bucket ⇔ ANN candidate. `seed`
     * selects an independent hash table (OR-amplification: check
     * candidates in ANY of several tables to recover recall lost to
-    * AND-ing sign bits).
+    * AND-ing sign bits). Declarative reference; [[lshBucket]] is the
+    * codegen'd production path.
     */
-  def lshBucket(vec: Column, planes: Int, seed: Int = 0): Column =
+  def lshBucketHof(vec: Column, planes: Int, seed: Int = 0): Column =
     (0 until planes).map { j =>
       val dotJ = fsum(zip_with(vec,
         sequence(lit(0), size(vec) - 1),
         (x, i) => d(x) * hyperplane(seed * planes + j, i)))
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Codegen'd LSH bucket via [[graft.expressions.LshBucket]] —
+    * bit-identical to [[lshBucketHof]].
+    */
+  def lshBucket(vec: Column, planes: Int, seed: Int = 0): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.LshBucket(
+        org.apache.spark.sql.graftbridge.Bridge.expression(vec),
+        planes, seed))
 }

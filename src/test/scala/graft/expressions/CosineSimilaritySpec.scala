@@ -19,6 +19,17 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("codegen lshBucket is identical to the HOF fold across seeds") {
+    val e = Tables.embeddings(spark, sf0001)
+    (0 until 4).foreach { seed =>
+      val diff = e.select(
+        VectorFns.lshBucket($"embedding", 6, seed).as("fast"),
+        VectorFns.lshBucketHof($"embedding", 6, seed).as("hof"))
+        .filter($"fast" =!= $"hof").count()
+      assert(diff == 0, s"seed=$seed")
+    }
+  }
+
   test("null and length-mismatch semantics match zip_with null-pad") {
     val df = Seq(
       (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f))),
