@@ -35,6 +35,8 @@ object Cols {
     * semantics: calendar years, minus one if the anniversary hasn't
     * happened yet. Written as pure year/month/day arithmetic so the exact
     * same formula is expressible in the DuckDB oracle.
+    * Precondition: `birth <= asOf` (the only case the reference hits);
+    * for future birthdays this diverges from `Period.getYears`.
     */
   def ageYears(asOf: Column, birth: Column): Column =
     (year(asOf) - year(birth)) - when(

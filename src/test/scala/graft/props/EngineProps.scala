@@ -1,0 +1,94 @@
+package graft.props
+
+import graft.SparkSpec
+import graft.functions.Cols
+import graft.operators.Dedup
+import graft.streaming.DauPipeline
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based invariants (SURVEY §5.3): dedup idempotency,
+  * partition invariance, age-derivation equivalence with
+  * java.time.Period, match-AND monotonicity. Each property evaluates a
+  * whole generated batch in one Spark job to keep runtime sane.
+  */
+object EngineProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa")
+  private val doc = Gen.chooseNum(3, 12)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val docs = Gen.chooseNum(2, 12).flatMap(n =>
+    Gen.listOfN(n, doc)).map(_.zipWithIndex.map { case (t, i) =>
+    (i.toLong, t) })
+
+  property("dedupDaily is idempotent (reprocessing changes nothing)") =
+    Prop.forAll(Gen.listOfN(20,
+      Gen.zip(Gen.oneOf("m1", "m2", "m3"), Gen.chooseNum(0L, 3L),
+        Gen.chooseNum(0L, 86399999L)))) { rows =>
+      val df = rows.map { case (mid, day, off) =>
+        (mid, 1700000000000L - 1600000000L + day * 86400000L + off)
+      }.toDF("mid", "ts")
+      val once = DauPipeline.dedupDaily(df)
+      val twice = DauPipeline.dedupDaily(once)
+      once.count() == twice.count() &&
+        once.select("mid", "dt").collect().toSet ==
+          twice.select("mid", "dt").collect().toSet
+    }
+
+  property("exact dedup groups sum to input size, any partitioning") =
+    Prop.forAll(docs, Gen.chooseNum(1, 7)) { (ds, parts) =>
+      val df = ds.toDF("doc_id", "text").repartition(parts)
+      val groups = Dedup.exact(df, "doc_id", "text")
+      groups.agg(sum("group_size")).as[Long].head() == ds.size
+    }
+
+  property("jaccardPairs is partition-invariant and within (0,1]") =
+    Prop.forAll(docs, Gen.chooseNum(1, 5)) { (ds, parts) =>
+      val df = ds.toDF("doc_id", "text")
+      val a = Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val b = Dedup.jaccardPairs(df.repartition(parts), "doc_id", "text",
+        2, 0.1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      a.toSet == b.toSet && a.forall(p => p._3 > 0 && p._3 <= 1.0)
+    }
+
+  // birth <= asOf: the reference only ever derives age from a past
+  // birthday; for negative spans Period.getYears and the SQL formula
+  // deliberately diverge (documented precondition of Cols.ageYears)
+  property("ageYears equals java.time.Period.getYears for birth <= asOf") =
+    Prop.forAll(Gen.listOfN(25,
+      Gen.chooseNum(0L, 20000L).flatMap(a =>
+        Gen.chooseNum(0L, a + 10000L).map(b => (a, b))))) { pairs =>
+      val rows = pairs.map { case (a, b) =>
+        (java.time.LocalDate.ofEpochDay(a + 10000).toString,
+          java.time.LocalDate.ofEpochDay(b).toString)
+      }
+      val got = rows.toDF("asof", "birth")
+        .select(Cols.ageYears(to_date(col("asof")), to_date(col("birth")))
+          .cast("int"))
+        .as[Int].collect().toSeq
+      val expect = rows.map { case (a, b) =>
+        java.time.Period.between(java.time.LocalDate.parse(b),
+          java.time.LocalDate.parse(a)).getYears
+      }
+      got == expect
+    }
+
+  property("matchAnd is monotone: adding query tokens only narrows") =
+    Prop.forAll(docs, Gen.listOfN(2, word)) { (ds, qs) =>
+      val df = ds.toDF("doc_id", "text")
+      val narrow = df.filter(Cols.matchAnd(col("text"), qs.mkString(" ")))
+        .select("doc_id").as[Long].collect().toSet
+      val wide = df.filter(Cols.matchAnd(col("text"), qs.head))
+        .select("doc_id").as[Long].collect().toSet
+      narrow.subsetOf(wide)
+    }
+}
