@@ -35,6 +35,21 @@ class DedupSpec extends SparkSpec {
     assert(j34 == 7.0 / 9.0) // 7 shared of (8+8-7) distinct shingles
   }
 
+  test("maxShingleFreq drops hot shingles from the index (skew guard)") {
+    // every doc shares the hot 3-gram "x y z"; without the guard all
+    // pairs become candidates through it
+    val hot = Seq(
+      (1L, "x y z alpha beta gamma"),
+      (2L, "x y z delta epsilon zeta"),
+      (3L, "x y z eta theta iota")
+    ).toDF("doc_id", "text")
+    val unguarded = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.01)
+    val guarded = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.01,
+      maxShingleFreq = 2)
+    assert(unguarded.count() == 3) // all 3 pairs meet via "x y z"
+    assert(guarded.count() == 0)   // hot shingle removed → no candidates
+  }
+
   test("jaccardPairs is partition-invariant") {
     val base = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .collect().toSet

@@ -110,6 +110,25 @@ class StreamingPipelinesSpec extends SparkSpec {
     spark.range(1).select(
       get_json_object(lit(data), "$.gender")).first().getString(0)
 
+  test("observe metrics surface per micro-batch without extra jobs") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Page]
+    val observed = Metrics.observeRows(src.toDF(), "dau_in", "mid")
+    val q = observed.writeStream
+      .format("memory").queryName("obs_test")
+      .option("checkpointLocation", tmp("obs_ckpt"))
+      .start()
+    try {
+      src.addData(
+        Page("m1", "1", "p", null, 1L),
+        Page(null, "2", "p", null, 2L))
+      q.processAllAvailable()
+      val m = q.lastProgress.observedMetrics.get("dau_in")
+      assert(m.getAs[Long]("rows") == 2L)
+      assert(m.getAs[Long]("null_keys") == 1L)
+    } finally q.stop()
+  }
+
   test("keyed parquet sink is idempotent under batch replay") {
     val out = tmp("sink_out")
     val batch = Seq(
