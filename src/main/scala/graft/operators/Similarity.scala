@@ -1,9 +1,10 @@
 package graft.operators
 
+import graft.expressions.TopKByScore
 import graft.functions.VectorFns
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -26,6 +27,26 @@ object Similarity {
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Per-query top-k of `scored(query_id, neighbor_id, cosine)` via the
+    * bounded-heap aggregate [[graft.expressions.TopKByScore]] — runs
+    * map-side, so the shuffle carries ≤ partitions × k rows per query
+    * instead of every scored row (the window-function formulation's
+    * cost). Emission order (score desc, id asc) matches
+    * `row_number() OVER (ORDER BY cosine DESC, neighbor_id)` exactly.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = Bridge.column(
+      TopKByScore(Bridge.expression(col("cosine")),
+        Bridge.expression(col("neighbor_id")), k)
+        .toAggregateExpression())
+    scored.groupBy(col("query_id")).agg(agg.as("topk"))
+      .select(col("query_id"),
+        posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t.score").as("cosine"))
+  }
+
   /** Exact top-k neighbors for each query vector (excluding self).
     * Output: (query_id, neighbor_id, rank, cosine).
     */
@@ -37,13 +58,7 @@ object Similarity {
       col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("int").as("rank"), col("cosine"))
+    topK(scored, k)
   }
 
   /** LSH-bucketed ANN with OR-amplification: `tables` independent
@@ -75,12 +90,6 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        col("rank").cast("int").as("rank"), col("cosine"))
+    topK(scored, k)
   }
 }

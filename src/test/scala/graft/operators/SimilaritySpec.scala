@@ -30,6 +30,39 @@ class SimilaritySpec extends SparkSpec {
     assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("heap top-k agg matches the window formulation exactly") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 20)
+    val viaAgg = Similarity.bruteKnn(e, q, "vec_id", "embedding", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    // reference: window-function top-k over the same scored pairs
+    import org.apache.spark.sql.expressions.Window
+    val qd = q.select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val cd = e.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+    val scored = cd.join(broadcast(qd), $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine",
+        graft.functions.VectorFns.cosine($"qv", $"cv"))
+    val viaWindow = scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"neighbor_id")))
+      .filter($"rank" <= 7)
+      .select($"query_id", $"neighbor_id", $"rank".cast("int"), $"cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("heap top-k is partition-invariant (map-side merge correctness)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 5)
+    def run(parts: Int) =
+      Similarity.bruteKnn(e.repartition(parts), q, "vec_id", "embedding", 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet
+    assert(run(1) == run(13))
+  }
+
   test("lshKnn results are a subset of brute-force candidates with " +
     "reasonable recall on the real embeddings") {
     val e = Tables.embeddings(spark, sf0001)
