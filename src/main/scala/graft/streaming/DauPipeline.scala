@@ -24,9 +24,8 @@ object DauPipeline {
   def sessionStarts(pages: DataFrame): DataFrame =
     pages.filter(col("last_page_id").isNull)
 
-  /** First event per (mid, event-date). Streaming: callers must attach
-    * a watermark on `event_ts` first (see [[dau]]); batch: plain
-    * dropDuplicates gives the same keyed first-wins.
+  /** First event per (mid, event-date), batch form: plain keyed
+    * first-wins dropDuplicates.
     */
   def dedupDaily(starts: DataFrame): DataFrame =
     starts
@@ -34,6 +33,22 @@ object DauPipeline {
       .withColumn("dt", Cols.dt(col("event_ts")))
       .withColumn("hr", Cols.hr(col("event_ts")))
       .dropDuplicates("mid", "dt")
+
+  /** Streaming form: `dropDuplicatesWithinWatermark` on (mid, dt) with
+    * the watermarked event-time column KEPT in the frame — this is what
+    * makes per-key state evictable once the watermark passes (plain
+    * dropDuplicates without the event-time column in the subset keeps
+    * state forever → unbounded growth). 24 h lateness bound = the
+    * reference's intended Redis TTL (DwdDauApp.scala:94).
+    */
+  def dedupDailyStreaming(starts: DataFrame,
+                          maxLateness: String = "24 hours"): DataFrame =
+    starts
+      .withColumn("event_ts", timestamp_millis(col("ts")))
+      .withWatermark("event_ts", maxLateness)
+      .withColumn("dt", Cols.dt(col("event_ts")))
+      .withColumn("hr", Cols.hr(col("event_ts")))
+      .dropDuplicatesWithinWatermark("mid", "dt")
 
   /** Full streaming DAU wide-row: watermarked dedup + user/province dim
     * enrichment (broadcast joins against slowly-changing dim snapshots,
@@ -46,11 +61,8 @@ object DauPipeline {
   def dau(pages: DataFrame, dimUser: DataFrame,
           dimProvince: DataFrame): DataFrame = {
     val deduped =
-      dedupDaily(
-        sessionStarts(pages)
-          .withColumn("event_ts", timestamp_millis(col("ts")))
-          .withWatermark("event_ts", "24 hours")
-          .drop("event_ts"))
+      if (pages.isStreaming) dedupDailyStreaming(sessionStarts(pages))
+      else dedupDaily(sessionStarts(pages))
     deduped
       .join(broadcast(dimUser).as("u"),
         deduped("user_id") === col("u.id"), "left")

@@ -25,10 +25,8 @@ class StreamingPipelinesSpec extends SparkSpec {
     val source = MemoryStream[Page]
     val day0 = 1700000000000L // 2023-11-14
     val pages = source.toDF()
-    val deduped = DauPipeline.dedupDaily(
-      DauPipeline.sessionStarts(pages)
-        .withColumn("event_ts", timestamp_millis(col("ts")))
-        .withWatermark("event_ts", "24 hours").drop("event_ts"))
+    val deduped = DauPipeline.dedupDailyStreaming(
+      DauPipeline.sessionStarts(pages))
     val q = deduped.writeStream
       .format("memory").queryName("dau_test")
       .outputMode("append")
@@ -50,6 +48,34 @@ class StreamingPipelinesSpec extends SparkSpec {
       val rows = spark.table("dau_test").select("mid").as[String]
         .collect().sorted.toSeq
       assert(rows == Seq("mid_1", "mid_2"))
+    } finally q.stop()
+  }
+
+  test("full streaming DAU wide-row with broadcast dim enrichment") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Page]
+    val day0 = 1700000000000L
+    val dimUser = Seq(("1", "F", "1995-06-15")).toDF(
+      "id", "gender", "birthday")
+    val dimProvince = Seq(("110000", "Beijing", "010", "CN-11", "CN-BJ"))
+      .toDF("id", "name", "area_code", "iso_code", "iso_3166_2")
+    val wide = DauPipeline.dau(source.toDF(), dimUser, dimProvince)
+    val q = wide.writeStream
+      .format("memory").queryName("dau_wide_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("dau_wide_ckpt"))
+      .start()
+    try {
+      source.addData(
+        Page("m1", "1", "110000", null, day0),
+        Page("m9", "42", "999999", null, day0)) // no dim matches
+      q.processAllAvailable()
+      val rows = spark.table("dau_wide_test")
+        .select("mid", "user_gender", "province_name").collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+      assert(rows("m1") == (("F", "Beijing")))
+      assert(rows("m9") == ((null, null))) // left-join survival
     } finally q.stop()
   }
 
