@@ -51,6 +51,35 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState dedup: first-wins with custom keyed state") {
+    import DauCustomState._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[StartEvent]
+    val day0 = 1700000000000L
+    val deduped = dedupExact(
+      src.toDS()
+        .withColumn("event_ts", timestamp_millis(col("ts")))
+        .withWatermark("event_ts", "24 hours")
+        .as[StartEvent](org.apache.spark.sql.Encoders.product[StartEvent]))
+    val q = deduped.writeStream
+      .format("memory").queryName("dau_fmgws")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("fmgws_ckpt"))
+      .start()
+    try {
+      src.addData(
+        StartEvent("m1", "1", day0 + 5000),
+        StartEvent("m1", "1", day0 + 1000)) // same batch, earlier wins
+      q.processAllAvailable()
+      src.addData(StartEvent("m1", "1", day0 + 9000)) // cross-batch dup
+      src.addData(StartEvent("m2", "2", day0 + 100))
+      q.processAllAvailable()
+      val rows = spark.table("dau_fmgws").as[DauFirst].collect()
+        .map(r => r.mid -> r.ts).toMap
+      assert(rows == Map("m1" -> (day0 + 1000), "m2" -> (day0 + 100)))
+    } finally q.stop()
+  }
+
   test("full streaming DAU wide-row with broadcast dim enrichment") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[Page]
