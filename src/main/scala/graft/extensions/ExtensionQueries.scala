@@ -93,7 +93,9 @@ object ExtensionQueries {
          | CAST(len(list_distinct($TOKS)) AS BIGINT) AS n_distinct,
          | CAST(length(text) AS BIGINT) AS n_chars,
          | CAST(list_sum(list_transform($TOKS, x -> len(x))) AS DOUBLE)
-         |   / CAST(len($TOKS) AS DOUBLE) AS avg_token_len
+         |   / CAST(len($TOKS) AS DOUBLE) AS avg_token_len,
+         | CAST(len(regexp_extract_all(text,
+         |   '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.tokenStats(documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
@@ -274,6 +276,43 @@ object ExtensionQueries {
       val e = embeddings(s, d)
       Similarity.lshKnn(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, planes = 6, tables = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    Q("ext_knn_ivf", {
+      val (cells, nProbe) = (16, 4)
+      val seedCos = cosSql("c.embedding", "s.sv")
+      val probeCos = cosSql("q.embedding", "s.sv")
+      val cos = cosSql("cc.cv", "qp.qv")
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
+         |  WHERE vec_id < $cells),
+         |corpus_cells AS (
+         | SELECT neighbor_id, cv, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, s.cell,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell) AS rn
+         |  FROM embeddings c, seeds s)
+         | WHERE rn = 1),
+         |query_probes AS (
+         | SELECT query_id, qv, cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, s.cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY $probeCos DESC, s.cell) AS rn
+         |  FROM embeddings q, seeds s WHERE q.vec_id < 10)
+         | WHERE rn <= $nProbe)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT qp.query_id, cc.neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY qp.query_id
+         |    ORDER BY $cos DESC, cc.neighbor_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM corpus_cells cc JOIN query_probes qp USING (cell)
+         | WHERE qp.query_id != cc.neighbor_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.ivfKnn(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, cells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     },
 

@@ -61,6 +61,46 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `cells` Voronoi
+    * cells around coarse centroids (here: the first `cells` vectors by
+    * id — deterministic seeding; a production build would k-means
+    * refine them, which only changes the centroid table), then answer
+    * queries by scoring ONLY the vectors in the query's `nProbe`
+    * nearest cells.
+    *
+    * Scale shape: assignment is one broadcast join (centroid table is
+    * tiny) + map-side argmax; the probe join is an equi-join on
+    * cell id, so per-query work is |corpus| × nProbe / cells instead of
+    * |corpus|. Recall loses only neighbors whose cell the query didn't
+    * probe — raise nProbe to trade cost for recall.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             cells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = corpus.orderBy(col(idCol)).limit(cells)
+      .select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
+      .withColumn("cell",
+        row_number().over(Window.orderBy(col("seed_id"))) - 1)
+      .drop("seed_id")
+    def assign(df: DataFrame, id: String, v: String, keep: Int) = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as(v))
+        .join(broadcast(seeds))
+        .withColumn("seed_cos", VectorFns.cosine(col(v), col("sv")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("seed_cos").desc, col("cell"))
+      scored.withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .select(col(id), col(v), col("cell"))
+    }
+    val corpusCells = assign(fanOut(corpus), "neighbor_id", "cv", 1)
+    val queryProbes = assign(queries, "query_id", "qv", nProbe)
+    val scored = corpusCells.join(broadcast(queryProbes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    topK(scored, k)
+  }
+
   /** LSH-bucketed ANN with OR-amplification: `tables` independent
     * hyperplane hash tables of `planes` sign bits each; a corpus vector
     * is a candidate for a query if they share a bucket in ANY table.

@@ -38,7 +38,12 @@ object TextAnalysis {
       size(array_distinct(t)).cast("long").as("n_distinct"),
       length(col(textCol)).cast("long").as("n_chars"),
       (aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType) /
-        size(t).cast(DoubleType)).as("avg_token_len"))
+        size(t).cast(DoubleType)).as("avg_token_len"),
+      // BPE-ish subword proxy: words + single digits + punct runs —
+      // the shape of a GPT-2-style pre-tokenizer pass
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpeish_tokens"))
   }
 
   /** Language-ID: stopword-hit count per language, argmax with

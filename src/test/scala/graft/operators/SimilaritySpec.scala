@@ -63,6 +63,19 @@ class SimilaritySpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("ivfKnn: corpus partitions into cells; recall reasonable") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 50)
+    val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfKnn(e, q, "vec_id", "embedding", 5,
+        cells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
   test("lshKnn results are a subset of brute-force candidates with " +
     "reasonable recall on the real embeddings") {
     val e = Tables.embeddings(spark, sf0001)
