@@ -130,15 +130,26 @@ object StreamingApps {
       def factStream(topic: String) =
         Sources.kafka(spark, servers, topic)
           .select(get_json_object(col("value"), "$.data").as("data"))
-      val info = factStream("DWD_ORDER_INFO_I")
+      val infoRaw = factStream("DWD_ORDER_INFO_I")
         .select(
           get_json_object(col("data"), "$.id").cast("long").as("id"),
           get_json_object(col("data"), "$.user_id").cast("long")
             .as("user_id"),
+          get_json_object(col("data"), "$.province_id")
+            .as("province_id"),
           get_json_object(col("data"), "$.total_amount").cast("double")
             .as("total_amount"),
           to_timestamp(get_json_object(col("data"), "$.create_time"))
             .as("create_ts"))
+      def dim(table: String, fields: Seq[String]) =
+        spark.read.parquet(s"$out/dim_store")
+          .filter(col("table") === table)
+          .select(fields.map(f =>
+            get_json_object(col("data"), s"$$.$f").as(f)): _*)
+      val info = OrderWidePipeline.enrichInfo(infoRaw,
+        dim("user_info", Seq("id", "gender", "birthday")),
+        dim("base_province",
+          Seq("id", "name", "area_code", "iso_code", "iso_3166_2")))
       val detail = factStream("DWD_ORDER_DETAIL_I")
         .select(
           get_json_object(col("data"), "$.id").cast("long")

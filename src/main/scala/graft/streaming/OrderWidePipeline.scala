@@ -43,4 +43,33 @@ object OrderWidePipeline {
   def orderWideBatch(info: DataFrame, detail: DataFrame): DataFrame =
     info.alias("i").join(detail.alias("d"),
       col("i.id") === col("d.order_id"), "inner")
+
+  /** Dim enrichment of the info side BEFORE the stream-stream join
+    * (reference DwdOrderApp.scala:112-146: user gender/age + province
+    * columns land on the wide row). Broadcast joins against the
+    * CDC-maintained dim tables — the info stream never shuffles for
+    * enrichment, and the reference's `province_iso_code` never-assigned
+    * / `area_code` double-assigned bugs (SURVEY §7) are normalized to
+    * the intended one-column-each mapping.
+    *
+    * `dimUser(id, gender, birthday)`,
+    * `dimProvince(id, name, area_code, iso_code, iso_3166_2)`.
+    */
+  def enrichInfo(info: DataFrame, dimUser: DataFrame,
+                 dimProvince: DataFrame): DataFrame =
+    info
+      .join(broadcast(dimUser).as("u"),
+        info("user_id") === col("u.id"), "left")
+      .withColumn("user_gender", col("u.gender"))
+      .withColumn("user_age", graft.functions.Cols.ageYears(
+        current_date(), to_date(col("u.birthday"))))
+      .drop(col("u.id")).drop(col("u.gender")).drop(col("u.birthday"))
+      .join(broadcast(dimProvince).as("p"),
+        col("province_id") === col("p.id"), "left")
+      .withColumn("province_name", col("p.name"))
+      .withColumn("province_area_code", col("p.area_code"))
+      .withColumn("province_iso_code", col("p.iso_code"))
+      .withColumn("province_3166_2", col("p.iso_3166_2"))
+      .drop(col("p.id")).drop(col("p.name")).drop(col("p.area_code"))
+      .drop(col("p.iso_code")).drop(col("p.iso_3166_2"))
 }

@@ -143,6 +143,23 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("order-info dim enrichment lands user + province columns") {
+    val info = Seq((1L, 7L, "11", 99.0)).toDF(
+      "id", "user_id", "province_id", "total_amount")
+    val dimUser = Seq(("7", "F", "1990-03-01")).toDF(
+      "id", "gender", "birthday")
+    val dimProvince = Seq(("11", "Beijing", "010", "CN-11", "CN-BJ"))
+      .toDF("id", "name", "area_code", "iso_code", "iso_3166_2")
+    val wide = OrderWidePipeline.enrichInfo(info, dimUser, dimProvince)
+      .collect().head
+    assert(wide.getAs[String]("user_gender") == "F")
+    assert(wide.getAs[Int]("user_age") >= 36) // as of 2026+
+    assert(wide.getAs[String]("province_name") == "Beijing")
+    assert(wide.getAs[String]("province_iso_code") == "CN-11")
+    assert(wide.getAs[String]("province_area_code") == "010")
+    assert(wide.getAs[String]("province_3166_2") == "CN-BJ")
+  }
+
   test("CDC split routes facts to synthesized topics and upserts dims") {
     val raw = Seq(
       """{"database":"gmall","table":"order_info","type":"insert","ts":1,"data":{"id":"1","total_amount":"99"}}""",
