@@ -11,14 +11,18 @@ import java.nio.file.Files
   * across batches (the reference's Redis-cached cross-batch path,
   * FIXTURES.md detail-lags-info scenario).
   */
+case class Page(mid: String, user_id: String, province_id: String,
+                last_page_id: String, ts: Long)
+case class Info(id: Long, user_id: Long, total_amount: Double,
+                create_ts: java.sql.Timestamp)
+case class Detail(order_id: Long, sku_id: Long, split_total_amount: Double,
+                  create_ts: java.sql.Timestamp)
+
 class StreamingPipelinesSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
-
-  case class Page(mid: String, user_id: String, province_id: String,
-                  last_page_id: String, ts: Long)
 
   test("streaming DAU dedup is first-wins per (mid, day) across batches") {
     implicit val sqlCtx = spark.sqlContext
@@ -48,6 +52,37 @@ class StreamingPipelinesSpec extends SparkSpec {
       val rows = spark.table("dau_test").select("mid").as[String]
         .collect().sorted.toSeq
       assert(rows == Seq("mid_1", "mid_2"))
+    } finally q.stop()
+  }
+
+  test("streaming and batch DAU dedup agree on the kept key set") {
+    implicit val sqlCtx = spark.sqlContext
+    val day0 = 1700000000000L
+    val rows = Seq(
+      Page("m1", "1", "p", null, day0 + 1000),
+      Page("m1", "1", "p", null, day0 + 2000),
+      Page("m2", "2", "p", null, day0 + 3000),
+      Page("m1", "1", "p", null, day0 + 86400000L + 500), // next day
+      Page("m3", "3", "p", "home", day0)) // filtered
+    val batchKeys = DauPipeline.dedupDaily(
+        DauPipeline.sessionStarts(rows.toDF()))
+      .select("mid", "dt").collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet
+    val src = MemoryStream[Page]
+    val q = DauPipeline.dedupDailyStreaming(
+        DauPipeline.sessionStarts(src.toDF()))
+      .writeStream.format("memory").queryName("parity_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("parity_ckpt"))
+      .start()
+    try {
+      rows.grouped(2).foreach { batch =>
+        src.addData(batch: _*); q.processAllAvailable()
+      }
+      val streamKeys = spark.table("parity_test")
+        .select("mid", "dt").collect().map(r =>
+          (r.getString(0), r.getString(1))).toSet
+      assert(streamKeys == batchKeys)
     } finally q.stop()
   }
 
@@ -107,11 +142,6 @@ class StreamingPipelinesSpec extends SparkSpec {
       assert(rows("m9") == ((null, null))) // left-join survival
     } finally q.stop()
   }
-
-  case class Info(id: Long, user_id: Long, total_amount: Double,
-                  create_ts: java.sql.Timestamp)
-  case class Detail(order_id: Long, sku_id: Long, split_total_amount: Double,
-                    create_ts: java.sql.Timestamp)
 
   test("order-wide join completes detail-lags-info across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
