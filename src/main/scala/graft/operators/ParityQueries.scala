@@ -49,6 +49,10 @@ object ParityQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |   / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
@@ -59,6 +63,8 @@ object ParityQueries {
           Cols.decSum(col("l_extendedprice")).as("sum_base_price"),
           sum(Cols.discPrice(col("l_extendedprice"), col("l_discount")))
             .cast(DoubleType).as("sum_disc_price"),
+          Cols.decAvg(col("l_quantity")).as("avg_qty"),
+          Cols.decAvg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
