@@ -102,12 +102,14 @@ object StreamingApps {
       val pages = LogSplit.parse(
         Sources.kafka(spark, servers, "DWD_PAGE_LOG_TOPIC"))
       val pageRows = LogSplit.pages(pages)
-      val dimUser = spark.read.parquet(s"$out/dim_store")
+      val dimUser = CdcSplit.latestDims(
+          spark.read.parquet(s"$out/dim_store"))
         .filter(col("table") === "user_info")
         .select(get_json_object(col("data"), "$.id").as("id"),
           get_json_object(col("data"), "$.gender").as("gender"),
           get_json_object(col("data"), "$.birthday").as("birthday"))
-      val dimProvince = spark.read.parquet(s"$out/dim_store")
+      val dimProvince = CdcSplit.latestDims(
+          spark.read.parquet(s"$out/dim_store"))
         .filter(col("table") === "base_province")
         .select(get_json_object(col("data"), "$.id").as("id"),
           get_json_object(col("data"), "$.name").as("name"),
@@ -142,7 +144,7 @@ object StreamingApps {
           to_timestamp(get_json_object(col("data"), "$.create_time"))
             .as("create_ts"))
       def dim(table: String, fields: Seq[String]) =
-        spark.read.parquet(s"$out/dim_store")
+        CdcSplit.latestDims(spark.read.parquet(s"$out/dim_store"))
           .filter(col("table") === table)
           .select(fields.map(f =>
             get_json_object(col("data"), s"$$.$f").as(f)): _*)

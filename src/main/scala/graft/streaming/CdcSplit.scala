@@ -67,4 +67,17 @@ object CdcSplit {
       .filter(col("rn") === 1)
       .select(col("table"), col("id"), col("data"), col("op"), col("ts"))
   }
+
+  /** Read the append-only dim store back as current state: latest row
+    * per (table, id) — the read-side half of the last-write-wins
+    * contract (writers append per batch; readers compact).
+    */
+  def latestDims(dimStore: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table"), col("id"))
+      .orderBy(col("ts").desc)
+    dimStore.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .filter(col("op") =!= "D") // deleted dims are absent, not stale
+  }
 }
