@@ -9,6 +9,17 @@ class JoinOpsSpec extends SparkSpec {
   test("bucketized tables join without a shuffle exchange") {
     val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
+    }
     JoinOps.bucketize(a, "bkt_a", "k", 8)
     JoinOps.bucketize(b, "bkt_b", "k", 8)
     val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
