@@ -11,6 +11,7 @@ import java.nio.file.Files
   * across batches (the reference's Redis-cached cross-batch path,
   * FIXTURES.md detail-lags-info scenario).
   */
+case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 case class Page(mid: String, user_id: String, province_id: String,
                 last_page_id: String, ts: Long)
 case class Info(id: Long, user_id: Long, total_amount: Double,
@@ -211,6 +212,32 @@ class StreamingPipelinesSpec extends SparkSpec {
   private def get_json(data: String): String =
     spark.range(1).select(
       get_json_object(lit(data), "$.gender")).first().getString(0)
+
+  test("streaming content dedup suppresses exact dups across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val q = StreamingDedup.exactFirstSeen(src.toDF(), "text", "ts")
+      .writeStream.format("memory").queryName("sdedup_test")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("sdedup_ckpt"))
+      .start()
+    try {
+      src.addData(
+        Doc(1L, "the quick brown fox", t0),
+        Doc(2L, "The  QUICK brown fox", t0)) // same after normalization
+      q.processAllAvailable()
+      src.addData(
+        Doc(3L, "the quick brown fox", t0),  // cross-batch dup
+        Doc(4L, "a different document", t0))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_test").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept.size == 2)
+      assert(kept.contains(4L))
+      assert((kept - 4L).subsetOf(Set(1L, 2L))) // one of the dup pair
+    } finally q.stop()
+  }
 
   test("observe metrics surface per micro-batch without extra jobs") {
     implicit val sqlCtx = spark.sqlContext
