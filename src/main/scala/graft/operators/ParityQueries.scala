@@ -476,6 +476,64 @@ object ParityQueries {
         .orderBy(col("rn"))
     },
 
+    // ---- pipeline round-trips: the streaming transform code paths under
+    // the oracle gate. Envelope JSON is synthesized in-plan from driver
+    // tables, fed through the REAL LogSplit/CdcSplit code, and the
+    // oracle computes the expected output directly from the base
+    // columns (JSON-free), so parse/flatten/route fidelity is what's
+    // hash-checked.
+    Q("pipe_log_split",
+      """SELECT concat('mid_', user_id) AS mid,
+        | event_type AS page_id,
+        | CASE WHEN json_extract_string(props, '$.k') = '0'
+        |      THEN NULL ELSE 'prev' END AS last_page_id,
+        | CAST(event_id AS VARCHAR) AS page_item,
+        | CAST(trunc(value) AS BIGINT) AS during_time,
+        | CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts
+        |FROM events ORDER BY CAST(page_item AS BIGINT)""".stripMargin) {
+      (s, d) =>
+        val raw = eventsRaw(s, d).select(to_json(struct(
+          struct(
+            concat(lit("mid_"), col("user_id")).as("mid"),
+            col("user_id").cast("string").as("uid")).as("common"),
+          struct(
+            col("event_type").as("page_id"),
+            when(get_json_object(col("props"), "$.k") === "0", lit(null))
+              .otherwise(lit("prev")).as("last_page_id"),
+            col("event_id").cast("string").as("item"),
+            col("value").cast("long").as("during_time")).as("page"),
+          expr("ts div 1000000").as("ts"))).as("value"))
+        graft.streaming.LogSplit.pages(graft.streaming.LogSplit.parse(raw))
+          .select(col("mid"), col("page_id"), col("last_page_id"),
+            col("page_item"), col("during_time"), col("ts"))
+          .orderBy(col("page_item").cast("long"))
+    },
+
+    Q("pipe_cdc_split",
+      """SELECT 'order_info' AS tbl,
+        | CASE WHEN o_orderstatus = 'F' THEN 'I' ELSE 'U' END AS op,
+        | concat('DWD_ORDER_INFO_',
+        |   CASE WHEN o_orderstatus = 'F' THEN 'I' ELSE 'U' END) AS topic,
+        | CAST(o_orderkey AS BIGINT) AS id
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      val raw = orders(s, d).select(to_json(struct(
+        lit("gmall").as("database"),
+        lit("order_info").as("table"),
+        when(col("o_orderstatus") === "F", "insert")
+          .when(col("o_orderstatus") === "O", "update")
+          .otherwise("ddl").as("type"),
+        col("o_orderkey").as("ts"),
+        struct(col("o_orderkey").as("id"),
+          col("o_totalprice").as("total_amount")).as("data"))).as("value"))
+      val decoded = graft.streaming.CdcSplit.decoded(
+        graft.streaming.CdcSplit.parse(raw))
+      graft.streaming.CdcSplit.facts(decoded, Set("order_info"))
+        .select(col("table").as("tbl"), col("op"), col("topic"),
+          get_json_object(col("data"), "$.id").cast("long").as("id"))
+        .orderBy(col("id"))
+    },
+
     // ---- scalar pack: string/date/arith builtins used by the reference ---
     Q("scalar_pack",
       """SELECT c_custkey,
