@@ -169,6 +169,11 @@ object Dedup {
         (0 until 16).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("sig"))
+      // one cheap shuffle by sig → the three consumers below (distinct
+      // + both expansion joins) all reuse a single exchange instead of
+      // re-computing the signature aggregation per consumer
+      // (A/B-measured in tools/ab_simhash.scala)
+      .repartition(col("sig"))
     // Pair by DISTINCT signature first: |sigs| ≪ |docs| on real corpora
     // (16-bit space caps it at 65536 regardless of corpus size), so all
     // banding/Hamming work runs on the signature set and doc pairs are
