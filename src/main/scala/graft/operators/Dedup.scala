@@ -75,8 +75,11 @@ object Dedup {
     // onto the aggregated pairs. A/B-measured 2.5x faster than carrying
     // the count through the self-join: identical narrow sides let Spark
     // reuse one exchange for both join inputs, and the pair shuffle
-    // stays at its minimum width.
-    val sh0 = shingled(docs, idCol, textCol, n)
+    // stays at its minimum width. The explicit repartition(sh) makes
+    // the counts branch reuse that same exchange too, so the
+    // shingling/explode subplan runs once total
+    // (A/B in tools/ab_jaccard.scala).
+    val sh0 = shingled(docs, idCol, textCol, n).repartition(col("sh"))
     val sh =
       if (maxShingleFreq <= 0) sh0
       else {

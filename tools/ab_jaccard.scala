@@ -29,9 +29,23 @@ def variantA() = {
     .filter(col("jaccard") >= 0.5)
     .select("id_a","id_b","jaccard")
 }
-// variant B: nsh-carry (current)
-def variantB() =
-  graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+// variant B: shared sh-exchange
+def variantB() = {
+  val sh = fanOut(docs).select(col("doc_id").as("did"),
+    explode(array_distinct(TextFns.shingles(col("text"), 3))).as("sh"))
+    .repartition(col("sh"))
+  val counts = sh.groupBy("did").agg(count(lit(1)).as("nsh"))
+  val inter = sh.as("a").join(sh.as("b"),
+      col("a.sh") === col("b.sh") && col("a.did") < col("b.did"))
+    .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+    .agg(count(lit(1)).as("inter"))
+  inter.join(counts.withColumnRenamed("did","id_a").withColumnRenamed("nsh","nsh_a"), "id_a")
+    .join(counts.withColumnRenamed("did","id_b").withColumnRenamed("nsh","nsh_b"), "id_b")
+    .withColumn("jaccard", col("inter").cast("double") /
+      (col("nsh_a") + col("nsh_b") - col("inter")).cast("double"))
+    .filter(col("jaccard") >= 0.5)
+    .select("id_a","id_b","jaccard")
+}
 
 def time(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
   val t0 = System.nanoTime()
