@@ -27,14 +27,15 @@ object CdcSplit {
     StructField("ts", LongType),
     StructField("data", StringType)))
 
-  /** Parse raw Maxwell JSON. `data` is re-extracted as raw JSON text. */
+  /** Parse raw Maxwell JSON — one `json_tuple` so each record is parsed
+    * once (five separate `get_json_object`s would re-parse per field).
+    * `data` stays raw JSON text (its schema varies per table).
+    */
   def parse(raw: DataFrame, valueCol: String = "value"): DataFrame =
-    raw.select(
-      get_json_object(col(valueCol), "$.database").as("database"),
-      get_json_object(col(valueCol), "$.table").as("table"),
-      get_json_object(col(valueCol), "$.type").as("type"),
-      get_json_object(col(valueCol), "$.ts").cast(LongType).as("ts"),
-      get_json_object(col(valueCol), "$.data").as("data"))
+    raw.select(json_tuple(col(valueCol),
+        "database", "table", "type", "ts", "data")
+        .as(Seq("database", "table", "type", "ts", "data")))
+      .withColumn("ts", col("ts").cast(LongType))
 
   /** Op decode: insert/bootstrap-insert→I, update→U, delete→D, other
     * rows dropped (reference OdsBaseDbApp.scala:116-126).
