@@ -102,20 +102,13 @@ object StreamingApps {
       val pages = LogSplit.parse(
         Sources.kafka(spark, servers, "DWD_PAGE_LOG_TOPIC"))
       val pageRows = LogSplit.pages(pages)
-      val dimUser = CdcSplit.latestDims(
-          spark.read.parquet(s"$out/dim_store"))
-        .filter(col("table") === "user_info")
-        .select(get_json_object(col("data"), "$.id").as("id"),
-          get_json_object(col("data"), "$.gender").as("gender"),
-          get_json_object(col("data"), "$.birthday").as("birthday"))
-      val dimProvince = CdcSplit.latestDims(
-          spark.read.parquet(s"$out/dim_store"))
-        .filter(col("table") === "base_province")
-        .select(get_json_object(col("data"), "$.id").as("id"),
-          get_json_object(col("data"), "$.name").as("name"),
-          get_json_object(col("data"), "$.area_code").as("area_code"),
-          get_json_object(col("data"), "$.iso_code").as("iso_code"),
-          get_json_object(col("data"), "$.iso_3166_2").as("iso_3166_2"))
+      def dim(table: String, fields: Seq[String]) =
+        CdcSplit.latestDims(spark.read.parquet(s"$out/dim_store"))
+          .filter(col("table") === table)
+          .select(json_tuple(col("data"), fields: _*).as(fields))
+      val dimUser = dim("user_info", Seq("id", "gender", "birthday"))
+      val dimProvince = dim("base_province",
+        Seq("id", "name", "area_code", "iso_code", "iso_3166_2"))
       val dau = DauPipeline.dau(pageRows, dimUser, dimProvince)
       Sinks.keyedParquetSink(dau, s"$out/dau", "mid", s"$ckpt/dau")
         .start().awaitTermination()
@@ -133,38 +126,35 @@ object StreamingApps {
         Sources.kafka(spark, servers, topic)
           .select(get_json_object(col("value"), "$.data").as("data"))
       val infoRaw = factStream("DWD_ORDER_INFO_I")
-        .select(
-          get_json_object(col("data"), "$.id").cast("long").as("id"),
-          get_json_object(col("data"), "$.user_id").cast("long")
-            .as("user_id"),
-          get_json_object(col("data"), "$.province_id")
-            .as("province_id"),
-          get_json_object(col("data"), "$.total_amount").cast("double")
-            .as("total_amount"),
-          to_timestamp(get_json_object(col("data"), "$.create_time"))
-            .as("create_ts"))
+        .select(json_tuple(col("data"), "id", "user_id", "province_id",
+            "total_amount", "create_time")
+          .as(Seq("id", "user_id", "province_id", "total_amount",
+            "create_time")))
+        .select(col("id").cast("long").as("id"),
+          col("user_id").cast("long").as("user_id"),
+          col("province_id"),
+          col("total_amount").cast("double").as("total_amount"),
+          to_timestamp(col("create_time")).as("create_ts"))
       def dim(table: String, fields: Seq[String]) =
         CdcSplit.latestDims(spark.read.parquet(s"$out/dim_store"))
           .filter(col("table") === table)
-          .select(fields.map(f =>
-            get_json_object(col("data"), s"$$.$f").as(f)): _*)
+          .select(json_tuple(col("data"), fields: _*).as(fields))
       val info = OrderWidePipeline.enrichInfo(infoRaw,
         dim("user_info", Seq("id", "gender", "birthday")),
         dim("base_province",
           Seq("id", "name", "area_code", "iso_code", "iso_3166_2")))
       val detail = factStream("DWD_ORDER_DETAIL_I")
-        .select(
-          get_json_object(col("data"), "$.id").cast("long")
-            .as("detail_id"),
-          get_json_object(col("data"), "$.order_id").cast("long")
-            .as("order_id"),
-          get_json_object(col("data"), "$.sku_id").cast("long")
-            .as("sku_id"),
-          get_json_object(col("data"), "$.sku_name").as("sku_name"),
-          get_json_object(col("data"), "$.split_total_amount")
-            .cast("double").as("split_total_amount"),
-          to_timestamp(get_json_object(col("data"), "$.create_time"))
-            .as("create_ts"))
+        .select(json_tuple(col("data"), "id", "order_id", "sku_id",
+            "sku_name", "split_total_amount", "create_time")
+          .as(Seq("id", "order_id", "sku_id", "sku_name",
+            "split_total_amount", "create_time")))
+        .select(col("id").cast("long").as("detail_id"),
+          col("order_id").cast("long").as("order_id"),
+          col("sku_id").cast("long").as("sku_id"),
+          col("sku_name"),
+          col("split_total_amount").cast("double")
+            .as("split_total_amount"),
+          to_timestamp(col("create_time")).as("create_ts"))
       val wide = OrderWidePipeline.orderWide(info, detail)
         .withColumn("dt", graft.functions.Cols.dt(col("i.create_ts")))
       Sinks.keyedParquetSink(wide, s"$out/order_wide", "detail_id",
