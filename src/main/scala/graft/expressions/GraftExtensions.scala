@@ -27,5 +27,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"top_k_by_score k must be a literal int, got $other")
+        }
+        TopKByScore(children(0), children(1), k).toAggregateExpression()
+      }))
   }
 }

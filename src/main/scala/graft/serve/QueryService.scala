@@ -82,6 +82,12 @@ object QueryService {
   /** `detailByItem` (PublisherMapperImpl.java:181-233): paged matching
     * order rows with the matched tokens highlighted; result columns
     * include the page's rows and the stable total.
+    *
+    * Scale note: the global row_number window funnels matches to one
+    * task — correct for the reference's page sizes (a match-filtered,
+    * single-day slice). For unbounded result sets, switch to keyset
+    * pagination (`WHERE detail_id > lastSeen ORDER BY detail_id LIMIT
+    * pageSize`), which stays distributed.
     */
   def detailByItem(spark: SparkSession, orderWideDir: String,
                    itemName: String, date: String,

@@ -59,6 +59,11 @@ class CosineSimilaritySpec extends SparkSpec {
           " dot_product(array(CAST(2 AS FLOAT)), array(CAST(3 AS FLOAT))) AS d")
         .collect().head
       assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 6.0)
+      val tk = withExt.sql(
+        "SELECT top_k_by_score(s, i, 2) AS t FROM VALUES" +
+          " (1.0D, 10L), (3.0D, 30L), (2.0D, 20L) AS v(s, i)")
+        .selectExpr("t[0].id", "t[1].id").collect().head
+      assert(tk.getLong(0) == 30L && tk.getLong(1) == 20L)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)
