@@ -69,6 +69,23 @@ class DedupSpec extends SparkSpec {
     assert(est12 == 1.0) // identical shingle sets → identical signatures
   }
 
+  test("minhash estimate tracks true jaccard on the real corpus") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 24, bands = 6, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val errs = est.toSeq.map { case (pair, e) =>
+      math.abs(e - truth.getOrElse(pair, 0.0))
+    }
+    assert(est.nonEmpty)
+    val mae = errs.sum / errs.size
+    assert(mae < 0.15, s"mean abs error $mae over ${errs.size} pairs")
+  }
+
   test("simhashPairs: near-identical docs within small hamming radius") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .as[(Long, Long, Int)].collect()
