@@ -207,18 +207,30 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup pairs ≥ `threshold`, LSH-blocked: only
-    * vectors in the same hyperplane bucket are compared exactly.
+    * vectors sharing a hyperplane bucket in at least one of `tables`
+    * independent hash tables are compared exactly (OR-amplification —
+    * recall ≈ 1-(1-p^planes)^tables; tables=1 is plain single-table
+    * blocking).
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, planes: Int = 8): DataFrame = {
+                     threshold: Double, planes: Int = 8,
+                     tables: Int = 1): DataFrame = {
     val b = fanOut(embs).select(col(idCol).as("vid"), col(vecCol).as("v"),
-      VectorFns.lshBucket(col(vecCol), planes).as("bucket"))
-    b.as("a")
-      .join(b.as("b"), col("a.bucket") === col("b.bucket") &&
-        col("a.vid") < col("b.vid"))
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"),
+            VectorFns.lshBucket(col(vecCol), planes, t).as("bucket"))): _*))
+          .as("tb"))
+      .select(col("vid"), col("v"), col("tb.t").as("t"),
+        col("tb.bucket").as("bucket"))
+    val pairs = b.as("a")
+      .join(b.as("b"), col("a.t") === col("b.t") &&
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .withColumn("cosine", VectorFns.cosine(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
         col("cosine"))
+    // a pair can meet in several tables; single-table blocking cannot
+    // duplicate, so skip the extra shuffle there
+    if (tables > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 }

@@ -93,6 +93,19 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0) // same tokens → same signature
   }
 
+  test("embeddingPairs: OR-amplification raises recall, no duplicates") {
+    val embs = graft.tables.Tables.embeddings(spark, sf0001)
+    def run(tables: Int) = Dedup.embeddingPairs(embs, "vec_id",
+        "embedding", threshold = 0.3, planes = 6, tables = tables)
+      .as[(Long, Long, Double)].collect()
+    val one = run(1).map(p => (p._1, p._2)).toSet
+    val fourRows = run(4)
+    val four = fourRows.map(p => (p._1, p._2)).toSet
+    assert(one.subsetOf(four))      // OR-amplification only adds pairs
+    assert(four.size > one.size)    // and does add some on this corpus
+    assert(fourRows.length == four.size) // deduped across tables
+  }
+
   test("embeddingPairs: only same-bucket pairs, cosine thresholded") {
     val embs = Seq(
       (1L, Seq(1.0f, 0.2f, 0.1f, 0.0f)),
