@@ -203,6 +203,38 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    Q("ext_dedup_clusters", {
+      val k = 24; val bands = 6; val rows = k / bands
+      val bandKeys = s"list_transform(range(0, $bands), b -> " +
+        s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
+      val est = s"CAST(len(list_filter(list_zip(a.sig, b.sig), " +
+        s"x -> x[1] = x[2])) AS DOUBLE) / $k.0"
+      s"""WITH RECURSIVE sigs AS (
+         |  SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
+         |  FROM documents WHERE len(${shSql(3)}) > 0),
+         |banded AS (SELECT did, sig, unnest($bandKeys) AS band FROM sigs),
+         |pairs AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
+         |  FROM banded ba JOIN banded bb
+         |    ON ba.band = bb.band AND ba.did < bb.did
+         |  JOIN sigs a ON a.did = ba.did JOIN sigs b ON b.did = bb.did
+         |  WHERE $est >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docsDf = documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+        n = 3, k = 24, bands = 6, threshold = 0.5)
+      Dedup.clusters(docsDf, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     Q("ext_dedup_simhash",
       s"""WITH sigs AS (SELECT doc_id AS did, $simhashSql AS sig
          |  FROM documents)

@@ -206,6 +206,51 @@ object Dedup {
         col("hamming"))
   }
 
+  /** Connected components over near-dup pairs: every doc gets the
+    * minimum doc id reachable through duplicate edges as its
+    * `cluster_id` (docs in no pair are their own singleton cluster).
+    * `filter(col(idCol) === col("cluster_id"))` yields the deduplicated
+    * corpus with the smallest id as each cluster's canonical member.
+    *
+    * Min-label propagation: each iteration every node takes the min of
+    * its own and its neighbors' labels; converges in graph-diameter
+    * iterations (near-dup clusters are shallow — pairs and small
+    * cliques — so typically 2-3). Each step is one join + one
+    * aggregation, shuffling |edges| rows; `localCheckpoint` cuts the
+    * growing lineage so plans stay constant-size. This is the
+    * simple-and-correct form of the large-star/small-star CC algorithm
+    * used at web scale.
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("id"))
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster_id"),
+            coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.cluster_id") =!= col("l.cluster_id"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.withColumnRenamed("id", idCol)
+  }
+
   /** Embedding cosine near-dup pairs ≥ `threshold`, LSH-blocked: only
     * vectors sharing a hyperplane bucket in at least one of `tables`
     * independent hash tables are compared exactly (OR-amplification —

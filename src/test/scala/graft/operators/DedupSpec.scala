@@ -69,6 +69,32 @@ class DedupSpec extends SparkSpec {
     assert(est12 == 1.0) // identical shingle sets → identical signatures
   }
 
+  test("clusters: chains collapse to min-id components; singletons kept") {
+    val nodes = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2-3 (transitive through 2), pair 5-6, singletons 4,7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(nodes, "doc_id", pairs)
+      .select("doc_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // canonical filter = deduplicated corpus
+    val kept = got.filter { case (id, c) => id == c }.keySet
+    assert(kept == Set(1L, 4L, 5L, 7L))
+  }
+
+  test("clusters resolves the real corpus's minhash pairs") {
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 24, bands = 6, threshold = 0.5)
+    val cl = Dedup.clusters(docs, "doc_id", pairs)
+    val total = cl.count()
+    val canonical = cl.filter($"doc_id" === $"cluster_id").count()
+    assert(total == 500)
+    assert(canonical < total)           // some dups removed
+    assert(canonical > total / 2)       // but not everything collapsed
+  }
+
   test("minhash estimate tracks true jaccard on the real corpus") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val est = Dedup.minhashLshPairs(docs, "doc_id", "text",
