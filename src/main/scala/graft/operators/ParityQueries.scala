@@ -492,7 +492,10 @@ object ParityQueries {
         | CAST(epoch_ns(ts) // 1000000 AS BIGINT) AS ts
         |FROM events ORDER BY CAST(page_item AS BIGINT)""".stripMargin) {
       (s, d) =>
-        val raw = eventsRaw(s, d).select(to_json(struct(
+        // spread the single-split input before the JSON codec work
+        val raw = eventsRaw(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(to_json(struct(
           struct(
             concat(lit("mid_"), col("user_id")).as("mid"),
             col("user_id").cast("string").as("uid")).as("common"),
@@ -517,7 +520,9 @@ object ParityQueries {
         | CAST(o_orderkey AS BIGINT) AS id
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |ORDER BY id""".stripMargin) { (s, d) =>
-      val raw = orders(s, d).select(to_json(struct(
+      val raw = orders(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(to_json(struct(
         lit("gmall").as("database"),
         lit("order_info").as("table"),
         when(col("o_orderstatus") === "F", "insert")
