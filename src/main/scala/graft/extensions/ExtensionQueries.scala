@@ -352,6 +352,30 @@ object ExtensionQueries {
     // Text bytes stand in for image payloads; the decode is the stub —
     // the oracle checks the deterministic fake arithmetic end-to-end
     // through the binary column + mapPartitions plumbing.
+    Q("ext_mm_frames",
+      """WITH assets AS (
+        | SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) % 30 AS INT) AS n_frames
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx,
+        | CAST(width * 256 // greatest(width, height, 1) AS INT) AS resized_w,
+        | CAST(height * 256 // greatest(width, height, 1) AS INT) AS resized_h
+        |FROM assets WHERE n_frames > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val assets = Multimodal.documentAssets(documents(s, d),
+        "doc_id", "text")
+      val resized = Multimodal.resizeDims(assets, "width", "height", 256)
+      Multimodal.frameSample(resized, "doc_id", "n_frames", step = 4)
+        .join(resized.select(col("doc_id"), col("resized_w"),
+          col("resized_h")), Seq("doc_id"))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     Q("ext_mm_decode",
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -65,6 +65,32 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: one row per every `step`-th frame of each asset
+    * (the video-pipeline primitive — downstream per-frame decode /
+    * embedding hangs off these rows). Assets with zero frames produce
+    * no rows. Pure explode(sequence), fully distributed.
+    */
+  def frameSample(assets: DataFrame, idCol: String, nFramesCol: String,
+                  step: Int): DataFrame =
+    assets.select(col(idCol),
+      explode(when(col(nFramesCol) > 0,
+        sequence(lit(0), col(nFramesCol) - 1, lit(step)))
+        .otherwise(array().cast("array<int>"))).as("frame_idx"))
+
+  /** Aspect-preserving resize metadata: scale the longer edge to
+    * `maxDim` in pure integer arithmetic (floor), so the result is
+    * exactly reproducible in any SQL engine. Degenerate 0×0 assets
+    * resolve via the greatest(...,1) guard.
+    */
+  def resizeDims(df: DataFrame, wCol: String, hCol: String,
+                 maxDim: Int): DataFrame = {
+    val longEdge = greatest(col(wCol), col(hCol), lit(1))
+    df.withColumn("resized_w",
+        floor(col(wCol) * maxDim / longEdge).cast("int"))
+      .withColumn("resized_h",
+        floor(col(hCol) * maxDim / longEdge).cast("int"))
+  }
+
   /** Demo pipeline over the documents table: text bytes as the opaque
     * payload (stand-in for image bytes), decode, project flat metadata.
     * The flat projection is what the oracle checks (fake decode is

@@ -28,6 +28,22 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2L) == null)                 // null payload passes through
   }
 
+  test("frameSample: every step-th frame, zero-frame assets drop out") {
+    val assets = Seq((1L, 10), (2L, 0), (3L, 1)).toDF("id", "n_frames")
+    val frames = Multimodal.frameSample(assets, "id", "n_frames", 4)
+      .as[(Long, Int)].collect().toSet
+    assert(frames == Set((1L, 0), (1L, 4), (1L, 8), (3L, 0)))
+  }
+
+  test("resizeDims: aspect-preserving integer scale with 0x0 guard") {
+    val df = Seq((640, 480), (100, 400), (0, 0)).toDF("w", "h")
+    val got = Multimodal.resizeDims(df, "w", "h", 256)
+      .select("resized_w", "resized_h").as[(Int, Int)].collect().toSeq
+    assert(got(0) == ((256, 192)))  // 640x480 → long edge 640 → 256
+    assert(got(1) == ((64, 256)))   // portrait scales on height
+    assert(got(2) == ((0, 0)))      // degenerate guard, no div-by-zero
+  }
+
   test("decodeBinary survives repartitioning (per-partition batching)") {
     val df = (1 to 100).map(i => (i.toLong, "x" * i)).toDF("id", "t")
       .select($"id", encode($"t", "UTF-8").as("payload"))
