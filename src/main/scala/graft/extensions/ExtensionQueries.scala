@@ -376,6 +376,42 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // decoded features feed the similarity operators unchanged — the
+    // whole multimodal→ANN path under one hash gate (features are small
+    // integers, so the double→float cast is exact in both engines)
+    Q("ext_mm_knn", {
+      def feat(a: String) =
+        s"list_transform(range(1, 9), i -> CAST(CAST(ascii(substr($a.text, i, 1)) AS DOUBLE) AS FLOAT))"
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 9), i -> " +
+          s"CAST(${x}_f[i] AS DOUBLE) * CAST(${y}_f[i] AS DOUBLE)))"
+      val cos = s"(${dot("c", "q")} / (sqrt(${dot("c", "c")}) * sqrt(${dot("q", "q")})))"
+      s"""WITH feats AS (
+         | SELECT doc_id, ${feat("documents")} AS f FROM documents
+         | WHERE length(text) >= 8)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q.doc_id
+         |    ORDER BY $cos DESC, c.doc_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM (SELECT doc_id, f AS q_f FROM feats) q
+         | JOIN (SELECT doc_id, f AS c_f FROM feats) c
+         |   ON q.doc_id != c.doc_id
+         | WHERE q.doc_id < 5)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      // features via the real decode path, cast to the ANN input type
+      val decoded = Multimodal.decodeBinary(
+        documents(s, d).filter(length(col("text")) >= 8)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        "payload")
+        .select(col("doc_id"),
+          col("decoded.features").cast("array<float>").as("embedding"))
+      Similarity.bruteKnn(decoded, decoded.filter(col("doc_id") < 5),
+          "doc_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     Q("ext_mm_decode",
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
