@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Stream sources (reference S1/S2, MyKafkaUtils.scala:19-55).
   *
+  * Deployment note: the Kafka source requires the
+  * `spark-sql-kafka-0-10` connector on the classpath (a separate
+  * artifact from Spark core, submitted via `--packages` or bundled in
+  * the application jar).
+  *
   * The reference hand-manages consumer groups, offset seeding from
   * Redis (S2/S4) and per-batch offset capture (S3); Structured
   * Streaming subsumes all of it — `startingOffsets` seeds the very
