@@ -113,8 +113,12 @@ final class TopKBuffer(k: Int) {
     if (heap.size < k) { heap.offer((score, id)); () }
     else {
       val worst = heap.peek()
-      val better = score > worst._1 ||
-        (score == worst._1 && id < worst._2)
+      // Double.compare, not primitive > : NaN must order ABOVE every
+      // value (Spark's DESC sort puts NaN first), or NaN-scored rows
+      // would be silently dropped here but ranked first by the window
+      // formulation this aggregate claims to match
+      val c = java.lang.Double.compare(score, worst._1)
+      val better = c > 0 || (c == 0 && id < worst._2)
       if (better) { heap.poll(); heap.offer((score, id)); () }
     }
   }
@@ -125,7 +129,12 @@ final class TopKBuffer(k: Int) {
   def items: Array[(Double, Long)] =
     heap.toArray(Array.empty[(Double, Long)])
 
-  /** (score desc, id asc) — the emission order. */
+  /** (score desc, id asc) — the emission order; NaN sorts first, like
+    * Spark's DESC ordering.
+    */
   def sortedDesc: Array[(Double, Long)] =
-    items.sortBy { case (s, i) => (-s, i) }
+    items.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      if (c != 0) c > 0 else a._2 < b._2
+    }
 }

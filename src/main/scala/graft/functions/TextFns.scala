@@ -23,6 +23,14 @@ object TextFns {
   /** Lower-cased whitespace tokens. */
   def toks(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Canonical content normalization for identity decisions: lower-case,
+    * trim, collapse whitespace. The ONE definition shared by batch
+    * dedup, streaming dedup and fingerprinting — batch backfills and
+    * live streams must agree on document identity.
+    */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]) as strings.
     * Empty array when the doc has fewer than n tokens.
     */

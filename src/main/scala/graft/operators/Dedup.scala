@@ -33,9 +33,6 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Dedup {
 
-  /** Normalized text: lower-cased, whitespace collapsed. */
-  private def norm(text: org.apache.spark.sql.Column) =
-    regexp_replace(trim(lower(text)), "\\s+", " ")
 
   /** Exact dedup: groups of identical normalized text. Returns one row
     * per duplicate-group member with the group's canonical (min) id, so
@@ -43,7 +40,7 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs.select(col(idCol),
-      md5(norm(col(textCol))).as("text_hash"))
+      md5(TextFns.normText(col(textCol))).as("text_hash"))
     hashed.groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("group_size"))
@@ -87,9 +84,10 @@ object Dedup {
           .filter(col("count") > maxShingleFreq).select("sh")
         sh0.join(broadcast(hot), Seq("sh"), "left_anti")
       }
-    // counts over the UNGUARDED index: the skew guard prunes candidate
-    // generation only; jaccard stays defined over the full shingle sets
-    val counts = sh0.groupBy("did").agg(count(lit(1)).as("nsh"))
+    // counts over the SAME (guarded) index as the intersection — with
+    // hot shingles removed, jaccard is the consistent measure over the
+    // pruned feature universe (identical docs still score 1.0)
+    val counts = sh.groupBy("did").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.did") < col("b.did"))

@@ -94,8 +94,8 @@ object TextAnalysis {
     * agg) rather than an interpreted per-row array traversal.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val normed = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
-    val exact = docs.select(col(idCol), md5(normed).as("exact_fp"))
+    val exact = docs.select(col(idCol),
+      md5(TextFns.normText(col(textCol))).as("exact_fp"))
     val shfp = fanOut(docs)
       .select(col(idCol), explode(TextFns.shingles(col(textCol), 3)).as("sh"))
       .groupBy(col(idCol)).agg(min(md5(col("sh"))).as("shfp"))

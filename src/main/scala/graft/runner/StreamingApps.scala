@@ -17,6 +17,30 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingApps {
 
+  /** Read the dim store fresh (per batch) — empty frame with the right
+    * schema when the store doesn't exist yet (cold start before the CDC
+    * app's first write), so dependent apps start cleanly and pick up
+    * dims as they appear.
+    */
+  private[runner] def dimOrEmpty(spark: SparkSession, storePath: String,
+                                 table: String,
+                                 fields: Seq[String]): DataFrame =
+    try
+      CdcSplit.latestDims(spark.read.parquet(storePath))
+        .filter(col("table") === table)
+        .select(json_tuple(col("data"), fields: _*).as(fields))
+    catch {
+      case e: Exception
+          if e.getMessage != null &&
+            (e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist")) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(fields.map(f =>
+            org.apache.spark.sql.types.StructField(f,
+              org.apache.spark.sql.types.StringType))))
+    }
+
   private def session(name: String): SparkSession = {
     val s = SparkSession.builder()
       .appName(name)
@@ -135,14 +159,7 @@ object StreamingApps {
           col("province_id"),
           col("total_amount").cast("double").as("total_amount"),
           to_timestamp(col("create_time")).as("create_ts"))
-      def dim(table: String, fields: Seq[String]) =
-        CdcSplit.latestDims(spark.read.parquet(s"$out/dim_store"))
-          .filter(col("table") === table)
-          .select(json_tuple(col("data"), fields: _*).as(fields))
-      val info = OrderWidePipeline.enrichInfo(infoRaw,
-        dim("user_info", Seq("id", "gender", "birthday")),
-        dim("base_province",
-          Seq("id", "name", "area_code", "iso_code", "iso_3166_2")))
+      val info = infoRaw
       val detail = factStream("DWD_ORDER_DETAIL_I")
         .select(json_tuple(col("data"), "id", "order_id", "sku_id",
             "sku_name", "split_total_amount", "create_time")
@@ -155,10 +172,29 @@ object StreamingApps {
           col("split_total_amount").cast("double")
             .as("split_total_amount"),
           to_timestamp(col("create_time")).as("create_ts"))
+      // explicit projection: both join sides carry create_ts — keep
+      // the info side's as THE event time and name every sink column
       val wide = OrderWidePipeline.orderWide(info, detail)
-        .withColumn("dt", graft.functions.Cols.dt(col("i.create_ts")))
-      Sinks.keyedParquetSink(wide, s"$out/order_wide", "detail_id",
-        s"$ckpt/order_wide").start().awaitTermination()
+        .select(col("d.detail_id"), col("d.order_id"), col("d.sku_id"),
+          col("d.sku_name"), col("d.split_total_amount"),
+          col("i.user_id"), col("i.province_id"), col("i.total_amount"),
+          col("i.create_ts").as("create_ts"),
+          graft.functions.Cols.dt(col("i.create_ts")).as("dt"))
+      val q = wide.writeStream
+        .trigger(Trigger.ProcessingTime("5 seconds"))
+        .option("checkpointLocation", s"$ckpt/order_wide")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val dimUser = dimOrEmpty(spark, s"$out/dim_store",
+            "user_info", Seq("id", "gender", "birthday"))
+          val dimProvince = dimOrEmpty(spark, s"$out/dim_store",
+            "base_province",
+            Seq("id", "name", "area_code", "iso_code", "iso_3166_2"))
+          Sinks.upsertBatch(
+            OrderWidePipeline.enrichInfo(batch, dimUser, dimProvince),
+            s"$out/order_wide", "detail_id")
+        }
+        .start()
+      q.awaitTermination()
     }
   }
 }

@@ -63,19 +63,30 @@ object DauPipeline {
     val deduped =
       if (pages.isStreaming) dedupDailyStreaming(sessionStarts(pages))
       else dedupDaily(sessionStarts(pages))
+    enrich(deduped, dimUser, dimProvince)
+  }
+
+  /** The dim-enrichment half of [[dau]] alone — called per micro-batch
+    * by the runner so each batch joins against freshly-read dims.
+    */
+  def enrich(deduped: DataFrame, dimUser: DataFrame,
+             dimProvince: DataFrame): DataFrame = {
     deduped
       .join(broadcast(dimUser).as("u"),
         deduped("user_id") === col("u.id"), "left")
       .withColumn("user_gender", col("u.gender"))
       .withColumn("user_age",
         Cols.ageYears(current_date(), to_date(col("u.birthday"))))
+      // NB: Column-based drops — string drop("u.id") matches only
+      // unqualified names and would silently keep both id columns
+      .drop(col("u.id")).drop(col("u.gender")).drop(col("u.birthday"))
       .join(broadcast(dimProvince).as("p"),
         deduped("province_id") === col("p.id"), "left")
       .withColumn("province_name", col("p.name"))
       .withColumn("province_area_code", col("p.area_code"))
       .withColumn("province_iso_code", col("p.iso_code"))
       .withColumn("province_3166_2", col("p.iso_3166_2"))
-      .drop("u.id", "u.gender", "u.birthday")
-      .drop("p.id", "p.name", "p.area_code", "p.iso_code", "p.iso_3166_2")
+      .drop(col("p.id")).drop(col("p.name")).drop(col("p.area_code"))
+      .drop(col("p.iso_code")).drop(col("p.iso_3166_2"))
   }
 }

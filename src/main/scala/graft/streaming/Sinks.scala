@@ -18,17 +18,44 @@ import org.apache.spark.sql.Row
   */
 object Sinks {
 
-  /** Write one micro-batch: PK-dedup then dynamic-overwrite the touched
-    * dt partitions.
+  /** Write one micro-batch as a keyed upsert: rows merge into the
+    * touched dt partitions by (pk, dt) — existing rows whose key is not
+    * in the batch survive, batch rows win on collision (the ES doc-id
+    * upsert contract). Only the partitions present in the batch are
+    * rewritten (dynamic partition overwrite), so a day's serving data
+    * accumulates across micro-batches instead of being replaced by the
+    * latest batch.
     */
   def upsertBatch(batch: DataFrame, path: String, pk: String,
                   dtCol: String = "dt"): Unit = {
     val spark = batch.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    batch.dropDuplicates(pk)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(dtCol)
-      .parquet(path)
+    val deduped = batch.dropDuplicates(pk, dtCol).persist()
+    try {
+      val merged =
+        try {
+          val touched = deduped.select(col(dtCol)).distinct()
+          val survivors = spark.read.parquet(path)
+            .join(broadcast(touched), Seq(dtCol), "left_semi")
+            .join(deduped.select(col(pk), col(dtCol)),
+              Seq(pk, dtCol), "left_anti")
+          deduped.unionByName(survivors.select(deduped.columns.map(col): _*))
+        } catch {
+          // store missing or still empty → first write, nothing to merge
+          case e: Exception
+              if e.getMessage != null &&
+                (e.getMessage.contains("PATH_NOT_FOUND") ||
+                  e.getMessage.contains("Path does not exist") ||
+                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) =>
+            deduped
+        }
+      // materialize before writing: Spark refuses to overwrite a path
+      // that still appears as a scan in the write's own plan
+      merged.localCheckpoint()
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(dtCol)
+        .parquet(path)
+    } finally { deduped.unpersist(); () }
   }
 
   /** Attach the keyed-upsert sink to a streaming DataFrame with a

@@ -25,7 +25,7 @@ object StreamingDedup {
                      lateness: String = "24 hours"): DataFrame =
     docs
       .withColumn("__content_hash",
-        md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")))
+        md5(graft.functions.TextFns.normText(col(textCol))))
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")

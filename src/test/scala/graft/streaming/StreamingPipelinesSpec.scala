@@ -269,4 +269,24 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(got.count() == 2) // PK-deduped, not duplicated by replay
     assert(got.select("dt").distinct().count() == 2)
   }
+
+  test("keyed parquet sink ACCUMULATES across batches and upserts keys") {
+    val out = tmp("sink_acc")
+    Sinks.upsertBatch(Seq(("m1", "2024-01-05", 1), ("m2", "2024-01-05", 2))
+      .toDF("mid", "dt", "v"), out, "mid")
+    // later batch: new key for the same day + updated value for m2 +
+    // the same key on a different day (must keep both day rows)
+    Sinks.upsertBatch(Seq(("m3", "2024-01-05", 3), ("m2", "2024-01-05", 9),
+        ("m2", "2024-01-06", 4))
+      .toDF("mid", "dt", "v"), out, "mid")
+    val got = spark.read.parquet(out)
+      .select("mid", "dt", "v").collect()
+      // dt comes back as DateType (partition-column type inference)
+      .map(r => (r.getString(0), r.get(1).toString) -> r.getInt(2)).toMap
+    assert(got == Map(
+      ("m1", "2024-01-05") -> 1,  // earlier batch's row survives
+      ("m2", "2024-01-05") -> 9,  // key upserted in place
+      ("m3", "2024-01-05") -> 3,  // new key added
+      ("m2", "2024-01-06") -> 4)) // same key, second day kept
+  }
 }
