@@ -440,26 +440,42 @@ object ParityQueries {
     },
 
     // ---- W1: top-K groups by count (ES terms size(K)) --------------------
+    // Top-K via the map-side bounded-heap aggregate (TopKByScore): each
+    // partition reduces to ≤ K candidates before the shuffle, so no
+    // global single-partition window ever materializes. Emission order
+    // (score desc, id asc) is exactly row_number(ORDER BY ct DESC,
+    // user_id) — counts are < 2^53 so the double round-trip is exact.
     Q("w1_topk_terms",
       """SELECT user_id, ct, rn FROM (
         | SELECT user_id, ct,
         |  row_number() OVER (ORDER BY ct DESC, user_id) AS rn
         | FROM (SELECT user_id, COUNT(*) AS ct FROM events GROUP BY user_id))
         |WHERE rn <= 24 ORDER BY rn""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.graftbridge.Bridge
       val counts = events(s, d).groupBy(col("user_id"))
         .agg(count(lit(1)).as("ct"))
-      counts
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("ct").desc, col("user_id"))))
-        .filter(col("rn") <= 24)
+      val topk = Bridge.column(
+        graft.expressions.TopKByScore(
+          Bridge.expression(col("ct").cast(DoubleType)),
+          Bridge.expression(col("user_id")), 24)
+          .toAggregateExpression())
+      counts.agg(topk.as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("t.id").as("user_id"),
+          col("t.score").cast("long").as("ct"),
+          (col("pos") + 1).cast(IntegerType).as("rn"))
         .orderBy(col("rn"))
     },
 
     // ---- W2: pagination (detailByItem from/size paging) -------------------
+    // ordering totalized over every output column: the fixture has
+    // duplicate (l_orderkey, l_linenumber) pairs, and a partial order
+    // makes row_number nondeterministic between engines
     Q("w2_pagination",
       """SELECT l_orderkey, l_linenumber, p_name, l_extendedprice, rn FROM (
         | SELECT l.l_orderkey, l.l_linenumber, p.p_name, l.l_extendedprice,
-        |  row_number() OVER (ORDER BY l.l_orderkey, l.l_linenumber) AS rn
+        |  row_number() OVER (ORDER BY l.l_orderkey, l.l_linenumber,
+        |                     p.p_name, l.l_extendedprice) AS rn
         | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         | WHERE list_contains(string_split(lower(p.p_name), ' '), 'bolt'))
         |WHERE rn BETWEEN 21 AND 40 ORDER BY rn""".stripMargin) { (s, d) =>
@@ -469,10 +485,12 @@ object ParityQueries {
           col("l.l_partkey") === col("p.p_partkey"))
         .select(col("l.l_orderkey"), col("l.l_linenumber"),
           col("p.p_name"), col("l.l_extendedprice"))
-      joined
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
-        .filter(col("rn").between(21, 40))
+      // distributed top-(from+size) via TakeOrderedAndProject, then rn
+      // reconstructed on the ≤ 40 surviving rows by a broadcast rank
+      // join — no global single-partition window at any input scale
+      Paging.paginate(joined,
+        Seq("l_orderkey", "l_linenumber", "p_name", "l_extendedprice"),
+        from = 20, size = 20)
         .orderBy(col("rn"))
     },
 
@@ -608,24 +626,30 @@ object ParityQueries {
         | SELECT l.l_orderkey, l.l_linenumber,
         |  regexp_replace(p.p_name, '(?i)\b(widget)\b', '<em>\1</em>', 'g') AS hl_name,
         |  l.l_extendedprice,
-        |  row_number() OVER (ORDER BY l.l_orderkey, l.l_linenumber) AS rn,
+        |  row_number() OVER (ORDER BY l.l_orderkey, l.l_linenumber,
+        |                     p.p_name, l.l_extendedprice) AS rn,
         |  COUNT(*) OVER () AS total
         | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         | WHERE list_contains(string_split(lower(p.p_name), ' '), 'widget'))
         |WHERE rn BETWEEN 1 AND 20 ORDER BY rn""".stripMargin) { (s, d) =>
+      // p_name rides along as the tiebreak key (the oracle orders by the
+      // raw name — ordering by hl_name would flip on the inserted tags)
       val base = lineitem(s, d).as("l")
         .join(broadcast(part(s, d)
           .filter(Cols.matchAnd(col("p_name"), "widget"))).as("p"),
           col("l.l_partkey") === col("p.p_partkey"))
         .select(col("l.l_orderkey"), col("l.l_linenumber"),
+          col("p.p_name"),
           Cols.highlight(col("p.p_name"), "widget").as("hl_name"),
           col("l.l_extendedprice"))
-      base
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
-        .withColumn("total", count(lit(1)).over(
-          Window.partitionBy()))
-        .filter(col("rn").between(1, 20))
+      // page via distributed TakeOrderedAndProject (no global window);
+      // the stable total is a scalar agg broadcast onto the page rows
+      val total = base.agg(count(lit(1)).as("total"))
+      Paging.paginate(base,
+        Seq("l_orderkey", "l_linenumber", "p_name", "l_extendedprice"),
+        from = 0, size = 20)
+        .drop("p_name")
+        .crossJoin(broadcast(total))
         .orderBy(col("rn"))
     }
   )

@@ -78,11 +78,10 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              cells: Int = 16, nProbe: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cell ids need not be contiguous — the seed's own id IS the cell
+    // id (no global row_number window over the seed table)
     val seeds = corpus.orderBy(col(idCol)).limit(cells)
-      .select(col(idCol).as("seed_id"), col(vecCol).as("sv"))
-      .withColumn("cell",
-        row_number().over(Window.orderBy(col("seed_id"))) - 1)
-      .drop("seed_id")
+      .select(col(idCol).as("cell"), col(vecCol).as("sv"))
     def assign(df: DataFrame, id: String, v: String, keep: Int) = {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(v))
         .join(broadcast(seeds))

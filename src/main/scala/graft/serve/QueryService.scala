@@ -2,7 +2,6 @@ package graft.serve
 
 import graft.functions.Cols
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The publisher's three REST endpoints (reference
@@ -83,11 +82,11 @@ object QueryService {
     * order rows with the matched tokens highlighted; result columns
     * include the page's rows and the stable total.
     *
-    * Scale note: the global row_number window funnels matches to one
-    * task — correct for the reference's page sizes (a match-filtered,
-    * single-day slice). For unbounded result sets, switch to keyset
-    * pagination (`WHERE detail_id > lastSeen ORDER BY detail_id LIMIT
-    * pageSize`), which stays distributed.
+    * Distributed shape: the page comes from `TakeOrderedAndProject`
+    * (orderBy + limit) with `rn` rebuilt on the ≤ from+size survivors —
+    * see [[graft.operators.Paging]]; the total is a scalar aggregate
+    * broadcast onto the page. No global single-partition window at any
+    * match-set size. For deep paging use [[detailByItemAfter]].
     */
   def detailByItem(spark: SparkSession, orderWideDir: String,
                    itemName: String, date: String,
@@ -97,11 +96,27 @@ object QueryService {
       .filter(col("dt") === date &&
         Cols.matchAnd(col("sku_name"), itemName))
       .withColumn("sku_name", Cols.highlight(col("sku_name"), itemName))
-    base
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("detail_id"))))
-      .withColumn("total", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("rn") > from && col("rn") <= from + pageSize)
+    val total = base.agg(count(lit(1)).as("total"))
+    graft.operators.Paging.paginate(base, Seq("detail_id"),
+      from, pageSize)
+      .crossJoin(broadcast(total))
       .orderBy(col("rn"))
+  }
+
+  /** Keyset-paginated `detailByItem`: the page after `afterDetailId`
+    * (exclusive; None = first page) ordered by `detail_id` — the
+    * production path for unbounded result sets: O(pageSize) state
+    * anywhere, no offset scan, no window.
+    */
+  def detailByItemAfter(spark: SparkSession, orderWideDir: String,
+                        itemName: String, date: String,
+                        afterDetailId: Option[Long],
+                        pageSize: Int = 20): DataFrame = {
+    val base = spark.read.parquet(orderWideDir)
+      .filter(col("dt") === date &&
+        Cols.matchAnd(col("sku_name"), itemName))
+      .withColumn("sku_name", Cols.highlight(col("sku_name"), itemName))
+    graft.operators.Paging.keyset(base, "detail_id",
+      afterDetailId.map(lit(_)), pageSize)
   }
 }
