@@ -55,6 +55,13 @@ object StreamingApps {
   /** ODS log splitter: one Kafka topic in → five DWD topics out, all
     * branches in one foreachBatch so the source is read once per
     * micro-batch and offsets commit atomically with the writes.
+    *
+    * The five branches are serialized per-branch and UNIONed into a
+    * single Kafka write with a `topic` routing column — one producer
+    * job per batch instead of five, so a mid-batch crash can duplicate
+    * at most one write's worth of rows on replay (the reference's
+    * at-least-once contract, OdsBaseLogApp.scala:203-211, with a
+    * smaller duplication window).
     */
   object OdsLogApp {
     def main(args: Array[String]): Unit = {
@@ -67,20 +74,26 @@ object StreamingApps {
         .option("checkpointLocation", s"$ckpt/ods_log")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val cached = batch.persist()
-          try LogSplit.split(cached).foreach { case (topic, branch) =>
-            branch
-              .select(to_json(struct(branch.columns.map(col): _*))
-                .as("value"))
-              .write.format("kafka")
-              .option("kafka.bootstrap.servers", servers)
-              .option("topic", topic)
-              .save()
-          } finally { cached.unpersist(); () }
+          try routedPayload(cached)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", servers)
+            .save()
+          finally { cached.unpersist(); () }
         }
         .start()
       q.awaitTermination()
     }
   }
+
+  /** All five log-split branches as one (topic, value) frame: each
+    * branch keeps its own JSON schema, the union carries the routing
+    * column the Kafka sink consumes.
+    */
+  private[runner] def routedPayload(parsed: DataFrame): DataFrame =
+    LogSplit.split(parsed).map { case (topic, branch) =>
+      branch.select(lit(topic).as("topic"),
+        to_json(struct(branch.columns.map(col): _*)).as("value"))
+    }.reduce(_ unionByName _)
 
   /** ODS CDC splitter: Maxwell topic in → per-table per-op fact topics
     * + dim-table upserts (parquet keyed store standing in for Redis).
@@ -116,8 +129,16 @@ object StreamingApps {
     }
   }
 
-  /** DWD DAU: page-log topic in → deduped + enriched wide rows →
-    * dt-partitioned keyed serving table.
+  /** DWD DAU: page-log topic in → watermarked dedup (streaming state)
+    * → per-batch dim enrichment → dt-partitioned keyed serving table.
+    *
+    * Dims are re-read INSIDE foreachBatch via `dimOrEmpty` (same
+    * structure as [[DwdOrderApp]]): a static `spark.read.parquet`
+    * outside the loop pins its file listing at plan time, so dims
+    * CDC'd after app start would never appear — and a missing store
+    * would crash startup. Per-batch reads mirror the reference's
+    * per-batch Redis GETs (DwdDauApp.scala:149-165): every micro-batch
+    * joins against fresh dims.
     */
   object DwdDauApp {
     def main(args: Array[String]): Unit = {
@@ -125,17 +146,24 @@ object StreamingApps {
       val spark = session("graft-dwd-dau")
       val pages = LogSplit.parse(
         Sources.kafka(spark, servers, "DWD_PAGE_LOG_TOPIC"))
-      val pageRows = LogSplit.pages(pages)
-      def dim(table: String, fields: Seq[String]) =
-        CdcSplit.latestDims(spark.read.parquet(s"$out/dim_store"))
-          .filter(col("table") === table)
-          .select(json_tuple(col("data"), fields: _*).as(fields))
-      val dimUser = dim("user_info", Seq("id", "gender", "birthday"))
-      val dimProvince = dim("base_province",
-        Seq("id", "name", "area_code", "iso_code", "iso_3166_2"))
-      val dau = DauPipeline.dau(pageRows, dimUser, dimProvince)
-      Sinks.keyedParquetSink(dau, s"$out/dau", "mid", s"$ckpt/dau")
-        .start().awaitTermination()
+      val deduped = DauPipeline.dedupDailyStreaming(
+        DauPipeline.sessionStarts(LogSplit.pages(pages)))
+      val q = deduped.writeStream
+        .outputMode("append")
+        .trigger(Trigger.ProcessingTime("5 seconds"))
+        .option("checkpointLocation", s"$ckpt/dau")
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val dimUser = dimOrEmpty(spark, s"$out/dim_store",
+            "user_info", Seq("id", "gender", "birthday"))
+          val dimProvince = dimOrEmpty(spark, s"$out/dim_store",
+            "base_province",
+            Seq("id", "name", "area_code", "iso_code", "iso_3166_2"))
+          Sinks.upsertBatch(
+            DauPipeline.enrich(batch, dimUser, dimProvince),
+            s"$out/dau", "mid", "dt", bid, Some("event_ts"))
+        }
+        .start()
+      q.awaitTermination()
     }
   }
 
@@ -183,7 +211,7 @@ object StreamingApps {
       val q = wide.writeStream
         .trigger(Trigger.ProcessingTime("5 seconds"))
         .option("checkpointLocation", s"$ckpt/order_wide")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val dimUser = dimOrEmpty(spark, s"$out/dim_store",
             "user_info", Seq("id", "gender", "birthday"))
           val dimProvince = dimOrEmpty(spark, s"$out/dim_store",
@@ -191,10 +219,33 @@ object StreamingApps {
             Seq("id", "name", "area_code", "iso_code", "iso_3166_2"))
           Sinks.upsertBatch(
             OrderWidePipeline.enrichInfo(batch, dimUser, dimProvince),
-            s"$out/order_wide", "detail_id")
+            s"$out/order_wide", "detail_id", "dt", bid,
+            Some("create_ts"))
         }
         .start()
       q.awaitTermination()
+    }
+  }
+
+  /** Maintenance entry point: rewrite an append-only store to
+    * latest-only rows, bounding the read-side dedup under sustained
+    * write volume.  `CompactionJob dim <path>` compacts a
+    * [[CdcSplit]] dim store (one row per (table, id), tombstones
+    * kept); `CompactionJob serving <path> <pk>` compacts a
+    * [[Sinks.upsertBatch]] serving table (one row per (pk, dt)).
+    */
+  object CompactionJob {
+    def main(args: Array[String]): Unit = {
+      val spark = session("graft-compaction")
+      args.toList match {
+        case "dim" :: path :: Nil =>
+          CdcSplit.compactDimStore(spark, path)
+        case "serving" :: path :: pk :: Nil =>
+          Sinks.compact(spark, path, pk)
+        case other => sys.error(
+          s"usage: CompactionJob dim <path> | serving <path> <pk>; got $other")
+      }
+      spark.stop()
     }
   }
 }

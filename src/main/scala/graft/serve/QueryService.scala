@@ -22,8 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object QueryService {
 
+  /** Serving tables are append-only keyed stores ([[graft.streaming
+    * .Sinks.upsertBatch]]): every read resolves last-write-wins per
+    * (pk, dt) via [[graft.streaming.Sinks.latest]]. The dt filters
+    * below still prune partitions — the compaction window is
+    * partitioned by (pk, dt), so Catalyst pushes partition-column
+    * predicates beneath it.
+    */
   private def dauTable(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.streaming.Sinks.latest(spark.read.parquet(dir), "mid")
+
+  private def orderWideTable(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sinks.latest(spark.read.parquet(dir), "detail_id")
 
   /** `dauRealtime` (PublisherMapperImpl.java:107-125): total DAU for
     * `date` + hourly today-vs-yesterday histogram. One row per hour:
@@ -56,7 +66,7 @@ object QueryService {
   def statsByItem(spark: SparkSession, orderWideDir: String,
                   itemName: String, date: String,
                   field: String): DataFrame = {
-    val base = spark.read.parquet(orderWideDir)
+    val base = orderWideTable(spark, orderWideDir)
       .filter(col("dt") === date &&
         Cols.matchAnd(col("sku_name"), itemName))
     val grouped = field match {
@@ -92,7 +102,7 @@ object QueryService {
                    itemName: String, date: String,
                    pageNo: Int, pageSize: Int = 20): DataFrame = {
     val from = (pageNo - 1) * pageSize
-    val base = spark.read.parquet(orderWideDir)
+    val base = orderWideTable(spark, orderWideDir)
       .filter(col("dt") === date &&
         Cols.matchAnd(col("sku_name"), itemName))
       .withColumn("sku_name", Cols.highlight(col("sku_name"), itemName))
@@ -112,7 +122,7 @@ object QueryService {
                         itemName: String, date: String,
                         afterDetailId: Option[Long],
                         pageSize: Int = 20): DataFrame = {
-    val base = spark.read.parquet(orderWideDir)
+    val base = orderWideTable(spark, orderWideDir)
       .filter(col("dt") === date &&
         Cols.matchAnd(col("sku_name"), itemName))
       .withColumn("sku_name", Cols.highlight(col("sku_name"), itemName))

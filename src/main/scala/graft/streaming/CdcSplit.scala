@@ -53,32 +53,74 @@ object CdcSplit {
     decodedDf.filter(col("table").isin(factTables.toSeq: _*))
       .withColumn("topic", Cols.topicName(col("table"), col("op")))
 
+  /** Last-write-wins ordering for dim rows. Maxwell `ts` is
+    * second-granularity, so an insert and an update of the same row in
+    * the same second tie — break ties by op precedence (D > U > I: a
+    * same-second update supersedes the insert it follows; a delete is
+    * terminal), then by the payload for full determinism. Without the
+    * Kafka offset (not carried through the envelope) this is the
+    * strongest deterministic order available; the one mis-ordered case
+    * is delete-then-reinsert within one second, which the reference's
+    * Redis SET would mis-order identically.
+    */
+  private def lwwOrder: Seq[org.apache.spark.sql.Column] = Seq(
+    col("ts").desc,
+    when(col("op") === "D", 3).when(col("op") === "U", 2)
+      .otherwise(1).desc,
+    col("data").desc)
+
   /** Dim branch: last-write-wins upsert set for `dimTables`, keyed by
     * (table, id) — id extracted from the row payload (reference
     * :144-163 keys Redis as DIM:{TABLE}:{id}). Within one batch the
-    * latest ts wins; the caller merges into its dim store per batch.
+    * latest (ts, op, data) wins deterministically; the caller appends
+    * to its dim store per batch.
     */
   def dims(decodedDf: DataFrame, dimTables: Set[String]): DataFrame = {
     val d = decodedDf.filter(col("table").isin(dimTables.toSeq: _*))
       .withColumn("id", get_json_object(col("data"), "$.id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("table"), col("id"))
-      .orderBy(col("ts").desc)
+      .orderBy(lwwOrder: _*)
     d.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("table"), col("id"), col("data"), col("op"), col("ts"))
+  }
+
+  /** Latest surviving row per (table, id) of the append-only dim store
+    * with tombstones kept — the merge half of the last-write-wins
+    * contract (shared by [[latestDims]] and [[compactDimStore]]).
+    */
+  private def latestWithTombstones(dimStore: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table"), col("id"))
+      .orderBy(lwwOrder: _*)
+    dimStore.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
   }
 
   /** Read the append-only dim store back as current state: latest row
     * per (table, id) — the read-side half of the last-write-wins
     * contract (writers append per batch; readers compact).
     */
-  def latestDims(dimStore: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("table"), col("id"))
-      .orderBy(col("ts").desc)
-    dimStore.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+  def latestDims(dimStore: DataFrame): DataFrame =
+    latestWithTombstones(dimStore)
       .filter(col("op") =!= "D") // deleted dims are absent, not stale
-  }
+
+  /** Maintenance job: rewrite the dim store to one row per (table, id)
+    * so [[latestDims]]'s read-side dedup stays O(live keys) under
+    * sustained CDC volume (the store is otherwise append-only forever —
+    * the reference's Redis SET was O(1) per key). Delete tombstones are
+    * KEPT: dropping them would let an older, slower-arriving image of
+    * the same key win after compaction; tombstone GC is a retention
+    * policy (age out rows older than the max accepted CDC lateness),
+    * not part of correctness. Materializes before overwriting (a plan
+    * cannot overwrite its own scan); run from a maintenance window.
+    */
+  def compactDimStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit =
+    latestWithTombstones(spark.read.parquet(path))
+      .localCheckpoint()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("table")
+      .parquet(path)
 }

@@ -1,91 +1,141 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 /** Serving-store sinks: the engine's replacement for the reference's
   * per-day Elasticsearch indexes with doc-id upsert (MyEsUtils.scala:
   * 69-79 — at-least-once delivery made effectively-once by keying).
   *
-  * Here the serving store is a `dt`-partitioned parquet table written
-  * via dynamic partition overwrite inside foreachBatch: each micro-batch
-  * dedups on the primary key and overwrites only the partitions it
-  * touches — idempotent under replay, and partition pruning serves the
-  * publisher queries' per-day reads (the "index per day" access
-  * pattern) for free.
+  * Storage contract (LSM-ish, O(batch) writes):
+  *  - WRITERS append: each micro-batch dedups itself per (pk, dt) with a
+  *    deterministic winner, stamps the batch id into a `__seq` column,
+  *    and appends to the dt-partitioned parquet store. A batch's write
+  *    cost is O(batch rows) — never O(day), and partitions the batch
+  *    doesn't touch are never rewritten.
+  *  - READERS compact: [[latest]] keeps the highest-`__seq` row per
+  *    (pk, dt) — the ES doc-id upsert contract, resolved at read time
+  *    (the same pattern as [[CdcSplit.latestDims]]).
+  *  - Replay idempotency: a retried micro-batch re-appends the same
+  *    winner rows under the same `__seq`, so ties are bit-identical
+  *    rows and the read view is unchanged — exactly-once effect over
+  *    at-least-once delivery.
+  *  - [[compact]] periodically rewrites the store to latest-only so
+  *    read amplification stays bounded under sustained writes. On a
+  *    production lakehouse the whole contract is a Delta/Iceberg MERGE;
+  *    plain parquet has no atomic swap, so compaction wants a quiet
+  *    window (documented trade-off).
   */
 object Sinks {
 
-  /** Write one micro-batch as a keyed upsert: rows merge into the
-    * touched dt partitions by (pk, dt) — existing rows whose key is not
-    * in the batch survive, batch rows win on collision (the ES doc-id
-    * upsert contract). Only the partitions present in the batch are
-    * rewritten (dynamic partition overwrite), so a day's serving data
-    * accumulates across micro-batches instead of being replaced by the
-    * latest batch.
+  /** Writer-stamped monotone sequence column (micro-batch id). */
+  val SeqCol = "__seq"
+
+  /** Deterministic in-batch winner per (pk, dt): order by the version
+    * column (event time) descending when given, then by every remaining
+    * column descending — so which duplicate "wins" never depends on
+    * partition order (rows still tied are bit-identical).
+    */
+  private def winners(batch: DataFrame, pk: String, dtCol: String,
+                      tsCol: Option[String]): DataFrame = {
+    val tiebreak = batch.columns
+      .filterNot(c => c == pk || c == dtCol || tsCol.contains(c))
+      .map(col(_).desc)
+    val w = Window.partitionBy(col(pk), col(dtCol))
+      .orderBy(tsCol.map(col(_).desc).toSeq ++ tiebreak: _*)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Write one micro-batch as a logical keyed upsert: deterministic
+    * in-batch dedup per (pk, dt), then an APPEND of just those rows
+    * stamped with `batchId` — readers resolve last-write-wins via
+    * [[latest]]. O(batch) write cost; untouched day partitions are
+    * never rewritten.
     */
   def upsertBatch(batch: DataFrame, path: String, pk: String,
-                  dtCol: String = "dt"): Unit = {
-    val spark = batch.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val deduped = batch.dropDuplicates(pk, dtCol).persist()
-    try {
-      val merged =
-        try {
-          val touched = deduped.select(col(dtCol)).distinct()
-          val survivors = spark.read.parquet(path)
-            .join(broadcast(touched), Seq(dtCol), "left_semi")
-            .join(deduped.select(col(pk), col(dtCol)),
-              Seq(pk, dtCol), "left_anti")
-          deduped.unionByName(survivors.select(deduped.columns.map(col): _*))
-        } catch {
-          // store missing or still empty → first write, nothing to merge
-          case e: Exception
-              if e.getMessage != null &&
-                (e.getMessage.contains("PATH_NOT_FOUND") ||
-                  e.getMessage.contains("Path does not exist") ||
-                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) =>
-            deduped
-        }
-      // materialize before writing: Spark refuses to overwrite a path
-      // that still appears as a scan in the write's own plan
-      merged.localCheckpoint()
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(dtCol)
-        .parquet(path)
-    } finally { deduped.unpersist(); () }
+                  dtCol: String = "dt", batchId: Long = 0L,
+                  tsCol: Option[String] = None): Unit =
+    winners(batch, pk, dtCol, tsCol)
+      .withColumn(SeqCol, lit(batchId))
+      .write.mode(SaveMode.Append)
+      .partitionBy(dtCol)
+      .parquet(path)
+
+  /** Current state of an append-only keyed store: highest-`__seq` row
+    * per (pk, dt). Tolerates stores written without `__seq` (treated as
+    * sequence 0). The window is partitioned by the key, so compaction
+    * is a keyed shuffle — no global ordering anywhere.
+    */
+  def latest(store: DataFrame, pk: String, dtCol: String = "dt"): DataFrame =
+    latestKeepSeq(store, pk, dtCol).drop(SeqCol)
+
+  private def latestKeepSeq(store: DataFrame, pk: String,
+                            dtCol: String): DataFrame = {
+    val s =
+      if (store.columns.contains(SeqCol)) store
+      else store.withColumn(SeqCol, lit(0L))
+    val w = Window.partitionBy(col(pk), col(dtCol))
+      .orderBy(col(SeqCol).desc)
+    s.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Rewrite the store to latest-only rows (keeping each row's winning
+    * `__seq` so later appends still merge correctly) — bounds the
+    * read-side dedup work under sustained write volume. Materializes
+    * the compacted state before overwriting (Spark cannot overwrite a
+    * path that still appears as a scan in the same plan). Run from a
+    * maintenance schedule, not the hot write path.
+    */
+  def compact(spark: SparkSession, path: String, pk: String,
+              dtCol: String = "dt"): Unit =
+    latestKeepSeq(spark.read.parquet(path), pk, dtCol)
+      .localCheckpoint()
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(dtCol)
+      .parquet(path)
 
   /** Attach the keyed-upsert sink to a streaming DataFrame with a
     * 5-second trigger (the reference's batch interval) and checkpoint.
+    * The micro-batch id becomes the store's `__seq`, so replayed
+    * batches overwrite themselves in the read view. `tsCol` picks the
+    * deterministic in-batch winner (e.g. the event-time column).
     */
   def keyedParquetSink(df: DataFrame, path: String, pk: String,
                        checkpoint: String,
+                       tsCol: Option[String] = None,
                        trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
       : DataStreamWriter[Row] =
     df.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((batch: DataFrame, _: Long) =>
-        upsertBatch(batch, path, pk))
+      .foreachBatch((batch: DataFrame, bid: Long) =>
+        upsertBatch(batch, path, pk, "dt", bid, tsCol))
 
   /** Kafka sink (reference K1, MyKafkaUtils.scala:61-114): rows
     * serialized as JSON values; per-record topic routing via an
     * existing `topic` column (the CdcSplit fact branch) or a fixed
-    * topic. Flush-before-commit, acks and idempotent produce are the
-    * sink's own contract — none of the reference's hand-rolled producer
+    * topic. The `topic` column is excluded from the payload ONLY when
+    * it is being consumed for routing — under a fixed topic option a
+    * data column that happens to be named `topic` still serializes.
+    * Flush-before-commit, acks and idempotent produce are the sink's
+    * own contract — none of the reference's hand-rolled producer
     * lifecycle survives.
     */
   def kafkaSink(df: DataFrame, servers: String, checkpoint: String,
                 topic: Option[String] = None,
                 trigger: Trigger = Trigger.ProcessingTime("5 seconds"))
       : DataStreamWriter[Row] = {
-    val dataCols = df.columns.filter(_ != "topic").map(col)
+    val routing = topic.isEmpty && df.columns.contains("topic")
+    val dataCols =
+      (if (routing) df.columns.filter(_ != "topic") else df.columns)
+        .map(col)
     val payload =
-      if (df.columns.contains("topic") && topic.isEmpty)
+      if (routing)
         df.select(col("topic"), to_json(struct(dataCols: _*)).as("value"))
       else
         df.select(to_json(struct(dataCols: _*)).as("value"))

@@ -263,23 +263,26 @@ class StreamingPipelinesSpec extends SparkSpec {
     val batch = Seq(
       ("m1", "2024-01-05", 10), ("m1", "2024-01-05", 11),
       ("m2", "2024-01-06", 12)).toDF("mid", "dt", "v")
-    Sinks.upsertBatch(batch, out, "mid")
-    Sinks.upsertBatch(batch, out, "mid") // replay the same batch
-    val got = spark.read.parquet(out)
+    Sinks.upsertBatch(batch, out, "mid", batchId = 7L)
+    Sinks.upsertBatch(batch, out, "mid", batchId = 7L) // replayed batch
+    val got = Sinks.latest(spark.read.parquet(out), "mid")
     assert(got.count() == 2) // PK-deduped, not duplicated by replay
     assert(got.select("dt").distinct().count() == 2)
+    // deterministic in-batch winner: highest v for the (m1, day) dup
+    assert(got.filter(col("mid") === "m1").select("v")
+      .as[Int].head() == 11)
   }
 
   test("keyed parquet sink ACCUMULATES across batches and upserts keys") {
     val out = tmp("sink_acc")
     Sinks.upsertBatch(Seq(("m1", "2024-01-05", 1), ("m2", "2024-01-05", 2))
-      .toDF("mid", "dt", "v"), out, "mid")
+      .toDF("mid", "dt", "v"), out, "mid", batchId = 1L)
     // later batch: new key for the same day + updated value for m2 +
     // the same key on a different day (must keep both day rows)
     Sinks.upsertBatch(Seq(("m3", "2024-01-05", 3), ("m2", "2024-01-05", 9),
         ("m2", "2024-01-06", 4))
-      .toDF("mid", "dt", "v"), out, "mid")
-    val got = spark.read.parquet(out)
+      .toDF("mid", "dt", "v"), out, "mid", batchId = 2L)
+    val got = Sinks.latest(spark.read.parquet(out), "mid")
       .select("mid", "dt", "v").collect()
       // dt comes back as DateType (partition-column type inference)
       .map(r => (r.getString(0), r.get(1).toString) -> r.getInt(2)).toMap
@@ -288,5 +291,94 @@ class StreamingPipelinesSpec extends SparkSpec {
       ("m2", "2024-01-05") -> 9,  // key upserted in place
       ("m3", "2024-01-05") -> 3,  // new key added
       ("m2", "2024-01-06") -> 4)) // same key, second day kept
+  }
+
+  test("a batch never rewrites a day partition it doesn't touch") {
+    val out = tmp("sink_appendonly")
+    Sinks.upsertBatch(Seq(("m1", "2024-01-05", 1), ("m2", "2024-01-06", 2))
+      .toDF("mid", "dt", "v"), out, "mid", batchId = 1L)
+    def day05Files = {
+      val d = new java.io.File(s"$out/dt=2024-01-05")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val before = day05Files
+    // second batch touches only 2024-01-06 — and even the touched
+    // partition is appended to, not replaced
+    val day06Before = new java.io.File(s"$out/dt=2024-01-06")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    Sinks.upsertBatch(Seq(("m9", "2024-01-06", 9))
+      .toDF("mid", "dt", "v"), out, "mid", batchId = 2L)
+    assert(day05Files == before) // untouched partition byte-identical
+    val day06After = new java.io.File(s"$out/dt=2024-01-06")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(day06After > day06Before) // append, not overwrite
+  }
+
+  test("compaction preserves the read view and bounds the store") {
+    val out = tmp("sink_compact")
+    // 5 batches rewriting the same two keys
+    (1 to 5).foreach { i =>
+      Sinks.upsertBatch(Seq(("m1", "2024-01-05", i), ("m2", "2024-01-05", i))
+        .toDF("mid", "dt", "v"), out, "mid", batchId = i.toLong)
+    }
+    val viewBefore = Sinks.latest(spark.read.parquet(out), "mid")
+      .select("mid", "v").as[(String, Int)].collect().toSet
+    assert(spark.read.parquet(out).count() == 10) // history accumulated
+    Sinks.compact(spark, out, "mid")
+    assert(spark.read.parquet(out).count() == 2)  // latest-only now
+    val viewAfter = Sinks.latest(spark.read.parquet(out), "mid")
+      .select("mid", "v").as[(String, Int)].collect().toSet
+    assert(viewAfter == viewBefore)
+    assert(viewAfter == Set("m1" -> 5, "m2" -> 5))
+    // a post-compaction batch still upserts over the compacted rows
+    Sinks.upsertBatch(Seq(("m1", "2024-01-05", 42))
+      .toDF("mid", "dt", "v"), out, "mid", batchId = 6L)
+    val viewNext = Sinks.latest(spark.read.parquet(out), "mid")
+      .select("mid", "v").as[(String, Int)].collect().toSet
+    assert(viewNext == Set("m1" -> 42, "m2" -> 5))
+  }
+
+  test("dim store compaction: latestDims identical before and after") {
+    val out = tmp("dim_compact")
+    val raw = Seq(
+      """{"database":"g","table":"user_info","type":"insert","ts":1,"data":{"id":"1","gender":"F"}}""",
+      """{"database":"g","table":"user_info","type":"update","ts":2,"data":{"id":"1","gender":"M"}}""",
+      """{"database":"g","table":"user_info","type":"insert","ts":1,"data":{"id":"2","gender":"F"}}""",
+      """{"database":"g","table":"user_info","type":"delete","ts":3,"data":{"id":"2","gender":"F"}}""",
+      """{"database":"g","table":"base_province","type":"insert","ts":1,"data":{"id":"11","name":"BJ"}}"""
+    ).toDF("value")
+    // append each row as its own micro-batch (worst-case history)
+    raw.collect().foreach { r =>
+      CdcSplit.dims(CdcSplit.decoded(CdcSplit.parse(
+          Seq(r.getString(0)).toDF("value"))),
+          Set("user_info", "base_province"))
+        .write.mode("append").partitionBy("table").parquet(out)
+    }
+    def view = CdcSplit.latestDims(spark.read.parquet(out))
+      .select("table", "id", "op").as[(String, String, String)]
+      .collect().toSet
+    val before = view
+    assert(spark.read.parquet(out).count() == 5)
+    CdcSplit.compactDimStore(spark, out)
+    assert(spark.read.parquet(out).count() == 3) // one row/key, D kept
+    assert(view == before)
+    assert(before == Set(("user_info", "1", "U"),
+      ("base_province", "11", "I"))) // id=2 tombstoned away
+  }
+
+  test("same-second CDC tie resolves by op precedence, not arrival") {
+    // Maxwell ts is second-granularity: an insert and update of the
+    // same row in the same second must resolve to the update
+    // regardless of row order
+    val fwd = Seq(
+      """{"database":"g","table":"user_info","type":"insert","ts":5,"data":{"id":"1","gender":"F"}}""",
+      """{"database":"g","table":"user_info","type":"update","ts":5,"data":{"id":"1","gender":"M"}}""")
+    Seq(fwd, fwd.reverse).foreach { order =>
+      val got = CdcSplit.dims(CdcSplit.decoded(CdcSplit.parse(
+          order.toDF("value"))), Set("user_info"))
+        .select("op").as[String].collect().toSeq
+      assert(got == Seq("U"))
+    }
   }
 }
