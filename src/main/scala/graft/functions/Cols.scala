@@ -47,23 +47,52 @@ object Cols {
   /** Lower-cased whitespace tokens of `text`. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
-  /** ES match-AND: every token of `query` must appear as a token of
-    * `text`. Pure-Column: N `array_contains` conjuncts over one `split`.
+  /** True when the token carries a script that whitespace tokenization
+    * cannot segment (CJK ideographs, kana, hangul) — the reference's
+    * deployment matches Chinese product names through an ES analyzer
+    * (PublisherMapperImpl.java:143; labels 女/男/20岁以下), which
+    * whitespace-only token membership would never match.
+    */
+  private def unsegmented(token: String): Boolean =
+    token.exists { c =>
+      import Character.UnicodeScript
+      UnicodeScript.of(c) match {
+        case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
+            UnicodeScript.KATAKANA | UnicodeScript.HANGUL => true
+        case _ => false
+      }
+    }
+
+  /** ES match-AND: every token of `query` must appear in `text`.
+    * Whitespace-segmented tokens check token membership (one `split`,
+    * N `array_contains` conjuncts); tokens carrying CJK/kana/hangul
+    * fall back to substring containment — the analyzer-free analog of
+    * matching unsegmented scripts (an ik-style segmenter would be the
+    * production fidelity upgrade; containment of the full query token
+    * is the conservative approximation). Pure-Column either way.
     */
   def matchAnd(text: Column, query: String): Column = {
     val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
     require(qs.nonEmpty, "matchAnd needs a non-empty query")
-    qs.map(t => array_contains(tokens(text), t)).reduce(_ && _)
+    qs.map { t =>
+      if (unsegmented(t)) contains(lower(text), lit(t))
+      else array_contains(tokens(text), t)
+    }.reduce(_ && _)
   }
 
   /** ES-highlighter analog: wrap every query token occurring in `text`
-    * (word-bounded, case-insensitive) in pre/post tags.
+    * in pre/post tags — word-bounded for segmented tokens,
+    * boundary-free for CJK tokens (`\b` is meaningless between
+    * ideographs: Java word chars are [A-Za-z0-9_]).
     */
   def highlight(text: Column, query: String,
                 pre: String = "<em>", post: String = "</em>"): Column = {
     val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      .map(java.util.regex.Pattern.quote)
-    regexp_replace(text, "(?i)\\b(" + qs.mkString("|") + ")\\b",
+    val parts = qs.map { t =>
+      val quoted = java.util.regex.Pattern.quote(t)
+      if (unsegmented(t)) quoted else "\\b" + quoted + "\\b"
+    }
+    regexp_replace(text, "(?i)(" + parts.mkString("|") + ")",
       pre + "$1" + post)
   }
 

@@ -330,6 +330,36 @@ object ParityQueries {
         .orderBy(col("p_partkey"))
     },
 
+    // ---- J5-CJK: match-AND + highlight over unsegmented script ---------
+    // Chinese sku_name synthesized deterministically from part rows (the
+    // reference's deployment matches Chinese product names,
+    // PublisherMapperImpl.java:143); the mixed query exercises both
+    // paths: token membership for 'small', substring containment for
+    // 小米 (whitespace tokenization can never match an unsegmented run).
+    Q("j5_match_and_cjk",
+      """SELECT p_partkey, sku_name,
+        | regexp_replace(sku_name, '(?i)(\bsmall\b|小米)', '<em>\1</em>', 'g') AS hl_name
+        |FROM (
+        | SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN concat('小米手机 ', p_name)
+        |       WHEN p_partkey % 3 = 1 THEN concat('华为平板 ', p_name)
+        |       ELSE p_name END AS sku_name
+        | FROM part)
+        |WHERE contains(lower(sku_name), '小米')
+        |  AND list_contains(string_split(lower(sku_name), ' '), 'small')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val sku = when(pmod(col("p_partkey"), lit(3)) === 0,
+          concat(lit("小米手机 "), col("p_name")))
+        .when(pmod(col("p_partkey"), lit(3)) === 1,
+          concat(lit("华为平板 "), col("p_name")))
+        .otherwise(col("p_name"))
+      part(s, d).withColumn("sku_name", sku)
+        .filter(Cols.matchAnd(col("sku_name"), "small 小米"))
+        .select(col("p_partkey"), col("sku_name"),
+          Cols.highlight(col("sku_name"), "small 小米").as("hl_name"))
+        .orderBy(col("p_partkey"))
+    },
+
     // ---- A1: total DAU (count of deduped actives for a day) ------------
     Q("a1_dau_total",
       s"""SELECT COUNT(DISTINCT user_id) AS dau_total FROM events

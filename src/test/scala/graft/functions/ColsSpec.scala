@@ -36,6 +36,30 @@ class ColsSpec extends SparkSpec {
     assert(got == "<em>Small</em> widgets and <em>small</em> <em>widget</em>")
   }
 
+  test("matchAnd falls back to containment for unsegmented scripts") {
+    val df = Seq(
+      "小米手机 高配版",   // unsegmented CJK run containing 小米
+      "小米 手机",         // pre-segmented
+      "华为手机 高配版",   // different brand — no 小米 anywhere
+      "小 米手机")         // characters present but run broken
+      .toDF("sku")
+    val got = df.filter(Cols.matchAnd($"sku", "小米"))
+      .as[String].collect().toSet
+    assert(got == Set("小米手机 高配版", "小米 手机"))
+    // mixed query: CJK containment AND latin token membership
+    val mixed = Seq("小米手机 pro", "小米手机 max", "红米手机 pro")
+      .toDF("sku")
+    assert(mixed.filter(Cols.matchAnd($"sku", "小米 pro"))
+      .as[String].collect().toSeq == Seq("小米手机 pro"))
+  }
+
+  test("highlight wraps CJK tokens without word boundaries") {
+    val got = Seq("小米手机 with small parts").toDF("t")
+      .select(Cols.highlight($"t", "small 小米"))
+      .as[String].head()
+    assert(got == "<em>小米</em>手机 with <em>small</em> parts")
+  }
+
   test("decode3 maps op classes and nulls unknowns") {
     val df = Seq("insert", "bootstrap-insert", "update", "delete", "weird")
       .toDF("t")
