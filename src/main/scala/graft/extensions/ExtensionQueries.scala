@@ -247,6 +247,17 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // production 64-bit SimHash path: xxhash64 is not reproducible in
+    // DuckDB, so this runs as a rows-only check here — the banding's
+    // correctness is property-tested against brute-force Hamming in
+    // DedupSpec ("simhashPairs64 banding finds exactly the brute-force
+    // pairs")
+    Q.noOracle("ext_dedup_simhash64") { (s, d) =>
+      Dedup.simhashPairs64(documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     Q("ext_dedup_embed", {
       val b = bucketSql("a.embedding", 8)
       val b2 = bucketSql("b.embedding", 8)

@@ -204,6 +204,68 @@ object Dedup {
         col("hamming"))
   }
 
+  /** 64-bit SimHash signatures — the production-scale path. The 16-bit
+    * [[simhashPairs]] form is oracle-reproducible but saturates on a
+    * large corpus (2^16 distinct values ⇒ at web scale every signature
+    * is occupied and Hamming neighborhoods blanket the space); 64 bits
+    * keeps signatures sparse at any realistic corpus size. Hashing is
+    * `xxhash64` — one codegen intrinsic per (doc, token) row, no string
+    * md5 — then 64 conditional-sum aggregates in a single hash-agg
+    * pass (the same hash-once shape as the 16-bit form).
+    */
+  def simhash64Sigs(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val hashed = fanOut(docs).select(col(idCol).as("did"),
+        explode(TextFns.toks(col(textCol))).as("t"))
+      .select(col("did"), xxhash64(col("t")).as("m"))
+    // bitwiseAND, not shiftright+mod: m is signed and bit 63 matters
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(col("m").bitwiseAND(lit(1L << b)) =!= 0, 1L)
+        .otherwise(-1L)).as(s"b$b"))
+    hashed.groupBy("did")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("did"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** SimHash near-dup pairs over 64-bit signatures: pigeonhole banding
+    * into 8 bands of 8 bits — any pair within Hamming ≤ 7 agrees on at
+    * least one whole band, so candidates come from a band-value
+    * equi-join. Same distinct-signature pairing as the 16-bit form, but
+    * the signature-pair join is left to the planner (no broadcast
+    * hint): at 2^64 the distinct-signature set grows with the corpus,
+    * so AQE should pick the join strategy from actual sizes.
+    */
+  def simhashPairs64(docs: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      "8-band pigeonhole blocking only covers Hamming <= 7")
+    val sigs = simhash64Sigs(docs, idCol, textCol).repartition(col("sig"))
+    val distinctSigs = sigs.select(col("sig")).distinct()
+    val banded = distinctSigs
+      .select(col("sig"), explode(array((0 until 8).map(i =>
+        struct(lit(i).as("bi"),
+          shiftrightunsigned(col("sig"), 8 * i).bitwiseAND(lit(255L))
+            .as("bv"))): _*)).as("band"))
+      .select(col("sig"), col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val sigPairs = banded.as("x")
+      .join(banded.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv"))
+      .select(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"),
+        TextFns.hamming(col("x.sig"), col("y.sig")).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("sig_a", "sig_b")
+    sigs.as("a")
+      .join(sigPairs, col("a.sig") === col("sig_a"))
+      .join(sigs.as("b"),
+        col("b.sig") === col("sig_b") && col("a.did") < col("b.did"))
+      .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
+        col("hamming"))
+  }
+
   /** Connected components over near-dup pairs: every doc gets the
     * minimum doc id reachable through duplicate edges as its
     * `cluster_id` (docs in no pair are their own singleton cluster).

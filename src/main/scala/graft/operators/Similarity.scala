@@ -61,27 +61,76 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Lloyd refinement of IVF centroids (spherical k-means: cosine
+    * assignment, per-cell element-wise mean — cosine is scale-invariant
+    * so the mean needs no re-normalization). Each iteration is one
+    * broadcast-join argmax assignment plus one posexplode/avg
+    * aggregation — shuffle-by-(cell, dim), never O(n²). `fraction < 1`
+    * refines over a deterministic sample, the right call when the
+    * corpus is huge (centroid quality converges long before the full
+    * corpus is seen).
+    */
+  private def refineSeeds(corpusV: DataFrame, seeds0: DataFrame,
+                          iters: Int, fraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample =
+      if (fraction >= 1.0) corpusV
+      else corpusV.sample(withReplacement = false, fraction, seed = 42L)
+    var seeds = seeds0
+    (0 until iters).foreach { _ =>
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("seed_cos").desc, col("cell"))
+      val assigned = sample.join(broadcast(seeds))
+        .withColumn("seed_cos", VectorFns.cosine(col("v"), col("sv")))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("cell"), col("v"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).cast("array<float>").as("mv"))
+      // a cell that lost every member keeps its previous centroid
+      seeds = seeds.withColumnRenamed("sv", "sv0")
+        .join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mv"), col("sv0")).as("sv"))
+    }
+    seeds
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `cells` Voronoi
-    * cells around coarse centroids (here: the first `cells` vectors by
-    * id — deterministic seeding; a production build would k-means
-    * refine them, which only changes the centroid table), then answer
-    * queries by scoring ONLY the vectors in the query's `nProbe`
-    * nearest cells.
+    * cells around coarse centroids, then answer queries by scoring ONLY
+    * the vectors in the query's `nProbe` nearest cells.
+    *
+    * Seeding: the first `cells` vectors by id (deterministic), then
+    * `refineIters` Lloyd iterations over a `refineFraction` sample of
+    * the corpus ([[refineSeeds]]) — refinement is what makes IVF recall
+    * robust when real embeddings cluster. `refineIters = 0` keeps the
+    * raw seeds (the oracle-reproducible configuration).
     *
     * Scale shape: assignment is one broadcast join (centroid table is
     * tiny) + map-side argmax; the probe join is an equi-join on
     * cell id, so per-query work is |corpus| × nProbe / cells instead of
     * |corpus|. Recall loses only neighbors whose cell the query didn't
-    * probe — raise nProbe to trade cost for recall.
+    * probe — raise nProbe (or refine the centroids) to trade cost for
+    * recall.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
-             cells: Int = 16, nProbe: Int = 4): DataFrame = {
+             cells: Int = 16, nProbe: Int = 4,
+             refineIters: Int = 0,
+             refineFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cell ids need not be contiguous — the seed's own id IS the cell
     // id (no global row_number window over the seed table)
-    val seeds = corpus.orderBy(col(idCol)).limit(cells)
+    val seeds0 = corpus.orderBy(col(idCol)).limit(cells)
       .select(col(idCol).as("cell"), col(vecCol).as("sv"))
+    val seeds =
+      if (refineIters <= 0) seeds0
+      else refineSeeds(
+        fanOut(corpus).select(col(idCol).as("vid"), col(vecCol).as("v")),
+        seeds0, refineIters, refineFraction)
     def assign(df: DataFrame, id: String, v: String, keep: Int) = {
       val scored = df.select(col(idCol).as(id), col(vecCol).as(v))
         .join(broadcast(seeds))

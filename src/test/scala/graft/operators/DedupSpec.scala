@@ -119,6 +119,38 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0) // same tokens → same signature
   }
 
+  test("simhashPairs64 banding finds exactly the brute-force pairs") {
+    // property-style: a seeded corpus of perturbed near-duplicates;
+    // ground truth = all-pairs Hamming over the signatures themselves,
+    // so the assertion isolates the BANDING (pigeonhole completeness
+    // for radius ≤ 7 over 8 bands), not the hash quality
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 300).map(i => s"w$i")
+    val docs = (for {
+      cluster <- 0 until 12
+      base = Array.fill(25)(vocab(rnd.nextInt(vocab.size)))
+      variant <- 0 until 3
+    } yield {
+      val toks = base.clone()
+      (0 until variant).foreach { _ =>
+        toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+      }
+      (cluster * 3L + variant, toks.mkString(" "))
+    }).toSeq
+    val df = docs.toDF("doc_id", "text")
+    val sigs = Dedup.simhash64Sigs(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val ids = docs.map(_._1)
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashPairs64(df, "doc_id", "text", 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(expected.nonEmpty)   // fixture genuinely exercises the radius
+    assert(got == expected)     // complete AND no false extras
+  }
+
   test("embeddingPairs: OR-amplification raises recall, no duplicates") {
     val embs = graft.tables.Tables.embeddings(spark, sf0001)
     def run(tables: Int) = Dedup.embeddingPairs(embs, "vec_id",
