@@ -53,15 +53,18 @@ object Cols {
     * (PublisherMapperImpl.java:143; labels 女/男/20岁以下), which
     * whitespace-only token membership would never match.
     */
-  private def unsegmented(token: String): Boolean =
-    token.exists { c =>
-      import Character.UnicodeScript
-      UnicodeScript.of(c) match {
+  private def unsegmented(token: String): Boolean = {
+    // code points, not chars: supplementary-plane ideographs (CJK
+    // Ext-B+) are surrogate pairs whose halves have no script
+    import Character.UnicodeScript
+    token.codePoints().anyMatch { cp =>
+      UnicodeScript.of(cp) match {
         case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
             UnicodeScript.KATAKANA | UnicodeScript.HANGUL => true
         case _ => false
       }
     }
+  }
 
   /** ES match-AND: every token of `query` must appear in `text`.
     * Whitespace-segmented tokens check token membership (one `split`,

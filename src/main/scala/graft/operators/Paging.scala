@@ -25,10 +25,14 @@ import org.apache.spark.sql.types.IntegerType
   */
 object Paging {
 
-  /** y <= x over the keys, lexicographically. */
+  /** y <= x over the keys, lexicographically, under the same NULLS
+    * FIRST order `orderBy(col)` uses — a null key sorts before every
+    * value and equals itself (`<=>`), so null-keyed rows rank first
+    * instead of silently dropping out of the rank join.
+    */
   private def lexLeq(ys: Seq[Column], xs: Seq[Column]): Column =
     ys.zip(xs).foldRight(lit(true)) { case ((y, x), rest) =>
-      y < x || (y === x && rest)
+      (y.isNull && x.isNotNull) || y < x || (y <=> x && rest)
     }
 
   /** Rows with row_number ∈ (from, from+size] under ORDER BY `keys`,
@@ -45,9 +49,13 @@ object Paging {
                size: Int): DataFrame = {
     val outCols = df.columns.toSeq
     val top = df.orderBy(keys.map(col): _*).limit(from + size)
-    // collapse identical rows; rank math runs on the distinct page rows
+    // collapse identical rows; rank math runs on the distinct page rows.
+    // Lazy localCheckpoint: both sides of the rank join read this ≤
+    // (from+size)-row frame — materializing it once halves the scans
+    // under the TakeOrderedAndProject instead of recomputing per side
     val grouped = top.groupBy(outCols.map(col): _*)
       .agg(count(lit(1)).as("__g"))
+      .localCheckpoint(false)
     val ySide = grouped.select(
       keys.map(k => col(k).as(s"__y_$k")) :+ col("__g").as("__yg"): _*)
     val cond = lexLeq(keys.map(k => col(s"__y_$k")), keys.map(col))

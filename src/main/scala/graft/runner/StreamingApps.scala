@@ -26,7 +26,7 @@ object StreamingApps {
                                  table: String,
                                  fields: Seq[String]): DataFrame =
     try
-      CdcSplit.latestDims(spark.read.parquet(storePath))
+      CdcSplit.latestDims(Sinks.readStore(spark, storePath))
         .filter(col("table") === table)
         .select(json_tuple(col("data"), fields: _*).as(fields))
     catch {
@@ -109,7 +109,7 @@ object StreamingApps {
       val q = decoded.writeStream
         .trigger(Trigger.ProcessingTime("5 seconds"))
         .option("checkpointLocation", s"$ckpt/ods_db")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           val cached = batch.persist()
           try {
             CdcSplit.facts(cached, factTables)
@@ -119,7 +119,9 @@ object StreamingApps {
               .write.format("kafka")
               .option("kafka.bootstrap.servers", servers)
               .save()
-            CdcSplit.dims(cached, dimTables)
+            // batch id rides along as __seq: same-second CDC updates
+            // landing in different batches keep their arrival order
+            CdcSplit.dims(cached, dimTables, bid)
               .write.mode("append").partitionBy("table")
               .parquet(s"$out/dim_store")
           } finally { cached.unpersist(); () }

@@ -30,10 +30,12 @@ object QueryService {
     * predicates beneath it.
     */
   private def dauTable(spark: SparkSession, dir: String): DataFrame =
-    graft.streaming.Sinks.latest(spark.read.parquet(dir), "mid")
+    graft.streaming.Sinks.latest(
+      graft.streaming.Sinks.readStore(spark, dir), "mid")
 
   private def orderWideTable(spark: SparkSession, dir: String): DataFrame =
-    graft.streaming.Sinks.latest(spark.read.parquet(dir), "detail_id")
+    graft.streaming.Sinks.latest(
+      graft.streaming.Sinks.readStore(spark, dir), "detail_id")
 
   /** `dauRealtime` (PublisherMapperImpl.java:107-125): total DAU for
     * `date` + hourly today-vs-yesterday histogram. One row per hour:
@@ -112,6 +114,17 @@ object QueryService {
       .crossJoin(broadcast(total))
       .orderBy(col("rn"))
   }
+
+  /** Match count alone (the `total` of [[detailByItem]] without a
+    * page) — the serving layer falls back to this when a requested
+    * page is past the last row, where no page row carries the total.
+    */
+  def detailByItemTotal(spark: SparkSession, orderWideDir: String,
+                        itemName: String, date: String): Long =
+    orderWideTable(spark, orderWideDir)
+      .filter(col("dt") === date &&
+        Cols.matchAnd(col("sku_name"), itemName))
+      .count()
 
   /** Keyset-paginated `detailByItem`: the page after `afterDetailId`
     * (exclusive; None = first page) ordered by `detail_id` — the

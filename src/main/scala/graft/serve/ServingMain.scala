@@ -27,8 +27,13 @@ import java.nio.charset.StandardCharsets
 object ServingMain {
 
   def main(args: Array[String]): Unit = {
-    val Array(dauDir, owDir, portS) = args.padTo(3, "")
-    val port = if (portS.isEmpty) 8070 else portS.toInt
+    if (args.length < 2 || args.length > 3) {
+      System.err.println(
+        "usage: ServingMain <dauDir> <orderWideDir> [port=8070]")
+      sys.exit(2)
+    }
+    val (dauDir, owDir) = (args(0), args(1))
+    val port = if (args.length == 3) args(2).toInt else 8070
     val spark = SparkSession.builder()
       .appName("graft-serving")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
@@ -94,14 +99,35 @@ object ServingMain {
   private[serve] def detailByItemJson(spark: SparkSession, owDir: String,
                                       itemName: String, date: String,
                                       pageNo: Int, pageSize: Int): String = {
-    val page = QueryService.detailByItem(spark, owDir, itemName, date,
-      pageNo, pageSize)
-    val rows = page.drop("total").toJSON.collect()
+    // ONE job collects the page (total rides on every row); only a
+    // page past the last row needs the separate count fallback —
+    // total=0 there would misreport a non-empty match set
+    val rows = QueryService.detailByItem(spark, owDir, itemName, date,
+      pageNo, pageSize).collect()
     val total =
-      if (rows.isEmpty) 0L
-      else page.select("total").head().getLong(0)
-    s"""{"total":$total,"detail":${rows.mkString("[", ",", "]")}}"""
+      if (rows.isEmpty)
+        QueryService.detailByItemTotal(spark, owDir, itemName, date)
+      else rows.head.getAs[Long]("total")
+    val detail = rows.map(rowJson(_, skip = Set("total")))
+      .mkString("[", ",", "]")
+    s"""{"total":$total,"detail":$detail}"""
   }
+
+  /** Generic Row → JSON object (serving tables carry strings, numerics,
+    * dates); `skip` drops plumbing columns from the payload.
+    */
+  private def rowJson(r: org.apache.spark.sql.Row,
+                      skip: Set[String]): String =
+    r.schema.fields.iterator.filterNot(f => skip(f.name)).map { f =>
+      val v = r.getAs[Any](f.name) match {
+        case null => "null"
+        case s: String => jstr(s)
+        case d: java.sql.Date => jstr(d.toString)
+        case t: java.sql.Timestamp => jstr(t.toString)
+        case other => other.toString
+      }
+      s"${jstr(f.name)}:$v"
+    }.mkString("{", ",", "}")
 
   // ---- plumbing --------------------------------------------------------
 

@@ -54,36 +54,42 @@ object CdcSplit {
       .withColumn("topic", Cols.topicName(col("table"), col("op")))
 
   /** Last-write-wins ordering for dim rows. Maxwell `ts` is
-    * second-granularity, so an insert and an update of the same row in
-    * the same second tie — break ties by op precedence (D > U > I: a
+    * second-granularity, so same-second events tie on it — break ties
+    * by arrival order when known (`__seq`, the writer's micro-batch id,
+    * present on store reads), then op precedence (D > U > I: a
     * same-second update supersedes the insert it follows; a delete is
-    * terminal), then by the payload for full determinism. Without the
-    * Kafka offset (not carried through the envelope) this is the
-    * strongest deterministic order available; the one mis-ordered case
-    * is delete-then-reinsert within one second, which the reference's
-    * Redis SET would mis-order identically.
+    * terminal), then the payload for full determinism. The residual
+    * blind spot is same-second reordering WITHIN one batch (no offset
+    * in the envelope), which the reference's Redis SET mis-orders
+    * identically.
     */
-  private def lwwOrder: Seq[org.apache.spark.sql.Column] = Seq(
-    col("ts").desc,
-    when(col("op") === "D", 3).when(col("op") === "U", 2)
-      .otherwise(1).desc,
-    col("data").desc)
+  private def lwwOrder(hasSeq: Boolean): Seq[org.apache.spark.sql.Column] =
+    Seq(col("ts").desc) ++
+      (if (hasSeq) Seq(coalesce(col("__seq"), lit(0L)).desc) else Nil) ++
+      Seq(
+        when(col("op") === "D", 3).when(col("op") === "U", 2)
+          .otherwise(1).desc,
+        col("data").desc)
 
   /** Dim branch: last-write-wins upsert set for `dimTables`, keyed by
     * (table, id) — id extracted from the row payload (reference
     * :144-163 keys Redis as DIM:{TABLE}:{id}). Within one batch the
     * latest (ts, op, data) wins deterministically; the caller appends
-    * to its dim store per batch.
+    * to its dim store per batch, stamping the micro-batch id so
+    * same-second updates arriving in DIFFERENT batches keep their
+    * arrival order across the store.
     */
-  def dims(decodedDf: DataFrame, dimTables: Set[String]): DataFrame = {
+  def dims(decodedDf: DataFrame, dimTables: Set[String],
+           batchId: Long = 0L): DataFrame = {
     val d = decodedDf.filter(col("table").isin(dimTables.toSeq: _*))
       .withColumn("id", get_json_object(col("data"), "$.id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("table"), col("id"))
-      .orderBy(lwwOrder: _*)
+      .orderBy(lwwOrder(hasSeq = false): _*)
     d.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("table"), col("id"), col("data"), col("op"), col("ts"))
+      .withColumn("__seq", lit(batchId))
   }
 
   /** Latest surviving row per (table, id) of the append-only dim store
@@ -93,7 +99,7 @@ object CdcSplit {
   private def latestWithTombstones(dimStore: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("table"), col("id"))
-      .orderBy(lwwOrder: _*)
+      .orderBy(lwwOrder(dimStore.columns.contains("__seq")): _*)
     dimStore.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
@@ -118,7 +124,7 @@ object CdcSplit {
     */
   def compactDimStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit =
-    latestWithTombstones(spark.read.parquet(path))
+    latestWithTombstones(Sinks.readStore(spark, path))
       .localCheckpoint()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("table")

@@ -65,9 +65,14 @@ object Sinks {
       .parquet(path)
 
   /** Current state of an append-only keyed store: highest-`__seq` row
-    * per (pk, dt). Tolerates stores written without `__seq` (treated as
-    * sequence 0). The window is partitioned by the key, so compaction
-    * is a keyed shuffle — no global ordering anywhere.
+    * per (pk, dt). Tolerates stores (or individual files) written
+    * without `__seq` — missing/null sequences read as 0. The window is
+    * partitioned by the key, so compaction is a keyed shuffle — no
+    * global ordering anywhere. Ordering is fully deterministic: after
+    * `__seq`, remaining columns break ties (a replayed batch can
+    * legitimately append a DIFFERENT row under the same `__seq` when
+    * its enrichment re-read fresher dims — which image wins must not
+    * depend on partition order).
     */
   def latest(store: DataFrame, pk: String, dtCol: String = "dt"): DataFrame =
     latestKeepSeq(store, pk, dtCol).drop(SeqCol)
@@ -75,10 +80,14 @@ object Sinks {
   private def latestKeepSeq(store: DataFrame, pk: String,
                             dtCol: String): DataFrame = {
     val s =
-      if (store.columns.contains(SeqCol)) store
+      if (store.columns.contains(SeqCol))
+        store.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
       else store.withColumn(SeqCol, lit(0L))
+    val tiebreak = s.columns
+      .filterNot(c => c == pk || c == dtCol || c == SeqCol)
+      .map(col(_).desc)
     val w = Window.partitionBy(col(pk), col(dtCol))
-      .orderBy(col(SeqCol).desc)
+      .orderBy(col(SeqCol).desc +: tiebreak: _*)
     s.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -92,11 +101,19 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String, pk: String,
               dtCol: String = "dt"): Unit =
-    latestKeepSeq(spark.read.parquet(path), pk, dtCol)
+    latestKeepSeq(readStore(spark, path), pk, dtCol)
       .localCheckpoint()
       .write.mode(SaveMode.Overwrite)
       .partitionBy(dtCol)
       .parquet(path)
+
+  /** Read an append-only store with schema merging ON: a store whose
+    * oldest files predate a column (e.g. `__seq`) must not lose that
+    * column to single-footer schema inference — rows from old files
+    * surface it as null, which [[latest]] treats as sequence 0.
+    */
+  def readStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Attach the keyed-upsert sink to a streaming DataFrame with a
     * 5-second trigger (the reference's batch interval) and checkpoint.

@@ -59,6 +59,11 @@ class ServingMainSpec extends SparkSpec {
       assert(detail.startsWith("""{"total":2,"detail":["""))
       assert(detail.contains("red <em>widget</em> deluxe"))
 
+      // a page past the last row still reports the true total
+      val past = get(port,
+        "/detailByItem?date=2024-01-05&itemName=widget&pageNo=99&pageSize=1")
+      assert(past == """{"total":2,"detail":[]}""")
+
       // bad param → 400 with a JSON error, not a hung socket
       val bad = java.net.URI.create(
         s"http://127.0.0.1:$port/statsByItem?itemName=x&date=2024-01-05&t=nope")

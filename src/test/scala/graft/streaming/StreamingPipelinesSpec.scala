@@ -367,6 +367,23 @@ class StreamingPipelinesSpec extends SparkSpec {
       ("base_province", "11", "I"))) // id=2 tombstoned away
   }
 
+  test("same-second updates across batches keep arrival order via __seq") {
+    val out = tmp("dim_seq")
+    def land(json: String, bid: Long) =
+      CdcSplit.dims(CdcSplit.decoded(CdcSplit.parse(
+          Seq(json).toDF("value"))), Set("user_info"), bid)
+        .write.mode("append").partitionBy("table").parquet(out)
+    // first batch's payload sorts HIGHER lexicographically (Z > A):
+    // without the batch-id tiebreak, the payload-desc fallback would
+    // resurrect it over the later arrival
+    land("""{"database":"g","table":"user_info","type":"update","ts":5,"data":{"id":"1","gender":"Z"}}""", 1L)
+    land("""{"database":"g","table":"user_info","type":"update","ts":5,"data":{"id":"1","gender":"A"}}""", 2L)
+    val got = CdcSplit.latestDims(spark.read.parquet(out))
+      .select(get_json_object(col("data"), "$.gender")).as[String]
+      .collect().toSeq
+    assert(got == Seq("A")) // later batch wins the same-second tie
+  }
+
   test("same-second CDC tie resolves by op precedence, not arrival") {
     // Maxwell ts is second-granularity: an insert and update of the
     // same row in the same second must resolve to the update
