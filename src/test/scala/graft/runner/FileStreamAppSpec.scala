@@ -6,11 +6,13 @@ import graft.streaming.LogSplit
 import org.apache.spark.sql.DataFrame
 import java.nio.file.{Files, Paths}
 
-/** End-to-end run of the OdsLogApp wiring with the file-drop source
-  * standing in for Kafka: raw envelope JSON lands in a directory, one
-  * streaming query fans out all five DWD branches to parquet under a
-  * checkpoint — the exact foreachBatch structure of
-  * StreamingApps.OdsLogApp, minus the broker.
+/** End-to-end run of the OdsLogApp branch fan-out with the file-drop
+  * source standing in for Kafka: raw envelope JSON lands in a
+  * directory, one streaming query routes all five DWD branches to
+  * parquet under a checkpoint. (The production app unions the branches
+  * into one topic-routed Kafka write — `StreamingApps.routedPayload`,
+  * covered by DauAppWiringSpec; here each branch lands in its own
+  * parquet dir so the flattened per-branch schemas stay assertable.)
   */
 class FileStreamAppSpec extends SparkSpec {
 
