@@ -150,6 +150,47 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- corpus curation: the operators COMPOSED ------------------------
+    // The user-story pipeline a training-data curator actually runs:
+    // quality-gate → exact-dedup keep-canonical → per-doc token budget.
+    // One shuffle chain (quality is a narrow pass; dedup is one
+    // hash-groupBy; the canonical join is an equi-join) — composing the
+    // operators adds no new shuffle shapes at any scale.
+    Q("ext_curate_corpus", {
+      val nTok = s"CAST(len($TOKS) AS DOUBLE)"
+      val stopHits = TextAnalysis.stopwords.map(sw => stopSql(sw._1))
+        .mkString("(", " + ", ")")
+      s"""WITH scored AS (
+         | SELECT doc_id, text,
+         |  least($nTok / 100.0, 1.0) * 0.3
+         |  + (CAST(len(list_distinct($TOKS)) AS DOUBLE) / $nTok) * 0.3
+         |  + least(CAST($stopHits AS DOUBLE) * 4.0 / $nTok, 1.0) * 0.2
+         |  + (1.0 - least(CAST(len(string_split_regex(text, '[.!?,;:]')) - 1
+         |      AS DOUBLE) / $nTok, 1.0)) * 0.2 AS quality
+         | FROM documents),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+         |canon AS (
+         | SELECT min(doc_id) AS doc_id FROM kept
+         | GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+         |SELECT k.doc_id, k.quality,
+         | CAST(len($TOKS) AS BIGINT) AS n_tokens
+         |FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+         |ORDER BY k.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val kept = docs.join(
+        TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .filter(col("quality") >= 0.5),
+        Seq("doc_id"))
+      val canon = Dedup.exact(kept, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      kept.join(canon, Seq("doc_id"))
+        .select(col("doc_id"), col("quality"),
+          size(graft.functions.TextFns.toks(col("text"))).cast("long")
+            .as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- dedup family --------------------------------------------------
     Q("ext_dedup_exact",
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
