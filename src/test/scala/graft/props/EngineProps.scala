@@ -91,4 +91,36 @@ object EngineProps extends Properties("graft") {
         .select("doc_id").as[Long].collect().toSet
       narrow.subsetOf(wide)
     }
+
+  // append-only serving store: for ANY batch sequence, the read view
+  // equals the sequential last-write-wins model — and re-appending any
+  // batch under its original id never changes the view (replay safety)
+  property("Sinks.latest equals sequential last-write-wins upserts") =
+    Prop.forAll(
+      Gen.chooseNum(1, 4).flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(1, 5).flatMap(m => Gen.listOfN(m,
+          Gen.zip(Gen.oneOf("k1", "k2", "k3"),
+            Gen.oneOf("2024-01-05", "2024-01-06"),
+            Gen.chooseNum(0, 99))))))) { batches =>
+      import graft.streaming.Sinks
+      val out = java.nio.file.Files
+        .createTempDirectory("sink_prop").toString
+      val model = scala.collection.mutable.Map[(String, String), Int]()
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        Sinks.upsertBatch(rows.toDF("pk", "dt", "v"), out, "pk",
+          batchId = i.toLong, tsCol = Some("v"))
+        // in-batch winner: max v per (pk, dt) — the tsCol ordering
+        rows.groupBy(r => (r._1, r._2)).foreach { case (k, dups) =>
+          model(k) = dups.map(_._3).max
+        }
+      }
+      // replay the last batch under its original id
+      Sinks.upsertBatch(batches.last.toDF("pk", "dt", "v"), out, "pk",
+        batchId = (batches.size - 1).toLong, tsCol = Some("v"))
+      val got = Sinks.latest(spark.read.parquet(out), "pk")
+        .select("pk", "dt", "v").collect()
+        .map(r => (r.getString(0), r.get(1).toString) -> r.getInt(2))
+        .toMap
+      got == model.toMap
+    }
 }
