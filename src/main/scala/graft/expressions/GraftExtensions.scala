@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
+    ext.injectFunction((
       FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

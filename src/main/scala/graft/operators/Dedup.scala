@@ -208,13 +208,29 @@ object Dedup {
     * [[simhashPairs]] form is oracle-reproducible but saturates on a
     * large corpus (2^16 distinct values ⇒ at web scale every signature
     * is occupied and Hamming neighborhoods blanket the space); 64 bits
-    * keeps signatures sparse at any realistic corpus size. Hashing is
-    * `xxhash64` — one codegen intrinsic per (doc, token) row, no string
-    * md5 — then 64 conditional-sum aggregates in a single hash-agg
-    * pass (the same hash-once shape as the 16-bit form).
+    * keeps signatures sparse at any realistic corpus size.
+    *
+    * Computed by the codegen [[graft.expressions.SimHash64]] expression:
+    * one narrow pass, NO shuffle — each doc's tokens hash once (xxhash64)
+    * into 64 local counters inside WholeStageCodegen. Bit-identical to
+    * the explode + 64-conditional-sum-aggregates form
+    * ([[simhash64SigsAgg]], kept as the declarative reference and
+    * parity check).
     */
   def simhash64Sigs(docs: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    fanOut(docs).select(col(idCol).as("did"),
+      Bridge.column(graft.expressions.SimHash64(
+        Bridge.expression(TextFns.toks(col(textCol))))).as("sig"))
+  }
+
+  /** Declarative formulation of [[simhash64Sigs]] (explode → hash once
+    * → 64 conditional sums in one hash-agg). One shuffle; used to
+    * bit-parity-check the codegen expression.
+    */
+  private[operators] def simhash64SigsAgg(docs: DataFrame, idCol: String,
+                                          textCol: String): DataFrame = {
     val hashed = fanOut(docs).select(col(idCol).as("did"),
         explode(TextFns.toks(col(textCol))).as("t"))
       .select(col("did"), xxhash64(col("t")).as("m"))

@@ -119,6 +119,24 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0) // same tokens → same signature
   }
 
+  test("SimHash64 expression is bit-identical to the aggregate form") {
+    // the shuffle-free codegen path vs the explode+64-sum-aggs
+    // declarative reference, over real corpus text incl. edge docs
+    val corpus = graft.tables.Tables.documents(spark,
+        "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, "one"), (9002L, "a a a b"),
+        (9003L, "")).toDF("doc_id", "text"))
+    val expr = Dedup.simhash64Sigs(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhash64SigsAgg(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(agg.nonEmpty)
+    agg.foreach { case (id, sig) =>
+      assert(expr(id) == sig, s"doc $id: expr=${expr(id)} agg=$sig")
+    }
+  }
+
   test("simhashPairs64 banding finds exactly the brute-force pairs") {
     // property-style: a seeded corpus of perturbed near-duplicates;
     // ground truth = all-pairs Hamming over the signatures themselves,
