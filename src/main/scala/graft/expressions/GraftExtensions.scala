@@ -33,6 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be a literal int, got $other")
+        }
+        MinHashSig(children(0), k)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

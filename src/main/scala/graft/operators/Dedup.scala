@@ -118,16 +118,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
-    val P = 2147483647L
-    val hashed = shingled(docs, idCol, textCol, n)
-      .select(col("did"), TextFns.hash32(col("sh")).as("m"))
-    val minAggs = (0 until k).map(j =>
-      min((lit(2L * j + 1) * col("m") + lit(40503L * (j + 1))) % P)
-        .as(s"mh$j"))
-    val sigs = hashed.groupBy("did")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("did"),
-        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
+    val sigs = minhashSigs(docs, idCol, textCol, n, k)
     val banded = sigs.select(col("did"), col("sig"),
       explode(TextFns.lshBands(col("sig"), k, bands)).as("band"))
     // estimate + threshold BEFORE the pair dedup: the candidate set is
@@ -202,6 +193,42 @@ object Dedup {
         col("b.sig") === col("sig_b") && col("a.did") < col("b.did"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
         col("hamming"))
+  }
+
+  /** k-wide MinHash signatures via the codegen
+    * [[graft.expressions.MinHashSig]] expression: one narrow pass per
+    * doc (each shingle md5-hashed once, k permutation minimums folded
+    * locally) — NO shuffle in the signature stage. Docs with zero
+    * shingles are dropped, matching the aggregate path's groupBy
+    * semantics. Bit-identical to [[minhashSigsAgg]] (parity-tested).
+    */
+  def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    fanOut(docs).select(col(idCol).as("did"),
+        array_distinct(TextFns.shingles(col(textCol), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("did"), Bridge.column(graft.expressions.MinHashSig(
+        Bridge.expression(col("sh")), k)).as("sig"))
+  }
+
+  /** Declarative formulation of [[minhashSigs]] (explode → hash once →
+    * k min-aggregates in one hash-agg). One shuffle; kept as the
+    * reference for the codegen expression's parity check.
+    */
+  private[operators] def minhashSigsAgg(docs: DataFrame, idCol: String,
+                                        textCol: String,
+                                        n: Int, k: Int): DataFrame = {
+    val P = 2147483647L
+    val hashed = shingled(docs, idCol, textCol, n)
+      .select(col("did"), TextFns.hash32(col("sh")).as("m"))
+    val minAggs = (0 until k).map(j =>
+      min((lit(2L * j + 1) * col("m") + lit(40503L * (j + 1))) % P)
+        .as(s"mh$j"))
+    hashed.groupBy("did")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("did"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
   }
 
   /** 64-bit SimHash signatures — the production-scale path. The 16-bit

@@ -119,6 +119,21 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0) // same tokens → same signature
   }
 
+  test("MinHashSig expression is bit-identical to the aggregate form") {
+    val corpus = graft.tables.Tables.documents(spark,
+        "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, "one two three"), (9002L, "x")).toDF(
+        "doc_id", "text")) // 9002: fewer tokens than n → dropped
+    val expr = Dedup.minhashSigs(corpus, "doc_id", "text", n = 3, k = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minhashSigsAgg(corpus, "doc_id", "text", n = 3, k = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(agg.nonEmpty)
+    assert(expr.keySet == agg.keySet) // same doc-dropping semantics
+    agg.foreach { case (id, sig) => assert(expr(id) == sig, s"doc $id") }
+  }
+
   test("SimHash64 expression is bit-identical to the aggregate form") {
     // the shuffle-free codegen path vs the explode+64-sum-aggs
     // declarative reference, over real corpus text incl. edge docs
