@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** `bits`-wide SimHash over a token array using the oracle-reproducible
+  * md5-prefix hash ([[MinHashSig.hash32]]) — the shuffle-free codegen
+  * form of the explode → hash32 → N conditional-sum aggregates stage in
+  * the 16-bit [[graft.operators.Dedup.simhashPairs]] path (which must
+  * stay md5-based so the DuckDB oracle can reproduce it; the xxhash64
+  * production form is [[SimHash64]]). Duplicate tokens count once per
+  * occurrence, matching the exploded aggregate. Null array → null;
+  * null elements hash as 0.
+  */
+case class SimHashMd5(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits > 0 && bits <= 64, "bits must be in 1..64")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashMd5.compute(input.asInstanceOf[ArrayData], bits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = classOf[SimHashMd5].getName
+      s"${ev.value} = $cls.compute($a, $bits);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashMd5 = copy(child = newChild)
+}
+
+object SimHashMd5 {
+
+  /** One static call per row (md5 loop stays out of generated Java and
+    * the interpreter alike).
+    */
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val counters = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val m: Long =
+        if (arr.isNullAt(i)) 0L
+        else MinHashSig.hash32(arr.getUTF8String(i))
+      var b = 0
+      while (b < bits) {
+        counters(b) += (if (((m >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DoubleType
 
 /** Document-deduplication operators for training-data pipelines.
@@ -149,21 +150,16 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole blocking only covers Hamming <= 3")
-    val hashed = fanOut(docs).select(col(idCol).as("did"),
-        explode(TextFns.toks(col(textCol))).as("t"))
-      .select(col("did"), TextFns.hash32(col("t")).as("m"))
-    val bitAggs = (0 until 16).map(b =>
-      sum(when(shiftright(col("m"), b) % 2 === 1, 1L).otherwise(-1L))
-        .as(s"b$b"))
-    val sigs = hashed.groupBy("did")
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("did"),
-        (0 until 16).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sig"))
+    // signatures per row via the codegen SimHashMd5 expression (md5
+    // hash32 — the oracle-reproducible hash) — no explode, no
+    // signature-stage shuffle; bit-identical to the old explode +
+    // 16-conditional-sum-aggregates form
+    val sigs = fanOut(docs).select(col(idCol).as("did"),
+        Bridge.column(graft.expressions.SimHashMd5(
+          Bridge.expression(TextFns.toks(col(textCol))), 16)).as("sig"))
       // one cheap shuffle by sig → the three consumers below (distinct
       // + both expansion joins) all reuse a single exchange instead of
-      // re-computing the signature aggregation per consumer
+      // re-computing the signatures per consumer
       // (A/B-measured in tools/ab_simhash.scala)
       .repartition(col("sig"))
     // Pair by DISTINCT signature first: |sigs| ≪ |docs| on real corpora
