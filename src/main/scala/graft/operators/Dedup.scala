@@ -120,8 +120,14 @@ object Dedup {
                       n: Int, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
     val sigs = minhashSigs(docs, idCol, textCol, n, k)
+    // explicit exchange on the join key: the narrow expression path has
+    // no aggregation exchange for ReuseExchange to share, so without
+    // this both self-join sides would re-run the md5 shingle hashing;
+    // repartition(band) is reused by both sides AND pre-partitions the
+    // equi-join (same pattern as simhashPairs' repartition(sig))
     val banded = sigs.select(col("did"), col("sig"),
       explode(TextFns.lshBands(col("sig"), k, bands)).as("band"))
+      .repartition(col("band"))
     // estimate + threshold BEFORE the pair dedup: the candidate set is
     // the big intermediate (bucket-size²); the surviving pairs are tiny
     banded.as("a")
@@ -193,20 +199,19 @@ object Dedup {
 
   /** k-wide MinHash signatures via the codegen
     * [[graft.expressions.MinHashSig]] expression: one narrow pass per
-    * doc (each shingle md5-hashed once, k permutation minimums folded
-    * locally) — NO shuffle in the signature stage. Docs with zero
-    * shingles are dropped, matching the aggregate path's groupBy
-    * semantics. Bit-identical to [[minhashSigsAgg]] (parity-tested).
+    * doc — distinct n-gram shingling, md5 hashing and k permutation
+    * minimums all in tight Java (the declarative shingle chain is
+    * interpreted HOFs, measured ~4× slower) — NO shuffle in the
+    * signature stage. Docs with fewer than n tokens yield null and are
+    * dropped, matching the aggregate path's groupBy semantics.
+    * Bit-identical to [[minhashSigsAgg]] (parity-tested).
     */
   def minhashSigs(docs: DataFrame, idCol: String, textCol: String,
-                  n: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
+                  n: Int, k: Int): DataFrame =
     fanOut(docs).select(col(idCol).as("did"),
-        array_distinct(TextFns.shingles(col(textCol), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("did"), Bridge.column(graft.expressions.MinHashSig(
-        Bridge.expression(col("sh")), k)).as("sig"))
-  }
+        Bridge.column(graft.expressions.MinHashSig(
+          Bridge.expression(TextFns.toks(col(textCol))), k, n)).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Declarative formulation of [[minhashSigs]] (explode → hash once →
     * k min-aggregates in one hash-agg). One shuffle; kept as the

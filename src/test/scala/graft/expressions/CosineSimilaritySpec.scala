@@ -67,7 +67,7 @@ class CosineSimilaritySpec extends SparkSpec {
       // signature expressions: deterministic, non-degenerate outputs
       val sh = withExt.sql(
         "SELECT simhash64(array('a', 'b')) AS s," +
-          " minhash_sig(array('a', 'b'), 4) AS m")
+          " minhash_sig(array('a', 'b'), 4, 1) AS m")
         .collect().head
       assert(sh.getLong(0) != 0L)
       val mh = sh.getSeq[Long](1)
