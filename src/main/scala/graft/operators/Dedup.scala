@@ -56,11 +56,17 @@ object Dedup {
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
-  /** Distinct (docId, shingle) pairs plus per-doc shingle counts. */
+  /** Distinct (docId, shingle) pairs — shingle construction via the
+    * codegen [[graft.expressions.WordShingles]] expression (the
+    * declarative HOF chain is interpreted per element and measurably
+    * slower); the explode stays because the inverted index needs the
+    * exploded rows.
+    */
   private def shingled(docs: DataFrame, idCol: String, textCol: String,
                        n: Int): DataFrame =
     fanOut(docs).select(col(idCol).as("did"),
-        explode(array_distinct(TextFns.shingles(col(textCol), n))).as("sh"))
+        explode(Bridge.column(graft.expressions.WordShingles(
+          Bridge.expression(TextFns.toks(col(textCol))), n))).as("sh"))
 
   /** All-pairs n-gram Jaccard ≥ `threshold` via shingle inverted index.
     * `maxShingleFreq` drops shingles occurring in more than that many

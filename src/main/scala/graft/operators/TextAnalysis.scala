@@ -96,8 +96,15 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exact = docs.select(col(idCol),
       md5(TextFns.normText(col(textCol))).as("exact_fp"))
+    // distinct shingles via the codegen WordShingles expression — the
+    // min-aggregate is unaffected by distinctness, and the interpreted
+    // HOF shingle chain leaves the hot path
     val shfp = fanOut(docs)
-      .select(col(idCol), explode(TextFns.shingles(col(textCol), 3)).as("sh"))
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.WordShingles(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              TextFns.toks(col(textCol))), 3))).as("sh"))
       .groupBy(col(idCol)).agg(min(md5(col("sh"))).as("shfp"))
     exact.join(shfp, Seq(idCol), "left")
       .select(col(idCol), col("exact_fp"),

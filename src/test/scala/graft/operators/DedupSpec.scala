@@ -119,6 +119,28 @@ class DedupSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0) // same tokens → same signature
   }
 
+  test("WordShingles matches array_distinct(TextFns.shingles) as a set") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.graftbridge.Bridge
+    val corpus = graft.tables.Tables.documents(spark,
+        "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, "a b"), (9002L, "x y z x y z")).toDF(
+        "doc_id", "text")) // shorter-than-n + repeated-window docs
+    val expr = corpus.select($"doc_id",
+        Bridge.column(graft.expressions.WordShingles(
+          Bridge.expression(TextFns.toks($"text")), 3)).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val decl = corpus.select($"doc_id",
+        array_distinct(TextFns.shingles($"text", 3)).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(decl.nonEmpty && decl.keySet == expr.keySet)
+    decl.foreach { case (id, sh) =>
+      assert(expr(id).toSet == sh.toSet, s"doc $id")
+      assert(expr(id).length == expr(id).toSet.size) // distinct
+    }
+  }
+
   test("MinHashSig expression is bit-identical to the aggregate form") {
     val corpus = graft.tables.Tables.documents(spark,
         "/root/testdata/sf0.001")
