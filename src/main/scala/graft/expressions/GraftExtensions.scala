@@ -33,6 +33,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64(children(0))))
     ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val bits = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"simhash_md5 bits must be a literal int, got $other")
+        }
+        SimHashMd5(children(0), bits)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be a literal int, got $other")
+        }
+        WordShingles(children(0), n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

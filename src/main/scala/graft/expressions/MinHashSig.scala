@@ -88,40 +88,25 @@ object MinHashSig {
   }
 
   /** Full per-row signature over distinct word n-gram shingles of the
-    * token array (shingle text = tokens joined by single spaces — the
-    * `array_join(slice(toks, i, n), " ")` convention). Returns null
-    * when the row has fewer than `n` tokens. One static call per row
-    * from both interpreted eval and generated code.
+    * token array — shingling delegated to
+    * [[WordShingles.distinctShingles]] (ONE implementation of the
+    * parity-critical convention). Returns null when the row produces no
+    * shingles (fewer than `n` tokens). One static call per row from
+    * both interpreted eval and generated code.
     */
   def compute(arr: ArrayData, k: Int, n: Int): Array[Long] = {
-    val total = arr.numElements()
-    if (total < n) return null
-    val toks = new Array[UTF8String](total)
-    var t = 0
-    while (t < total) {
-      toks(t) = if (arr.isNullAt(t)) UTF8String.EMPTY_UTF8
-        else arr.getUTF8String(t)
-      t += 1
-    }
+    val shingles = WordShingles.distinctShingles(arr, n)
+    if (shingles.isEmpty) return null
     val sig = Array.fill(k)(P)
-    val seen = new java.util.HashSet[UTF8String]()
-    val space = UTF8String.fromString(" ")
-    var i = 0
-    while (i <= total - n) {
-      val parts = new Array[UTF8String](n)
-      var j = 0
-      while (j < n) { parts(j) = toks(i + j); j += 1 }
-      val shingle = UTF8String.concatWs(space, parts: _*)
-      if (seen.add(shingle)) {
-        val m = hash32(shingle)
-        var p = 0
-        while (p < k) {
-          val v = ((2L * p + 1) * m + 40503L * (p + 1)) % P
-          if (v < sig(p)) sig(p) = v
-          p += 1
-        }
+    val it = shingles.iterator()
+    while (it.hasNext) {
+      val m = hash32(it.next())
+      var p = 0
+      while (p < k) {
+        val v = ((2L * p + 1) * m + 40503L * (p + 1)) % P
+        if (v < sig(p)) sig(p) = v
+        p += 1
       }
-      i += 1
     }
     sig
   }

@@ -17,9 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
   * 100 TB that deletes an explode of every (doc, token) pair plus a
   * hash-aggregate exchange from the dedup pipeline.
   *
-  * Null array → null; null elements hash as 0 (all bits clear → −1 per
-  * counter), matching the aggregate form's `otherwise(-1)` on null
-  * hashes.
+  * Parity details matching the aggregate form exactly: a null ARRAY or
+  * an EMPTY array yields null (the aggregate's groupBy sees no rows for
+  * such a doc and drops it — callers filter `isNotNull`); a null
+  * ELEMENT hashes to the seed (Spark's `xxhash64` of a null input
+  * returns the seed unchanged, never null).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -33,14 +35,43 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"$prettyName requires array<string>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val counters = new Array[Int](64)
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = classOf[SimHash64].getName
+      val sig = ctx.freshName("sig")
+      s"""
+        final Long $sig = $cls.compute($a);
+        if ($sig == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $sig.longValue();
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** One static call per row from interpreted eval AND generated code —
+    * a single implementation cannot diverge between the two paths.
+    * Boxed return: null ⇔ empty input (the aggregate path's
+    * doc-dropping semantics).
+    */
+  def compute(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
+    if (n == 0) return null
+    val counters = new Array[Int](64)
     var i = 0
     while (i < n) {
+      // xxhash64(null) = the seed, never null — match it exactly
       val m: Long =
-        if (arr.isNullAt(i)) 0L
+        if (arr.isNullAt(i)) 42L
         else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var b = 0
       while (b < 64) {
@@ -57,36 +88,4 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     }
     sig
   }
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val i = ctx.freshName("i")
-      val b = ctx.freshName("b")
-      val n = ctx.freshName("n")
-      val m = ctx.freshName("m")
-      val cnt = ctx.freshName("cnt")
-      val sig = ctx.freshName("sig")
-      val xxh = classOf[XXH64].getName
-      s"""
-        final int $n = $a.numElements();
-        final int[] $cnt = new int[64];
-        for (int $i = 0; $i < $n; $i++) {
-          long $m = 0L;
-          if (!$a.isNullAt($i)) {
-            $m = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
-          }
-          for (int $b = 0; $b < 64; $b++) {
-            $cnt[$b] += ((($m >>> $b) & 1L) == 1L) ? 1 : -1;
-          }
-        }
-        long $sig = 0L;
-        for (int $b = 0; $b < 64; $b++) {
-          if ($cnt[$b] > 0) $sig |= (1L << $b);
-        }
-        ${ev.value} = $sig;
-      """
-    })
-
-  override protected def withNewChildInternal(
-      newChild: Expression): SimHash64 = copy(child = newChild)
 }

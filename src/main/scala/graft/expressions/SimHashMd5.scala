@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * the 16-bit [[graft.operators.Dedup.simhashPairs]] path (which must
   * stay md5-based so the DuckDB oracle can reproduce it; the xxhash64
   * production form is [[SimHash64]]). Duplicate tokens count once per
-  * occurrence, matching the exploded aggregate. Null array → null;
-  * null elements hash as 0.
+  * occurrence, matching the exploded aggregate. Null array or EMPTY
+  * array → null (the aggregate's groupBy drops zero-token docs —
+  * callers filter `isNotNull`); null elements hash as 0 (the
+  * aggregate's `otherwise(-1)` branch on a null md5 hash).
   */
 case class SimHashMd5(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -36,7 +38,15 @@ case class SimHashMd5(child: Expression, bits: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cls = classOf[SimHashMd5].getName
-      s"${ev.value} = $cls.compute($a, $bits);"
+      val sig = ctx.freshName("sig")
+      s"""
+        final Long $sig = $cls.compute($a, $bits);
+        if ($sig == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $sig.longValue();
+        }
+      """
     })
 
   override protected def withNewChildInternal(
@@ -46,11 +56,12 @@ case class SimHashMd5(child: Expression, bits: Int)
 object SimHashMd5 {
 
   /** One static call per row (md5 loop stays out of generated Java and
-    * the interpreter alike).
+    * the interpreter alike). Boxed return: null ⇔ empty input.
     */
-  def compute(arr: ArrayData, bits: Int): Long = {
-    val counters = new Array[Int](bits)
+  def compute(arr: ArrayData, bits: Int): java.lang.Long = {
     val n = arr.numElements()
+    if (n == 0) return null
+    val counters = new Array[Int](bits)
     var i = 0
     while (i < n) {
       val m: Long =

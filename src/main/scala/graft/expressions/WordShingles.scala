@@ -48,10 +48,21 @@ case class WordShingles(child: Expression, n: Int)
 
 object WordShingles {
 
-  /** One static call per row from interpreted eval and generated code. */
-  def compute(arr: ArrayData, n: Int): ArrayData = {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** THE shingle convention, in one place: distinct word n-grams of the
+    * token array, first-occurrence order, tokens joined by single
+    * spaces, null tokens read as empty strings. Shared by
+    * [[WordShingles]] and [[MinHashSig]] so the parity-critical
+    * convention cannot fork between the two tight-Java paths (the
+    * declarative mirror is `array_distinct(TextFns.shingles(...))`,
+    * the oracle mirror is ExtensionQueries' `shSql`).
+    */
+  def distinctShingles(arr: ArrayData,
+                       n: Int): java.util.LinkedHashSet[UTF8String] = {
+    val seen = new java.util.LinkedHashSet[UTF8String]()
     val total = arr.numElements()
-    if (total < n) return new GenericArrayData(Array.empty[Any])
+    if (total < n) return seen
     val toks = new Array[UTF8String](total)
     var t = 0
     while (t < total) {
@@ -59,16 +70,18 @@ object WordShingles {
         else arr.getUTF8String(t)
       t += 1
     }
-    val space = UTF8String.fromString(" ")
-    val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= total - n) {
       val parts = new Array[UTF8String](n)
       var j = 0
       while (j < n) { parts(j) = toks(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(space, parts: _*))
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
       i += 1
     }
-    new GenericArrayData(seen.toArray)
+    seen
   }
+
+  /** One static call per row from interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(distinctShingles(arr, n).toArray)
 }

@@ -84,6 +84,28 @@ object ExtensionQueries {
         words.mkString("['", "','", "']") + ", t)))")
     }
 
+  /** md5 of the normalized text — the exact-dedup identity (mirrors
+    * `md5(TextFns.normText(text))`); shared by the exact-dedup,
+    * fingerprint and curation oracles.
+    */
+  private val normMd5Sql =
+    "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+
+  /** The quality-score formula over `text` (mirrors
+    * TextAnalysis.qualityScore); shared by the quality and curation
+    * oracles so a weight tweak cannot fork them.
+    */
+  private def qualitySql: String = {
+    val nTok = s"CAST(len($TOKS) AS DOUBLE)"
+    val stopHits = TextAnalysis.stopwords.map(sw => stopSql(sw._1))
+      .mkString("(", " + ", ")")
+    s"""least($nTok / 100.0, 1.0) * 0.3
+       | + (CAST(len(list_distinct($TOKS)) AS DOUBLE) / $nTok) * 0.3
+       | + least(CAST($stopHits AS DOUBLE) * 4.0 / $nTok, 1.0) * 0.2
+       | + (1.0 - least(CAST(len(string_split_regex(text, '[.!?,;:]')) - 1
+       |     AS DOUBLE) / $nTok, 1.0)) * 0.2""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- text analysis ------------------------------------------------
@@ -124,25 +146,16 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
-    Q("ext_quality", {
-      val nTok = s"CAST(len($TOKS) AS DOUBLE)"
-      val stopHits = TextAnalysis.stopwords.map(sw => stopSql(sw._1))
-        .mkString("(", " + ", ")")
-      s"""SELECT doc_id,
-         | least($nTok / 100.0, 1.0) * 0.3
-         | + (CAST(len(list_distinct($TOKS)) AS DOUBLE) / $nTok) * 0.3
-         | + least(CAST($stopHits AS DOUBLE) * 4.0 / $nTok, 1.0) * 0.2
-         | + (1.0 - least(CAST(len(string_split_regex(text, '[.!?,;:]')) - 1
-         |     AS DOUBLE) / $nTok, 1.0)) * 0.2 AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+    Q("ext_quality",
+      s"""SELECT doc_id, $qualitySql AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.qualityScore(documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 
     Q("ext_fingerprint",
       s"""SELECT doc_id,
-         | md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS exact_fp,
+         | $normMd5Sql AS exact_fp,
          | coalesce(list_min(list_transform(${shSql(3)}, s -> md5(s))), '')
          |   AS shingle_fp
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
@@ -156,27 +169,18 @@ object ExtensionQueries {
     // One shuffle chain (quality is a narrow pass; dedup is one
     // hash-groupBy; the canonical join is an equi-join) — composing the
     // operators adds no new shuffle shapes at any scale.
-    Q("ext_curate_corpus", {
-      val nTok = s"CAST(len($TOKS) AS DOUBLE)"
-      val stopHits = TextAnalysis.stopwords.map(sw => stopSql(sw._1))
-        .mkString("(", " + ", ")")
+    Q("ext_curate_corpus",
       s"""WITH scored AS (
-         | SELECT doc_id, text,
-         |  least($nTok / 100.0, 1.0) * 0.3
-         |  + (CAST(len(list_distinct($TOKS)) AS DOUBLE) / $nTok) * 0.3
-         |  + least(CAST($stopHits AS DOUBLE) * 4.0 / $nTok, 1.0) * 0.2
-         |  + (1.0 - least(CAST(len(string_split_regex(text, '[.!?,;:]')) - 1
-         |      AS DOUBLE) / $nTok, 1.0)) * 0.2 AS quality
+         | SELECT doc_id, text, $qualitySql AS quality
          | FROM documents),
          |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
          |canon AS (
          | SELECT min(doc_id) AS doc_id FROM kept
-         | GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+         | GROUP BY $normMd5Sql)
          |SELECT k.doc_id, k.quality,
          | CAST(len($TOKS) AS BIGINT) AS n_tokens
          |FROM kept k JOIN canon c ON k.doc_id = c.doc_id
-         |ORDER BY k.doc_id""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
       val kept = docs.join(
         TextAnalysis.qualityScore(docs, "doc_id", "text")
@@ -193,10 +197,9 @@ object ExtensionQueries {
 
     // ---- dedup family --------------------------------------------------
     Q("ext_dedup_exact",
-      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
-        |  AS text_hash,
-        | min(doc_id) AS canonical_id, count(*) AS group_size
-        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin) {
+      s"""SELECT $normMd5Sql AS text_hash,
+         | min(doc_id) AS canonical_id, count(*) AS group_size
+         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin) {
       (s, d) =>
         Dedup.exact(documents(s, d), "doc_id", "text")
           .orderBy(col("text_hash"))

@@ -116,11 +116,10 @@ object Dedup {
     * docs sharing any band key pair up; `est_jaccard` = fraction of
     * matching signature components; keep pairs ≥ `threshold`.
     *
-    * Signatures are computed in the scalable shape: explode shingles,
-    * hash each ONCE, then k integer-`min` aggregates in one hash-agg —
-    * not k nested array traversals re-hashing every shingle (which is
-    * interpreted, quadratic in practice, and re-evaluated per join
-    * side). One md5 per (doc, shingle) row total.
+    * Signatures come from the shuffle-free codegen path
+    * ([[minhashSigs]] — one md5 per distinct (doc, shingle) total,
+    * inside one narrow projection); the banded self-join repartitions
+    * on the band key so both sides share one exchange.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int,
@@ -151,8 +150,10 @@ object Dedup {
     * distance ≤ `maxHamming` (≤ 3 here by construction of the blocking).
     *
     * Two scale moves vs the naive form:
-    *  - signature built by exploding tokens, hashing each once, and
-    *    16 conditional-sum aggregates (one hash-agg pass);
+    *  - signatures per row via the codegen
+    *    [[graft.expressions.SimHashMd5]] expression (each token
+    *    md5-hashed once, 16 counters folded locally — no explode, no
+    *    signature-stage shuffle);
     *  - candidate pairs via pigeonhole blocking: the 16 bits split
     *    into 4 bands of 4 — any pair within Hamming ≤ 3 must agree on
     *    at least one whole band, so candidates come from a band-value
@@ -162,13 +163,10 @@ object Dedup {
                    maxHamming: Int): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole blocking only covers Hamming <= 3")
-    // signatures per row via the codegen SimHashMd5 expression (md5
-    // hash32 — the oracle-reproducible hash) — no explode, no
-    // signature-stage shuffle; bit-identical to the old explode +
-    // 16-conditional-sum-aggregates form
     val sigs = fanOut(docs).select(col(idCol).as("did"),
         Bridge.column(graft.expressions.SimHashMd5(
           Bridge.expression(TextFns.toks(col(textCol))), 16)).as("sig"))
+      .filter(col("sig").isNotNull) // null text/zero tokens: doc dropped
       // one cheap shuffle by sig → the three consumers below (distinct
       // + both expansion joins) all reuse a single exchange instead of
       // re-computing the signatures per consumer
@@ -252,12 +250,13 @@ object Dedup {
     * parity check).
     */
   def simhash64Sigs(docs: DataFrame, idCol: String,
-                    textCol: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.Bridge
+                    textCol: String): DataFrame =
     fanOut(docs).select(col(idCol).as("did"),
-      Bridge.column(graft.expressions.SimHash64(
-        Bridge.expression(TextFns.toks(col(textCol))))).as("sig"))
-  }
+        Bridge.column(graft.expressions.SimHash64(
+          Bridge.expression(TextFns.toks(col(textCol))))).as("sig"))
+      // null sig = null text or zero tokens — the aggregate path's
+      // groupBy drops such docs; match it
+      .filter(col("sig").isNotNull)
 
   /** Declarative formulation of [[simhash64Sigs]] (explode → hash once
     * → 64 conditional sums in one hash-agg). One shuffle; used to

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DoubleType
 
 /** Text-analysis operators: token stats, quality scoring, language ID,
@@ -101,10 +102,8 @@ object TextAnalysis {
     // HOF shingle chain leaves the hot path
     val shfp = fanOut(docs)
       .select(col(idCol),
-        explode(org.apache.spark.sql.graftbridge.Bridge.column(
-          graft.expressions.WordShingles(
-            org.apache.spark.sql.graftbridge.Bridge.expression(
-              TextFns.toks(col(textCol))), 3))).as("sh"))
+        explode(Bridge.column(graft.expressions.WordShingles(
+          Bridge.expression(TextFns.toks(col(textCol))), 3))).as("sh"))
       .groupBy(col(idCol)).agg(min(md5(col("sh"))).as("shfp"))
     exact.join(shfp, Seq(idCol), "left")
       .select(col(idCol), col("exact_fp"),

@@ -15,7 +15,12 @@ import org.apache.spark.sql.execution.window.WindowExec
   *
   * This is the automated form of the per-operator `.explain` audit:
   * a future query or rewrite that reintroduces either shape fails CI
-  * instead of surfacing as a bench warning.
+  * instead of surfacing as a bench warning. Subquery plans are
+  * traversed too. Known blind spot: plans a query builder EXECUTES
+  * while constructing its result (`localCheckpoint`/`isEmpty` inside
+  * Dedup.clusters' iteration, Paging's lazy checkpoint) are replaced
+  * by RDD scans before the lint sees them — those interior shapes are
+  * covered by their operators' own specs, not this lint.
   */
 class PlanLintSpec extends SparkSpec {
 
@@ -26,7 +31,8 @@ class PlanLintSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
       case _ => Nil
     }
-    (p +: p.children.flatMap(flatten)) ++ inner
+    val subs = p.subqueries.flatMap(flatten)
+    (p +: p.children.flatMap(flatten)) ++ inner ++ subs
   }
 
   SparkEntry.registry.foreach { q =>

@@ -64,14 +64,18 @@ class CosineSimilaritySpec extends SparkSpec {
           " (1.0D, 10L), (3.0D, 30L), (2.0D, 20L) AS v(s, i)")
         .selectExpr("t[0].id", "t[1].id").collect().head
       assert(tk.getLong(0) == 30L && tk.getLong(1) == 20L)
-      // signature expressions: deterministic, non-degenerate outputs
+      // signature/shingle expressions: deterministic, sane outputs
       val sh = withExt.sql(
         "SELECT simhash64(array('a', 'b')) AS s," +
-          " minhash_sig(array('a', 'b'), 4, 1) AS m")
+          " minhash_sig(array('a', 'b'), 4, 1) AS m," +
+          " simhash_md5(array('a', 'b'), 16) AS s16," +
+          " word_shingles(array('a', 'b', 'c'), 2) AS ws")
         .collect().head
       assert(sh.getLong(0) != 0L)
       val mh = sh.getSeq[Long](1)
       assert(mh.length == 4 && mh.forall(v => v >= 0 && v < 2147483647L))
+      assert(sh.getLong(2) >= 0L && sh.getLong(2) < (1L << 16))
+      assert(sh.getSeq[String](3) == Seq("a b", "b c"))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)

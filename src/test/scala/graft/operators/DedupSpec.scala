@@ -145,8 +145,9 @@ class DedupSpec extends SparkSpec {
     val corpus = graft.tables.Tables.documents(spark,
         "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
-      .union(Seq((9001L, "one two three"), (9002L, "x")).toDF(
-        "doc_id", "text")) // 9002: fewer tokens than n → dropped
+      .union(Seq((9001L, "one two three"), (9002L, "x"),
+        (9003L, null)).toDF(
+        "doc_id", "text")) // 9002/9003: sub-n tokens + null → dropped
     val expr = Dedup.minhashSigs(corpus, "doc_id", "text", n = 3, k = 8)
       .as[(Long, Seq[Long])].collect().toMap
     val agg = Dedup.minhashSigsAgg(corpus, "doc_id", "text", n = 3, k = 8)
@@ -158,17 +159,19 @@ class DedupSpec extends SparkSpec {
 
   test("SimHash64 expression is bit-identical to the aggregate form") {
     // the shuffle-free codegen path vs the explode+64-sum-aggs
-    // declarative reference, over real corpus text incl. edge docs
+    // declarative reference, over real corpus text incl. edge docs —
+    // including a NULL-text doc, which both paths must DROP
     val corpus = graft.tables.Tables.documents(spark,
         "/root/testdata/sf0.001")
       .select($"doc_id", $"text")
       .union(Seq((9001L, "one"), (9002L, "a a a b"),
-        (9003L, "")).toDF("doc_id", "text"))
+        (9003L, ""), (9004L, null)).toDF("doc_id", "text"))
     val expr = Dedup.simhash64Sigs(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     val agg = Dedup.simhash64SigsAgg(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(agg.nonEmpty)
+    assert(expr.keySet == agg.keySet) // same doc-dropping semantics
     agg.foreach { case (id, sig) =>
       assert(expr(id) == sig, s"doc $id: expr=${expr(id)} agg=$sig")
     }
