@@ -47,15 +47,26 @@ object TextAnalysis {
         .cast("long").as("bpeish_tokens"))
   }
 
+  /** All per-language stopword hit counts in ONE pass over the tokens
+    * (the codegen [[graft.expressions.StopwordHits]] expression — the
+    * declarative form re-filters the token array once per language).
+    * Kept in its own projection so CollapseProject can't inline the
+    * expensive expression into each per-language consumer.
+    */
+  private def withHits(docs: DataFrame, textCol: String): DataFrame =
+    fanOut(docs).withColumn("__hits",
+      Bridge.column(graft.expressions.StopwordHits(
+        Bridge.expression(TextFns.toks(col(textCol))),
+        stopwords.map(_._2))))
+
   /** Language-ID: stopword-hit count per language, argmax with
     * first-listed-language tiebreak. Adds (pred_lang, hits).
     */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col("__toks")
-    val docsT = fanOut(docs).withColumn("__toks", TextFns.toks(col(textCol)))
+    val docsT = withHits(docs, textCol)
     val scores: Seq[(String, Column)] =
-      stopwords.map { case (lang, words) =>
-        lang -> TextFns.hitCount(t, words)
+      stopwords.zipWithIndex.map { case ((lang, _), i) =>
+        lang -> element_at(col("__hits"), i + 1)
       }
     val best = scores.tail.foldLeft(
       struct(scores.head._2.as("hits"), lit(scores.head._1).as("lang"))) {
@@ -73,11 +84,13 @@ object TextAnalysis {
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col("__toks")
-    val docsT = fanOut(docs).withColumn("__toks", TextFns.toks(col(textCol)))
+    val docsT = withHits(docs, textCol)
+      .withColumn("__toks", TextFns.toks(col(textCol)))
     val nTok = size(t).cast(DoubleType)
     val lenTerm = least(nTok / 100.0, lit(1.0))
     val diversity = size(array_distinct(t)).cast(DoubleType) / nTok
-    val stopHits = stopwords.map(sw => TextFns.hitCount(t, sw._2))
+    val stopHits = stopwords.indices
+      .map(i => element_at(col("__hits"), i + 1))
       .reduce(_ + _).cast(DoubleType)
     val stopTerm = least(stopHits * 4.0 / nTok, lit(1.0))
     val punct = size(split(col(textCol), "[.!?,;:]")) - 1

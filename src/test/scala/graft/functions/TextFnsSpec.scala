@@ -44,6 +44,31 @@ class TextFnsSpec extends SparkSpec {
     assert(collisions == 6)
   }
 
+  test("StopwordHits matches per-language hitCount on the corpus") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val lists = graft.operators.TextAnalysis.stopwords
+    val corpus = graft.tables.Tables.documents(spark,
+        "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, "the der le el 的 the"), (9002L, ""))
+        .toDF("doc_id", "text")) // multi-list words + repeats + empty
+    val onePass = corpus.select($"doc_id",
+        Bridge.column(graft.expressions.StopwordHits(
+          Bridge.expression(TextFns.toks($"text")),
+          lists.map(_._2))).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val declarative = corpus.select($"doc_id" +:
+        lists.map { case (_, words) =>
+          TextFns.hitCount(TextFns.toks($"text"), words).cast("long")
+        }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to lists.size).map(r.getLong(_)).toSeq).toMap
+    assert(declarative.nonEmpty)
+    declarative.foreach { case (id, hits) =>
+      assert(onePass(id) == hits, s"doc $id")
+    }
+  }
+
   test("simhash16: equal text → 0 hamming; disjoint text differs") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
