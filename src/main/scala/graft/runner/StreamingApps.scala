@@ -237,17 +237,19 @@ object StreamingApps {
     * [[Sinks.upsertBatch]] serving table (one row per (pk, dt)).
     */
   object CompactionJob {
+    private[graft] def run(spark: SparkSession,
+                            args: Seq[String]): Unit = args match {
+      case Seq("dim", path) =>
+        CdcSplit.compactDimStore(spark, path)
+      case Seq("serving", path, pk) =>
+        Sinks.compact(spark, path, pk)
+      case other => sys.error(
+        s"usage: CompactionJob dim <path> | serving <path> <pk>; got $other")
+    }
+
     def main(args: Array[String]): Unit = {
       val spark = session("graft-compaction")
-      args.toList match {
-        case "dim" :: path :: Nil =>
-          CdcSplit.compactDimStore(spark, path)
-        case "serving" :: path :: pk :: Nil =>
-          Sinks.compact(spark, path, pk)
-        case other => sys.error(
-          s"usage: CompactionJob dim <path> | serving <path> <pk>; got $other")
-      }
-      spark.stop()
+      try run(spark, args.toSeq) finally spark.stop()
     }
   }
 }

@@ -339,6 +339,54 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(viewNext == Set("m1" -> 42, "m2" -> 5))
   }
 
+  test("readStore keeps __seq when old files predate the column") {
+    val out = tmp("sink_mixed")
+    // legacy file: written before the sequence column existed
+    Seq(("m1", "2024-01-05", 1)).toDF("mid", "dt", "v")
+      .write.mode("append").partitionBy("dt").parquet(out)
+    // new writer appends with __seq
+    Sinks.upsertBatch(Seq(("m1", "2024-01-05", 2))
+      .toDF("mid", "dt", "v"), out, "mid", batchId = 5L)
+    // single-footer inference could drop __seq entirely; readStore
+    // merges schemas so legacy rows surface it as null (→ seq 0) and
+    // the new row wins deterministically
+    val got = Sinks.latest(Sinks.readStore(spark, out), "mid")
+      .select("mid", "v").as[(String, Int)].collect().toSet
+    assert(got == Set("m1" -> 2))
+    // and compaction of the mixed store preserves that view
+    Sinks.compact(spark, out, "mid")
+    val after = Sinks.latest(Sinks.readStore(spark, out), "mid")
+      .select("mid", "v").as[(String, Int)].collect().toSet
+    assert(after == Set("m1" -> 2))
+  }
+
+  test("CompactionJob main dispatches dim and serving compaction") {
+    val dim = tmp("cj_dim")
+    CdcSplit.dims(CdcSplit.decoded(CdcSplit.parse(Seq(
+        """{"database":"g","table":"user_info","type":"insert","ts":1,"data":{"id":"1","gender":"F"}}""",
+        """{"database":"g","table":"user_info","type":"update","ts":2,"data":{"id":"1","gender":"M"}}"""
+      ).toDF("value"))), Set("user_info"))
+      .write.mode("append").partitionBy("table").parquet(dim)
+    // two history rows → run the dim job through its dispatch core
+    // (main owns/stops its own session; tests drive run())
+    graft.runner.StreamingApps.CompactionJob.run(spark, Seq("dim", dim))
+    assert(spark.read.parquet(dim).count() == 1)
+    val serving = tmp("cj_serving")
+    (1 to 3).foreach(i => Sinks.upsertBatch(
+      Seq(("k", "2024-01-05", i)).toDF("pk", "dt", "v"),
+      serving, "pk", batchId = i.toLong))
+    graft.runner.StreamingApps.CompactionJob.run(spark,
+      Seq("serving", serving, "pk"))
+    assert(spark.read.parquet(serving).count() == 1)
+    assert(Sinks.latest(Sinks.readStore(spark, serving), "pk")
+      .select("v").as[Int].head() == 3)
+    // bad args fail fast instead of silently doing nothing
+    intercept[RuntimeException] {
+      graft.runner.StreamingApps.CompactionJob.run(spark, Seq("nope"))
+    }
+    ()
+  }
+
   test("dim store compaction: latestDims identical before and after") {
     val out = tmp("dim_compact")
     val raw = Seq(
