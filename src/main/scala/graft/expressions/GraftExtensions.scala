@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions injector exposing the engine's native
   * expressions to SQL:
@@ -13,74 +13,114 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *     ...
   *   spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
   * }}}
+  *
+  * Builders validate arity and literal parameters up front and raise
+  * [[AnalysisException]]s under Spark's own error classes
+  * (WRONG_NUM_ARGS / NON_FOLDABLE_ARGUMENT / UNEXPECTED_INPUT_TYPE), so
+  * `simhash_md5(text)` or `word_shingles(text, 2.5)` fails analysis
+  * with the expected signature instead of an IndexOutOfBounds /
+  * NumberFormat exception from inside the builder.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        checkArity("cosine_similarity", 2, children)
+        CosineSimilarity(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        checkArity("dot_product", 2, children)
+        DotProduct(children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(children(0))))
+      (children: Seq[Expression]) => {
+        checkArity("simhash64", 1, children)
+        SimHash64(children(0))
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val bits = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-              if v != null => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"simhash_md5 bits must be a literal int, got $other")
-        }
-        SimHashMd5(children(0), bits)
+      (children: Seq[Expression]) => {
+        checkArity("simhash_md5", 2, children)
+        SimHashMd5(children(0),
+          intLit("simhash_md5", "bits", 1, children))
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val n = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-              if v != null => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"word_shingles n must be a literal int, got $other")
-        }
-        WordShingles(children(0), n)
+      (children: Seq[Expression]) => {
+        checkArity("word_shingles", 2, children)
+        WordShingles(children(0), intLit("word_shingles", "n", 1, children))
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-                   what: String) = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-              if v != null => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"minhash_sig $what must be a literal int, got $other")
-        }
-        MinHashSig(children(0), intLit(children(1), "k"),
-          intLit(children(2), "shingleN"))
+      (children: Seq[Expression]) => {
+        checkArity("minhash_sig", 3, children)
+        MinHashSig(children(0), intLit("minhash_sig", "k", 1, children),
+          intLit("minhash_sig", "shingleN", 2, children))
       }))
     ext.injectFunction((
       FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val k = children(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
-              if v != null => v.toString.toInt
-          case other => throw new IllegalArgumentException(
-            s"top_k_by_score k must be a literal int, got $other")
-        }
-        TopKByScore(children(0), children(1), k).toAggregateExpression()
+      (children: Seq[Expression]) => {
+        checkArity("top_k_by_score", 3, children)
+        TopKByScore(children(0), children(1),
+          intLit("top_k_by_score", "k", 2, children))
+          .toAggregateExpression()
       }))
   }
+}
+
+object GraftExtensions {
+
+  private def checkArity(name: String, n: Int,
+                         children: Seq[Expression]): Unit =
+    if (children.length != n)
+      throw new AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Extract a required literal-int parameter; any integral literal
+    * that fits an Int is accepted (SQL `8` parses as INT, but a BIGINT
+    * or parameterized literal should work too).
+    */
+  private def intLit(name: String, param: String, idx: Int,
+                     children: Seq[Expression]): Int =
+    children(idx) match {
+      case Literal(v: Int, _)                    => v
+      case Literal(v: Short, _)                  => v.toInt
+      case Literal(v: Byte, _)                   => v.toInt
+      case Literal(v: Long, _) if v.isValidInt   => v.toInt
+      case l: Literal =>
+        throw new AnalysisException(
+          errorClass = "UNEXPECTED_INPUT_TYPE",
+          messageParameters = Map(
+            "paramIndex" -> (idx + 1).toString,
+            "functionName" -> s"`$name`",
+            "requiredType" -> "\"INT\"",
+            "inputSql" -> s"\"${l.sql}\"",
+            "inputType" -> s"\"${l.dataType.sql}\""))
+      case _ =>
+        throw new AnalysisException(
+          errorClass = "NON_FOLDABLE_ARGUMENT",
+          messageParameters = Map(
+            "funcName" -> s"`$name`",
+            "paramName" -> s"`$param`",
+            "paramType" -> "\"INT\""))
+    }
 }

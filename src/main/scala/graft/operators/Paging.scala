@@ -72,10 +72,19 @@ object Paging {
   /** Keyset pagination: the page after `lastSeen` (exclusive) under
     * ORDER BY `key` — O(size) state anywhere, the production path for
     * deep paging. `lastSeen = None` starts at the first page.
+    *
+    * Contract: the key must be NON-NULL (callers page on a primary key
+    * like `detail_id`). A nullable key cannot keyset-paginate — null
+    * rows sort first on page one but `key > lastSeen` is
+    * null-rejecting, so they would vanish from every later page.
+    * Null-keyed rows are therefore filtered out up front: they are
+    * excluded from EVERY page, consistently, rather than silently
+    * appearing on page one and dropping out afterwards.
     */
   def keyset(df: DataFrame, key: String, lastSeen: Option[Column],
              size: Int): DataFrame = {
-    val after = lastSeen.fold(df)(ls => df.filter(col(key) > ls))
+    val nonNull = df.filter(col(key).isNotNull)
+    val after = lastSeen.fold(nonNull)(ls => nonNull.filter(col(key) > ls))
     after.orderBy(col(key)).limit(size)
   }
 }

@@ -136,8 +136,19 @@ object ServingMain {
     val (status, payload) =
       try (200, body(params(ex)))
       catch {
-        case e: Throwable =>
+        // caller errors only: missing param (Map.apply →
+        // NoSuchElementException), bad value (toInt / explicit
+        // require → IllegalArgumentException). Their messages name the
+        // offending parameter, which is exactly what a caller needs.
+        case e @ (_: IllegalArgumentException | _: NoSuchElementException) =>
           (400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+        // genuine server-side failures (missing store path, analysis
+        // errors): 500, generic payload — internals go to the log, not
+        // the caller. Fatals (OOM and friends) propagate.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[serving] ${ex.getRequestURI}: ${e.toString}")
+          (500, """{"error":"internal server error"}""")
       }
     val bytes = payload.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type",

@@ -119,14 +119,11 @@ object CdcSplit {
     * KEPT: dropping them would let an older, slower-arriving image of
     * the same key win after compaction; tombstone GC is a retention
     * policy (age out rows older than the max accepted CDC lateness),
-    * not part of correctness. Materializes before overwriting (a plan
-    * cannot overwrite its own scan); run from a maintenance window.
+    * not part of correctness. The rewrite stages into a sibling dir
+    * and swaps in by rename ([[Sinks.swapRewrite]]) — a failure leaves
+    * the previous store intact and recoverable.
     */
   def compactDimStore(spark: org.apache.spark.sql.SparkSession,
                       path: String): Unit =
-    latestWithTombstones(Sinks.readStore(spark, path))
-      .localCheckpoint()
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("table")
-      .parquet(path)
+    Sinks.swapRewrite(spark, path, "table")(latestWithTombstones)
 }

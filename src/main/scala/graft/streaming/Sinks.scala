@@ -1,9 +1,12 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import java.io.IOException
 
 /** Serving-store sinks: the engine's replacement for the reference's
   * per-day Elasticsearch indexes with doc-id upsert (MyEsUtils.scala:
@@ -23,10 +26,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   *    rows and the read view is unchanged — exactly-once effect over
   *    at-least-once delivery.
   *  - [[compact]] periodically rewrites the store to latest-only so
-  *    read amplification stays bounded under sustained writes. On a
-  *    production lakehouse the whole contract is a Delta/Iceberg MERGE;
-  *    plain parquet has no atomic swap, so compaction wants a quiet
-  *    window (documented trade-off).
+  *    read amplification stays bounded under sustained writes. The
+  *    rewrite stages into a sibling dir and swaps in by rename
+  *    ([[swapRewrite]]) — crash-recoverable, and readers are exposed
+  *    only to the two-rename window, not the write job. On a
+  *    production lakehouse the whole contract is a Delta/Iceberg
+  *    MERGE with truly atomic commits.
   */
 object Sinks {
 
@@ -94,26 +99,84 @@ object Sinks {
 
   /** Rewrite the store to latest-only rows (keeping each row's winning
     * `__seq` so later appends still merge correctly) — bounds the
-    * read-side dedup work under sustained write volume. Materializes
-    * the compacted state before overwriting (Spark cannot overwrite a
-    * path that still appears as a scan in the same plan). Run from a
+    * read-side dedup work under sustained write volume. The rewrite is
+    * staged in a sibling directory and swapped in by rename
+    * ([[swapRewrite]]): a failure at any point leaves a complete store
+    * recoverable on the next call, and the reader-visible gap is two
+    * filesystem renames, not the whole write job. Run from a
     * maintenance schedule, not the hot write path.
     */
   def compact(spark: SparkSession, path: String, pk: String,
               dtCol: String = "dt"): Unit =
-    latestKeepSeq(readStore(spark, path), pk, dtCol)
-      .localCheckpoint()
+    swapRewrite(spark, path, dtCol)(latestKeepSeq(_, pk, dtCol))
+
+  private val TmpSuffix = ".__compact_tmp"
+  private val OldSuffix = ".__compact_old"
+
+  /** Rewrite a parquet store through a staged swap. Protocol:
+    *
+    *  1. recover any prior crashed swap ([[recoverStore]]);
+    *  2. write `build(store)` to `path.__compact_tmp` (the live store
+    *     is untouched — a failed job changes nothing);
+    *  3. rename live → `path.__compact_old`, tmp → live, drop old.
+    *
+    * The only window a reader can observe is between the two renames
+    * (metadata ops, not data copies); a crash inside it leaves BOTH
+    * the old and the compacted store on disk, and the next
+    * [[recoverStore]] (run by every [[readStore]] and every rewrite)
+    * swaps the completed tmp in. On HDFS-like stores rename is atomic;
+    * a production lakehouse would use a table format with atomic
+    * commits (Delta/Iceberg) instead, as the class doc notes.
+    */
+  private[graft] def swapRewrite(spark: SparkSession, path: String,
+                                 partCol: String)
+                                (build: DataFrame => DataFrame): Unit = {
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverStore(fs, dst)
+    val tmp = new Path(path + TmpSuffix)
+    val old = new Path(path + OldSuffix)
+    fs.delete(tmp, true) // stale staging from a crash mid-write
+    build(readStore(spark, path))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy(dtCol)
-      .parquet(path)
+      .partitionBy(partCol)
+      .parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new IOException(s"compaction swap: cannot move $dst aside")
+    if (!fs.rename(tmp, dst))
+      throw new IOException(s"compaction swap: cannot move $tmp into place")
+    fs.delete(old, true)
+  }
+
+  /** Heal a swap that crashed between its two renames: if the live
+    * path is missing, prefer the completed staging dir (it only ever
+    * replaces the live path after its write job succeeded), else fall
+    * back to the set-aside previous store. No-op when the live path
+    * exists.
+    */
+  private def recoverStore(fs: FileSystem, dst: Path): Unit =
+    if (!fs.exists(dst)) {
+      val tmp = new Path(dst.toString + TmpSuffix)
+      val old = new Path(dst.toString + OldSuffix)
+      if (fs.exists(tmp)) {
+        fs.rename(tmp, dst)
+        fs.delete(old, true)
+      } else if (fs.exists(old)) fs.rename(old, dst)
+    }
 
   /** Read an append-only store with schema merging ON: a store whose
     * oldest files predate a column (e.g. `__seq`) must not lose that
     * column to single-footer schema inference — rows from old files
     * surface it as null, which [[latest]] treats as sequence 0.
+    * Self-healing: a store mid-crashed-compaction-swap is recovered
+    * before the read (an `exists` check per read otherwise).
     */
-  def readStore(spark: SparkSession, path: String): DataFrame =
+  def readStore(spark: SparkSession, path: String): DataFrame = {
+    val dst = new Path(path)
+    recoverStore(dst.getFileSystem(spark.sessionState.newHadoopConf()), dst)
     spark.read.option("mergeSchema", "true").parquet(path)
+  }
 
   /** Attach the keyed-upsert sink to a streaming DataFrame with a
     * 5-second trigger (the reference's batch interval) and checkpoint.

@@ -76,6 +76,19 @@ class CosineSimilaritySpec extends SparkSpec {
       assert(mh.length == 4 && mh.forall(v => v >= 0 && v < 2147483647L))
       assert(sh.getLong(2) >= 0L && sh.getLong(2) < (1L << 16))
       assert(sh.getSeq[String](3) == Seq("a b", "b c"))
+      // misuse fails analysis with the expected signature, not an
+      // IndexOutOfBounds/NumberFormat from inside the builder
+      def analysisError(q: String): String =
+        intercept[org.apache.spark.sql.AnalysisException] {
+          withExt.sql(q).collect()
+        }.getMessage
+      assert(analysisError("SELECT simhash_md5(array('a'))")
+        .contains("simhash_md5"))                       // wrong arity
+      assert(analysisError("SELECT word_shingles(array('a'), 2.5)")
+        .contains("INT"))                               // non-int literal
+      assert(analysisError(
+        "SELECT minhash_sig(array('a'), cast(rand()*4 AS INT), 1)")
+        .contains("foldable"))                          // non-literal k
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
       org.apache.spark.sql.SparkSession.setDefaultSession(spark)

@@ -70,6 +70,31 @@ class ServingMainSpec extends SparkSpec {
         .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
       assert(bad.getResponseCode == 400)
       bad.disconnect()
+      // missing required param (Map.apply) is also the caller's fault
+      val missing = java.net.URI.create(
+        s"http://127.0.0.1:$port/dauRealtime")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(missing.getResponseCode == 400)
+      missing.disconnect()
+    } finally server.stop(0)
+  }
+
+  test("server-side failures return 500 without leaking internals") {
+    val root = Files.createTempDirectory("serving_500").toString
+    // point the server at store paths that do not exist: a query is a
+    // genuine server-side failure (AnalysisException), not a caller bug
+    val server = ServingMain.start(spark, s"$root/nope_dau",
+      s"$root/nope_ow", 0)
+    val port = server.getAddress.getPort
+    try {
+      val c = java.net.URI.create(
+        s"http://127.0.0.1:$port/dauRealtime?td=2024-01-05")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(c.getResponseCode == 500)
+      val body = new String(c.getErrorStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(body == """{"error":"internal server error"}""")
+      c.disconnect()
     } finally server.stop(0)
   }
 }

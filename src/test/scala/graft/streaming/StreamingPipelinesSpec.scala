@@ -339,6 +339,41 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(viewNext == Set("m1" -> 42, "m2" -> 5))
   }
 
+  test("compaction swap: staged rewrite recovers from crashes and failures") {
+    val out = tmp("sink_swap")
+    (1 to 3).foreach { i =>
+      Sinks.upsertBatch(Seq(("m1", "2024-01-05", i))
+        .toDF("mid", "dt", "v"), out, "mid", batchId = i.toLong)
+    }
+    def view = Sinks.latest(Sinks.readStore(spark, out), "mid")
+      .select("mid", "v").as[(String, Int)].collect().toSet
+    // a failed rewrite job must leave the live store untouched — the
+    // old in-place overwrite (delete-then-write) lost it
+    intercept[RuntimeException] {
+      Sinks.swapRewrite(spark, out, "dt")(_ =>
+        sys.error("executor died mid-compaction"))
+    }
+    assert(view == Set("m1" -> 3))
+    // stale staging dir from a crash mid-write is cleaned, not swapped
+    val tmpDir = new java.io.File(out + ".__compact_tmp")
+    tmpDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(tmpDir, "junk").toPath, "not parquet")
+    Sinks.compact(spark, out, "mid")
+    assert(view == Set("m1" -> 3))
+    assert(!tmpDir.exists() && !new java.io.File(out + ".__compact_old").exists())
+    // crash between the two renames: live dir gone, completed staging
+    // dir present → the next reader heals the store transparently
+    assert(new java.io.File(out).renameTo(tmpDir))
+    assert(view == Set("m1" -> 3)) // readStore recovered it
+    assert(new java.io.File(out).isDirectory && !tmpDir.exists())
+    // crash after moving the live store aside but before staging ever
+    // completed → fall back to the set-aside previous store
+    assert(new java.io.File(out).renameTo(
+      new java.io.File(out + ".__compact_old")))
+    assert(view == Set("m1" -> 3))
+  }
+
   test("readStore keeps __seq when old files predate the column") {
     val out = tmp("sink_mixed")
     // legacy file: written before the sequence column existed
