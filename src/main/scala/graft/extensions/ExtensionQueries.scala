@@ -1,8 +1,9 @@
 package graft.extensions
 
 import graft.Q
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 import graft.tables.Tables._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data-pipeline operators — dedup family,
@@ -84,6 +85,58 @@ object ExtensionQueries {
         words.mkString("['", "','", "']") + ", t)))")
     }
 
+  /** Deterministic PII-bearing fixture text, synthesized row-by-row
+    * from `c_custkey` arithmetic (the documents fixture is PII-free
+    * word salad). Identical construction here and in [[piiTextSql]],
+    * so the oracle compare verifies the REGEX FAMILIES, not the
+    * synthesis: every row carries a phone; even keys add an email,
+    * multiples of 3 an IPv4, multiples of 5 an SSN-style id.
+    */
+  private def piiTextCol: Column = {
+    val k = col("c_custkey")
+    def s(c: Column) = c.cast("string")
+    val phone = concat(s(k % 90 + 10), lit("-"),
+      lpad(s((k * 7) % 1000), 3, "0"), lit("-"),
+      lpad(s((k * 13) % 1000), 3, "0"), lit("-"),
+      lpad(s((k * 29) % 10000), 4, "0"))
+    val ip = concat(s(k % 223 + 1), lit("."), s((k * 3) % 256), lit("."),
+      s((k * 5) % 256), lit("."), s((k * 7) % 254 + 1))
+    val ssn = concat(s((k * 11) % 900 + 100), lit("-"),
+      lpad(s((k * 17) % 100), 2, "0"), lit("-"),
+      lpad(s((k * 23) % 10000), 4, "0"))
+    concat(lit("Contact "), col("c_name"), lit(" at "), phone,
+      when(k % 2 === 0,
+        concat(lit(" or user"), s(k), lit("@example.com")))
+        .otherwise(lit("")),
+      when(k % 3 === 0, concat(lit(" last seen from "), ip))
+        .otherwise(lit("")),
+      when(k % 5 === 0, concat(lit(" ssn "), ssn)).otherwise(lit("")),
+      lit(" segment "), col("c_mktsegment"))
+  }
+
+  /** DuckDB mirror of [[piiTextCol]]. */
+  private val piiTextSql: String = {
+    def lp(e: String, n: Int) = s"lpad(CAST($e AS VARCHAR), $n, '0')"
+    val phone = "CAST(c_custkey % 90 + 10 AS VARCHAR) || '-' || " +
+      lp("(c_custkey * 7) % 1000", 3) + " || '-' || " +
+      lp("(c_custkey * 13) % 1000", 3) + " || '-' || " +
+      lp("(c_custkey * 29) % 10000", 4)
+    val ip = "CAST(c_custkey % 223 + 1 AS VARCHAR) || '.' || " +
+      "CAST((c_custkey * 3) % 256 AS VARCHAR) || '.' || " +
+      "CAST((c_custkey * 5) % 256 AS VARCHAR) || '.' || " +
+      "CAST((c_custkey * 7) % 254 + 1 AS VARCHAR)"
+    val ssn = "CAST((c_custkey * 11) % 900 + 100 AS VARCHAR) || '-' || " +
+      lp("(c_custkey * 17) % 100", 2) + " || '-' || " +
+      lp("(c_custkey * 23) % 10000", 4)
+    s"'Contact ' || c_name || ' at ' || $phone || " +
+      "(CASE WHEN c_custkey % 2 = 0 THEN ' or user' || " +
+      "CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END) || " +
+      s"(CASE WHEN c_custkey % 3 = 0 THEN ' last seen from ' || $ip " +
+      "ELSE '' END) || " +
+      s"(CASE WHEN c_custkey % 5 = 0 THEN ' ssn ' || $ssn ELSE '' END) || " +
+      "' segment ' || c_mktsegment"
+  }
+
   /** md5 of the normalized text — the exact-dedup identity (mirrors
     * `md5(TextFns.normText(text))`); shared by the exact-dedup,
     * fingerprint and curation oracles.
@@ -161,6 +214,52 @@ object ExtensionQueries {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.fingerprints(documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    Q("ext_repetition", {
+      val n = 2
+      val gramsSql = s"list_transform(range(1, len($TOKS) - ${n - 2}), " +
+        s"i -> array_to_string(($TOKS)[i:i+${n - 1}], ' '))"
+      s"""WITH g AS (SELECT doc_id, unnest($gramsSql) AS gram
+         |  FROM documents WHERE len($TOKS) >= $n),
+         |cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+         | CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_ngram_frac,
+         | CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+         |   / CAST(sum(c) AS DOUBLE) AS dup_ngram_frac
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.repetition(documents(s, d), "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- PII scrubbing --------------------------------------------------
+    Q("ext_pii_detect", {
+      val counts = Pii.patterns.map { case (l, p) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$l"
+      }.mkString(",\n ")
+      val total = Pii.patterns.map(p => s"n_${p._1}").mkString(" + ")
+      s"""WITH t AS (SELECT c_custkey, $piiTextSql AS text FROM customer),
+         |c AS (SELECT c_custkey, $counts FROM t)
+         |SELECT c.*, $total AS pii_total FROM c
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, d) =>
+      Pii.detect(customer(s, d).withColumn("text", piiTextCol),
+          "c_custkey", "text")
+        .orderBy(col("c_custkey"))
+    },
+
+    Q("ext_pii_redact", {
+      val redacted = Pii.patterns.foldLeft("text") { case (acc, (l, p)) =>
+        s"regexp_replace($acc, '$p', '<${l.toUpperCase}>', 'g')"
+      }
+      s"""WITH t AS (SELECT c_custkey, $piiTextSql AS text FROM customer)
+         |SELECT c_custkey, $redacted AS redacted FROM t
+         |ORDER BY c_custkey""".stripMargin
+    }) { (s, d) =>
+      Pii.redacted(customer(s, d).withColumn("text", piiTextCol),
+          "c_custkey", "text")
+        .orderBy(col("c_custkey"))
     },
 
     // ---- corpus curation: the operators COMPOSED ------------------------

@@ -101,6 +101,43 @@ object TextAnalysis {
         .as("quality"))
   }
 
+  /** Word n-gram repetition statistics — the Gopher-style repetition
+    * filters (duplicate n-gram fraction) that catch boilerplate and
+    * degenerate loops cheap heuristics miss. Per doc, over ALL n-gram
+    * occurrences (multiplicity kept, unlike the dedup shinglers):
+    *
+    *  - `n_ngrams`        — total n-gram occurrences;
+    *  - `top_ngram_frac`  — occurrences of the single most frequent
+    *    n-gram / total (near 1.0 = the doc is one phrase repeated);
+    *  - `dup_ngram_frac`  — occurrences belonging to any n-gram seen
+    *    more than once / total.
+    *
+    * Docs with fewer than `n` tokens have no n-grams and are absent
+    * from the output (same contract as the minhash path's
+    * empty-shingle drop). Plan: narrow n-gram synthesis → explode →
+    * two hash aggregations sharing one shuffle by (doc, gram) with
+    * map-side partials — no joins, no windows; scales as corpus size.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    val toks = TextFns.toks(col(textCol))
+    // all n-grams by position; `when` guards the sequence bound (a
+    // descending sequence would be generated for docs shorter than n)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val perGram = fanOut(docs)
+      .select(col(idCol),
+        explode(when(size(toks) >= n, grams)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+    perGram.groupBy(col(idCol)).agg(
+      sum(col("c")).cast("long").as("n_ngrams"),
+      (max(col("c")).cast(DoubleType) / sum(col("c")).cast(DoubleType))
+        .as("top_ngram_frac"),
+      (sum(when(col("c") > 1, col("c")).otherwise(0L)).cast(DoubleType) /
+        sum(col("c")).cast(DoubleType)).as("dup_ngram_frac"))
+  }
+
   /** Document fingerprints: md5 of normalized text (exact identity) plus
     * a rolling 3-gram min-hash (content fingerprint robust to small
     * edits — the MinHash-1 of the shingle set). The shingle min runs as

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Repetition stats on hand-computed corpora (the oracle fixture checks
+  * scale parity; these pin the semantics: multiplicity kept, short-doc
+  * drop, degenerate repetition detected).
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition measures duplicate n-gram mass with multiplicity") {
+    val docs = Seq(
+      // bigrams: "a b","b a","a b","b a","a b" → total 5,
+      // top "a b"=3 → 0.6, all 5 occurrences duplicated → 1.0
+      (1L, "a b a b a b"),
+      // bigrams all distinct → top 1/4, dup 0
+      (2L, "v w x y z"),
+      // one token: no bigrams → absent from output
+      (3L, "solo"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got(0) == ((1L, 5L, 0.6, 1.0)))
+    assert(got(1) == ((2L, 4L, 0.25, 0.0)))
+  }
+
+  test("a fully-degenerate doc scores top_ngram_frac 1.0") {
+    val docs = Seq((7L, Seq.fill(50)("spam").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs, "doc_id", "text", n = 3)
+      .head()
+    assert(r.getLong(1) == 48L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
+  }
+}
