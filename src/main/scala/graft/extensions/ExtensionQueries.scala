@@ -1,7 +1,7 @@
 package graft.extensions
 
 import graft.Q
-import graft.operators.{Dedup, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pii, Quantize, Similarity, TextAnalysis}
 import graft.tables.Tables._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -499,6 +499,65 @@ object ExtensionQueries {
       val e = embeddings(s, d)
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, cells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- int8 quantization ----------------------------------------------
+    // shared oracle CTE: per-vector symmetric int8 quantization
+    // (mirrors Quantize.int8 — double math, floor(x+0.5) rounding)
+    Q("ext_quantize_int8",
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  (CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END) AS scale
+         | FROM (SELECT vec_id, embedding,
+         |   coalesce(list_max(list_transform(embedding,
+         |     x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m FROM embeddings)),
+         |q AS (SELECT vec_id, scale, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))
+         |   AS qv FROM s)
+         |SELECT vec_id,
+         | CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+         |   AS q_norm2,
+         | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         | scale
+         |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // integer checksums instead of the raw array: scalar columns
+      // hash-compare robustly, and Σq/Σq² pin every component anyway
+      Quantize.int8(embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          aggregate(col("qvec"), lit(0L),
+            (a, x) => a + x.cast("long") * x.cast("long")).as("q_norm2"),
+          aggregate(col("qvec"), lit(0L),
+            (a, x) => a + x.cast("long")).as("q_sum"),
+          col("scale"))
+        .orderBy(col("vec_id"))
+    },
+
+    Q("ext_knn_int8", {
+      def n2(v: String) =
+        s"CAST(list_sum(list_transform($v, x -> x * x)) AS DOUBLE)"
+      val qcos = s"CAST(list_sum(list_transform(range(1, 65), " +
+        s"i -> q.qv[i] * c.qv[i])) AS DOUBLE) / " +
+        s"(sqrt(${n2("q.qv")}) * sqrt(${n2("c.qv")}))"
+      s"""WITH s AS (SELECT vec_id, embedding,
+         |  (CASE WHEN m > 0 THEN 127.0 / m ELSE 1.0 END) AS scale
+         | FROM (SELECT vec_id, embedding,
+         |   coalesce(list_max(list_transform(embedding,
+         |     x -> abs(CAST(x AS DOUBLE)))), 0.0) AS m FROM embeddings)),
+         |q8 AS (SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))
+         |   AS qv FROM s)
+         |SELECT query_id, neighbor_id, rank, qcos FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $qcos DESC, c.vec_id) AS INT) AS rank,
+         |  $qcos AS qcos
+         | FROM q8 q JOIN q8 c ON q.vec_id != c.vec_id
+         | WHERE q.vec_id < 10)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      Quantize.knnInt8(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
         .orderBy(col("query_id"), col("rank"))
     },
 

@@ -34,7 +34,7 @@ object Similarity {
     * cost). Emission order (score desc, id asc) matches
     * `row_number() OVER (ORDER BY cosine DESC, neighbor_id)` exactly.
     */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame = {
     val agg = Bridge.column(
       TopKByScore(Bridge.expression(col("cosine")),
         Bridge.expression(col("neighbor_id")), k)
