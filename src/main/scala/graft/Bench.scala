@@ -31,11 +31,13 @@ object Bench {
       }
     // noop sink: materializes every output column (a bare count() lets
     // Catalyst prune projections and under-reports real work).
-    // Two timed passes per query, min reported: single-pass numbers
+    // Three timed passes per query, min reported: single-pass numbers
     // mix steady-state plan cost with one-time JIT/codegen and GC
-    // noise (observed 3x swings on identical plans run-to-run); the
-    // min of two back-to-back passes is the steady-state measure a
-    // long-running cluster job actually sees.
+    // noise (observed 3x swings on identical plans run-to-run), and
+    // even min-of-two can catch a sustained external CPU-contention
+    // window (r02 logged 3-5x spikes on unchanged plans); the min of
+    // three spread passes is the steady-state measure a long-running
+    // cluster job actually sees.
     // A crashing query must not masquerade as a fast timing: its
     // per-query value is NEGATED (sentinel) and its name listed under
     // "failed"; the total still counts the wall time it burned.
@@ -47,7 +49,7 @@ object Bench {
       }
       val t0 = System.nanoTime()
       val timing =
-        try Some(math.min(pass(), pass()))
+        try Some(Seq(pass(), pass(), pass()).min)
         catch { case _: Throwable => None }
       name -> timing.getOrElse(-(System.nanoTime() - t0) / 1e9)
     }

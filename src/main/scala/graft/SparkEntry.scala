@@ -13,7 +13,8 @@ object SparkEntry {
   /** Every query the engine exposes. */
   def registry: Seq[Q] =
     graft.operators.ParityQueries.all ++
-      graft.extensions.ExtensionQueries.all
+      graft.extensions.ExtensionQueries.all ++
+      graft.extensions.CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

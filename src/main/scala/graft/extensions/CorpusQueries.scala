@@ -1,0 +1,219 @@
+package graft.extensions
+
+import graft.Q
+import graft.operators.{Corpus, Temporal, TextAnalysis}
+import graft.tables.Tables._
+import org.apache.spark.sql.functions._
+
+/** Registry wiring for the temporal operators (sessionization, as-of
+  * join) and the corpus-curation operators (TF-IDF, deterministic
+  * sampling/mixing, span duplication, vocabulary head, stopword
+  * scrubbing) — each with an exact DuckDB oracle.
+  *
+  * Timestamp arithmetic runs on MICROSECONDS derived from the raw
+  * epoch-nanos Long of the events scan (`ts div 1000`), mirrored by
+  * DuckDB `epoch_us(ts)`: the events parquet carries sub-µs residue
+  * that DuckDB floors away at scan time, so µs is the finest
+  * resolution both engines agree on exactly (same pattern as
+  * `pipe_log_split`'s `epoch_ns // 1000000`). Gap/lag arithmetic is
+  * then exact integer on both sides.
+  */
+object CorpusQueries {
+
+  /** 4 h session gap in microseconds. */
+  private val GAP_US = 4L * 3600 * 1000000L
+
+  /** Lower-cased whitespace tokens of `text` (DuckDB side). */
+  private val TOKS = "string_split_regex(lower(text), '\\s+')"
+
+  /** 32-bit md5-prefix hash (DuckDB side; mirrors TextFns.hash32). */
+  private def h32(e: String) =
+    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** Shared session-assignment CTE prefix (DuckDB side; mirrors
+    * Temporal.sessionize over events at GAP_NS).
+    */
+  private val sessSql =
+    s"""e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+       |m AS (SELECT event_id, user_id, tus,
+       |  CASE WHEN lag(tus) OVER w IS NULL
+       |       OR tus - lag(tus) OVER w > $GAP_US
+       |  THEN 1 ELSE 0 END AS st
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+       |s AS (SELECT event_id, user_id, tus,
+       |  CAST(sum(st) OVER (PARTITION BY user_id ORDER BY event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+       |    AS session_seq
+       |  FROM m)""".stripMargin
+
+  /** events with a `ts_us` epoch-micros column (exact DuckDB mirror —
+    * see the class doc).
+    */
+  private def eventsUs(s: org.apache.spark.sql.SparkSession, d: String) =
+    eventsRaw(s, d).withColumn("ts_us", expr("ts div 1000"))
+
+  val all: Seq[Q] = Seq(
+
+    // ---- sessionization -------------------------------------------------
+    Q("ext_sessionize",
+      s"""WITH $sessSql
+         |SELECT event_id, user_id, session_seq FROM s
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Temporal.sessionize(eventsUs(s, d), "user_id", "ts_us", "event_id",
+          GAP_US)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    },
+
+    Q("ext_session_stats",
+      s"""WITH $sessSql
+         |SELECT user_id, session_seq,
+         | CAST(count(*) AS BIGINT) AS n_events,
+         | min(event_id) AS first_ord,
+         | min(tus) AS start_us, max(tus) AS end_us,
+         | max(tus) - min(tus) AS duration_us
+         |FROM s GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      Temporal.sessionStats(
+          Temporal.sessionize(eventsUs(s, d), "user_id", "ts_us",
+            "event_id", GAP_US),
+          "user_id", "ts_us", "event_id")
+        .withColumnsRenamed(Map("start_ns" -> "start_us",
+          "end_ns" -> "end_us", "duration_ns" -> "duration_us"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // ---- as-of join -----------------------------------------------------
+    // For every purchase, the latest same-user click at-or-before it
+    // (ties: same-ts click visible, greatest event_id wins). The oracle
+    // states the SEMANTIC (per-purchase argmax over a range join); the
+    // engine runs the scalable union-and-carry form — one shuffle, no
+    // pair explosion.
+    Q("ext_asof_join",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |  event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, tus FROM e
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, tus AS ctus FROM e
+        |  WHERE event_type = 'click'),
+        |m AS (SELECT purchase_id, click_id, ctus,
+        |   row_number() OVER (PARTITION BY purchase_id
+        |     ORDER BY ctus DESC, click_id DESC) AS rn
+        | FROM p JOIN c USING (user_id) WHERE ctus <= tus)
+        |SELECT p.purchase_id AS purchase_id, m.click_id,
+        | CAST(p.tus - m.ctus AS BIGINT) AS lag_us
+        |FROM p LEFT JOIN (SELECT purchase_id, click_id, ctus FROM m
+        |  WHERE rn = 1) m ON p.purchase_id = m.purchase_id
+        |ORDER BY p.purchase_id""".stripMargin) { (s, d) =>
+      val raw = eventsUs(s, d)
+      val purchases = raw.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us"))
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("click_id"), col("ts_us").as("click_us"))
+      Temporal.asofJoin(purchases, clicks, "user_id", "ts_us",
+          rightOrd = "click_id", payload = Seq("click_id", "click_us"))
+        .select(col("purchase_id"), col("click_id"),
+          (col("ts_us") - col("click_us")).as("lag_us"))
+        .orderBy(col("purchase_id"))
+    },
+
+    // ---- TF-IDF keywords ------------------------------------------------
+    Q("ext_tfidf",
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |r AS (SELECT doc_id, token, tf, df,
+         |  CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY CAST(tf * n AS DOUBLE) / CAST(df AS DOUBLE) DESC,
+         |      token) AS INT) AS kw_rank
+         | FROM tf JOIN df USING (token), n)
+         |SELECT doc_id, token, tf, df, score, kw_rank FROM r
+         |WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin) {
+      (s, d) =>
+        Corpus.tfidf(documents(s, d), "doc_id", "text", topK = 3)
+          .orderBy(col("doc_id"), col("kw_rank"))
+    },
+
+    // ---- deterministic sampling / source mixing -------------------------
+    Q("ext_sample_hash",
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.sampleByHash(documents(s, d), "doc_id", pct = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
+    Q("ext_mix_quota",
+      s"""SELECT doc_id, source, mix_rank FROM (
+         | SELECT doc_id, source,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY ${h32("CAST(doc_id AS VARCHAR)")}, doc_id) AS INT)
+         |    AS mix_rank
+         | FROM documents)
+         |WHERE mix_rank <= 10
+         |ORDER BY source, mix_rank""".stripMargin) { (s, d) =>
+      Corpus.quotaByGroup(documents(s, d), "source", "doc_id", quota = 10)
+        .select(col("doc_id"), col("source"), col("mix_rank"))
+        .orderBy(col("source"), col("mix_rank"))
+    },
+
+    // ---- cross-document span duplication --------------------------------
+    Q("ext_span_dedup",
+      s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (SELECT doc_id,
+         |  unnest(list_transform(range(1, len(t) - 6),
+         |    i -> array_to_string(t[i:i+7], ' '))) AS gram
+         | FROM toks WHERE len(t) >= 8),
+         |dpg AS (SELECT gram, count(*) AS n_docs FROM
+         |  (SELECT DISTINCT doc_id, gram FROM pos) GROUP BY 1)
+         |SELECT doc_id,
+         | CAST(count(*) AS BIGINT) AS n_spans,
+         | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_dup_spans,
+         | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS dup_frac
+         |FROM pos JOIN dpg USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.spanDuplication(documents(s, d), "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- global vocabulary head -----------------------------------------
+    Q("ext_vocab_topk",
+      s"""WITH tok AS (SELECT unnest($TOKS) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS ct FROM tok
+         |  GROUP BY 1)
+         |SELECT token, ct, rn FROM (
+         | SELECT token, ct,
+         |  CAST(row_number() OVER (ORDER BY ct DESC, token) AS INT) AS rn
+         | FROM c)
+         |WHERE rn <= 50 ORDER BY rn""".stripMargin) { (s, d) =>
+      Corpus.vocabTopK(documents(s, d), "text", k = 50)
+        .orderBy(col("rn"))
+    },
+
+    // ---- stopword scrubbing ---------------------------------------------
+    Q("ext_clean_stopwords", {
+      val words = TextAnalysis.stopwords.toMap.apply("en")
+      val list = words.mkString("['", "','", "']")
+      s"""SELECT doc_id,
+         | array_to_string(list_filter($TOKS,
+         |   t -> NOT list_contains($list, t)), ' ') AS clean_text,
+         | CAST(len($TOKS) - len(list_filter($TOKS,
+         |   t -> NOT list_contains($list, t))) AS BIGINT) AS n_removed
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Corpus.removeStopwords(documents(s, d), "doc_id", "text",
+          TextAnalysis.stopwords.toMap.apply("en"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.DataFrame
+
+/** Corpus-level curation operators a training-data pipeline runs after
+  * per-document scoring: keyword extraction (TF-IDF), deterministic
+  * sampling and source mixing, cross-document span duplication, global
+  * vocabulary statistics, and stopword scrubbing.
+  *
+  * Scale shapes (the 100 TB audit per operator):
+  *  - `tfidf`: explode + two hash-aggs + ONE shuffle join keyed by
+  *    token (document frequency cannot be broadcast — the vocabulary
+  *    of a web corpus is billions of keys) + a window partitioned by
+  *    doc. No global sort, no driver state.
+  *  - `sampleByHash` / `quotaBySource`: sampling must be DETERMINISTIC
+  *    at scale (re-runs, backfills and audits must agree), so both key
+  *    off a content-independent md5 of the id, never `rand()`. The
+  *    sample is a narrow filter; the quota is a window partitioned by
+  *    source (bounded by quota x sources output).
+  *  - `spanDuplication`: the C4/RefinedWeb duplicate-passage metric —
+  *    explode n-gram positions, count distinct docs per gram via a
+  *    distinct-pairs agg, join back by gram. Two shuffles keyed by
+  *    gram, both hash-aggs with map-side partials; never all-pairs.
+  *  - `vocabTopK`: global Zipf head via the bounded-heap map-side
+  *    [[graft.expressions.TopKByScore]] aggregate — each partition
+  *    ships <= K candidates, so shuffle volume is partitions x K
+  *    regardless of vocabulary size.
+  *  - `removeStopwords`: pure-Column narrow pass, no shuffle.
+  */
+object Corpus {
+
+  /** Spread a (possibly single-split) corpus before per-row text work —
+    * see Dedup.fanOut for rationale.
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Top-`topK` keywords per document by TF-IDF-style score.
+    *
+    * Score = tf * N / df (inverse collection frequency, linear form):
+    * tf * N is an exact integer product and the single division is the
+    * one rounding step — bit-identical across engines, unlike a
+    * log-based idf (`ln` is not required to be correctly rounded, so
+    * Spark/JVM and a SQL oracle may round differently).
+    * Emits (id, token, tf, df, score, kw_rank), kw_rank 1..topK by
+    * (score desc, token asc).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            topK: Int): DataFrame = {
+    val tf = fanOut(docs)
+      .select(col(idCol), explode(TextFns.toks(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // (id, token) is unique in tf, so df = row count per token
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val score = (col("tf") * col("__n")).cast(DoubleType) /
+      col("df").cast(DoubleType)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", score)
+      .withColumn("kw_rank", row_number().over(w).cast(IntegerType))
+      .filter(col("kw_rank") <= topK)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score"), col("kw_rank"))
+  }
+
+  /** Deterministic ~`pct`% sample: keep rows where
+    * md5-hash(id) mod 100 < pct. Reproducible across runs/engines
+    * (audits and backfills see the same sample), uniform in
+    * expectation, and a narrow filter — no shuffle, no rand().
+    */
+  def sampleByHash(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(TextFns.hash32(col(idCol).cast("string")) % 100 < pct)
+
+  /** Deterministic per-group quota (source mixing): keep at most
+    * `quota` rows per `groupCol`, chosen by hash order (a reproducible
+    * pseudo-random draw, not head-of-file order which would bias
+    * toward early rows). Adds `mix_rank` (1-based within group).
+    */
+  def quotaByGroup(df: DataFrame, groupCol: String, idCol: String,
+                   quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(TextFns.hash32(col(idCol).cast("string")), col(idCol))
+    df.withColumn("mix_rank", row_number().over(w).cast(IntegerType))
+      .filter(col("mix_rank") <= quota)
+  }
+
+  /** Cross-document span duplication (the duplicate-passage metric):
+    * for each doc, the fraction of its word `n`-gram POSITIONS whose
+    * n-gram also appears in at least one OTHER document. Emits
+    * (id, n_spans, n_dup_spans, dup_frac); docs with fewer than `n`
+    * tokens have no spans and are absent (same contract as the
+    * other shinglers).
+    */
+  def spanDuplication(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val toks = TextFns.toks(col(textCol))
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    val positions = fanOut(docs)
+      .select(col(idCol), explode(when(size(toks) >= n, grams)).as("gram"))
+    // distinct docs per gram: distinct pairs first (hash agg), then
+    // count — both shuffles keyed by gram, map-side combined
+    val docsPerGram = positions.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    positions.join(docsPerGram, "gram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
+  }
+
+  /** Global top-`k` tokens by occurrence count (the Zipf head), via the
+    * map-side bounded-heap aggregate: emits (token, ct, rn) ordered by
+    * (ct desc, token asc). Counts are < 2^53 so the double round-trip
+    * through the heap's score is exact.
+    */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = fanOut(docs)
+      .select(explode(TextFns.toks(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("ct"))
+    val topk = Bridge.column(
+      graft.expressions.TopKByScoreStr(
+        Bridge.expression(col("ct").cast(DoubleType)),
+        Bridge.expression(col("token")), k)
+        .toAggregateExpression())
+    counts.agg(topk.as("topk"))
+      .select(posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("t.id").as("token"),
+        col("t.score").cast("long").as("ct"),
+        (col("pos") + 1).cast(IntegerType).as("rn"))
+  }
+
+  /** Stopword scrubbing: re-assemble the text with `words` removed.
+    * Emits the cleaned text plus removed-token count. Pure Column —
+    * narrow, codegen'd, no shuffle.
+    */
+  def removeStopwords(docs: DataFrame, idCol: String, textCol: String,
+                      words: Seq[String]): DataFrame = {
+    val toks = TextFns.toks(col(textCol))
+    val kept = filter(toks, t => !t.isin(words.map(lit): _*))
+    docs.select(col(idCol),
+      array_join(kept, " ").as("clean_text"),
+      (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+}

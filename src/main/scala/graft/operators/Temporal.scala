@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators over keyed event streams: gap-based
+  * sessionization and the as-of (nearest-prior-event) join.
+  *
+  * Both are the canonical scalable shapes, not pair joins:
+  *
+  *  - `sessionize` is ONE shuffle by key + an in-partition sort; the
+  *    session boundary is a lag comparison and the session index a
+  *    running sum — no self-join, no state larger than a partition's
+  *    sort buffer. This is the batch shadow of the reference's
+  *    session semantics (a visit starts where `last_page_id` is null,
+  *    `DwdDauApp.scala:78-105`) generalized to arbitrary gap rules.
+  *  - `asofJoin` is the union-and-carry form: tag both inputs, shuffle
+  *    ONCE by key, sort by (ts, side, ord) inside each partition, and
+  *    carry the latest right-side payload forward with
+  *    `last(ignoreNulls)`. A naive formulation (range self-join +
+  *    per-left-row argmax) explodes to O(left x right-per-key) pairs
+  *    and reshuffles twice; this form's cost is one sort-merge pass,
+  *    which is how it survives a 100 TB event table. The right side's
+  *    payload columns ride as one struct so every carried field comes
+  *    from the SAME right row by construction.
+  *
+  * Determinism contract: `ordCol` must be a unique per-row column
+  * whose order agrees with `tsCol` inside ties (the driver's
+  * `event_id` is monotone in `ts` and unique). All window orderings
+  * are total, so results are oracle-hashable.
+  */
+object Temporal {
+
+  /** Assign a per-key session sequence number: a new session starts at
+    * the first event of a key or after a gap of more than `gapNs`
+    * since the previous event. Adds `session_seq` (1-based Int).
+    *
+    * `tsCol` must be a numeric column (epoch-nanos Long here — raw
+    * scan representation, so the gap arithmetic is exact integer and
+    * the filter above it can still push down).
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 ordCol: String, gapNs: Long): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val prev = lag(col(tsCol), 1).over(byKey)
+    val isStart = when(
+      prev.isNull || col(tsCol) - prev > gapNs, 1L).otherwise(0L)
+    events
+      .withColumn("__start", isStart)
+      .withColumn("session_seq",
+        sum(col("__start"))
+          .over(byKey.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow))
+          .cast("int"))
+      .drop("__start")
+  }
+
+  /** Per-session rollup over a sessionized frame: event count, first
+    * ord, session start/end timestamps and duration (exact integers).
+    */
+  def sessionStats(sessionized: DataFrame, keyCol: String, tsCol: String,
+                   ordCol: String): DataFrame =
+    sessionized
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(ordCol)).as("first_ord"),
+        min(col(tsCol)).as("start_ns"),
+        max(col(tsCol)).as("end_ns"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration_ns"))
+
+  /** As-of join: for every `left` row, attach the payload of the
+    * `right` row with the greatest `(tsCol, rightOrd)` such that
+    * `right.ts <= left.ts`, matching on `keyCol`; nulls when no such
+    * row. Left rows and their column set pass through unchanged;
+    * `payload` columns (from `right`, names must not collide with
+    * `left`'s) are appended.
+    *
+    * Ties at equal ts: the right row is visible to a left row with the
+    * SAME timestamp (<=, matching the reference's cache-then-lookup
+    * order where a dim/info write in batch N is visible to batch N's
+    * own lookups, `DwdOrderApp.scala:196-254`), and among right rows
+    * with one timestamp the greatest `rightOrd` wins.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightOrd: String,
+               payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: $collisions")
+
+    val leftCols = left.columns.toSeq
+    // one struct so all carried fields come from the same right row
+    val r = right.select(
+      col(keyCol), col(tsCol), col(rightOrd).as("__ord"),
+      struct(payload.map(col): _*).as("__pay"))
+      .withColumn("__side", lit(0))
+    val l = left
+      .withColumn("__ord", lit(null).cast(r.schema("__ord").dataType))
+      .withColumn("__pay", lit(null).cast(r.schema("__pay").dataType))
+      .withColumn("__side", lit(1))
+
+    // right rows sort before left rows at equal ts (side 0 < 1), so a
+    // same-ts right row is carried into the left row's output
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__match.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple apple apple")).toDF("id", "text")
+
+  test("tfidf: score = tf * N / df, ranked desc with token tiebreak") {
+    val out = Corpus.tfidf(docs, "id", "text", topK = 2)
+      .orderBy($"id", $"kw_rank")
+      .as[(Long, String, Long, Long, Double, Int)].collect()
+    // N=3; df: apple->2 docs, banana->2, cherry->1
+    // doc1: apple tf=2 score=2*3/2=3.0; banana tf=1 score=1.5
+    // doc2: cherry score=3.0; banana score=1.5
+    // doc3: apple tf=3 score=4.5
+    assert(out === Array(
+      (1L, "apple", 2L, 2L, 3.0, 1), (1L, "banana", 1L, 2L, 1.5, 2),
+      (2L, "cherry", 1L, 1L, 3.0, 1), (2L, "banana", 1L, 2L, 1.5, 2),
+      (3L, "apple", 3L, 2L, 4.5, 1)))
+  }
+
+  test("sampleByHash: deterministic, and a filter of the input") {
+    val big = spark.range(1000).withColumnRenamed("id", "k")
+    val a = Corpus.sampleByHash(big, "k", 10).as[Long].collect().sorted
+    val b = Corpus.sampleByHash(big, "k", 10).as[Long].collect().sorted
+    assert(a === b)
+    assert(a.length > 50 && a.length < 200) // ~10% of 1000
+    // pct=100 keeps everything, pct=0 keeps nothing
+    assert(Corpus.sampleByHash(big, "k", 100).count() === 1000)
+    assert(Corpus.sampleByHash(big, "k", 0).count() === 0)
+  }
+
+  test("quotaByGroup: at most quota rows per group, ranks 1..quota") {
+    val df = spark.range(100)
+      .select(($"id" % 4).cast("string").as("g"), $"id")
+    val out = Corpus.quotaByGroup(df, "g", "id", quota = 7)
+    val byG = out.groupBy($"g").agg(count(lit(1)).as("n"),
+      max($"mix_rank").as("mx")).as[(String, Long, Int)].collect()
+    assert(byG.length === 4)
+    byG.foreach { case (_, n, mx) => assert(n === 7 && mx === 7) }
+    // deterministic across runs
+    val again = Corpus.quotaByGroup(df, "g", "id", quota = 7)
+    assert(out.orderBy($"g", $"mix_rank").collect() ===
+      again.orderBy($"g", $"mix_rank").collect())
+  }
+
+  test("spanDuplication: shared span counted, unique span not") {
+    val d = Seq(
+      (1L, "a b c d e"),   // spans(2): "a b","b c","c d","d e"
+      (2L, "x y a b z"),   // shares "a b"
+      (3L, "q")            // too short: absent
+    ).toDF("id", "text")
+    val out = Corpus.spanDuplication(d, "id", "text", n = 2)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Array(
+      (1L, 4L, 1L, 0.25),
+      (2L, 4L, 1L, 0.25)))
+  }
+
+  test("spanDuplication: within-doc repeat is not cross-doc duplication") {
+    val d = Seq((1L, "a b a b")).toDF("id", "text") // "a b" twice, 1 doc
+    val out = Corpus.spanDuplication(d, "id", "text", n = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Array((1L, 3L, 0L, 0.0)))
+  }
+
+  test("vocabTopK: matches sort-based global top-k") {
+    val expected = docs
+      .select(explode(split(lower($"text"), "\\s+")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("ct"))
+      .orderBy($"ct".desc, $"token")
+      .as[(String, Long)].collect()
+    val out = Corpus.vocabTopK(docs, "text", k = 2)
+      .select($"token", $"ct").as[(String, Long)].collect()
+    assert(out === expected.take(2))
+    assert(Corpus.vocabTopK(docs, "text", k = 100).count() === 3)
+  }
+
+  test("removeStopwords: scrubs and counts") {
+    val d = Seq((1L, "the apple and the pear")).toDF("id", "text")
+    val out = Corpus.removeStopwords(d, "id", "text", Seq("the", "and"))
+      .as[(Long, String, Long)].collect()
+    assert(out === Array((1L, "apple pear", 3L)))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, ts, ord) — ord unique and monotone in ts inside each key
+  private def ev(rows: (String, Long, Long)*) =
+    rows.toDF("k", "ts", "ord")
+
+  test("sessionize: first event starts session 1; gap > gapNs splits") {
+    val out = Temporal.sessionize(
+      ev(("u", 0L, 1L), ("u", 50L, 2L), ("u", 151L, 3L), ("u", 200L, 4L),
+        ("v", 1000L, 5L)),
+      "k", "ts", "ord", gapNs = 100L)
+      .select($"ord", $"session_seq").as[(Long, Int)].collect().toMap
+    // 50-0=50 <= 100 same; 151-50=101 > 100 new; 200-151=49 same
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 1))
+  }
+
+  test("sessionize: gap exactly equal to gapNs does NOT split") {
+    val out = Temporal.sessionize(
+      ev(("u", 0L, 1L), ("u", 100L, 2L)), "k", "ts", "ord", gapNs = 100L)
+      .select($"ord", $"session_seq").as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 1, 2L -> 1))
+  }
+
+  test("sessionStats: counts, bounds and duration per session") {
+    val sess = Temporal.sessionize(
+      ev(("u", 0L, 1L), ("u", 50L, 2L), ("u", 500L, 3L)),
+      "k", "ts", "ord", gapNs = 100L)
+    val stats = Temporal.sessionStats(sess, "k", "ts", "ord")
+      .orderBy($"session_seq")
+      .select($"session_seq", $"n_events", $"first_ord", $"start_ns",
+        $"end_ns", $"duration_ns")
+      .collect()
+    assert(stats === Array(Row(1, 2L, 1L, 0L, 50L, 50L),
+      Row(2, 1L, 3L, 500L, 500L, 0L)))
+  }
+
+  private def asof(left: Seq[(String, Long, Long)],
+                   right: Seq[(String, Long, Long)]) =
+    Temporal.asofJoin(
+      left.toDF("k", "ts", "lid"),
+      right.toDF("k", "ts", "rid")
+        .withColumn("rts", $"ts"),
+      "k", "ts", rightOrd = "rid", payload = Seq("rid", "rts"))
+      .select($"lid", $"rid", $"rts")
+
+  test("asofJoin: picks the latest right row at-or-before each left ts") {
+    val out = asof(
+      left = Seq(("u", 100L, 1L), ("u", 250L, 2L)),
+      right = Seq(("u", 50L, 10L), ("u", 99L, 11L), ("u", 200L, 12L),
+        ("u", 300L, 13L)))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(out(1L) === ((Some(11L), Some(99L))))
+    assert(out(2L) === ((Some(12L), Some(200L))))
+  }
+
+  test("asofJoin: same-ts right row is visible; max ord wins ties") {
+    val out = asof(
+      left = Seq(("u", 100L, 1L)),
+      right = Seq(("u", 100L, 10L), ("u", 100L, 11L), ("u", 60L, 12L)))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    // both ts=100 rows are <= left ts; the greater rid (11) wins
+    assert(out === Array((1L, Some(11L), Some(100L))))
+  }
+
+  test("asofJoin: no earlier right row -> null payload; key isolation") {
+    val out = asof(
+      left = Seq(("u", 10L, 1L), ("w", 500L, 2L)),
+      right = Seq(("u", 50L, 10L), ("v", 1L, 11L)))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(out(1L) === ((None, None))) // right row is later
+    assert(out(2L) === ((None, None))) // right rows are other keys
+  }
+
+  test("asofJoin: left columns pass through unchanged") {
+    val left = Seq(("u", 100L, 1L)).toDF("k", "ts", "lid")
+      .withColumn("extra", lit("keep"))
+    val right = Seq(("u", 50L, 10L)).toDF("k", "ts", "rid")
+    val out = Temporal.asofJoin(left, right, "k", "ts", "rid", Seq("rid"))
+    assert(out.columns.toSeq === Seq("k", "ts", "lid", "extra", "rid"))
+    assert(out.select($"extra").as[String].collect() === Array("keep"))
+  }
+
+  test("asofJoin: rejects payload/left column collisions") {
+    val l = Seq(("u", 1L, 1L)).toDF("k", "ts", "lid")
+    val r = Seq(("u", 1L, 2L)).toDF("k", "ts", "lid")
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(l, r, "k", "ts", "lid", Seq("lid"))
+    }
+  }
+}
