@@ -79,6 +79,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit("top_k_by_score", "k", 2, children))
           .toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_score_str"),
+      new ExpressionInfo(classOf[TopKByScoreStr].getName,
+        "top_k_by_score_str"),
+      (children: Seq[Expression]) => {
+        checkArity("top_k_by_score_str", 3, children)
+        TopKByScoreStr(children(0), children(1),
+          intLit("top_k_by_score_str", "k", 2, children))
+          .toAggregateExpression()
+      }))
   }
 }
 

@@ -78,8 +78,8 @@ object CorpusQueries {
           Temporal.sessionize(eventsUs(s, d), "user_id", "ts_us",
             "event_id", GAP_US),
           "user_id", "ts_us", "event_id")
-        .withColumnsRenamed(Map("start_ns" -> "start_us",
-          "end_ns" -> "end_us", "duration_ns" -> "duration_us"))
+        .withColumnsRenamed(Map("start_ts" -> "start_us",
+          "end_ts" -> "end_us", "duration" -> "duration_us"))
         .orderBy(col("user_id"), col("session_seq"))
     },
 

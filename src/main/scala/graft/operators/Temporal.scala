@@ -57,7 +57,9 @@ object Temporal {
   }
 
   /** Per-session rollup over a sessionized frame: event count, first
-    * ord, session start/end timestamps and duration (exact integers).
+    * ord, session start/end timestamps and duration — exact integers
+    * in `tsCol`'s unit (column names are unit-neutral; the µs-based
+    * registry queries alias them `*_us`).
     */
   def sessionStats(sessionized: DataFrame, keyCol: String, tsCol: String,
                    ordCol: String): DataFrame =
@@ -66,9 +68,9 @@ object Temporal {
       .agg(
         count(lit(1)).as("n_events"),
         min(col(ordCol)).as("first_ord"),
-        min(col(tsCol)).as("start_ns"),
-        max(col(tsCol)).as("end_ns"),
-        (max(col(tsCol)) - min(col(tsCol))).as("duration_ns"))
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        (max(col(tsCol)) - min(col(tsCol))).as("duration"))
 
   /** As-of join: for every `left` row, attach the payload of the
     * `right` row with the greatest `(tsCol, rightOrd)` such that

@@ -64,6 +64,11 @@ class CosineSimilaritySpec extends SparkSpec {
           " (1.0D, 10L), (3.0D, 30L), (2.0D, 20L) AS v(s, i)")
         .selectExpr("t[0].id", "t[1].id").collect().head
       assert(tk.getLong(0) == 30L && tk.getLong(1) == 20L)
+      val tks = withExt.sql(
+        "SELECT top_k_by_score_str(s, i, 2) AS t FROM VALUES" +
+          " (1.0D, 'x'), (3.0D, 'y'), (2.0D, 'z') AS v(s, i)")
+        .selectExpr("t[0].id", "t[1].id").collect().head
+      assert(tks.getString(0) == "y" && tks.getString(1) == "z")
       // signature/shingle expressions: deterministic, sane outputs
       val sh = withExt.sql(
         "SELECT simhash64(array('a', 'b')) AS s," +

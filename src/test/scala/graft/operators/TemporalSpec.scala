@@ -34,8 +34,8 @@ class TemporalSpec extends SparkSpec {
       "k", "ts", "ord", gapNs = 100L)
     val stats = Temporal.sessionStats(sess, "k", "ts", "ord")
       .orderBy($"session_seq")
-      .select($"session_seq", $"n_events", $"first_ord", $"start_ns",
-        $"end_ns", $"duration_ns")
+      .select($"session_seq", $"n_events", $"first_ord", $"start_ts",
+        $"end_ts", $"duration")
       .collect()
     assert(stats === Array(Row(1, 2L, 1L, 0L, 50L, 50L),
       Row(2, 1L, 3L, 500L, 500L, 0L)))
