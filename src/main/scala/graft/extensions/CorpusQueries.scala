@@ -1,7 +1,8 @@
 package graft.extensions
 
 import graft.Q
-import graft.operators.{Corpus, Temporal, TextAnalysis}
+import graft.functions.TextFns
+import graft.operators.{Corpus, Layout, Temporal, TextAnalysis}
 import graft.tables.Tables._
 import org.apache.spark.sql.functions._
 
@@ -29,6 +30,13 @@ object CorpusQueries {
   /** 32-bit md5-prefix hash (DuckDB side; mirrors TextFns.hash32). */
   private def h32(e: String) =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+
+  /** Distinct word n-gram shingles (DuckDB side; mirrors
+    * TextFns.shingles + array_distinct).
+    */
+  private def shSql(n: Int) =
+    s"list_distinct(list_transform(range(1, len($TOKS) - ${n - 2}), " +
+      s"i -> array_to_string(($TOKS)[i:i+${n - 1}], ' ')))"
 
   /** Shared session-assignment CTE prefix (DuckDB side; mirrors
     * Temporal.sessionize over events at GAP_NS).
@@ -198,6 +206,101 @@ object CorpusQueries {
          |WHERE rn <= 50 ORDER BY rn""".stripMargin) { (s, d) =>
       Corpus.vocabTopK(documents(s, d), "text", k = 50)
         .orderBy(col("rn"))
+    },
+
+    // ---- benchmark decontamination --------------------------------------
+    // Eval set = the deterministic 10% hash sample; train = the rest.
+    // A train doc is contaminated when any of its distinct 5-grams
+    // occurs anywhere in the eval set (GPT-3/PaLM overlap test).
+    Q("ext_decontaminate", {
+      val n = 5
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      s"""WITH tr AS (SELECT doc_id, ${shSql(n)} AS g FROM documents
+         |  WHERE NOT ($samp) AND len($TOKS) >= $n),
+         |eg AS (SELECT DISTINCT unnest(${shSql(n)}) AS gram
+         |  FROM documents WHERE ($samp) AND len($TOKS) >= $n),
+         |tg AS (SELECT doc_id, unnest(g) AS gram FROM tr),
+         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM tg JOIN eg USING (gram) GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.g) AS BIGINT) AS n_grams,
+         | coalesce(h.n_hit, 0) AS n_hit,
+         | CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |   / CAST(len(t.g) AS DOUBLE) AS hit_frac,
+         | coalesce(h.n_hit, 0) > 0 AS contaminated
+         |FROM tr t LEFT JOIN hit h USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val samp = TextFns.hash32(col("doc_id").cast("string")) % 100 < 10
+      Corpus.decontaminate(docs.filter(!samp), docs.filter(samp),
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus-frequency rarity profile --------------------------------
+    Q("ext_rare_tokens", {
+      val dfMax = 2
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS token
+         |  FROM documents),
+         |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM
+         |  (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN df <= $dfMax THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_rare,
+         | CAST(sum(CASE WHEN df <= $dfMax THEN 1 ELSE 0 END) AS DOUBLE)
+         |   / CAST(count(*) AS DOUBLE) AS rare_frac,
+         | min(df) AS min_df
+         |FROM tok JOIN df USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Corpus.rareTokenStats(documents(s, d), "doc_id", "text", dfMax = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- SCD2 dim history -----------------------------------------------
+    // Type-2 history of each user's event_type "state": consecutive
+    // duplicates collapse, each version valid [its ts, next change's
+    // ts) in epoch-µs, open-ended current version.
+    Q("ext_scd2",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |  event_type FROM events),
+        |m AS (SELECT *, lag(event_type) OVER
+        |  (PARTITION BY user_id ORDER BY event_id) AS pv FROM e),
+        |c AS (SELECT * FROM m WHERE pv IS NULL OR pv <> event_type),
+        |v AS (SELECT user_id, event_type, tus AS valid_from,
+        |  lead(tus) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS INT) AS version
+        | FROM c WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        | valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin) { (s, d) =>
+      Temporal.scd2(
+          eventsUs(s, d).select(col("user_id"), col("event_id"),
+            col("ts_us"), col("event_type")),
+          "user_id", "event_id", "ts_us", Seq("event_type"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
+    // ---- Z-order layout key ---------------------------------------------
+    // Morton interleave of (user_id mod 1024, event_id mod 1024) — the
+    // clustering key a z-ordered writer sorts by so parquet min-max
+    // stats prune on BOTH dimensions.
+    Q("ext_zorder", {
+      val bits = 10
+      val z = (0 until bits).map { i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString("(", " + ", ")")
+      s"""SELECT event_id, $z AS z_value FROM
+         | (SELECT event_id, user_id % 1024 AS x, event_id % 1024 AS y
+         |  FROM events)
+         |ORDER BY event_id""".stripMargin
+    }) { (s, d) =>
+      eventsRaw(s, d)
+        .select(col("event_id"),
+          Layout.zValue2(col("user_id") % 1024, col("event_id") % 1024,
+            bits = 10).as("z_value"))
+        .orderBy(col("event_id"))
     },
 
     // ---- stopword scrubbing ---------------------------------------------

@@ -416,6 +416,29 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SemDeDup-style cell-local pruning: every vector scored against
+    // its LSH cell's representative (lowest id), dropped at cos >= tau.
+    // One pass, no pair join — the cheap complement to
+    // ext_dedup_embed's exact pair graph.
+    Q("ext_semantic_prune", {
+      val b = bucketSql("embedding", 8)
+      val cos = cosSql("m.embedding", "rv.rep_vec")
+      s"""WITH m AS (SELECT vec_id, embedding, $b AS bucket
+         |  FROM embeddings),
+         |r AS (SELECT bucket, min(vec_id) AS rep_id FROM m GROUP BY 1),
+         |rv AS (SELECT r.bucket, r.rep_id, m2.embedding AS rep_vec
+         |  FROM r JOIN m m2 ON m2.vec_id = r.rep_id)
+         |SELECT m.vec_id AS vec_id, m.bucket, rv.rep_id,
+         | $cos AS rep_cos,
+         | (m.vec_id = rv.rep_id OR $cos < 0.4) AS kept
+         |FROM m JOIN rv ON m.bucket = rv.bucket
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      Dedup.semanticPrune(embeddings(s, d), "vec_id", "embedding",
+          planes = 8, tau = 0.4)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- similarity search ---------------------------------------------
     Q("ext_knn_brute", {
       val cos = cosSql("c.embedding", "q.embedding")

@@ -154,4 +154,74 @@ object Corpus {
       array_join(kept, " ").as("clean_text"),
       (size(toks) - size(kept)).cast("long").as("n_removed"))
   }
+
+  /** Benchmark decontamination (the GPT-3/PaLM n-gram overlap test):
+    * for each training doc, how many of its DISTINCT word `n`-grams
+    * also occur anywhere in the evaluation set. Emits
+    * (id, n_grams, n_hit, hit_frac, contaminated) for every training
+    * doc with at least one n-gram (< n tokens ⇒ no grams, absent —
+    * same contract as the other shinglers); `contaminated` is
+    * n_hit > 0.
+    *
+    * Scale shape: distinct grams per train doc (narrow shingle pass),
+    * the eval side collapsed to a DISTINCT gram set, then ONE
+    * equi-join keyed by gram. Because the eval side is distinct,
+    * every train gram position matches at most one row — a hot
+    * boilerplate gram cannot explode the join output, so no stop-gram
+    * guard is needed (unlike all-pairs candidate generators). The
+    * eval gram set is joined, never broadcast or collected: at 100 TB
+    * an eval suite can itself be millions of grams.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol),
+        array_distinct(TextFns.shingles(col(textCol), n)).as("__grams"))
+        .filter(size(col("__grams")) >= 1)
+    val trainGrams = grams(fanOut(train))
+    val evalGrams = grams(eval)
+      .select(explode(col("__grams")).as("gram")).distinct()
+    val hits = trainGrams
+      .select(col(idCol), explode(col("__grams")).as("gram"))
+      .join(evalGrams, "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hit"))
+    trainGrams
+      .select(col(idCol), size(col("__grams")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("__hit"), lit(0L)).cast(DoubleType) /
+          col("n_grams").cast(DoubleType)).as("hit_frac"),
+        (coalesce(col("__hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Corpus-frequency rarity profile per document (the OOV/quality
+    * filter a unigram-LM perplexity gate approximates, in exact
+    * integer arithmetic): for each doc, over its token POSITIONS,
+    * the document frequency of each token across the corpus. Emits
+    * (id, n_tokens, n_rare, rare_frac, min_df) where a position is
+    * "rare" when its token appears in at most `dfMax` docs. Integer
+    * counts + one final division — bit-identical across engines
+    * (a log-prob sum would be order- and rounding-sensitive).
+    *
+    * Scale shape: same as [[tfidf]] — explode, two hash-aggs, ONE
+    * join keyed by token; the vocabulary is never broadcast.
+    */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                     dfMax: Long): DataFrame = {
+    val positions = fanOut(docs)
+      .select(col(idCol), explode(TextFns.toks(col(textCol))).as("token"))
+    val df = positions.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    positions.join(df, "token")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("df") <= dfMax, 1L).otherwise(0L)).as("n_rare"),
+        min(col("df")).as("min_df"))
+      .withColumn("rare_frac",
+        col("n_rare").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .select(col(idCol), col("n_tokens"), col("n_rare"),
+        col("rare_frac"), col("min_df"))
+  }
 }

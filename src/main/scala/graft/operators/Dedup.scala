@@ -387,4 +387,41 @@ object Dedup {
     // duplicate, so skip the extra shuffle there
     if (tables > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
+
+  /** SemDeDup-style semantic pruning: partition the embedding space
+    * into deterministic hyperplane-LSH cells, pick one representative
+    * per cell (lowest id — stable across runs), and drop every other
+    * member whose cosine to its cell representative is at least
+    * `tau`. Emits (id, bucket, rep_id, rep_cos, kept) for every
+    * vector; the kept=true rows are the semantically deduplicated
+    * corpus.
+    *
+    * Versus [[embeddingPairs]]+[[clusters]] (exact near-dup graph):
+    * this is the cheap one-pass form — no pair join at all, O(n)
+    * cosine evaluations (each member vs one representative), which is
+    * the published SemDeDup trade-off (cluster-local pruning misses
+    * cross-cell dups but costs a single map-side pass over the
+    * corpus).
+    *
+    * Scale shape: one hash-agg for representatives (2^planes cells —
+    * bounded, so the rep side broadcasts), one broadcast join back,
+    * narrow cosine + filter. The corpus itself never shuffles. With
+    * `planes` sized so 2^planes exceeds executor-broadcast limits
+    * (>~24 at billions of docs), swap the broadcast for an equi-join
+    * keyed by bucket — same plan minus the broadcast hint.
+    */
+  def semanticPrune(embs: DataFrame, idCol: String, vecCol: String,
+                    planes: Int, tau: Double): DataFrame = {
+    val m = fanOut(embs).select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      VectorFns.lshBucket(col(vecCol), planes).as("bucket"))
+    val reps = m.groupBy(col("bucket")).agg(min(col("__id")).as("rep_id"))
+    val repVecs = m.select(col("__id"), col("__v"))
+      .join(reps, col("__id") === col("rep_id"))
+      .select(col("bucket"), col("rep_id"), col("__v").as("__rv"))
+    m.join(broadcast(repVecs), "bucket")
+      .withColumn("rep_cos", VectorFns.cosine(col("__v"), col("__rv")))
+      .select(col("__id").as(idCol), col("bucket"), col("rep_id"),
+        col("rep_cos"),
+        (col("__id") === col("rep_id") || col("rep_cos") < tau).as("kept"))
+  }
 }

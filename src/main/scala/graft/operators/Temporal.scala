@@ -72,6 +72,44 @@ object Temporal {
         max(col(tsCol)).as("end_ts"),
         (max(col(tsCol)) - min(col(tsCol))).as("duration"))
 
+  /** Type-2 slowly-changing-dimension history from an ordered change
+    * stream: collapse consecutive rows whose `attrCols` are unchanged,
+    * then interval-ize — each surviving change row becomes a version
+    * valid from its own `tsCol` until the next change's `tsCol`
+    * (exclusive; NULL for the open current version). Emits
+    * (key, attrs*, valid_from, valid_to, version, is_current), version
+    * 1-based per key in `ordCol` order.
+    *
+    * This is the dim-history generalization of the reference's
+    * latest-only Redis dim store (`DimApp`/`MyRedisUtils` keep only
+    * the newest row per pk; SCD2 keeps the full auditable timeline) —
+    * the shape a training-data pipeline needs to join facts to the
+    * dim value AS OF the fact's event time (feed [[asofJoin]] with
+    * the change rows, or range-join the intervals).
+    *
+    * Scale shape: ONE shuffle by `keyCol`; both windows (the lag
+    * change-detect and the lead/rank interval pass) sort in-partition
+    * on the same key set, so the second window reuses the first's
+    * exchange. No self-join, no state beyond a partition sort buffer.
+    * Null-safe change detection via a struct `<=>` comparison.
+    */
+  def scd2(cdc: DataFrame, keyCol: String, ordCol: String, tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2 needs at least one attribute column")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = !(attrs <=> lag(attrs, 1).over(w))
+    cdc
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol) +: attrCols.map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("version") :+ col("is_current"): _*)
+  }
+
   /** As-of join: for every `left` row, attach the payload of the
     * `right` row with the greatest `(tsCol, rightOrd)` such that
     * `right.ts <= left.ts`, matching on `keyCol`; nulls when no such

@@ -89,4 +89,43 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, String, Long)].collect()
     assert(out === Array((1L, "apple pear", 3L)))
   }
+
+  test("decontaminate: flags overlap grams, counts distinct hits once") {
+    val eval = Seq((100L, "w x y z")).toDF("id", "text") // grams: "w x","x y","y z"
+    val train = Seq(
+      (1L, "a b w x y c"), // grams incl "w x","x y" → 2 hits of 5
+      (2L, "p q r s"),     // no overlap
+      (3L, "w x w x"),     // distinct grams: "w x","x w" → 1 hit of 2
+      (4L, "solo")         // < n tokens: absent
+    ).toDF("id", "text")
+    val out = Corpus.decontaminate(train, eval, "id", "text", n = 2)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(out === Array(
+      (1L, 5L, 2L, 0.4, true),
+      (2L, 3L, 0L, 0.0, false),
+      (3L, 2L, 1L, 0.5, true)))
+  }
+
+  test("decontaminate: clean corpus against itself-free eval is clean") {
+    val train = Seq((1L, "a b c"), (2L, "d e f")).toDF("id", "text")
+    val eval = Seq((9L, "x y z")).toDF("id", "text")
+    val out = Corpus.decontaminate(train, eval, "id", "text", n = 2)
+    assert(out.filter($"contaminated").count() === 0)
+    assert(out.count() === 2)
+  }
+
+  test("rareTokenStats: positions counted, rarity by doc frequency") {
+    val d = Seq(
+      (1L, "common common rare1"), // common df=3, rare1 df=1
+      (2L, "common rare2"),
+      (3L, "common")).toDF("id", "text")
+    val out = Corpus.rareTokenStats(d, "id", "text", dfMax = 1)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(out === Array(
+      (1L, 3L, 1L, 1.0 / 3.0, 1L), // 3 positions, rare1 rare, min_df 1
+      (2L, 2L, 1L, 0.5, 1L),
+      (3L, 1L, 0L, 0.0, 3L)))
+  }
 }

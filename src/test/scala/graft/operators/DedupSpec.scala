@@ -234,4 +234,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 > 0.999)
   }
+
+  test("semanticPrune: reps always kept, near-rep members dropped") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Seq(1.0f, 0.21f, 0.1f, 0.0f)), // ≈ v1 → same cell, dropped
+      (3L, Seq(-1.0f, 0.0f, 0.3f, 0.9f))  // far → own cell, kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticPrune(embs, "vec_id", "embedding",
+        planes = 4, tau = 0.99)
+      .orderBy($"vec_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length === 3)             // every vector scored
+    assert(byId(1L)._3 === 1L && byId(1L)._5)  // rep of its cell, kept
+    assert(!byId(2L)._5)                 // cos>tau to rep 1 → dropped
+    assert(byId(3L)._5)                  // own cell rep → kept
+    // reps score 1.0 against themselves (up to fp), members their cos
+    assert(math.abs(byId(1L)._4 - 1.0) < 1e-12)
+  }
+
+  test("semanticPrune: raising tau to 1+ keeps everything") {
+    val embs = graft.tables.Tables.embeddings(spark, sf0001)
+    val out = Dedup.semanticPrune(embs, "vec_id", "embedding",
+      planes = 6, tau = 1.5)
+    assert(out.filter(!$"kept").count() === 0)
+    assert(out.count() === embs.count())
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave on the driver. */
+  private def zRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("zValue2 matches the reference interleave on a value grid") {
+    val pts = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val out = pts.toDF("a", "b")
+      .select($"a", $"b", Layout.zValue2($"a", $"b", bits = 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (a, b, z) => assert(z === zRef(a, b, 4)) }
+    // the interleave is a bijection on the grid
+    assert(out.map(_._3).distinct.length === pts.length)
+  }
+
+  test("zValue2 masks out-of-range bits instead of corrupting order") {
+    val out = Seq((1024L + 5L, 3L)).toDF("a", "b")
+      .select(Layout.zValue2($"a", $"b", bits = 10).as("z"))
+      .as[Long].head()
+    assert(out === zRef(5L, 3L, 10)) // high bits of a ignored
+  }
+
+  test("zValue2 rejects bit widths that overflow a long") {
+    intercept[IllegalArgumentException] {
+      Layout.zValue2(lit(1L), lit(1L), bits = 32)
+    }
+  }
+
+  test("clusterByZOrder: partitions hold disjoint sorted z-ranges") {
+    val df = spark.range(4096).select(
+      ($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    val clustered = Layout.clusterByZOrder(df, $"x", $"y", bits = 6,
+      numPartitions = 4)
+    val ranges = clustered
+      .select(spark_partition_id().as("p"), $"z_value")
+      .groupBy($"p")
+      .agg(min($"z_value").as("lo"), max($"z_value").as("hi"),
+        count(lit(1)).as("n"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(ranges.map(_._4).sum === 4096L)
+    // ranges are disjoint and ordered: each partition's lo exceeds the
+    // previous partition's hi (range partitioning on the z key)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 > a._3)
+      case _           => ()
+    }
+    // z-locality: both dimensions' spread inside a partition is far
+    // below the global spread (the point of interleaving)
+    val spread = clustered
+      .select(spark_partition_id().as("p"), $"x", $"y")
+      .groupBy($"p")
+      .agg((max($"x") - min($"x")).as("dx"), (max($"y") - min($"y")).as("dy"))
+      .as[(Int, Long, Long)].collect()
+    spread.foreach { case (_, dx, dy) =>
+      assert(dx <= 63L && dy < 64L) // y range 0..63 globally; each
+      // partition sees at most ~half of it
+    }
+    assert(spread.map(_._3).max < 40L)
+  }
+}

@@ -96,4 +96,43 @@ class TemporalSpec extends SparkSpec {
       Temporal.asofJoin(l, r, "k", "ts", "lid", Seq("lid"))
     }
   }
+
+  // (key, ord, ts, state)
+  private def cdc(rows: (String, Long, Long, String)*) =
+    rows.toDF("k", "ord", "ts", "state")
+
+  test("scd2: collapses repeats, intervals chain, last version open") {
+    val out = Temporal.scd2(
+      cdc(("u", 1L, 10L, "a"), ("u", 2L, 20L, "a"), ("u", 3L, 30L, "b"),
+        ("u", 4L, 40L, "a"), ("v", 5L, 50L, "x")),
+      "k", "ord", "ts", Seq("state"))
+      .orderBy($"k", $"version")
+      .as[(String, String, Long, Option[Long], Int, Boolean)].collect()
+    assert(out === Array(
+      ("u", "a", 10L, Some(30L), 1, false), // ord2 repeat collapsed
+      ("u", "b", 30L, Some(40L), 2, false),
+      ("u", "a", 40L, None, 3, true), // a again later = NEW version
+      ("v", "x", 50L, None, 1, true)))
+  }
+
+  test("scd2: null attributes compare null-safely") {
+    val rows = Seq[(String, Long, Long, String)](
+      ("u", 1L, 10L, null), ("u", 2L, 20L, null), ("u", 3L, 30L, "a"))
+      .toDF("k", "ord", "ts", "state")
+    val out = Temporal.scd2(rows, "k", "ord", "ts", Seq("state"))
+      .orderBy($"version")
+      .as[(String, Option[String], Long, Option[Long], Int, Boolean)]
+      .collect()
+    assert(out === Array(
+      ("u", None, 10L, Some(30L), 1, false), // null==null: collapsed
+      ("u", Some("a"), 30L, None, 2, true)))
+  }
+
+  test("scd2: versions and intervals are per-key independent") {
+    val out = Temporal.scd2(
+      cdc(("a", 1L, 1L, "x"), ("b", 2L, 2L, "y")),
+      "k", "ord", "ts", Seq("state"))
+    assert(out.filter($"version" === 1).count() === 2)
+    assert(out.filter($"is_current").count() === 2)
+  }
 }
