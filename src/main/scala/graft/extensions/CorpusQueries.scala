@@ -208,6 +208,33 @@ object CorpusQueries {
         .orderBy(col("rn"))
     },
 
+    // ---- duplicate-span removal -----------------------------------------
+    // C4-style remediation: 5-token blocks, keep the globally first
+    // occurrence of each distinct block, re-assemble docs in order.
+    Q("ext_despan", {
+      val n = 5
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |b AS (SELECT doc_id, bi,
+         |  array_to_string(tk[bi*$n+1:bi*$n+$n], ' ') AS btxt
+         | FROM t, unnest(range(0, CAST(ceil(len(tk)/$n.0) AS INT)))
+         |   AS u(bi)),
+         |k AS (SELECT doc_id, bi, btxt,
+         |  row_number() OVER (PARTITION BY btxt ORDER BY doc_id, bi)
+         |    AS rn
+         | FROM b)
+         |SELECT doc_id,
+         | coalesce(array_to_string(
+         |   list(btxt ORDER BY bi) FILTER (rn = 1), ' '), '')
+         |   AS clean_text,
+         | CAST(count(*) AS BIGINT) AS n_blocks,
+         | CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_removed
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Corpus.removeDuplicateSpans(documents(s, d), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- benchmark decontamination --------------------------------------
     // Eval set = the deterministic 10% hash sample; train = the rest.
     // A train doc is contaminated when any of its distinct 5-grams
@@ -279,6 +306,42 @@ object CorpusQueries {
             col("ts_us"), col("event_type")),
           "user_id", "event_id", "ts_us", Seq("event_type"))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // ---- SCD2 interval join ---------------------------------------------
+    // Facts (purchases) joined to the versioned browse-state dim built
+    // by scd2 over the non-purchase events: each purchase picks the
+    // state version whose [valid_from, valid_to) covers its timestamp.
+    Q("ext_interval_join",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |  event_type FROM events),
+        |src AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |m AS (SELECT *, lag(event_type) OVER
+        |  (PARTITION BY user_id ORDER BY event_id) AS pv FROM src),
+        |c AS (SELECT * FROM m WHERE pv IS NULL OR pv <> event_type),
+        |v AS (SELECT user_id, event_type AS state, tus AS valid_from,
+        |  lead(tus) OVER (PARTITION BY user_id ORDER BY event_id)
+        |    AS valid_to
+        | FROM c),
+        |f AS (SELECT event_id AS purchase_id, user_id, tus FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT f.purchase_id, f.user_id, v.state
+        |FROM f LEFT JOIN v ON f.user_id = v.user_id
+        |  AND f.tus >= v.valid_from
+        |  AND (v.valid_to IS NULL OR f.tus < v.valid_to)
+        |ORDER BY f.purchase_id""".stripMargin) { (s, d) =>
+      val e = eventsUs(s, d)
+      val dim = Temporal.scd2(
+        e.filter(col("event_type") =!= "purchase")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("event_type").as("state")),
+        "user_id", "event_id", "ts_us", Seq("state"))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_us"))
+      Temporal.intervalJoin(facts, dim, "user_id", "ts_us", Seq("state"))
+        .select(col("purchase_id"), col("user_id"), col("state"))
+        .orderBy(col("purchase_id"))
     },
 
     // ---- Z-order layout key ---------------------------------------------

@@ -174,25 +174,67 @@ object Corpus {
     */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame) =
-      df.select(col(idCol),
-        array_distinct(TextFns.shingles(col(textCol), n)).as("__grams"))
-        .filter(size(col("__grams")) >= 1)
-    val trainGrams = grams(fanOut(train))
-    val evalGrams = grams(eval)
-      .select(explode(col("__grams")).as("gram")).distinct()
-    val hits = trainGrams
-      .select(col(idCol), explode(col("__grams")).as("gram"))
-      .join(evalGrams, "gram")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__hit"))
-    trainGrams
-      .select(col(idCol), size(col("__grams")).cast("long").as("n_grams"))
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol), col("n_grams"),
-        coalesce(col("__hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("__hit"), lit(0L)).cast(DoubleType) /
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(TextFns.shingles(col(textCol), n))).as("gram"))
+    // ONE pass over each side: the train grams are distinct per doc, so
+    // count(*) after the explode IS n_grams — no second scan/shingle
+    // for totals, and the left join marks hits inline (the 2-scan
+    // formulation benched 5.3 s vs ~2 s for this one at sf0.1)
+    val evalGrams = grams(eval).select(col("gram")).distinct()
+      .withColumn("__hit", lit(1L))
+    grams(fanOut(train))
+      .join(evalGrams, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col(idCol), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) /
           col("n_grams").cast(DoubleType)).as("hit_frac"),
-        (coalesce(col("__hit"), lit(0L)) > 0).as("contaminated"))
+        (col("n_hit") > 0).as("contaminated"))
+  }
+
+  /** Corpus-level duplicate-SPAN removal (the C4 remediation step —
+    * [[spanDuplication]] measures the problem, this removes it):
+    * chunk each doc's tokens into consecutive `n`-token blocks, keep
+    * only the globally FIRST occurrence of every distinct block text
+    * (ordered by doc id, then block position — deterministic), and
+    * re-assemble each doc from its surviving blocks in order. Emits
+    * (id, clean_text, n_blocks, n_removed); a fully-duplicated doc
+    * survives with empty clean_text (the caller's length filter drops
+    * it). Within-doc repeats dedup too — "keep one occurrence" is
+    * global.
+    *
+    * Scale shape: explode blocks (narrow), ONE shuffle keyed by block
+    * text for the first-occurrence window, ONE shuffle back by doc for
+    * ordered re-assembly (array_sort over collected (pos, text)
+    * structs — never order-dependent collect_list output). No pair
+    * join. At 100 TB, window on xxhash64(block) and keep the text
+    * only for collision verification if shuffle bytes dominate.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"block size must be >= 1, got $n")
+    val toks = TextFns.toks(col(textCol))
+    val nBlocks = ceil(size(toks) / lit(n.toDouble)).cast("int")
+    val b = fanOut(docs).select(col(idCol),
+        explode(transform(sequence(lit(0), nBlocks - 1), i =>
+          struct(i.cast("int").as("bi"),
+            array_join(slice(toks, i * n + 1, lit(n)), " ").as("btxt"))))
+          .as("b"))
+      .select(col(idCol), col("b.bi").as("bi"), col("b.btxt").as("btxt"))
+    val w = Window.partitionBy(col("btxt")).orderBy(col(idCol), col("bi"))
+    b.withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("rn") === 1, struct(col("bi"), col("btxt"))))),
+            s => s.getField("btxt")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
   }
 
   /** Corpus-frequency rarity profile per document (the OOV/quality

@@ -110,6 +110,43 @@ object Temporal {
         col("valid_to") :+ col("version") :+ col("is_current"): _*)
   }
 
+  /** Interval join of facts to an SCD2 dimension (the warehouse
+    * pattern [[scd2]] feeds): attach to every fact row the dim
+    * version whose `[valid_from, valid_to)` interval contains the
+    * fact's `tsCol` — i.e. the dim value AS OF the fact's event time.
+    * Facts with no covering version (before the key's first change,
+    * or an unknown key) pass through with null dim columns. Fact
+    * columns pass through unchanged; `dimCols` (names must not
+    * collide) are appended.
+    *
+    * Scale shape: ONE equi-join keyed by `keyCol` with the interval
+    * predicate as a residual condition — each fact matches at most
+    * one version by construction (intervals per key are disjoint), so
+    * the join output is |facts|, never a range-explosion. Versus
+    * [[asofJoin]]: same answer when the dim comes from [[scd2]], but
+    * this form joins a *materialized* history table (the common case:
+    * dim history maintained incrementally, facts arriving later) and
+    * needs no union/sort of facts with dim rows.
+    */
+  def intervalJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+                   tsCol: String, dimCols: Seq[String]): DataFrame = {
+    require(dimCols.nonEmpty, "intervalJoin needs at least one dim column")
+    val collisions = dimCols.toSet.intersect(facts.columns.toSet)
+    require(collisions.isEmpty,
+      s"dim columns collide with fact columns: $collisions")
+    val factCols = facts.columns.toSeq
+    val d = dim.select(
+      col(keyCol).as("__k"), col("valid_from"), col("valid_to"),
+      struct(dimCols.map(col): _*).as("__dim"))
+    facts.join(d,
+        col(keyCol) === col("__k") &&
+          col(tsCol) >= col("valid_from") &&
+          (col("valid_to").isNull || col(tsCol) < col("valid_to")),
+        "left")
+      .select(factCols.map(col) ++
+        dimCols.map(c => col(s"__dim.$c").as(c)): _*)
+  }
+
   /** As-of join: for every `left` row, attach the payload of the
     * `right` row with the greatest `(tsCol, rightOrd)` such that
     * `right.ts <= left.ts`, matching on `keyCol`; nulls when no such

@@ -115,6 +115,28 @@ class CorpusSpec extends SparkSpec {
     assert(out.count() === 2)
   }
 
+  test("removeDuplicateSpans: global first occurrence wins, docs reassemble") {
+    val d = Seq(
+      (1L, "a b c d"),     // blocks(2): "a b","c d"
+      (2L, "c d a b x"),   // "c d","a b" dup → removed; tail "x" kept
+      (3L, "a b a b")      // within-doc repeat: first survives only
+    ).toDF("id", "text")
+    val out = Corpus.removeDuplicateSpans(d, "id", "text", n = 2)
+      .orderBy($"id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out === Array(
+      (1L, "a b c d", 2L, 0L),
+      (2L, "x", 3L, 2L),
+      (3L, "", 2L, 2L))) // both its blocks are later occurrences
+  }
+
+  test("removeDuplicateSpans: unique corpus passes through unchanged") {
+    val d = Seq((1L, "p q r"), (2L, "s t u")).toDF("id", "text")
+    val out = Corpus.removeDuplicateSpans(d, "id", "text", n = 3)
+      .orderBy($"id").as[(Long, String, Long, Long)].collect()
+    assert(out === Array((1L, "p q r", 1L, 0L), (2L, "s t u", 1L, 0L)))
+  }
+
   test("rareTokenStats: positions counted, rarity by doc frequency") {
     val d = Seq(
       (1L, "common common rare1"), // common df=3, rare1 df=1

@@ -135,4 +135,32 @@ class TemporalSpec extends SparkSpec {
     assert(out.filter($"version" === 1).count() === 2)
     assert(out.filter($"is_current").count() === 2)
   }
+
+  test("intervalJoin: facts pick the covering version, boundaries [from,to)") {
+    val dim = Temporal.scd2(
+      cdc(("u", 1L, 10L, "a"), ("u", 2L, 30L, "b")),
+      "k", "ord", "ts", Seq("state"))
+    val facts = Seq(("u", 5L, 100L), ("u", 10L, 101L), ("u", 29L, 102L),
+      ("u", 30L, 103L), ("u", 99L, 104L), ("w", 50L, 105L))
+      .toDF("k", "ts", "fid")
+    val out = Temporal.intervalJoin(facts, dim, "k", "ts", Seq("state"))
+      .select($"fid", $"state").as[(Long, Option[String])].collect().toMap
+    assert(out === Map(
+      100L -> None,       // before first version
+      101L -> Some("a"),  // boundary inclusive at valid_from
+      102L -> Some("a"),
+      103L -> Some("b"),  // valid_to exclusive: 30 belongs to "b"
+      104L -> Some("b"),  // open current version
+      105L -> None))      // unknown key
+  }
+
+  test("intervalJoin: output is exactly one row per fact") {
+    val dim = Temporal.scd2(
+      cdc(("u", 1L, 10L, "a"), ("u", 2L, 20L, "b"), ("u", 3L, 30L, "c")),
+      "k", "ord", "ts", Seq("state"))
+    val facts = (0L until 50L).map(i => ("u", i, i)).toDF("k", "ts", "fid")
+    val out = Temporal.intervalJoin(facts, dim, "k", "ts", Seq("state"))
+    assert(out.count() === 50L)
+    assert(out.columns.toSeq === Seq("k", "ts", "fid", "state"))
+  }
 }
