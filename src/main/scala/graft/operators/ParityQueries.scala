@@ -469,6 +469,48 @@ object ParityQueries {
         .orderBy(col("status_label"))
     },
 
+    // ---- A7: rollup / grouping-sets cube over (dt, hr) -------------------
+    // Multi-grain OLAP in one pass: per-hour, per-day and grand-total
+    // rows from a single rollup (Catalyst expands grouping sets into
+    // one Expand + hash-agg — no per-grain re-scan). grouping_id
+    // disambiguates the grain, matching DuckDB's GROUPING() pair.
+    Q("a7_rollup",
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, CAST(hour(ts) AS INT) AS hr,
+        | COUNT(*) AS ct,
+        | CAST(GROUPING(strftime(ts, '%Y-%m-%d')) * 2
+        |   + GROUPING(CAST(hour(ts) AS INT)) AS BIGINT) AS grain
+        |FROM events
+        |GROUP BY ROLLUP (strftime(ts, '%Y-%m-%d'), CAST(hour(ts) AS INT))
+        |ORDER BY grain, dt, hr""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(Cols.dt(col("ts")).as("dt"), Cols.hr(col("ts")).as("hr"))
+        .rollup(col("dt"), col("hr"))
+        .agg(count(lit(1)).as("ct"), grouping_id().cast("long").as("grain"))
+        .orderBy(col("grain"), col("dt"), col("hr"))
+    },
+
+    // ---- A8: exact percentiles per group ---------------------------------
+    // Exact linear-interpolated quantiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`): the distribution profile a quality gate reads
+    // (median/tail of per-event value by type). Exact beats sketch at
+    // oracle parity; at 100 TB swap percentile_approx in at the SAME
+    // call site when a bounded-memory sketch is preferred.
+    Q("a8_percentiles",
+      """SELECT event_type,
+        | quantile_cont(value, 0.5) AS p50,
+        | quantile_cont(value, 0.95) AS p95,
+        | CAST(count(*) AS BIGINT) AS ct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.95)").as("p95"),
+            count(lit(1)).as("ct"))
+          .orderBy(col("event_type"))
+    },
+
     // ---- W1: top-K groups by count (ES terms size(K)) --------------------
     // Top-K via the map-side bounded-heap aggregate (TopKByScore): each
     // partition reduces to ≤ K candidates before the shuffle, so no
