@@ -78,26 +78,44 @@ object TextAnalysis {
       best.getField("hits").cast("long").as("hits"))
   }
 
+  /** The quality blend over (text, tokens, per-language hit array) —
+    * one definition shared by the batch scorer and the streaming
+    * ingest gate so both paths score identically.
+    */
+  private def qualityBlend(text: Column, toks: Column,
+                           hits: Column): Column = {
+    val nTok = size(toks).cast(DoubleType)
+    val lenTerm = least(nTok / 100.0, lit(1.0))
+    val diversity = size(array_distinct(toks)).cast(DoubleType) / nTok
+    val stopHits = stopwords.indices
+      .map(i => element_at(hits, i + 1))
+      .reduce(_ + _).cast(DoubleType)
+    val stopTerm = least(stopHits * 4.0 / nTok, lit(1.0))
+    val punct = size(split(text, "[.!?,;:]")) - 1
+    val punctTerm = lit(1.0) - least(
+      punct.cast(DoubleType) / nTok, lit(1.0))
+    lenTerm * 0.3 + diversity * 0.3 + stopTerm * 0.2 + punctTerm * 0.2
+  }
+
+  /** Self-contained quality Column for streaming/projection use —
+    * bit-identical to [[qualityScore]] (same blend, same expression
+    * trees; Spark's subexpression elimination shares the repeated
+    * token split inside the one projection).
+    */
+  def qualityCol(text: Column): Column =
+    qualityBlend(text, TextFns.toks(text),
+      Bridge.column(graft.expressions.StopwordHits(
+        Bridge.expression(TextFns.toks(text)), stopwords.map(_._2))))
+
   /** Quality score in [0,1]: weighted blend of length saturation,
     * lexical diversity, stopword ratio and punct scarcity. All terms are
     * exact integer ratios in double — deterministic and oracle-matchable.
     */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col("__toks")
     val docsT = withHits(docs, textCol)
       .withColumn("__toks", TextFns.toks(col(textCol)))
-    val nTok = size(t).cast(DoubleType)
-    val lenTerm = least(nTok / 100.0, lit(1.0))
-    val diversity = size(array_distinct(t)).cast(DoubleType) / nTok
-    val stopHits = stopwords.indices
-      .map(i => element_at(col("__hits"), i + 1))
-      .reduce(_ + _).cast(DoubleType)
-    val stopTerm = least(stopHits * 4.0 / nTok, lit(1.0))
-    val punct = size(split(col(textCol), "[.!?,;:]")) - 1
-    val punctTerm = lit(1.0) - least(
-      punct.cast(DoubleType) / nTok, lit(1.0))
     docsT.select(col(idCol),
-      (lenTerm * 0.3 + diversity * 0.3 + stopTerm * 0.2 + punctTerm * 0.2)
+      qualityBlend(col(textCol), col("__toks"), col("__hits"))
         .as("quality"))
   }
 
