@@ -2,7 +2,7 @@ package graft.extensions
 
 import graft.Q
 import graft.functions.TextFns
-import graft.operators.{Corpus, Layout, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Layout, Stats, Temporal, TextAnalysis}
 import graft.tables.Tables._
 import org.apache.spark.sql.functions._
 
@@ -206,6 +206,97 @@ object CorpusQueries {
          |WHERE rn <= 50 ORDER BY rn""".stripMargin) { (s, d) =>
       Corpus.vocabTopK(documents(s, d), "text", k = 50)
         .orderBy(col("rn"))
+    },
+
+    // ---- context-window chunking ----------------------------------------
+    // Sliding 40-token windows with 8 tokens of carried context
+    // (stride 32): training-sequence prep over the documents table.
+    Q("ext_chunk", {
+      val (mx, ov) = (40, 8)
+      val st = mx - ov
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |c AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |  tk[ci*$st+1:ci*$st+$mx] AS ct
+         | FROM t, unnest(range(0, greatest(
+         |   CAST(ceil((len(tk) - $ov)/$st.0) AS INT), 1))) AS u(ci))
+         |SELECT doc_id, chunk_idx, array_to_string(ct, ' ') AS chunk_text,
+         | CAST(len(ct) AS BIGINT) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+      Corpus.chunk(documents(s, d), "doc_id", "text",
+          maxTokens = 40, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- deterministic train/val/test split ------------------------------
+    Q("ext_splits",
+      s"""SELECT doc_id,
+         | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${h32("CAST(doc_id AS VARCHAR)")} % 100 AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.assignSplits(documents(s, d), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- per-group winsorization -----------------------------------------
+    // Outlier clipping of event values into their type's exact
+    // [p05, p95] (quantile parity proven by a8_percentiles).
+    Q("ext_winsorize",
+      """WITH q AS (SELECT event_type,
+        |  quantile_cont(value, 0.05) AS p_lo,
+        |  quantile_cont(value, 0.95) AS p_hi
+        | FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value, p_lo, p_hi,
+        | least(greatest(value, p_lo), p_hi) AS clipped
+        |FROM events e JOIN q USING (event_type)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      Stats.winsorize(
+          events(s, d).select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value", lo = 0.05, hi = 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("p_lo"), col("p_hi"), col("clipped"))
+        .orderBy(col("event_id"))
+    },
+
+    // ---- forward as-of join ----------------------------------------------
+    // For every click, the EARLIEST same-user purchase at-or-after it
+    // (ties: same-ts purchase visible, smallest event_id wins) — the
+    // conversion-attribution mirror of ext_asof_join.
+    Q("ext_asof_fwd",
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |  event_type FROM events),
+        |c AS (SELECT event_id AS click_id, user_id, tus FROM e
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id, tus AS ptus
+        |  FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT click_id, purchase_id, ptus,
+        |   row_number() OVER (PARTITION BY click_id
+        |     ORDER BY ptus, purchase_id) AS rn
+        | FROM c JOIN p USING (user_id) WHERE ptus >= c.tus)
+        |SELECT c.click_id, m.purchase_id,
+        | CAST(m.ptus - c.tus AS BIGINT) AS lead_us
+        |FROM c LEFT JOIN (SELECT click_id, purchase_id, ptus FROM m
+        |  WHERE rn = 1) m ON c.click_id = m.click_id
+        |ORDER BY c.click_id""".stripMargin) { (s, d) =>
+      val raw = eventsUs(s, d)
+      val clicks = raw.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_us"))
+      val purchases = raw.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("purchase_id"),
+          col("ts_us").as("purchase_us"))
+      Temporal.asofJoinForward(clicks, purchases, "user_id", "ts_us",
+          rightOrd = "purchase_id",
+          payload = Seq("purchase_id", "purchase_us"))
+        .select(col("click_id"), col("purchase_id"),
+          (col("purchase_us") - col("ts_us")).as("lead_us"))
+        .orderBy(col("click_id"))
     },
 
     // ---- duplicate-span removal -----------------------------------------

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Corpus-level curation operators a training-data pipeline runs after
   * per-document scoring: keyword extraction (TF-IDF), deterministic
@@ -235,6 +235,53 @@ object Corpus {
           " ").as("clean_text"),
         count(lit(1)).as("n_blocks"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** Context-window chunking: slice each doc's tokens into sliding
+    * windows of `maxTokens` with `overlap` tokens carried between
+    * consecutive chunks (training-sequence prep: every token appears
+    * in at least one chunk, boundaries see `overlap` tokens of
+    * context). Emits (id, chunk_idx, chunk_text, n_chunk_tokens);
+    * docs at or under `maxTokens` yield exactly one chunk, the last
+    * chunk may be short. Narrow explode — no shuffle, no state.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    val toks = TextFns.toks(col(textCol))
+    val nChunks = greatest(
+      ceil((size(toks) - overlap) / lit(stride.toDouble)).cast("int"),
+      lit(1))
+    fanOut(docs).select(col(idCol),
+        explode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct(i.cast("int").as("chunk_idx"),
+            slice(toks, i * stride + 1, lit(maxTokens)).as("ctoks"))))
+          .as("c"))
+      .select(col(idCol), col("c.chunk_idx").as("chunk_idx"),
+        array_join(col("c.ctoks"), " ").as("chunk_text"),
+        size(col("c.ctoks")).cast("long").as("n_chunk_tokens"))
+  }
+
+  /** Deterministic named-split assignment (train/val/test): buckets
+    * the md5 hash of the id into `splits` percent ranges (must sum to
+    * 100). Reproducible across runs and engines, content-independent,
+    * and a narrow projection — the split column rides with the row,
+    * no sampling shuffle. Returns the frame + `split`.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100, got $splits")
+    require(splits.forall(_._2 > 0), s"split percents must be > 0: $splits")
+    val h = TextFns.hash32(col(idCol).cast("string")) % 100
+    val cuts = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val split = splits.zip(cuts).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), other) =>
+      when(h < hi, name).otherwise(other)
+    }
+    df.withColumn("split", split)
   }
 
   /** Corpus-frequency rarity profile per document (the OOV/quality

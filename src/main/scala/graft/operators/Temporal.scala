@@ -162,7 +162,27 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightOrd: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, rightOrd, payload,
+      forward = false)
+
+  /** Forward as-of join: for every `left` row, the payload of the
+    * EARLIEST `right` row with `right.ts >= left.ts` on the same key
+    * (the mirror of [[asofJoin]] — "next following event" instead of
+    * "latest preceding"). Ties at equal ts: the same-ts right row is
+    * visible, and among right rows with one timestamp the SMALLEST
+    * `rightOrd` wins (the earliest, mirroring backward's latest).
+    * Same union-and-carry cost: ONE shuffle, one sort, no pair join.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+                      tsCol: String, rightOrd: String,
+                      payload: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCol, tsCol, rightOrd, payload,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, rightOrd: String,
+                       payload: Seq[String], forward: Boolean): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
@@ -179,10 +199,17 @@ object Temporal {
       .withColumn("__pay", lit(null).cast(r.schema("__pay").dataType))
       .withColumn("__side", lit(1))
 
-    // right rows sort before left rows at equal ts (side 0 < 1), so a
-    // same-ts right row is carried into the left row's output
+    // Backward scans time ascending; forward scans descending (so the
+    // carried value is the nearest FOLLOWING row). Right rows sort
+    // before left rows at equal ts in scan order either way (side
+    // 0 < 1), so a same-ts right row is carried into the left row's
+    // output; __ord matches the scan direction so the carried row is
+    // the latest ord (backward) / earliest ord (forward) within a tie.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"), col("__ord"))
+      .orderBy(
+        (if (forward) col(tsCol).desc else col(tsCol).asc) +:
+          col("__side").asc +:
+          (if (forward) Seq(col("__ord").desc) else Seq(col("__ord").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     l.unionByName(r, allowMissingColumns = true)

@@ -137,6 +137,51 @@ class CorpusSpec extends SparkSpec {
     assert(out === Array((1L, "p q r", 1L, 0L), (2L, "s t u", 1L, 0L)))
   }
 
+  test("chunk: sliding windows with overlap, every token covered") {
+    val d = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))) // 11 tokens
+      .toDF("id", "text")
+    val out = Corpus.chunk(d, "id", "text", maxTokens = 5, overlap = 2)
+      .orderBy($"chunk_idx")
+      .as[(Long, Int, String, Long)].collect()
+    // stride 3: ceil((11-2)/3)=3 chunks at starts 1, 4, 7 → last is
+    // t7..t11 (5 tokens, clipped at the end)
+    assert(out === Array(
+      (1L, 0, "t1 t2 t3 t4 t5", 5L),
+      (1L, 1, "t4 t5 t6 t7 t8", 5L),
+      (1L, 2, "t7 t8 t9 t10 t11", 5L)))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(out(0)._3.split(" ").takeRight(2) === out(1)._3.split(" ").take(2))
+  }
+
+  test("chunk: short doc yields one whole chunk") {
+    val d = Seq((1L, "a b c")).toDF("id", "text")
+    val out = Corpus.chunk(d, "id", "text", maxTokens = 10, overlap = 3)
+      .as[(Long, Int, String, Long)].collect()
+    assert(out === Array((1L, 0, "a b c", 3L)))
+  }
+
+  test("assignSplits: deterministic, ratios sum, every row labeled") {
+    val big = spark.range(1000).withColumnRenamed("id", "k")
+    val out = Corpus.assignSplits(big, "k",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val counts = out.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 1000L)
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts("val") > 50 && counts("val") < 180)
+    // re-run assigns identically (hash-keyed, not rand)
+    val again = Corpus.assignSplits(big, "k",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    assert(out.orderBy($"k").collect() === again.orderBy($"k").collect())
+  }
+
+  test("assignSplits: rejects percents that do not sum to 100") {
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(spark.range(1).toDF("k"), "k",
+        Seq("train" -> 80, "val" -> 10))
+    }
+  }
+
   test("rareTokenStats: positions counted, rarity by doc frequency") {
     val d = Seq(
       (1L, "common common rare1"), // common df=3, rare1 df=1

@@ -136,6 +136,39 @@ class TemporalSpec extends SparkSpec {
     assert(out.filter($"is_current").count() === 2)
   }
 
+  test("asofJoinForward: earliest following row, ties to smallest ord") {
+    val left = Seq(("u", 100L, 1L), ("u", 250L, 2L), ("u", 400L, 3L))
+      .toDF("k", "ts", "lid")
+    val right = Seq(("u", 100L, 11L), ("u", 100L, 12L), ("u", 300L, 13L))
+      .toDF("k", "ts", "rid").withColumn("rts", $"ts")
+    val out = Temporal.asofJoinForward(left, right, "k", "ts",
+        rightOrd = "rid", payload = Seq("rid", "rts"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(
+      1L -> Some(11L), // same-ts visible; SMALLEST rid wins the tie
+      2L -> Some(13L), // next following
+      3L -> None))     // nothing after
+  }
+
+  test("asofJoinForward mirrors asofJoin under time reversal") {
+    val left = Seq(("u", 10L, 1L), ("u", 20L, 2L), ("v", 5L, 3L))
+      .toDF("k", "ts", "lid")
+    val right = Seq(("u", 12L, 21L), ("u", 19L, 22L), ("v", 9L, 23L))
+      .toDF("k", "ts", "rid").withColumn("rts", $"ts")
+    val fwd = Temporal.asofJoinForward(left, right, "k", "ts", "rid",
+        Seq("rid")).select($"lid", $"rid")
+      .as[(Long, Option[Long])].collect().toMap
+    // reverse time on both sides; backward asof must agree
+    def neg(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", -$"ts")
+    val bwdOnNeg = Temporal.asofJoin(neg(left),
+        neg(right).withColumn("rid", -$"rid"), "k", "ts", "rid",
+        Seq("rid"))
+      .select($"lid", (-$"rid").as("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fwd === bwdOnNeg)
+  }
+
   test("intervalJoin: facts pick the covering version, boundaries [from,to)") {
     val dim = Temporal.scd2(
       cdc(("u", 1L, 10L, "a"), ("u", 2L, 30L, "b")),
