@@ -208,6 +208,38 @@ object CorpusQueries {
         .orderBy(col("rn"))
     },
 
+    // ---- pretraining sequence packing ------------------------------------
+    // Concatenate all docs in id order, cut into 64-token sequences,
+    // splitting docs at boundaries. The oracle states the semantics
+    // with a global cumsum window; the engine computes the same
+    // prefix-sum via the two-level zipWithIndex shape (bucketed
+    // window + driver offsets) — no corpus-sized sequential pass.
+    Q("ext_pack", {
+      val L = 64
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM t
+         |  WHERE len(tk) >= 1),
+         |o AS (SELECT doc_id, tk, n,
+         |  CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS off
+         | FROM n),
+         |p AS (SELECT doc_id, tk, n, off, CAST(s AS BIGINT) AS seq_id,
+         |   CAST(greatest(s*$L - off, 0) AS BIGINT) AS st,
+         |   CAST(least((s+1)*$L - off, n) AS BIGINT) AS en
+         |  FROM o, unnest(range(off // $L, (off + n - 1) // $L + 1))
+         |    AS u(s))
+         |SELECT doc_id, seq_id,
+         | st + 1 AS doc_tok_start,
+         | off + st - seq_id*$L + 1 AS seq_tok_start,
+         | en - st AS piece_len,
+         | array_to_string(tk[st+1:en], ' ') AS piece_text
+         |FROM p ORDER BY doc_id, seq_id""".stripMargin
+    }) { (s, d) =>
+      Corpus.packSequences(documents(s, d), "doc_id", "text", seqLen = 64)
+        .orderBy(col("doc_id"), col("seq_id"))
+    },
+
     // ---- context-window chunking ----------------------------------------
     // Sliding 40-token windows with 8 tokens of carried context
     // (stride 32): training-sequence prep over the documents table.

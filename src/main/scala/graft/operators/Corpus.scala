@@ -284,6 +284,77 @@ object Corpus {
     df.withColumn("split", split)
   }
 
+  /** Pretraining sequence packing: concatenate all docs' tokens in
+    * `idCol` order and cut the stream into sequences of exactly
+    * `seqLen` tokens, splitting docs at sequence boundaries (the
+    * GPT-style packing that wastes no tokens on padding). Emits one
+    * row per (sequence × doc piece):
+    * (id, seq_id, doc_tok_start, seq_tok_start, piece_len,
+    * piece_text) — assembling pieces by (seq_id, seq_tok_start)
+    * reproduces each training sequence; the final sequence may be
+    * short. 1-based token offsets.
+    *
+    * The interesting part at 100 TB is the GLOBAL prefix-sum of token
+    * counts, which a naive `sum over (ORDER BY id)` window computes
+    * on a single partition (the exact plan shape this engine bans —
+    * PlanLintSpec enforces it). Here it is the two-level
+    * zipWithIndex shape: a window cumsum inside id-range buckets
+    * (shuffle keyed by bucket), bucket TOTALS reduced to |buckets|
+    * rows and prefix-summed on the driver (exactly how
+    * `RDD.zipWithIndex` handles per-partition counts), broadcast
+    * back, and the two added. `bucketSize` controls the fan:
+    * |buckets| ≈ id-range / bucketSize — size it so the driver pass
+    * stays thousands-to-millions of longs, while each bucket's
+    * in-partition sort stays bounded.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, bucketSize: Int = 4096): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    val toks = TextFns.toks(col(textCol))
+    // floor-div keeps bucket monotone in id (negative ids included)
+    val bucket = floor(col(idCol).cast("long") / bucketSize).cast("long")
+    val base = fanOut(docs).select(col(idCol), col(textCol),
+      bucket.as("__bkt"), size(toks).cast("long").as("__n"))
+    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = base.withColumn("__cum", sum(col("__n")).over(inBucket))
+    // |buckets| rows reduced then prefix-summed on the driver — the
+    // RDD.zipWithIndex pattern; never a corpus-sized sequential pass
+    val totals = base.groupBy(col("__bkt"))
+      .agg(sum(col("__n")).as("__bn"))
+      .orderBy(col("__bkt"))
+      .collect()
+    var acc = 0L
+    val offRows = totals.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getLong(0), o)
+    }.toSeq
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val offsets = offRows.toDF("__bkt", "__boff")
+    val withOff = cumIn.join(broadcast(offsets), "__bkt")
+      .withColumn("__off", col("__boff") + col("__cum") - col("__n"))
+      .filter(col("__n") >= 1)
+    val sFirst = floor(col("__off") / seqLen).cast("long")
+    val sLast = floor((col("__off") + col("__n") - 1) / seqLen).cast("long")
+    withOff
+      .select(col(idCol), col(textCol), col("__off"), col("__n"),
+        explode(sequence(sFirst, sLast)).as("seq_id"))
+      .withColumn("__start", // 0-based within doc
+        greatest(col("seq_id") * seqLen - col("__off"), lit(0L)))
+      .withColumn("__end", // exclusive
+        least((col("seq_id") + 1) * seqLen - col("__off"), col("__n")))
+      .select(col(idCol), col("seq_id"),
+        (col("__start") + 1).as("doc_tok_start"),
+        (col("__off") + col("__start") - col("seq_id") * seqLen + 1)
+          .as("seq_tok_start"),
+        (col("__end") - col("__start")).as("piece_len"),
+        array_join(slice(TextFns.toks(col(textCol)),
+          (col("__start") + 1).cast("int"),
+          (col("__end") - col("__start")).cast("int")), " ")
+          .as("piece_text"))
+  }
+
   /** Corpus-frequency rarity profile per document (the OOV/quality
     * filter a unigram-LM perplexity gate approximates, in exact
     * integer arithmetic): for each doc, over its token POSITIONS,

@@ -175,6 +175,51 @@ class CorpusSpec extends SparkSpec {
     assert(out.orderBy($"k").collect() === again.orderBy($"k").collect())
   }
 
+  test("packSequences: pieces tile sequences exactly, docs split at cuts") {
+    // 3+4+5 = 12 tokens, seqLen 5 → seqs: [a1 a2 a3 b1 b2][b3 b4 c1 c2 c3][c4 c5]
+    val d = Seq(
+      (1L, "a1 a2 a3"), (2L, "b1 b2 b3 b4"), (3L, "c1 c2 c3 c4 c5"))
+      .toDF("id", "text")
+    val out = Corpus.packSequences(d, "id", "text", seqLen = 5)
+      .orderBy($"seq_id", $"seq_tok_start")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (1L, 0L, 1L, 1L, 3L, "a1 a2 a3"),
+      (2L, 0L, 1L, 4L, 2L, "b1 b2"),
+      (2L, 1L, 3L, 1L, 2L, "b3 b4"),
+      (3L, 1L, 1L, 3L, 3L, "c1 c2 c3"),
+      (3L, 2L, 4L, 1L, 2L, "c4 c5")))
+  }
+
+  test("packSequences: reassembled stream equals concatenated corpus") {
+    val docs = (1L to 40L)
+      .map(i => (i, (1 to (i % 7 + 1).toInt).map(j => s"w${i}_$j")
+        .mkString(" ")))
+      .toDF("id", "text")
+    val L = 11
+    val pieces = Corpus.packSequences(docs, "id", "text", seqLen = L,
+        bucketSize = 8)
+      .orderBy($"seq_id", $"seq_tok_start")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    // every sequence except the last is exactly L tokens, tiled with
+    // no gaps or overlaps
+    val bySeq = pieces.groupBy(_._2).toSeq.sortBy(_._1)
+    bySeq.init.foreach { case (_, ps) => assert(ps.map(_._5).sum === L) }
+    bySeq.foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.head._4 === 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._5)
+        case _           => ()
+      }
+    }
+    // and the concatenation in (seq, pos) order is the corpus in id order
+    val stream = pieces.flatMap(_._6.split(" ")).toSeq
+    val corpus = docs.orderBy($"id").as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).toSeq
+    assert(stream === corpus)
+  }
+
   test("assignSplits: rejects percents that do not sum to 100") {
     intercept[IllegalArgumentException] {
       Corpus.assignSplits(spark.range(1).toDF("k"), "k",
