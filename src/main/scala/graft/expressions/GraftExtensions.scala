@@ -71,6 +71,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit("minhash_sig", "shingleN", 2, children))
       }))
     ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      new ExpressionInfo("graft.operators.Layout", "z_value"),
+      (children: Seq[Expression]) => {
+        // catalyst nodes directly: a function builder's children are
+        // already resolved, so Column-DSL trees (which re-wrap as
+        // unresolved functions) can't be returned here
+        import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Multiply, ShiftRight}
+        import org.apache.spark.sql.types.LongType
+        checkArity("z_value", 3, children)
+        val bits = intLit("z_value", "bits", 2, children)
+        if (bits < 1 || bits > 31)
+          throw new AnalysisException(
+            errorClass = "UNEXPECTED_INPUT_TYPE",
+            messageParameters = Map(
+              "paramIndex" -> "3",
+              "functionName" -> "`z_value`",
+              "requiredType" -> "\"INT in [1, 31]\"",
+              "inputSql" -> s"\"$bits\"",
+              "inputType" -> "\"INT\""))
+        val a = Cast(children(0), LongType)
+        val b = Cast(children(1), LongType)
+        def bit(e: Expression, i: Int, pos: Int): Expression =
+          Multiply(
+            BitwiseAnd(ShiftRight(e, Literal(i)), Literal(1L)),
+            Literal(1L << pos))
+        (0 until bits).flatMap(i =>
+          Seq(bit(a, i, 2 * i), bit(b, i, 2 * i + 1)))
+          .reduce[Expression](Add(_, _))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("top_k_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score"),
       (children: Seq[Expression]) => {

@@ -81,6 +81,12 @@ class CosineSimilaritySpec extends SparkSpec {
       assert(mh.length == 4 && mh.forall(v => v >= 0 && v < 2147483647L))
       assert(sh.getLong(2) >= 0L && sh.getLong(2) < (1L << 16))
       assert(sh.getSeq[String](3) == Seq("a b", "b c"))
+      // z-order interleave: bit 0 of a → position 0, bit 0 of b → 1
+      val zv = withExt.sql(
+        "SELECT z_value(1L, 1L, 4) AS z1, z_value(3L, 0L, 4) AS z2")
+        .collect().head
+      assert(zv.getLong(0) == 3L) // ...0011
+      assert(zv.getLong(1) == 5L) // a bits at even positions: 101
       // misuse fails analysis with the expected signature, not an
       // IndexOutOfBounds/NumberFormat from inside the builder
       def analysisError(q: String): String =
