@@ -205,12 +205,16 @@ object Corpus {
     * it). Within-doc repeats dedup too — "keep one occurrence" is
     * global.
     *
-    * Scale shape: explode blocks (narrow), ONE shuffle keyed by block
-    * text for the first-occurrence window, ONE shuffle back by doc for
-    * ordered re-assembly (array_sort over collected (pos, text)
-    * structs — never order-dependent collect_list output). No pair
-    * join. At 100 TB, window on xxhash64(block) and keep the text
-    * only for collision verification if shuffle bytes dominate.
+    * Scale shape: explode blocks (narrow), the global first
+    * occurrence per block via a MIN-aggregate keyed by block text
+    * (map-side partial combine — a boilerplate block repeated 10^8
+    * times reduces inside each task, where a `row_number` window
+    * would sort all its occurrences on ONE task), one join back by
+    * block, ONE shuffle by doc for ordered re-assembly (array_sort
+    * over collected (pos, text) structs — never order-dependent
+    * collect_list output). No pair join. At 100 TB, key the agg/join
+    * on xxhash64(block) and keep the text only for collision
+    * verification if shuffle bytes dominate.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String,
                            textCol: String, n: Int): DataFrame = {
@@ -223,18 +227,22 @@ object Corpus {
             array_join(slice(toks, i * n + 1, lit(n)), " ").as("btxt"))))
           .as("b"))
       .select(col(idCol), col("b.bi").as("bi"), col("b.btxt").as("btxt"))
-    val w = Window.partitionBy(col("btxt")).orderBy(col(idCol), col("bi"))
-    b.withColumn("rn", row_number().over(w))
+    // struct ordering = (id, bi) lexicographic: the global first
+    val firsts = b.groupBy(col("btxt"))
+      .agg(min(struct(col(idCol), col("bi"))).as("__first"))
+    b.join(firsts, "btxt")
+      .withColumn("__kept",
+        struct(col(idCol), col("bi")) === col("__first"))
       .groupBy(col(idCol))
       .agg(
         array_join(
           transform(
             array_sort(collect_list(
-              when(col("rn") === 1, struct(col("bi"), col("btxt"))))),
+              when(col("__kept"), struct(col("bi"), col("btxt"))))),
             s => s.getField("btxt")),
           " ").as("clean_text"),
         count(lit(1)).as("n_blocks"),
-        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_removed"))
+        sum(when(!col("__kept"), 1L).otherwise(0L)).as("n_removed"))
   }
 
   /** Context-window chunking: slice each doc's tokens into sliding
