@@ -92,6 +92,47 @@ object EngineProps extends Properties("graft") {
       narrow.subsetOf(wide)
     }
 
+  property("packSequences reassembles the corpus for any shape") =
+    Prop.forAll(docs, Gen.chooseNum(2, 17), Gen.chooseNum(1, 6)) {
+      (ds, seqLen, bucketSize) =>
+        import graft.operators.Corpus
+        val df = ds.toDF("doc_id", "text")
+        val pieces = Corpus.packSequences(df, "doc_id", "text",
+            seqLen, bucketSize)
+          .orderBy(col("seq_id"), col("seq_tok_start"))
+          .select("piece_text", "piece_len", "seq_id")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        val stream = pieces.flatMap(_._1.split(" ")).toSeq
+        val corpus = ds.sortBy(_._1).flatMap(_._2.split(" "))
+        val fullSeqs = pieces.groupBy(_._3).view
+          .mapValues(_.map(_._2).sum).toMap
+        stream == corpus &&
+          fullSeqs.filter(_._1 < fullSeqs.keys.max)
+            .values.forall(_ == seqLen.toLong)
+    }
+
+  property("scd2 versions partition each key's timeline") =
+    Prop.forAll(Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf("u", "v"), Gen.oneOf("a", "b", "c"))))) { evs =>
+      import graft.operators.Temporal
+      val rows = evs.zipWithIndex.map { case ((k, st), i) =>
+        (k, i.toLong, i.toLong * 10, st)
+      }
+      val out = Temporal.scd2(rows.toDF("k", "ord", "ts", "state"),
+          "k", "ord", "ts", Seq("state"))
+        .select("k", "valid_from", "valid_to", "version")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getInt(3)))
+      out.groupBy(_._1).forall { case (_, vs) =>
+        val sorted = vs.sortBy(_._4)
+        sorted.map(_._4).toSeq == (1 to vs.length) && // dense versions
+          sorted.init.zip(sorted.tail).forall { case (a, b) =>
+            a._3.contains(b._2) // valid_to chains to next valid_from
+          } && sorted.last._3.isEmpty // exactly one open version
+      }
+    }
+
   // append-only serving store: for ANY batch sequence, the read view
   // equals the sequential last-write-wins model — and re-appending any
   // batch under its original id never changes the view (replay safety)
