@@ -159,6 +159,46 @@ object ExtensionQueries {
        |     AS DOUBLE) / $nTok, 1.0)) * 0.2""".stripMargin
   }
 
+  /** Recursive-CTE prefix resolving MinHash-LSH near-dup clusters to
+    * `clust(doc_id, cluster_id)` (mirrors Dedup.minhashLshPairs at
+    * n=3, k=24, bands=6, threshold=0.5 + Dedup.clusters); prepend
+    * "WITH RECURSIVE". Shared by the clusters and canonical-selection
+    * oracles so the clustering definition cannot fork.
+    */
+  private val clustersCteSql: String = {
+    val k = 24; val bands = 6; val rows = k / bands
+    val bandKeys = s"list_transform(range(0, $bands), b -> " +
+      s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
+    val est = s"CAST(len(list_filter(list_zip(a.sig, b.sig), " +
+      s"x -> x[1] = x[2])) AS DOUBLE) / $k.0"
+    s"""sigs AS (
+       |  SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
+       |  FROM documents WHERE len(${shSql(3)}) > 0),
+       |banded AS (SELECT did, sig, unnest($bandKeys) AS band FROM sigs),
+       |pairs AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
+       |  FROM banded ba JOIN banded bb
+       |    ON ba.band = bb.band AND ba.did < bb.did
+       |  JOIN sigs a ON a.did = ba.did JOIN sigs b ON b.did = bb.did
+       |  WHERE $est >= 0.5),
+       |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+       |clust AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+       |  GROUP BY id)""".stripMargin
+  }
+
+  /** The Spark side of [[clustersCteSql]]. */
+  private def clustersDf(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val docsDf = documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+      n = 3, k = 24, bands = 6, threshold = 0.5)
+    Dedup.clusters(docsDf, "doc_id", pairs)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- text analysis ------------------------------------------------
@@ -346,35 +386,35 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    Q("ext_dedup_clusters", {
-      val k = 24; val bands = 6; val rows = k / bands
-      val bandKeys = s"list_transform(range(0, $bands), b -> " +
-        s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
-      val est = s"CAST(len(list_filter(list_zip(a.sig, b.sig), " +
-        s"x -> x[1] = x[2])) AS DOUBLE) / $k.0"
-      s"""WITH RECURSIVE sigs AS (
-         |  SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
-         |  FROM documents WHERE len(${shSql(3)}) > 0),
-         |banded AS (SELECT did, sig, unnest($bandKeys) AS band FROM sigs),
-         |pairs AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
-         |  FROM banded ba JOIN banded bb
-         |    ON ba.band = bb.band AND ba.did < bb.did
-         |  JOIN sigs a ON a.did = ba.did JOIN sigs b ON b.did = bb.did
-         |  WHERE $est >= 0.5),
-         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id)
-         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
-         |GROUP BY id ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
-      val docsDf = documents(s, d)
-      val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text",
-        n = 3, k = 24, bands = 6, threshold = 0.5)
-      Dedup.clusters(docsDf, "doc_id", pairs)
+    Q("ext_dedup_clusters",
+      s"""WITH RECURSIVE $clustersCteSql
+         |SELECT doc_id, cluster_id FROM clust
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      clustersDf(s, d)
         .select(col("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Canonical selection policy over the SAME clusters: keep the
+    // highest-QUALITY member (ties to lowest id) instead of the
+    // min-id convention — the "which duplicate do we train on" step.
+    Q("ext_canonical",
+      s"""WITH RECURSIVE $clustersCteSql,
+         |q AS (SELECT doc_id, $qualitySql AS quality FROM documents),
+         |m AS (SELECT c.doc_id, c.cluster_id, q.quality
+         |  FROM clust c JOIN q USING (doc_id)),
+         |b AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id)
+         |    AS rn FROM m) WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, b.canonical_id,
+         | m.doc_id = b.canonical_id AS keep
+         |FROM m JOIN b USING (cluster_id)
+         |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+      val withQ = clustersDf(s, d).join(
+        TextAnalysis.qualityScore(documents(s, d), "doc_id", "text"),
+        "doc_id")
+      Dedup.selectCanonical(withQ, "doc_id", "quality")
         .orderBy(col("doc_id"))
     },
 

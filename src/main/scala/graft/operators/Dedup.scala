@@ -388,6 +388,31 @@ object Dedup {
     if (tables > 1) pairs.dropDuplicates("id_a", "id_b") else pairs
   }
 
+  /** Canonical-member selection over resolved duplicate clusters:
+    * given (id, cluster_id, score) rows (e.g. [[clusters]] joined to
+    * a quality score), keep the highest-scoring member of each
+    * cluster (ties to the lowest id — deterministic). Emits
+    * (id, cluster_id, canonical_id, keep) for every input row: the
+    * keep=true rows are the deduplicated corpus under a
+    * quality-preference policy instead of [[clusters]]' min-id
+    * convention.
+    *
+    * Scale shape: ONE hash-agg keyed by cluster (max over
+    * (score, -id) structs — map-side partial combine, so a
+    * pathological million-member cluster reduces inside each task),
+    * one join back by cluster. No windows, no sorts.
+    */
+  def selectCanonical(clustered: DataFrame, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val best = clustered.groupBy(col("cluster_id"))
+      .agg(max(struct(col(scoreCol).as("s"),
+        (-col(idCol)).as("negid"))).as("__b"))
+      .select(col("cluster_id"), (-col("__b.negid")).as("canonical_id"))
+    clustered.join(best, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("keep"))
+  }
+
   /** SemDeDup-style semantic pruning: partition the embedding space
     * into deterministic hyperplane-LSH cells, pick one representative
     * per cell (lowest id — stable across runs), and drop every other

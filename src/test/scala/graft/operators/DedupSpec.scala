@@ -235,6 +235,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 > 0.999)
   }
 
+  test("selectCanonical: best score wins, ties to lowest id") {
+    val clustered = Seq(
+      (1L, 10L, 0.3), (2L, 10L, 0.9), (3L, 10L, 0.9), // tie at 0.9
+      (7L, 70L, 0.1)                                  // singleton
+    ).toDF("doc_id", "cluster_id", "quality")
+    val out = Dedup.selectCanonical(clustered, "doc_id", "quality")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 10L, 2L, false),
+      (2L, 10L, 2L, true), // 0.9 tie broken to the LOWER id
+      (3L, 10L, 2L, false),
+      (7L, 70L, 7L, true)))
+  }
+
   test("semanticPrune: reps always kept, near-rep members dropped") {
     val embs = Seq(
       (1L, Seq(1.0f, 0.2f, 0.1f, 0.0f)),
