@@ -1,7 +1,8 @@
 package graft.extensions
 
 import graft.Q
-import graft.operators.{Dedup, Multimodal, Pii, Quantize, Similarity, TextAnalysis}
+import graft.functions.TextFns
+import graft.operators.{Corpus, Dedup, Multimodal, Pii, Quantize, Similarity, TextAnalysis}
 import graft.tables.Tables._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -332,6 +333,71 @@ object ExtensionQueries {
           size(graft.functions.TextFns.toks(col("text"))).cast("long")
             .as("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- full pipeline: gate → dedup → decontaminate → pack -------------
+    // The whole training-data path as ONE declarative plan: quality
+    // gate (>= 0.5), exact-dedup canonical selection, benchmark
+    // decontamination against the 10% eval hash-sample (5-grams),
+    // sequence packing at 64 tokens. Catalyst fuses the narrow stages;
+    // every shuffle is keyed (norm-hash, gram, bucket, doc).
+    Q("ext_pipeline_e2e", {
+      val n = 5; val L = 64
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      s"""WITH scored AS (SELECT doc_id, text FROM documents
+         |  WHERE $qualitySql >= 0.5),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM scored
+         |  GROUP BY $normMd5Sql),
+         |keptc AS (SELECT s.doc_id, s.text FROM scored s
+         |  JOIN canon c USING (doc_id)),
+         |eg AS (SELECT DISTINCT unnest(${shSql(n)}) AS gram
+         |  FROM documents WHERE ($samp) AND len($TOKS) >= $n),
+         |tr AS (SELECT doc_id, text, ${shSql(n)} AS g FROM keptc
+         |  WHERE NOT ($samp) AND len($TOKS) >= $n),
+         |hit AS (SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(g) AS gram FROM tr) t
+         |  JOIN eg USING (gram)),
+         |clean AS (SELECT tr.doc_id, tr.text FROM tr
+         |  LEFT JOIN hit ON tr.doc_id = hit.doc_id
+         |  WHERE hit.doc_id IS NULL),
+         |nn AS (SELECT doc_id, $TOKS AS tk,
+         |  CAST(len($TOKS) AS BIGINT) AS n FROM clean),
+         |o AS (SELECT doc_id, tk, n,
+         |  CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS off
+         | FROM nn),
+         |p AS (SELECT doc_id, n, off, CAST(s AS BIGINT) AS seq_id,
+         |   CAST(greatest(s*$L - off, 0) AS BIGINT) AS st,
+         |   CAST(least((s+1)*$L - off, n) AS BIGINT) AS en
+         |  FROM o, unnest(range(off // $L, (off + n - 1) // $L + 1))
+         |    AS u(s))
+         |SELECT doc_id, seq_id,
+         | st + 1 AS doc_tok_start,
+         | off + st - seq_id*$L + 1 AS seq_tok_start,
+         | en - st AS piece_len
+         |FROM p ORDER BY doc_id, seq_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val kept = docs.join(
+        TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .filter(col("quality") >= 0.5),
+        Seq("doc_id"))
+      val canon = Dedup.exact(kept, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val keptCanon = kept.join(canon, Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val samp = TextFns.hash32(col("doc_id").cast("string")) % 100 < 10
+      val train = keptCanon.filter(!samp)
+      val clean = train.join(
+        Corpus.decontaminate(train, docs.filter(samp), "doc_id", "text",
+            n = 5)
+          .filter(!col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"))
+      Corpus.packSequences(clean, "doc_id", "text", seqLen = 64)
+        .select(col("doc_id"), col("seq_id"), col("doc_tok_start"),
+          col("seq_tok_start"), col("piece_len"))
+        .orderBy(col("doc_id"), col("seq_id"))
     },
 
     // ---- dedup family --------------------------------------------------
