@@ -24,19 +24,9 @@ object CorpusQueries {
   /** 4 h session gap in microseconds. */
   private val GAP_US = 4L * 3600 * 1000000L
 
-  /** Lower-cased whitespace tokens of `text` (DuckDB side). */
-  private val TOKS = "string_split_regex(lower(text), '\\s+')"
-
-  /** 32-bit md5-prefix hash (DuckDB side; mirrors TextFns.hash32). */
-  private def h32(e: String) =
-    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
-
-  /** Distinct word n-gram shingles (DuckDB side; mirrors
-    * TextFns.shingles + array_distinct).
-    */
-  private def shSql(n: Int) =
-    s"list_distinct(list_transform(range(1, len($TOKS) - ${n - 2}), " +
-      s"i -> array_to_string(($TOKS)[i:i+${n - 1}], ' ')))"
+  // DuckDB-side tokenizer/hash/shingle macros — shared definitions
+  // (see OracleSql: one source of truth across all oracle files)
+  import OracleSql.{TOKS, h32, shSql}
 
   /** Shared session-assignment CTE prefix (DuckDB side; mirrors
     * Temporal.sessionize over events at GAP_NS).

@@ -26,20 +26,9 @@ import org.apache.spark.sql.functions._
 object ExtensionQueries {
 
   // ---- shared oracle SQL fragments (DuckDB dialect) -------------------
-
-  /** Lower-cased whitespace tokens of `text`. */
-  private val TOKS = "string_split_regex(lower(text), '\\s+')"
-
-  /** 32-bit md5-prefix hash of an expression. */
-  private def h32(e: String) =
-    s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
-
-  /** Distinct word n-gram shingles of `text` (mirrors TextFns.shingles
-    * + array_distinct).
-    */
-  private def shSql(n: Int) =
-    s"list_distinct(list_transform(range(1, len($TOKS) - ${n - 2}), " +
-      s"i -> array_to_string(($TOKS)[i:i+${n - 1}], ' ')))"
+  // tokenizer/hash/shingle macros live in OracleSql (one source of
+  // truth across all oracle files)
+  import OracleSql.{TOKS, h32, shSql}
 
   /** Sequential-fold cosine similarity between two FLOAT[] columns
     * (mirrors VectorFns.cosine: double casts, fold order, sqrt placement).

@@ -322,8 +322,13 @@ object Corpus {
     val toks = TextFns.toks(col(textCol))
     // floor-div keeps bucket monotone in id (negative ids included)
     val bucket = floor(col(idCol).cast("long") / bucketSize).cast("long")
+    // localCheckpoint: the bucket-totals job below executes the input
+    // plan once at build time; without the checkpoint the final query
+    // would recompute the whole upstream DAG (a pipeline feeding this
+    // operator would run its gates/joins twice)
     val base = fanOut(docs).select(col(idCol), col(textCol),
       bucket.as("__bkt"), size(toks).cast("long").as("__n"))
+      .localCheckpoint()
     val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumIn = base.withColumn("__cum", sum(col("__n")).over(inBucket))

@@ -404,10 +404,13 @@ object Dedup {
     */
   def selectCanonical(clustered: DataFrame, idCol: String,
                       scoreCol: String): DataFrame = {
+    // min over (-score, id) structs = (max score, then MIN id) — the
+    // score is negated (scores are numeric by contract) rather than
+    // the id, so string/binary doc ids order correctly too
     val best = clustered.groupBy(col("cluster_id"))
-      .agg(max(struct(col(scoreCol).as("s"),
-        (-col(idCol)).as("negid"))).as("__b"))
-      .select(col("cluster_id"), (-col("__b.negid")).as("canonical_id"))
+      .agg(min(struct((-col(scoreCol)).as("negs"),
+        col(idCol).as("cid"))).as("__b"))
+      .select(col("cluster_id"), col("__b.cid").as("canonical_id"))
     clustered.join(best, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("canonical_id"),
         (col(idCol) === col("canonical_id")).as("keep"))
@@ -437,6 +440,13 @@ object Dedup {
     */
   def semanticPrune(embs: DataFrame, idCol: String, vecCol: String,
                     planes: Int, tau: Double): DataFrame = {
+    // the explicit broadcast hint below overrides Spark's size
+    // threshold, so make the documented 2^planes limit real instead
+    // of letting a large plane count OOM the driver
+    require(planes >= 1 && planes <= 24,
+      s"planes must be in [1,24] (2^planes cells must stay " +
+        s"broadcastable; swap the broadcast for an equi-join keyed by " +
+        s"bucket beyond that), got $planes")
     val m = fanOut(embs).select(col(idCol).as("__id"), col(vecCol).as("__v"),
       VectorFns.lshBucket(col(vecCol), planes).as("bucket"))
     val reps = m.groupBy(col("bucket")).agg(min(col("__id")).as("rep_id"))

@@ -26,8 +26,8 @@ object Stats {
       s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
     val q = df.groupBy(col(keyCol))
       .agg(
-        expr(s"percentile($valCol, $lo)").as("p_lo"),
-        expr(s"percentile($valCol, $hi)").as("p_hi"))
+        percentile(col(valCol), lit(lo)).as("p_lo"),
+        percentile(col(valCol), lit(hi)).as("p_hi"))
     df.join(q, keyCol)
       .withColumn("clipped",
         least(greatest(col(valCol), col("p_lo")), col("p_hi")))

@@ -134,6 +134,10 @@ object Temporal {
     val collisions = dimCols.toSet.intersect(facts.columns.toSet)
     require(collisions.isEmpty,
       s"dim columns collide with fact columns: $collisions")
+    val reserved = facts.columns.toSet
+      .intersect(Set("valid_from", "valid_to", "__k"))
+    require(reserved.isEmpty,
+      s"fact columns collide with the join's interval columns: $reserved")
     val factCols = facts.columns.toSeq
     val d = dim.select(
       col(keyCol).as("__k"), col("valid_from"), col("valid_to"),
