@@ -53,17 +53,19 @@ class LayoutSpec extends SparkSpec {
       case Array(a, b) => assert(b._2 > a._3)
       case _           => ()
     }
-    // z-locality: BOTH dimensions' spread inside every partition is
-    // well below the global 0..63 range (4 range-partitions on the z
-    // key ≈ a quadrant each: x and y both confined to ~one half plus
-    // boundary fuzz) — an interleave that dropped either dimension's
-    // bits would leave that spread at the full 63
+    // z-locality is a property of the KEY, not of the sampled
+    // partition boundaries (repartitionByRange samples with a random
+    // seed, so a partition may straddle a quadrant and legitimately
+    // span the full x range): within every fixed 4-bit z prefix, both
+    // dimensions are confined to a 16-wide band — an interleave that
+    // dropped either dimension's bits would leave that dimension's
+    // spread at the full 63 for some prefix
     val spread = clustered
-      .select(spark_partition_id().as("p"), $"x", $"y")
-      .groupBy($"p")
+      .select(shiftright($"z_value", 8).as("zp"), $"x", $"y")
+      .groupBy($"zp")
       .agg((max($"x") - min($"x")).as("dx"), (max($"y") - min($"y")).as("dy"))
-      .as[(Int, Long, Long)].collect()
-    assert(spread.map(_._2).max < 40L, s"x not clustered: $spread")
-    assert(spread.map(_._3).max < 40L, s"y not clustered: $spread")
+      .as[(Long, Long, Long)].collect()
+    assert(spread.map(_._2).max <= 15L, s"x not clustered: ${spread.toSeq}")
+    assert(spread.map(_._3).max <= 15L, s"y not clustered: ${spread.toSeq}")
   }
 }
