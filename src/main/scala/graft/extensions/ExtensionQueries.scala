@@ -417,6 +417,30 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Asymmetric containment — partial-copy/quote detection where
+    // symmetric Jaccard scores a full embedding of a short doc as tiny
+    Q("ext_containment",
+      s"""WITH sh AS (SELECT doc_id AS did, unnest(${shSql(3)}) AS sh
+         |  FROM documents),
+         |cnt AS (SELECT did, CAST(count(*) AS BIGINT) AS nsh FROM sh
+         |  GROUP BY did),
+         |inter AS (SELECT a.did AS id_a, b.did AS id_b,
+         |  CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.did < b.did
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, i AS inter, ca.nsh AS nsh_a, cb.nsh AS nsh_b,
+         | CAST(i AS DOUBLE) / CAST(ca.nsh AS DOUBLE) AS cont_a,
+         | CAST(i AS DOUBLE) / CAST(cb.nsh AS DOUBLE) AS cont_b
+         |FROM inter
+         |JOIN cnt ca ON id_a = ca.did JOIN cnt cb ON id_b = cb.did
+         |WHERE greatest(CAST(i AS DOUBLE) / CAST(ca.nsh AS DOUBLE),
+         |  CAST(i AS DOUBLE) / CAST(cb.nsh AS DOUBLE)) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     Q("ext_dedup_minhash", {
       val k = 24; val bands = 6; val rows = k / bands
       val bandKeys = s"list_transform(range(0, $bands), b -> " +

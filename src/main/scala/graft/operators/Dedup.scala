@@ -112,6 +112,52 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs — partial-copy / quote
+    * detection, which symmetric Jaccard misses structurally: a short
+    * doc fully embedded in a long one scores |short|/|long| on
+    * Jaccard (tiny) but 1.0 on containment-in-the-long-doc. For each
+    * ordered-by-id pair sharing ≥ 1 shingle, emits
+    * (id_a, id_b, inter, nsh_a, nsh_b, cont_a, cont_b) where
+    * cont_a = |A∩B|/|A| (how much of A is inside B) and cont_b the
+    * mirror; keeps pairs with max(cont_a, cont_b) ≥ `threshold`.
+    * Distinct n-gram shingles, integer intersection counts, one
+    * division — oracle-exact.
+    *
+    * Scale shape: identical to [[jaccardPairs]] (same inverted index,
+    * same reused exchange, same `maxShingleFreq` stop-shingle guard);
+    * only the final scoring differs.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxShingleFreq: Int = 0): DataFrame = {
+    val sh0 = shingled(docs, idCol, textCol, n).repartition(col("sh"))
+    val sh =
+      if (maxShingleFreq <= 0) sh0
+      else {
+        val hot = sh0.groupBy("sh").count()
+          .filter(col("count") > maxShingleFreq).select("sh")
+        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+      }
+    val counts = sh.groupBy("did").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.did") < col("b.did"))
+      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("did", "id_a")
+        .withColumnRenamed("nsh", "nsh_a"), "id_a")
+      .join(counts.withColumnRenamed("did", "id_b")
+        .withColumnRenamed("nsh", "nsh_b"), "id_b")
+      .withColumn("cont_a",
+        col("inter").cast(DoubleType) / col("nsh_a").cast(DoubleType))
+      .withColumn("cont_b",
+        col("inter").cast(DoubleType) / col("nsh_b").cast(DoubleType))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("nsh_a"),
+        col("nsh_b"), col("cont_a"), col("cont_b"))
+  }
+
   /** MinHash+LSH near-dup candidates: k-wide signatures, `bands` bands;
     * docs sharing any band key pair up; `est_jaccard` = fraction of
     * matching signature components; keep pairs ≥ `threshold`.

@@ -235,6 +235,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 > 0.999)
   }
 
+  test("containmentPairs: embedded doc scores 1.0 where jaccard is small") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // long doc
+      (2L, "a b c d"),             // fully embedded prefix
+      (3L, "x y z w")              // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    // doc2's 3 bigrams all inside doc1's 9 → cont_b = 1.0, but
+    // jaccard = 3/9 would miss at any threshold ≥ 0.5
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq((1L, 2L)))
+    val p = out.head
+    assert(p._3 === 3L && p._4 === 9L && p._5 === 3L)
+    assert(p._7 === 1.0 && math.abs(p._6 - 3.0 / 9.0) < 1e-15)
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.5).isEmpty)
+  }
+
   test("selectCanonical: best score wins, ties to lowest id") {
     val clustered = Seq(
       (1L, 10L, 0.3), (2L, 10L, 0.9), (3L, 10L, 0.9), // tie at 0.9
