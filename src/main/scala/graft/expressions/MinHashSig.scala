@@ -87,6 +87,23 @@ object MinHashSig {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Oracle-reproducible 64-bit hash: first 8 md5 digest bytes as a
+    * big-endian long. The high/low 32-bit halves are exactly
+    * `conv(substr(md5(s), 1, 8), 16, 10)` and
+    * `conv(substr(md5(s), 9, 8), 16, 10)` — a SQL oracle reproduces
+    * any bit of this value from those two BIGINT-safe halves without
+    * ever parsing a 64-bit unsigned literal.
+    */
+  def hash64(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** Full per-row signature over distinct word n-gram shingles of the
     * token array — shingling delegated to
     * [[WordShingles.distinctShingles]] (ONE implementation of the

@@ -7,15 +7,19 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** `bits`-wide SimHash over a token array using the oracle-reproducible
-  * md5-prefix hash ([[MinHashSig.hash32]]) — the shuffle-free codegen
-  * form of the explode → hash32 → N conditional-sum aggregates stage in
-  * the 16-bit [[graft.operators.Dedup.simhashPairs]] path (which must
-  * stay md5-based so the DuckDB oracle can reproduce it; the xxhash64
-  * production form is [[SimHash64]]). Duplicate tokens count once per
-  * occurrence, matching the exploded aggregate. Null array or EMPTY
-  * array → null (the aggregate's groupBy drops zero-token docs —
-  * callers filter `isNotNull`); null elements hash as 0 (the
-  * aggregate's `otherwise(-1)` branch on a null md5 hash).
+  * md5-prefix hash — the shuffle-free codegen form of the explode →
+  * md5-hash → N conditional-sum aggregates stage in the md5-based
+  * [[graft.operators.Dedup.simhashPairs]] paths (which must stay
+  * md5-based so the DuckDB oracle can reproduce them; the xxhash64
+  * production form is [[SimHash64]]). Token hash: the 32-bit md5
+  * prefix ([[MinHashSig.hash32]]) for `bits` <= 32, the 64-bit prefix
+  * ([[MinHashSig.hash64]]) above that — a 32-bit hash has no entropy
+  * in bits 32..63, so wider signatures need the wider prefix.
+  * Duplicate tokens count once per occurrence, matching the exploded
+  * aggregate. Null array or EMPTY array → null (the aggregate's
+  * groupBy drops zero-token docs — callers filter `isNotNull`); null
+  * elements hash as 0 (the aggregate's `otherwise(-1)` branch on a
+  * null md5 hash).
   */
 case class SimHashMd5(child: Expression, bits: Int)
     extends UnaryExpression {
@@ -62,10 +66,12 @@ object SimHashMd5 {
     val n = arr.numElements()
     if (n == 0) return null
     val counters = new Array[Int](bits)
+    val wide = bits > 32
     var i = 0
     while (i < n) {
       val m: Long =
         if (arr.isNullAt(i)) 0L
+        else if (wide) MinHashSig.hash64(arr.getUTF8String(i))
         else MinHashSig.hash32(arr.getUTF8String(i))
       var b = 0
       while (b < bits) {

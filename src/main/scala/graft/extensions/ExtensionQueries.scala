@@ -311,10 +311,12 @@ object ExtensionQueries {
          |FROM kept k JOIN canon c ON k.doc_id = c.doc_id
          |ORDER BY k.doc_id""".stripMargin) { (s, d) =>
       val docs = documents(s, d)
-      val kept = docs.join(
-        TextAnalysis.qualityScore(docs, "doc_id", "text")
-          .filter(col("quality") >= 0.5),
-        Seq("doc_id"))
+      // quality is a narrow Column (bit-identical to qualityScore) —
+      // attaching it via a doc_id self-join would shuffle and scan the
+      // corpus twice for a value computable inside the same projection
+      val kept = docs
+        .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+        .filter(col("quality") >= 0.5)
       val canon = Dedup.exact(kept, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
       kept.join(canon, Seq("doc_id"))
@@ -368,10 +370,9 @@ object ExtensionQueries {
          |FROM p ORDER BY doc_id, seq_id""".stripMargin
     }) { (s, d) =>
       val docs = documents(s, d)
-      val kept = docs.join(
-        TextAnalysis.qualityScore(docs, "doc_id", "text")
-          .filter(col("quality") >= 0.5),
-        Seq("doc_id"))
+      val kept = docs
+        .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+        .filter(col("quality") >= 0.5)
       val canon = Dedup.exact(kept, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
       val keptCanon = kept.join(canon, Seq("doc_id"))
@@ -509,13 +510,36 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // production 64-bit SimHash path: xxhash64 is not reproducible in
-    // DuckDB, so this runs as a rows-only check here — the banding's
-    // correctness is property-tested against brute-force Hamming in
-    // DedupSpec ("simhashPairs64 banding finds exactly the brute-force
-    // pairs")
-    Q.noOracle("ext_dedup_simhash64") { (s, d) =>
-      Dedup.simhashPairs64(documents(s, d), "doc_id", "text",
+    // 64-bit SimHash path under a FULL oracle via the md5-prefix
+    // signature twin: the oracle rebuilds each 64-bit signature from
+    // the two BIGINT-safe md5 halves (hi = first 8 hex chars → bits
+    // 32..63, lo = next 8 → bits 0..31) and brute-forces Hamming,
+    // while the engine runs the real 8×8-band blocking plan — so the
+    // banding itself is hash-verified end to end. The xxhash64
+    // production signature (Dedup.simhashPairs64) shares this exact
+    // plan and is property-tested against brute-force Hamming in
+    // DedupSpec.
+    Q("ext_dedup_simhash64", {
+      val hi = "CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)"
+      val lo = "CAST('0x' || substr(md5(t), 9, 8) AS BIGINT)"
+      def sigHalf(src: String) = (0 until 32).map { b =>
+        s"(CASE WHEN sum(CASE WHEN (($src >> $b) & 1) = 1 " +
+          s"THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      val ham = "bit_count(xor(a.sig_lo, b.sig_lo)) " +
+        "+ bit_count(xor(a.sig_hi, b.sig_hi))"
+      s"""WITH tok AS (SELECT doc_id AS did, unnest($TOKS) AS t
+         |  FROM documents),
+         |h AS (SELECT did, $hi AS hi, $lo AS lo FROM tok),
+         |sigs AS (SELECT did, ${sigHalf("lo")} AS sig_lo,
+         |  ${sigHalf("hi")} AS sig_hi FROM h GROUP BY did)
+         |SELECT a.did AS id_a, b.did AS id_b,
+         | CAST($ham AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.did < b.did
+         |WHERE $ham <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      Dedup.simhashPairs64Md5(documents(s, d), "doc_id", "text",
           maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -777,6 +801,48 @@ object ExtensionQueries {
         | CAST(ascii(substr(text, 2, 1)) AS DOUBLE) AS f1
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       Multimodal.documentAssets(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL header decode round-trip: per doc, synthesize a valid
+    // PNG / GIF89a / BMP header (format by doc_id mod 3) carrying
+    // dimensions derived from doc_id, push it through the binary
+    // decode path, and let the oracle check the parsed dims against
+    // the same arithmetic — any wrong offset/endianness/byte-order in
+    // a parser breaks the hash. n_frames = 1 marks the real-parse
+    // branch (vs the stub's length arithmetic).
+    Q("ext_mm_decode_headers",
+      """SELECT doc_id,
+        | CAST(doc_id % 640 + 1 AS INT) AS width,
+        | CAST(doc_id % 480 + 1 AS INT) AS height,
+        | CAST(1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      def byteHex(c: Column) = lpad(hex(c.bitwiseAND(lit(255))), 2, "0")
+      def be32hex(c: Column) = lpad(hex(c), 8, "0")
+      def le16hex(c: Column) =
+        concat(byteHex(c), byteHex(shiftright(c, 8)))
+      def le32hex(c: Column) =
+        concat(byteHex(c), byteHex(shiftright(c, 8)),
+          byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24)))
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be32hex(w), be32hex(h), lit("0806000000"))
+      val gif = concat(lit("474946383961"), le16hex(w), le16hex(h),
+        lit("F70000"))
+      val bmp = concat(
+        lit("424D00000000000000003600000028000000"),
+        le32hex(w), le32hex(h))
+      val payloadHex = when(pmod(col("doc_id"), lit(3)) === 0, png)
+        .when(pmod(col("doc_id"), lit(3)) === 1, gif)
+        .otherwise(bmp)
+      Multimodal.decodeBinary(
+          documents(s, d).select(col("doc_id"),
+            unhex(payloadHex).as("payload")), "payload")
+        .select(col("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.n_frames").as("n_frames"))
         .orderBy(col("doc_id"))
     }
   )

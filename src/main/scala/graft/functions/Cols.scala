@@ -47,23 +47,48 @@ object Cols {
   /** Lower-cased whitespace tokens of `text`. */
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** True for a code point of a script that whitespace tokenization
+    * cannot segment (CJK ideographs, kana, hangul). */
+  private def unsegCp(cp: Int): Boolean = {
+    import Character.UnicodeScript
+    UnicodeScript.of(cp) match {
+      case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
+          UnicodeScript.KATAKANA | UnicodeScript.HANGUL => true
+      case _ => false
+    }
+  }
+
   /** True when the token carries a script that whitespace tokenization
-    * cannot segment (CJK ideographs, kana, hangul) — the reference's
-    * deployment matches Chinese product names through an ES analyzer
+    * cannot segment — the reference's deployment matches Chinese
+    * product names through an ES analyzer
     * (PublisherMapperImpl.java:143; labels 女/男/20岁以下), which
     * whitespace-only token membership would never match.
     */
-  private def unsegmented(token: String): Boolean = {
+  private def unsegmented(token: String): Boolean =
     // code points, not chars: supplementary-plane ideographs (CJK
     // Ext-B+) are surrogate pairs whose halves have no script
-    import Character.UnicodeScript
-    token.codePoints().anyMatch { cp =>
-      UnicodeScript.of(cp) match {
-        case UnicodeScript.HAN | UnicodeScript.HIRAGANA |
-            UnicodeScript.KATAKANA | UnicodeScript.HANGUL => true
-        case _ => false
-      }
+    token.codePoints().anyMatch(unsegCp(_))
+
+  /** CJKAnalyzer-style pieces of a query token: each contiguous
+    * unsegmented-script run becomes its character BIGRAMS (single-char
+    * runs stay whole), segments of other scripts inside a mixed token
+    * stay whole. "小米手机" → [小米, 米手, 手机]; "小米phone" →
+    * [小米, phone]; "small" → [small].
+    */
+  private[functions] def cjkPieces(token: String): Seq[String] = {
+    val cps = token.codePoints().toArray
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < cps.length) {
+      val isU = unsegCp(cps(i))
+      var j = i
+      while (j < cps.length && unsegCp(cps(j)) == isU) j += 1
+      if (isU && j - i >= 2)
+        (i until j - 1).foreach(k => out += new String(cps, k, 2))
+      else out += new String(cps, i, j - i)
+      i = j
     }
+    out.result()
   }
 
   /** ES match-AND: every token of `query` must appear in `text`.
@@ -83,6 +108,34 @@ object Cols {
     }.reduce(_ && _)
   }
 
+  /** ES match-AND in CJK-BIGRAM mode: like [[matchAnd]], but tokens
+    * carrying unsegmented script are decomposed into character bigrams
+    * per contiguous run ([[cjkPieces]]) and EACH bigram must appear in
+    * `text` — the analyzer-free analog of ES's CJKAnalyzer /
+    * ik-max-word query semantics, where a multi-word Chinese query
+    * matches on shared bigrams rather than one contiguous substring.
+    * Strictly looser than [[matchAnd]]'s whole-token containment on
+    * CJK runs of 3+ chars (the bigrams may match non-contiguously);
+    * identical on 1-2-char runs and on segmented tokens.
+    */
+  def matchAndBigram(text: Column, query: String): Column = {
+    val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    require(qs.nonEmpty, "matchAndBigram needs a non-empty query")
+    qs.flatMap { t =>
+      if (unsegmented(t))
+        cjkPieces(t).map(p =>
+          if (unsegmented(p)) contains(lower(text), lit(p))
+          else array_contains(tokens(text), p))
+      else Seq(array_contains(tokens(text), t))
+    }.reduce(_ && _)
+  }
+
+  private def highlightParts(qs: Seq[String]): Seq[String] =
+    qs.map { t =>
+      val quoted = java.util.regex.Pattern.quote(t)
+      if (unsegmented(t)) quoted else "\\b" + quoted + "\\b"
+    }
+
   /** ES-highlighter analog: wrap every query token occurring in `text`
     * in pre/post tags — word-bounded for segmented tokens,
     * boundary-free for CJK tokens (`\b` is meaningless between
@@ -91,10 +144,23 @@ object Cols {
   def highlight(text: Column, query: String,
                 pre: String = "<em>", post: String = "</em>"): Column = {
     val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val parts = qs.map { t =>
-      val quoted = java.util.regex.Pattern.quote(t)
-      if (unsegmented(t)) quoted else "\\b" + quoted + "\\b"
-    }
+    val parts = highlightParts(qs.toSeq)
+    regexp_replace(text, "(?i)(" + parts.mkString("|") + ")",
+      pre + "$1" + post)
+  }
+
+  /** [[highlight]] in CJK-bigram mode: highlights the [[cjkPieces]]
+    * of each query token instead of whole CJK tokens (the highlighted
+    * spans mirror what [[matchAndBigram]] matched on). The regex scan
+    * is left-to-right non-overlapping, so overlapping bigrams
+    * (小米/米手) wrap disjoint spans deterministically.
+    */
+  def highlightBigram(text: Column, query: String,
+                      pre: String = "<em>",
+                      post: String = "</em>"): Column = {
+    val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val parts = highlightParts(qs.toSeq.flatMap(t =>
+      if (unsegmented(t)) cjkPieces(t) else Seq(t)))
     regexp_replace(text, "(?i)(" + parts.mkString("|") + ")",
       pre + "$1" + post)
   }

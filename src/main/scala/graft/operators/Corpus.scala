@@ -4,8 +4,9 @@ import graft.functions.TextFns
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 
 /** Corpus-level curation operators a training-data pipeline runs after
   * per-document scoring: keyword extraction (TF-IDF), deterministic
@@ -310,31 +311,71 @@ object Corpus {
     * (shuffle keyed by bucket), bucket TOTALS reduced to |buckets|
     * rows and prefix-summed on the driver (exactly how
     * `RDD.zipWithIndex` handles per-partition counts), broadcast
-    * back, and the two added. `bucketSize` controls the fan:
-    * |buckets| ≈ id-range / bucketSize — size it so the driver pass
-    * stays thousands-to-millions of longs, while each bucket's
-    * in-partition sort stays bounded.
+    * back, and the two added.
+    *
+    * `idCol` must be an INTEGRAL column: the bucket is derived by
+    * integer division, so the bucket grid and the in-bucket window
+    * sort must order in the same (numeric) domain — a string id would
+    * either bucket as NULL (non-numeric) or disagree lexicographically
+    * vs numerically between the two levels, silently corrupting the
+    * global packing order. Enforced at plan-build time.
+    *
+    * `bucketSize` controls the fan: occupied buckets ≤
+    * min(|docs|, id-range / bucketSize). The default (0 = auto)
+    * derives it from the OBSERVED id range so the driver pass is
+    * provably ≤ 2^20 rows for any id distribution — auto-sizing
+    * assumes ids spread roughly uniformly over their range (dense
+    * surrogate keys, the common case); for a heavily CLUSTERED sparse
+    * id space pass an explicit bucketSize so each bucket's
+    * in-partition sort stays bounded too.
+    *
+    * EAGER NOTE: building this DataFrame runs Spark jobs up front
+    * (the id min/max agg when auto-sizing, and the bucket-totals
+    * collect) — unlike the lazy sibling operators. The input subplan
+    * is persisted MEMORY_AND_DISK (fault-tolerant: an executor loss
+    * recomputes from lineage rather than failing the query, unlike a
+    * localCheckpoint) so upstream gates/joins run once, not once per
+    * job.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    seqLen: Int, bucketSize: Int = 4096): DataFrame = {
+                    seqLen: Int, bucketSize: Int = 0): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
+    require(bucketSize >= 0,
+      s"bucketSize must be >= 1 (or 0 = auto), got $bucketSize")
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packSequences needs an integral id column (bucket grid and " +
+          s"window sort must share the numeric ordering domain); " +
+          s"'$idCol' is ${other.simpleString}")
+    }
     val toks = TextFns.toks(col(textCol))
-    // floor-div keeps bucket monotone in id (negative ids included)
-    val bucket = floor(col(idCol).cast("long") / bucketSize).cast("long")
-    // localCheckpoint: the bucket-totals job below executes the input
-    // plan once at build time; without the checkpoint the final query
-    // would recompute the whole upstream DAG (a pipeline feeding this
-    // operator would run its gates/joins twice)
     val base = fanOut(docs).select(col(idCol), col(textCol),
-      bucket.as("__bkt"), size(toks).cast("long").as("__n"))
-      .localCheckpoint()
+        size(toks).cast("long").as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val effBucketSize: Long =
+      if (bucketSize > 0) bucketSize.toLong
+      else {
+        val r = base.agg(min(col(idCol).cast("long")).as("__lo"),
+          max(col(idCol).cast("long")).as("__hi")).head()
+        if (r.isNullAt(0)) 4096L // empty input — any grid works
+        else {
+          // double arithmetic: max-min on extreme ids would overflow
+          // long, and the bound only needs to hold approximately
+          val range = r.getLong(1).toDouble - r.getLong(0).toDouble + 1
+          math.max(4096L, math.ceil(range / (1 << 20)).toLong)
+        }
+      }
+    // floor-div keeps bucket monotone in id (negative ids included)
+    val cumBase = base.withColumn("__bkt",
+      floor(col(idCol).cast("long") / effBucketSize).cast("long"))
     val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumIn = base.withColumn("__cum", sum(col("__n")).over(inBucket))
-    // |buckets| rows reduced then prefix-summed on the driver — the
-    // RDD.zipWithIndex pattern; never a corpus-sized sequential pass
-    val totals = base.groupBy(col("__bkt"))
+    val cumIn = cumBase.withColumn("__cum", sum(col("__n")).over(inBucket))
+    // occupied-bucket rows reduced then prefix-summed on the driver —
+    // the RDD.zipWithIndex pattern; never a corpus-sized sequential
+    // pass, and ≤ 2^20 rows under auto bucket sizing
+    val totals = cumBase.groupBy(col("__bkt"))
       .agg(sum(col("__n")).as("__bn"))
       .orderBy(col("__bkt"))
       .collect()

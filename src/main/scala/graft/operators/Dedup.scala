@@ -68,21 +68,26 @@ object Dedup {
         explode(Bridge.column(graft.expressions.WordShingles(
           Bridge.expression(TextFns.toks(col(textCol))), n))).as("sh"))
 
-  /** All-pairs n-gram Jaccard ≥ `threshold` via shingle inverted index.
-    * `maxShingleFreq` drops shingles occurring in more than that many
-    * docs (skew guard; 0 disables).
+  /** Shared inverted-index pair core under [[jaccardPairs]] /
+    * [[containmentPairs]]: build the distinct-shingle index (with the
+    * optional hot-shingle guard), per-doc shingle counts over the SAME
+    * guarded index, and per-pair intersection counts. Emits
+    * (id_a, id_b, inter, nsh_a, nsh_b) for every ordered-by-id pair
+    * sharing at least one surviving shingle — the callers differ only
+    * in how they score those five integers, so a skew-guard or plan
+    * fix here lands in both operators at once.
+    *
+    * Plan shape: narrow (did, sh) index rows + a tiny per-doc count
+    * joined back onto the aggregated pairs. A/B-measured 2.5x faster
+    * than carrying the count through the self-join: identical narrow
+    * sides let Spark reuse one exchange for both join inputs, and the
+    * pair shuffle stays at its minimum width. The explicit
+    * repartition(sh) makes the counts branch reuse that same exchange
+    * too, so the shingling/explode subplan runs once total
+    * (A/B in tools/ab_jaccard.scala).
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double,
-                   maxShingleFreq: Int = 0): DataFrame = {
-    // Narrow (did, sh) index rows + a tiny per-doc count joined back
-    // onto the aggregated pairs. A/B-measured 2.5x faster than carrying
-    // the count through the self-join: identical narrow sides let Spark
-    // reuse one exchange for both join inputs, and the pair shuffle
-    // stays at its minimum width. The explicit repartition(sh) makes
-    // the counts branch reuse that same exchange too, so the
-    // shingling/explode subplan runs once total
-    // (A/B in tools/ab_jaccard.scala).
+  private def pairStats(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, maxShingleFreq: Int): DataFrame = {
     val sh0 = shingled(docs, idCol, textCol, n).repartition(col("sh"))
     val sh =
       if (maxShingleFreq <= 0) sh0
@@ -92,8 +97,8 @@ object Dedup {
         sh0.join(broadcast(hot), Seq("sh"), "left_anti")
       }
     // counts over the SAME (guarded) index as the intersection — with
-    // hot shingles removed, jaccard is the consistent measure over the
-    // pruned feature universe (identical docs still score 1.0)
+    // hot shingles removed, the score is the consistent measure over
+    // the pruned feature universe (identical docs still score 1.0)
     val counts = sh.groupBy("did").agg(count(lit(1)).as("nsh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
@@ -105,12 +110,21 @@ object Dedup {
         .withColumnRenamed("nsh", "nsh_a"), "id_a")
       .join(counts.withColumnRenamed("did", "id_b")
         .withColumnRenamed("nsh", "nsh_b"), "id_b")
+  }
+
+  /** All-pairs n-gram Jaccard ≥ `threshold` via shingle inverted index.
+    * `maxShingleFreq` drops shingles occurring in more than that many
+    * docs (skew guard; 0 disables).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double,
+                   maxShingleFreq: Int = 0): DataFrame =
+    pairStats(docs, idCol, textCol, n, maxShingleFreq)
       .withColumn("jaccard",
         col("inter").cast(DoubleType) /
           (col("nsh_a") + col("nsh_b") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Asymmetric shingle CONTAINMENT pairs — partial-copy / quote
     * detection, which symmetric Jaccard misses structurally: a short
@@ -129,26 +143,8 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
-                       maxShingleFreq: Int = 0): DataFrame = {
-    val sh0 = shingled(docs, idCol, textCol, n).repartition(col("sh"))
-    val sh =
-      if (maxShingleFreq <= 0) sh0
-      else {
-        val hot = sh0.groupBy("sh").count()
-          .filter(col("count") > maxShingleFreq).select("sh")
-        sh0.join(broadcast(hot), Seq("sh"), "left_anti")
-      }
-    val counts = sh.groupBy("did").agg(count(lit(1)).as("nsh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.did") < col("b.did"))
-      .groupBy(col("a.did").as("id_a"), col("b.did").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("did", "id_a")
-        .withColumnRenamed("nsh", "nsh_a"), "id_a")
-      .join(counts.withColumnRenamed("did", "id_b")
-        .withColumnRenamed("nsh", "nsh_b"), "id_b")
+                       maxShingleFreq: Int = 0): DataFrame =
+    pairStats(docs, idCol, textCol, n, maxShingleFreq)
       .withColumn("cont_a",
         col("inter").cast(DoubleType) / col("nsh_a").cast(DoubleType))
       .withColumn("cont_b",
@@ -156,7 +152,6 @@ object Dedup {
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
       .select(col("id_a"), col("id_b"), col("inter"), col("nsh_a"),
         col("nsh_b"), col("cont_a"), col("cont_b"))
-  }
 
   /** MinHash+LSH near-dup candidates: k-wide signatures, `bands` bands;
     * docs sharing any band key pair up; `est_jaccard` = fraction of
@@ -325,6 +320,22 @@ object Dedup {
           .reduce(_ + _).as("sig"))
   }
 
+  /** 64-bit md5-prefix SimHash signatures — the oracle-reproducible
+    * twin of [[simhash64Sigs]]: same codegen one-pass shape
+    * ([[graft.expressions.SimHashMd5]] at 64 bits), but each token
+    * hashes to the first 8 md5 bytes instead of xxhash64, so a SQL
+    * oracle can rebuild every signature bit from the two 32-bit md5
+    * prefix halves. Use [[simhash64Sigs]] in production (xxhash64 is
+    * one intrinsic vs a full md5 per token); this form exists so the
+    * ENTIRE 8×8-band pair path can run under an exact external oracle.
+    */
+  def simhash64Md5Sigs(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    fanOut(docs).select(col(idCol).as("did"),
+        Bridge.column(graft.expressions.SimHashMd5(
+          Bridge.expression(TextFns.toks(col(textCol))), 64)).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** SimHash near-dup pairs over 64-bit signatures: pigeonhole banding
     * into 8 bands of 8 bits — any pair within Hamming ≤ 7 agrees on at
     * least one whole band, so candidates come from a band-value
@@ -334,10 +345,25 @@ object Dedup {
     * so AQE should pick the join strategy from actual sizes.
     */
   def simhashPairs64(docs: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int): DataFrame = {
+                     maxHamming: Int): DataFrame =
+    simhashPairs64From(simhash64Sigs(docs, idCol, textCol), maxHamming)
+
+  /** [[simhashPairs64]] over the md5-prefix signatures — identical
+    * banding plan, oracle-checkable end to end (the registry's
+    * `ext_dedup_simhash64` runs this form under a full DuckDB oracle;
+    * the xxhash64 form is additionally property-tested against
+    * brute-force Hamming in DedupSpec).
+    */
+  def simhashPairs64Md5(docs: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int): DataFrame =
+    simhashPairs64From(simhash64Md5Sigs(docs, idCol, textCol), maxHamming)
+
+  /** The shared 8×8-band pair plan over any (did, sig: long) frame. */
+  private def simhashPairs64From(sigs0: DataFrame,
+                                 maxHamming: Int): DataFrame = {
     require(maxHamming <= 7,
       "8-band pigeonhole blocking only covers Hamming <= 7")
-    val sigs = simhash64Sigs(docs, idCol, textCol).repartition(col("sig"))
+    val sigs = sigs0.repartition(col("sig"))
     val distinctSigs = sigs.select(col("sig")).distinct()
     val banded = distinctSigs
       .select(col("sig"), explode(array((0 until 8).map(i =>
@@ -477,29 +503,38 @@ object Dedup {
     * cross-cell dups but costs a single map-side pass over the
     * corpus).
     *
-    * Scale shape: one hash-agg for representatives (2^planes cells —
-    * bounded, so the rep side broadcasts), one broadcast join back,
-    * narrow cosine + filter. The corpus itself never shuffles. With
-    * `planes` sized so 2^planes exceeds executor-broadcast limits
-    * (>~24 at billions of docs), swap the broadcast for an equi-join
-    * keyed by bucket — same plan minus the broadcast hint.
+    * Scale shape: one hash-agg for representatives, one join back by
+    * bucket, narrow cosine + filter. The corpus itself never
+    * shuffles for the rep attach when the rep side broadcasts. The
+    * broadcast payload is one FULL embedding per occupied cell —
+    * cells × dims × 4 bytes, which blows the executor broadcast
+    * budget long before the 2^24-row count limit at realistic dims —
+    * so the hint is applied only while 2^planes stays at or under
+    * `maxBroadcastCells`; beyond that the rep side attaches via a
+    * plain equi-join keyed by bucket (same plan minus the hint, one
+    * extra shuffle of the corpus, AQE picks the strategy from actual
+    * sizes). The default cap (2^16 cells) keeps the worst-case
+    * payload ~tens of MB at dims ≤ 1k.
     */
   def semanticPrune(embs: DataFrame, idCol: String, vecCol: String,
-                    planes: Int, tau: Double): DataFrame = {
-    // the explicit broadcast hint below overrides Spark's size
-    // threshold, so make the documented 2^planes limit real instead
-    // of letting a large plane count OOM the driver
-    require(planes >= 1 && planes <= 24,
-      s"planes must be in [1,24] (2^planes cells must stay " +
-        s"broadcastable; swap the broadcast for an equi-join keyed by " +
-        s"bucket beyond that), got $planes")
+                    planes: Int, tau: Double,
+                    maxBroadcastCells: Long = 1L << 16): DataFrame = {
+    require(planes >= 1 && planes <= 62,
+      s"planes must be in [1,62] (bucket ids are a long bitmask), " +
+        s"got $planes")
     val m = fanOut(embs).select(col(idCol).as("__id"), col(vecCol).as("__v"),
       VectorFns.lshBucket(col(vecCol), planes).as("bucket"))
     val reps = m.groupBy(col("bucket")).agg(min(col("__id")).as("rep_id"))
     val repVecs = m.select(col("__id"), col("__v"))
       .join(reps, col("__id") === col("rep_id"))
       .select(col("bucket"), col("rep_id"), col("__v").as("__rv"))
-    m.join(broadcast(repVecs), "bucket")
+    // the explicit hint overrides Spark's size threshold — only force
+    // it when the cell-count bound proves the payload is small
+    val repSide =
+      if (planes < 63 && (1L << planes) <= maxBroadcastCells)
+        broadcast(repVecs)
+      else repVecs
+    m.join(repSide, "bucket")
       .withColumn("rep_cos", VectorFns.cosine(col("__v"), col("__rv")))
       .select(col("__id").as(idCol), col("bucket"), col("rep_id"),
         col("rep_cos"),

@@ -11,10 +11,14 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas` (iterator-of-batches, one decoder init per
   * partition, vectorizable inner loop).
   *
-  * The actual codec is STUBBED (no image/audio libs in this container):
-  * [[decodeStub]] derives deterministic fake metadata/features from the
-  * bytes. The Spark-side contract — schema, encoder, partition batching,
-  * null passthrough — is real and tested; swapping in a real decoder
+  * Dimension decode is REAL for PNG / GIF / BMP payloads: a pure-JVM
+  * header parse ([[parseDims]], from the public format specs — no
+  * native codecs needed) reads true width/height. Payloads in any
+  * other format fall back to [[decodeStub]]'s deterministic fake
+  * metadata, and FEATURE extraction remains a declared stub in every
+  * case (pixel decode needs codecs this container lacks). The
+  * Spark-side contract — schema, encoder, partition batching, null
+  * passthrough — is real and tested; swapping in a full pixel decoder
   * touches only the function body.
   *
   * Scale notes: decode is embarrassingly parallel and CPU-bound —
@@ -33,16 +37,78 @@ object Multimodal {
     StructField("features", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
-  /** STUB decoder — a real build replaces this body with an image/audio
+  /** Real image-header parse for the three formats whose dimensions
+    * live at fixed header offsets (public format specs; pure JVM, no
+    * codec libraries):
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk — width/height as
+    *    big-endian u32 at offsets 16/20 (PNG spec §11.2.2);
+    *  - GIF: "GIF87a"/"GIF89a", logical-screen width/height as
+    *    little-endian u16 at offsets 6/8 (GIF89a spec §18);
+    *  - BMP: "BM", BITMAPINFOHEADER width/height as little-endian
+    *    s32 at offsets 18/22 (height negative for top-down rows —
+    *    absolute value is the pixel height).
+    *
+    * Returns None for any other payload (caller falls back to the
+    * stub). Never throws: short/truncated headers return None.
+    *
+    * Sniffing guards: GIF/BMP magics are printable ASCII, so raw TEXT
+    * payloads could false-positive ("BMW…", a doc mentioning
+    * "GIF89a") and silently corrupt non-image pipelines. PNG is safe
+    * (0x89 cannot start UTF-8 text); GIF additionally requires both
+    * dimension high bytes < 0x20 (true for every logical screen under
+    * 8192px, false for printable text at those offsets); BMP
+    * additionally requires the four reserved header bytes to be zero
+    * (text carries no NULs).
+    */
+  def parseDims(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a)
+      Some((be32(16), be32(20)))
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a' &&
+        u8(7) < 0x20 && u8(9) < 0x20)
+      Some((le16(6), le16(8)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+        u8(6) == 0 && u8(7) == 0 && u8(8) == 0 && u8(9) == 0)
+      Some((le32(18), math.abs(le32(22))))
+    else None
+  }
+
+  /** STUB decoder for non-PNG/GIF/BMP payloads (and for features in
+    * every case) — a real build replaces this body with an image/audio
     * codec call. Deterministic fake: dimensions from byte length,
     * features from the first bytes. Never throws; total on any payload.
     */
   def decodeStub(bytes: Array[Byte]): Row = {
     val n = bytes.length.toLong
-    val feats = (0 until 8).map { i =>
+    val feats = stubFeatures(bytes)
+    Row(n, (n % 640).toInt, (n * 7 % 480).toInt, (n % 30).toInt, feats)
+  }
+
+  /** Deterministic stand-in features (first bytes) — the declared stub
+    * half of the decode: real feature extraction needs pixel codecs.
+    */
+  private def stubFeatures(bytes: Array[Byte]): Array[Double] =
+    (0 until 8).map { i =>
       if (i < bytes.length) (bytes(i) & 0xff).toDouble else 0.0
     }.toArray
-    Row(n, (n % 640).toInt, (n * 7 % 480).toInt, (n % 30).toInt, feats)
+
+  /** Full decode: real header dims when the payload is PNG/GIF/BMP
+    * (single known image frame → n_frames = 1), stub metadata
+    * otherwise; features always from [[stubFeatures]].
+    */
+  def decodeMeta(bytes: Array[Byte]): Row = parseDims(bytes) match {
+    case Some((w, h)) =>
+      Row(bytes.length.toLong, w, h, 1, stubFeatures(bytes))
+    case None => decodeStub(bytes)
   }
 
   /** Decode a binary column into typed metadata + features, preserving
@@ -59,7 +125,7 @@ object Multimodal {
       // one decoder init per partition would go here
       rows.map { r =>
         val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
-        val decoded = if (payload == null) null else decodeStub(payload)
+        val decoded = if (payload == null) null else decodeMeta(payload)
         Row.fromSeq(r.toSeq :+ decoded)
       }
     }

@@ -360,6 +360,40 @@ object ParityQueries {
         .orderBy(col("p_partkey"))
     },
 
+    // ---- J5-CJK bigram mode: CJKAnalyzer-style query decomposition ----
+    // The multi-char query 小米手机 decomposes into bigrams
+    // 小米/米手/手机, EACH matched by containment — closer to the ik
+    // analyzer the reference's ES deployment runs than whole-token
+    // substring matching (a doc can match on shared bigrams without
+    // the full contiguous run). Highlighting wraps the same bigrams.
+    Q("j5_match_and_cjk_bigram",
+      """SELECT p_partkey, sku_name,
+        | regexp_replace(sku_name, '(?i)(\bsmall\b|小米|米手|手机)',
+        |   '<em>\1</em>', 'g') AS hl_name
+        |FROM (
+        | SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN concat('小米手机 ', p_name)
+        |       WHEN p_partkey % 3 = 1 THEN concat('华为平板 ', p_name)
+        |       ELSE p_name END AS sku_name
+        | FROM part)
+        |WHERE list_contains(string_split(lower(sku_name), ' '), 'small')
+        |  AND contains(lower(sku_name), '小米')
+        |  AND contains(lower(sku_name), '米手')
+        |  AND contains(lower(sku_name), '手机')
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val sku = when(pmod(col("p_partkey"), lit(3)) === 0,
+          concat(lit("小米手机 "), col("p_name")))
+        .when(pmod(col("p_partkey"), lit(3)) === 1,
+          concat(lit("华为平板 "), col("p_name")))
+        .otherwise(col("p_name"))
+      part(s, d).withColumn("sku_name", sku)
+        .filter(Cols.matchAndBigram(col("sku_name"), "small 小米手机"))
+        .select(col("p_partkey"), col("sku_name"),
+          Cols.highlightBigram(col("sku_name"), "small 小米手机")
+            .as("hl_name"))
+        .orderBy(col("p_partkey"))
+    },
+
     // ---- A1: total DAU (count of deduped actives for a day) ------------
     Q("a1_dau_total",
       s"""SELECT COUNT(DISTINCT user_id) AS dau_total FROM events

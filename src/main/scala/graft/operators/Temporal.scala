@@ -96,6 +96,13 @@ object Temporal {
   def scd2(cdc: DataFrame, keyCol: String, ordCol: String, tsCol: String,
            attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "scd2 needs at least one attribute column")
+    // withColumn REPLACES an existing column of the same name — a CDC
+    // frame already carrying e.g. valid_from would be silently
+    // corrupted (same reserved-name contract as intervalJoin)
+    val reserved = cdc.columns.toSet.intersect(
+      Set("valid_from", "valid_to", "version", "is_current", "__chg"))
+    require(reserved.isEmpty,
+      s"input columns collide with scd2's output columns: $reserved")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
     val attrs = struct(attrCols.map(col): _*)
     val changed = !(attrs <=> lag(attrs, 1).over(w))

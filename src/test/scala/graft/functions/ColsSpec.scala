@@ -60,6 +60,43 @@ class ColsSpec extends SparkSpec {
     assert(got == "<em>小米</em>手机 with <em>small</em> parts")
   }
 
+  test("cjkPieces: bigrams per run, mixed tokens split, singles whole") {
+    assert(Cols.cjkPieces("小米手机") == Seq("小米", "米手", "手机"))
+    assert(Cols.cjkPieces("小米phone") == Seq("小米", "phone"))
+    assert(Cols.cjkPieces("小") == Seq("小"))
+    assert(Cols.cjkPieces("small") == Seq("small"))
+    assert(Cols.cjkPieces("a小米b") == Seq("a", "小米", "b"))
+  }
+
+  test("matchAndBigram matches on shared bigrams, not contiguous runs") {
+    val df = Seq(
+      "小米手机 高配版",   // contiguous run — both modes match
+      "小米的手机 版",     // 小米…手机 split by 的: bigram 米手 missing
+      "小米 米手 手机版",  // all three bigrams present, non-contiguous
+      "华为手机 高配版")   // 小米/米手 absent
+      .toDF("sku")
+    val bigram = df.filter(Cols.matchAndBigram($"sku", "小米手机"))
+      .as[String].collect().toSet
+    assert(bigram == Set("小米手机 高配版", "小米 米手 手机版"))
+    // whole-token containment would reject the non-contiguous doc
+    val contain = df.filter(Cols.matchAnd($"sku", "小米手机"))
+      .as[String].collect().toSet
+    assert(contain == Set("小米手机 高配版"))
+    // segmented tokens still use token membership in bigram mode
+    assert(Seq("小米手机 pro", "小米手机 prototype").toDF("sku")
+      .filter(Cols.matchAndBigram($"sku", "小米手机 pro"))
+      .as[String].collect().toSeq == Seq("小米手机 pro"))
+  }
+
+  test("highlightBigram wraps disjoint bigram spans deterministically") {
+    val got = Seq("小米手机 with small parts").toDF("t")
+      .select(Cols.highlightBigram($"t", "small 小米手机"))
+      .as[String].head()
+    // left-to-right scan: 小米 consumed first, 米手 overlaps → skipped,
+    // 手机 matches next
+    assert(got == "<em>小米</em><em>手机</em> with <em>small</em> parts")
+  }
+
   test("decode3 maps op classes and nulls unknowns") {
     val df = Seq("insert", "bootstrap-insert", "update", "delete", "weird")
       .toDF("t")

@@ -220,6 +220,34 @@ class CorpusSpec extends SparkSpec {
     assert(stream === corpus)
   }
 
+  test("packSequences: auto bucket sizing packs a sparse ~1e12 id range") {
+    // ids spread over a trillion-wide range: the old fixed-4096 grid
+    // would imply ~2.4e8 candidate buckets; auto-sizing derives the
+    // grid from the observed range, so the totals collect stays at
+    // ≤ min(|docs|, 2^20) rows and the pack still orders globally by id
+    val docs = (0 until 50)
+      .map(i => (i * 20000000037L, s"t${i}_a t${i}_b t${i}_c"))
+      .toDF("id", "text")
+    val pieces = Corpus.packSequences(docs, "id", "text", seqLen = 7)
+      .orderBy($"seq_id", $"seq_tok_start")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    val stream = pieces.flatMap(_._6.split(" ")).toSeq
+    val corpus = docs.orderBy($"id").as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).toSeq
+    assert(stream === corpus)
+    // every full sequence is exactly seqLen tokens
+    pieces.groupBy(_._2).toSeq.sortBy(_._1).init
+      .foreach { case (_, ps) => assert(ps.map(_._5).sum === 7L) }
+  }
+
+  test("packSequences rejects a non-integral id column") {
+    val d = Seq(("10", "a b"), ("9", "c d")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packSequences(d, "id", "text", seqLen = 4)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("assignSplits: rejects percents that do not sum to 100") {
     intercept[IllegalArgumentException] {
       Corpus.assignSplits(spark.range(1).toDF("k"), "k",

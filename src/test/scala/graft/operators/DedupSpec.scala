@@ -207,6 +207,32 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(expected.nonEmpty)   // fixture genuinely exercises the radius
     assert(got == expected)     // complete AND no false extras
+
+    // the md5-prefix twin runs the SAME banding plan over different
+    // signatures — same completeness property, and the signatures
+    // must genuinely differ from xxhash64's (different hash family)
+    val md5Sigs = Dedup.simhash64Md5Sigs(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(md5Sigs.keySet == sigs.keySet)
+    assert(md5Sigs.exists { case (id, s) => sigs(id) != s })
+    val md5Expected = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(md5Sigs(a) ^ md5Sigs(b)) if h <= 7
+    } yield (a, b, h)).toSet
+    val md5Got = Dedup.simhashPairs64Md5(df, "doc_id", "text", 7)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(md5Expected.nonEmpty)
+    assert(md5Got == md5Expected)
+  }
+
+  test("SimHashMd5 at 64 bits uses the wide md5 prefix (hi half live)") {
+    // with the 32-bit prefix, bits 32..63 would always be zero; the
+    // 64-bit form must populate the high half for some real docs
+    val corpus = graft.tables.Tables.documents(spark, sf0001)
+    val sigs = Dedup.simhash64Md5Sigs(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(sigs.nonEmpty)
+    assert(sigs.exists { case (_, s) => (s >>> 32) != 0L })
   }
 
   test("embeddingPairs: OR-amplification raises recall, no duplicates") {

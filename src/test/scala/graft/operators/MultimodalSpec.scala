@@ -44,6 +44,58 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2) == ((0, 0)))      // degenerate guard, no div-by-zero
   }
 
+  test("parseDims reads true dimensions from real PNG/GIF/BMP bytes") {
+    // the standard 1x1 transparent PNG and GIF (public reference
+    // payloads), decoded from base64 — full real files, not synthetic
+    // headers
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYP" +
+        "hfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val gif1x1 = java.util.Base64.getDecoder.decode(
+      "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    assert(Multimodal.parseDims(png1x1) == Some((1, 1)))
+    assert(Multimodal.parseDims(gif1x1) == Some((1, 1)))
+
+    // hand-built BITMAPINFOHEADER BMP, 13x7, height NEGATIVE
+    // (top-down row order) — dims must come back absolute
+    val bmp = new Array[Byte](26)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(14) = 40 // DIB header size
+    bmp(18) = 13 // width LE32
+    val negH = -7
+    bmp(22) = (negH & 0xff).toByte; bmp(23) = ((negH >> 8) & 0xff).toByte
+    bmp(24) = ((negH >> 16) & 0xff).toByte
+    bmp(25) = ((negH >> 24) & 0xff).toByte
+    assert(Multimodal.parseDims(bmp) == Some((13, 7)))
+  }
+
+  test("parseDims: text starting with an ASCII magic does NOT sniff") {
+    def t(s: String) = s.getBytes("UTF-8")
+    // GIF/BMP magics are printable — plain prose must fall through to
+    // the stub, or text pipelines would silently corrupt
+    assert(Multimodal.parseDims(t("BMW builds cars and motorcycles")).isEmpty)
+    assert(Multimodal.parseDims(t("GIF89a is an image format spec")).isEmpty)
+    assert(Multimodal.parseDims(t("plain words only here at all")).isEmpty)
+    assert(Multimodal.parseDims(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeBinary routes real images to the parser, text to the stub") {
+    val png1x1 = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYP" +
+        "hfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+    val txt = "hello".getBytes("UTF-8")
+    val df = Seq((1L, png1x1), (2L, txt)).toDF("id", "payload")
+    val rows = Multimodal.decodeBinary(df, "payload")
+      .select($"id", $"decoded").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val img = rows(1L)
+    assert(img.getInt(1) == 1 && img.getInt(2) == 1) // true 1x1 dims
+    assert(img.getInt(3) == 1)                       // single frame
+    assert(img.getLong(0) == png1x1.length.toLong)
+    val stub = rows(2L)
+    assert(stub.getInt(1) == 5 && stub.getInt(2) == 35) // stub arithmetic
+  }
+
   test("decodeBinary survives repartitioning (per-partition batching)") {
     val df = (1 to 100).map(i => (i.toLong, "x" * i)).toDF("id", "t")
       .select($"id", encode($"t", "UTF-8").as("payload"))

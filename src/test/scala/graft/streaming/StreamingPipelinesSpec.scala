@@ -372,6 +372,22 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(new java.io.File(out).renameTo(
       new java.io.File(out + ".__compact_old")))
     assert(view == Set("m1" -> 3))
+    // the exact between-the-two-renames state: BOTH the set-aside old
+    // store AND a completed staging dir exist, live missing. Recovery
+    // must prefer the staging dir (its write job finished — it may
+    // hold newer compacted data) and drop the old copy, not resurrect
+    // the stale store over it.
+    Sinks.upsertBatch(Seq(("m1", "2024-01-05", 9))
+      .toDF("mid", "dt", "v"), out, "mid", batchId = 9L)
+    val fresh = new java.io.File(out)
+    val oldDir = new java.io.File(out + ".__compact_old")
+    // stage = current (v=9) store; old = a stale pre-compaction copy
+    assert(fresh.renameTo(tmpDir))
+    oldDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(oldDir, "stale").toPath, "stale copy")
+    assert(view == Set("m1" -> 9)) // staged store won
+    assert(fresh.isDirectory && !tmpDir.exists() && !oldDir.exists())
   }
 
   test("readStore keeps __seq when old files predate the column") {
