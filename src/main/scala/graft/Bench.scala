@@ -60,7 +60,14 @@ object Bench {
     val total = results.values.map(math.abs).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":$sf,"sfDir":"$sfDir"}""")
+    // streaming latency section: per-micro-batch p50/p95 execution
+    // millis for the four app pipelines (the reference's operating
+    // envelope is 5 s micro-batches — see StreamBench). -1 = crashed.
+    // SPARK_GRAFT_STREAM_BENCH=0 skips it.
+    val streaming =
+      if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
+      else StreamBench.run(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"sf":$sf,"sfDir":"$sfDir"}""")
     spark.stop()
   }
 }

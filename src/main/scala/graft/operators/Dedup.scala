@@ -85,6 +85,13 @@ object Dedup {
     * repartition(sh) makes the counts branch reuse that same exchange
     * too, so the shingling/explode subplan runs once total
     * (A/B in tools/ab_jaccard.scala).
+    *
+    * Skew: AQE's skew-join split does NOT apply through this reused
+    * user repartition (splitting would break the user-specified
+    * partitioning — verified empirically in SkewSpec), so
+    * `maxShingleFreq` is the one skew defense on this path: it bounds
+    * per-key index rows BEFORE the join rather than relying on
+    * runtime re-planning.
     */
   private def pairStats(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, maxShingleFreq: Int): DataFrame = {
