@@ -600,6 +600,44 @@ object ParityQueries {
         .orderBy(col("rn"))
     },
 
+    // ---- W3: relevance-ordered match page (ES _score analog) ----------
+    // The reference's detailByItem pages in Elasticsearch relevance
+    // order; this is the deterministic analog — tf × linear-idf summed
+    // per query token (Relevance.scored), ordered (score DESC, key) via
+    // the distributed TakeOrderedAndProject page (score negated so the
+    // ascending pagination core applies unchanged). OR-match semantics:
+    // any row containing at least one query token scores.
+    Q("w3_relevance_page", {
+      def toks = "string_split_regex(lower(p_name), '\\s+')"
+      def term(t: String, df: String) =
+        s"CASE WHEN $df > 0 THEN " +
+          s"CAST(len(list_filter($toks, x -> x = '$t')) * n AS DOUBLE)" +
+          s" / CAST($df AS DOUBLE) ELSE 0.0 END"
+      s"""WITH s AS (SELECT count(*) AS n,
+         |  sum(CASE WHEN list_contains($toks, 'small') THEN 1 ELSE 0
+         |    END) AS df0,
+         |  sum(CASE WHEN list_contains($toks, 'widget') THEN 1 ELSE 0
+         |    END) AS df1
+         | FROM part),
+         |sc AS (SELECT p_partkey, p_name,
+         |  (${term("small", "df0")} + ${term("widget", "df1")}) AS score
+         | FROM part, s)
+         |SELECT p_partkey, p_name, score, CAST(rn AS INT) AS rn FROM (
+         | SELECT p_partkey, p_name, score,
+         |  row_number() OVER (ORDER BY score DESC, p_partkey) AS rn
+         | FROM sc WHERE score > 0)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin
+    }) { (s, d) =>
+      val scored = Relevance.scored(
+        part(s, d).select(col("p_partkey"), col("p_name")),
+        "p_name", "small widget")
+        .withColumn("__negscore", -col("score"))
+      Paging.paginate(scored, Seq("__negscore", "p_partkey"),
+        from = 0, size = 20)
+        .drop("__negscore")
+        .orderBy(col("rn"))
+    },
+
     // ---- pipeline round-trips: the streaming transform code paths under
     // the oracle gate. Envelope JSON is synthesized in-plan from driver
     // tables, fed through the REAL LogSplit/CdcSplit code, and the

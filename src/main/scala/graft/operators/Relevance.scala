@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.Cols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** ES-style lexical relevance scoring for match queries — the ordering
+  * the reference's `detailByItem` gets from Elasticsearch `_score`
+  * (publisher/.../PublisherMapperImpl.java:194: the page comes back in
+  * relevance order). SURVEY §2.6 sanctioned deterministic key order as
+  * the default; this operator closes the residual fidelity gap with a
+  * score an external oracle can reproduce bit-for-bit:
+  *
+  *   score(row) = Σ_t  tf_t(text) · N / df_t      over query tokens t
+  *
+  * — term frequency × LINEAR inverse document frequency, the same
+  * exactness trade as [[Corpus.tfidf]]: `ln` is not required to be
+  * correctly rounded so a log-idf can differ across engines in the
+  * last bit, while tf·N is an exact integer product and the single
+  * division is the one rounding step. Ties order by the caller's key
+  * columns, keeping the full ordering deterministic and hash-checkable.
+  * Zero-score rows (no query token present) are dropped — a match
+  * query never returns non-matching docs.
+  *
+  * Scale shape: ONE scalar aggregate computes N and every per-token df
+  * in a single pass (a 1-row frame, broadcast onto the rows); the
+  * score itself is a narrow projection. No token-keyed joins, no
+  * windows — ordering is the caller's problem and should go through
+  * [[Paging.paginate]] (TakeOrderedAndProject), never a global window.
+  */
+object Relevance {
+
+  /** Append `score` to `df` and drop zero-score rows. Document
+    * frequencies come from `corpus` when given (e.g. the whole day's
+    * store while `df` is already match-filtered — ES computes idf over
+    * the index, not the hit set), else from `df` itself. Term order in
+    * the score sum is the query's token order — double addition is
+    * order-sensitive, and a SQL oracle must add in the same order.
+    */
+  def scored(df: DataFrame, textCol: String, query: String,
+             corpus: Option[DataFrame] = None): DataFrame = {
+    val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(qs.nonEmpty, "relevance needs a non-empty query")
+    val toks = Cols.tokens(col(textCol))
+    val aggs = count(lit(1)).as("__n") +:
+      qs.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L))
+          .as(s"__df_$i")
+      }
+    val stats = corpus.getOrElse(df).agg(aggs.head, aggs.tail: _*)
+    val termScores: Seq[Column] = qs.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(toks, x => x === t))
+      when(col(s"__df_$i") > 0,
+        (tf * col("__n")).cast(DoubleType) /
+          col(s"__df_$i").cast(DoubleType))
+        .otherwise(lit(0.0))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("score", termScores.reduce(_ + _))
+      .drop("__n" +: qs.indices.map(i => s"__df_$i"): _*)
+      .filter(col("score") > 0)
+  }
+}

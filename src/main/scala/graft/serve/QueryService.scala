@@ -115,6 +115,35 @@ object QueryService {
       .orderBy(col("rn"))
   }
 
+  /** [[detailByItem]] in RELEVANCE order — the reference's actual ES
+    * `_score` ordering (PublisherMapperImpl.java:194), approximated by
+    * [[graft.operators.Relevance]]'s exact tf × linear-idf with ties
+    * broken by `detail_id`. Document frequencies come from the WHOLE
+    * day's store (the "index"), not the match-filtered hit set — under
+    * the AND-match filter every hit contains every token, so hit-set
+    * dfs would degenerate to N and erase the idf weighting. Same
+    * distributed page shape as [[detailByItem]]: score negated so the
+    * ascending TakeOrderedAndProject pagination applies unchanged.
+    */
+  def detailByItemRelevance(spark: SparkSession, orderWideDir: String,
+                            itemName: String, date: String,
+                            pageNo: Int, pageSize: Int = 20): DataFrame = {
+    val from = (pageNo - 1) * pageSize
+    val day = orderWideTable(spark, orderWideDir)
+      .filter(col("dt") === date)
+    val base = graft.operators.Relevance.scored(
+        day.filter(Cols.matchAnd(col("sku_name"), itemName)),
+        "sku_name", itemName, corpus = Some(day))
+      .withColumn("sku_name", Cols.highlight(col("sku_name"), itemName))
+      .withColumn("__negscore", -col("score"))
+    val total = base.agg(count(lit(1)).as("total"))
+    graft.operators.Paging.paginate(base, Seq("__negscore", "detail_id"),
+        from, pageSize)
+      .drop("__negscore")
+      .crossJoin(broadcast(total))
+      .orderBy(col("rn"))
+  }
+
   /** Match count alone (the `total` of [[detailByItem]] without a
     * page) — the serving layer falls back to this when a requested
     * page is past the last row, where no page row carries the total.
