@@ -317,9 +317,9 @@ object ExtensionQueries {
       val kept = docs
         .withColumn("quality", TextAnalysis.qualityCol(col("text")))
         .filter(col("quality") >= 0.5)
-      val canon = Dedup.exact(kept, "doc_id", "text")
-        .select(col("canonical_id").as("doc_id"))
-      kept.join(canon, Seq("doc_id"))
+      // canonical selection as ONE min-struct hash-agg (the payload
+      // rides in the struct) — no join back, no second corpus scan
+      Dedup.exactSurvivors(kept, "doc_id", "text")
         .select(col("doc_id"), col("quality"),
           size(graft.functions.TextFns.toks(col("text"))).cast("long")
             .as("n_tokens"))
@@ -373,9 +373,7 @@ object ExtensionQueries {
       val kept = docs
         .withColumn("quality", TextAnalysis.qualityCol(col("text")))
         .filter(col("quality") >= 0.5)
-      val canon = Dedup.exact(kept, "doc_id", "text")
-        .select(col("canonical_id").as("doc_id"))
-      val keptCanon = kept.join(canon, Seq("doc_id"))
+      val keptCanon = Dedup.exactSurvivors(kept, "doc_id", "text")
         .select(col("doc_id"), col("text"))
       val samp = TextFns.hash32(col("doc_id").cast("string")) % 100 < 10
       val train = keptCanon.filter(!samp)

@@ -47,6 +47,27 @@ object Dedup {
         count(lit(1)).as("group_size"))
   }
 
+  /** Exact-dedup SURVIVORS: one row per distinct normalized text —
+    * the minimum-`idCol` member's FULL row, via a single min-struct
+    * hash-agg keyed by the content hash. This is the one-shuffle form
+    * of "[[exact]] then join the canonical ids back": the payload
+    * rides inside the struct so no join (and no second scan of the
+    * corpus) is needed, and the min-struct combines map-side — a
+    * million-copy boilerplate document reduces inside each task.
+    * `idCol` must lead the struct ordering, so it is placed first;
+    * ids are unique, so ties cannot reorder the remaining fields.
+    */
+  def exactSurvivors(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val cols = docs.columns.toSeq
+    val ordered = col(idCol) +:
+      cols.filterNot(_ == idCol).map(col)
+    docs
+      .groupBy(md5(TextFns.normText(col(textCol))).as("__text_hash"))
+      .agg(min(struct(ordered: _*)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** Spread a (possibly single-split) corpus across the cluster before
     * CPU-heavy per-row work: hashing/shingling cost dwarfs the shuffle
     * of raw text. On a real cluster big inputs arrive pre-split and

@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.length == 1 && dupGroup.head._2 == 1L) // canonical=min
   }
 
+  test("exactSurvivors: min-id row per content group, payload intact") {
+    val withExtra = docs.withColumn("extra",
+      concat(lit("x"), col("doc_id")))
+    val got = Dedup.exactSurvivors(withExtra, "doc_id", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    // identical to "exact() then keep canonical ids" — one shuffle form
+    val canonIds = Dedup.exact(withExtra, "doc_id", "text")
+      .select(col("canonical_id")).as[Long].collect().toSet
+    assert(got.map(_._1).toSet == canonIds)
+    assert(got.map(_._1) == Seq(1L, 3L, 4L, 5L)) // 2 deduped into 1
+    // the surviving row carries ITS OWN payload, not a mixed one
+    got.foreach { case (id, _, extra) => assert(extra == s"x$id") }
+  }
+
   test("jaccardPairs finds near-dups through the shingle index") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .as[(Long, Long, Double)].collect().toSeq
