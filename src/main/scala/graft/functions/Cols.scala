@@ -75,7 +75,7 @@ object Cols {
     * stay whole. "小米手机" → [小米, 米手, 手机]; "小米phone" →
     * [小米, phone]; "small" → [small].
     */
-  private[functions] def cjkPieces(token: String): Seq[String] = {
+  private[graft] def cjkPieces(token: String): Seq[String] = {
     val cps = token.codePoints().toArray
     val out = Seq.newBuilder[String]
     var i = 0

@@ -111,6 +111,63 @@ object EngineProps extends Properties("graft") {
             .values.forall(_ == seqLen.toLong)
     }
 
+  // the auto-sized bucket grid may differ from any explicit one, but
+  // the packing output is a pure function of (corpus, seqLen) — the
+  // two-level prefix-sum must erase the bucketing choice entirely
+  property("packSequences output is bucket-grid invariant (auto vs any)") =
+    Prop.forAll(docs, Gen.chooseNum(2, 17), Gen.chooseNum(1, 6)) {
+      (ds, seqLen, bucketSize) =>
+        import graft.operators.Corpus
+        val df = ds.toDF("doc_id", "text")
+        def rows(bs: Int) = Corpus.packSequences(df, "doc_id", "text",
+            seqLen, bs)
+          .select("doc_id", "seq_id", "doc_tok_start", "seq_tok_start",
+            "piece_len", "piece_text")
+          .collect().map(_.toSeq).toSet
+        rows(bucketSize) == rows(0) // explicit grid ≡ auto-sized grid
+    }
+
+  property("parseDims is total: arbitrary bytes never throw") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))) {
+      bytes =>
+        import graft.operators.Multimodal
+        Multimodal.parseDims(bytes.toArray) match {
+          case Some((w, h)) => w >= 0 && h >= 0
+          case None         => true
+        }
+    }
+
+  property("relevance: exactly the token-bearing rows score, " +
+    "partition-invariant") =
+    Prop.forAll(docs, word, Gen.chooseNum(1, 5)) { (ds, q, parts) =>
+      import graft.operators.Relevance
+      val df = ds.toDF("doc_id", "text")
+      val a = Relevance.scored(df, "text", q)
+        .select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val b = Relevance.scored(df.repartition(parts), "text", q)
+        .select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val expected = ds.filter(_._2.split(" ").contains(q)).map(_._1)
+      a.toSet == b.toSet &&                       // partition-invariant
+        a.map(_._1).toSet == expected.toSet &&    // OR-match row set
+        a.forall(_._2 > 0)                        // matches score > 0
+    }
+
+  property("cjkPieces: bigrams chain over every unsegmented run") =
+    Prop.forAll(Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('小', '米', '手', '机', '平', '板')))
+      .map(_.mkString)) { run =>
+      val pieces = Cols.cjkPieces(run)
+      if (run.length == 1) pieces == Seq(run)
+      else
+        pieces.length == run.length - 1 &&
+          pieces.forall(_.length == 2) &&
+          pieces.zip(pieces.tail).forall { case (a, b) =>
+            a(1) == b(0) // consecutive bigrams overlap by one char
+          } && pieces.map(_(0)).mkString + pieces.last(1) == run
+    }
+
   property("scd2 versions partition each key's timeline") =
     Prop.forAll(Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.oneOf("u", "v"), Gen.oneOf("a", "b", "c"))))) { evs =>
