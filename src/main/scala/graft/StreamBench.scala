@@ -50,18 +50,34 @@ object StreamBench {
   /** Feed `batches` micro-batches into a started query and collect
     * triggerExecution percentiles; the first batch is dropped from
     * the stats (it pays one-time codegen/state-store init that a
-    * long-running app amortizes away).
+    * long-running app amortizes away). Zero non-empty batches (a
+    * misconfigured feed) reports the distinct -2 sentinel rather than
+    * masquerading as the -1 crash sentinel or throwing out of the
+    * percentile math. The checkpoint dir (offsets + state store) is
+    * deleted afterwards — Bench is a repeatable main and must not
+    * accumulate /tmp state across runs.
     */
   private def drive(q: StreamingQuery, feed: Int => Unit,
-                    batches: Int): Lat =
+                    batches: Int, ckptDir: String): Lat =
     try {
       (0 until batches).foreach { i => feed(i); q.processAllAvailable() }
       val durs = q.recentProgress.toSeq
         .filter(_.numInputRows > 0)
         .map(_.durationMs.get("triggerExecution").toDouble)
       val steady = if (durs.size > 1) durs.tail else durs
-      Lat(pct(steady, 0.5), pct(steady, 0.95))
-    } finally q.stop()
+      if (steady.isEmpty) Lat(-2.0, -2.0)
+      else Lat(pct(steady, 0.5), pct(steady, 0.95))
+    } finally {
+      q.stop()
+      deleteRec(new java.io.File(ckptDir))
+    }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRec)
+    f.delete()
+    ()
+  }
 
   private def ckpt(name: String): String =
     java.nio.file.Files.createTempDirectory(s"sbench_$name").toString
@@ -116,14 +132,15 @@ object StreamBench {
       branch.select(lit(topic).as("topic"),
         to_json(struct(branch.columns.map(col): _*)).as("value"))
     }.reduce(_ unionByName _)
+    val cp = ckpt("log")
     val q = routed.writeStream.format("noop")
-      .option("checkpointLocation", ckpt("log")).start()
+      .option("checkpointLocation", cp).start()
     val t0 = 1700000000000L
     drive(q, b => {
       src.addData((0 until rows).map(r =>
         logLine(b.toLong * rows + r, t0 + b * 5000L + r)))
       ()
-    }, batches)
+    }, batches, cp)
   }
 
   /** CDC split: Maxwell decode → fact routing + dim upsert rows
@@ -137,8 +154,9 @@ object StreamBench {
     val decoded = CdcSplit.decoded(CdcSplit.parse(src.toDF()))
     val facts = Set("order_info")
     val dims = Set("user_info", "base_province")
+    val cp = ckpt("cdc")
     val q = decoded.writeStream
-      .option("checkpointLocation", ckpt("cdc"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val cached = batch.persist()
         try {
@@ -155,7 +173,7 @@ object StreamBench {
       src.addData((0 until rows).map(r =>
         cdcLine(b.toLong * rows + r, t0 + b * 5L)))
       ()
-    }, batches)
+    }, batches, cp)
   }
 
   /** DAU: session-start filter → watermarked daily dedup (real state
@@ -174,8 +192,9 @@ object StreamBench {
       .toDF("id", "name", "area_code", "iso_code", "iso_3166_2")
     val deduped = DauPipeline.dedupDailyStreaming(
       DauPipeline.sessionStarts(src.toDF()))
+    val cp = ckpt("dau")
     val q = deduped.writeStream.outputMode("append")
-      .option("checkpointLocation", ckpt("dau"))
+      .option("checkpointLocation", cp)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         DauPipeline.enrich(batch, dimUser, dimProvince)
           .write.format("noop").mode("overwrite").save()
@@ -191,7 +210,7 @@ object StreamBench {
           t0 + b * 5000L + r)
       })
       ()
-    }, batches)
+    }, batches, cp)
   }
 
   /** Order-wide: two watermarked streams → stream-stream join with
@@ -208,9 +227,10 @@ object StreamBench {
       .select(col("d.detail_id"), col("d.order_id"), col("d.sku_id"),
         col("i.user_id"), col("i.total_amount"),
         col("i.create_ts").as("create_ts"))
+    val cp = ckpt("ow")
     val q = wide.writeStream.outputMode("append")
       .format("noop")
-      .option("checkpointLocation", ckpt("ow")).start()
+      .option("checkpointLocation", cp).start()
     val t0 = 1700000000000L
     drive(q, b => {
       val ts = new java.sql.Timestamp(t0 + b * 5000L)
@@ -228,7 +248,7 @@ object StreamBench {
             Detail(oid, oid * 2 + 1, oid % 50, (oid % 250) + 0.25, ts))
         })
       ()
-    }, batches)
+    }, batches, cp)
   }
 
   /** Run all four; returns the JSON fragment for Bench's output line.

@@ -114,18 +114,21 @@ object Cols {
     * `text` — the analyzer-free analog of ES's CJKAnalyzer /
     * ik-max-word query semantics, where a multi-word Chinese query
     * matches on shared bigrams rather than one contiguous substring.
-    * Strictly looser than [[matchAnd]]'s whole-token containment on
-    * CJK runs of 3+ chars (the bigrams may match non-contiguously);
-    * identical on 1-2-char runs and on segmented tokens.
+    * EVERY piece of an unsegmented token matches by substring
+    * containment — including embedded non-CJK segments ("20" inside
+    * the reference's 20岁以下 label): such a segment is glued to its
+    * CJK context in the text too, so token membership would reject
+    * exactly the documents [[matchAnd]] accepts. Strictly looser than
+    * [[matchAnd]]'s whole-token containment on CJK runs of 3+ chars
+    * (the bigrams may match non-contiguously); identical on 1-2-char
+    * runs and on segmented tokens.
     */
   def matchAndBigram(text: Column, query: String): Column = {
     val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
     require(qs.nonEmpty, "matchAndBigram needs a non-empty query")
     qs.flatMap { t =>
       if (unsegmented(t))
-        cjkPieces(t).map(p =>
-          if (unsegmented(p)) contains(lower(text), lit(p))
-          else array_contains(tokens(text), p))
+        cjkPieces(t).map(p => contains(lower(text), lit(p)))
       else Seq(array_contains(tokens(text), t))
     }.reduce(_ && _)
   }
@@ -151,16 +154,21 @@ object Cols {
 
   /** [[highlight]] in CJK-bigram mode: highlights the [[cjkPieces]]
     * of each query token instead of whole CJK tokens (the highlighted
-    * spans mirror what [[matchAndBigram]] matched on). The regex scan
-    * is left-to-right non-overlapping, so overlapping bigrams
-    * (小米/米手) wrap disjoint spans deterministically.
+    * spans mirror what [[matchAndBigram]] matched on — every piece of
+    * an unsegmented token is boundary-free, matching the containment
+    * semantics; standalone segmented tokens stay word-bounded). The
+    * regex scan is left-to-right non-overlapping, so overlapping
+    * bigrams (小米/米手) wrap disjoint spans deterministically.
     */
   def highlightBigram(text: Column, query: String,
                       pre: String = "<em>",
                       post: String = "</em>"): Column = {
     val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    val parts = highlightParts(qs.toSeq.flatMap(t =>
-      if (unsegmented(t)) cjkPieces(t) else Seq(t)))
+    val parts = qs.toSeq.flatMap { t =>
+      if (unsegmented(t))
+        cjkPieces(t).map(java.util.regex.Pattern.quote)
+      else highlightParts(Seq(t))
+    }
     regexp_replace(text, "(?i)(" + parts.mkString("|") + ")",
       pre + "$1" + post)
   }

@@ -6,7 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.storage.StorageLevel
 
 /** Corpus-level curation operators a training-data pipeline runs after
   * per-document scoring: keyword extraction (TF-IDF), deterministic
@@ -332,10 +331,16 @@ object Corpus {
     * EAGER NOTE: building this DataFrame runs Spark jobs up front
     * (the id min/max agg when auto-sizing, and the bucket-totals
     * collect) — unlike the lazy sibling operators. The input subplan
-    * is persisted MEMORY_AND_DISK (fault-tolerant: an executor loss
-    * recomputes from lineage rather than failing the query, unlike a
-    * localCheckpoint) so upstream gates/joins run once, not once per
-    * job.
+    * is locally checkpointed so upstream gates/joins run ONCE across
+    * those jobs and the final query — and, unlike `persist` (whose
+    * SQL-cache entry survives until an explicit `unpersist` this
+    * lazy-returning operator has no hook to issue), the checkpoint
+    * RDD is released by the ContextCleaner once the result is
+    * unreachable, so repeated calls cannot leak executor storage.
+    * Trade-off: localCheckpoint storage is not fault-tolerant — an
+    * executor loss after build fails the query and the caller
+    * retries (acceptable for a batch job; a production pipeline
+    * wanting FT here should reliable-`checkpoint` its input).
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     seqLen: Int, bucketSize: Int = 0): DataFrame = {
@@ -352,7 +357,7 @@ object Corpus {
     val toks = TextFns.toks(col(textCol))
     val base = fanOut(docs).select(col(idCol), col(textCol),
         size(toks).cast("long").as("__n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val effBucketSize: Long =
       if (bucketSize > 0) bucketSize.toLong
       else {

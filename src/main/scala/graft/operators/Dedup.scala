@@ -56,9 +56,21 @@ object Dedup {
     * million-copy boilerplate document reduces inside each task.
     * `idCol` must lead the struct ordering, so it is placed first;
     * ids are unique, so ties cannot reorder the remaining fields.
+    *
+    * Contract narrower than "[[exact]] + join back": min-over-struct
+    * needs every payload column ORDERABLE (a MapType column would
+    * fail analysis inside the agg) — enforced up front with a clear
+    * message; fall back to the exact+join form for such schemas.
     */
   def exactSurvivors(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
+    val unorderable = docs.schema.fields.filterNot(f =>
+      org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType)).map(_.name)
+    require(unorderable.isEmpty,
+      s"exactSurvivors needs orderable payload columns (min-over-" +
+        s"struct); unorderable: ${unorderable.mkString(", ")} — use " +
+        s"exact() + a join on canonical_id for such schemas")
     val cols = docs.columns.toSeq
     val ordered = col(idCol) +:
       cols.filterNot(_ == idCol).map(col)
@@ -559,8 +571,7 @@ object Dedup {
     // the explicit hint overrides Spark's size threshold — only force
     // it when the cell-count bound proves the payload is small
     val repSide =
-      if (planes < 63 && (1L << planes) <= maxBroadcastCells)
-        broadcast(repVecs)
+      if ((1L << planes) <= maxBroadcastCells) broadcast(repVecs)
       else repVecs
     m.join(repSide, "bucket")
       .withColumn("rep_cos", VectorFns.cosine(col("__v"), col("__rv")))

@@ -45,9 +45,12 @@ object Multimodal {
     *    big-endian u32 at offsets 16/20 (PNG spec §11.2.2);
     *  - GIF: "GIF87a"/"GIF89a", logical-screen width/height as
     *    little-endian u16 at offsets 6/8 (GIF89a spec §18);
-    *  - BMP: "BM", BITMAPINFOHEADER width/height as little-endian
-    *    s32 at offsets 18/22 (height negative for top-down rows —
-    *    absolute value is the pixel height).
+    *  - BMP: "BM" with a BITMAPINFOHEADER-family DIB (size 40/52/56/
+    *    108/124 at offset 14 — the 12-byte OS/2 BITMAPCOREHEADER
+    *    stores u16 dims at different offsets and must NOT be read as
+    *    s32), width/height as little-endian s32 at offsets 18/22
+    *    (height negative for top-down rows — absolute value is the
+    *    pixel height; a non-positive width is invalid → None).
     *
     * Returns None for any other payload (caller falls back to the
     * stub). Never throws: short/truncated headers return None.
@@ -77,7 +80,9 @@ object Multimodal {
         u8(7) < 0x20 && u8(9) < 0x20)
       Some((le16(6), le16(8)))
     else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
-        u8(6) == 0 && u8(7) == 0 && u8(8) == 0 && u8(9) == 0)
+        u8(6) == 0 && u8(7) == 0 && u8(8) == 0 && u8(9) == 0 &&
+        Set(40, 52, 56, 108, 124).contains(le32(14)) &&
+        le32(18) > 0)
       Some((le32(18), math.abs(le32(22))))
     else None
   }

@@ -43,6 +43,14 @@ object Relevance {
     val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     require(qs.nonEmpty, "relevance needs a non-empty query")
+    // withColumn REPLACES an existing `score` silently, and a column
+    // named like the broadcast stats frame's would make the term
+    // expressions ambiguous — same reserved-name contract as scd2
+    val reserved = df.columns.toSet.intersect(
+      Set("score", "__n") ++ qs.indices.map(i => s"__df_$i"))
+    require(reserved.isEmpty,
+      s"input columns collide with relevance's working columns: " +
+        s"$reserved")
     val toks = Cols.tokens(col(textCol))
     val aggs = count(lit(1)).as("__n") +:
       qs.zipWithIndex.map { case (t, i) =>

@@ -88,6 +88,20 @@ class ColsSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("小米手机 pro"))
   }
 
+  test("matchAndBigram: embedded non-CJK segments match by containment") {
+    // the reference's own age label: "20" is glued to CJK context in
+    // both query and text, so token membership would reject exactly
+    // what matchAnd accepts — every piece of an unsegmented token
+    // must match by substring
+    val df = Seq("20岁以下 潮流女装", "30岁以上 正装").toDF("label")
+    val got = df.filter(Cols.matchAndBigram($"label", "20岁以下"))
+      .as[String].collect().toSeq
+    assert(got == Seq("20岁以下 潮流女装"))
+    // and stays consistent with matchAnd on the same data
+    assert(df.filter(Cols.matchAnd($"label", "20岁以下"))
+      .as[String].collect().toSeq == got)
+  }
+
   test("highlightBigram wraps disjoint bigram spans deterministically") {
     val got = Seq("小米手机 with small parts").toDF("t")
       .select(Cols.highlightBigram($"t", "small 小米手机"))

@@ -67,6 +67,14 @@ class MultimodalSpec extends SparkSpec {
     bmp(24) = ((negH >> 16) & 0xff).toByte
     bmp(25) = ((negH >> 24) & 0xff).toByte
     assert(Multimodal.parseDims(bmp) == Some((13, 7)))
+
+    // an OS/2 BITMAPCOREHEADER (DIB size 12) stores u16 dims at other
+    // offsets — reading it as s32 would produce garbage, so it must
+    // be rejected, as must a corrupt negative width
+    val core = bmp.clone(); core(14) = 12
+    assert(Multimodal.parseDims(core).isEmpty)
+    val negW = bmp.clone(); negW(21) = 0x80.toByte
+    assert(Multimodal.parseDims(negW).isEmpty)
   }
 
   test("parseDims: text starting with an ASCII magic does NOT sniff") {
