@@ -4,7 +4,7 @@ import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Document-deduplication operators for training-data pipelines.
   *
@@ -441,6 +441,14 @@ object Dedup {
     * growing lineage so plans stay constant-size. This is the
     * simple-and-correct form of the large-star/small-star CC algorithm
     * used at web scale.
+    *
+    * Convergence detection: labels are monotonically non-increasing
+    * per node, so the total label sum strictly decreases while ANY
+    * node changes and is equal exactly at the fixpoint — ONE scalar
+    * aggregate per iteration (decimal accumulation: 10^12 long ids
+    * would overflow a long sum), where the naive per-node
+    * old-vs-new comparison costs a whole extra join of two
+    * corpus-sized frames per iteration.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 20): DataFrame = {
@@ -449,6 +457,12 @@ object Dedup {
       .localCheckpoint()
     var labels = docs.select(col(idCol).as("id"))
       .withColumn("cluster_id", col("id")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(
+        sum(col("cluster_id").cast(DecimalType(38, 0)))).head()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -462,10 +476,9 @@ object Dedup {
           least(col("cluster_id"),
             coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("l"), col("n.id") === col("l.id"))
-        .filter(col("n.cluster_id") =!= col("l.cluster_id"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
