@@ -149,13 +149,14 @@ object ExtensionQueries {
        |     AS DOUBLE) / $nTok, 1.0)) * 0.2""".stripMargin
   }
 
-  /** Recursive-CTE prefix resolving MinHash-LSH near-dup clusters to
-    * `clust(doc_id, cluster_id)` (mirrors Dedup.minhashLshPairs at
-    * n=3, k=24, bands=6, threshold=0.5 + Dedup.clusters); prepend
-    * "WITH RECURSIVE". Shared by the clusters and canonical-selection
+  /** Recursive-CTE prefix resolving MinHash-LSH near-dup clusters of
+    * relation `src(doc_id, text, …)` to `clust(doc_id, cluster_id)`
+    * (mirrors Dedup.minhashLshPairs at n=3, k=24, bands=6,
+    * threshold=0.5 + Dedup.clusters); prepend "WITH RECURSIVE".
+    * Shared by the clusters, canonical-selection and near-dup-pipeline
     * oracles so the clustering definition cannot fork.
     */
-  private val clustersCteSql: String = {
+  private def clustersCte(src: String): String = {
     val k = 24; val bands = 6; val rows = k / bands
     val bandKeys = s"list_transform(range(0, $bands), b -> " +
       s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
@@ -163,7 +164,7 @@ object ExtensionQueries {
       s"x -> x[1] = x[2])) AS DOUBLE) / $k.0"
     s"""sigs AS (
        |  SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
-       |  FROM documents WHERE len(${shSql(3)}) > 0),
+       |  FROM $src WHERE len(${shSql(3)}) > 0),
        |banded AS (SELECT did, sig, unnest($bandKeys) AS band FROM sigs),
        |pairs AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b
        |  FROM banded ba JOIN banded bb
@@ -173,12 +174,14 @@ object ExtensionQueries {
        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
        |reach(id, r) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $src
        |  UNION
        |  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id),
        |clust AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach
        |  GROUP BY id)""".stripMargin
   }
+
+  private val clustersCteSql: String = clustersCte("documents")
 
   /** The Spark side of [[clustersCteSql]]. */
   private def clustersDf(s: org.apache.spark.sql.SparkSession,
@@ -386,6 +389,53 @@ object ExtensionQueries {
         .select(col("doc_id"), col("seq_id"), col("doc_tok_start"),
           col("seq_tok_start"), col("piece_len"))
         .orderBy(col("doc_id"), col("seq_id"))
+    },
+
+    // ---- near-dup pipeline: gate → LSH clusters → canonical → chunk ----
+    // The heavy NEAR-dup path composed end to end as one hash-gated
+    // plan (ext_pipeline_e2e composes the exact-dup path): quality
+    // gate, MinHash-LSH clustering over the kept docs, quality-
+    // preferred canonical selection, context-window chunking of the
+    // survivors. Every stage reuses the shared oracle fragments, so
+    // this cannot drift from the per-operator queries.
+    Q("ext_pipeline_neardup", {
+      val (mx, ov) = (48, 8); val st = mx - ov
+      s"""WITH RECURSIVE kept AS (
+         |  SELECT doc_id, text, $qualitySql AS quality FROM documents
+         |  WHERE $qualitySql >= 0.5),
+         |${clustersCte("kept")},
+         |m AS (SELECT c.doc_id, c.cluster_id, k.quality
+         |  FROM clust c JOIN kept k USING (doc_id)),
+         |b AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |  SELECT cluster_id, doc_id, row_number() OVER (
+         |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id)
+         |    AS rn FROM m) WHERE rn = 1),
+         |canon AS (SELECT m.doc_id FROM m JOIN b USING (cluster_id)
+         |  WHERE m.doc_id = b.canonical_id),
+         |t AS (SELECT k.doc_id, $TOKS AS tk
+         |  FROM kept k JOIN canon USING (doc_id)),
+         |c AS (SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |  tk[ci*$st+1:ci*$st+$mx] AS ct
+         | FROM t, unnest(range(0, greatest(
+         |   CAST(ceil((len(tk) - $ov)/$st.0) AS INT), 1))) AS u(ci))
+         |SELECT doc_id, chunk_idx, CAST(len(ct) AS BIGINT)
+         |  AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, d) =>
+      val kept = documents(s, d)
+        .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+        .filter(col("quality") >= 0.5)
+      val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
+        n = 3, k = 24, bands = 6, threshold = 0.5)
+      val canon = Dedup.selectCanonical(
+          Dedup.clusters(kept, "doc_id", pairs)
+            .join(kept.select(col("doc_id"), col("quality")), "doc_id"),
+          "doc_id", "quality")
+        .filter(col("keep")).select(col("doc_id"))
+      Corpus.chunk(kept.join(canon, Seq("doc_id")), "doc_id", "text",
+          maxTokens = 48, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
     // ---- dedup family --------------------------------------------------
