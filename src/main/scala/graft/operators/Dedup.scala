@@ -442,20 +442,29 @@ object Dedup {
     * simple-and-correct form of the large-star/small-star CC algorithm
     * used at web scale.
     *
-    * Convergence detection: labels are monotonically non-increasing
-    * per node, so the total label sum strictly decreases while ANY
-    * node changes and is equal exactly at the fixpoint — ONE scalar
-    * aggregate per iteration (decimal accumulation: 10^12 long ids
-    * would overflow a long sum), where the naive per-node
-    * old-vs-new comparison costs a whole extra join of two
-    * corpus-sized frames per iteration.
+    * Two scale levers beyond the propagation loop itself:
+    *
+    *  - ITERATE ONLY THE EDGE ENDPOINTS: a doc in no pair can never
+    *    change label (it is its own singleton cluster), so the loop's
+    *    join/agg/checkpoint frames are sized by the DUPLICATE set,
+    *    not the corpus — at web scale the difference between
+    *    iterating a few percent of docs and all of them. Singletons
+    *    are attached at the end by one left join + coalesce.
+    *  - Convergence detection: labels are monotonically
+    *    non-increasing per node, so the total label sum strictly
+    *    decreases while ANY node changes and is equal exactly at the
+    *    fixpoint — ONE scalar aggregate per iteration (decimal
+    *    accumulation: 10^12 long ids would overflow a long sum),
+    *    where a per-node old-vs-new comparison costs a whole extra
+    *    join per iteration.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col(idCol).as("id"))
+    // edges carry both directions, so distinct src = every endpoint
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(
@@ -482,7 +491,13 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.withColumnRenamed("id", idCol)
+    // singletons (docs in no pair) are their own cluster — one left
+    // join of the corpus against the (small) resolved endpoint set
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", "__eid"),
+        col(idCol) === col("__eid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
   /** Embedding cosine near-dup pairs ≥ `threshold`, LSH-blocked: only
