@@ -514,6 +514,56 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Incremental ingestion: near-dup an incoming batch against the
+    // persisted banded-signature INDEX of the existing corpus (the
+    // fixture splits documents 50/50 by id-hash: "old" half indexed,
+    // "new" half arriving). Only new×old pairs — the production shape
+    // where each batch dedups against 100 TB without re-reading it.
+    Q("ext_dedup_incremental", {
+      val k = 24; val bands = 6; val rows = k / bands
+      val bandKeys = s"list_transform(range(0, $bands), b -> " +
+        s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 50"
+      val est = s"CAST(len(list_filter(list_zip(sig_n, sig_o), " +
+        s"x -> x[1] = x[2])) AS DOUBLE) / $k.0"
+      s"""WITH osig AS (SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
+         |  FROM documents WHERE ($samp) AND len(${shSql(3)}) > 0),
+         |nsig AS (SELECT doc_id AS did, ${minhashSql(3, k)} AS sig
+         |  FROM documents WHERE NOT ($samp) AND len(${shSql(3)}) > 0),
+         |ob AS (SELECT did, sig, unnest($bandKeys) AS band FROM osig),
+         |nb AS (SELECT did, sig, unnest($bandKeys) AS band FROM nsig),
+         |cand AS (SELECT DISTINCT n.did AS new_id, o.did AS old_id,
+         |    n.sig AS sig_n, o.sig AS sig_o
+         |  FROM nb n JOIN ob o ON n.band = o.band)
+         |SELECT new_id, old_id, $est AS est_jaccard
+         |FROM cand WHERE $est >= 0.5
+         |ORDER BY new_id, old_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val samp = TextFns.hash32(col("doc_id").cast("string")) % 100 < 50
+      val index = Dedup.minhashIndex(docs.filter(samp), "doc_id", "text",
+        n = 3, k = 24, bands = 6)
+      Dedup.incrementalMinhashPairs(docs.filter(!samp), "doc_id", "text",
+          index, n = 3, k = 24, bands = 6, threshold = 0.5)
+        .orderBy(col("new_id"), col("old_id"))
+    },
+
+    // Heavy-tail domain control: every source capped at its 10
+    // highest-quality docs — the bounded-heap per-key top-k (no
+    // per-key window sort at any corpus size).
+    Q("ext_source_cap",
+      s"""SELECT source, doc_id, quality, rank FROM (
+         |  SELECT source, doc_id, quality, row_number() OVER (
+         |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+         |  FROM (SELECT source, doc_id, $qualitySql AS quality
+         |        FROM documents))
+         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+        .withColumn("quality", TextAnalysis.qualityCol(col("text")))
+      Corpus.capPerKey(docs, "source", "doc_id", "quality", k = 10)
+        .orderBy(col("source"), col("rank"))
+    },
+
     Q("ext_dedup_clusters",
       s"""WITH RECURSIVE $clustersCteSql
          |SELECT doc_id, cluster_id FROM clust

@@ -142,6 +142,35 @@ object Corpus {
         (col("pos") + 1).cast(IntegerType).as("rn"))
   }
 
+  /** Heavy-tail domain control: keep at most `k` rows per `keyCol`,
+    * the TOP-k by `scoreCol` (ties by smaller id) — "cap every domain
+    * at its k best documents". The score-preferring sibling of
+    * [[quotaByGroup]] (which draws a reproducible random quota):
+    * domain capping wants the BEST docs of an over-represented domain,
+    * not a random draw.
+    *
+    * Shape: the bounded-heap [[graft.expressions.TopKByScore]]
+    * aggregate per key — each input partition reduces every key to
+    * ≤ k candidates before the shuffle, so a domain with a billion
+    * pages ships partitions × k rows, and no per-key window sort ever
+    * materializes. Emits (keyCol, idCol long, scoreCol double, rank),
+    * rank 1..k by (score desc, id asc) — exactly
+    * `row_number() OVER (PARTITION BY key ORDER BY score DESC, id)`.
+    */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String,
+                scoreCol: String, k: Int): DataFrame = {
+    val topk = Bridge.column(
+      graft.expressions.TopKByScore(
+        Bridge.expression(col(scoreCol).cast(DoubleType)),
+        Bridge.expression(col(idCol).cast(LongType)), k)
+        .toAggregateExpression())
+    df.groupBy(col(keyCol)).agg(topk.as("__topk"))
+      .select(col(keyCol), posexplode(col("__topk")).as(Seq("__pos", "__t")))
+      .select(col(keyCol), col("__t.id").as(idCol),
+        col("__t.score").as(scoreCol),
+        (col("__pos") + 1).cast(IntegerType).as("rank"))
+  }
+
   /** Stopword scrubbing: re-assemble the text with `words` removed.
     * Emits the cleaned text plus removed-token count. Pure Column —
     * narrow, codegen'd, no shuffle.

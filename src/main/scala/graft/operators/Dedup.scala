@@ -193,6 +193,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("nsh_a"),
         col("nsh_b"), col("cont_a"), col("cont_b"))
 
+  /** Banded MinHash signature INDEX of a corpus: one
+    * (did, sig, band) row per (doc, band). This is the artifact an
+    * incremental ingestion pipeline PERSISTS (in production: written
+    * bucketed by `band`): new batches near-dup against the existing
+    * corpus by joining this index — the existing corpus text is never
+    * re-read and its signatures never recomputed. Also the shared
+    * banding step under [[minhashLshPairs]], so the in-corpus and
+    * incremental paths cannot drift.
+    */
+  def minhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int, bands: Int): DataFrame =
+    minhashSigs(docs, idCol, textCol, n, k)
+      .select(col("did"), col("sig"),
+        explode(TextFns.lshBands(col("sig"), k, bands)).as("band"))
+
+  /** Incremental near-dup: (new_id, old_id, est_jaccard) pairs between
+    * an incoming batch and an EXISTING corpus index from
+    * [[minhashIndex]] (same n/k/bands). Signatures are computed for
+    * the new docs only; candidates come from a band equi-join against
+    * the index, so per-batch cost scales with the batch and the
+    * matched buckets — not the corpus. This is the production
+    * ingestion shape: dedup each arriving batch against 100 TB without
+    * touching the 100 TB.
+    *
+    * Each side is consumed once, so no explicit repartition is needed
+    * (contrast [[minhashLshPairs]], whose banded frame feeds both
+    * sides of a self-join); the equi-join shuffles on `band` — or
+    * avoids the index-side shuffle entirely when the stored index is
+    * bucketed by `band`.
+    */
+  def incrementalMinhashPairs(newDocs: DataFrame, idCol: String,
+                              textCol: String, index: DataFrame,
+                              n: Int, k: Int, bands: Int,
+                              threshold: Double): DataFrame = {
+    val nw = minhashIndex(newDocs, idCol, textCol, n, k, bands).as("nw")
+    // estimate + threshold BEFORE the pair dedup, as in minhashLshPairs
+    nw.join(index.as("ix"), col("nw.band") === col("ix.band"))
+      .select(col("nw.did").as("new_id"), col("ix.did").as("old_id"),
+        (size(filter(zip_with(col("nw.sig"), col("ix.sig"),
+          (x, y) => x === y), b => b)).cast(DoubleType) / k)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("new_id", "old_id")
+  }
+
   /** MinHash+LSH near-dup candidates: k-wide signatures, `bands` bands;
     * docs sharing any band key pair up; `est_jaccard` = fraction of
     * matching signature components; keep pairs ≥ `threshold`.
@@ -205,14 +250,12 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int,
                       threshold: Double): DataFrame = {
-    val sigs = minhashSigs(docs, idCol, textCol, n, k)
     // explicit exchange on the join key: the narrow expression path has
     // no aggregation exchange for ReuseExchange to share, so without
     // this both self-join sides would re-run the md5 shingle hashing;
     // repartition(band) is reused by both sides AND pre-partitions the
     // equi-join (same pattern as simhashPairs' repartition(sig))
-    val banded = sigs.select(col("did"), col("sig"),
-      explode(TextFns.lshBands(col("sig"), k, bands)).as("band"))
+    val banded = minhashIndex(docs, idCol, textCol, n, k, bands)
       .repartition(col("band"))
     // estimate + threshold BEFORE the pair dedup: the candidate set is
     // the big intermediate (bucket-size²); the surviving pairs are tiny

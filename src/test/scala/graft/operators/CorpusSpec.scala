@@ -50,6 +50,28 @@ class CorpusSpec extends SparkSpec {
       again.orderBy($"g", $"mix_rank").collect())
   }
 
+  test("capPerKey: matches the per-key window top-k with id tiebreak") {
+    import org.apache.spark.sql.expressions.Window
+    // score = id % 5 → heavy ties inside every key: the id tiebreak
+    // (smaller wins) is what's actually under test
+    val df = spark.range(1, 41)
+      .select(($"id" % 3).cast("string").as("src"), $"id",
+        ($"id" % 5).cast("double").as("score"))
+    val got = Corpus.capPerKey(df, "src", "id", "score", k = 4)
+      .as[(String, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._1, r._4))
+    val w = Window.partitionBy($"src").orderBy($"score".desc, $"id")
+    val want = df
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 4)
+      .as[(String, Long, Double, Int)].collect().toSeq
+      .sortBy(r => (r._1, r._4))
+    assert(got === want)
+    // cap larger than any group passes everything through
+    assert(Corpus.capPerKey(df, "src", "id", "score", k = 100)
+      .count() === 40)
+  }
+
   test("spanDuplication: shared span counted, unique span not") {
     val d = Seq(
       (1L, "a b c d e"),   // spans(2): "a b","b c","c d","d e"

@@ -83,6 +83,26 @@ class DedupSpec extends SparkSpec {
     assert(est12 == 1.0) // identical shingle sets → identical signatures
   }
 
+  test("incrementalMinhashPairs: batch vs index yields cross pairs only") {
+    // "old" corpus holds 2,3,4 (3↔4 near-dup INSIDE it); batch is 1,5
+    val old = docs.filter(col("doc_id").isin(2L, 3L, 4L))
+    val batch = docs.filter(col("doc_id").isin(1L, 5L))
+    val index = Dedup.minhashIndex(old, "doc_id", "text",
+      n = 3, k = 24, bands = 6)
+    val got = Dedup.incrementalMinhashPairs(batch, "doc_id", "text",
+        index, n = 3, k = 24, bands = 6, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // the one cross pair is the 1↔2 exact dup; the old×old 3↔4 pair
+    // must NOT be re-reported, nor anything for unrelated 5
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    // estimate identical to the in-corpus path over the full corpus
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 24, bands = 6, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(got.head._3 == full._3)
+  }
+
   test("clusters: chains collapse to min-id components; singletons kept") {
     val nodes = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
     // chain 1-2-3 (transitive through 2), pair 5-6, singletons 4,7
