@@ -131,8 +131,9 @@ object ExtensionQueries {
     * `md5(TextFns.normText(text))`); shared by the exact-dedup,
     * fingerprint and curation oracles.
     */
-  private val normMd5Sql =
-    "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))"
+  private def normMd5Of(e: String): String =
+    s"md5(regexp_replace(trim(lower($e)), '\\s+', ' ', 'g'))"
+  private val normMd5Sql = normMd5Of("text")
 
   /** The quality-score formula over `text` (mirrors
     * TextAnalysis.qualityScore); shared by the quality and curation
@@ -562,6 +563,56 @@ object ExtensionQueries {
         .withColumn("quality", TextAnalysis.qualityCol(col("text")))
       Corpus.capPerKey(docs, "source", "doc_id", "quality", k = 10)
         .orderBy(col("source"), col("rank"))
+    },
+
+    // Group-RELATIVE quality gating: every language keeps its own top
+    // half (per-lang exact median as the cutoff) — the balanced form
+    // that an absolute global threshold gets wrong for low-resource
+    // languages. Spark `percentile` ≡ DuckDB `quantile_cont`.
+    Q("ext_lang_quality_gate",
+      s"""WITH q AS (SELECT doc_id, lang, $qualitySql AS quality
+         |  FROM documents),
+         |t AS (SELECT lang, quantile_cont(quality, 0.5) AS thr
+         |  FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.quality, t.thr
+         |FROM q JOIN t USING (lang)
+         |WHERE q.quality >= t.thr ORDER BY q.doc_id""".stripMargin) {
+      (s, d) =>
+        val docs = documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.qualityCol(col("text")).as("quality"))
+        Corpus.gateByGroupQuantile(docs, "lang", "quality", 0.5)
+          .select(col("doc_id"), col("lang"), col("quality"), col("thr"))
+          .orderBy(col("doc_id"))
+    },
+
+    // Corpus-versioning CDC: diff two snapshots derived
+    // deterministically from the fixture (v1 lacks the id%10==0 docs,
+    // v2 lacks the id%10==1 docs and edits the id%10==2 texts), so all
+    // four change classes appear. The diff itself moves only
+    // (id, hash) columns.
+    Q("ext_snapshot_diff", {
+      val curText = "CASE WHEN doc_id % 10 = 2 THEN text || ' v2' " +
+        "ELSE text END"
+      s"""WITH p AS (SELECT doc_id, $normMd5Sql AS hp FROM documents
+         |  WHERE doc_id % 10 <> 0),
+         |c AS (SELECT doc_id, ${normMd5Of(curText)} AS hc FROM documents
+         |  WHERE doc_id % 10 <> 1)
+         |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+         | CASE WHEN p.doc_id IS NULL THEN 'added'
+         |      WHEN c.doc_id IS NULL THEN 'removed'
+         |      WHEN hp <> hc THEN 'changed' ELSE 'unchanged' END
+         |   AS change
+         |FROM p FULL JOIN c ON p.doc_id = c.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val prev = docs.filter(col("doc_id") % 10 =!= 0)
+      val cur = docs.filter(col("doc_id") % 10 =!= 1)
+        .withColumn("text", when(col("doc_id") % 10 === 2,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Corpus.snapshotDiff(prev, cur, "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
 
     Q("ext_dedup_clusters",

@@ -171,6 +171,49 @@ object Corpus {
         (col("__pos") + 1).cast(IntegerType).as("rank"))
   }
 
+  /** Group-relative quality gating (the CCNet/language-balanced form):
+    * keep rows whose `scoreCol` is at or above their OWN group's
+    * exact `q`-quantile, so every language/domain keeps its best
+    * (1-q) share — an absolute global threshold would gut
+    * low-resource languages whose score distribution sits lower.
+    * Emits the input row + `thr` (the group's cutoff).
+    *
+    * Shape: one hash-agg to a tiny per-group threshold table (one row
+    * per group), broadcast back — the corpus side stays a narrow
+    * filter, no second shuffle. Exact `percentile` keeps oracle parity
+    * (≡ DuckDB `quantile_cont`); swap `percentile_approx` at the same
+    * call site at 100 TB if group cardinality per key explodes.
+    */
+  def gateByGroupQuantile(df: DataFrame, groupCol: String,
+                          scoreCol: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0,1], got $q")
+    val thr = df.groupBy(col(groupCol))
+      .agg(percentile(col(scoreCol), lit(q)).as("thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(col(scoreCol) >= col("thr"))
+  }
+
+  /** Corpus snapshot diff (versioning CDC between two crawls/releases):
+    * classify every id as added / removed / changed / unchanged by
+    * normalized content hash. One full-outer join keyed by id over
+    * narrow (id, md5) projections — the texts themselves never
+    * shuffle, so diffing two 100 TB snapshots moves two id+hash
+    * columns. The hash is the SAME normalized-text md5 as [[Dedup.exact]],
+    * so formatting-only edits (case/whitespace) do not read as changes.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def hashed(df: DataFrame, hc: String) = df.select(col(idCol),
+      md5(TextFns.normText(col(textCol))).as(hc))
+    hashed(prev, "__hp")
+      .join(hashed(cur, "__hc"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__hp").isNull, "added")
+          .when(col("__hc").isNull, "removed")
+          .when(col("__hp") =!= col("__hc"), "changed")
+          .otherwise("unchanged").as("change"))
+  }
+
   /** Stopword scrubbing: re-assemble the text with `words` removed.
     * Emits the cleaned text plus removed-token count. Pure Column —
     * narrow, codegen'd, no shuffle.

@@ -72,6 +72,35 @@ class CorpusSpec extends SparkSpec {
       .count() === 40)
   }
 
+  test("gateByGroupQuantile: each group keeps its own top half") {
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.5), ("en", 3L, 0.1),
+      ("de", 4L, 0.09), ("de", 5L, 0.05), ("de", 6L, 0.01)
+    ).toDF("lang", "id", "score")
+    val kept = Corpus.gateByGroupQuantile(df, "lang", "score", 0.5)
+      .select($"id").as[Long].collect().toSet
+    // en median 0.5, de median 0.05: low-scoring 'de' keeps ITS top
+    // half — a global 0.5 cutoff would have kept only {1, 2}
+    assert(kept == Set(1L, 2L, 4L, 5L))
+    assert(Corpus.gateByGroupQuantile(df, "lang", "score", 0.0)
+      .count() === 6)
+    intercept[IllegalArgumentException] {
+      Corpus.gateByGroupQuantile(df, "lang", "score", 1.5)
+    }
+  }
+
+  test("snapshotDiff: four change classes; formatting edits ignored") {
+    val prev = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"),
+      (5L, "gone soon")).toDF("id", "text")
+    val cur = Seq((1L, "a b c"), (2L, "d e CHANGED"),
+      (3L, "G  h I"), (4L, "new doc")).toDF("id", "text")
+    val got = Corpus.snapshotDiff(prev, cur, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // case/whitespace-only edit is NOT a change
+      4L -> "added", 5L -> "removed"))
+  }
+
   test("spanDuplication: shared span counted, unique span not") {
     val d = Seq(
       (1L, "a b c d e"),   // spans(2): "a b","b c","c d","d e"
