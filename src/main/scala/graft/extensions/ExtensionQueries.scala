@@ -554,8 +554,9 @@ object ExtensionQueries {
     // per-key window sort at any corpus size).
     Q("ext_source_cap",
       s"""SELECT source, doc_id, quality, rank FROM (
-         |  SELECT source, doc_id, quality, row_number() OVER (
-         |    PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+         |  SELECT source, doc_id, quality, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY quality DESC, doc_id) AS INT)
+         |    AS rank
          |  FROM (SELECT source, doc_id, $qualitySql AS quality
          |        FROM documents))
          |WHERE rank <= 10 ORDER BY source, rank""".stripMargin) { (s, d) =>

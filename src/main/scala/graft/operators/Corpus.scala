@@ -155,10 +155,20 @@ object Corpus {
     * pages ships partitions × k rows, and no per-key window sort ever
     * materializes. Emits (keyCol, idCol long, scoreCol double, rank),
     * rank 1..k by (score desc, id asc) — exactly
-    * `row_number() OVER (PARTITION BY key ORDER BY score DESC, id)`.
+    * `row_number() OVER (PARTITION BY key ORDER BY score DESC, id)`
+    * over the rows with non-null score and id (null-scored rows are
+    * excluded, where the window form would rank them last).
+    *
+    * `idCol` must be integral (rank identity rides through the heap's
+    * bigint id) — enforced, because a silent string→long cast would
+    * null every id and return an empty result instead of failing.
     */
   def capPerKey(df: DataFrame, keyCol: String, idCol: String,
                 scoreCol: String, k: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(idType),
+      s"capPerKey needs an integral idCol, got ${idType.simpleString}")
     val topk = Bridge.column(
       graft.expressions.TopKByScore(
         Bridge.expression(col(scoreCol).cast(DoubleType)),
@@ -189,7 +199,12 @@ object Corpus {
     require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0,1], got $q")
     val thr = df.groupBy(col(groupCol))
       .agg(percentile(col(scoreCol), lit(q)).as("thr"))
-    df.join(broadcast(thr), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__gq_key")
+    // null-safe key match: the null group (e.g. unidentified language)
+    // is a real group with its own threshold — a plain equi-join would
+    // silently delete the whole segment
+    df.join(broadcast(thr), col(groupCol) <=> col("__gq_key"))
+      .drop("__gq_key")
       .filter(col(scoreCol) >= col("thr"))
   }
 
@@ -203,14 +218,18 @@ object Corpus {
     */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    def hashed(df: DataFrame, hc: String) = df.select(col(idCol),
-      md5(TextFns.normText(col(textCol))).as(hc))
-    hashed(prev, "__hp")
-      .join(hashed(cur, "__hc"), Seq(idCol), "full_outer")
+    // presence is carried as an explicit flag, NOT inferred from hash
+    // nullability: a null text hashes to null, which must read as a
+    // present row (and compare null-safely below), never as absence
+    def hashed(df: DataFrame, hc: String, pc: String) =
+      df.select(col(idCol),
+        md5(TextFns.normText(col(textCol))).as(hc), lit(true).as(pc))
+    hashed(prev, "__hp", "__pp")
+      .join(hashed(cur, "__hc", "__pc"), Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__hp").isNull, "added")
-          .when(col("__hc").isNull, "removed")
-          .when(col("__hp") =!= col("__hc"), "changed")
+        when(col("__pp").isNull, "added")
+          .when(col("__pc").isNull, "removed")
+          .when(!(col("__hp") <=> col("__hc")), "changed")
           .otherwise("unchanged").as("change"))
   }
 

@@ -506,8 +506,14 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    // edges carry both directions, so distinct src = every endpoint
+    // edges carry both directions, so distinct src = every endpoint;
+    // intersect with the corpus ids so a pair id NOT in docs (a stale
+    // or filtered-upstream pair set) can neither receive a label nor
+    // become a component's min label — same contract as seeding from
+    // docs, at endpoint-sized loop cost (the semi-join broadcasts the
+    // small endpoint set against the corpus ids)
     var labels = edges.select(col("src").as("id")).distinct()
+      .join(docs.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .withColumn("cluster_id", col("id")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(

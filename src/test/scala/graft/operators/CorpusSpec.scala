@@ -87,6 +87,13 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.gateByGroupQuantile(df, "lang", "score", 1.5)
     }
+    // the null group (unidentified language) gates against ITS OWN
+    // threshold, not silently deleted by a null-unsafe join
+    val withNull = df.union(Seq((null: String, 7L, 0.8),
+      (null: String, 8L, 0.2)).toDF("lang", "id", "score"))
+    val keptN = Corpus.gateByGroupQuantile(withNull, "lang", "score", 0.5)
+      .select($"id").as[Long].collect().toSet
+    assert(keptN == Set(1L, 2L, 4L, 5L, 7L))
   }
 
   test("snapshotDiff: four change classes; formatting edits ignored") {
@@ -99,6 +106,23 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map(1L -> "unchanged", 2L -> "changed",
       3L -> "unchanged", // case/whitespace-only edit is NOT a change
       4L -> "added", 5L -> "removed"))
+    // null text is a PRESENT row (presence flag, not hash nullability):
+    // null→text is changed, null→null unchanged — never added/removed
+    val p2 = Seq((1L, null: String), (2L, null: String))
+      .toDF("id", "text")
+    val c2 = Seq((1L, "now filled"), (2L, null: String))
+      .toDF("id", "text")
+    val got2 = Corpus.snapshotDiff(p2, c2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got2 == Map(1L -> "changed", 2L -> "unchanged"))
+  }
+
+  test("capPerKey rejects a non-integral id column") {
+    val df = Seq(("s1", "urlA", 0.5)).toDF("src", "url", "score")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.capPerKey(df, "src", "url", "score", 3)
+    }
+    assert(e.getMessage.contains("integral idCol"))
   }
 
   test("spanDuplication: shared span counted, unique span not") {

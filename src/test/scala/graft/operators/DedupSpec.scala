@@ -117,6 +117,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L, 7L))
   }
 
+  test("clusters ignores pair ids absent from docs (stale pair sets)") {
+    val nodes = Seq(10L, 11L).map(Tuple1(_)).toDF("doc_id")
+    // id 5 is not in docs (pairs computed before an upstream filter):
+    // it must neither label doc 10's cluster nor link 10 and 11
+    val stale = Seq((5L, 10L), (5L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(nodes, "doc_id", stale)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 11L))
+    // the documented canonical filter keeps every doc
+    assert(got.count { case (id, c) => id == c } == 2)
+  }
+
   test("clusters resolves the real corpus's minhash pairs") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
