@@ -239,6 +239,66 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup gates batches against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val (idx, out) = (tmp("neardedup_idx"), tmp("neardedup_out"))
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val q = StreamingNearDedup.nearDedupSink(src.toDF(), "doc_id",
+        "text", idx, out, tmp("neardedup_ckpt"),
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds"))
+      .start()
+    try {
+      // batch 1: 1≈2 within-batch near-dups (greedy min-id keeps 1);
+      // 3 unrelated
+      src.addData(
+        Doc(1L, "pack my box with five dozen liquor jugs tonight friend",
+          t0),
+        Doc(2L, "pack my box with five dozen liquor jugs tonight buddy",
+          t0),
+        Doc(3L, "sphinx of black quartz judge my vow again and again",
+          t0))
+      q.processAllAvailable()
+      // batch 2: 4 near-dups the ALREADY-LANDED 1 (cross-batch, via
+      // the index); 5 is new
+      src.addData(
+        Doc(4L, "pack my box with five dozen liquor jugs tonight friend",
+          t0),
+        Doc(5L, "the quick brown fox jumps over the lazy dog today",
+          t0))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed == Set(1L, 3L, 5L))
+      // the index holds exactly the landed docs' banded signatures
+      val indexed = spark.read.parquet(idx)
+        .select("did").distinct().as[Long].collect().toSet
+      assert(indexed == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("near-dedup batch gate is replay-idempotent by path") {
+    val (idx, out) = (tmp("nd_replay_idx"), tmp("nd_replay_out"))
+    val batch = Seq(
+      (1L, "pack my box with five dozen liquor jugs tonight friend"),
+      (2L, "sphinx of black quartz judge my vow again and again"))
+      .toDF("doc_id", "text")
+    def runBatch(): Unit = {
+      // excludeBatch drops the replayed batch's own earlier index
+      // append — without it every doc self-matches on the retry
+      val kept = StreamingNearDedup.gateBatch(batch,
+        StreamingNearDedup.readIndex(spark, idx, excludeBatch = Some(0L)),
+        "doc_id", "text", n = 3, k = 24, bands = 6, threshold = 0.5)
+      kept.write.mode("overwrite").parquet(s"$out/batch=0")
+      graft.operators.Dedup.minhashIndex(kept, "doc_id", "text", 3, 24, 6)
+        .write.mode("overwrite").parquet(s"$idx/batch=0")
+    }
+    runBatch(); runBatch() // crash-replay of the same micro-batch
+    assert(spark.read.parquet(out).count() == 2) // not doubled
+    assert(spark.read.parquet(idx).select("did").distinct().count() == 2)
+  }
+
   test("observe metrics surface per micro-batch without extra jobs") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Page]
