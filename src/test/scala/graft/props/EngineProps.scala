@@ -221,4 +221,28 @@ object EngineProps extends Properties("graft") {
         .toMap
       got == model.toMap
     }
+
+  // Incremental ingestion is LOSSLESS for any corpus split: the
+  // full-corpus LSH pairs are exactly old-only pairs ∪ new-only pairs
+  // ∪ (oriented) batch-vs-index pairs — band membership of a pair
+  // doesn't depend on which split its docs arrived in, so batching a
+  // corpus neither loses nor invents a near-dup pair.
+  property("incremental minhash pairs complete the full-corpus pairs") =
+    Prop.forAll(docs, Gen.oneOf(0L, 1L)) { (ds, parity) =>
+      val df = ds.toDF("doc_id", "text")
+      val oldDf = df.filter(col("doc_id") % 2 === parity)
+      val newDf = df.filter(col("doc_id") % 2 =!= parity)
+      val (n, k, b, t) = (2, 12, 4, 0.3)
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        Dedup.minhashLshPairs(d, "doc_id", "text", n, k, b, t)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val idx = Dedup.minhashIndex(oldDf, "doc_id", "text", n, k, b)
+      val inc = Dedup.incrementalMinhashPairs(newDf, "doc_id", "text",
+          idx, n, k, b, t)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+      pairs(df) == (pairs(oldDf) ++ pairs(newDf) ++ inc)
+    }
 }
