@@ -190,15 +190,26 @@ object Corpus {
     *
     * Shape: one hash-agg to a tiny per-group threshold table (one row
     * per group), broadcast back — the corpus side stays a narrow
-    * filter, no second shuffle. Exact `percentile` keeps oracle parity
-    * (≡ DuckDB `quantile_cont`); swap `percentile_approx` at the same
-    * call site at 100 TB if group cardinality per key explodes.
+    * filter, no second shuffle.
+    *
+    * Threshold estimator: exact `percentile` by default (oracle
+    * parity: ≡ DuckDB `quantile_cont`) — but exact percentile BUFFERS
+    * every group value in its aggregation state, so a billion-doc
+    * language group is an executor-memory hazard. `approx = true`
+    * switches to `percentile_approx` (bounded KLL-style sketch state,
+    * `accuracy` knob) — the 100 TB setting, where a threshold off by
+    * a hair of rank error is immaterial to a corpus gate.
     */
   def gateByGroupQuantile(df: DataFrame, groupCol: String,
-                          scoreCol: String, q: Double): DataFrame = {
+                          scoreCol: String, q: Double,
+                          approx: Boolean = false,
+                          accuracy: Int = 10000): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0,1], got $q")
+    val est =
+      if (approx) percentile_approx(col(scoreCol), lit(q), lit(accuracy))
+      else percentile(col(scoreCol), lit(q))
     val thr = df.groupBy(col(groupCol))
-      .agg(percentile(col(scoreCol), lit(q)).as("thr"))
+      .agg(est.as("thr"))
       .withColumnRenamed(groupCol, "__gq_key")
     // null-safe key match: the null group (e.g. unidentified language)
     // is a real group with its own threshold — a plain equi-join would

@@ -94,6 +94,12 @@ class CorpusSpec extends SparkSpec {
     val keptN = Corpus.gateByGroupQuantile(withNull, "lang", "score", 0.5)
       .select($"id").as[Long].collect().toSet
     assert(keptN == Set(1L, 2L, 4L, 5L, 7L))
+    // the sketch-state production path: on odd-sized groups the 0.5
+    // quantile is a data value, so approx and exact cutoffs coincide
+    val keptA = Corpus
+      .gateByGroupQuantile(df, "lang", "score", 0.5, approx = true)
+      .select($"id").as[Long].collect().toSet
+    assert(keptA == kept)
   }
 
   test("snapshotDiff: four change classes; formatting edits ignored") {
