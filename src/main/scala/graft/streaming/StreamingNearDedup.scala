@@ -77,6 +77,33 @@ object StreamingNearDedup {
     survivors.join(vsIndex, Seq(idCol), "left_anti")
   }
 
+  /** Collapse the per-micro-batch index directories into one base
+    * partition (`batch=-1`) — at a 5 s trigger the sink creates ~17k
+    * directories/day, and band-join planning degrades with file count
+    * long before data size matters. Runs the serving store's staged
+    * two-rename swap ([[Sinks.swapRewrite]]): a crash at any point
+    * leaves a complete index recoverable by the next read/rewrite.
+    *
+    * `upToBatch` must be a batch id the streaming checkpoint has
+    * COMMITTED: the one batch that can still replay after a crash must
+    * keep its own `batch=` directory, or its replay's self-match
+    * exclusion ([[readIndex]] `excludeBatch`) would stop seeing it.
+    * Compacted rows sit at batch=-1, which no live batch id equals, so
+    * they are visible to every exclusion filter. No-op if the index
+    * does not exist yet.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String,
+                   upToBatch: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+      Sinks.swapRewrite(spark, indexPath, "batch") { idx =>
+        idx.withColumn("batch",
+          when(col("batch").cast("long") <= upToBatch, lit(-1L))
+            .otherwise(col("batch").cast("long")))
+      }
+  }
+
   /** Attach the near-dedup gate to a streaming document frame.
     * Survivors land under `outPath/batch=<id>/`; their banded
     * signatures append to `indexPath/batch=<id>/`. `idCol` must be a

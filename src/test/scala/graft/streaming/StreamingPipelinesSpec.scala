@@ -299,6 +299,34 @@ class StreamingPipelinesSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("did").distinct().count() == 2)
   }
 
+  test("index compaction collapses committed batch dirs, keeps the rest") {
+    val idx = tmp("nd_compact_idx")
+    def writeBatch(bid: Long, ids: Seq[Long]): Unit =
+      graft.operators.Dedup.minhashIndex(
+          ids.map(i => (i, s"unique doc number $i with words w$i x$i y$i"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", 3, 24, 6)
+        .write.mode("overwrite").parquet(s"$idx/batch=$bid")
+    writeBatch(0L, Seq(1L)); writeBatch(1L, Seq(2L)); writeBatch(2L, Seq(3L))
+    val before = spark.read.parquet(idx)
+      .select("did", "sig", "band").collect().toSet
+    StreamingNearDedup.compactIndex(spark, idx, upToBatch = 1L)
+    // committed dirs merged to the base partition; the replayable one
+    // stays in place
+    val dirs = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=-1", "batch=2"))
+    // no row lost or duplicated by the rewrite
+    assert(spark.read.parquet(idx)
+      .select("did", "sig", "band").collect().toSet == before)
+    // the replayable batch can still exclude itself; compacted rows
+    // remain visible
+    val visible = StreamingNearDedup
+      .readIndex(spark, idx, excludeBatch = Some(2L))
+      .select("did").as[Long].collect().toSet
+    assert(visible == Set(1L, 2L))
+  }
+
   test("observe metrics surface per micro-batch without extra jobs") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Page]
