@@ -1,9 +1,12 @@
 package graft.streaming
 
+import java.io.IOException
+
 import graft.operators.Dedup
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingest-time NEAR-duplicate suppression against a persisted, GROWING
@@ -17,7 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Per-batch cost scales with the batch and the matched band buckets,
   * never the accumulated corpus; the index holds (did, sig, band)
-  * rows — k longs + a band key per doc-band, no text.
+  * rows — k longs + a band key per doc-band, no text. The banded
+  * signatures are computed ONCE per micro-batch and feed all three
+  * consumers (in-batch self-join, index band-join, index append) —
+  * signature hashing is the dominant per-doc CPU cost, so recomputing
+  * it per consumer would triple the steady-state gate cost at a 5 s
+  * trigger.
   *
   * Replay safety: both the landed output and the index append are
   * written to a `batch=<id>` subdirectory with overwrite, so a batch
@@ -38,11 +46,16 @@ object StreamingNearDedup {
     * (partition-pruned, not scanned): a REPLAYED micro-batch must not
     * see its own earlier, pre-crash index append, or every one of its
     * docs would self-match and be dropped on the retry.
+    *
+    * The index root is only ever appended to or merged IN PLACE
+    * ([[compactIndex]] never renames the root away), so an existing
+    * root is always a complete index — no crash-recovery step is
+    * needed before the read.
     */
   private[streaming] def readIndex(spark: SparkSession, path: String,
                                    excludeBatch: Option[Long] = None)
       : DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
       val df = spark.read.parquet(path)
@@ -53,55 +66,128 @@ object StreamingNearDedup {
         spark.sparkContext.emptyRDD[Row], indexSchema)
   }
 
-  /** One micro-batch of the gate, exposed for batch-parity testing:
-    * returns the kept rows — docs that near-match neither a smaller-id
-    * batch sibling nor anything in `index`.
+  /** Fraction of matching MinHash components — the LSH Jaccard
+    * estimate shared with [[Dedup.minhashLshPairs]]. */
+  private def estJaccard(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / k
+
+  /** One micro-batch of the gate: computes the batch's banded
+    * signatures ONCE (materialized — they feed three consumers) and
+    * returns (kept rows, the batch's banded signature frame). The
+    * caller derives the index append by semi-joining the signatures
+    * against the kept ids — yielding exactly what
+    * [[Dedup.minhashIndex]] would emit for the kept docs, without a
+    * second signature pass.
     *
-    * Within-batch policy is greedy min-id: pairs are emitted with
-    * id_a < id_b, so dropping every doc that appears as `id_b`
-    * keeps exactly the smallest id of every within-batch near-dup
-    * chain (deterministic, no cluster resolution needed at batch
-    * sizes).
+    * Within-batch policy is greedy min-id: band-sharing pairs are
+    * oriented id_a < id_b, so dropping every doc that appears as
+    * `id_b` keeps exactly the smallest id of every within-batch
+    * near-dup chain (deterministic, no cluster resolution needed at
+    * batch sizes). Cross-batch, a doc is dropped if any band bucket it
+    * shares with the index holds a signature within `threshold`.
     */
+  private[streaming] def gateBatchParts(batch: DataFrame, index: DataFrame,
+                                        idCol: String, textCol: String,
+                                        n: Int, k: Int, bands: Int,
+                                        threshold: Double)
+      : (DataFrame, DataFrame) = {
+    // one signature pass per batch; repartition(band) pre-partitions
+    // both band joins, localCheckpoint stops the three consumers from
+    // re-hashing (bounded: batch rows × bands, k longs each)
+    val banded = Dedup.minhashIndex(batch, idCol, textCol, n, k, bands)
+      .repartition(col("band"))
+      .localCheckpoint()
+    val inBatchDups = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") &&
+        col("a.did") < col("b.did"))
+      .filter(estJaccard(col("a.sig"), col("b.sig"), k) >= threshold)
+      .select(col("b.did").as(idCol)).distinct()
+    // the whole batch joins the index (not just in-batch survivors):
+    // docs dropped both ways are dropped once either way, and skipping
+    // the survivor semi-join keeps the plan two joins wide
+    val vsIndex = banded.as("nw")
+      .join(index.as("ix"), col("nw.band") === col("ix.band"))
+      .filter(estJaccard(col("nw.sig"), col("ix.sig"), k) >= threshold)
+      .select(col("nw.did").as(idCol)).distinct()
+    val kept = batch
+      .join(inBatchDups, Seq(idCol), "left_anti")
+      .join(vsIndex, Seq(idCol), "left_anti")
+    (kept, banded)
+  }
+
+  /** [[gateBatchParts]] kept-rows view, for batch-parity testing. */
   private[streaming] def gateBatch(batch: DataFrame, index: DataFrame,
                                    idCol: String, textCol: String,
                                    n: Int, k: Int, bands: Int,
-                                   threshold: Double): DataFrame = {
-    val inBatchDups = Dedup.minhashLshPairs(batch, idCol, textCol,
-        n, k, bands, threshold)
-      .select(col("id_b").as(idCol)).distinct()
-    val survivors = batch.join(inBatchDups, Seq(idCol), "left_anti")
-    val vsIndex = Dedup.incrementalMinhashPairs(survivors, idCol,
-        textCol, index, n, k, bands, threshold)
-      .select(col("new_id").as(idCol)).distinct()
-    survivors.join(vsIndex, Seq(idCol), "left_anti")
-  }
+                                   threshold: Double): DataFrame =
+    gateBatchParts(batch, index, idCol, textCol, n, k, bands,
+      threshold)._1
 
-  /** Collapse the per-micro-batch index directories into one base
-    * partition (`batch=-1`) — at a 5 s trigger the sink creates ~17k
-    * directories/day, and band-join planning degrades with file count
-    * long before data size matters. Runs the serving store's staged
-    * two-rename swap ([[Sinks.swapRewrite]]): a crash at any point
-    * leaves a complete index recoverable by the next read/rewrite.
+  /** Merge the per-micro-batch index directories — at a 5 s trigger
+    * the sink creates ~17k directories/day, and band-join planning
+    * degrades with file count long before data size matters. The merge
+    * is IN PLACE under the index root: every `batch=<b>` directory
+    * with b ≤ `upToBatch` (including prior merges, which live at
+    * negative ids) is rewritten into one `batch=-(upToBatch+1)`
+    * directory, then the covered sources are deleted. The root itself
+    * is never renamed or replaced, so:
     *
-    * `upToBatch` must be a batch id the streaming checkpoint has
-    * COMMITTED: the one batch that can still replay after a crash must
-    * keep its own `batch=` directory, or its replay's self-match
-    * exclusion ([[readIndex]] `excludeBatch`) would stop seeing it.
-    * Compacted rows sit at batch=-1, which no live batch id equals, so
-    * they are visible to every exclusion filter. No-op if the index
-    * does not exist yet.
+    *  - a CONCURRENT live stream is safe: its appends land at batch
+    *    ids > `upToBatch` (ids the checkpoint has not committed yet)
+    *    and are never listed, read, or deleted by the merge;
+    *  - readers never observe a missing or partial index: the staging
+    *    write is dot-prefixed (invisible to parquet listing), the
+    *    publish is one rename, and a crash between the publish and the
+    *    source deletes leaves duplicate rows — harmless to the gate
+    *    (its joins are existence checks) and removed by the next
+    *    merge's `distinct`.
+    *
+    * Re-running after any crash completes the merge: a surviving
+    * staging dir is discarded, an already-published target flips the
+    * call to cleanup-only. `upToBatch` must be a batch id the
+    * streaming checkpoint has COMMITTED: the one batch that can still
+    * replay after a crash must keep its own `batch=` directory, or its
+    * replay's self-match exclusion ([[readIndex]] `excludeBatch`)
+    * would stop seeing it. Merged rows sit at negative batch ids,
+    * which no live batch id equals, so they are visible to every
+    * exclusion filter. No-op if the index does not exist or holds at
+    * most one covered directory.
     */
   def compactIndex(spark: SparkSession, indexPath: String,
                    upToBatch: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      Sinks.swapRewrite(spark, indexPath, "batch") { idx =>
-        idx.withColumn("batch",
-          when(col("batch").cast("long") <= upToBatch, lit(-1L))
-            .otherwise(col("batch").cast("long")))
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val target = new Path(root, s"batch=${-(upToBatch + 1)}")
+    val covered = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
+            .toOption.exists(_ <= upToBatch)
       }
+    // compare by name: listStatus paths are scheme-qualified, target
+    // is not — URI equality would silently keep the target in sources
+    val sources = covered.filterNot(_.getName == target.getName)
+    if (fs.exists(target)) {
+      // a prior merge to this same target crashed after its publish
+      // rename: only the source cleanup remains
+      sources.foreach(fs.delete(_, true))
+    } else if (sources.size > 1) {
+      val tmp = new Path(root, ".__merge_tmp")
+      fs.delete(tmp, true) // stale staging from a crash mid-write
+      spark.read.parquet(sources.map(_.toString): _*)
+        .select(col("did"), col("sig"), col("band"))
+        .distinct() // heals duplicates from a crash between a prior
+                    // publish and its source deletes
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      if (!fs.rename(tmp, target))
+        throw new IOException(s"index merge: cannot publish $target")
+      sources.foreach(fs.delete(_, true))
+    }
   }
 
   /** Attach the near-dedup gate to a streaming document frame.
@@ -122,14 +208,15 @@ object StreamingNearDedup {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         val spark = batch.sparkSession
-        val kept = gateBatch(batch,
+        val (kept, banded) = gateBatchParts(batch,
           readIndex(spark, indexPath, excludeBatch = Some(bid)),
           idCol, textCol, n, k, bands, threshold)
-          // the batch feeds three consumers (two pair joins + the two
-          // writes); one materialization, bounded by the micro-batch
-          .localCheckpoint()
-        kept.write.mode("overwrite").parquet(s"$outPath/batch=$bid")
-        Dedup.minhashIndex(kept, idCol, textCol, n, k, bands)
+        // kept feeds the landing write and the append's semi-join;
+        // one materialization, bounded by the micro-batch
+        val keptM = kept.localCheckpoint()
+        keptM.write.mode("overwrite").parquet(s"$outPath/batch=$bid")
+        banded.join(keptM.select(col(idCol).as("did")),
+            Seq("did"), "left_semi")
           .write.mode("overwrite").parquet(s"$indexPath/batch=$bid")
         ()
       }

@@ -311,11 +311,11 @@ class StreamingPipelinesSpec extends SparkSpec {
     val before = spark.read.parquet(idx)
       .select("did", "sig", "band").collect().toSet
     StreamingNearDedup.compactIndex(spark, idx, upToBatch = 1L)
-    // committed dirs merged to the base partition; the replayable one
-    // stays in place
+    // committed dirs merged to one negative-id partition; the
+    // replayable one stays in place
     val dirs = new java.io.File(idx).listFiles().map(_.getName)
       .filter(_.startsWith("batch=")).toSet
-    assert(dirs == Set("batch=-1", "batch=2"))
+    assert(dirs == Set("batch=-2", "batch=2"))
     // no row lost or duplicated by the rewrite
     assert(spark.read.parquet(idx)
       .select("did", "sig", "band").collect().toSet == before)
@@ -325,6 +325,57 @@ class StreamingPipelinesSpec extends SparkSpec {
       .readIndex(spark, idx, excludeBatch = Some(2L))
       .select("did").as[Long].collect().toSet
     assert(visible == Set(1L, 2L))
+    // a later merge folds the previous merge dir in with newer batches
+    writeBatch(3L, Seq(4L))
+    StreamingNearDedup.compactIndex(spark, idx, upToBatch = 2L)
+    val dirs2 = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs2 == Set("batch=-3", "batch=3"))
+    assert(spark.read.parquet(idx).select("did").distinct().count() == 4)
+  }
+
+  test("index compaction survives a crash at every protocol step") {
+    val idx = tmp("nd_crash_idx")
+    def writeBatch(bid: Long, ids: Seq[Long]): Unit =
+      graft.operators.Dedup.minhashIndex(
+          ids.map(i => (i, s"unique doc number $i with words w$i x$i y$i"))
+            .toDF("doc_id", "text"),
+          "doc_id", "text", 3, 24, 6)
+        .write.mode("overwrite").parquet(s"$idx/batch=$bid")
+    writeBatch(0L, Seq(1L)); writeBatch(1L, Seq(2L)); writeBatch(2L, Seq(3L))
+    val before = spark.read.parquet(idx)
+      .select("did", "sig", "band").collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // crash 1: mid-staging-write — a leftover dot-dir is invisible to
+    // readers and discarded by the next merge
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/.__merge_tmp/garbage"))
+    assert(spark.read.parquet(idx)
+      .select("did", "sig", "band").collect().toSet == before)
+    // crash 2: after the publish rename, before the source deletes —
+    // simulate by copying the covered dirs' content to the target the
+    // merge would have produced, keeping the sources in place
+    spark.read.parquet(s"$idx/batch=0", s"$idx/batch=1")
+      .select("did", "sig", "band")
+      .write.parquet(s"$idx/batch=-2")
+    // duplicate rows are visible but the gate's existence semantics
+    // are unchanged: distinct dids are intact
+    assert(StreamingNearDedup.readIndex(spark, idx)
+      .select("did").distinct().count() == 3)
+    // re-running the merge with the same upToBatch finishes cleanup
+    StreamingNearDedup.compactIndex(spark, idx, upToBatch = 1L)
+    val dirs = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=-2", "batch=2"))
+    assert(spark.read.parquet(idx)
+      .select("did", "sig", "band").collect().toSet == before)
+    // a LARGER upToBatch also heals leftover duplicates via distinct:
+    // recreate the duplicate state, then merge further
+    spark.read.parquet(s"$idx/batch=-2").write.parquet(s"$idx/batch=1")
+    StreamingNearDedup.compactIndex(spark, idx, upToBatch = 2L)
+    assert(spark.read.parquet(idx)
+      .select("did", "sig", "band").collect().toSet == before)
+    assert(spark.read.parquet(idx).count() == before.size) // truly deduped
   }
 
   test("observe metrics surface per micro-batch without extra jobs") {
