@@ -348,6 +348,62 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- C4-style line cleaning -----------------------------------------
+    // The synthetic corpus is single-line, so both engines derive the
+    // same multi-line view first: the frequent token "line" becomes a
+    // newline (plain left-to-right replace — identical semantics both
+    // sides). Keep lines of >= 10 words; drop docs with < 2 kept lines.
+    Q("ext_line_clean",
+      s"""WITH t AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS mt
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  list_filter(string_split(mt, chr(10)), l ->
+         |    (CASE WHEN trim(l) = '' THEN 0
+         |          ELSE len(string_split_regex(trim(l), ' +')) END) >= 10)
+         |    AS kept,
+         |  len(string_split(mt, chr(10))) AS n_lines FROM t)
+         |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+         | CAST(n_lines AS BIGINT) AS n_lines,
+         | CAST(len(kept) AS BIGINT) AS n_kept
+         |FROM c WHERE len(kept) >= 2 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      Corpus.cleanLines(
+          documents(s, d).withColumn("text",
+            expr("replace(text, ' line ', chr(10))")),
+          "doc_id", "text", minWords = 10, minLines = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- corpus-global boilerplate-line removal -------------------------
+    // Same derived multi-line view, split on two frequent tokens so
+    // short repeated lines exist; any trimmed line present in > 3
+    // distinct docs is boilerplate and removed from every doc.
+    Q("ext_boilerplate",
+      s"""WITH t AS (SELECT doc_id,
+         |  replace(replace(text, ' line ', chr(10)), ' table ', chr(10))
+         |    AS mt FROM documents),
+         |l AS (SELECT doc_id, li, trim(ls[li+1]) AS line
+         |  FROM (SELECT doc_id, string_split(mt, chr(10)) AS ls FROM t),
+         |   unnest(range(0, len(ls))) AS u(li)),
+         |d AS (SELECT line, count(DISTINCT doc_id) AS line_docs
+         |  FROM l GROUP BY 1)
+         |SELECT doc_id,
+         | coalesce(array_to_string(
+         |   list(line ORDER BY li) FILTER (line_docs <= 3), chr(10)), '')
+         |   AS clean_text,
+         | CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(CASE WHEN line_docs > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_removed
+         |FROM l JOIN d USING (line)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.dropBoilerplateLines(
+          documents(s, d).withColumn("text",
+            expr(
+              "replace(replace(text, ' line ', chr(10)), ' table ', chr(10))")),
+          "doc_id", "text", maxDocFreq = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- benchmark decontamination --------------------------------------
     // Eval set = the deterministic 10% hash sample; train = the rest.
     // A train doc is contaminated when any of its distinct 5-grams

@@ -93,6 +93,85 @@ object Corpus {
       .filter(col("mix_rank") <= quota)
   }
 
+  /** C4-style LINE-level cleaning (reference scope: the quality gates a
+    * web-scale training pipeline runs before document scoring; the C4
+    * dataset's rules are the public canon): split each doc on newline,
+    * keep lines with at least `minWords` whitespace-delimited words
+    * (and, when `requireTerminal`, a sentence-terminal `.!?"'` ending),
+    * drop docs retaining fewer than `minLines` lines. Emits
+    * (id, clean_text, n_lines, n_kept) for surviving docs.
+    *
+    * Scale shape: one narrow projection — the split, the per-line
+    * filter and the re-join all run inside a single whole-stage-codegen
+    * pass over the row; no explode, no shuffle, no state. The doc-level
+    * `minLines` gate is a plain filter on the computed column. This is
+    * the operator to run FIRST at 100 TB: it is free (scan-bound) and
+    * shrinks everything downstream.
+    */
+  def cleanLines(docs: DataFrame, idCol: String, textCol: String,
+                 minWords: Int, minLines: Int = 0,
+                 requireTerminal: Boolean = false): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      val wc = when(t === "", 0).otherwise(size(split(t, " +")))
+      val terminal =
+        if (requireTerminal) t.rlike("[.!?\"']$") else lit(true)
+      wc >= minWords && terminal
+    }
+    val kept = filter(split(col(textCol), "\n"), keepLine)
+    docs.select(col(idCol),
+        array_join(kept, "\n").as("clean_text"),
+        size(split(col(textCol), "\n")).cast(LongType).as("n_lines"),
+        size(kept).cast(LongType).as("n_kept"))
+      .filter(col("n_kept") >= minLines)
+  }
+
+  /** Corpus-global boilerplate-line removal (RefinedWeb/CCNet shape):
+    * a line occurring in more than `maxDocFreq` DISTINCT documents is
+    * boilerplate (navigation, cookie banners, footers) and is removed
+    * from EVERY document — unlike [[removeDuplicateSpans]], which keeps
+    * a first occurrence. Lines are trimmed before comparison AND in the
+    * output (indent variants of a nav bar are the same line); a
+    * trimmed-empty line is a line value like any other, so corpora
+    * where most docs contain blank separators will drop them — the
+    * intended reading of "this exact line is everywhere". Emits
+    * (id, clean_text, n_lines, n_removed) with surviving lines
+    * re-joined in original order.
+    *
+    * Scale shape: explode lines (narrow), distinct (doc, line) pairs
+    * then count per line — two shuffles keyed by line text, both
+    * hash-aggs with map-side partials (a banner repeated 10^9 times
+    * combines inside each task; a per-line window would sort all its
+    * occurrences on one task) — one join back by line, one shuffle by
+    * doc for ordered re-assembly via array_sort over (pos, line)
+    * structs. Never order-dependent collect_list output, never a pair
+    * join. At 100 TB, key the agg/join on xxhash64(line) if shuffle
+    * bytes dominate.
+    */
+  def dropBoilerplateLines(docs: DataFrame, idCol: String,
+                           textCol: String, maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val pos = fanOut(docs).select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("li", "raw")))
+      .select(col(idCol), col("li"), trim(col("raw")).as("line"))
+    val lineDocs = pos.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_docs"))
+    pos.join(lineDocs, "line")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("line_docs") <= maxDocFreq,
+                struct(col("li"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_docs") > maxDocFreq, 1L).otherwise(0L))
+          .as("n_removed"))
+  }
+
   /** Cross-document span duplication (the duplicate-passage metric):
     * for each doc, the fraction of its word `n`-gram POSITIONS whose
     * n-gram also appears in at least one OTHER document. Emits

@@ -152,6 +152,67 @@ class CorpusSpec extends SparkSpec {
     assert(out === Array((1L, 3L, 0L, 0.0)))
   }
 
+  test("cleanLines: word-count rule, terminal rule, doc-level gate") {
+    val d = Seq(
+      (1L, "this line has five words.\nshort\nanother long enough line here."),
+      (2L, "only one good line in this doc.\nno\nway"),
+      (3L, "nothing survives\nhere")).toDF("id", "text")
+    // minWords=4 only
+    val basic = Corpus.cleanLines(d, "id", "text", minWords = 4)
+      .orderBy($"id").as[(Long, String, Long, Long)].collect()
+    assert(basic === Array(
+      (1L, "this line has five words.\nanother long enough line here.",
+        3L, 2L),
+      (2L, "only one good line in this doc.", 3L, 1L),
+      (3L, "", 2L, 0L)))
+    // minLines=2 drops docs 2 and 3
+    assert(Corpus.cleanLines(d, "id", "text", minWords = 4, minLines = 2)
+      .select($"id").as[Long].collect() === Array(1L))
+    // requireTerminal: unpunctuated long lines go too
+    val term = Seq((9L, "four words but unterminated\nfour words with period."))
+      .toDF("id", "text")
+    val t = Corpus.cleanLines(term, "id", "text", minWords = 3,
+        requireTerminal = true)
+      .as[(Long, String, Long, Long)].collect()
+    assert(t === Array((9L, "four words with period.", 2L, 1L)))
+    // blank / whitespace-only lines never pass the word-count rule
+    val blank = Seq((5L, "a good line here\n   \nanother good line here"))
+      .toDF("id", "text")
+    assert(Corpus.cleanLines(blank, "id", "text", minWords = 2)
+      .select($"n_kept").as[Long].head() === 2L)
+  }
+
+  test("dropBoilerplateLines: cross-doc frequent lines removed everywhere") {
+    val d = Seq(
+      (1L, "unique opening one\nCOOKIE BANNER\nunique body one"),
+      (2L, "unique opening two\n  COOKIE BANNER  \nunique body two"),
+      (3L, "COOKIE BANNER\nunique story three"),
+      (4L, "no banner at all here")).toDF("id", "text")
+    val out = Corpus.dropBoilerplateLines(d, "id", "text", maxDocFreq = 2)
+      .orderBy($"id").as[(Long, String, Long, Long)].collect()
+    // banner in 3 docs > 2 -> removed from all (indent variant too);
+    // every other line is unique -> kept, original order, trimmed
+    assert(out === Array(
+      (1L, "unique opening one\nunique body one", 3L, 1L),
+      (2L, "unique opening two\nunique body two", 3L, 1L),
+      (3L, "unique story three", 2L, 1L),
+      (4L, "no banner at all here", 1L, 0L)))
+    // threshold at the observed frequency keeps the line
+    val kept = Corpus.dropBoilerplateLines(d, "id", "text", maxDocFreq = 3)
+      .agg(sum($"n_removed")).as[Long].head()
+    assert(kept === 0L)
+    // within-doc repeats count each position, but doc-frequency is
+    // distinct-doc based: 2 docs <= maxDocFreq=2 -> kept
+    val rep = Seq(
+      (1L, "dup line\ndup line\nmiddle"),
+      (2L, "dup line\nend")).toDF("id", "text")
+    val r = Corpus.dropBoilerplateLines(rep, "id", "text", maxDocFreq = 2)
+      .orderBy($"id").as[(Long, String, Long, Long)].collect()
+    assert(r === Array(
+      (1L, "dup line\ndup line\nmiddle", 3L, 0L),
+      (2L, "dup line\nend", 2L, 0L)))
+  }
+
   test("vocabTopK: matches sort-based global top-k") {
     val expected = docs
       .select(explode(split(lower($"text"), "\\s+")).as("token"))
