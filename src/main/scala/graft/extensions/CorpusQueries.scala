@@ -163,6 +163,20 @@ object CorpusQueries {
         .orderBy(col("source"), col("mix_rank"))
     },
 
+    // Stratified rates: up-weight low-resource zh/de, down-weight en,
+    // trickle the rest — the mixture-control knob.
+    Q("ext_sample_stratified",
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 100 <
+         |  (CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 80
+         |        WHEN lang = 'de' THEN 50 ELSE 5 END)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.sampleStratified(documents(s, d), "doc_id", "lang",
+          Map("en" -> 20, "zh" -> 80, "de" -> 50), defaultPct = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- cross-document span duplication --------------------------------
     Q("ext_span_dedup",
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

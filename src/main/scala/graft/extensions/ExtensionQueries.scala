@@ -750,6 +750,31 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // k-NN majority-vote labeler over the exact neighbor set: the
+    // embedding-space label-propagation primitive (tag unlabeled docs
+    // by their nearest labeled ones). Ties break to the smaller label.
+    Q("ext_knn_classify", {
+      val cos = cosSql("c.embedding", "q.embedding")
+      s"""WITH r AS (SELECT query_id, neighbor_id FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $cos DESC, c.vec_id) AS INT) AS rank
+         | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         | WHERE q.vec_id < 20) WHERE rank <= 5),
+         |v AS (SELECT query_id, c.label, CAST(count(*) AS BIGINT) AS votes
+         | FROM r JOIN embeddings c ON c.vec_id = r.neighbor_id
+         | GROUP BY 1, 2)
+         |SELECT query_id, label AS pred_label, votes FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY votes DESC, label) AS vr FROM v)
+         |WHERE vr = 1 ORDER BY query_id""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      Similarity.knnClassify(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"))
+    },
+
     Q("ext_knn_lsh", {
       val (planes, tabs) = (6, 4)
       val cos = cosSql("c.embedding", "q.embedding")

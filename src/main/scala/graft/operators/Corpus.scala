@@ -80,6 +80,29 @@ object Corpus {
   def sampleByHash(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(TextFns.hash32(col(idCol).cast("string")) % 100 < pct)
 
+  /** Stratified deterministic sampling (mixture control): each stratum
+    * keeps its own percentage — the knob a training-data recipe turns
+    * to up-weight low-resource languages or down-weight a crawl dump
+    * ("30% of en, 100% of zh, 5% of everything else"). Strata not in
+    * `rates` fall to `defaultPct`; a null stratum value falls to
+    * `defaultPct` too. Same md5-keyed determinism as [[sampleByHash]]
+    * (re-runs, backfills and audits agree; content-independent), and
+    * the same scale shape: one narrow filter, no shuffle, no per-group
+    * state — the rate lookup is a compiled when-chain, not a join.
+    */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Int],
+                       defaultPct: Int = 0): DataFrame = {
+    require((rates.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      s"every rate must be in [0,100], got $rates default=$defaultPct")
+    // sorted for a deterministic plan (Map iteration order is not)
+    val pct = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(TextFns.hash32(col(idCol).cast("string")) % 100 < pct)
+  }
+
   /** Deterministic per-group quota (source mixing): keep at most
     * `quota` rows per `groupCol`, chosen by hash order (a reproducible
     * pseudo-random draw, not head-of-file order which would bias

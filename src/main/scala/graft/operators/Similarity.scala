@@ -61,6 +61,36 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** k-NN majority-vote classification: each query takes the most
+    * frequent label among its `k` exact nearest corpus neighbors
+    * (ties by smaller label). Output:
+    * (query_id, pred_label, votes) — `votes` = the winning label's
+    * neighbor count. The classic embedding-space labeler (label
+    * propagation for curation: tag unlabeled docs by their nearest
+    * labeled ones).
+    *
+    * Scale shape: [[bruteKnn]]'s broadcast-query scan (swap in
+    * [[lshKnn]]/[[ivfKnn]] candidates upstream for huge query sets),
+    * one id-keyed equi-join to attach neighbor labels (the corpus
+    * never broadcasts), then two hash-aggs — votes per (query, label),
+    * argmax per query via a min-struct (map-side combined, no window,
+    * skew-safe for any label distribution).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    bruteKnn(corpus, queries, idCol, vecCol, k)
+      .join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__v"))
+      .groupBy(col("query_id"))
+      .agg(min(struct((-col("__v")).as("nv"), col("__nl").as("lb")))
+        .as("__w"))
+      .select(col("query_id"), col("__w.lb").as("pred_label"),
+        (-col("__w.nv")).as("votes"))
+  }
+
   /** Lloyd refinement of IVF centroids (spherical k-means: cosine
     * assignment, per-cell element-wise mean — cosine is scale-invariant
     * so the mean needs no re-normalization). Each iteration is one

@@ -36,6 +36,28 @@ class CorpusSpec extends SparkSpec {
     assert(Corpus.sampleByHash(big, "k", 0).count() === 0)
   }
 
+  test("sampleStratified: per-stratum rate, default rate, null stratum") {
+    val df = spark.range(900).select($"id".as("k"),
+      when($"id" % 3 === 0, "en").when($"id" % 3 === 1, "zh").as("st"))
+    val out = Corpus.sampleStratified(df, "k", "st",
+      Map("en" -> 10, "zh" -> 100), defaultPct = 0)
+    // each stratum's draw is exactly sampleByHash at its rate
+    val en = out.filter($"st" === "en").select($"k").as[Long].collect().toSet
+    val enRef = Corpus.sampleByHash(df.filter($"st" === "en"), "k", 10)
+      .select($"k").as[Long].collect().toSet
+    assert(en === enRef && en.nonEmpty)
+    assert(out.filter($"st" === "zh").count() === 300) // 100%
+    assert(out.filter($"st".isNull).count() === 0)     // default 0
+    // null stratum follows defaultPct, deterministically
+    val dflt = Corpus.sampleStratified(df, "k", "st",
+      Map("en" -> 0, "zh" -> 0), defaultPct = 100)
+    assert(dflt.count() === 300 && dflt.filter($"st".isNotNull).count() === 0)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.sampleStratified(df, "k", "st", Map("en" -> 101))
+    }
+    assert(e.getMessage.contains("[0,100]"))
+  }
+
   test("quotaByGroup: at most quota rows per group, ranks 1..quota") {
     val df = spark.range(100)
       .select(($"id" % 4).cast("string").as("g"), $"id")

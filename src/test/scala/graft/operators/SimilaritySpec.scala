@@ -30,6 +30,49 @@ class SimilaritySpec extends SparkSpec {
     assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("knnClassify: majority vote, ties to the smaller label") {
+    // query 0: neighbors ranked 1,2,3 carry labels 7,7,3 -> 7 by count
+    // query 10: neighbors carry labels 5,2,2 -> 2 by count
+    // query 20: one neighbor of each label 4,8,9 -> tie of 1s -> 4
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f, 0.0f), 7),
+      (2L, Seq(0.98f, 0.15f, 0.0f), 7),
+      (3L, Seq(0.9f, 0.3f, 0.0f), 3),
+      (10L, Seq(0.0f, 1.0f, 0.0f), 0),
+      (11L, Seq(0.0f, 0.99f, 0.1f), 5),
+      (12L, Seq(0.0f, 0.98f, 0.15f), 2),
+      (13L, Seq(0.0f, 0.9f, 0.3f), 2),
+      (20L, Seq(0.0f, 0.0f, 1.0f), 0),
+      (21L, Seq(0.1f, 0.0f, 0.99f), 9),
+      (22L, Seq(0.15f, 0.0f, 0.98f), 8),
+      (23L, Seq(0.3f, 0.0f, 0.9f), 4)
+    ).toDF("vec_id", "embedding", "label")
+    val qs = embs.filter($"vec_id" % 10 === 0)
+    val got = Similarity.knnClassify(embs, qs, "vec_id", "embedding",
+        "label", k = 3)
+      .orderBy($"query_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == Seq((0L, 7, 2L), (10L, 2, 2L), (20L, 4, 1L)))
+  }
+
+  test("knnClassify agrees with a recomputed vote over bruteKnn") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 15)
+    val got = Similarity.knnClassify(e, q, "vec_id", "embedding",
+        "label", k = 5)
+      .as[(Long, Int, Long)].collect().toSet
+    val knn = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5)
+      .join(e.select($"vec_id".as("neighbor_id"), $"label"), "neighbor_id")
+      .select($"query_id", $"label").as[(Long, Int)].collect()
+    val expect = knn.groupBy(_._1).map { case (qid, rows) =>
+      val (lb, ct) = rows.groupBy(_._2).view.mapValues(_.size).toSeq
+        .minBy { case (l, c) => (-c, l) }
+      (qid, lb, ct.toLong)
+    }.toSet
+    assert(got == expect)
+  }
+
   test("heap top-k agg matches the window formulation exactly") {
     val e = Tables.embeddings(spark, sf0001)
     val q = e.filter($"vec_id" < 20)
