@@ -449,6 +449,70 @@ object ExtensionQueries {
           .orderBy(col("text_hash"))
     },
 
+    // Duplication-profile reporting over a deterministically
+    // dup-augmented view (the sf fixtures are dup-free, so both
+    // engines re-insert the 10% hash sample under shifted ids):
+    // cluster-size histogram — the curation dashboard's first chart.
+    Q("ext_dedup_histogram", {
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         |  WHERE $samp),
+         |g AS (SELECT $normMd5Sql AS h, count(*) AS group_size
+         |  FROM aug GROUP BY 1)
+         |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+         | CAST(sum(group_size) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1 ORDER BY group_size""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val aug = docs0.unionByName(
+        Corpus.sampleByHash(docs0, "doc_id", 10)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.exact(aug, "doc_id", "text")
+        .groupBy(col("group_size"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("group_size")).as("n_docs"))
+        .orderBy(col("group_size"))
+    },
+
+    // Per-source curation scorecard over the same augmented view:
+    // volume, exact-dup burden and language spread per source — the
+    // governance query a 100 TB ingest runs nightly. One hash-agg
+    // keyed by source; the distinct counts expand inside the agg.
+    Q("ext_source_scorecard", {
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text, lang, source, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text, lang, source,
+         |    n_chars FROM documents WHERE $samp)
+         |SELECT source,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(DISTINCT $normMd5Sql) AS BIGINT) AS n_distinct,
+         | CAST(count(*) - count(DISTINCT $normMd5Sql) AS BIGINT)
+         |   AS dup_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM aug GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val aug = docs0.unionByName(
+        Corpus.sampleByHash(docs0, "doc_id", 10)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val h = md5(TextFns.normText(col("text")))
+      aug.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(h).as("n_distinct"),
+          (count(lit(1)) - countDistinct(h)).as("dup_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("source"))
+    },
+
     Q("ext_dedup_jaccard",
       s"""WITH sh AS (SELECT doc_id AS did, unnest(${shSql(3)}) AS sh
          |  FROM documents),

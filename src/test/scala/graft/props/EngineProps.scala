@@ -92,6 +92,52 @@ object EngineProps extends Properties("graft") {
       narrow.subsetOf(wide)
     }
 
+  // multi-line docs: 1-5 lines of 1-8 words — the tiny vocabulary
+  // makes short lines repeat across docs, exercising the boilerplate
+  // path's cross-doc counting
+  private val mlDoc = Gen.chooseNum(1, 5).flatMap(n =>
+    Gen.listOfN(n, Gen.chooseNum(1, 8)
+      .flatMap(w => Gen.listOfN(w, word)).map(_.mkString(" "))))
+    .map(_.mkString("\n"))
+  private val mlDocs = Gen.chooseNum(2, 10).flatMap(n =>
+    Gen.listOfN(n, mlDoc)).map(_.zipWithIndex.map { case (t, i) =>
+    (i.toLong, t) })
+
+  property("cleanLines is idempotent at fixed rules") =
+    Prop.forAll(mlDocs, Gen.chooseNum(1, 4)) { (ds, minW) =>
+      import graft.operators.Corpus
+      val df = ds.toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Corpus.cleanLines(d, "doc_id", "text", minWords = minW)
+      val once = run(df)
+      val twice = run(once.select(col("doc_id"),
+        col("clean_text").as("text")))
+      def m(d: org.apache.spark.sql.DataFrame) = d
+        .select("doc_id", "clean_text", "n_kept").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      m(once) == m(twice)
+    }
+
+  property("boilerplate removal drops exactly the >maxDocFreq lines") =
+    Prop.forAll(mlDocs, Gen.chooseNum(1, 3)) { (ds, thr) =>
+      import graft.operators.Corpus
+      val lines = ds.map { case (id, t) =>
+        (id, t.split("\n", -1).map(_.trim).toSeq) }
+      val docFreq = lines
+        .flatMap { case (id, ls) => ls.distinct.map(l => (l, id)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = lines.map { case (id, ls) =>
+        id -> ((ls.filter(l => docFreq(l) <= thr).mkString("\n"),
+          ls.length.toLong,
+          ls.count(l => docFreq(l) > thr).toLong))
+      }.toMap
+      val got = Corpus.dropBoilerplateLines(ds.toDF("doc_id", "text"),
+          "doc_id", "text", maxDocFreq = thr)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      got == expected
+    }
+
   property("packSequences reassembles the corpus for any shape") =
     Prop.forAll(docs, Gen.chooseNum(2, 17), Gen.chooseNum(1, 6)) {
       (ds, seqLen, bucketSize) =>
