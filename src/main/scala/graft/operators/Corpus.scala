@@ -377,16 +377,48 @@ object Corpus {
     * an eval suite can itself be millions of grams.
     */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
-    def grams(df: DataFrame) = df.select(col(idCol),
-      explode(array_distinct(TextFns.shingles(col(textCol), n))).as("gram"))
-    // ONE pass over each side: the train grams are distinct per doc, so
-    // count(*) after the explode IS n_grams — no second scan/shingle
-    // for totals, and the left join marks hits inline (the 2-scan
-    // formulation benched 5.3 s vs ~2 s for this one at sf0.1)
-    val evalGrams = grams(eval).select(col("gram")).distinct()
+                    textCol: String, n: Int): DataFrame =
+    decontaminateAgainst(train, idCol, textCol,
+      evalGramIndex(eval, textCol, n), n, assumeDistinct = true)
+
+  /** The distinct n-gram set of an eval/benchmark corpus — the
+    * artifact an ingest pipeline PERSISTS (in production: written
+    * bucketed by `gram`): arriving batches decontaminate against this
+    * index via [[decontaminateAgainst]] without ever re-reading or
+    * re-shingling the benchmarks. One `gram` column, globally
+    * distinct. Also the eval-side stage under [[decontaminate]], so
+    * the one-shot and incremental paths cannot drift.
+    */
+  def evalGramIndex(eval: DataFrame, textCol: String, n: Int): DataFrame =
+    fanOut(eval).select(
+        explode(array_distinct(TextFns.shingles(col(textCol), n)))
+          .as("gram"))
+      .distinct()
+
+  /** [[decontaminate]] against a pre-built [[evalGramIndex]] (same
+    * `n`). `assumeDistinct = true` skips re-deduplicating the index —
+    * correct for indexes produced by [[evalGramIndex]] (or read back
+    * from its persisted output); leave false for untrusted gram
+    * frames, because a duplicate index row would double-count every
+    * hit through the join.
+    *
+    * Scale shape (shared with the one-shot form): ONE pass over each
+    * side — the train grams are distinct per doc, so count(*) after
+    * the explode IS n_grams (no second scan/shingle for totals), and
+    * the left join marks hits inline (the 2-scan formulation benched
+    * 5.3 s vs ~2 s for this one at sf0.1). The join is keyed by
+    * distinct grams, so a hot gram cannot explode it.
+    */
+  def decontaminateAgainst(train: DataFrame, idCol: String,
+                           textCol: String, gramIndex: DataFrame,
+                           n: Int,
+                           assumeDistinct: Boolean = false): DataFrame = {
+    val idx = gramIndex.select(col("gram"))
+    val evalGrams = (if (assumeDistinct) idx else idx.distinct())
       .withColumn("__hit", lit(1L))
-    grams(fanOut(train))
+    fanOut(train).select(col(idCol),
+        explode(array_distinct(TextFns.shingles(col(textCol), n)))
+          .as("gram"))
       .join(evalGrams, Seq("gram"), "left")
       .groupBy(col(idCol))
       .agg(

@@ -278,6 +278,49 @@ class StreamingPipelinesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination gates batches against the eval index") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Doc]
+    val (idx, out) = (tmp("decon_idx"), tmp("decon_out"))
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    // the benchmark suite: its distinct 3-grams are the index
+    val eval = Seq(
+      (100L, "the secret eval answer key"),
+      (101L, "benchmark question forty two")).toDF("doc_id", "text")
+    graft.operators.Corpus.evalGramIndex(eval, "text", n = 3)
+      .write.mode("overwrite").parquet(idx)
+    val q = StreamingDecontaminate.decontaminateSink(src.toDF(),
+        "doc_id", "text", idx, out, tmp("decon_ckpt"), n = 3,
+        trigger = org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("0 seconds"))
+      .start()
+    try {
+      src.addData(
+        Doc(1L, "contains the secret eval answer inside it", t0), // hit
+        Doc(2L, "a perfectly clean training document here", t0),
+        Doc(3L, "too short", t0)) // < n tokens: no grams, kept
+      q.processAllAvailable()
+      src.addData(
+        Doc(4L, "asks benchmark question forty two verbatim", t0), // hit
+        Doc(5L, "another clean document with plenty of words", t0))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed == Set(2L, 3L, 5L))
+      // parity: the batch-side operator marks exactly the dropped docs
+      val all = Seq(1L, 2L, 4L, 5L).map(i => i ->
+        Map(1L -> "contains the secret eval answer inside it",
+            2L -> "a perfectly clean training document here",
+            4L -> "asks benchmark question forty two verbatim",
+            5L -> "another clean document with plenty of words")(i))
+        .toDF("doc_id", "text")
+      val contaminated = graft.operators.Corpus
+        .decontaminate(all, eval, "doc_id", "text", n = 3)
+        .filter($"contaminated").select("doc_id").as[Long].collect().toSet
+      assert(contaminated == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("near-dedup batch gate is replay-idempotent by path") {
     val (idx, out) = (tmp("nd_replay_idx"), tmp("nd_replay_out"))
     val batch = Seq(
