@@ -177,6 +177,29 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Token-budget selection: fill 30k tokens with the "best" docs
+    // (band = 50-band quantized n_chars, id-ordered within band) —
+    // the scoring→packing bridge of a pretraining recipe.
+    Q("ext_budget_select", {
+      val (bands, budget) = (50, 30000)
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+         |mm AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM s),
+         |b AS (SELECT s.*,
+         |  CAST(((n_chars - lo) * $bands) // (hi - lo + 1) AS BIGINT)
+         |    AS band FROM s, mm),
+         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY band DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS cum_tokens FROM b)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, band,
+         | n_tokens, cum_tokens, cum_tokens <= $budget AS kept
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Corpus.selectByBudget(documents(s, d), "doc_id", "n_chars",
+          "text", budget = 30000L, bands = 50)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- cross-document span duplication --------------------------------
     Q("ext_span_dedup",
       s"""WITH toks AS (SELECT doc_id, $TOKS AS t FROM documents),

@@ -430,6 +430,89 @@ object Corpus {
         (col("n_hit") > 0).as("contaminated"))
   }
 
+  /** Token-budget corpus selection: fill a token `budget` with the
+    * best documents ("take the highest-quality ~10B tokens"), the
+    * selection step between scoring and packing in a pretraining
+    * recipe. Policy — exact and engine-reproducible: `scoreCol`
+    * (integral, e.g. a quality score or char count) is quantized into
+    * `bands` equal-width integer bands over its observed [min, max];
+    * the budget fills band-by-band from the top, ordered by id inside
+    * a band; a doc is kept iff the running token total THROUGH it
+    * stays within budget (prefix policy — no gap-filling knapsack).
+    * Emits (id, score, band, n_tokens, cum_tokens, kept) for every
+    * doc, `kept` marking the selection.
+    *
+    * Scale shape: the global cumsum over (band desc, id) is the same
+    * two-level zipWithIndex pattern as [[packSequences]] — a window
+    * cumsum inside (band × id-range-chunk) partitions, chunk totals
+    * reduced and prefix-summed on the driver, broadcast back. Chunks
+    * are auto-sized so occupied (band, chunk) pairs stay ≤ 2^20 for
+    * any id distribution; every window partition is bounded by its
+    * chunk. Same integral-id contract and EAGER/localCheckpoint
+    * behavior as [[packSequences]] (two driver jobs at build time).
+    */
+  def selectByBudget(docs: DataFrame, idCol: String, scoreCol: String,
+                     textCol: String, budget: Long,
+                     bands: Int = 100): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(bands >= 1 && bands <= 100000,
+      s"bands must be in [1, 100000], got $bands")
+    Seq(idCol -> "id", scoreCol -> "score").foreach { case (c, role) =>
+      docs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"selectByBudget needs an integral $role column (band/chunk " +
+            s"grids are integer arithmetic); '$c' is ${other.simpleString}")
+      }
+    }
+    val base = fanOut(docs).select(col(idCol),
+        col(scoreCol).cast("long").as("__s"),
+        size(TextFns.toks(col(textCol))).cast("long").as("__n"))
+      .localCheckpoint()
+    val mm = base.agg(
+      min(col("__s")), max(col("__s")),
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    if (mm.isNullAt(0))
+      return base.select(col(idCol), col("__s").as(scoreCol),
+        lit(0L).as("band"), col("__n").as("n_tokens"),
+        lit(0L).as("cum_tokens"), lit(false).as("kept"))
+    val (sLo, sHi) = (mm.getLong(0), mm.getLong(1))
+    val sRange = sHi - sLo + 1
+    require(sRange > 0 && sRange <= Long.MaxValue / bands,
+      s"score range [$sLo, $sHi] too wide for exact band arithmetic")
+    // trunc-div (Spark `div`) == floor-div (DuckDB `//`) here:
+    // (__s - sLo) is non-negative
+    val band = expr(s"((__s - $sLo) * $bands) div $sRange").cast("long")
+    // chunk grid: ≤ 2^20 / bands chunks so (band × chunk) pairs stay
+    // driver-bounded even if every chunk holds every band
+    val idRange = mm.getLong(3).toDouble - mm.getLong(2).toDouble + 1
+    val chunkSize = math.max(4096L,
+      math.ceil(idRange / math.max(1, (1 << 20) / bands)).toLong)
+    val withKeys = base.withColumn("__band", band)
+      .withColumn("__chk",
+        floor(col(idCol).cast("long") / chunkSize).cast("long"))
+    val w = Window.partitionBy(col("__band"), col("__chk"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = withKeys.withColumn("__cum", sum(col("__n")).over(w))
+    val totals = withKeys.groupBy(col("__band"), col("__chk"))
+      .agg(sum(col("__n")).as("__bn"))
+      .collect()
+      .sortBy(r => (-r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val offRows = totals.map { r =>
+      val o = acc; acc += r.getLong(2); (r.getLong(0), r.getLong(1), o)
+    }.toSeq
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val offsets = offRows.toDF("__band", "__chk", "__off")
+    cumIn.join(broadcast(offsets), Seq("__band", "__chk"))
+      .select(col(idCol), col("__s").as(scoreCol),
+        col("__band").as("band"), col("__n").as("n_tokens"),
+        (col("__off") + col("__cum")).as("cum_tokens"))
+      .withColumn("kept", col("cum_tokens") <= budget)
+  }
+
   /** Corpus-level duplicate-SPAN removal (the C4 remediation step —
     * [[spanDuplication]] measures the problem, this removes it):
     * chunk each doc's tokens into consecutive `n`-token blocks, keep

@@ -235,6 +235,48 @@ class CorpusSpec extends SparkSpec {
       (2L, "dup line\nend", 2L, 0L)))
   }
 
+  test("selectByBudget: band-desc id-asc prefix fill, exact boundary") {
+    // scores 0..3 over 4 bands of width 1; 3 tokens per doc
+    val d = Seq(
+      (1L, 3, "a b c"), (2L, 3, "d e f"),       // band 3, first in
+      (3L, 2, "g h i"),                          // band 2
+      (4L, 0, "j k l"), (5L, 1, "m n o")).toDF("id", "score", "text")
+    val out = Corpus.selectByBudget(d, "id", "score", "text",
+        budget = 9L, bands = 4)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    // order: 1, 2 (band 3), 3 (band 2), 5 (band 1), 4 (band 0);
+    // cum 3, 6, 9, 12, 15 -> kept = 1, 2, 3
+    assert(out === Array(
+      (1L, 3L, 3L, 3L, 3L, true),
+      (2L, 3L, 3L, 3L, 6L, true),
+      (3L, 2L, 2L, 3L, 9L, true),
+      (4L, 0L, 0L, 3L, 15L, false),
+      (5L, 1L, 1L, 3L, 12L, false)))
+    // budget >= total keeps everything; budget 0 keeps nothing
+    assert(Corpus.selectByBudget(d, "id", "score", "text", 15L, 4)
+      .filter($"kept").count() === 5)
+    assert(Corpus.selectByBudget(d, "id", "score", "text", 0L, 4)
+      .filter($"kept").count() === 0)
+    // raising the budget only ever adds docs (prefix monotonicity)
+    val k9 = Corpus.selectByBudget(d, "id", "score", "text", 9L, 4)
+      .filter($"kept").select($"id").as[Long].collect().toSet
+    val k12 = Corpus.selectByBudget(d, "id", "score", "text", 12L, 4)
+      .filter($"kept").select($"id").as[Long].collect().toSet
+    assert(k9.subsetOf(k12) && (k12 -- k9) == Set(5L))
+    // partition invariance: same result from any input layout
+    val re = Corpus.selectByBudget(d.repartition(7), "id", "score",
+        "text", 9L, 4)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(re === out)
+    val e = intercept[IllegalArgumentException] {
+      Corpus.selectByBudget(d.withColumn("score", $"score".cast("double")),
+        "id", "score", "text", 9L, 4)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("vocabTopK: matches sort-based global top-k") {
     val expected = docs
       .select(explode(split(lower($"text"), "\\s+")).as("token"))
