@@ -394,11 +394,11 @@ object CorpusQueries {
       s"""WITH t AS (SELECT doc_id, replace(text, ' line ', chr(10)) AS mt
          |  FROM documents),
          |c AS (SELECT doc_id,
-         |  list_filter(string_split(mt, chr(10)), l ->
+         |  list_filter(string_split_regex(mt, '\\r?\\n'), l ->
          |    (CASE WHEN trim(l) = '' THEN 0
-         |          ELSE len(string_split_regex(trim(l), ' +')) END) >= 10)
+         |          ELSE len(string_split_regex(trim(l), '\\s+')) END) >= 10)
          |    AS kept,
-         |  len(string_split(mt, chr(10))) AS n_lines FROM t)
+         |  len(string_split_regex(mt, '\\r?\\n')) AS n_lines FROM t)
          |SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
          | CAST(n_lines AS BIGINT) AS n_lines,
          | CAST(len(kept) AS BIGINT) AS n_kept
@@ -420,7 +420,8 @@ object CorpusQueries {
          |  replace(replace(text, ' line ', chr(10)), ' table ', chr(10))
          |    AS mt FROM documents),
          |l AS (SELECT doc_id, li, trim(ls[li+1]) AS line
-         |  FROM (SELECT doc_id, string_split(mt, chr(10)) AS ls FROM t),
+         |  FROM (SELECT doc_id, string_split_regex(mt, '\\r?\\n') AS ls
+         |    FROM t),
          |   unnest(range(0, len(ls))) AS u(li)),
          |d AS (SELECT line, count(DISTINCT doc_id) AS line_docs
          |  FROM l GROUP BY 1)

@@ -135,17 +135,20 @@ object Corpus {
                  minWords: Int, minLines: Int = 0,
                  requireTerminal: Boolean = false): DataFrame = {
     require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    // CRLF-tolerant line split + any-whitespace word split (tabs
+    // count as delimiters — same \s+ definition as TextFns.toks);
+    // web text is exactly where this operator runs first
     val keepLine = (l: Column) => {
       val t = trim(l)
-      val wc = when(t === "", 0).otherwise(size(split(t, " +")))
+      val wc = when(t === "", 0).otherwise(size(split(t, "\\s+")))
       val terminal =
         if (requireTerminal) t.rlike("[.!?\"']$") else lit(true)
       wc >= minWords && terminal
     }
-    val kept = filter(split(col(textCol), "\n"), keepLine)
+    val kept = filter(split(col(textCol), "\r?\n"), keepLine)
     docs.select(col(idCol),
         array_join(kept, "\n").as("clean_text"),
-        size(split(col(textCol), "\n")).cast(LongType).as("n_lines"),
+        size(split(col(textCol), "\r?\n")).cast(LongType).as("n_lines"),
         size(kept).cast(LongType).as("n_kept"))
       .filter(col("n_kept") >= minLines)
   }
@@ -176,7 +179,7 @@ object Corpus {
                            textCol: String, maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val pos = fanOut(docs).select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("li", "raw")))
+        posexplode(split(col(textCol), "\r?\n")).as(Seq("li", "raw")))
       .select(col(idCol), col("li"), trim(col("raw")).as("line"))
     val lineDocs = pos.select(col(idCol), col("line")).distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("line_docs"))
@@ -453,10 +456,12 @@ object Corpus {
     */
   def selectByBudget(docs: DataFrame, idCol: String, scoreCol: String,
                      textCol: String, budget: Long,
-                     bands: Int = 100): DataFrame = {
+                     bands: Int = 100, chunkSize: Long = 0): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(bands >= 1 && bands <= 100000,
       s"bands must be in [1, 100000], got $bands")
+    require(chunkSize >= 0,
+      s"chunkSize must be >= 1 (or 0 = auto), got $chunkSize")
     Seq(idCol -> "id", scoreCol -> "score").foreach { case (c, role) =>
       docs.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType => ()
@@ -471,11 +476,18 @@ object Corpus {
       .localCheckpoint()
     val mm = base.agg(
       min(col("__s")), max(col("__s")),
-      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
-    if (mm.isNullAt(0))
+      min(col(idCol).cast("long")), max(col(idCol).cast("long")),
+      sum(when(col("__s").isNull || col(idCol).isNull, 1L)
+        .otherwise(0L)),
+      count(lit(1))).head()
+    if (mm.getLong(5) == 0L)
       return base.select(col(idCol), col("__s").as(scoreCol),
         lit(0L).as("band"), col("__n").as("n_tokens"),
         lit(0L).as("cum_tokens"), lit(false).as("kept"))
+    require(mm.getLong(4) == 0L,
+      s"selectByBudget needs non-null id and score columns; " +
+        s"${mm.getLong(4)} of ${mm.getLong(5)} rows have nulls — " +
+        s"filter or impute them first (a null cannot be ranked)")
     val (sLo, sHi) = (mm.getLong(0), mm.getLong(1))
     val sRange = sHi - sLo + 1
     require(sRange > 0 && sRange <= Long.MaxValue / bands,
@@ -486,11 +498,17 @@ object Corpus {
     // chunk grid: ≤ 2^20 / bands chunks so (band × chunk) pairs stay
     // driver-bounded even if every chunk holds every band
     val idRange = mm.getLong(3).toDouble - mm.getLong(2).toDouble + 1
-    val chunkSize = math.max(4096L,
-      math.ceil(idRange / math.max(1, (1 << 20) / bands)).toLong)
+    val effChunk: Long =
+      if (chunkSize > 0) chunkSize
+      else math.max(4096L,
+        math.ceil(idRange / math.max(1, (1 << 20) / bands)).toLong)
+    // exact floor-division on longs (subtracting pmod makes the
+    // numerator divisible, so `div` is exact and equals floor even
+    // for negative ids; a double `/` would misplace ids above 2^53)
+    val idL = s"cast($idCol as long)"
     val withKeys = base.withColumn("__band", band)
       .withColumn("__chk",
-        floor(col(idCol).cast("long") / chunkSize).cast("long"))
+        expr(s"($idL - pmod($idL, ${effChunk}L)) div ${effChunk}L"))
     val w = Window.partitionBy(col("__band"), col("__chk"))
       .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -690,9 +708,12 @@ object Corpus {
           math.max(4096L, math.ceil(range / (1 << 20)).toLong)
         }
       }
-    // floor-div keeps bucket monotone in id (negative ids included)
+    // exact floor-div keeps bucket monotone in id (negative ids
+    // included) without the double-precision detour of floor(a / b),
+    // which can misplace ids above 2^53 by one bucket
     val cumBase = base.withColumn("__bkt",
-      floor(col(idCol).cast("long") / effBucketSize).cast("long"))
+      expr(s"(cast($idCol as long) - pmod(cast($idCol as long), " +
+        s"${effBucketSize}L)) div ${effBucketSize}L"))
     val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumIn = cumBase.withColumn("__cum", sum(col("__n")).over(inBucket))

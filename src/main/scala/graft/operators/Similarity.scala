@@ -62,8 +62,10 @@ object Similarity {
   }
 
   /** k-NN majority-vote classification: each query takes the most
-    * frequent label among its `k` exact nearest corpus neighbors
-    * (ties by smaller label). Output:
+    * frequent label among its `k` exact nearest LABELED corpus
+    * neighbors (ties by smaller label) — null-labeled corpus rows are
+    * excluded before the neighbor search, so every one of the k votes
+    * is a real label. Output:
     * (query_id, pred_label, votes) — `votes` = the winning label's
     * neighbor count. The classic embedding-space labeler (label
     * propagation for curation: tag unlabeled docs by their nearest
@@ -78,9 +80,14 @@ object Similarity {
     */
   def knnClassify(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val labels = corpus.select(col(idCol).as("neighbor_id"),
+    // unlabeled corpus rows cannot vote NOR occupy neighbor slots: a
+    // null label would count ghost votes and win every tie (nulls
+    // sort first in the min-struct argmax), and a filter only at the
+    // join would silently shrink a query's electorate below k
+    val labeled = corpus.filter(col(labelCol).isNotNull)
+    val labels = labeled.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("__nl"))
-    bruteKnn(corpus, queries, idCol, vecCol, k)
+    bruteKnn(labeled, queries, idCol, vecCol, k)
       .join(labels, "neighbor_id")
       .groupBy(col("query_id"), col("__nl"))
       .agg(count(lit(1)).as("__v"))

@@ -44,7 +44,13 @@ object StreamingDecontaminate {
 
   /** Attach the decontamination gate to a streaming document frame.
     * `indexPath` must hold a persisted [[Corpus.evalGramIndex]] built
-    * with the same `n`.
+    * with the same `n`, and must exist when the sink is built: the
+    * index is STATIC, so it is opened and cached ONCE here — unlike
+    * the near-dup index, which grows and must be re-listed per batch,
+    * re-scanning an unchanging multi-million-gram set every 5 s
+    * trigger would be ~17k redundant index scans a day. The cache
+    * lives for the query's lifetime; `spark.catalog.clearCache()` (or
+    * `unpersist` on a re-read of the path) releases it after stop.
     */
   def decontaminateSink(docs: DataFrame, idCol: String, textCol: String,
                         indexPath: String, outPath: String,
@@ -52,15 +58,16 @@ object StreamingDecontaminate {
                         n: Int = 5, maxHitFrac: Double = 0.0,
                         trigger: Trigger =
                           Trigger.ProcessingTime("5 seconds"))
-      : DataStreamWriter[Row] =
+      : DataStreamWriter[Row] = {
+    val idx = docs.sparkSession.read.parquet(indexPath).persist()
     docs.writeStream
       .outputMode("append")
       .trigger(trigger)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val idx = batch.sparkSession.read.parquet(indexPath)
         gateBatch(batch, idx, idCol, textCol, n, maxHitFrac)
           .write.mode("overwrite").parquet(s"$outPath/batch=$bid")
         ()
       }
+  }
 }

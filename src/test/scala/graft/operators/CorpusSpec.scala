@@ -270,11 +270,26 @@ class CorpusSpec extends SparkSpec {
       .orderBy($"id")
       .as[(Long, Long, Long, Long, Long, Boolean)].collect()
     assert(re === out)
+    // cross-chunk driver-offset stitching: a 2-id chunk grid splits
+    // bands across chunks and must reproduce the single-chunk result
+    val cc = Corpus.selectByBudget(d, "id", "score", "text", 9L, 4,
+        chunkSize = 2)
+      .orderBy($"id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(cc === out)
     val e = intercept[IllegalArgumentException] {
       Corpus.selectByBudget(d.withColumn("score", $"score".cast("double")),
         "id", "score", "text", 9L, 4)
     }
     assert(e.getMessage.contains("integral"))
+    // null scores are rejected with a clear message, not an NPE
+    val n = intercept[IllegalArgumentException] {
+      Corpus.selectByBudget(
+        Seq((1L, Some(3), "a b"), (2L, None, "c d"))
+          .toDF("id", "score", "text"),
+        "id", "score", "text", 9L, 4)
+    }
+    assert(n.getMessage.contains("non-null"))
   }
 
   test("vocabTopK: matches sort-based global top-k") {

@@ -138,6 +138,30 @@ object EngineProps extends Properties("graft") {
       got == expected
     }
 
+  property("selectByBudget matches the in-memory greedy fill") =
+    Prop.forAll(docs, Gen.chooseNum(0L, 60L), Gen.chooseNum(1, 4),
+      Gen.chooseNum(1, 5)) { (ds, budget, bands, chunk) =>
+      import graft.operators.Corpus
+      val df = ds.toDF("doc_id", "text")
+        .withColumn("score", (col("doc_id") * 7 % 11).cast("int"))
+      val scored = ds.map { case (id, t) =>
+        (id, (id * 7 % 11), t.split(" ").length.toLong) }
+      val (lo, hi) = (scored.map(_._2).min, scored.map(_._2).max)
+      var cum = 0L
+      val expected = scored
+        .map { case (id, s, n) =>
+          (id, s, ((s - lo) * bands) / (hi - lo + 1), n) }
+        .sortBy { case (id, _, b, _) => (-b, id) }
+        .map { case (id, s, b, n) =>
+          cum += n; (id, s, b, n, cum, cum <= budget) }
+        .toSet
+      val got = Corpus.selectByBudget(df, "doc_id", "score", "text",
+          budget, bands, chunkSize = chunk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      got == expected
+    }
+
   property("packSequences reassembles the corpus for any shape") =
     Prop.forAll(docs, Gen.chooseNum(2, 17), Gen.chooseNum(1, 6)) {
       (ds, seqLen, bucketSize) =>
