@@ -26,7 +26,7 @@ object CorpusQueries {
 
   // DuckDB-side tokenizer/hash/shingle macros — shared definitions
   // (see OracleSql: one source of truth across all oracle files)
-  import OracleSql.{TOKS, h32, shSql}
+  import OracleSql.{TOKS, fxSql, h32, shSql}
 
   /** Shared session-assignment CTE prefix (DuckDB side; mirrors
     * Temporal.sessionize over events at GAP_NS).
@@ -571,6 +571,106 @@ object CorpusQueries {
           Layout.zValue2(col("user_id") % 1024, col("event_id") % 1024,
             bits = 10).as("z_value"))
         .orderBy(col("event_id"))
+    },
+
+    // ---- unigram-LM perplexity proxy ------------------------------------
+    // CCNet-style quality signal: add-one-smoothed unigram LM trained
+    // on the corpus itself; per doc, the average negative
+    // log-likelihood of its token occurrences. Cross-row sums run
+    // fixed-point (fxSql/Cols.fxSum, µnat precision) — a raw double
+    // sum would be partition-order dependent.
+    Q("ext_lm_score",
+      s"""WITH tok AS (SELECT doc_id, unnest($TOKS) AS token
+         |  FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS v FROM c),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  ${fxSql("-ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))",
+             "1000000.0")} AS q
+         | FROM tok JOIN c USING (token), t GROUP BY doc_id)
+         |SELECT doc_id, n_tokens,
+         | CAST(q AS DOUBLE) / 1000000.0 AS nll,
+         | CAST(q AS DOUBLE) / 1000000.0 / CAST(n_tokens AS DOUBLE)
+         |   AS avg_nll
+         |FROM d ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.lmScore(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- Zipf-fit corpus diagnostic -------------------------------------
+    // ln(count)-on-ln(rank) least squares over the top-50 vocabulary;
+    // slope ≈ -1 is healthy natural language. Same fixed-point
+    // aggregation; the closed-form slope/intercept arithmetic is
+    // written in the identical operation order on both sides.
+    Q("ext_zipf_fit", {
+      val sc = "1000000000.0"
+      s"""WITH tok AS (SELECT unnest($TOKS) AS token FROM documents),
+         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS ct FROM tok
+         |  GROUP BY 1),
+         |r AS (SELECT ct, CAST(row_number() OVER
+         |  (ORDER BY ct DESC, token) AS INT) AS rn FROM c),
+         |k AS (SELECT * FROM r WHERE rn <= 50),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+         |  ${fxSql("ln(CAST(rn AS DOUBLE))", sc)} AS qx,
+         |  ${fxSql("ln(CAST(ct AS DOUBLE))", sc)} AS qy,
+         |  ${fxSql("ln(CAST(rn AS DOUBLE)) * ln(CAST(ct AS DOUBLE))", sc)}
+         |    AS qxy,
+         |  ${fxSql("ln(CAST(rn AS DOUBLE)) * ln(CAST(rn AS DOUBLE))", sc)}
+         |    AS qxx
+         | FROM k),
+         |f AS (SELECT n_ranks, CAST(n_ranks AS DOUBLE) AS n,
+         |  CAST(qx AS DOUBLE) / $sc AS sx, CAST(qy AS DOUBLE) / $sc AS sy,
+         |  CAST(qxy AS DOUBLE) / $sc AS sxy,
+         |  CAST(qxx AS DOUBLE) / $sc AS sxx FROM s),
+         |g AS (SELECT n_ranks, n, sx, sy,
+         |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM f)
+         |SELECT n_ranks, slope, (sy - slope * sx) / n AS intercept
+         |FROM g""".stripMargin
+    }) { (s, d) =>
+      Corpus.zipfFit(documents(s, d), "text", k = 50)
+    },
+
+    // ---- code-vs-prose routing ------------------------------------------
+    // Format gate for a mixed crawl. The synthetic corpus is uniform
+    // prose, so both engines derive the same mixed view first: every
+    // 4th doc gets code-shaped punctuation (the frequent tokens "line"
+    // and "table" become `;`+newline+indent and braces — same
+    // plain-replace trick as ext_line_clean).
+    Q("ext_code_detect",
+      s"""WITH v AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+         |  THEN replace(replace(text, ' line ',
+         |         ';' || chr(10) || '  '), ' table ', ' { t } ')
+         |  ELSE text END AS text FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[{}();=\\[\\]<>]'))
+         |    AS DOUBLE) AS sym,
+         |  CAST(len(text) AS DOUBLE) AS n_chars,
+         |  string_split_regex(text, '\\r?\\n') AS ls FROM v),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN n_chars > 0 THEN sym / n_chars ELSE 0.0 END
+         |    AS sym_frac,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '^(\\t|  )')))
+         |    AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS indent_frac,
+         |  CAST(len(list_filter(ls, l -> regexp_matches(l, '[;{}]$$')))
+         |    AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS term_frac
+         | FROM f),
+         |h AS (SELECT doc_id, sym_frac, indent_frac, term_frac,
+         |  sym_frac * 5.0 + indent_frac * 2.0 + term_frac * 3.0
+         |    AS code_score FROM g)
+         |SELECT doc_id, sym_frac, indent_frac, term_frac, code_score,
+         | CASE WHEN code_score >= 0.3 THEN 'code' ELSE 'prose' END
+         |   AS label
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.codeProse(
+          documents(s, d).withColumn("text",
+            when(col("doc_id") % 4 === 0,
+              expr("replace(replace(text, ' line ', ';' || chr(10) " +
+                "|| '  '), ' table ', ' { t } ')"))
+              .otherwise(col("text"))),
+          "doc_id", "text", threshold = 0.3)
+        .orderBy(col("doc_id"))
     },
 
     // ---- stopword scrubbing ---------------------------------------------

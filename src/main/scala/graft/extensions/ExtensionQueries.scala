@@ -28,7 +28,7 @@ object ExtensionQueries {
   // ---- shared oracle SQL fragments (DuckDB dialect) -------------------
   // tokenizer/hash/shingle macros live in OracleSql (one source of
   // truth across all oracle files)
-  import OracleSql.{TOKS, h32, shSql}
+  import OracleSql.{TOKS, fxSql, h32, shSql}
 
   /** Sequential-fold cosine similarity between two FLOAT[] columns
     * (mirrors VectorFns.cosine: double casts, fold order, sqrt placement).
@@ -837,6 +837,39 @@ object ExtensionQueries {
       Similarity.knnClassify(e, e.filter(col("vec_id") < 20),
           "vec_id", "embedding", "label", k = 5)
         .orderBy(col("query_id"))
+    },
+
+    // Label-noise detection: cosine of each vector to its own label's
+    // centroid; far-from-centroid rows are probable mislabels. The
+    // centroid mean and the dot/norm reductions are cross-row double
+    // sums, so all four run fixed-point (fxSql/Cols.fxSum) — the
+    // per-row fold trick used by cosSql can't apply across rows.
+    Q("ext_centroid_outlier", {
+      val sc = "1000000000.0"
+      s"""WITH p AS (SELECT vec_id, label,
+         |   CAST(embedding[pos + 1] AS DOUBLE) AS v, pos
+         | FROM embeddings, unnest(range(0, len(embedding))) u(pos)
+         | WHERE label IS NOT NULL),
+         |c AS (SELECT label, pos,
+         |  CAST(${fxSql("v", sc)} AS DOUBLE) / $sc
+         |    / CAST(count(*) AS DOUBLE) AS c
+         | FROM p GROUP BY 1, 2),
+         |d AS (SELECT vec_id, label,
+         |  ${fxSql("v * c", sc)} AS qd, ${fxSql("v * v", sc)} AS qv,
+         |  ${fxSql("c * c", sc)} AS qc
+         | FROM p JOIN c USING (label, pos) GROUP BY 1, 2),
+         |e AS (SELECT vec_id, label,
+         |  CAST(qd AS DOUBLE) / $sc
+         |    / (sqrt(CAST(qv AS DOUBLE) / $sc)
+         |       * sqrt(CAST(qc AS DOUBLE) / $sc)) AS centroid_cos
+         | FROM d)
+         |SELECT vec_id, label, centroid_cos,
+         | centroid_cos < 0.2 AS is_outlier
+         |FROM e ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      Similarity.centroidScores(embeddings(s, d), "vec_id", "embedding",
+          "label", threshold = 0.2)
+        .orderBy(col("vec_id"))
     },
 
     Q("ext_knn_lsh", {

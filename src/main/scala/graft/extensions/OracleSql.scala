@@ -21,4 +21,14 @@ private[extensions] object OracleSql {
   def shSql(n: Int): String =
     s"list_distinct(list_transform(range(1, len($TOKS) - ${n - 2}), " +
       s"i -> array_to_string(($TOKS)[i:i+${n - 1}], ' ')))"
+
+  /** Fixed-point order-independent SUM of a double term (mirrors
+    * Cols.fxSum: quantize each term with floor(x*scale + 0.5) — exact
+    * and bit-identical in both engines — then sum exact integers).
+    * `scale` must be the literal text of the Spark side's double scale
+    * (e.g. "1000000.0"). DuckDB sums BIGINT into HUGEINT, hence the
+    * outer cast back.
+    */
+  def fxSql(term: String, scale: String): String =
+    s"CAST(sum(CAST(floor(($term) * $scale + 0.5) AS BIGINT)) AS BIGINT)"
 }

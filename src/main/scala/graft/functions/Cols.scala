@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 /** Pure-`Column` helper functions — the engine's scalar-function surface.
   *
@@ -208,4 +208,32 @@ object Cols {
   def discPrice(price: Column, discount: Column): Column =
     price.cast(DecimalType(18, 4)) *
       (lit(1).cast(DecimalType(18, 4)) - discount.cast(DecimalType(18, 4)))
+
+  // --- fixed-point aggregation ---------------------------------------
+  // decSum handles decimally-clean doubles (money); it does NOT make an
+  // arbitrary double (an ln(), a float product) order-independent across
+  // engines, because double→DECIMAL casts themselves disagree: the JVM
+  // rounds the EXACT decimal expansion (BigDecimal HALF_UP) while DuckDB
+  // scales in double precision — measured divergence on ln() terms at
+  // scale 18. The portable form is fixed-point: quantize each term with
+  // floor(x*scale + 0.5) — one double multiply and a floor, bit-identical
+  // in every engine — sum the resulting LONGS (exact, order-independent,
+  // map-side combinable), divide once at the end. Precision is 1/scale
+  // per term; the quantization is part of the operator's contract.
+
+  /** One fixed-point term: floor(x*scale + 0.5) as a long. `x*scale`
+    * must stay within ±2^53 (exact long-in-double range) — callers pick
+    * `scale` from the term's known magnitude bound.
+    */
+  def fxTerm(x: Column, scale: Double): Column =
+    floor(x * scale + 0.5d).cast(LongType)
+
+  /** Order-independent fixed-point SUM of a double term (long-typed;
+    * convert back with [[fxVal]]).
+    */
+  def fxSum(x: Column, scale: Double): Column = sum(fxTerm(x, scale))
+
+  /** A fixed-point sum back in double units. */
+  def fxVal(s: Column, scale: Double): Column =
+    s.cast(DoubleType) / scale
 }

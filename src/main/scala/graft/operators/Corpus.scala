@@ -247,6 +247,76 @@ object Corpus {
         (col("pos") + 1).cast(IntegerType).as("rn"))
   }
 
+  /** Corpus-trained unigram language-model scoring — the CCNet-style
+    * "perplexity proxy" quality signal: train an add-one-smoothed
+    * unigram LM on the corpus itself, then score every document by its
+    * average negative log-likelihood under that LM (low = made of
+    * common words, high = rare/garbled). Emits
+    * (id, n_tokens, nll, avg_nll); `nll` = Σ −ln((c_tok+1)/(N+V)) over
+    * the doc's token OCCURRENCES (multiplicity kept), N = corpus token
+    * occurrences, V = vocabulary size.
+    *
+    * Determinism: per-token terms are exact (ln of the same rational is
+    * bit-identical across engines — measured); the cross-row sum runs
+    * as a fixed-point aggregate ([[graft.functions.Cols.fxSum]], scale
+    * 1e6 — µnat precision) because a double sum is partition-order
+    * dependent. |term| ≤ ln(N+V) ≈ 50, so terms quantize within 2^53
+    * for any corpus below e^(2^53/1e6) tokens — i.e. always.
+    *
+    * Scale shape (the tfidf audit applies): explode → token-keyed count
+    * (map-side partials), ONE shuffle join of occurrences to counts
+    * keyed by token — the LM is never broadcast (a web corpus's
+    * vocabulary is billions of keys) — then a doc-keyed hash-agg. The
+    * (N, V) totals are a broadcast 1-row crossJoin.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = fanOut(docs)
+      .select(col(idCol), explode(TextFns.toks(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val totals = counts.agg(sum(col("__c")).as("__N"),
+      count(lit(1)).as("__V"))
+    val negLogP = -log((col("__c") + 1L).cast(DoubleType) /
+      (col("__N") + col("__V")).cast(DoubleType))
+    tok.join(counts, "token")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.functions.Cols.fxSum(negLogP, 1e6).as("__q"))
+      .select(col(idCol), col("n_tokens"),
+        graft.functions.Cols.fxVal(col("__q"), 1e6).as("nll"),
+        (graft.functions.Cols.fxVal(col("__q"), 1e6) /
+          col("n_tokens").cast(DoubleType)).as("avg_nll"))
+  }
+
+  /** Zipf-fit corpus diagnostic: least-squares slope/intercept of
+    * ln(count) on ln(rank) over the top-`k` vocabulary — healthy
+    * natural-language corpora fit slope ≈ −1 (Zipf's law); a slope far
+    * from −1 flags template spam (flat head) or boilerplate dominance
+    * (cliff). One row: (n_ranks, slope, intercept).
+    *
+    * Built on [[vocabTopK]] (bounded-heap head extraction — shuffle ≤
+    * partitions × k), then a single global aggregate over k rows whose
+    * Σx, Σy, Σxy, Σx² run fixed-point ([[graft.functions.Cols.fxSum]],
+    * scale 1e9: |ln| ≤ ~50 ⇒ |x·y| ≤ 2500 ⇒ terms ≤ 2.5e12, exact in a
+    * long for any k below ~3.7M ranks). The closed-form slope uses the
+    * same operation order as the oracle — bit-identical.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    val x = log(col("rn").cast(DoubleType))
+    val y = log(col("ct").cast(DoubleType))
+    val s = vocabTopK(docs, textCol, k).agg(
+      count(lit(1)).as("n_ranks"),
+      fxSum(x, 1e9).as("__sx"), fxSum(y, 1e9).as("__sy"),
+      fxSum(x * y, 1e9).as("__sxy"), fxSum(x * x, 1e9).as("__sxx"))
+    val n = col("n_ranks").cast(DoubleType)
+    val (sx, sy) = (fxVal(col("__sx"), 1e9), fxVal(col("__sy"), 1e9))
+    val (sxy, sxx) = (fxVal(col("__sxy"), 1e9), fxVal(col("__sxx"), 1e9))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    s.select(col("n_ranks"), slope.as("slope"),
+      ((sy - slope * sx) / n).as("intercept"))
+  }
+
   /** Heavy-tail domain control: keep at most `k` rows per `keyCol`,
     * the TOP-k by `scoreCol` (ties by smaller id) — "cap every domain
     * at its k best documents". The score-preferring sibling of

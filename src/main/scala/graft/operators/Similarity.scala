@@ -98,6 +98,49 @@ object Similarity {
         (-col("__w.nv")).as("votes"))
   }
 
+  /** Per-label centroid cosine — the label-noise / outlier detector: a
+    * vector far from its own label's centroid is a probable mislabel
+    * (SemDeDup's cousin for supervised data). Emits
+    * (id, label, centroid_cos, is_outlier = cos < `threshold`); rows
+    * with a null label are dropped (no centroid to compare against).
+    *
+    * Determinism: the centroid mean and the per-vector dot/norm sums
+    * are cross-row double aggregations, so all four run fixed-point
+    * ([[graft.functions.Cols.fxSum]], scale 1e9 — components and their
+    * products are unit-magnitude, so terms stay far inside 2^53 up to
+    * ~10^9-dim×row products per group); `sqrt` is IEEE exactly-rounded,
+    * so the final cosine is bit-identical across engines.
+    *
+    * Scale shape: posexplode to (label, dim) — the explode factor is
+    * the dimension count, bounded and known — then (a) a (label, dim)
+    * hash-agg with map-side partials for the centroids (output =
+    * labels × dims rows, tiny), (b) ONE broadcast join of that
+    * centroid table back to the exploded rows, (c) an id-keyed
+    * hash-agg. One real shuffle (by id); no windows, no pair joins.
+    */
+  def centroidScores(emb: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String,
+                     threshold: Double = 0.0): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    val pos = fanOut(emb.filter(col(labelCol).isNotNull))
+      .select(col(idCol), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "__f")))
+      .withColumn("__v", col("__f").cast("double"))
+    val cent = pos.groupBy(col("label"), col("pos"))
+      .agg(fxSum(col("__v"), 1e9).as("__q"), count(lit(1)).as("__n"))
+      .select(col("label"), col("pos"),
+        (fxVal(col("__q"), 1e9) / col("__n").cast("double")).as("__c"))
+    val cos = fxVal(col("__dot"), 1e9) /
+      (sqrt(fxVal(col("__nv"), 1e9)) * sqrt(fxVal(col("__nc"), 1e9)))
+    pos.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy(col(idCol), col("label"))
+      .agg(fxSum(col("__v") * col("__c"), 1e9).as("__dot"),
+        fxSum(col("__v") * col("__v"), 1e9).as("__nv"),
+        fxSum(col("__c") * col("__c"), 1e9).as("__nc"))
+      .select(col(idCol), col("label"), cos.as("centroid_cos"),
+        (cos < threshold).as("is_outlier"))
+  }
+
   /** Lloyd refinement of IVF centroids (spherical k-means: cosine
     * assignment, per-cell element-wise mean — cosine is scale-invariant
     * so the mean needs no re-normalization). Each iteration is one

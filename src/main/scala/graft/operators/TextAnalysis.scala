@@ -156,6 +156,47 @@ object TextAnalysis {
         sum(col("c")).cast(DoubleType)).as("dup_ngram_frac"))
   }
 
+  /** Code-vs-prose detection — the format-routing gate a mixed crawl
+    * runs before language-specific curation (code goes to the code
+    * pipeline, prose to the text one). Three exact per-row features:
+    *
+    *  - `sym_frac`    — code-symbol chars `{}();=[]<>` / total chars;
+    *  - `indent_frac` — lines starting with a tab or two spaces / lines;
+    *  - `term_frac`   — lines ending in `;`, `{` or `}` / lines.
+    *
+    * `code_score` = 5·sym_frac + 2·indent_frac + 3·term_frac (fixed
+    * evaluation order — bit-identical across engines; every feature is
+    * an exact integer ratio), `label` = code iff score ≥ `threshold`.
+    * A weighted heuristic, not a trained model — the public-canon
+    * baseline (heuristic format filters precede learned ones in every
+    * published pipeline); swap the weights for trained ones without
+    * touching the plan shape.
+    *
+    * Scale: one narrow whole-stage-codegen projection; no explode, no
+    * shuffle — like [[qualityScore]], free at 100 TB next to the scan.
+    */
+  def codeProse(docs: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast(DoubleType)
+    val sym = size(regexp_extract_all(t,
+      lit("[{}();=\\[\\]<>]"), lit(0))).cast(DoubleType)
+    val lines = split(t, "\r?\n")
+    val nLines = size(lines).cast(DoubleType)
+    val indent = size(filter(lines, l => l.rlike("^(\t|  )")))
+      .cast(DoubleType)
+    val term = size(filter(lines, l => l.rlike("[;{}]$")))
+      .cast(DoubleType)
+    val symFrac = when(nChars > 0, sym / nChars).otherwise(0.0)
+    val indentFrac = indent / nLines
+    val termFrac = term / nLines
+    val score = symFrac * 5.0 + indentFrac * 2.0 + termFrac * 3.0
+    fanOut(docs).select(col(idCol),
+      symFrac.as("sym_frac"), indentFrac.as("indent_frac"),
+      termFrac.as("term_frac"), score.as("code_score"),
+      when(score >= threshold, "code").otherwise("prose").as("label"))
+  }
+
   /** Document fingerprints: md5 of normalized text (exact identity) plus
     * a rolling 3-gram min-hash (content fingerprint robust to small
     * edits — the MinHash-1 of the shingle set). The shingle min runs as

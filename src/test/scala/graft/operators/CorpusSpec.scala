@@ -292,6 +292,42 @@ class CorpusSpec extends SparkSpec {
     assert(n.getMessage.contains("non-null"))
   }
 
+  test("lmScore: add-one unigram NLL matches the hand computation") {
+    // counts: a=2, b=2, c=1; N=5, V=3 → p(a)=p(b)=3/8, p(c)=2/8
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val out = Corpus.lmScore(d, "id", "text").orderBy($"id")
+      .as[(Long, Long, Double, Double)].collect()
+    def q(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val tAB = -math.log(3.0 / 8.0)
+    val tC = -math.log(2.0 / 8.0)
+    val nll1 = (q(tAB) * 3).toDouble / 1e6           // a, a, b
+    val nll2 = (q(tAB) + q(tC)).toDouble / 1e6       // b, c
+    assert(out === Array((1L, 3L, nll1, nll1 / 3.0),
+      (2L, 2L, nll2, nll2 / 2.0)))
+    // rarer tokens score strictly worse (higher NLL per token)
+    assert(out(1)._4 > out(0)._4)
+  }
+
+  test("zipfFit: matches the in-memory least squares over the head") {
+    // counts: a=4, b=3, c=2, d=1 → top-3 ranks (a,1) (b,2) (c,3)
+    val d = Seq((1L, "a a a a b b b c c d")).toDF("id", "text")
+    val out = Corpus.zipfFit(d, "text", k = 3)
+      .as[(Long, Double, Double)].head()
+    def q(x: Double) = math.floor(x * 1e9 + 0.5).toLong
+    val pts = Seq((1L, 4L), (2L, 3L), (3L, 2L)).map { case (rn, ct) =>
+      (math.log(rn.toDouble), math.log(ct.toDouble))
+    }
+    val n = 3.0
+    val sx = pts.map(p => q(p._1)).sum.toDouble / 1e9
+    val sy = pts.map(p => q(p._2)).sum.toDouble / 1e9
+    val sxy = pts.map(p => q(p._1 * p._2)).sum.toDouble / 1e9
+    val sxx = pts.map(p => q(p._1 * p._1)).sum.toDouble / 1e9
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out === ((3L, slope, (sy - slope * sx) / n)))
+    // a 4:3:2 head is sub-Zipf but still decreasing: slope < 0
+    assert(out._2 < 0)
+  }
+
   test("vocabTopK: matches sort-based global top-k") {
     val expected = docs
       .select(explode(split(lower($"text"), "\\s+")).as("token"))

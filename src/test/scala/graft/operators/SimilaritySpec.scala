@@ -152,4 +152,27 @@ class SimilaritySpec extends SparkSpec {
     // OR-amplified: 8 tables × 4 planes recovers most top-5 neighbors
     assert(recall > 0.4, s"recall=$recall")
   }
+
+  test("centroidScores: cosine to own-label centroid; null labels " +
+    "dropped; far vectors flagged") {
+    val emb = Seq(
+      (1L, Array(1f, 0f), Option(0)),
+      (2L, Array(1f, 0f), Option(0)),
+      (3L, Array(-1f, 0.5f), Option(0)), // pulls against its label
+      (4L, Array(0f, 1f), Option(1)),    // singleton label: cos = 1
+      (5L, Array(0f, 2f), Option.empty[Int])
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidScores(emb, "vec_id", "embedding",
+        "label", threshold = 0.5)
+      .orderBy($"vec_id")
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L)) // id 5 dropped
+    // label-0 centroid = (1/3, 1/6): ids 1,2 align, id 3 opposes
+    assert(out(0)._3 > 0.5 && !out(0)._4)
+    assert(out(1)._3 === out(0)._3)
+    assert(out(2)._3 < 0 && out(2)._4)
+    // a singleton label's vector IS its centroid (cos ≈ 1 within
+    // the 1e-9 fixed-point quantum)
+    assert(math.abs(out(3)._3 - 1.0) < 1e-6 && !out(3)._4)
+  }
 }

@@ -35,4 +35,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getLong(1) == 48L)
     assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0)
   }
+
+  test("codeProse: separates code-shaped text from prose") {
+    val d = Seq(
+      (1L, "int main() {\n  x = 1;\n  return x;\n}"),
+      (2L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.codeProse(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Double, Double, Double, Double, String)].collect()
+    // doc1: 4 lines; 2 indented ("  x…", "  return…") → 0.5;
+    // every line ends in { ; ; } → term_frac 1.0; label code
+    assert(out(0)._6 === "code")
+    assert(out(0)._3 === 0.5 && out(0)._4 === 1.0)
+    assert(out(0)._2 > 0)
+    // pure prose: all three features exactly zero
+    assert(out(1) === ((2L, 0.0, 0.0, 0.0, 0.0, "prose")))
+  }
 }

@@ -162,6 +162,28 @@ object EngineProps extends Properties("graft") {
       got == expected
     }
 
+  property("lmScore matches the in-memory unigram NLL, any partitioning") =
+    Prop.forAll(docs, Gen.chooseNum(1, 5)) { (ds, parts) =>
+      import graft.operators.Corpus
+      val counts = ds.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, o) => t -> o.size.toLong }
+      val n = counts.values.sum
+      val v = counts.size.toLong
+      def q(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+      val expected = ds.map { case (id, t) =>
+        val toks = t.split(" ")
+        val nll = toks.map(tok => q(-math.log(
+          (counts(tok) + 1).toDouble / (n + v).toDouble))).sum
+          .toDouble / 1e6
+        (id, toks.length.toLong, nll, nll / toks.length)
+      }.toSet
+      val got = Corpus.lmScore(
+          ds.toDF("doc_id", "text").repartition(parts), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+      got == expected
+    }
+
   property("packSequences reassembles the corpus for any shape") =
     Prop.forAll(docs, Gen.chooseNum(2, 17), Gen.chooseNum(1, 6)) {
       (ds, seqLen, bucketSize) =>
