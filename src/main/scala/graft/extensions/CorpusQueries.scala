@@ -322,6 +322,59 @@ object CorpusQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- distribution profiling -----------------------------------------
+    // Equi-width 20-bin histogram of event values (the threshold-
+    // picking pass before clip/gate rules). Bounds are the exact
+    // data min/max; the top edge closes into the last bin.
+    Q("ext_histogram",
+      """WITH mm AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+        |  CAST(max(value) AS DOUBLE) AS hi FROM events),
+        |b AS (SELECT least(19, CAST(floor((CAST(value AS DOUBLE) - lo)
+        |    / ((hi - lo) / 20.0)) AS BIGINT)) AS bin, lo, hi
+        | FROM events, mm WHERE value IS NOT NULL)
+        |SELECT bin, lo + CAST(bin AS DOUBLE) * ((hi - lo) / 20.0)
+        |   AS bin_lo,
+        | lo + CAST(bin + 1 AS DOUBLE) * ((hi - lo) / 20.0) AS bin_hi,
+        | CAST(count(*) AS BIGINT) AS ct
+        |FROM b GROUP BY bin, lo, hi ORDER BY bin""".stripMargin) {
+      (s, d) =>
+      Stats.histogram(events(s, d).select(col("value")), "value",
+          bins = 20)
+        .orderBy(col("bin"))
+    },
+
+    // ---- per-group z-score standardization ------------------------------
+    // Population mean/σ per event type via fixed-point moment sums
+    // (fxSql/Cols.fxSum — order-independent), then a narrow
+    // (v − μ)/σ projection; constant groups get z = 0.
+    Q("ext_standardize", {
+      val qs = fxSql("CAST(value AS DOUBLE)", "1000000.0")
+      val qss = fxSql("CAST(value AS DOUBLE) * CAST(value AS DOUBLE)",
+        "1000000.0")
+      val mu = "CAST(qs AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"
+      s"""WITH m AS (SELECT event_type, $qs AS qs, $qss AS qss,
+         |  CAST(count(value) AS BIGINT) AS n FROM events GROUP BY 1),
+         |t AS (SELECT event_type, $mu AS mu,
+         |  sqrt(greatest(
+         |    CAST(qss AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)
+         |      - ($mu) * ($mu), 0.0)) AS sigma
+         | FROM m)
+         |SELECT event_id, e.event_type, value, mu, sigma,
+         | CASE WHEN sigma > 0.0
+         |      THEN (CAST(value AS DOUBLE) - mu) / sigma ELSE 0.0 END
+         |   AS z
+         |FROM events e JOIN t USING (event_type)
+         |ORDER BY event_id""".stripMargin
+    }) { (s, d) =>
+      Stats.standardize(
+          events(s, d).select(col("event_id"), col("event_type"),
+            col("value")),
+          "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("mu"), col("sigma"), col("z"))
+        .orderBy(col("event_id"))
+    },
+
     // ---- forward as-of join ----------------------------------------------
     // For every click, the EARLIEST same-user purchase at-or-after it
     // (ties: same-ts purchase visible, smallest event_id wins) — the
@@ -356,6 +409,72 @@ object CorpusQueries {
         .select(col("click_id"), col("purchase_id"),
           (col("purchase_us") - col("ts_us")).as("lead_us"))
         .orderBy(col("click_id"))
+    },
+
+    // ---- ordered funnel analysis ----------------------------------------
+    // Per (user, session): view → click → purchase completed IN ORDER
+    // (each step's timestamp must be at-or-after the previous step's);
+    // a missed step nulls all later steps. Session assignment is the
+    // same 4 h-gap sessionize proven by ext_sessionize.
+    Q("ext_funnel",
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+         |  event_type FROM events),
+         |m AS (SELECT event_id, user_id, tus, event_type,
+         |  CASE WHEN lag(tus) OVER w IS NULL
+         |       OR tus - lag(tus) OVER w > $GAP_US
+         |  THEN 1 ELSE 0 END AS st
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+         |sx AS (SELECT user_id, tus, event_type,
+         |  CAST(sum(st) OVER (PARTITION BY user_id ORDER BY event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         |    AS session_seq
+         |  FROM m),
+         |f1 AS (SELECT user_id, session_seq,
+         |  min(CASE WHEN event_type = 'view' THEN tus END) AS step1_ts
+         | FROM sx GROUP BY 1, 2),
+         |f2 AS (SELECT s.user_id, s.session_seq,
+         |  min(step1_ts) AS step1_ts,
+         |  min(CASE WHEN event_type = 'click' AND tus >= step1_ts
+         |      THEN tus END) AS step2_ts
+         | FROM sx s JOIN f1 USING (user_id, session_seq) GROUP BY 1, 2),
+         |f3 AS (SELECT s.user_id, s.session_seq,
+         |  min(step1_ts) AS step1_ts, min(step2_ts) AS step2_ts,
+         |  min(CASE WHEN event_type = 'purchase' AND tus >= step2_ts
+         |      THEN tus END) AS step3_ts
+         | FROM sx s JOIN f2 USING (user_id, session_seq) GROUP BY 1, 2)
+         |SELECT user_id, session_seq, step1_ts, step2_ts, step3_ts,
+         | CAST((CASE WHEN step1_ts IS NOT NULL THEN 1 ELSE 0 END)
+         |  + (CASE WHEN step2_ts IS NOT NULL THEN 1 ELSE 0 END)
+         |  + (CASE WHEN step3_ts IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         |   AS n_steps_reached
+         |FROM f3 ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      Temporal.funnel(
+          Temporal.sessionize(eventsUs(s, d), "user_id", "ts_us",
+            "event_id", GAP_US),
+          Seq("user_id", "session_seq"), "ts_us", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // ---- retention cohorts ----------------------------------------------
+    // Users bucketed by first-activity date; n_users per
+    // (cohort, day_offset) is the classic retention curve.
+    Q("ext_retention",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |f AS (SELECT user_id, min(dt) AS cohort_dt FROM e GROUP BY 1),
+        |o AS (SELECT DISTINCT e.user_id, cohort_dt,
+        |  CAST(datediff('day', cohort_dt, dt) AS INT) AS day_offset
+        | FROM e JOIN f USING (user_id))
+        |SELECT strftime(cohort_dt, '%Y-%m-%d') AS cohort_dt, day_offset,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM o GROUP BY cohort_dt, day_offset
+        |ORDER BY cohort_dt, day_offset""".stripMargin) { (s, d) =>
+      Temporal.retention(
+          events(s, d).select(col("user_id"), to_date(col("ts")).as("dt")),
+          "user_id", "dt")
+        .select(date_format(col("cohort_dt"), "yyyy-MM-dd").as("cohort_dt"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_dt"), col("day_offset"))
     },
 
     // ---- duplicate-span removal -----------------------------------------

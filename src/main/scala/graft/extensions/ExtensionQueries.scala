@@ -872,6 +872,47 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Diversity-aware shortlist selection: greedy MMR over the 200
+    // vectors nearest-in-id to the probe (vec_id 0), k=8, λ=0.5. The
+    // oracle unrolls the greedy loop as k chained CTE steps — each
+    // picks the argmax of 0.5·rel − 0.5·maxSimToSelected (ties to
+    // smaller id) and folds its vector into every survivor's running
+    // max — exactly the engine's k driver-paced rounds.
+    Q("ext_mmr_select", {
+      val k = 8
+      val base =
+        s"""cand AS (SELECT c.vec_id AS id, c.embedding AS vec,
+           |  ${cosSql("c.embedding", "p.embedding")} AS rel
+           | FROM embeddings c,
+           |  (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+           | WHERE c.vec_id BETWEEN 1 AND 200),
+           |c0 AS (SELECT id, vec, rel, 0.0 AS ms FROM cand)""".stripMargin
+      val steps = (1 to k).map { j =>
+        s"""s$j AS (SELECT id, vec, rel, ms, 0.5 * rel - 0.5 * ms AS mmr
+           | FROM c${j - 1} ORDER BY 0.5 * rel - 0.5 * ms DESC, id
+           | LIMIT 1),
+           |c$j AS (SELECT c.id, c.vec, c.rel,
+           |  greatest(c.ms, ${cosSql("c.vec", "s.vec")}) AS ms
+           | FROM c${j - 1} c, s$j s WHERE c.id <> s.id)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to k).map(j =>
+        s"SELECT CAST($j AS INT) AS sel_rank, id, rel AS relevance, " +
+          s"ms AS max_sim, mmr FROM s$j").mkString("\nUNION ALL\n")
+      s"WITH $base,\n$steps\n$sel\nORDER BY sel_rank"
+    }) { (s, d) =>
+      import graft.functions.VectorFns
+      val e = embeddings(s, d)
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pv"))
+      val cands = e.filter(col("vec_id").between(1, 200))
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id"), col("embedding"),
+          VectorFns.cosine(col("embedding"), col("pv")).as("rel"))
+      Similarity.mmrSelect(cands, "vec_id", "embedding", "rel",
+          k = 8, lambda = 0.5)
+        .orderBy(col("sel_rank"))
+    },
+
     Q("ext_knn_lsh", {
       val (planes, tabs) = (6, 4)
       val cos = cosSql("c.embedding", "q.embedding")

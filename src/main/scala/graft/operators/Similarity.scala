@@ -141,6 +141,65 @@ object Similarity {
         (cos < threshold).as("is_outlier"))
   }
 
+  /** Maximal-marginal-relevance selection: greedily pick `k` items
+    * maximizing `lambda·relevance − (1−lambda)·maxSimToSelected` — the
+    * diversity-aware sampler (relevance alone picks k near-duplicates;
+    * MMR trades relevance against redundancy). Ties break to the
+    * smaller id; the empty-set similarity penalty is 0. Emits one row
+    * per selection: (sel_rank, id, relevance, max_sim, mmr) — `mmr` as
+    * evaluated at selection time.
+    *
+    * Shape: k driver-paced rounds over a localCheckpointed candidate
+    * frame. Each round is one NARROW projection (update the running
+    * max-sim against the just-picked vector — `greatest` chain, exact
+    * and association-free) plus a 1-row min-struct argmax collect; no
+    * shuffle, no window, no pair join. Cost is O(k·|candidates|) scans
+    * — MMR is a SHORTLIST operator: run it on an ANN/topK result (10³
+    * –10⁵ rows), never the raw corpus; `maxCandidates` enforces that
+    * contract (count check at build, driver-side).
+    */
+  def mmrSelect(items: DataFrame, idCol: String, vecCol: String,
+                scoreCol: String, k: Int, lambda: Double,
+                maxCandidates: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1], got $lambda")
+    val spark = items.sparkSession
+    import spark.implicits._
+    var cand = items.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(scoreCol).cast("double").as("rel"),
+        lit(0.0).as("max_sim"))
+      .localCheckpoint()
+    val n = cand.count()
+    require(n <= maxCandidates,
+      s"mmrSelect is a shortlist operator: got $n candidates > " +
+        s"$maxCandidates — run ANN/topK first or raise maxCandidates")
+    val picked = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, Long, Double, Double, Double)]
+    var step = 0
+    while (step < math.min(k, n).toInt) {
+      val mmr = lit(lambda) * col("rel") -
+        lit(1.0 - lambda) * col("max_sim")
+      val best = cand
+        .agg(min(struct((-mmr).as("nm"), col("id").as("id"),
+          col("rel").as("rel"), col("max_sim").as("ms"),
+          col("vec").as("vec"))).as("b"))
+        .select(col("b.id"), col("b.rel"), col("b.ms"), (-col("b.nm")).as("m"),
+          col("b.vec"))
+        .head()
+      picked += ((step + 1, best.getLong(0), best.getDouble(1),
+        best.getDouble(2), best.getDouble(3)))
+      val bvec = typedLit(best.getSeq[Float](4))
+      cand = cand.filter(col("id") =!= best.getLong(0))
+        .withColumn("max_sim",
+          greatest(col("max_sim"), VectorFns.cosine(col("vec"), bvec)))
+      step += 1
+    }
+    picked.toSeq
+      .toDF("sel_rank", "id", "relevance", "max_sim", "mmr")
+      .withColumn("sel_rank", col("sel_rank").cast("int"))
+  }
+
   /** Lloyd refinement of IVF centroids (spherical k-means: cosine
     * assignment, per-cell element-wise mean — cosine is scale-invariant
     * so the mean needs no re-normalization). Each iteration is one

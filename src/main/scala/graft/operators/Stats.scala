@@ -32,4 +32,72 @@ object Stats {
       .withColumn("clipped",
         least(greatest(col(valCol), col("p_lo")), col("p_hi")))
   }
+
+  /** Equi-width histogram of `valCol` — the profiling pass a pipeline
+    * runs before choosing clip/gate thresholds. Bounds come from the
+    * data (exact min/max — order-independent); bin width = (hi−lo)/bins;
+    * the top edge closes into the last bin. Emits one row per OCCUPIED
+    * bin: (bin, bin_lo, bin_hi, ct) — empty bins are absent (at 100 TB
+    * the caller densifies the ≤`bins`-row result, not the engine).
+    *
+    * Shape: one min/max agg broadcast back (1 row), then a narrow bin
+    * projection and a hash-agg on bin id — map-side partials reduce
+    * every partition to ≤ `bins` rows before the shuffle.
+    */
+  def histogram(df: DataFrame, valCol: String, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 1000000,
+      s"bins must be in [1, 1e6], got $bins")
+    val mm = df.agg(min(col(valCol)).cast("double").as("__lo"),
+      max(col(valCol)).cast("double").as("__hi"))
+    val width = (col("__hi") - col("__lo")) / bins.toDouble
+    val bin = least(lit(bins - 1L),
+      floor((col(valCol).cast("double") - col("__lo")) / width))
+      .cast("long")
+    df.crossJoin(broadcast(mm))
+      .filter(col(valCol).isNotNull)
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), 0L).otherwise(bin))
+      .groupBy(col("bin"), col("__lo"), col("__hi"))
+      .agg(count(lit(1)).as("ct"))
+      .select(col("bin"),
+        (col("__lo") + col("bin").cast("double") *
+          ((col("__hi") - col("__lo")) / bins.toDouble)).as("bin_lo"),
+        (col("__lo") + (col("bin") + 1L).cast("double") *
+          ((col("__hi") - col("__lo")) / bins.toDouble)).as("bin_hi"),
+        col("ct"))
+  }
+
+  /** Per-group z-score standardization: (v − μ)/σ with the group's own
+    * population mean and standard deviation — the feature-scaling pass
+    * before distance-based work (ANN, clustering, outlier rules).
+    * Emits the input columns plus (mu, sigma, z); a zero-variance
+    * group gets z = 0.0 (not NaN/±Inf — constant features carry no
+    * signal and must not poison downstream distances).
+    *
+    * Determinism: Σv and Σv² are cross-row double sums, so both run
+    * fixed-point ([[graft.functions.Cols.fxSum]], scale 1e6); μ, the
+    * variance E[x²]−μ² and `sqrt` are then single exactly-rounded
+    * double ops — bit-identical across engines. Shape: one hash-agg by
+    * group + an equi-join back (broadcast when small) + a narrow
+    * projection — the winsorize plan with moments instead of quantiles.
+    */
+  def standardize(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    val v = col(valCol).cast("double")
+    val m = df.groupBy(col(keyCol)).agg(
+      fxSum(v, 1e6).as("__qs"), fxSum(v * v, 1e6).as("__qss"),
+      count(v).as("__n"))
+    val mu = fxVal(col("__qs"), 1e6) / col("__n").cast("double")
+    // fixed-point quantization can push a constant group's
+    // E[x²]−μ² a hair below zero — clamp before the sqrt (NaN would
+    // otherwise pass `sigma > 0` under NaN-is-largest ordering)
+    val sigma = sqrt(greatest(
+      fxVal(col("__qss"), 1e6) / col("__n").cast("double") - mu * mu,
+      lit(0.0)))
+    df.join(m.select(col(keyCol), mu.as("mu"), sigma.as("sigma")), keyCol)
+      .withColumn("z",
+        when(col("sigma") > 0.0,
+          (col(valCol).cast("double") - col("mu")) / col("sigma"))
+          .otherwise(0.0))
+  }
 }

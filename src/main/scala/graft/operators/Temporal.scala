@@ -229,4 +229,67 @@ object Temporal {
       .select(leftCols.map(col) ++
         payload.map(c => col(s"__match.$c").as(c)): _*)
   }
+
+  /** Ordered funnel analysis per group (user, session, …): for step i,
+    * `step{i}_ts` = the earliest `tsCol` of an event whose `typeCol`
+    * equals `steps(i-1)` AND that is at-or-after the previous step's
+    * timestamp — the strict "completed the steps in order" funnel, not
+    * mere per-step presence. A missed step nulls every later step (the
+    * `ts >= null` predicate can never pass). Adds `n_steps_reached`.
+    *
+    * Shape: one conditional-min hash-agg per step plus a key-equi-join
+    * back to the events for each subsequent step — all shuffles keyed
+    * by the SAME group columns, so AQE/exchange-reuse keeps one
+    * partitioning throughout; no windows, no pair joins, state = one
+    * row per group. Step count is the recipe's length (2-5 in
+    * practice), not data-driven.
+    */
+  def funnel(events: DataFrame, groupCols: Seq[String], tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct, got $steps")
+    val gcols = groupCols.map(col)
+    var acc = events.groupBy(gcols: _*)
+      .agg(min(when(col(typeCol) === steps.head, col(tsCol)))
+        .as("step1_ts"))
+    steps.tail.zipWithIndex.foreach { case (st, idx) =>
+      val i = idx + 2
+      val carried = (1 until i).map(j =>
+        min(col(s"step${j}_ts")).as(s"step${j}_ts"))
+      val next = min(when(col(typeCol) === st &&
+          col(tsCol) >= col(s"step${i - 1}_ts"), col(tsCol)))
+        .as(s"step${i}_ts")
+      val aggs = carried :+ next
+      acc = events.join(acc, groupCols)
+        .groupBy(gcols: _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val reached = steps.indices
+      .map(i => when(col(s"step${i + 1}_ts").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("n_steps_reached", reached.cast("int"))
+  }
+
+  /** Retention cohorts: users grouped by their first-activity date,
+    * counted per (cohort_dt, day_offset) — day_offset 0 is the cohort
+    * size itself, and n_users at offset d / offset 0 is the classic
+    * day-d retention curve. `dtCol` must be a DATE column.
+    *
+    * Shape: first-date hash-agg by user, equi-join back (both keyed by
+    * user — one partitioning), a distinct on (user, cohort, offset) —
+    * a user's many same-day events collapse map-side — and a final
+    * count agg. No windows; every stage is a hash-agg or equi-join on
+    * a bounded-cardinality key.
+    */
+  def retention(events: DataFrame, keyCol: String, dtCol: String): DataFrame = {
+    val first = events.groupBy(col(keyCol))
+      .agg(min(col(dtCol)).as("cohort_dt"))
+    events.join(first, Seq(keyCol))
+      .select(col(keyCol), col("cohort_dt"),
+        datediff(col(dtCol), col("cohort_dt")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_dt"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -175,4 +175,33 @@ class SimilaritySpec extends SparkSpec {
     // the 1e-9 fixed-point quantum)
     assert(math.abs(out(3)._3 - 1.0) < 1e-6 && !out(3)._4)
   }
+
+  test("mmrSelect: diversity penalty reorders a redundant shortlist") {
+    // probe direction = (1,0). a is the best match, b is a near-copy
+    // of a, c is orthogonal. Pure relevance ranks a,b,c; MMR must
+    // demote the near-copy below the diverse item.
+    val cands = Seq(
+      (1L, Array(1f, 0f), 1.0),
+      (2L, Array(0.999f, 0.02f), 0.98),
+      (3L, Array(0f, 1f), 0.10)
+    ).toDF("vec_id", "embedding", "rel")
+    val out = Similarity.mmrSelect(cands, "vec_id", "embedding", "rel",
+        k = 3, lambda = 0.5)
+      .orderBy($"sel_rank")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    assert(out.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    // first pick carries no penalty and rank-1 mmr = λ·rel
+    assert(out(0)._4 === 0.0 && out(0)._5 === 0.5)
+    // the near-copy's recorded penalty is its similarity to item 1
+    assert(out(2)._4 > 0.99)
+    // k > candidates truncates instead of failing
+    assert(Similarity.mmrSelect(cands, "vec_id", "embedding", "rel",
+      k = 10, lambda = 0.5).count() === 3)
+    // shortlist contract is enforced
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(cands, "vec_id", "embedding", "rel",
+        k = 2, lambda = 0.5, maxCandidates = 2)
+    }
+    assert(e.getMessage.contains("shortlist"))
+  }
 }

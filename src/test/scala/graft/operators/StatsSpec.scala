@@ -38,4 +38,35 @@ class StatsSpec extends SparkSpec {
       Stats.winsorize(Seq(("g", 1.0)).toDF("k", "v"), "k", "v", 0.9, 0.1)
     }
   }
+
+  test("histogram: equi-width bins, top edge closes into the last bin") {
+    // values 0..10 over [0,10] with 5 bins of width 2
+    val out = Stats.histogram(
+        (0 to 10).map(_.toDouble).toDF("v"), "v", bins = 5)
+      .orderBy($"bin")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // bins [0,2) [2,4) [4,6) [6,8) [8,10]: 2,2,2,2,3 (10 joins bin 4)
+    assert(out.map(_._4).toSeq === Seq(2L, 2L, 2L, 2L, 3L))
+    assert(out.map(_._2).toSeq === Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+    assert(out.map(_._3).toSeq === Seq(2.0, 4.0, 6.0, 8.0, 10.0))
+    // a constant column lands in one bin
+    val const = Stats.histogram(Seq(7.0, 7.0, 7.0).toDF("v"), "v", 4)
+      .as[(Long, Double, Double, Long)].collect()
+    assert(const === Array((0L, 7.0, 7.0, 3L)))
+  }
+
+  test("standardize: per-group z-scores; constant group gets z = 0") {
+    val rows = Seq(("a", 0.0), ("a", 10.0), ("b", 5.0), ("b", 5.0))
+    val out = Stats.standardize(rows.toDF("k", "v"), "k", "v")
+      .select($"k", $"v", $"mu", $"sigma", $"z")
+      .orderBy($"k", $"v")
+      .as[(String, Double, Double, Double, Double)].collect()
+    // group a: μ=5, σ=5 → z = ∓1
+    assert(out(0) === (("a", 0.0, 5.0, 5.0, -1.0)))
+    assert(out(1) === (("a", 10.0, 5.0, 5.0, 1.0)))
+    // group b is constant: σ clamps to 0, z = 0 (never NaN)
+    assert(out(2)._4 === 0.0 && out(2)._5 === 0.0)
+    assert(!out.exists(r => r._5.isNaN))
+  }
 }

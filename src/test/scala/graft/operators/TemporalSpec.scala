@@ -196,4 +196,44 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === 50L)
     assert(out.columns.toSeq === Seq("k", "ts", "fid", "state"))
   }
+
+  test("funnel: steps must complete in order; a miss nulls the tail") {
+    val events = Seq(
+      // g1: view(10) → click(20) → purchase(30): full funnel
+      ("u", 1, 10L, "view"), ("u", 1, 20L, "click"),
+      ("u", 1, 30L, "purchase"),
+      // g2: click BEFORE the first view never counts; purchase
+      // without a qualifying click is unreachable
+      ("u", 2, 10L, "click"), ("u", 2, 20L, "view"),
+      ("u", 2, 30L, "purchase"),
+      // g3: same-ts click qualifies (at-or-after), purchase missing
+      ("v", 1, 10L, "view"), ("v", 1, 10L, "click")
+    ).toDF("k", "sess", "ts", "et")
+    val out = Temporal.funnel(events, Seq("k", "sess"), "ts", "et",
+        Seq("view", "click", "purchase"))
+      .orderBy($"k", $"sess")
+      .select($"k", $"sess", $"step1_ts", $"step2_ts", $"step3_ts",
+        $"n_steps_reached")
+      .collect()
+    assert(out(0) === Row("u", 1, 10L, 20L, 30L, 3))
+    assert(out(1) === Row("u", 2, 20L, null, null, 1))
+    assert(out(2) === Row("v", 1, 10L, 10L, null, 2))
+  }
+
+  test("retention: cohort by first date, distinct users per offset") {
+    val d0 = java.sql.Date.valueOf("2026-01-01")
+    val d1 = java.sql.Date.valueOf("2026-01-02")
+    val d2 = java.sql.Date.valueOf("2026-01-03")
+    val events = Seq(
+      (1L, d0), (1L, d0), (1L, d2),   // cohort d0, offsets {0, 2}
+      (2L, d0), (2L, d1),             // cohort d0, offsets {0, 1}
+      (3L, d1)                        // cohort d1, offset {0}
+    ).toDF("uid", "dt")
+    val out = Temporal.retention(events, "uid", "dt")
+      .orderBy($"cohort_dt", $"day_offset")
+      .select($"cohort_dt", $"day_offset", $"n_users")
+      .collect()
+    assert(out === Array(
+      Row(d0, 0, 2L), Row(d0, 1, 1L), Row(d0, 2, 1L), Row(d1, 0, 1L)))
+  }
 }
