@@ -590,6 +590,35 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Same contract through the Bloom-prefiltered scale path: the
+    // filter only prunes grams before the exact semi-join, so the
+    // oracle is the SAME SQL as ext_decontaminate — approximation
+    // never reaches the result, and the hash-compare proves it.
+    Q("ext_decontaminate_bloom", {
+      val n = 5
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      s"""WITH tr AS (SELECT doc_id, ${shSql(n)} AS g FROM documents
+         |  WHERE NOT ($samp) AND len($TOKS) >= $n),
+         |eg AS (SELECT DISTINCT unnest(${shSql(n)}) AS gram
+         |  FROM documents WHERE ($samp) AND len($TOKS) >= $n),
+         |tg AS (SELECT doc_id, unnest(g) AS gram FROM tr),
+         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM tg JOIN eg USING (gram) GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.g) AS BIGINT) AS n_grams,
+         | coalesce(h.n_hit, 0) AS n_hit,
+         | CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+         |   / CAST(len(t.g) AS DOUBLE) AS hit_frac,
+         | coalesce(h.n_hit, 0) > 0 AS contaminated
+         |FROM tr t LEFT JOIN hit h USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val samp = TextFns.hash32(col("doc_id").cast("string")) % 100 < 10
+      Corpus.decontaminateBloom(docs.filter(!samp), "doc_id", "text",
+          Corpus.evalGramIndex(docs.filter(samp), "text", n = 5), n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus-frequency rarity profile --------------------------------
     Q("ext_rare_tokens", {
       val dfMax = 2

@@ -824,6 +824,62 @@ object Corpus {
           .as("piece_text"))
   }
 
+  /** [[decontaminateAgainst]] with a Bloom-filter prefilter — the
+    * 100 TB shuffle-elimination path. Output is IDENTICAL to
+    * [[decontaminate]] (same columns, same rows, same values): the
+    * Bloom filter only prunes grams BEFORE the exact join, and the
+    * join kills its false positives, so approximation never reaches
+    * the result.
+    *
+    * Why: the one-join form ships EVERY distinct train gram through
+    * the gram-keyed shuffle — at web scale that is ~`n`× the corpus
+    * text volume, dwarfing the scan. Eval suites are tiny by
+    * comparison (millions of grams). So: build a Bloom filter over
+    * the eval gram set ON THE DRIVER (`fpp` at 1% ≈ 1.2 bytes/gram —
+    * ~10 MB for 8M grams), broadcast it, and let each executor drop
+    * non-matching grams BEFORE the shuffle. Only true hits + the fpp
+    * sliver of false positives ever shuffle; the exact semi-join
+    * against the gram index then removes the false positives.
+    *
+    * Cost shift: per-doc totals (`n_grams`) are computed narrowly
+    * (`size(array_distinct(shingles))`) instead of riding the gram
+    * agg, so the corpus is shingled twice (two scans) — at scale two
+    * column-pruned scans are far cheaper than one full-gram shuffle.
+    * Eager step: building the filter runs one Spark job over the
+    * index (count + aggregate) at CALL time, like the other
+    * artifact-building constructors.
+    */
+  def decontaminateBloom(train: DataFrame, idCol: String,
+                         textCol: String, gramIndex: DataFrame, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = train.sparkSession
+    val idx = gramIndex.select(col("gram"))
+    // eager: one pass for the expected-item count, one for the filter
+    val nGrams = math.max(idx.count(), 1L)
+    val bloom = idx.stat.bloomFilter("gram", nGrams, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
+    val shingled = fanOut(train).select(col(idCol),
+      array_distinct(TextFns.shingles(col(textCol), n)).as("__g"))
+    // narrow totals — explode semantics kept: zero-gram docs drop out
+    val totals = shingled
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), size(col("__g")).cast(LongType).as("n_grams"))
+    // only bloom-positive grams reach the shuffle; semi-join = exact
+    val hits = shingled
+      .select(col(idCol), explode(col("__g")).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(idx, Seq("gram"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) /
+          col("n_grams").cast(DoubleType)).as("hit_frac"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Corpus-frequency rarity profile per document (the OOV/quality
     * filter a unigram-LM perplexity gate approximates, in exact
     * integer arithmetic): for each doc, over its token POSITIONS,
