@@ -8,6 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -48,16 +49,23 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val t0 = System.nanoTime()
-      val timing =
-        try Some(Seq(pass(), pass(), pass()).min)
-        catch { case _: Throwable => None }
-      name -> timing.getOrElse(-(System.nanoTime() - t0) / 1e9)
+      val passes =
+        try Seq(pass(), pass(), pass())
+        catch { case _: Throwable => Seq.empty[Double] }
+      name -> (if (passes.nonEmpty) passes
+               else Seq(-(System.nanoTime() - t0) / 1e9))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // "queries" stays name→min-sec (the driver contract); "runs" adds
+    // the raw three passes so a reader can separate contention noise
+    // (large spread, code-identical) from a real plan regression.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val runs = results
+      .map { case (k, v) => s"\"" + k + "\":" + v.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v.min < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.values.map(math.abs).sum
+    val total = results.values.map(v => math.abs(v.min)).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     // streaming latency section: per-micro-batch p50/p95 execution
@@ -67,7 +75,7 @@ object Bench {
     val streaming =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
       else StreamBench.run(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"streaming":$streaming,"sf":$sf,"sfDir":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"streaming":$streaming,"sf":$sf,"sfDir":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -188,8 +188,8 @@ object CorpusQueries {
          |b AS (SELECT s.*,
          |  CAST(((n_chars - lo) * $bands) // (hi - lo + 1) AS BIGINT)
          |    AS band FROM s, mm),
-         |c AS (SELECT *, sum(n_tokens) OVER (ORDER BY band DESC, doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |c AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY band DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS cum_tokens FROM b)
          |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, band,
          | n_tokens, cum_tokens, cum_tokens <= $budget AS kept

@@ -853,13 +853,28 @@ object Corpus {
                          textCol: String, gramIndex: DataFrame, n: Int,
                          fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
-    val spark = train.sparkSession
     val idx = gramIndex.select(col("gram"))
-    // eager: one pass for the expected-item count, one for the filter
+    // eager: one pass for the expected-item count, one for the filter.
+    // Native BloomFilterAggregate over xxhash64(gram) — the probe below
+    // is then a codegen'd BloomFilterMightContain expression (no Scala
+    // UDF, no per-run re-broadcast of a driver-side sketch object).
     val nGrams = math.max(idx.count(), 1L)
-    val bloom = idx.stat.bloomFilter("gram", nGrams, fpp)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
+    // optimal m = -n·ln(p)/ln(2)²; ceil to stay under the target fpp
+    val numBits = math.max(64L,
+      math.ceil(-nGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val agg = new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("gram"))),
+        Literal(nGrams), Literal(numBits)).toAggregateExpression()
+      idx.select(Bridge.column(agg)).head.getAs[Array[Byte]](0)
+    }
+    val mightContain: Column => Column = g => Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(xxhash64(g))))
     val shingled = fanOut(train).select(col(idCol),
       array_distinct(TextFns.shingles(col(textCol), n)).as("__g"))
     // narrow totals — explode semantics kept: zero-gram docs drop out

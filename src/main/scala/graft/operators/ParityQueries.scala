@@ -29,15 +29,15 @@ object ParityQueries {
 
   private def tsLit(d: String): Column = to_timestamp(lit(d))
 
-  /** events restricted to one calendar day — range predicate on the raw
-    * epoch-nanos Long column so it pushes down to the parquet scan
-    * (a predicate on the converted timestamp expression would not).
+  /** events restricted to one calendar day — range predicate expressed
+    * on the NATIVE scan column (via Tables.eventsRangeNanos) so it
+    * pushes down to the parquet reader whichever timestamp encoding the
+    * file carries (a predicate on the converted expression would not).
     */
   private def eventsOn(s: SparkSession, dir: String, day: String): DataFrame = {
     val lo = dayNanos(day)
     val hi = lo + 86400L * 1000000000L
-    eventsRaw(s, dir)
-      .filter(col("ts") >= lo && col("ts") < hi)
+    eventsRangeNanos(s, dir, lo, hi)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

@@ -1,6 +1,8 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -9,6 +11,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sf0.1 (bench) — and, unchanged, on a real cluster against partitioned
   * 100 TB tables (the reads below are plain `spark.read.parquet`, so
   * predicate pushdown / column pruning / partition pruning all apply).
+  *
+  * `events.ts` encoding: the generator has shipped it both as
+  * TIMESTAMP(NANOS) (which Spark reads as epoch-nanos Long under
+  * `nanosAsLong`) and as TIMESTAMP(MICROS) (which Spark reads as
+  * TIMESTAMP / TIMESTAMP_NTZ). The loaders below branch on the arrived
+  * schema and normalize to ONE canonical shape — `ts` as epoch-nanos
+  * Long — so every downstream operator and oracle is encoding-agnostic.
+  * Day-range predicates must use [[eventsRangeNanos]], which filters on
+  * the NATIVE scan column (nanos literals or timestamp literals, both
+  * parquet-pushable) before the normalizing projection; a filter placed
+  * above the projection would silently lose row-group skipping.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -16,18 +29,68 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects; read the physical INT64 as epoch-nanos Long instead
-    // (lossless here — the generator emits µs precision) and convert at
-    // the edge (see events()). Dynamic SQLConf, safe to set per-read.
+    // Legacy encoding support: TIMESTAMP(NANOS) is rejected by Spark's
+    // vectorized reader; read the physical INT64 as epoch-nanos Long
+    // (lossless — the generator emits µs precision). Dynamic SQLConf,
+    // safe to set per-read; a MICROS file is unaffected by it.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events with `ts` as epoch-nanos Long — use for range predicates that
-    * must push down to the parquet scan (compare against nanos literals).
+  /** Normalize a native-typed `ts` column to epoch-nanos Long.
+    * Session timezone is UTC in every entry point (Verify/Bench/specs/
+    * apps), so the NTZ→TZ cast reads the naive value as a UTC instant —
+    * the same convention DuckDB's `epoch_us(ts)` applies on the oracle
+    * side.
     */
-  def eventsRaw(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  private def tsToNanos(dt: DataType): Column = dt match {
+    case LongType         => col("ts") // already epoch-nanos
+    case TimestampType    =>
+      org.apache.spark.sql.functions.unix_micros(col("ts")) * 1000L
+    case TimestampNTZType =>
+      org.apache.spark.sql.functions
+        .unix_micros(col("ts").cast(TimestampType)) * 1000L
+    case other =>
+      throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other")
+  }
+
+  /** events with `ts` as epoch-nanos Long regardless of the parquet
+    * encoding. For day-range scans prefer [[eventsRangeNanos]] (filters
+    * on the native column → parquet row-group skipping).
+    */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case dt       => df.withColumn("ts", tsToNanos(dt))
+    }
+  }
+
+  /** events restricted to `[loNanos, hiNanos)` with the range predicate
+    * expressed against the NATIVE scan column type — epoch-nanos Long
+    * literals or timestamp literals, both of which reach the parquet
+    * reader as PushedFilters (row-group stats skipping on a year of
+    * data) — then `ts` normalized to epoch-nanos Long.
+    */
+  def eventsRangeNanos(s: SparkSession, d: String,
+                       loNanos: Long, hiNanos: Long): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.filter(col("ts") >= loNanos && col("ts") < hiNanos)
+      case dt =>
+        def tsLit(ns: Long): Column = dt match {
+          case TimestampNTZType => lit(java.time.LocalDateTime.ofEpochSecond(
+            ns / 1000000000L, (ns % 1000000000L).toInt,
+            java.time.ZoneOffset.UTC))
+          case _ => lit(java.time.Instant.ofEpochSecond(
+            ns / 1000000000L, ns % 1000000000L))
+        }
+        df.filter(col("ts") >= tsLit(loNanos) && col("ts") < tsLit(hiNanos))
+          .withColumn("ts", tsToNanos(dt))
+    }
+  }
 
   /** Epoch-nanos literal for "yyyy-MM-dd" UTC midnight. */
   def dayNanos(day: String): Long =
