@@ -40,6 +40,16 @@ object Corpus {
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Distinct word n-gram shingles via the codegen
+    * [[graft.expressions.WordShingles]] expression — semantically
+    * `array_distinct(TextFns.shingles(c, n))`, but the declarative HOF
+    * chain (transform/slice/array_join) runs interpreted per element
+    * and dominates the scan on corpus-scale text (see Dedup.shingled).
+    */
+  private def distinctShingles(c: Column, n: Int): Column =
+    Bridge.column(graft.expressions.WordShingles(
+      Bridge.expression(TextFns.toks(c)), n))
+
   /** Top-`topK` keywords per document by TF-IDF-style score.
     *
     * Score = tf * N / df (inverse collection frequency, linear form):
@@ -464,7 +474,7 @@ object Corpus {
     */
   def evalGramIndex(eval: DataFrame, textCol: String, n: Int): DataFrame =
     fanOut(eval).select(
-        explode(array_distinct(TextFns.shingles(col(textCol), n)))
+        explode(distinctShingles(col(textCol), n))
           .as("gram"))
       .distinct()
 
@@ -490,7 +500,7 @@ object Corpus {
     val evalGrams = (if (assumeDistinct) idx else idx.distinct())
       .withColumn("__hit", lit(1L))
     fanOut(train).select(col(idCol),
-        explode(array_distinct(TextFns.shingles(col(textCol), n)))
+        explode(distinctShingles(col(textCol), n))
           .as("gram"))
       .join(evalGrams, Seq("gram"), "left")
       .groupBy(col(idCol))
@@ -853,7 +863,16 @@ object Corpus {
                          textCol: String, gramIndex: DataFrame, n: Int,
                          fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // The index plan is consumed THREE times (count, filter build, the
+    // exact semi-join in the returned plan) — persist it so an
+    // expression-derived index (shingle+distinct of the eval suite) is
+    // materialized once, not three times. Eval suites are small
+    // (millions of grams ≈ tens of MB); for a disk-persisted
+    // production index the cache is simply the read-back. Stays cached
+    // for the returned plan's lifetime, like other artifact-building
+    // constructors (Spark ML fit() pattern).
     val idx = gramIndex.select(col("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // eager: one pass for the expected-item count, one for the filter.
     // Native BloomFilterAggregate over xxhash64(gram) — the probe below
     // is then a codegen'd BloomFilterMightContain expression (no Scala
@@ -865,10 +884,21 @@ object Corpus {
     val bloomBytes = {
       import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      // BloomFilterAggregate validates n/m against the runtime-filter
+      // session caps (4M items / 64 Mbit by default) — an 8M-gram eval
+      // suite at web scale would be rejected. Raise the caps to what
+      // this filter actually needs (≈1.2 bytes/gram at 1% fpp: ~10 MB
+      // for 8M grams — a sane driver/broadcast size).
+      val conf = train.sparkSession.conf
+      def raiseTo(key: String, needed: Long): Unit =
+        if (conf.getOption(key).forall(_.toLong < needed))
+          conf.set(key, needed.toString)
+      raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nGrams)
+      raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
       val agg = new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("gram"))),
         Literal(nGrams), Literal(numBits)).toAggregateExpression()
-      idx.select(Bridge.column(agg)).head.getAs[Array[Byte]](0)
+      idx.select(Bridge.column(agg)).head().getAs[Array[Byte]](0)
     }
     val mightContain: Column => Column = g => Bridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
@@ -876,7 +906,7 @@ object Corpus {
           bloomBytes, org.apache.spark.sql.types.BinaryType),
         Bridge.expression(xxhash64(g))))
     val shingled = fanOut(train).select(col(idCol),
-      array_distinct(TextFns.shingles(col(textCol), n)).as("__g"))
+      distinctShingles(col(textCol), n).as("__g"))
     // narrow totals — explode semantics kept: zero-gram docs drop out
     val totals = shingled
       .filter(size(col("__g")) > 0)
