@@ -130,7 +130,7 @@ object StreamBench {
     val parsed = LogSplit.parse(src.toDF())
     val routed = LogSplit.split(parsed).map { case (topic, branch) =>
       branch.select(lit(topic).as("topic"),
-        to_json(struct(branch.columns.map(col): _*)).as("value"))
+        to_json(struct(branch.columns.toIndexedSeq.map(col): _*)).as("value"))
     }.reduce(_ unionByName _)
     val cp = ckpt("log")
     val q = routed.writeStream.format("noop")

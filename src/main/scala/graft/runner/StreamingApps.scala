@@ -92,7 +92,7 @@ object StreamingApps {
   private[runner] def routedPayload(parsed: DataFrame): DataFrame =
     LogSplit.split(parsed).map { case (topic, branch) =>
       branch.select(lit(topic).as("topic"),
-        to_json(struct(branch.columns.map(col): _*)).as("value"))
+        to_json(struct(branch.columns.toIndexedSeq.map(col): _*)).as("value"))
     }.reduce(_ unionByName _)
 
   /** ODS CDC splitter: Maxwell topic in → per-table per-op fact topics

@@ -88,7 +88,7 @@ object Sinks {
       if (store.columns.contains(SeqCol))
         store.withColumn(SeqCol, coalesce(col(SeqCol), lit(0L)))
       else store.withColumn(SeqCol, lit(0L))
-    val tiebreak = s.columns
+    val tiebreak = s.columns.toIndexedSeq
       .filterNot(c => c == pk || c == dtCol || c == SeqCol)
       .map(col(_).desc)
     val w = Window.partitionBy(col(pk), col(dtCol))
@@ -213,7 +213,7 @@ object Sinks {
     val routing = topic.isEmpty && df.columns.contains("topic")
     val dataCols =
       (if (routing) df.columns.filter(_ != "topic") else df.columns)
-        .map(col)
+        .toIndexedSeq.map(col)
     val payload =
       if (routing)
         df.select(col("topic"), to_json(struct(dataCols: _*)).as("value"))
