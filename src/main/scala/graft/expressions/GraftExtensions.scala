@@ -119,6 +119,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit("top_k_by_score_str", "k", 2, children))
           .toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
+      (children: Seq[Expression]) => {
+        checkArity("int8_quantize", 1, children)
+        Int8Quantize(children(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_cosine"),
+      new ExpressionInfo(classOf[Int8Cosine].getName, "int8_cosine"),
+      (children: Seq[Expression]) => {
+        checkArity("int8_cosine", 2, children)
+        Int8Cosine(children(0), children(1))
+      }))
   }
 }
 

@@ -1000,14 +1000,11 @@ object ExtensionQueries {
          | scale
          |FROM q ORDER BY vec_id""".stripMargin) { (s, d) =>
       // integer checksums instead of the raw array: scalar columns
-      // hash-compare robustly, and Σq/Σq² pin every component anyway
-      Quantize.int8(embeddings(s, d), "vec_id", "embedding")
-        .select(col("vec_id"),
-          aggregate(col("qvec"), lit(0L),
-            (a, x) => a + x.cast("long") * x.cast("long")).as("q_norm2"),
-          aggregate(col("qvec"), lit(0L),
-            (a, x) => a + x.cast("long")).as("q_sum"),
-          col("scale"))
+      // hash-compare robustly, and Σq/Σq² pin every component anyway.
+      // int8Full emits the checksums from the same codegen pass that
+      // quantizes — one loop per vector, no interpreted HOF lambdas.
+      Quantize.int8Full(embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("q_norm2"), col("q_sum"), col("scale"))
         .orderBy(col("vec_id"))
     },
 

@@ -40,7 +40,30 @@ object Quantize {
     * All-zero vectors take scale 1 and quantize to zeros (cosine with
     * them is null in the float path and 0/0 → null here too).
     */
-  def int8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def int8(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    int8Full(embs, idCol, vecCol).select(col(idCol), col("qvec"), col("scale"))
+
+  /** [[int8]] plus the Σq²/Σq integer checksums, all from ONE codegen
+    * pass over the vector ([[graft.expressions.Int8Quantize]] — the
+    * declarative transform/aggregate chain runs interpreted lambdas per
+    * element, which IS the job cost on a billion-vector corpus).
+    * Emits (id, qvec, scale, q_norm2, q_sum).
+    */
+  def int8Full(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.Int8Quantize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol))))
+    embs.select(col(idCol), q.as("__q"))
+      .select(col(idCol), col("__q.qvec").as("qvec"),
+        col("__q.scale").as("scale"), col("__q.q_norm2").as("q_norm2"),
+        col("__q.q_sum").as("q_sum"))
+  }
+
+  /** The declarative mirror of [[int8]] — kept as the parity witness
+    * the codegen expression is spec-checked against (QuantizeSpec).
+    */
+  private[graft] def int8Declarative(embs: DataFrame, idCol: String,
+                                     vecCol: String): DataFrame = {
     val m = maxAbs(col(vecCol))
     val scale = when(m > 0d, lit(127d) / m).otherwise(lit(1d))
     embs.select(col(idCol),
@@ -52,9 +75,18 @@ object Quantize {
   /** Integer cosine between two int8 vectors: exact int64 dot and
     * norms (64 dims × 127² ≪ 2⁶³ — no overflow, no float-order
     * nondeterminism), one double division at the end. Null when either
-    * norm is zero.
+    * norm is zero. Codegen expression ([[graft.expressions.Int8Cosine]])
+    * — this runs per (corpus × query) pair in [[knnInt8]], where the
+    * interpreted-lambda tax multiplies by the pair count.
     */
-  def intCosine(qa: Column, qb: Column): Column = {
+  def intCosine(qa: Column, qb: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.Int8Cosine(
+        org.apache.spark.sql.graftbridge.Bridge.expression(qa),
+        org.apache.spark.sql.graftbridge.Bridge.expression(qb)))
+
+  /** Declarative mirror of [[intCosine]] (parity witness). */
+  private[graft] def intCosineDeclarative(qa: Column, qb: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (a, b) => a.cast(LongType) * b.cast(LongType)),
         lit(0L), (acc, p) => acc + p)

@@ -68,4 +68,54 @@ class QuantizeSpec extends SparkSpec {
       .agg(max(abs(col("fc") - col("qc")))).head().getDouble(0)
     assert(maxErr < 0.02, s"max |float-int8| cosine error = $maxErr")
   }
+
+  // ---- codegen ↔ declarative parity (the Int8Quantize/Int8Cosine
+  // expressions must be bit-identical to the HOF chains they replace)
+
+  test("Int8Quantize matches the declarative transform chain exactly") {
+    val e = Tables.embeddings(spark, sf0001)
+      // adversarial rows: empty, all-zero, single element, negatives
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Seq(
+        (100001L, Seq.empty[Float]),
+        (100002L, Seq(0f, 0f)),
+        (100003L, Seq(-1.5f)),
+        (100004L, Seq(0.1f, -127.3f, 64.2f))).toDF("vec_id", "embedding"))
+    val fast = Quantize.int8(e, "vec_id", "embedding")
+    val slow = Quantize.int8Declarative(e, "vec_id", "embedding")
+    val diff = fast.as("f").join(slow.as("s"), "vec_id")
+      .filter(!(col("f.qvec") === col("s.qvec")) ||
+        !(col("f.scale") === col("s.scale")))
+      .count()
+    assert(diff == 0)
+    // checksum fields agree with declarative aggregates over qvec
+    val bad = Quantize.int8Full(e, "vec_id", "embedding")
+      .filter(
+        !(col("q_norm2") === aggregate(col("qvec"), lit(0L),
+          (a, x) => a + x.cast("long") * x.cast("long"))) ||
+        !(col("q_sum") === aggregate(col("qvec"), lit(0L),
+          (a, x) => a + x.cast("long"))))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("Int8Cosine matches the declarative aggregate/zip_with form") {
+    val q8 = Quantize.int8(Tables.embeddings(spark, sf0001).limit(40),
+      "vec_id", "embedding")
+    val pairs = q8.as("a").join(q8.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Quantize.intCosine(col("a.qvec"), col("b.qvec")).as("fast"),
+        Quantize.intCosineDeclarative(col("a.qvec"), col("b.qvec"))
+          .as("slow"))
+    val n = pairs.count()
+    assert(n > 0)
+    // exact equality — both are int64 sums + one double division
+    assert(pairs.filter(!(col("fast") === col("slow"))).count() == 0)
+    // null contract: zero vector → null both ways; length mismatch → null
+    val z = Seq((Seq(0.toByte, 0.toByte), Seq(1.toByte, 2.toByte)),
+      (Seq(1.toByte), Seq(1.toByte, 2.toByte))).toDF("x", "y")
+    val got = z.select(Quantize.intCosine(col("x"), col("y"))).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
 }
