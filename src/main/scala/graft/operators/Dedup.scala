@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFns, VectorFns}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -88,6 +88,16 @@ object Dedup {
     */
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Agreeing-position count between two MinHash signatures via the
+    * codegen [[graft.expressions.SigAgreeCount]] kernel — semantically
+    * `size(filter(zip_with(a, b, ===), x => x))`, which runs an
+    * interpreted lambda per component per candidate PAIR (bucket-size²
+    * of them) in the declarative form.
+    */
+  private def sigAgree(a: Column, b: Column): Column =
+    Bridge.column(graft.expressions.SigAgreeCount(
+      Bridge.expression(a), Bridge.expression(b)))
 
   /** Distinct (docId, shingle) pairs — shingle construction via the
     * codegen [[graft.expressions.WordShingles]] expression (the
@@ -231,8 +241,7 @@ object Dedup {
     // estimate + threshold BEFORE the pair dedup, as in minhashLshPairs
     nw.join(index.as("ix"), col("nw.band") === col("ix.band"))
       .select(col("nw.did").as("new_id"), col("ix.did").as("old_id"),
-        (size(filter(zip_with(col("nw.sig"), col("ix.sig"),
-          (x, y) => x === y), b => b)).cast(DoubleType) / k)
+        (sigAgree(col("nw.sig"), col("ix.sig")).cast(DoubleType) / k)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("new_id", "old_id")
@@ -263,8 +272,7 @@ object Dedup {
       .join(banded.as("b"), col("a.band") === col("b.band") &&
         col("a.did") < col("b.did"))
       .select(col("a.did").as("id_a"), col("b.did").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => x === y), b => b)).cast(DoubleType) / k)
+        (sigAgree(col("a.sig"), col("b.sig")).cast(DoubleType) / k)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")

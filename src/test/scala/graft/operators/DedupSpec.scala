@@ -187,6 +187,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SigAgreeCount matches size(filter(zip_with(===))) exactly") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),   // partial agreement
+      (Seq(1L, 2L), Seq(1L, 2L)),            // full agreement
+      (Seq.empty[Long], Seq.empty[Long]),    // empty
+      (Seq(1L, 2L, 3L), Seq(1L, 2L)),        // length mismatch: overhang
+      (Seq(7L), Seq(8L))                      // no agreement
+    ).toDF("a", "b")
+    val got = rows.select(
+        Bridge.column(graft.expressions.SigAgreeCount(
+          Bridge.expression($"a"), Bridge.expression($"b"))).as("fast"),
+        size(filter(zip_with($"a", $"b", (x, y) => x === y),
+          p => p)).as("slow"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (fast, slow) => assert(fast == slow) }
+  }
+
   test("MinHashSig expression is bit-identical to the aggregate form") {
     val corpus = graft.tables.Tables.documents(spark,
         "/root/testdata/sf0.001")
