@@ -42,7 +42,15 @@ object Bench {
     // A crashing query must not masquerade as a fast timing: its
     // per-query value is NEGATED (sentinel) and its name listed under
     // "failed"; the total still counts the wall time it burned.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (unset in the driver's run — full registry, same contract)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       def pass(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

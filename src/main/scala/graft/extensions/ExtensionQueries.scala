@@ -423,9 +423,15 @@ object ExtensionQueries {
          |  AS n_chunk_tokens
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
     }) { (s, d) =>
+      // the gated corpus feeds FOUR consumers (signature build, cluster
+      // singleton attach, quality join, chunk) — checkpoint it once so
+      // the gate+quality projection doesn't run per consumer (same
+      // eager-reuse pattern as packSequences; ContextCleaner releases
+      // the blocks when the result is unreachable)
       val kept = documents(s, d)
         .withColumn("quality", TextAnalysis.qualityCol(col("text")))
         .filter(col("quality") >= 0.5)
+        .localCheckpoint()
       val pairs = Dedup.minhashLshPairs(kept, "doc_id", "text",
         n = 3, k = 24, bands = 6, threshold = 0.5)
       val canon = Dedup.selectCanonical(

@@ -508,12 +508,29 @@ object Dedup {
     *    accumulation: 10^12 long ids would overflow a long sum),
     *    where a per-node old-vs-new comparison costs a whole extra
     *    join per iteration.
+    *  - SIZE-GATED DRIVER UNION-FIND: the duplicate graph is tiny
+    *    relative to the corpus (pairs, not docs). When the
+    *    checkpointed pair set is at most `maxDriverPairs` (and ids
+    *    are Long), exact union-find on the driver resolves components
+    *    in one pass and the label map broadcasts back — one collect +
+    *    one broadcast join instead of diameter× (join + agg +
+    *    checkpoint) jobs. Above the gate (or non-long ids) the
+    *    distributed loop runs unchanged, so a pathological pair
+    *    explosion can never OOM the driver.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-               maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+               maxIter: Int = 20,
+               maxDriverPairs: Long = 2000000L): DataFrame = {
+    val pc = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
+    val longIds =
+      docs.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
+        pc.schema.fields.forall(
+          _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && pc.count() <= maxDriverPairs)
+      return clustersDriver(docs, idCol, pc)
+    val edges = pc
+      .union(pc.select(col("dst").as("src"), col("src").as("dst")))
     // edges carry both directions, so distinct src = every endpoint;
     // intersect with the corpus ids so a pair id NOT in docs (a stale
     // or filtered-upstream pair set) can neither receive a label nor
@@ -552,6 +569,61 @@ object Dedup {
     // join of the corpus against the (small) resolved endpoint set
     docs.select(col(idCol))
       .join(labels.withColumnRenamed("id", "__eid"),
+        col(idCol) === col("__eid"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Driver-side exact resolution for [[clusters]]' small-graph regime:
+    * union-find with union-by-min (the root of each tree is the
+    * component's minimum id by construction, so labels match the
+    * propagation loop's fixpoint exactly, independent of edge order).
+    * Pair ids not present in `docs` are excluded from the graph — the
+    * same contract the distributed path enforces via its endpoint
+    * semi-join: an invalid endpoint neither labels nor bridges.
+    * `pc` must be checkpointed (src, dst) pairs within the collect gate.
+    */
+  private def clustersDriver(docs: DataFrame, idCol: String,
+                             pc: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val raw = pc.as[(Long, Long)].collect()
+    val valid: java.util.HashSet[java.lang.Long] = {
+      val s = new java.util.HashSet[java.lang.Long]()
+      pc.select(col("src").as("id"))
+        .union(pc.select(col("dst").as("id"))).distinct()
+        .join(docs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .as[Long].collect().foreach(s.add(_))
+      s
+    }
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    raw.foreach { case (a, b) =>
+      if (valid.contains(a) && valid.contains(b)) {
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+    }
+    val labels = {
+      val it = valid.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      while (it.hasNext) {
+        val id: Long = it.next()
+        buf += ((id, if (parent.containsKey(id)) find(id) else id))
+      }
+      buf.toSeq
+    }
+    docs.select(col(idCol))
+      .join(broadcast(labels.toDF("__eid", "cluster_id")),
         col(idCol) === col("__eid"), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))

@@ -129,6 +129,33 @@ class DedupSpec extends SparkSpec {
     assert(got.count { case (id, c) => id == c } == 2)
   }
 
+  test("clusters: driver union-find path matches the distributed loop") {
+    // deterministic random-ish graph: 60 nodes, 45 edges incl. chains,
+    // cliques, self-pairs and a stale endpoint (99 not in docs)
+    val nodes = (1L to 60L).map(Tuple1(_)).toDF("doc_id")
+    val rnd = new scala.util.Random(7)
+    val edges = Seq((99L, 3L), (7L, 7L)) ++
+      (1 to 43).map(_ => (rnd.nextInt(60) + 1L, rnd.nextInt(60) + 1L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = Dedup.clusters(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val loop = Dedup.clusters(nodes, "doc_id", pairs,
+        maxDriverPairs = -1L) // force the distributed propagation path
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop)
+    assert(fast.size == 60)
+    // stale endpoint 99 must not appear as any cluster label
+    assert(!fast.values.exists(_ == 99L))
+  }
+
+  test("clusters distributed path ignores stale pair ids too") {
+    val nodes = Seq(10L, 11L).map(Tuple1(_)).toDF("doc_id")
+    val stale = Seq((5L, 10L), (5L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(nodes, "doc_id", stale, maxDriverPairs = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 11L))
+  }
+
   test("clusters resolves the real corpus's minhash pairs") {
     val docs = graft.tables.Tables.documents(spark, sf0001)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
