@@ -7,16 +7,29 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 private[expressions] trait FloatArrayPair { self: BinaryExpression =>
+  // float OR double elements, independently per side (centroid tables
+  // are double for oracle bit-parity; corpus vectors are float)
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
+
+  protected def sideIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  /** Element read, widened to double (interpreted path). */
+  protected def elemAt(d: ArrayData, i: Int, isDouble: Boolean): Double =
+    if (isDouble) d.getDouble(i) else d.getFloat(i).toDouble
+  /** Element read, widened to double (generated Java). */
+  protected def elemJava(arr: String, i: String, isDouble: Boolean): String =
+    if (isDouble) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
 }
 
 /** Whole-stage-codegen cosine similarity over two `array<float>`
@@ -46,11 +59,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      val ld = sideIsDouble(left); val rd = sideIsDouble(right)
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
-        val xi = x.getFloat(i).toDouble
-        val yi = y.getFloat(i).toDouble
+        val xi = elemAt(x, i, ld)
+        val yi = elemAt(y, i, rd)
         dot += xi * yi; na += xi * xi; nb += yi * yi
         i += 1
       }
@@ -74,8 +88,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
         } else {
           double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            final double $xi = (double) $a.getFloat($i);
-            final double $yi = (double) $b.getFloat($i);
+            final double $xi = ${elemJava(a, i, sideIsDouble(left))};
+            final double $yi = ${elemJava(b, i, sideIsDouble(right))};
             $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
           }
           ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -102,8 +116,9 @@ case class DotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      val ld = sideIsDouble(left); val rd = sideIsDouble(right)
       var dot = 0.0; var i = 0
-      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      while (i < n) { dot += elemAt(x, i, ld) * elemAt(y, i, rd); i += 1 }
       dot
     }
   }
@@ -120,7 +135,8 @@ case class DotProduct(left: Expression, right: Expression)
         } else {
           double $dot = 0.0;
           for (int $i = 0; $i < $n; $i++) {
-            $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+            $dot += ${elemJava(a, i, sideIsDouble(left))} *
+              ${elemJava(b, i, sideIsDouble(right))};
           }
           ${ev.value} = $dot;
         }

@@ -519,6 +519,47 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // Per-source token-distribution drift vs the corpus (total-
+    // variation distance + the most drifting token) — the ingest
+    // mixture-health check. The oracle's per-source sums run through
+    // the same fixed-point quantization as the engine, so tv_dist is
+    // bit-exact; the engine finds the top token with a min-struct
+    // inside the same hash-agg where the oracle uses a window — same
+    // (diff DESC, token ASC) order, no plan coupling.
+    Q("ext_source_drift",
+      s"""WITH tok AS (SELECT source, unnest($TOKS) AS token
+         |  FROM documents),
+         |gc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |gt AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |  FROM gc GROUP BY 1),
+         |tc AS (SELECT token, CAST(sum(c) AS BIGINT) AS g
+         |  FROM gc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM gc),
+         |j AS (SELECT gc.source, gc.token,
+         |   CAST(gc.c AS DOUBLE) / CAST(gt.n AS DOUBLE) AS ps,
+         |   CAST(tc.g AS DOUBLE) / CAST(tot.ntot AS DOUBLE) AS pg
+         |  FROM gc JOIN gt USING (source) JOIN tc USING (token)
+         |  CROSS JOIN tot),
+         |a AS (SELECT source,
+         |   ${fxSql("abs(ps - pg)", "1000000000000.0")} AS sa,
+         |   ${fxSql("pg", "1000000000000.0")} AS sb
+         |  FROM j GROUP BY source),
+         |top AS (SELECT source, token AS top_token,
+         |   abs(ps - pg) AS top_diff
+         |  FROM (SELECT source, token, ps, pg, row_number() OVER (
+         |     PARTITION BY source ORDER BY abs(ps - pg) DESC, token)
+         |     AS rn FROM j) WHERE rn = 1)
+         |SELECT a.source, gt.n AS n_tokens,
+         | 0.5 * (CAST(sa AS DOUBLE) / 1000000000000.0 + 1.0 -
+         |        CAST(sb AS DOUBLE) / 1000000000000.0) AS tv_dist,
+         | top_token, top_diff
+         |FROM a JOIN gt USING (source) JOIN top USING (source)
+         |ORDER BY a.source""".stripMargin) { (s, d) =>
+      TextAnalysis.sourceDrift(documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
     Q("ext_dedup_jaccard",
       s"""WITH sh AS (SELECT doc_id AS did, unnest(${shSql(3)}) AS sh
          |  FROM documents),
@@ -617,6 +658,52 @@ object ExtensionQueries {
       Dedup.incrementalMinhashPairs(docs.filter(!samp), "doc_id", "text",
           index, n = 3, k = 24, bands = 6, threshold = 0.5)
         .orderBy(col("new_id"), col("old_id"))
+    },
+
+    // Candidate-generate/verify near-dup: MinHash-LSH proposes, exact
+    // Levenshtein confirms at the character level. The fixtures are
+    // dup-free, so both engines re-insert a 10% hash sample under
+    // shifted ids with a small deterministic edit appended — the
+    // verified pairs are original↔revision with norm_sim just under 1.
+    Q("ext_dedup_editdist", {
+      val k = 24; val bands = 6; val rows = k / bands
+      val bandKeys = s"list_transform(range(0, $bands), b -> " +
+        s"concat(b, ':', array_to_string(sig[b*$rows+1 : b*$rows+$rows], ',')))"
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      val est = s"CAST(len(list_filter(list_zip(sig_a, sig_b), " +
+        s"x -> x[1] = x[2])) AS DOUBLE) / $k.0"
+      s"""WITH aug AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |    text || ' rev ' || CAST(doc_id % 7 AS VARCHAR) AS text
+         |  FROM documents WHERE $samp),
+         |sigs AS (SELECT doc_id AS did, text, ${minhashSql(3, k)} AS sig
+         |  FROM aug WHERE len(${shSql(3)}) > 0),
+         |banded AS (SELECT did, sig, unnest($bandKeys) AS band FROM sigs),
+         |cand AS (SELECT DISTINCT a.did AS id_a, b.did AS id_b,
+         |    a.text AS ta, b.text AS tb, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.did < y.did
+         |  JOIN sigs a ON a.did = x.did JOIN sigs b ON b.did = y.did),
+         |f AS (SELECT id_a, id_b, levenshtein(ta, tb) AS ed,
+         |    greatest(len(ta), len(tb)) AS ml
+         |  FROM cand WHERE $est >= 0.5)
+         |SELECT id_a, id_b, CAST(ed AS BIGINT) AS edit_dist,
+         | 1.0 - CAST(ed AS DOUBLE) / CAST(ml AS DOUBLE) AS norm_sim
+         |FROM f
+         |WHERE 1.0 - CAST(ed AS DOUBLE) / CAST(ml AS DOUBLE) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d).select(col("doc_id"), col("text"))
+      val aug = docs0.unionByName(
+        Corpus.sampleByHash(docs0, "doc_id", 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" rev "),
+              (col("doc_id") % 7).cast("string")).as("text")))
+      Dedup.editDistancePairs(aug, "doc_id", "text",
+          n = 3, k = 24, bands = 6, threshold = 0.5, minNormSim = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Heavy-tail domain control: every source capped at its 10
@@ -985,6 +1072,51 @@ object ExtensionQueries {
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, cells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Deterministic spherical k-means (topic bucketing for curation):
+    // hash-ordered seeds, fixed-point centroid recompute, argmax-cosine
+    // assignment — every round mirrored CTE-for-stage in the oracle, so
+    // the final (vector → cluster, cosine) table is bit-exact. The SQL
+    // below is GENERATED per round from the same (k, rounds) constants
+    // the engine runs with.
+    Q("ext_kmeans", {
+      val k = 8; val rounds = 2
+      val seedH = h32("CAST(vec_id AS VARCHAR)")
+      def assignCte(r: Int) =
+        s"""a$r AS (SELECT vec_id, cell, cos FROM (
+           |  SELECT vec_id, cell, cos, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+           |  FROM (SELECT e.vec_id, c.cell,
+           |     ${cosSql("e.embedding", "c.cv")} AS cos
+           |    FROM embeddings e CROSS JOIN cent$r c)) WHERE rn = 1)"""
+          .stripMargin
+      def recomputeCte(r: Int) =
+        s"""m$r AS (SELECT cell, i,
+           |   (CAST(${fxSql("CAST(e.embedding[i] AS DOUBLE)",
+                            "1000000000.0")} AS DOUBLE)
+           |    / 1000000000.0) / CAST(count(*) AS DOUBLE) AS m
+           |  FROM a$r a JOIN embeddings e USING (vec_id),
+           |   unnest(range(1, 65)) AS u(i)
+           |  GROUP BY cell, i),
+           |cent${r + 1} AS (SELECT cell, list(m ORDER BY i) AS cv
+           |  FROM m$r GROUP BY cell)""".stripMargin
+      val body = (1 until rounds)
+        .map(r => s"${assignCte(r)},\n${recomputeCte(r)}")
+        .mkString(",\n")
+      s"""WITH cent1 AS (
+         |  SELECT row_number() OVER (ORDER BY $seedH, vec_id) - 1
+         |    AS cell,
+         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings ORDER BY $seedH, vec_id LIMIT $k),
+         |$body,
+         |${assignCte(rounds)}
+         |SELECT vec_id, cell AS cluster_id, cos AS centroid_cos
+         |FROM a$rounds ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      Similarity.kmeansFixed(embeddings(s, d), "vec_id", "embedding",
+          k = 8, rounds = 2)
+        .orderBy(col("vec_id"))
     },
 
     // ---- int8 quantization ----------------------------------------------

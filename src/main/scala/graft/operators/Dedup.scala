@@ -629,6 +629,38 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
+  /** Edit-distance-VERIFIED near-duplicates: MinHash-LSH proposes
+    * candidates ([[minhashLshPairs]]), then exact Levenshtein confirms
+    * — the classic candidate-generate/verify split. Shingle-set
+    * estimates are order-blind (token swaps don't move Jaccard) and
+    * probabilistic; the Levenshtein pass upgrades survivors to a
+    * character-level guarantee: `norm_sim = 1 − dist/max(len_a,len_b)`
+    * ≥ `minNormSim`. Emits (id_a, id_b, edit_dist, norm_sim).
+    *
+    * Scale shape: the O(len²) DP runs ONLY on LSH candidates — work is
+    * |candidates| × len², never |corpus|²; `levenshtein` is a codegen
+    * expression, and the two text joins are id-keyed equi-joins.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int, threshold: Double,
+                        minNormSim: Double): DataFrame = {
+    require(minNormSim >= 0.0 && minNormSim <= 1.0,
+      s"minNormSim must be in [0,1], got $minNormSim")
+    val cand = minhashLshPairs(docs, idCol, textCol, n, k, bands, threshold)
+    val t = docs.select(col(idCol), col(textCol))
+    cand
+      .join(t.select(col(idCol).as("id_a"), col(textCol).as("__ta")),
+        Seq("id_a"))
+      .join(t.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
+        Seq("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("norm_sim", lit(1.0) - col("edit_dist").cast("double") /
+        greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+      .filter(col("norm_sim") >= minNormSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("norm_sim"))
+  }
+
   /** Embedding cosine near-dup pairs ≥ `threshold`, LSH-blocked: only
     * vectors sharing a hyperplane bucket in at least one of `tables`
     * independent hash tables are compared exactly (OR-amplification —

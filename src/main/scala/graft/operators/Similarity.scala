@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.expressions.TopKByScore
-import graft.functions.VectorFns
+import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
@@ -318,5 +318,75 @@ object Similarity {
     val scored = cand
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
     topK(scored, k)
+  }
+
+  /** Deterministic spherical k-means over an embedding column — the
+    * topic-bucketing operator for corpus curation (cluster, then
+    * inspect/sample/cap per topic). Fully reproducible and
+    * oracle-matchable, unlike seeded-random k-means:
+    *
+    *  - seeds: the `k` vectors with the smallest
+    *    (md5-prefix hash of id, id) — content-independent,
+    *    engine-portable ordering; cell ids 0..k-1 in that order;
+    *  - `rounds` assignment passes; between passes each cell's
+    *    centroid is recomputed as the element-wise mean via
+    *    FIXED-POINT sums ([[graft.functions.Cols.fxSum]], scale 1e9) —
+    *    order-independent and bit-identical across engines (an
+    *    unordered double SUM would drift with partitioning);
+    *  - assignment: argmax cosine, ties to the lowest cell id.
+    *
+    * Emits (id, cluster_id, centroid_cos) — one row per input vector.
+    *
+    * Scale shape: per round, ONE broadcast join (k centroid rows)
+    * + a row_number window PARTITIONED BY vector id (k rows per
+    * partition) for the argmax, then a posexplode + (cell, dim)
+    * hash-agg (map-side partials; output k×dims rows) for the
+    * recompute. No driver collect beyond the k seed rows; no O(n²).
+    * Cosine is scale-invariant, so means need no re-normalization.
+    */
+  def kmeansFixed(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16], got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Cols.{fxSum, fxVal}
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val seedRows = emb
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .withColumn("h", TextFns.hash32(col("sid").cast("string")))
+      .orderBy(col("h"), col("sid")).limit(k) // TakeOrdered, k bounded
+      .select(col("sid"), col("sv")).collect()
+    var cents = seedRows.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Float](1).map(_.toDouble))
+    }.toSeq.toDF("cell", "cv")
+    val vecs = fanOut(emb)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("cos").desc, col("cell"))
+      vecs.join(broadcast(c))
+        .withColumn("cos", VectorFns.cosine(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vid"), col("cell"), col("cos"), col("v"))
+    }
+    var assigned = assign(cents)
+    (2 to rounds).foreach { _ =>
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(fxSum(col("x").cast("double"), 1e9).as("q"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("i"),
+          (fxVal(col("q"), 1e9) / col("n").cast("double")).as("m"))
+      cents = means.groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")).as("cv"))
+      assigned = assign(cents)
+    }
+    assigned.select(col("vid").as(idCol), col("cell").as("cluster_id"),
+      col("cos").as("centroid_cos"))
   }
 }

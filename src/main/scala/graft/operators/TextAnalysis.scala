@@ -218,4 +218,64 @@ object TextAnalysis {
       .select(col(idCol), col("exact_fp"),
         coalesce(col("shfp"), lit("")).as("shingle_fp"))
   }
+
+  /** Token-distribution drift per group (source/crawl/snapshot) against
+    * the whole corpus — the mixture-health check a training-data
+    * pipeline runs per ingest: a source whose unigram distribution sits
+    * far from the corpus is a candidate for re-weighting or review.
+    * Per group emits:
+    *
+    *  - `n_tokens` — group token occurrences;
+    *  - `tv_dist` — total-variation distance between the group's
+    *    unigram distribution and the corpus's, in [0,1]
+    *    (½·Σ|p_grp − p_corpus| over the full vocabulary — the
+    *    out-of-group mass enters via 1 − Σ_{t∈grp} p_corpus, so only
+    *    group-present tokens are ever materialized per group);
+    *  - `top_token` / `top_diff` — the single most drifting token and
+    *    its |p_grp − p_corpus| (ties to the lexicographically first).
+    *
+    * Determinism: probabilities are exact integer-count ratios in
+    * double; the two cross-row sums run fixed-point
+    * ([[graft.functions.Cols.fxSum]], scale 1e12 — per-token masses
+    * ≤ 1, so quantized terms stay far inside 2^63 up to 10^6-token
+    * vocabularies per group) — no transcendentals (total variation,
+    * not KL), so every cell is bit-identical across engines.
+    *
+    * Scale shape: one explode → (group, token) hash-agg with map-side
+    * partials; corpus token totals join back BY TOKEN KEY (the
+    * vocabulary is never broadcast — it scales with the corpus); the
+    * per-group totals and the 1-row corpus total are broadcast. The
+    * argmax folds into the same single hash-agg as the sums
+    * (min-struct — no window, no sort).
+    */
+  def sourceDrift(docs: DataFrame, groupCol: String,
+                  textCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    val tok = fanOut(docs).select(col(groupCol).as("grp"),
+      explode(TextFns.toks(col(textCol))).as("token"))
+    val gc = tok.groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val gt = gc.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val tc = gc.groupBy(col("token")).agg(sum(col("c")).as("g"))
+    val tot = gc.agg(sum(col("c")).as("ntot"))
+    val j = gc
+      .join(tc, Seq("token"))                 // token-keyed, no broadcast
+      .join(broadcast(gt), Seq("grp"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp"), col("token"),
+        (col("c").cast(DoubleType) / col("n").cast(DoubleType)).as("ps"),
+        (col("g").cast(DoubleType) / col("ntot").cast(DoubleType))
+          .as("pg"))
+      .withColumn("diff", abs(col("ps") - col("pg")))
+    j.groupBy(col("grp"))
+      .agg(fxSum(col("diff"), 1e12).as("sa"),
+        fxSum(col("pg"), 1e12).as("sb"),
+        min(struct((-col("diff")).as("nd"), col("token").as("tk")))
+          .as("m"))
+      .join(broadcast(gt), Seq("grp"))
+      .select(col("grp").as(groupCol), col("n").as("n_tokens"),
+        (lit(0.5) * (fxVal(col("sa"), 1e12) + lit(1.0) -
+          fxVal(col("sb"), 1e12))).as("tv_dist"),
+        col("m.tk").as("top_token"), (-col("m.nd")).as("top_diff"))
+  }
 }

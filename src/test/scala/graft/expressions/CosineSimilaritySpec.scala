@@ -19,6 +19,20 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("codegen cosine accepts double arrays per side, bit-equal to HOF") {
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+      .withColumn("embd", col("embedding").cast("array<double>"))
+    // float×double (the kmeans centroid shape) and double×double
+    Seq(($"a.embedding", $"b.embd"), ($"a.embd", $"b.embd")).foreach {
+      case (l, r) =>
+        val diff = e.as("a").crossJoin(e.as("b"))
+          .select(VectorFns.cosine(l, r).as("fast"),
+            VectorFns.cosineHof(l, r).as("hof"))
+          .filter(!($"fast" === $"hof")).count()
+        assert(diff == 0)
+    }
+  }
+
   test("codegen lshBucket is identical to the HOF fold across seeds") {
     val e = Tables.embeddings(spark, sf0001)
     (0 until 4).foreach { seed =>

@@ -129,6 +129,35 @@ class DedupSpec extends SparkSpec {
     assert(got.count { case (id, c) => id == c } == 2)
   }
 
+  test("editDistancePairs: LSH candidates verified at character level") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta thet"), // 1 deletion
+      (3L, "totally unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(d, "doc_id", "text",
+        n = 3, k = 24, bands = 6, threshold = 0.3, minNormSim = 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(got.head._3 == 1L) // exactly one character edit
+    val maxLen = "alpha beta gamma delta epsilon zeta eta theta".length
+    assert(got.head._4 == 1.0 - 1.0 / maxLen)
+  }
+
+  test("editDistancePairs: minNormSim filters candidate pairs") {
+    // near in shingle space but many character edits: threshold passes
+    // LSH, the verify step drops it at a strict minNormSim
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine TEN EXTRA TAIL")
+    ).toDF("doc_id", "text")
+    val loose = Dedup.editDistancePairs(d, "doc_id", "text",
+      n = 3, k = 24, bands = 6, threshold = 0.3, minNormSim = 0.0)
+    val strict = Dedup.editDistancePairs(d, "doc_id", "text",
+      n = 3, k = 24, bands = 6, threshold = 0.3, minNormSim = 0.95)
+    assert(loose.count() == 1 && strict.count() == 0)
+  }
+
   test("clusters: driver union-find path matches the distributed loop") {
     // deterministic random-ish graph: 60 nodes, 45 edges incl. chains,
     // cliques, self-pairs and a stale endpoint (99 not in docs)

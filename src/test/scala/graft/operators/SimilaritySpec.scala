@@ -204,4 +204,48 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("shortlist"))
   }
+
+  test("kmeansFixed: total assignment, bounded cells, deterministic") {
+    val e = Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    val got = Similarity.kmeansFixed(e, "vec_id", "embedding",
+      k = 8, rounds = 2)
+    val rows = got.as[(Long, Int, Double)].collect()
+    assert(rows.length == n)                       // every vector assigned
+    assert(rows.map(_._1).distinct.length == n)    // exactly once
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(rows.map(_._2).distinct.length > 1)     // not one mega-cluster
+    assert(rows.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
+    val again = Similarity.kmeansFixed(e, "vec_id", "embedding",
+      k = 8, rounds = 2).as[(Long, Int, Double)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("kmeansFixed: a refinement round does not worsen the objective") {
+    val e = Tables.embeddings(spark, sf0001)
+    def meanCos(rounds: Int): Double =
+      Similarity.kmeansFixed(e, "vec_id", "embedding", k = 8,
+          rounds = rounds)
+        .agg(avg($"centroid_cos")).head().getDouble(0)
+    // Lloyd step: reassign-to-mean can only increase mean cohesion
+    // (up to fixed-point quantization noise)
+    assert(meanCos(2) >= meanCos(1) - 1e-6)
+  }
+
+  test("kmeansFixed: assignment is the argmax over final centroids") {
+    // 2-d corpus with two obvious directions; k=2 must split them and
+    // every vector must sit in its nearer final centroid's cell
+    val embs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, Seq(1.0f, 0.02f * i)) else (i, Seq(0.02f * i, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansFixed(embs, "vec_id", "embedding",
+      k = 2, rounds = 3).as[(Long, Int, Double)].collect()
+    val byCell = got.groupBy(_._2)
+    assert(byCell.size == 2)
+    // even ids (x-heavy) share a cell, odd ids (y-heavy) the other
+    val evenCells = got.filter(_._1 % 2 == 0).map(_._2).distinct
+    val oddCells = got.filter(_._1 % 2 == 1).map(_._2).distinct
+    assert(evenCells.length == 1 && oddCells.length == 1 &&
+      evenCells.head != oddCells.head)
+  }
 }

@@ -52,4 +52,31 @@ class TextAnalysisSpec extends SparkSpec {
     // pure prose: all three features exactly zero
     assert(out(1) === ((2L, 0.0, 0.0, 0.0, 0.0, "prose")))
   }
+
+  test("sourceDrift: hand-checked TV distance and top token") {
+    // A: tokens a,a,b (n=3); B: b,b,c (n=3); corpus a:2 b:3 c:1 (N=6)
+    // TV(A) = ½(|2/3−1/3| + |1/3−1/2| + 1/6) = 1/3, top=a (diff 1/3)
+    // TV(B) = ½(|2/3−1/2| + |1/3−1/6| + 1/3) = 1/3; b and c tie at
+    // 1/6 in exact arithmetic but NOT in doubles (the two differences
+    // land one ulp apart), and c's is the larger — the operator is
+    // defined over IEEE doubles (as is the oracle), so c wins
+    val d = Seq(("A", "a a b"), ("B", "b b c")).toDF("source", "text")
+    val got = TextAnalysis.sourceDrift(d, "source", "text")
+      .orderBy($"source")
+      .as[(String, Long, Double, String, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("A", "B"))
+    assert(got.forall(_._2 == 3L))
+    got.foreach(r => assert(math.abs(r._3 - 1.0 / 3) < 1e-9, r))
+    assert(got(0)._4 == "a" && math.abs(got(0)._5 - 1.0 / 3) < 1e-12)
+    assert(got(1)._4 == "c" && math.abs(got(1)._5 - 1.0 / 6) < 1e-12)
+  }
+
+  test("sourceDrift: identical distributions yield zero distance") {
+    val d = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    val got = TextAnalysis.sourceDrift(d, "source", "text")
+      .as[(String, Long, Double, String, Double)].collect()
+    got.foreach { r => assert(r._3 == 0.0 && r._5 == 0.0) }
+    // tie on diff=0 breaks to the lexicographically first token
+    got.foreach(r => assert(r._4 == "x"))
+  }
 }
