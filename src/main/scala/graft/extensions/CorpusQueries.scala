@@ -835,6 +835,79 @@ object CorpusQueries {
       Corpus.removeStopwords(documents(s, d), "doc_id", "text",
           TextAnalysis.stopwords.toMap.apply("en"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- importance-weighted domain filter (DSIR-style) -----------------
+    // Target slice = English docs; 64 hashed-token feature buckets;
+    // keep docs whose average per-token target/corpus likelihood
+    // ratio exceeds 1 (all fixed-point integer math — see
+    // Corpus.importanceFilter).
+    Q("ext_importance",
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+         |  unnest($TOKS) AS token FROM documents),
+         |b AS (SELECT doc_id, tgt,
+         |  ${h32("token")} % 64 AS bucket FROM t),
+         |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+         | FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+         |  CAST(sum(n_tgt) AS BIGINT) AS tot_tgt FROM pb),
+         |w AS (SELECT bucket, CASE WHEN tot_tgt > 0
+         |  THEN (n_tgt * tot_raw * 1000000) // (n_raw * tot_tgt)
+         |  ELSE 0 END AS w FROM pb, tot),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(w) AS BIGINT) AS affinity
+         | FROM b JOIN w USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, affinity,
+         | affinity > n_tokens * 1000000 AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.importanceFilter(documents(s, d), "doc_id", "text",
+          col("lang") === "en", buckets = 64, scale = 1000000L)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic training-shard layout ----------------------------
+    Q("ext_shards",
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  ${h32("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |a AS (SELECT doc_id, n_tokens, h % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 16
+         |    ORDER BY h, doc_id) AS INT) AS pos,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY h % 16
+         |    ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS tok_offset
+         | FROM s)
+         |SELECT doc_id, n_tokens, shard, pos, tok_offset
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFns
+      Corpus.shardAssign(
+          documents(s, d).select(col("doc_id"),
+            size(TextFns.toks(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", shards = 16)
+        .select(col("doc_id"), col("n_tokens"), col("shard"),
+          col("pos"), col("tok_offset"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- cross-source score calibration ---------------------------------
+    Q("ext_calibrate",
+      s"""WITH c AS (SELECT doc_id, source, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars, doc_id) AS INT) AS cal_rank,
+         |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS cal_n
+         | FROM documents)
+         |SELECT doc_id, source, n_chars, cal_rank, cal_n,
+         | CAST(CASE WHEN cal_n > 1
+         |   THEN ((cal_rank - 1) * 1000000) // (cal_n - 1)
+         |   ELSE 0 END AS BIGINT) AS cal_ppm
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Stats.calibrateByGroup(
+          documents(s, d).select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "n_chars", "doc_id")
+        .orderBy(col("doc_id"))
     }
   )
 }

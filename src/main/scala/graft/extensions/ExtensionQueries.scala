@@ -1292,6 +1292,40 @@ object ExtensionQueries {
           col("decoded.height").as("height"),
           col("decoded.n_frames").as("n_frames"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- cross-source duplication matrix --------------------------------
+    // The sf fixtures are dup-free across sources, so both engines
+    // derive the same mirrored view first: the 10% hash sample
+    // re-appears as a full "mirror_a" dump and its even-id half as
+    // "mirror_b" — then the overlap matrix counts shared normalized
+    // contents per source pair (same hash as ext_dedup_exact).
+    Q("ext_source_overlap", {
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      s"""WITH aug AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL SELECT 'mirror_a' AS source, text
+         |    FROM documents WHERE $samp
+         |  UNION ALL SELECT 'mirror_b' AS source, text
+         |    FROM documents WHERE ($samp) AND doc_id % 2 = 0),
+         |hs AS (SELECT DISTINCT $normMd5Sql AS h, source FROM aug),
+         |c AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 64),
+         |p AS (SELECT x.source AS src_a, y.source AS src_b
+         |  FROM hs x JOIN hs y ON x.h = y.h AND x.source < y.source
+         |  JOIN c ON c.h = x.h)
+         |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM p GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d)
+      val samp =
+        TextFns.hash32(col("doc_id").cast("string")) % 100 < 10
+      val aug = docs0.select(col("source"), col("text"))
+        .unionAll(docs0.filter(samp)
+          .select(lit("mirror_a").as("source"), col("text")))
+        .unionAll(docs0.filter(samp && col("doc_id") % 2 === 0)
+          .select(lit("mirror_b").as("source"), col("text")))
+      Dedup.sourceOverlap(aug, "text", "source")
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 }

@@ -954,4 +954,90 @@ object Corpus {
       .select(col(idCol), col("n_tokens"), col("n_rare"),
         col("rare_frac"), col("min_df"))
   }
+
+  /** Importance-weighted target-domain filter (the DSIR idea —
+    * Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling" — re-expressed with EXACT integer
+    * arithmetic): score each document by how much its hashed-token
+    * distribution looks like a target slice of the corpus
+    * (`targetPred`, e.g. `col("lang") === "en"`) versus the corpus as
+    * a whole, and keep the documents whose average per-token
+    * likelihood ratio exceeds 1.
+    *
+    * Math (all integers, so Spark and any oracle agree bit-for-bit —
+    * a log-prob sum would be order- and rounding-sensitive): tokens
+    * hash into `buckets` feature buckets; with n_t[b]/N_t the target
+    * bucket counts/total and n_r[b]/N_r the corpus-wide ones, each
+    * bucket gets weight `w[b] = (n_t[b] * N_r * scale) div (n_r[b] *
+    * N_t)` — the target/raw probability ratio in fixed point — and a
+    * document scores `affinity = sum over its token positions of
+    * w[bucket]`. `kept = affinity > scale * n_tokens` (ratio > 1 on
+    * average). With no target tokens at all every weight is 0 and
+    * nothing is kept.
+    *
+    * Scale shape: one explode + hash-agg keyed by bucket (≤ `buckets`
+    * rows — a true dim table), totals via a broadcast 1-row cross
+    * join, then the per-doc score is a broadcast join on bucket + one
+    * hash-agg keyed by id with map-side partials. No token-keyed
+    * shuffle at all — the vocabulary never materializes. The integer
+    * products bound: n_t[b] * N_r * scale must stay under 2^63
+    * (ANSI overflow otherwise); at web scale (N ~ 1e13 tokens) drop
+    * `scale` accordingly or pre-aggregate per shard.
+    */
+  def importanceFilter(docs: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, buckets: Int = 64,
+                       scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && scale > 0, s"buckets/scale must be positive")
+    val toks = fanOut(docs).select(col(idCol), targetPred.as("__tgt"),
+        explode(TextFns.toks(col(textCol))).as("token"))
+      .select(col(idCol), col("__tgt"),
+        (TextFns.hash32(col("token")) % buckets).as("bucket"))
+    val perBucket = toks.groupBy(col("bucket")).agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    val totals = perBucket.agg(
+      sum(col("n_raw")).as("tot_raw"), sum(col("n_tgt")).as("tot_tgt"))
+    val weights = perBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        when(col("tot_tgt") > 0L,
+          expr(s"(n_tgt * tot_raw * ${scale}L) div (n_raw * tot_tgt)"))
+          .otherwise(0L).as("w"))
+    toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("affinity"))
+      .select(col(idCol), col("n_tokens"), col("affinity"),
+        (col("affinity") > col("n_tokens") * scale).as("kept"))
+  }
+
+  /** Deterministic training-shard layout: the LAST step of a curation
+    * pipeline, turning the selected corpus into `shards` reproducible
+    * output shards with a stable global shuffle. Each doc gets
+    * `shard = hash32(id) % shards`, a 1-based `pos` within its shard
+    * in (hash, id) order — a content-independent pseudo-random order,
+    * so consecutive docs in a shard are an unbiased corpus draw, not
+    * crawl-adjacent — and `tok_offset`, the exclusive running sum of
+    * `nTokensCol` before it in shard order (the byte/token offset a
+    * trainer seeks to). Re-runs, backfills and multi-site builds
+    * produce the identical layout (same md5 determinism as
+    * [[sampleByHash]]).
+    *
+    * Scale shape: one shuffle keyed by shard, then a sort + running
+    * sum per shard partition — no global sort, no driver state. Size
+    * `shards` ≥ the cluster's write parallelism (thousands at 100 TB)
+    * so each window partition is a bounded slice of the corpus.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nTokensCol: String,
+                  shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = TextFns.hash32(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", col("__h") % shards)
+      .withColumn("pos", row_number().over(w))
+      .withColumn("tok_offset", coalesce(
+        sum(col(nTokensCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__h")
+  }
 }

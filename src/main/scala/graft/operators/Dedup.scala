@@ -768,4 +768,40 @@ object Dedup {
         col("rep_cos"),
         (col("__id") === col("rep_id") || col("rep_cos") < tau).as("kept"))
   }
+
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many distinct normalized contents they SHARE — the diagnostic
+    * that tells a curation pipeline which crawls/dumps are mirrors of
+    * each other (and so which [[exact]] dedup will collapse). Same
+    * normalized-text md5 as [[exact]], so "shared" means exactly what
+    * the deduper will merge. Emits (src_a, src_b, n_shared) with
+    * src_a < src_b, only pairs that share ≥ 1 content.
+    *
+    * Scale shape: distinct (hash, source) pairs — one hash-agg, text
+    * never shuffles — then a self equi-join keyed by the content hash.
+    * Per-key fanout is bounded by the number of DISTINCT SOURCES a
+    * content appears in (≤ the source catalog, a config-scale number,
+    * and further capped by `maxSourcesPerHash`: contents above the cap
+    * are dropped with the reasoning of a stop-shingle — a blob that
+    * appears in every dump says nothing about pairwise mirroring and
+    * would quadratically dominate the join).
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    maxSourcesPerHash: Int = 64): DataFrame = {
+    require(maxSourcesPerHash >= 2,
+      s"maxSourcesPerHash must be >= 2, got $maxSourcesPerHash")
+    val hs = docs
+      .select(md5(TextFns.normText(col(textCol))).as("__h"),
+        col(srcCol).as("__src"))
+      .distinct()
+    val capped = hs.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__ns"))
+      .filter(col("__ns") <= maxSourcesPerHash)
+      .select(col("__h"))
+    val side = hs.join(capped, Seq("__h"))
+    side.join(side.withColumnRenamed("__src", "__src2"), Seq("__h"))
+      .filter(col("__src") < col("__src2"))
+      .groupBy(col("__src").as("src_a"), col("__src2").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -100,4 +100,34 @@ object Stats {
           (col(valCol).cast("double") - col("mu")) / col("sigma"))
           .otherwise(0.0))
   }
+
+  /** Per-group percentile calibration: map `scoreCol` to its exact
+    * rank position within its own group, as parts-per-`scale` in
+    * [0, scale] — the cross-source score alignment step ("a 0.8
+    * quality score from crawl A is not a 0.8 from crawl B"; gate on
+    * the calibrated percentile instead). Ties break by `idCol`, so
+    * the result is deterministic and EXACT integer arithmetic —
+    * `cal_ppm = (rank-1) * scale div (n-1)` (0 for singleton groups)
+    * — identical in any engine. Emits the input columns plus
+    * (cal_rank, cal_n, cal_ppm).
+    *
+    * Shape: one window partitioned by group (rank + count in a single
+    * sort pass) — no join, no driver state; a group's rows must fit a
+    * partition's sort, the same contract as every per-source window
+    * here. At extreme group sizes swap in the two-level chunked
+    * cumsum of [[Corpus.selectByBudget]].
+    */
+  def calibrateByGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                       idCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val wo = w.orderBy(col(scoreCol), col(idCol))
+    df.withColumn("cal_rank", row_number().over(wo))
+      .withColumn("cal_n", count(lit(1)).over(w))
+      .withColumn("cal_ppm",
+        when(col("cal_n") > 1L,
+          expr(s"(cal_rank - 1L) * ${scale}L div (cal_n - 1L)"))
+          .otherwise(0L))
+  }
 }

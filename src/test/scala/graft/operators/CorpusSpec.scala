@@ -525,4 +525,49 @@ class CorpusSpec extends SparkSpec {
       (2L, 2L, 1L, 0.5, 1L),
       (3L, 1L, 0L, 0.0, 3L)))
   }
+
+  test("importanceFilter: target-only doc kept, off-target doc dropped") {
+    // "alpha" and "bravo" hash to distinct buckets (35 and 30 of 64).
+    // Target = doc 1. bucket(alpha): n_tgt=2 n_raw=2; totals 4/2 →
+    // w_alpha = (2*4*1e6)/(2*2) = 2e6; w_bravo = 0.
+    val d = Seq((1L, "alpha alpha", true), (2L, "bravo bravo", false))
+      .toDF("id", "text", "tgt")
+    val out = Corpus.importanceFilter(d, "id", "text", $"tgt")
+      .orderBy($"id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array(
+      (1L, 2L, 4000000L, true), // 2 tokens x w=2e6 > 2e6 → kept
+      (2L, 2L, 0L, false)))
+  }
+
+  test("importanceFilter: empty target keeps nothing, never divides by 0") {
+    val d = Seq((1L, "alpha bravo")).toDF("id", "text")
+    val out = Corpus.importanceFilter(d, "id", "text", lit(false))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out === Array((1L, 2L, 0L, false)))
+  }
+
+  test("shardAssign: per-shard positions and exclusive token offsets") {
+    val d = (1L to 40L).map(i => (i, i * 10)).toDF("id", "n_toks")
+    val out = Corpus.shardAssign(d, "id", "n_toks", shards = 4)
+      .select($"id", $"n_toks", $"shard", $"pos", $"tok_offset")
+      .as[(Long, Long, Long, Int, Long)].collect()
+    assert(out.length === 40)
+    assert(out.map(_._3).distinct.sorted.forall(s => s >= 0 && s < 4))
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val inOrder = rows.sortBy(_._4)
+      // positions are 1..n dense within the shard
+      assert(inOrder.map(_._4).toSeq === (1 to rows.length))
+      // offset = running sum of the PRECEDING docs' token counts
+      assert(inOrder.head._5 === 0L)
+      inOrder.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(1)._5 === w(0)._5 + w(0)._2)
+      }
+    }
+    // determinism: a second run yields the identical layout
+    val again = Corpus.shardAssign(d, "id", "n_toks", shards = 4)
+      .select($"id", $"n_toks", $"shard", $"pos", $"tok_offset")
+      .as[(Long, Long, Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }

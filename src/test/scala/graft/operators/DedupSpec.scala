@@ -440,4 +440,27 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(!$"kept").count() === 0)
     assert(out.count() === embs.count())
   }
+
+  test("sourceOverlap: shared normalized contents per source pair") {
+    val d = Seq(
+      ("s1", "Doc X"), ("s2", "  doc   x "), // same normalized content
+      ("s1", "doc y"), ("s3", "doc y"),
+      ("s1", "doc y"),                       // dup row — distinct collapses
+      ("s1", "only here")
+    ).toDF("src", "text")
+    val out = Dedup.sourceOverlap(d, "text", "src")
+      .orderBy($"src_a", $"src_b")
+      .as[(String, String, Long)].collect()
+    assert(out === Array(("s1", "s2", 1L), ("s1", "s3", 1L)))
+  }
+
+  test("sourceOverlap: the everywhere-blob is capped out of the join") {
+    val blob = (1 to 3).map(i => (s"s$i", "same everywhere"))
+    val pair = Seq(("s1", "shared"), ("s2", "shared"))
+    val out = Dedup.sourceOverlap((blob ++ pair).toDF("src", "text"),
+        "text", "src", maxSourcesPerHash = 2)
+      .as[(String, String, Long)].collect()
+    // the 3-source blob exceeds the cap; only the 2-source pair counts
+    assert(out === Array(("s1", "s2", 1L)))
+  }
 }

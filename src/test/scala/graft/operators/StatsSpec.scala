@@ -39,6 +39,22 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("calibrateByGroup: per-group ppm, id tie-break, singleton = 0") {
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), // distinct scores
+      ("b", 4L, 5L), ("b", 5L, 5L),                   // tie → id order
+      ("c", 6L, 99L)                                  // singleton
+    ).toDF("g", "id", "score")
+    val out = Stats.calibrateByGroup(d, "g", "score", "id")
+      .select($"id", $"cal_rank", $"cal_n", $"cal_ppm")
+      .orderBy($"id")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 1, 3L, 0L), (2L, 2, 3L, 500000L), (3L, 3, 3L, 1000000L),
+      (4L, 1, 2L, 0L), (5L, 2, 2L, 1000000L),
+      (6L, 1, 1L, 0L)))
+  }
+
   test("histogram: equi-width bins, top edge closes into the last bin") {
     // values 0..10 over [0,10] with 5 bins of width 2
     val out = Stats.histogram(
