@@ -891,6 +891,31 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- temperature-balanced source mixing -----------------------------
+    // α = 0.5 sampling shares per source; sqrt is IEEE
+    // correctly-rounded so both engines see the same double, then all
+    // shares are exact integer division over ×1000-quantized values.
+    Q("ext_temperature_mix",
+      s"""WITH ps AS (SELECT source,
+         |  CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+         | FROM documents GROUP BY source),
+         |q AS (SELECT source, n_tokens,
+         |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5)
+         |   AS BIGINT) AS qv FROM ps),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_n,
+         |  CAST(sum(qv) AS BIGINT) AS tot_q FROM q)
+         |SELECT source, n_tokens,
+         | (n_tokens * 1000000) // tot_n AS cur_ppm,
+         | (qv * 1000000) // tot_q AS tgt_ppm,
+         | CASE WHEN (n_tokens * 1000000) // tot_n > 0
+         |  THEN (((qv * 1000000) // tot_q) * 1000000)
+         |        // ((n_tokens * 1000000) // tot_n)
+         |  ELSE 0 END AS boost_ppm
+         |FROM q, t ORDER BY source""".stripMargin) { (s, d) =>
+      Corpus.temperatureMix(documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
     // ---- cross-source score calibration ---------------------------------
     Q("ext_calibrate",
       s"""WITH c AS (SELECT doc_id, source, n_chars,

@@ -1026,6 +1026,47 @@ object Corpus {
     * `shards` ≥ the cluster's write parallelism (thousands at 100 TB)
     * so each window partition is a bounded slice of the corpus.
     */
+  /** Temperature-balanced source mixing weights (the DoReMi/multilingual
+    * "α-sampling" recipe at α = 0.5): given the per-source token mass
+    * n_s, the target sampling share is `sqrt(n_s) / Σ sqrt(n_s)` —
+    * flattening the source distribution so a dominant crawl stops
+    * drowning the tail — and the per-source boost is the ratio of
+    * target to current share. One row per source: (source, n_tokens,
+    * cur_ppm, tgt_ppm, boost_ppm), all shares in parts-per-million.
+    *
+    * Exactness: α = 0.5 is the one temperature whose power is an IEEE
+    * correctly-rounded primitive (`sqrt`), so each per-source value is
+    * bit-identical in any engine; the cross-source sum then runs in
+    * fixed point (each sqrt quantized ×1000 to an integer) and every
+    * share/boost is exact integer division — no transcendentals, no
+    * order sensitivity.
+    *
+    * Scale shape: a narrow token-count projection + one hash-agg keyed
+    * by source (map-side partials; output = source catalog, a
+    * config-scale row count) + a broadcast 1-row total. The weights
+    * table then drives [[sampleStratified]] / [[quotaByGroup]].
+    */
+  def temperatureMix(docs: DataFrame, srcCol: String,
+                     textCol: String): DataFrame = {
+    val perSrc = fanOut(docs)
+      .select(col(srcCol).as("source"),
+        size(TextFns.toks(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("__nt")).as("n_tokens"))
+      .withColumn("__q",
+        floor(sqrt(col("n_tokens").cast(DoubleType)) * 1000.0 + 0.5)
+          .cast(LongType))
+    val totals = perSrc.agg(sum(col("n_tokens")).as("__tot_n"),
+      sum(col("__q")).as("__tot_q"))
+    perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 1000000L div __tot_n").as("cur_ppm"),
+        expr("__q * 1000000L div __tot_q").as("tgt_ppm"))
+      .withColumn("boost_ppm",
+        when(col("cur_ppm") > 0L,
+          expr("tgt_ppm * 1000000L div cur_ppm")).otherwise(0L))
+  }
+
   def shardAssign(df: DataFrame, idCol: String, nTokensCol: String,
                   shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")

@@ -637,9 +637,14 @@ object Dedup {
     * character-level guarantee: `norm_sim = 1 − dist/max(len_a,len_b)`
     * ≥ `minNormSim`. Emits (id_a, id_b, edit_dist, norm_sim).
     *
-    * Scale shape: the O(len²) DP runs ONLY on LSH candidates — work is
-    * |candidates| × len², never |corpus|²; `levenshtein` is a codegen
-    * expression, and the two text joins are id-keyed equi-joins.
+    * Scale shape: the DP runs ONLY on LSH candidates — and BANDED:
+    * the distance call carries a per-pair threshold of
+    * `floor((1−minNormSim)·maxlen) + 1`, one more than any distance
+    * the `norm_sim` filter could accept, so Spark's thresholded
+    * Levenshtein computes an O(len × maxDist) diagonal band (early
+    * −1 when exceeded) instead of the full O(len²) table — identical
+    * surviving rows, ~(1−minNormSim)⁻¹ less DP work. The two text
+    * joins are id-keyed equi-joins.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, bands: Int, threshold: Double,
@@ -654,7 +659,10 @@ object Dedup {
       .join(t.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
         Seq("id_b"))
       .withColumn("edit_dist",
-        levenshtein(col("__ta"), col("__tb")).cast("long"))
+        expr(s"levenshtein(__ta, __tb, cast(floor((1.0d - $minNormSim) " +
+          "* greatest(length(__ta), length(__tb))) + 1 as int))")
+          .cast("long"))
+      .filter(col("edit_dist") >= 0L) // −1 = over the band, cannot pass
       .withColumn("norm_sim", lit(1.0) - col("edit_dist").cast("double") /
         greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
       .filter(col("norm_sim") >= minNormSim)

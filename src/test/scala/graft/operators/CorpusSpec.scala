@@ -547,6 +547,22 @@ class CorpusSpec extends SparkSpec {
     assert(out === Array((1L, 2L, 0L, false)))
   }
 
+  test("temperatureMix: α=0.5 shares flatten the source distribution") {
+    // s1: 9 tokens, s2: 16 → sqrt 3 / 4 → q 3000 / 4000 (tot 7000)
+    val d = Seq(
+      ("s1", Seq.fill(9)("t").mkString(" ")),
+      ("s2", Seq.fill(16)("t").mkString(" "))).toDF("source", "text")
+    val out = Corpus.temperatureMix(d, "source", "text")
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      // cur = n*1e6/25; tgt = q*1e6/7000; boost = tgt*1e6/cur
+      ("s1", 9L, 360000L, 428571L, 1190475L),
+      ("s2", 16L, 640000L, 571428L, 892856L)))
+    // temperature pulls shares toward uniform, preserving order
+    assert(out(0)._4 > out(0)._3 && out(1)._4 < out(1)._3)
+  }
+
   test("shardAssign: per-shard positions and exclusive token offsets") {
     val d = (1L to 40L).map(i => (i, i * 10)).toDF("id", "n_toks")
     val out = Corpus.shardAssign(d, "id", "n_toks", shards = 4)
