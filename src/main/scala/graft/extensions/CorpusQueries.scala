@@ -891,6 +891,46 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- BPE tokenizer induction ----------------------------------------
+    // 8 merges learned from the corpus vocabulary; the oracle unrolls
+    // one CTE trio per round (pair counts → deterministic argmax →
+    // replace-merge), the same generated-SQL pattern as ext_kmeans.
+    // Words are unit-separator-wrapped strings in BOTH engines, so the
+    // leftmost-non-overlapping merge is a plain replace() — identical
+    // scanning semantics, no list machinery (see Corpus.bpeTrain).
+    Q("ext_bpe_train", {
+      val merges = 8
+      val rounds = (1 to merges).map { i =>
+        s"""p$i AS (SELECT p[1] AS lhs, p[2] AS rhs,
+           |  CAST(sum(wc) AS BIGINT) AS pc
+           | FROM (SELECT wc, unnest(list_transform(range(1, len(sy)),
+           |    j -> [sy[j], sy[j+1]])) AS p
+           |   FROM (SELECT wc, string_split(trim(s, chr(31)),
+           |      chr(31) || chr(31)) AS sy FROM v${i - 1}))
+           | GROUP BY 1, 2),
+           |b$i AS (SELECT CAST($i AS INT) AS step, lhs, rhs,
+           |  lhs || rhs AS merged, pc AS pair_count
+           | FROM p$i ORDER BY pc DESC, lhs, rhs LIMIT 1),
+           |v$i AS (SELECT wc, replace(s,
+           |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |  chr(31) || lhs || rhs || chr(31)) AS s
+           | FROM v${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to merges).map(i => s"SELECT * FROM b$i")
+        .mkString(" UNION ALL ")
+      s"""WITH v0 AS (SELECT
+         |  regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g')
+         |    AS s,
+         |  CAST(count(*) AS BIGINT) AS wc
+         | FROM (SELECT unnest($TOKS) AS word FROM documents)
+         | WHERE len(word) > 0 GROUP BY word),
+         |$rounds
+         |SELECT * FROM ($union) ORDER BY step""".stripMargin
+    }) { (s, d) =>
+      Corpus.bpeTrain(documents(s, d), "text", merges = 8)
+        .orderBy(col("step"))
+    },
+
     // ---- temperature-balanced source mixing -----------------------------
     // α = 0.5 sampling shares per source; sqrt is IEEE
     // correctly-rounded so both engines see the same double, then all

@@ -1009,6 +1009,77 @@ object Corpus {
         (col("affinity") > col("n_tokens") * scale).as("kept"))
   }
 
+  /** BPE tokenizer induction (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `merges`
+    * byte-pair merges from the corpus — the tokenizer-training step of
+    * a pretraining recipe. Returns the learned merge table, one row
+    * per step: (step, lhs, rhs, merged, pair_count), where step's
+    * merge fuses the adjacent symbol pair (lhs, rhs) that is most
+    * frequent (weighted by word count) at that point, leftmost-
+    * non-overlapping within a word, ties broken (count desc, lhs asc,
+    * rhs asc) — fully deterministic, all-integer counts.
+    *
+    * Representation: a word's symbol sequence is ONE string with every
+    * symbol wrapped in U+001F unit separators ("abc" → "␟a␟␟b␟␟c␟"),
+    * so a merge is a plain left-to-right `replace` of "␟l␟␟r␟" with
+    * "␟lr␟" — which IS the leftmost-non-overlapping rule, in any
+    * engine, with no list machinery. Tokens must not contain U+001F
+    * (guaranteed for any text split on whitespace).
+    *
+    * Scale shape: BPE statistics live on the DISTINCT-WORD vocabulary
+    * (count-weighted), never the corpus — one corpus pass builds it
+    * (explode + hash-agg; at web scale |vocab| ≪ |corpus|), then each
+    * round is a narrow split + explode + hash-agg over vocab rows, a
+    * driver-collected 1-row argmax (bounded: `merges` rounds × 1 row,
+    * the [[graft.operators.Similarity.kmeansFixed]] pacing), and a
+    * narrow `replace` projection, localCheckpointed so round plans
+    * stay flat. Stops early if no adjacent pairs remain.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+               merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 256,
+      s"merges must be in [1, 256], got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val US = "\u001f"
+    var vocab = fanOut(docs)
+      .select(explode(TextFns.toks(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        regexp_replace(col("word"), "(.)", s"$US$$1$US").as("s"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    (1 to merges).foreach { step =>
+      if (!exhausted) {
+        val best = vocab
+          .select(col("wc"), split(trim(col("s"), US), US + US).as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(sy) - 1), i -> " +
+              "struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))"))
+            .as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum(col("wc")).as("pc"))
+          .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+          .limit(1).collect() // TakeOrdered: 1 row per round
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, pc) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += ((step, l, r, l + r, pc))
+          vocab = vocab.select(col("wc"),
+              replace(col("s"), lit(s"$US$l$US$US$r$US"),
+                lit(s"$US$l$r$US")).as("s"))
+            .localCheckpoint()
+        }
+      }
+    }
+    out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Deterministic training-shard layout: the LAST step of a curation
     * pipeline, turning the selected corpus into `shards` reproducible
     * output shards with a stable global shuffle. Each doc gets

@@ -547,6 +547,33 @@ class CorpusSpec extends SparkSpec {
     assert(out === Array((1L, 2L, 0L, false)))
   }
 
+  test("bpeTrain: learns the classic low/lower/newest merges in order") {
+    // vocab: low×3, lower×2, newest×1
+    // r1 pairs: (l,o)=5 ties (o,w)=5 → lex picks (l,o)   → "lo"
+    // r2: (lo,w)=5                                        → "low"
+    // r3: (low,e)=2 ties (e,r)=2 → lex picks (e,r)        → "er"
+    // r4: (low,er)=2                                      → "lower"
+    val d = Seq("low low low", "lower lower", "newest").toDF("text")
+    val out = Corpus.bpeTrain(d, "text", merges = 4)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1, "l", "o", "lo", 5L),
+      (2, "lo", "w", "low", 5L),
+      (3, "e", "r", "er", 2L),
+      (4, "low", "er", "lower", 2L)))
+  }
+
+  test("bpeTrain: merges leftmost-non-overlapping and stops when dry") {
+    // "aaa": r1 (a,a)=4 (two positions x two words), merge → [aa, a]
+    // r2 (aa,a)=2 → "aaa"; r3 has no pairs left → early stop
+    val d = Seq("aaa aaa").toDF("text")
+    val out = Corpus.bpeTrain(d, "text", merges = 5)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1, "a", "a", "aa", 4L),
+      (2, "aa", "a", "aaa", 2L)))
+  }
+
   test("temperatureMix: α=0.5 shares flatten the source distribution") {
     // s1: 9 tokens, s2: 16 → sqrt 3 / 4 → q 3000 / 4000 (tot 7000)
     val d = Seq(
