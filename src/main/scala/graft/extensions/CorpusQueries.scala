@@ -50,6 +50,43 @@ object CorpusQueries {
   private def eventsUs(s: org.apache.spark.sql.SparkSession, d: String) =
     eventsRaw(s, d).withColumn("ts_us", expr("ts div 1000"))
 
+  /** Shared BPE-training CTE prefix (DuckDB side; mirrors
+    * Corpus.bpeTrain round by round): v0 is the wrapped-symbol word
+    * vocabulary, then one (pair-count → argmax → replace-merge) trio
+    * per round. Used by both the train and encode oracles so the
+    * learned merges cannot fork between them. No line of the generated
+    * text may begin with `|` — the caller's stripMargin would eat it.
+    */
+  private def bpeCtes(merges: Int): String = {
+    val rounds = (1 to merges).map { i =>
+      s"""p$i AS (SELECT p[1] AS lhs, p[2] AS rhs,
+         |  CAST(sum(wc) AS BIGINT) AS pc
+         | FROM (SELECT wc, unnest(list_transform(range(1, len(sy)),
+         |    j -> [sy[j], sy[j+1]])) AS p
+         |   FROM (SELECT wc, string_split(trim(s, chr(31)),
+         |      chr(31) || chr(31)) AS sy FROM v${i - 1}))
+         | GROUP BY 1, 2),
+         |b$i AS (SELECT CAST($i AS INT) AS step, lhs, rhs,
+         |  lhs || rhs AS merged, pc AS pair_count
+         | FROM p$i ORDER BY pc DESC, lhs, rhs LIMIT 1),
+         |v$i AS (SELECT wc, replace(s,
+         |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+         |  chr(31) || lhs || rhs || chr(31)) AS s
+         | FROM v${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (SELECT
+       |  regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g')
+       |    AS s,
+       |  CAST(count(*) AS BIGINT) AS wc
+       | FROM (SELECT unnest($TOKS) AS word FROM documents)
+       | WHERE len(word) > 0 GROUP BY word),
+       |$rounds""".stripMargin
+  }
+
+  /** UNION ALL of the per-round argmax rows (the merge table). */
+  private def bpeUnion(merges: Int): String =
+    (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+
   val all: Seq[Q] = Seq(
 
     // ---- sessionization -------------------------------------------------
@@ -900,35 +937,47 @@ object CorpusQueries {
     // scanning semantics, no list machinery (see Corpus.bpeTrain).
     Q("ext_bpe_train", {
       val merges = 8
-      val rounds = (1 to merges).map { i =>
-        s"""p$i AS (SELECT p[1] AS lhs, p[2] AS rhs,
-           |  CAST(sum(wc) AS BIGINT) AS pc
-           | FROM (SELECT wc, unnest(list_transform(range(1, len(sy)),
-           |    j -> [sy[j], sy[j+1]])) AS p
-           |   FROM (SELECT wc, string_split(trim(s, chr(31)),
-           |      chr(31) || chr(31)) AS sy FROM v${i - 1}))
-           | GROUP BY 1, 2),
-           |b$i AS (SELECT CAST($i AS INT) AS step, lhs, rhs,
-           |  lhs || rhs AS merged, pc AS pair_count
-           | FROM p$i ORDER BY pc DESC, lhs, rhs LIMIT 1),
-           |v$i AS (SELECT wc, replace(s,
-           |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
-           |  chr(31) || lhs || rhs || chr(31)) AS s
-           | FROM v${i - 1}, b$i)""".stripMargin
-      }.mkString(",\n")
-      val union = (1 to merges).map(i => s"SELECT * FROM b$i")
-        .mkString(" UNION ALL ")
-      s"""WITH v0 AS (SELECT
-         |  regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g')
-         |    AS s,
-         |  CAST(count(*) AS BIGINT) AS wc
-         | FROM (SELECT unnest($TOKS) AS word FROM documents)
-         | WHERE len(word) > 0 GROUP BY word),
-         |$rounds
-         |SELECT * FROM ($union) ORDER BY step""".stripMargin
+      s"""WITH ${bpeCtes(merges)}
+         |SELECT * FROM (${bpeUnion(merges)}) ORDER BY step""".stripMargin
     }) { (s, d) =>
       Corpus.bpeTrain(documents(s, d), "text", merges = 8)
         .orderBy(col("step"))
+    },
+
+    // ---- BPE tokenizer application (compression measurement) ------------
+    // Re-derives the same 8 merges (shared CTE prefix), applies them to
+    // every document's wrapped text in step order, and counts symbols
+    // before/after — the "token cost" of the learned tokenizer.
+    Q("ext_bpe_encode", {
+      val merges = 8
+      val chain = (1 to merges).map { i =>
+        s"""d$i AS (SELECT doc_id, replace(s,
+           |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |  chr(31) || lhs || rhs || chr(31)) AS s
+           | FROM d${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeCtes(merges)},
+         |d0 AS (SELECT doc_id, regexp_replace(
+         |  array_to_string($TOKS, ' '),
+         |  '(\\S)', chr(31) || '\\1' || chr(31), 'g') AS s
+         | FROM documents),
+         |$chain
+         |SELECT d0.doc_id,
+         | (len(d0.s) - len(replace(d0.s, chr(31), ''))) // 2 AS n_sym,
+         | (len(d$merges.s) - len(replace(d$merges.s, chr(31), ''))) // 2
+         |   AS n_bpe,
+         | CASE WHEN len(d0.s) > 0
+         |  THEN (((len(d$merges.s) - len(replace(d$merges.s, chr(31),
+         |    ''))) // 2) * 1000000)
+         |    // ((len(d0.s) - len(replace(d0.s, chr(31), ''))) // 2)
+         |  ELSE 0 END AS ratio_ppm
+         |FROM d0 JOIN d$merges ON d0.doc_id = d$merges.doc_id
+         |ORDER BY d0.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d)
+      Corpus.bpeEncode(docs0, "doc_id", "text",
+          Corpus.bpeTrain(docs0, "text", merges = 8))
+        .orderBy(col("doc_id"))
     },
 
     // ---- temperature-balanced source mixing -----------------------------

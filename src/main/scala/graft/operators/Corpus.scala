@@ -1080,6 +1080,47 @@ object Corpus {
     out.toSeq.toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Apply a learned BPE merge table ([[bpeTrain]] output) to the
+    * corpus and measure the tokenizer's compression: per document,
+    * the symbol count before (`n_sym` = characters) and after
+    * (`n_bpe`) the merges, plus `ratio_ppm = n_bpe·10⁶ div n_sym` —
+    * the "how many tokens will this corpus cost" question a recipe
+    * asks before committing to a tokenizer. Merges apply in step
+    * order, leftmost-non-overlapping, never across word boundaries
+    * (the space between words is outside the wrapped-symbol encoding,
+    * so no pattern can span it).
+    *
+    * Scale shape: the merge table is collected once (bounded — a
+    * tokenizer is ≤ thousands of merges, enforced ≤ 4096) and compiled
+    * into a chain of `replace` calls — ONE narrow whole-stage-codegen
+    * projection over the corpus, no join, no shuffle, no state. The
+    * symbol counts are length arithmetic on the separator characters.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                mergeTable: DataFrame): DataFrame = {
+    val ms = mergeTable.select(col("step"), col("lhs"), col("rhs"))
+      .orderBy(col("step")).limit(4097).collect()
+    require(ms.length <= 4096,
+      s"merge table must have <= 4096 rows (got more) — not a " +
+        "bpeTrain output?")
+    val US = "\u001f"
+    val wrapped = regexp_replace(
+      array_join(TextFns.toks(col(textCol)), " "),
+      "(\\S)", s"$US$$1$US")
+    val encoded = ms.foldLeft(wrapped) { (c, m) =>
+      val (l, r) = (m.getString(1), m.getString(2))
+      replace(c, lit(s"$US$l$US$US$r$US"), lit(s"$US$l$r$US"))
+    }
+    def nSyms(c: Column): Column =
+      ((length(c) - length(replace(c, lit(US), lit("")))) / 2)
+        .cast(LongType)
+    docs.select(col(idCol), nSyms(wrapped).as("n_sym"),
+        nSyms(encoded).as("n_bpe"))
+      .withColumn("ratio_ppm",
+        when(col("n_sym") > 0L, expr("n_bpe * 1000000L div n_sym"))
+          .otherwise(0L))
+  }
+
   /** Deterministic training-shard layout: the LAST step of a curation
     * pipeline, turning the selected corpus into `shards` reproducible
     * output shards with a stable global shuffle. Each doc gets

@@ -574,6 +574,18 @@ class CorpusSpec extends SparkSpec {
       (2, "aa", "a", "aaa", 2L)))
   }
 
+  test("bpeEncode: compression under the learned merges, per document") {
+    val d = Seq((1L, "low low low"), (2L, "lower lower"),
+      (3L, "newest")).toDF("id", "text")
+    val mt = Corpus.bpeTrain(d, "text", merges = 4) // lo, low, er, lower
+    val out = Corpus.bpeEncode(d, "id", "text", mt)
+      .orderBy($"id").as[(Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, 9L, 3L, 333333L),   // 3x"low" → one symbol each
+      (2L, 10L, 2L, 200000L),  // 2x"lower" → one symbol each
+      (3L, 6L, 6L, 1000000L))) // no merge applies to "newest"
+  }
+
   test("temperatureMix: α=0.5 shares flatten the source distribution") {
     // s1: 9 tokens, s2: 16 → sqrt 3 / 4 → q 3000 / 4000 (tot 7000)
     val d = Seq(
