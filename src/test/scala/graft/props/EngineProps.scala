@@ -337,4 +337,50 @@ object EngineProps extends Properties("graft") {
           math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
       pairs(df) == (pairs(oldDf) ++ pairs(newDf) ++ inc)
     }
+
+  property("shardAssign layout is partition-invariant and lossless") =
+    Prop.forAll(docs, Gen.chooseNum(1, 7)) { (ds, parts) =>
+      val df = ds.map { case (i, t) => (i, t.split(" ").length.toLong) }
+        .toDF("doc_id", "n_toks")
+      def layout(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Corpus.shardAssign(d, "doc_id", "n_toks", 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getInt(3),
+            r.getLong(4))).toSet
+      val a = layout(df)
+      a == layout(df.repartition(parts)) && a.size == ds.size
+    }
+
+  property("importanceFilter scores are partition-invariant; " +
+    "all-target keeps everything scored at exactly scale per token") =
+    Prop.forAll(docs, Gen.chooseNum(1, 5)) { (ds, parts) =>
+      val df = ds.toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Corpus.importanceFilter(d, "doc_id", "text",
+            lit(true))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val a = run(df)
+      // target == corpus → every bucket ratio is exactly 1.0 → each
+      // token contributes exactly `scale`, and kept is false (not >)
+      a == run(df.repartition(parts)) &&
+        a.forall { case (_, nt, aff) => aff == nt * 1000000L }
+    }
+
+  property("bpeEncode conserves symbols: n_sym is the char count and " +
+    "n_bpe never exceeds it, any partitioning") =
+    Prop.forAll(docs, Gen.chooseNum(1, 4), Gen.chooseNum(1, 4)) {
+      (ds, merges, parts) =>
+        val df = ds.toDF("doc_id", "text").repartition(parts)
+        val mt = graft.operators.Corpus.bpeTrain(df, "text", merges)
+        val enc = graft.operators.Corpus
+          .bpeEncode(df, "doc_id", "text", mt)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+        ds.forall { case (id, t) =>
+          val chars = t.split("\\s+").filter(_.nonEmpty).map(_.length).sum
+          val (nSym, nBpe) = enc(id)
+          nSym == chars && nBpe <= nSym && (nBpe >= 1) == (nSym >= 1)
+        }
+    }
 }
