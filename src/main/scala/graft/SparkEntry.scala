@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     graft.operators.ParityQueries.all ++
       graft.extensions.ExtensionQueries.all ++
-      graft.extensions.CorpusQueries.all
+      graft.extensions.CorpusQueries.all ++
+      graft.extensions.SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
