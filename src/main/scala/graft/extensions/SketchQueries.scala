@@ -76,5 +76,41 @@ private[graft] object SketchQueries {
         Sketch.hllRegisters(sharded, col("t"), Seq("source", "shard"))
       val merged = Sketch.hllMerge(perShard, Seq("source"))
       Sketch.hllEstimate(merged, Seq("source")).orderBy(col("source"))
+    },
+
+    // Count-min point-frequency estimates for the corpus's top-20
+    // tokens (exact-count selection, token tie-break), alongside the
+    // exact counts — every value integer, so the gate is a full
+    // bit-for-bit hash match of the sketch algebra.
+    Q("ext_cms_freq", {
+      val (d, w) = (Sketch.CmsDepth, Sketch.CmsWidth)
+      def cell(tExpr: String) =
+        s"CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || $tExpr)," +
+          s" 1, 15) AS BIGINT) % $w"
+      s"""WITH tok AS (
+         |  SELECT t FROM (SELECT unnest($TOKS) AS t FROM documents)
+         |  WHERE t <> ''),
+         |cells AS (
+         |  SELECT j, ${cell("t")} AS cell, count(*) AS cnt
+         |  FROM tok CROSS JOIN range($d) r(j) GROUP BY 1, 2),
+         |top AS (
+         |  SELECT t AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+         |  FROM tok GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT 20),
+         |probe AS (
+         |  SELECT token, exact_cnt, j, ${cell("token")} AS cell
+         |  FROM top CROSS JOIN range($d) r(j))
+         |SELECT p.token, p.exact_cnt,
+         |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+         |FROM probe p LEFT JOIN cells c ON c.j = p.j AND c.cell = p.cell
+         |GROUP BY 1, 2 ORDER BY token""".stripMargin
+    }) { (s, d) =>
+      val toks = tokensBySource(s, d).select("t")
+      val sketch = Sketch.cmsSketch(toks, col("t"), Seq.empty)
+      val top = toks.groupBy(col("t").as("token"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+        .limit(20)
+      Sketch.cmsLookup(sketch, top, "token", Seq.empty)
+        .orderBy(col("token"))
     })
 }

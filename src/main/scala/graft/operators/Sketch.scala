@@ -105,4 +105,72 @@ object Sketch {
   def hllDistinct(df: DataFrame, value: Column,
                   groupCols: Seq[String]): DataFrame =
     hllEstimate(hllRegisters(df, value, groupCols), groupCols)
+
+  // ---- count-min sketch (Cormode & Muthukrishnan 2005) -----------------
+  //
+  // The heavy-hitter / frequency twin of the HLL register set: a
+  // depth × width counter matrix whose cells ADD across shards (merge =
+  // sum — partial-agg friendly), answering "how often does token X
+  // occur" within ε·N (ε = e/width) without materializing the
+  // vocabulary. At 100 TB the exact token→count table IS the corpus
+  // vocabulary (billions of rows, token-keyed shuffle); the sketch is
+  // depth·width rows per group, computed with ONE map-side-combining
+  // hash-agg, and point lookups never scan the data again. All counts
+  // are exact integers — no float anywhere — so the DuckDB oracle
+  // hash-matches bit-for-bit.
+
+  /** Rows (hash functions) in the counter matrix: error probability of
+    * exceeding the ε·N bound is exp(−depth).
+    */
+  val CmsDepth = 4
+
+  /** Cells per row: additive over-count bound ε = e/width ≈ 0.27 % of
+    * total mass at 1024.
+    */
+  val CmsWidth = 1024
+
+  /** The j-th row's cell for a value: md5-prefix hash of "j:value",
+    * modulo the width. Deterministic and DuckDB-reproducible.
+    */
+  private def cmsCell(j: Column, v: Column): Column =
+    hash60(concat(j.cast("string"), lit(":"), v)) % CmsWidth
+
+  /** Build a count-min sketch of `value` occurrences per group: one row
+    * per (group, row, cell) with the summed count. ≤ depth·width rows
+    * per group; absent cells are implicit zeros.
+    */
+  def cmsSketch(df: DataFrame, value: Column,
+                groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ value.as("__v"): _*)
+      .select(groupCols.map(col) :+
+        explode(array((0 until CmsDepth).map(j =>
+          struct(lit(j).as("row"),
+            cmsCell(lit(j), col("__v")).as("cell"))): _*)).as("rc"): _*)
+      .groupBy(groupCols.map(col) ++
+        Seq(col("rc.row").as("row"), col("rc.cell").as("cell")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketches (cell-wise sum) — cross-shard / cross-day rollup. */
+  def cmsMerge(sketch: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketch.groupBy((groupCols ++ Seq("row", "cell")).map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for the values in `queries(queryCol)`:
+    * min over rows of the addressed cells (absent cell ⇒ 0). Output:
+    * queries' columns + `cms_count`. The sketch side is ≤ depth·width
+    * rows per group — broadcast it; the probe never touches the corpus.
+    */
+  def cmsLookup(sketch: DataFrame, queries: DataFrame, queryCol: String,
+                groupCols: Seq[String]): DataFrame = {
+    val probes = queries.select(queries.columns.map(col) :+
+      explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("row"),
+          cmsCell(lit(j), col(queryCol)).as("cell"))): _*)).as("rc"): _*)
+      .select(queries.columns.map(col) ++
+        Seq(col("rc.row").as("row"), col("rc.cell").as("cell")): _*)
+    probes
+      .join(broadcast(sketch), groupCols ++ Seq("row", "cell"), "left")
+      .groupBy(queries.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
 }

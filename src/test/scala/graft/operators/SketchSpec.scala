@@ -47,6 +47,47 @@ class SketchSpec extends SparkSpec {
     assert(regs.count() <= 4096)
   }
 
+  test("cms never under-counts and stays within the epsilon bound") {
+    // Zipf-ish corpus: token i appears (2000 / (i + 1)) times
+    val rows = (0 until 400).flatMap(i =>
+      Seq.fill(2000 / (i + 1))(s"tok$i"))
+    val df = rows.toDF("v")
+    val n = rows.size.toLong
+    val sketch = Sketch.cmsSketch(df, col("v"), Seq.empty)
+    val exact = df.groupBy(col("v").as("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketch.cmsLookup(sketch, exact, "token", Seq.empty)
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // over-approximation, and additive error ≤ ~4·N/width in every
+    // cell-collision worst case observed on this size
+    est.foreach { case (t, ex, cms) =>
+      assert(cms >= ex, s"$t under-counted: $cms < $ex")
+      assert(cms - ex <= 4 * n / Sketch.CmsWidth,
+        s"$t over-counted: $cms vs $ex (N=$n)")
+    }
+  }
+
+  test("cms merge across shards equals the direct sketch") {
+    val df = (0 until 5000).map(i => (s"t${i % 97}", i % 5))
+      .toDF("v", "shard")
+    val direct = Sketch.cmsSketch(df, col("v"), Seq.empty)
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect()
+    val merged = Sketch.cmsMerge(
+        Sketch.cmsSketch(df, col("v"), Seq("shard")), Seq.empty)
+      .orderBy("row", "cell").as[(Int, Long, Long)].collect()
+    assert(direct.sameElements(merged))
+  }
+
+  test("cms absent-token estimate is bounded by epsilon * N") {
+    val df = (0 until 3000).map(i => s"present$i").toDF("v")
+    val sketch = Sketch.cmsSketch(df, col("v"), Seq.empty)
+    val ghost = Seq("never-seen-token").toDF("token")
+    val est = Sketch.cmsLookup(sketch, ghost, "token", Seq.empty)
+      .select("cms_count").as[Long].head()
+    assert(est <= 3 * 3000 / Sketch.CmsWidth, s"ghost est=$est")
+  }
+
   test("multi-group estimates are independent") {
     val df = ((0 until 500).map(i => ("a", s"x$i")) ++
       (0 until 3000).map(i => ("b", s"y$i"))).toDF("g", "v")
