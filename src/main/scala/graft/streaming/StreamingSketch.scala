@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+
+import graft.operators.Sketch
+
+/** Streaming distinct counting via the mergeable HLL sketch
+  * ([[graft.operators.Sketch]]) — the approximate counterpart of the
+  * reference's exact streaming DAU dedup (DauApp's per-day distinct
+  * mid). Exact streaming distinct keeps one state row PER DISTINCT KEY
+  * — at 100 TB cardinalities that state store is itself a big-data
+  * problem. The register sink's state is ≤ 4096 rows per group FOREVER,
+  * and the streaming query is stateless (each micro-batch aggregates
+  * only itself), so there is no watermark, no state store, and no
+  * eviction policy to tune.
+  *
+  * Storage contract (same append-only pattern as [[Sinks]], but with
+  * MAX-merge instead of last-write-wins — the natural CRDT semantics of
+  * HLL registers):
+  *  - each micro-batch appends its OWN registers stamped with the batch
+  *    id (O(batch) write, ≤ 4096 rows per touched group);
+  *  - readers max-merge per (group, bucket) — [[estimate]];
+  *  - a replayed batch re-appends rows that cannot move any max —
+  *    idempotent under at-least-once delivery with no sequencing logic
+  *    at all;
+  *  - [[compactRegisters]] rewrites the store to one row per
+  *    (group, bucket) to bound read amplification.
+  */
+object StreamingSketch {
+
+  /** foreachBatch body: batch-local registers appended to the store,
+    * partitioned by the first group column (per-day estimates prune to
+    * one partition). `groupCols` must be non-empty — use a constant
+    * column for a global count.
+    */
+  def appendRegisters(batch: DataFrame, storePath: String, value: Column,
+                      groupCols: Seq[String], batchId: Long): Unit = {
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (add a constant column for a global count)")
+    Sketch.hllRegisters(batch, value, groupCols)
+      .withColumn(Sinks.SeqCol, lit(batchId))
+      .write.mode(SaveMode.Append)
+      .partitionBy(groupCols.head)
+      .parquet(storePath)
+  }
+
+  /** Wire a stream into an HLL register store. */
+  def registerSink(stream: DataFrame, storePath: String, value: Column,
+                   groupCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendRegisters(batch, storePath, value, groupCols, batchId)
+    }
+
+  /** Current approximate distinct count per group from the store. */
+  def estimate(spark: SparkSession, storePath: String,
+               groupCols: Seq[String]): DataFrame =
+    Sketch.hllEstimate(
+      Sketch.hllMerge(spark.read.parquet(storePath), groupCols),
+      groupCols)
+
+  /** Rewrite the store to one max-merged row per (group, bucket). */
+  def compactRegisters(spark: SparkSession, storePath: String,
+                       groupCols: Seq[String]): Unit =
+    Sinks.swapRewrite(spark, storePath, groupCols.head)(store =>
+      Sketch.hllMerge(store, groupCols)
+        .withColumn(Sinks.SeqCol, lit(0L)))
+}
