@@ -112,5 +112,32 @@ private[graft] object SketchQueries {
         .limit(20)
       Sketch.cmsLookup(sketch, top, "token", Seq.empty)
         .orderBy(col("token"))
+    },
+
+    // Per-source p50/p90/p99 of document length from the mergeable
+    // decimal-bucket quantile sketch — the third profile sketch. All
+    // integer arithmetic ⇒ full bit-for-bit hash gate.
+    Q("ext_qsketch",
+      s"""WITH b AS (
+         |  SELECT source,
+         |    CASE WHEN n_chars <= 999 THEN n_chars
+         |         ELSE n_chars - (n_chars % CAST(power(10,
+         |           length(CAST(n_chars AS VARCHAR)) - 3) AS BIGINT)) END
+         |      AS qbucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |c AS (SELECT source, qbucket, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY qbucket)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+         |  FROM b),
+         |p AS (SELECT * FROM c
+         |  CROSS JOIN (SELECT unnest([500, 900, 990]) AS permille))
+         |SELECT source, permille, min(qbucket) AS q_value
+         |FROM p WHERE cum * 1000 >= permille * total
+         |GROUP BY 1, 2 ORDER BY source, permille""".stripMargin) { (s, d) =>
+      val sk = Sketch.qsketch(documents(s, d), col("n_chars"), Seq("source"))
+      Sketch.qsketchQuantiles(sk, Seq("source"), Seq(500, 900, 990))
+        .orderBy(col("source"), col("permille"))
     })
 }

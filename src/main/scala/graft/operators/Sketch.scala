@@ -155,6 +155,70 @@ object Sketch {
     sketch.groupBy((groupCols ++ Seq("row", "cell")).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  // ---- decimal-bucket quantile sketch ---------------------------------
+  //
+  // The quantile member of the mergeable-profile trio (HLL = distinct,
+  // CMS = frequency): bucket every non-negative integer metric down to
+  // its first 3 significant decimal digits ("round down to 3 sig figs"
+  // — 1234567 → 1230000). Buckets are ≤ ~900 per decade, counts SUM
+  // across shards/days, and any permille quantile reads off the bucket
+  // CDF with ≤ 1/100 relative error (values ≤ 999 are bucketed exactly).
+  // Exact percentiles at 100 TB need a full sort or Greenwald-Khanna
+  // state per group; this is one map-side-combining hash-agg, a
+  // bounded-size artifact you can persist and re-merge, and — being
+  // all-integer — a bit-exact cross-engine gate.
+
+  /** Round a non-negative integer column down to its first 3
+    * significant decimal digits (identity below 1000): subtract the
+    * remainder modulo 10^(digits−3). All-integer except the 10^k
+    * power, which is exact in double for k ≤ 15 (values < 10^18).
+    */
+  def sigBucket(x: Column): Column = {
+    val xl = x.cast(LongType)
+    val p = pow(lit(10.0), (length(xl.cast("string")) - 3).cast("double"))
+      .cast(LongType)
+    when(xl <= 999L, xl).otherwise(xl - (xl % p))
+  }
+
+  /** Quantile-sketch buckets of `value` per group: (group, qbucket,
+    * cnt). Counts sum across shards — merge with [[qsketchMerge]].
+    */
+  def qsketch(df: DataFrame, value: Column,
+              groupCols: Seq[String]): DataFrame =
+    df.select(groupCols.map(col) :+ sigBucket(value).as("qbucket"): _*)
+      .groupBy((groupCols :+ "qbucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketches (bucket-wise sum) — cross-shard rollup. */
+  def qsketchMerge(sketch: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketch.groupBy((groupCols :+ "qbucket").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Permille quantiles from a sketch: for each group and each p in
+    * `permilles` (e.g. 500/900/990), the smallest bucket whose
+    * cumulative count reaches rank ceil(p·N/1000) — integer arithmetic
+    * throughout. The window is partitioned per group over ≤ ~900 rows
+    * per decade, never over the data. Output: group cols, `permille`,
+    * `q_value`.
+    */
+  def qsketchQuantiles(sketch: DataFrame, groupCols: Seq[String],
+                       permilles: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("qbucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wAll))
+    cum
+      .select(groupCols.map(col) ++ Seq(col("qbucket"), col("cum"),
+        explode(array(permilles.map(lit): _*)).as("permille")): _*)
+      .filter(col("cum") * 1000L >= col("permille") * col("total"))
+      .groupBy((groupCols :+ "permille").map(col): _*)
+      .agg(min(col("qbucket")).as("q_value"))
+  }
+
   /** Point-frequency estimates for the values in `queries(queryCol)`:
     * min over rows of the addressed cells (absent cell ⇒ 0). Output:
     * queries' columns + `cms_count`. The sketch side is ≤ depth·width

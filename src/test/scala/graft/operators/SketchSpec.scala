@@ -88,6 +88,41 @@ class SketchSpec extends SparkSpec {
     assert(est <= 3 * 3000 / Sketch.CmsWidth, s"ghost est=$est")
   }
 
+  test("qsketch quantiles within 1% of exact percentiles") {
+    // heavy-tailed integer metric: value = i^2 / 7 over 20k rows
+    val vals = (1 to 20000).map(i => i.toLong * i / 7)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val sk = Sketch.qsketch(df, col("v"), Seq("g"))
+    val got = Sketch.qsketchQuantiles(sk, Seq("g"), Seq(500, 900, 990))
+      .as[(String, Int, Long)].collect()
+      .map { case (_, p, v) => p -> v }.toMap
+    val sorted = vals.sorted
+    for ((p, est) <- got) {
+      val exact = sorted((p * sorted.size + 999) / 1000 - 1)
+      // bucket rounds DOWN to 3 sig digits: est <= exact, within 1%
+      assert(est <= exact, s"p$p: $est > $exact")
+      assert(est >= exact - exact / 100 - 1, s"p$p: $est vs $exact")
+    }
+  }
+
+  test("qsketch merges across shards to the direct sketch") {
+    val df = (1 to 8000).map(i => ("g", i.toLong * 37 % 5000, i % 6))
+      .toDF("g", "v", "shard")
+    val direct = Sketch.qsketch(df, col("v"), Seq("g"))
+      .orderBy("qbucket").as[(String, Long, Long)].collect()
+    val merged = Sketch.qsketchMerge(
+        Sketch.qsketch(df, col("v"), Seq("g", "shard")), Seq("g"))
+      .orderBy("qbucket").as[(String, Long, Long)].collect()
+    assert(direct.sameElements(merged))
+  }
+
+  test("sigBucket: exact below 1000, 3-sig-digit floor above") {
+    val got = Seq(0L, 7L, 999L, 1000L, 1234L, 99999L, 1234567L)
+      .toDF("v").select(Sketch.sigBucket(col("v"))).as[Long].collect()
+    assert(got.sameElements(
+      Array(0L, 7L, 999L, 1000L, 1230L, 99900L, 1230000L)))
+  }
+
   test("multi-group estimates are independent") {
     val df = ((0 until 500).map(i => ("a", s"x$i")) ++
       (0 until 3000).map(i => ("b", s"y$i"))).toDF("g", "v")
