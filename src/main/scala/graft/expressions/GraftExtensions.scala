@@ -120,6 +120,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        checkArity("nfc_normalize", 1, children)
+        NfcNormalize(children(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("int8_quantize"),
       new ExpressionInfo(classOf[Int8Quantize].getName, "int8_quantize"),
       (children: Seq[Expression]) => {

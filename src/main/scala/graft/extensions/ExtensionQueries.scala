@@ -250,6 +250,27 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode canonicalization + control-char scrub — the first pass of
+    // any web-scale ingest (decomposed accents must dedup with their
+    // composed twins; stray C0/C1 bytes break downstream tokenizers).
+    // NFC runs through the codegen NfcNormalize expression; DuckDB's
+    // utf8proc nfc_normalize is the oracle twin.
+    Q("ext_unicode_clean",
+      """SELECT doc_id,
+        | regexp_replace(nfc_normalize(text),
+        |   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean_text,
+        | (regexp_replace(nfc_normalize(text),
+        |   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') != text)
+        |   AS was_changed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val clean = regexp_replace(
+        graft.functions.TextFns.nfc(col("text")),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+      documents(s, d).select(col("doc_id"), clean.as("clean_text"),
+          (clean =!= col("text")).as("was_changed"))
+        .orderBy(col("doc_id"))
+    },
+
     Q("ext_repetition", {
       val n = 2
       val gramsSql = s"list_transform(range(1, len($TOKS) - ${n - 2}), " +

@@ -97,4 +97,14 @@ object TextFns {
     */
   def hitCount(tokArr: Column, words: Seq[String]): Column =
     size(filter(tokArr, t => t.isin(words.map(lit): _*)))
+
+  /** Unicode NFC canonicalization via the codegen
+    * [[graft.expressions.NfcNormalize]] expression (DuckDB oracle twin:
+    * `nfc_normalize`). Run BEFORE content hashing — composed and
+    * decomposed forms of the same text must dedup together.
+    */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 }

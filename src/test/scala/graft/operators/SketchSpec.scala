@@ -123,6 +123,26 @@ class SketchSpec extends SparkSpec {
       Array(0L, 7L, 999L, 1000L, 1230L, 99900L, 1230000L)))
   }
 
+  test("sketch results are partition-invariant") {
+    // the cross-engine exactness claims rest on order-independence:
+    // every sum/max is associative-commutative over exact integers
+    val df = (0 until 6000).map(i => ("g", s"v${i % 700}")).toDF("g", "v")
+    def allOf(d: org.apache.spark.sql.DataFrame) = {
+      val hll = Sketch.hllDistinct(d, col("v"), Seq("g"))
+        .as[(String, Long)].collect().toSeq.sorted
+      val q = Sketch.qsketchQuantiles(
+          Sketch.qsketch(d.withColumn("n", length(col("v"))),
+            col("n"), Seq("g")), Seq("g"), Seq(500, 990))
+        .as[(String, Int, Long)].collect().toSeq.sorted
+      val cms = Sketch.cmsLookup(
+          Sketch.cmsSketch(d, col("v"), Seq.empty),
+          Seq("v1", "v250").toDF("token"), "token", Seq.empty)
+        .as[(String, Long)].collect().toSeq.sorted
+      (hll, q, cms)
+    }
+    assert(allOf(df.repartition(1)) === allOf(df.repartition(16)))
+  }
+
   test("multi-group estimates are independent") {
     val df = ((0 until 500).map(i => ("a", s"x$i")) ++
       (0 until 3000).map(i => ("b", s"y$i"))).toDF("g", "v")
