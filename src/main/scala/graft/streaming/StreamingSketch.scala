@@ -67,4 +67,66 @@ object StreamingSketch {
     Sinks.swapRewrite(spark, storePath, groupCols.head)(store =>
       Sketch.hllMerge(store, groupCols)
         .withColumn(Sinks.SeqCol, lit(0L)))
+
+  // ---- sum-merged sketches (CMS counters, quantile buckets) -----------
+  //
+  // HLL registers max-merge, so blind re-appends are idempotent. The
+  // count-based sketches SUM across shards — a replayed micro-batch
+  // would double-count. Idempotency here comes from ownership instead:
+  // each batch OVERWRITES its own `batch=<id>` partition directory
+  // (the same overwrite-by-batch-path contract StreamingNearDedup
+  // uses), so at-least-once redelivery rewrites identical bytes and
+  // the merged view cannot move. Readers sum across all batch
+  // partitions.
+
+  private def batchDir(storePath: String, batchId: Long) =
+    s"$storePath/batch=$batchId"
+
+  /** foreachBatch body: this batch's CMS counters, owned-by-path. */
+  def writeCmsBatch(batch: DataFrame, storePath: String, value: Column,
+                    groupCols: Seq[String], batchId: Long): Unit =
+    Sketch.cmsSketch(batch, value, groupCols)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(batchDir(storePath, batchId))
+
+  /** Wire a stream into a CMS counter store. */
+  def cmsSink(stream: DataFrame, storePath: String, value: Column,
+              groupCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeCmsBatch(batch, storePath, value, groupCols, batchId)
+    }
+
+  /** Point-frequency estimates over everything landed so far. */
+  def cmsEstimate(spark: SparkSession, storePath: String,
+                  queries: DataFrame, queryCol: String,
+                  groupCols: Seq[String]): DataFrame =
+    Sketch.cmsLookup(
+      Sketch.cmsMerge(spark.read.parquet(storePath).drop("batch"),
+        groupCols),
+      queries, queryCol, groupCols)
+
+  /** foreachBatch body: this batch's quantile buckets, owned-by-path. */
+  def writeQsketchBatch(batch: DataFrame, storePath: String, value: Column,
+                        groupCols: Seq[String], batchId: Long): Unit =
+    Sketch.qsketch(batch, value, groupCols)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(batchDir(storePath, batchId))
+
+  /** Wire a stream into a quantile-bucket store. */
+  def qsketchSink(stream: DataFrame, storePath: String, value: Column,
+                  groupCols: Seq[String]): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeQsketchBatch(batch, storePath, value, groupCols, batchId)
+    }
+
+  /** Permille quantiles over everything landed so far. */
+  def qsketchEstimate(spark: SparkSession, storePath: String,
+                      groupCols: Seq[String],
+                      permilles: Seq[Int]): DataFrame =
+    Sketch.qsketchQuantiles(
+      Sketch.qsketchMerge(spark.read.parquet(storePath).drop("batch"),
+        groupCols),
+      groupCols, permilles)
 }

@@ -73,6 +73,64 @@ class StreamingSketchSpec extends SparkSpec {
       rows.select("dt", "bucket").distinct().count())
   }
 
+  test("streaming cms: cross-batch counts equal batch-union; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("cms_store")
+    val src = MemoryStream[DauEvent]
+    val q = StreamingSketch.cmsSink(src.toDF(), store,
+        col("mid"), Seq("dt"))
+      .option("checkpointLocation", tmp("cms_ckpt"))
+      .start()
+    try {
+      src.addData(users("d1", 0, 50) ++ users("d1", 0, 50): _*) // ×2 each
+      q.processAllAvailable()
+      src.addData(users("d1", 0, 30): _*) // mid-0..29 now ×3
+      q.processAllAvailable()
+    } finally q.stop()
+    val probes = Seq(("d1", "mid-0"), ("d1", "mid-40")).toDF("dt", "token")
+    val got = StreamingSketch.cmsEstimate(spark, store, probes, "token",
+        Seq("dt"))
+      .as[(String, String, Long)].collect()
+      .map { case (_, t, c) => t -> c }.toMap
+    val batchGot = Sketch.cmsLookup(
+        Sketch.cmsSketch(
+          (users("d1", 0, 50) ++ users("d1", 0, 50) ++ users("d1", 0, 30))
+            .toDF("dt", "mid"), col("mid"), Seq("dt")),
+        probes, "token", Seq("dt"))
+      .as[(String, String, Long)].collect()
+      .map { case (_, t, c) => t -> c }.toMap
+    assert(got === batchGot)
+    assert(got("mid-0") >= 3 && got("mid-40") >= 2) // CMS never undercounts
+    // at-least-once: batch 1 redelivered under the same id
+    StreamingSketch.writeCmsBatch(users("d1", 0, 30).toDF("dt", "mid"),
+      store, col("mid"), Seq("dt"), 1L)
+    val replayed = StreamingSketch.cmsEstimate(spark, store, probes,
+        "token", Seq("dt"))
+      .as[(String, String, Long)].collect()
+      .map { case (_, t, c) => t -> c }.toMap
+    assert(replayed === got)
+  }
+
+  test("streaming qsketch: quantiles equal the batch sketch over the union") {
+    val store = tmp("qs_store")
+    val b1 = (1 to 4000).map(i => ("d1", i.toLong)).toDF("dt", "v")
+    val b2 = (4001 to 5000).map(i => ("d1", i.toLong)).toDF("dt", "v")
+    StreamingSketch.writeQsketchBatch(b1, store, col("v"), Seq("dt"), 0L)
+    StreamingSketch.writeQsketchBatch(b2, store, col("v"), Seq("dt"), 1L)
+    // replay of batch 1 — same path, same bytes, no double count
+    StreamingSketch.writeQsketchBatch(b2, store, col("v"), Seq("dt"), 1L)
+    val got = StreamingSketch.qsketchEstimate(spark, store, Seq("dt"),
+        Seq(500, 900)).as[(String, Int, Long)].collect()
+      .map { case (_, p, v) => p -> v }.toMap
+    val direct = Sketch.qsketchQuantiles(
+        Sketch.qsketch(b1.union(b2), col("v"), Seq("dt")),
+        Seq("dt"), Seq(500, 900)).as[(String, Int, Long)].collect()
+      .map { case (_, p, v) => p -> v }.toMap
+    assert(got === direct)
+    // sanity: p50 of 1..5000 bucketed to 3 sig digits = 2500
+    assert(got(500) === 2500L)
+  }
+
   test("store stays bounded: at most 4096 registers per group per batch") {
     val store = tmp("hll_store3")
     val big = (0 until 20000).map(i => DauEvent("d1", s"u$i"))
