@@ -139,5 +139,80 @@ private[graft] object SketchQueries {
       val sk = Sketch.qsketch(documents(s, d), col("n_chars"), Seq("source"))
       Sketch.qsketchQuantiles(sk, Seq("source"), Seq(500, 900, 990))
         .orderBy(col("source"), col("permille"))
+    },
+
+    // One-stop per-source corpus profile from the sketch trio: doc and
+    // char totals, HLL approximate distinct tokens, p50/p99 length.
+    // Three bounded aggregates (≤ sources × 4096 rows each) joined on
+    // source — at 100 TB every input is a map-side-combining agg over
+    // one scan family and the join moves ≤ |sources| rows.
+    Q("ext_profile_sketch", {
+      val m = Sketch.NumRegisters
+      val wMask = (1L << 48) - 1
+      val twoPow49 = 1L << 49
+      s"""WITH tok AS (
+         |  SELECT source, unnest($TOKS) AS t FROM documents),
+         |h AS (SELECT source,
+         |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h60
+         |  FROM tok WHERE t <> ''),
+         |reg AS (SELECT source, h60 >> 48 AS bucket,
+         |    max(CASE WHEN (h60 & $wMask) = 0 THEN 49
+         |        ELSE 49 - length(bin(h60 & $wMask)) END) AS reg
+         |  FROM h GROUP BY 1, 2),
+         |hagg AS (SELECT source, count(*) AS present,
+         |    CAST(sum(1::BIGINT << (49 - reg)) AS BIGINT) AS zp
+         |  FROM reg GROUP BY 1),
+         |hll AS (SELECT source,
+         |    CAST(floor(CASE WHEN raw <= ${2.5 * m} AND v > 0
+         |      THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE)) ELSE raw END)
+         |      AS BIGINT) AS approx_distinct_tokens
+         |  FROM (SELECT source,
+         |      (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+         |        * ${twoPow49.toDouble}
+         |        / CAST(zp + ($m - present) * $twoPow49 AS DOUBLE) AS raw,
+         |      $m - present AS v FROM hagg)),
+         |qb AS (SELECT source,
+         |    CASE WHEN n_chars <= 999 THEN n_chars
+         |         ELSE n_chars - (n_chars % CAST(power(10,
+         |           length(CAST(n_chars AS VARCHAR)) - 3) AS BIGINT)) END
+         |      AS qbucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |qc AS (SELECT source, qbucket, cnt,
+         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY qbucket)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+         |  FROM qb),
+         |quant AS (SELECT source,
+         |    min(CASE WHEN cum * 1000 >= 500 * total THEN qbucket END)
+         |      AS p50_chars,
+         |    min(CASE WHEN cum * 1000 >= 990 * total THEN qbucket END)
+         |      AS p99_chars
+         |  FROM qc GROUP BY 1),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY 1)
+         |SELECT base.source, n_docs, total_chars, approx_distinct_tokens,
+         |  p50_chars, p99_chars
+         |FROM base JOIN hll USING (source) JOIN quant USING (source)
+         |ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val hll = Sketch.hllDistinct(tokensBySource(s, d), col("t"),
+          Seq("source"))
+        .withColumnRenamed("approx_distinct", "approx_distinct_tokens")
+      val quant = Sketch.qsketchQuantiles(
+          Sketch.qsketch(docs, col("n_chars"), Seq("source")),
+          Seq("source"), Seq(500, 990))
+        .groupBy("source")
+        .agg(min(when(col("permille") === 500, col("q_value")))
+               .as("p50_chars"),
+             min(when(col("permille") === 990, col("q_value")))
+               .as("p99_chars"))
+      val base = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"))
+      base.join(hll, Seq("source")).join(quant, Seq("source"))
+        .orderBy(col("source"))
     })
 }
