@@ -141,6 +141,48 @@ private[graft] object SketchQueries {
         .orderBy(col("source"), col("permille"))
     },
 
+    // Approximate DAU — the sketch counterpart of a1/a2's exact DAU
+    // (reference DauApp): per-day HLL over user ids through the
+    // adaptive events loader. At the reference's real scale the exact
+    // per-day distinct state is a full shuffle of every user id; this
+    // is ≤ 4096 registers per day, mergeable across ingest shards.
+    Q("ext_hll_dau", {
+      val m = Sketch.NumRegisters
+      val wMask = (1L << 48) - 1
+      val twoPow49 = 1L << 49
+      s"""WITH u AS (
+         |  SELECT strftime(ts, '%Y-%m-%d') AS dt,
+         |    CAST(user_id AS VARCHAR) AS uid FROM events),
+         |h AS (SELECT dt,
+         |    CAST('0x' || substr(md5(uid), 1, 15) AS BIGINT) AS h60
+         |  FROM u),
+         |reg AS (SELECT dt, h60 >> 48 AS bucket,
+         |    max(CASE WHEN (h60 & $wMask) = 0 THEN 49
+         |        ELSE 49 - length(bin(h60 & $wMask)) END) AS reg
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (SELECT dt, count(*) AS present,
+         |    CAST(sum(1::BIGINT << (49 - reg)) AS BIGINT) AS zp
+         |  FROM reg GROUP BY 1),
+         |est AS (SELECT dt,
+         |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+         |      * ${twoPow49.toDouble}
+         |      / CAST(zp + ($m - present) * $twoPow49 AS DOUBLE) AS raw,
+         |    $m - present AS v FROM agg)
+         |SELECT dt,
+         |  CAST(floor(CASE WHEN raw <= ${2.5 * m} AND v > 0
+         |    THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+         |    ELSE raw END) AS BIGINT) AS approx_dau
+         |FROM est ORDER BY dt""".stripMargin
+    }) { (s, d) =>
+      val ev = graft.tables.Tables.eventsRaw(s, d)
+        .select(date_format(expr("timestamp_micros(ts div 1000)"),
+            "yyyy-MM-dd").as("dt"),
+          col("user_id").cast("string").as("uid"))
+      Sketch.hllDistinct(ev, col("uid"), Seq("dt"))
+        .withColumnRenamed("approx_distinct", "approx_dau")
+        .orderBy(col("dt"))
+    },
+
     // One-stop per-source corpus profile from the sketch trio: doc and
     // char totals, HLL approximate distinct tokens, p50/p99 length.
     // Three bounded aggregates (≤ sources × 4096 rows each) joined on
