@@ -183,6 +183,64 @@ private[graft] object SketchQueries {
         .orderBy(col("dt"))
     },
 
+    // Approximate cross-source vocabulary overlap by HLL
+    // inclusion-exclusion — the sketch twin of ext_source_overlap's
+    // exact content matrix: pairs x 4096 registers instead of a
+    // distinct-(content, source) self-join over the data. Pairs with
+    // zero co-present buckets are omitted (both engines agree; their
+    // estimate is <= 0 anyway).
+    Q("ext_hll_overlap", {
+      val m = Sketch.NumRegisters
+      val wMask = (1L << 48) - 1
+      val twoPow49 = 1L << 49
+      def est(zp: String, p: String) =
+        s"CAST(floor(CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) " +
+          s"* 4096.0 * 4096.0 * ${twoPow49.toDouble} " +
+          s"/ CAST(($zp) + ($m - ($p)) * $twoPow49 AS DOUBLE) " +
+          s"<= ${2.5 * m} AND ($m - ($p)) > 0 " +
+          s"THEN 4096.0 * ln(4096.0 / CAST($m - ($p) AS DOUBLE)) " +
+          s"ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) " +
+          s"* 4096.0 * 4096.0 * ${twoPow49.toDouble} " +
+          s"/ CAST(($zp) + ($m - ($p)) * $twoPow49 AS DOUBLE) END) " +
+          s"AS BIGINT)"
+      s"""WITH tok AS (
+         |  SELECT source, unnest($TOKS) AS t FROM documents),
+         |h AS (SELECT source,
+         |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h60
+         |  FROM tok WHERE t <> ''),
+         |reg AS (SELECT source, h60 >> 48 AS bucket,
+         |    max(CASE WHEN (h60 & $wMask) = 0 THEN 49
+         |        ELSE 49 - length(bin(h60 & $wMask)) END) AS reg
+         |  FROM h GROUP BY 1, 2),
+         |per AS (SELECT source, count(*) AS present,
+         |    CAST(sum(1::BIGINT << (49 - reg)) AS BIGINT) AS zp
+         |  FROM reg GROUP BY 1),
+         |co AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_both,
+         |    CAST(sum((1::BIGINT << (49 - greatest(a.reg, b.reg)))
+         |      - (1::BIGINT << (49 - a.reg))
+         |      - (1::BIGINT << (49 - b.reg))) AS BIGINT) AS corr
+         |  FROM reg a JOIN reg b
+         |    ON a.bucket = b.bucket AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |  greatest(0, ${est("pa.zp", "pa.present")}
+         |    + ${est("pb.zp", "pb.present")}
+         |    - ${est("pa.zp + pb.zp + corr",
+                      "pa.present + pb.present - n_both")})
+         |    AS approx_overlap
+         |FROM co JOIN per pa ON pa.source = source_a
+         |        JOIN per pb ON pb.source = source_b
+         |ORDER BY source_a, source_b""".stripMargin
+    }) { (s, d) =>
+      val regs = Sketch.hllRegisters(tokensBySource(s, d), col("t"),
+        Seq("source"))
+      Sketch.hllOverlap(regs, "source")
+        .withColumnRenamed("ga", "source_a")
+        .withColumnRenamed("gb", "source_b")
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // One-stop per-source corpus profile from the sketch trio: doc and
     // char totals, HLL approximate distinct tokens, p50/p99 length.
     // Three bounded aggregates (≤ sources × 4096 rows each) joined on

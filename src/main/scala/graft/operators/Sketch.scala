@@ -155,6 +155,67 @@ object Sketch {
     sketch.groupBy((groupCols ++ Seq("row", "cell")).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Approximate pairwise set overlap between groups by
+    * inclusion–exclusion over HLL registers: |A∩B| ≈ est(A) + est(B) −
+    * est(A∪B), where the union's registers are the bucket-wise max.
+    * Input: [[hllRegisters]] output over ONE group column `groupCol`;
+    * output: (ga, gb, approx_overlap) for ga < gb.
+    *
+    * The union's present-bucket harmonic sum needs NO outer join: with
+    * zp/present per group and an equi-join on bucket for the
+    * co-present buckets,
+    *   zp_union = zpA + zpB
+    *            + Σ_{b∈A∩B} (2^(49−max(ra,rb)) − 2^(49−ra) − 2^(49−rb))
+    * and present_union = pa + pb − |A∩B| (the estimator supplies the
+    * empty-bucket mass itself) — every term an exact integer, so the
+    * estimate is bit-identical cross-engine. The exact-overlap twin ([[Dedup.sourceOverlap]])
+    * shuffles every distinct (content, source) pair; this reads
+    * per-group sketches of ≤ 4096 rows, so a 100 TB overlap matrix
+    * costs pairs × registers, not data.
+    */
+  def hllOverlap(registers: DataFrame, groupCol: String): DataFrame = {
+    val twoPowMax = 1L << MaxRank
+    val per = registers.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("present"),
+           sum(expr(s"shiftleft(CAST(1 AS BIGINT), $MaxRank - reg)"))
+             .as("zp"))
+    val a = registers.select(col(groupCol).as("ga"), col("bucket"),
+      col("reg").as("ra"))
+    val b = registers.select(col(groupCol).as("gb"), col("bucket"),
+      col("reg").as("rb"))
+    val both = a.join(b, Seq("bucket")).filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("n_both"),
+           sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+               s"$MaxRank - greatest(ra, rb)) " +
+               s"- shiftleft(CAST(1 AS BIGINT), $MaxRank - ra) " +
+               s"- shiftleft(CAST(1 AS BIGINT), $MaxRank - rb)"))
+             .as("corr"))
+    def estOf(zp: Column, present: Column): Column = {
+      val z = (zp + (lit(NumRegisters.toLong) - present) * twoPowMax)
+        .cast("double")
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))
+      val raw = alpha * lit(4096.0) * lit(4096.0) *
+        lit(twoPowMax.toDouble) / z
+      val v = lit(NumRegisters.toLong) - present
+      floor(when(raw <= lit(2.5 * NumRegisters) && v > 0L,
+          lit(NumRegisters.toDouble) *
+            log(lit(NumRegisters.toDouble) / v.cast("double")))
+        .otherwise(raw)).cast(LongType)
+    }
+    val pa = per.select(col(groupCol).as("ga"),
+      col("present").as("pa"), col("zp").as("zpa"))
+    val pb = per.select(col(groupCol).as("gb"),
+      col("present").as("pb"), col("zp").as("zpb"))
+    both.join(pa, Seq("ga")).join(pb, Seq("gb"))
+      .withColumn("zpu", col("zpa") + col("zpb") + col("corr"))
+      .withColumn("pu", col("pa") + col("pb") - col("n_both"))
+      .select(col("ga"), col("gb"),
+        greatest(lit(0L),
+          estOf(col("zpa"), col("pa")) + estOf(col("zpb"), col("pb")) -
+            estOf(col("zpu"), col("pu"))).as("approx_overlap"))
+  }
+
   // ---- decimal-bucket quantile sketch ---------------------------------
   //
   // The quantile member of the mergeable-profile trio (HLL = distinct,

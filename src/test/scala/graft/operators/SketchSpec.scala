@@ -123,6 +123,27 @@ class SketchSpec extends SparkSpec {
       Array(0L, 7L, 999L, 1000L, 1230L, 99900L, 1230000L)))
   }
 
+  test("hll overlap estimate tracks the true intersection") {
+    val rows = (0 until 5000).map(i => ("A", s"tok$i")) ++
+      (3000 until 9000).map(i => ("B", s"tok$i")) // true overlap 2000
+    val regs = Sketch.hllRegisters(rows.toDF("g", "v"), col("v"), Seq("g"))
+    val est = Sketch.hllOverlap(regs, "g")
+      .select("approx_overlap").as[Long].head()
+    assert(math.abs(est - 2000.0) / 2000 < 0.2, s"overlap est=$est")
+  }
+
+  test("hll overlap of near-disjoint groups stays near zero") {
+    val rows = (0 until 2000).map(i => ("A", s"left$i")) ++
+      (0 until 2000).map(i => ("B", s"right$i"))
+    val regs = Sketch.hllRegisters(rows.toDF("g", "v"), col("v"), Seq("g"))
+    val out = Sketch.hllOverlap(regs, "g")
+      .select("approx_overlap").as[Long].collect()
+    // inclusion-exclusion noise sigma ~ sqrt(3) * 1.6% * 2000 = 55;
+    // the clamp keeps it non-negative
+    assert(out.isEmpty || (out.head >= 0 && out.head < 200),
+      s"disjoint overlap ${out.toSeq}")
+  }
+
   test("sketch results are partition-invariant") {
     // the cross-engine exactness claims rest on order-independence:
     // every sum/max is associative-commutative over exact integers
