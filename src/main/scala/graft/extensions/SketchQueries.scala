@@ -183,6 +183,60 @@ private[graft] object SketchQueries {
         .orderBy(col("dt"))
     },
 
+    // Schema-driven table profile of `orders` — DESCRIBE at corpus
+    // scale (row/null counts, HLL distinct, binary min/max of a
+    // canonical rendering). The oracle melts the same six columns with
+    // the same canonicalization, so the gate is a full hash match.
+    Q("ext_table_profile", {
+      val m = Sketch.NumRegisters
+      val wMask = (1L << 48) - 1
+      val twoPow49 = 1L << 49
+      s"""WITH melted AS (
+         |  SELECT 'o_orderkey' AS col_name,
+         |    CAST(o_orderkey AS VARCHAR) AS v FROM orders
+         |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+         |    FROM orders
+         |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+         |  UNION ALL SELECT 'o_totalprice', CAST(CAST(
+         |    floor(o_totalprice * 1000 + 0.5) AS BIGINT) AS VARCHAR)
+         |    FROM orders
+         |  UNION ALL SELECT 'o_orderdate',
+         |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority
+         |    FROM orders),
+         |base AS (SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_nulls,
+         |    min(v) AS min_value, max(v) AS max_value
+         |  FROM melted GROUP BY 1),
+         |h AS (SELECT col_name,
+         |    CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h60
+         |  FROM melted WHERE v IS NOT NULL),
+         |reg AS (SELECT col_name, h60 >> 48 AS bucket,
+         |    max(CASE WHEN (h60 & $wMask) = 0 THEN 49
+         |        ELSE 49 - length(bin(h60 & $wMask)) END) AS reg
+         |  FROM h GROUP BY 1, 2),
+         |agg AS (SELECT col_name, count(*) AS present,
+         |    CAST(sum(1::BIGINT << (49 - reg)) AS BIGINT) AS zp
+         |  FROM reg GROUP BY 1),
+         |est AS (SELECT col_name,
+         |    CAST(floor(CASE WHEN raw <= ${2.5 * m} AND vv > 0
+         |      THEN 4096.0 * ln(4096.0 / CAST(vv AS DOUBLE)) ELSE raw END)
+         |      AS BIGINT) AS approx_distinct
+         |  FROM (SELECT col_name,
+         |      (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+         |        * ${twoPow49.toDouble}
+         |        / CAST(zp + ($m - present) * $twoPow49 AS DOUBLE) AS raw,
+         |      $m - present AS vv FROM agg))
+         |SELECT base.col_name, n_rows, n_nulls, min_value, max_value,
+         |  COALESCE(approx_distinct, 0) AS approx_distinct
+         |FROM base LEFT JOIN est ON est.col_name = base.col_name
+         |ORDER BY base.col_name""".stripMargin
+    }) { (s, d) =>
+      Sketch.tableProfile(graft.tables.Tables.orders(s, d))
+        .orderBy(col("col_name"))
+    },
+
     // Approximate cross-source vocabulary overlap by HLL
     // inclusion-exclusion — the sketch twin of ext_source_overlap's
     // exact content matrix: pairs x 4096 registers instead of a

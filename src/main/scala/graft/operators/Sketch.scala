@@ -106,6 +106,53 @@ object Sketch {
                   groupCols: Seq[String]): DataFrame =
     hllEstimate(hllRegisters(df, value, groupCols), groupCols)
 
+  /** Canonical cross-engine string rendering for [[tableProfile]]:
+    * ints/longs via plain cast, timestamps at second precision
+    * (`yyyy-MM-dd HH:mm:ss`, UTC session), floats/doubles quantized to
+    * milli-units (`floor(x·1000 + 0.5)` — exact IEEE both engines;
+    * documented: the profile treats values closer than 1e-3 as one).
+    * Strings pass through; comparisons are binary in both engines.
+    */
+  private def canonical(f: org.apache.spark.sql.types.StructField): Column = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case StringType => col(f.name)
+      case TimestampType | TimestampNTZType =>
+        date_format(col(f.name).cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+      case DoubleType | FloatType =>
+        floor(col(f.name) * 1000.0 + 0.5).cast(LongType).cast("string")
+      case _ => col(f.name).cast("string")
+    }
+  }
+
+  /** Schema-driven table profile — DESCRIBE at corpus scale: one row
+    * per column with row/null counts, HLL approximate distinct, and
+    * binary min/max of the canonical rendering. ONE pass over the
+    * data: the melt (row → |columns| (name, value) pairs) is a narrow
+    * projection, and everything downstream is map-side-combining
+    * hash-aggs over ≤ 4096 register rows per column — the melted rows
+    * themselves never cross the wire.
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val kvs = df.schema.fields.map { f =>
+      struct(lit(f.name).as("col_name"), canonical(f).as("v"))
+    }
+    val melted = df.select(explode(array(kvs.toIndexedSeq: _*)).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+    val base = melted.groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+           min(col("v")).as("min_value"),
+           max(col("v")).as("max_value"))
+    val est = hllEstimate(
+      hllRegisters(melted.filter(col("v").isNotNull), col("v"),
+        Seq("col_name")),
+      Seq("col_name"))
+    base.join(est, Seq("col_name"), "left")
+      .withColumn("approx_distinct",
+        coalesce(col("approx_distinct"), lit(0L)))
+  }
+
   // ---- count-min sketch (Cormode & Muthukrishnan 2005) -----------------
   //
   // The heavy-hitter / frequency twin of the HLL register set: a

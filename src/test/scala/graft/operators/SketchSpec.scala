@@ -123,6 +123,33 @@ class SketchSpec extends SparkSpec {
       Array(0L, 7L, 999L, 1000L, 1230L, 99900L, 1230000L)))
   }
 
+  test("tableProfile: counts, nulls, distinct, min/max per column") {
+    val df = Seq(
+      (1L, "a", Some(1.0)),
+      (2L, "b", Some(2.5)),
+      (3L, "a", None),
+      (4L, null.asInstanceOf[String], Some(2.5))
+    ).toDF("id", "s", "x")
+    val p = Sketch.tableProfile(df)
+      .as[(String, Long, Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p.keySet === Set("id", "s", "x"))
+    val (_, nRows, nNulls, mn, mx, dist) = p("s")
+    assert(nRows == 4 && nNulls == 1 && mn == "a" && mx == "b"
+      && dist == 2)
+    assert(p("id")._6 == 4 && p("id")._4 == "1" && p("id")._5 == "4")
+    // doubles quantized to milli-units before rendering
+    assert(p("x")._4 == "1000" && p("x")._5 == "2500" && p("x")._6 == 2)
+  }
+
+  test("tableProfile: an all-null column reports zero distinct") {
+    val df = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String])).toDF("id", "s")
+    val row = Sketch.tableProfile(df).filter(col("col_name") === "s")
+      .as[(String, Long, Long, String, String, Long)].head()
+    assert(row._2 == 2 && row._3 == 2 && row._4 == null && row._6 == 0)
+  }
+
   test("hll overlap estimate tracks the true intersection") {
     val rows = (0 until 5000).map(i => ("A", s"tok$i")) ++
       (3000 until 9000).map(i => ("B", s"tok$i")) // true overlap 2000
