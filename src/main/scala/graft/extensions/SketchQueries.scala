@@ -183,6 +183,28 @@ private[graft] object SketchQueries {
         .orderBy(col("dt"))
     },
 
+    // Per-source Shannon token entropy (nats) — corpus diversity;
+    // fx-quantized cross-row sum keeps it order-independent and the
+    // oracle exact.
+    Q("ext_entropy", {
+      val fx = OracleSql.fxSql(
+        "CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))", "1000000.0")
+      s"""WITH tok AS (SELECT source, unnest($TOKS) AS t FROM documents),
+         |cnt AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    $fx AS q
+         |  FROM cnt GROUP BY 1)
+         |SELECT source, n_tokens,
+         |  ln(CAST(n_tokens AS DOUBLE))
+         |    - (CAST(q AS DOUBLE) / 1000000.0)
+         |      / CAST(n_tokens AS DOUBLE) AS entropy
+         |FROM agg ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      graft.operators.TextAnalysis
+        .sourceEntropy(documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
     // Schema-driven table profile of `orders` — DESCRIBE at corpus
     // scale (row/null counts, HLL distinct, binary min/max of a
     // canonical rendering). The oracle melts the same six columns with

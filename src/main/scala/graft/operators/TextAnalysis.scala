@@ -278,4 +278,35 @@ object TextAnalysis {
           fxVal(col("sb"), 1e12))).as("tv_dist"),
         col("m.tk").as("top_token"), (-col("m.nd")).as("top_diff"))
   }
+
+  /** Per-group Shannon token entropy in nats — the corpus-diversity
+    * signal (template spam and boilerplate-dominated sources score far
+    * below natural text; a uniform vocabulary of V tokens scores
+    * ln V). H = ln N − (Σ_tokens c·ln c) / N, with the cross-row sum
+    * fixed-point quantized per (group, token) term
+    * ([[graft.functions.Cols.fxSum]], scale 1e6 — c·ln c ≤ N·ln N stays
+    * exact in a long for any real corpus) so the result is
+    * order-independent and oracle-reproducible.
+    *
+    * Scale shape: explode → (group, token) hash-agg with map-side
+    * partials, then a group-keyed agg; the vocabulary is never
+    * broadcast or collected. Output: (groupCol, n_tokens, entropy).
+    */
+  def sourceEntropy(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    val tok = fanOut(docs).select(col(groupCol),
+      explode(TextFns.toks(col(textCol))).as("token"))
+    val counts = tok.groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val term = col("__c").cast(DoubleType) *
+      log(col("__c").cast(DoubleType))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+           fxSum(term, 1e6).as("__q"))
+      .select(col(groupCol), col("n_tokens"),
+        (log(col("n_tokens").cast(DoubleType)) -
+          fxVal(col("__q"), 1e6) / col("n_tokens").cast(DoubleType))
+          .as("entropy"))
+  }
 }

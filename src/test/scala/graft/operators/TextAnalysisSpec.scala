@@ -79,4 +79,33 @@ class TextAnalysisSpec extends SparkSpec {
     // tie on diff=0 breaks to the lexicographically first token
     got.foreach(r => assert(r._4 == "x"))
   }
+
+  test("sourceEntropy: hand-computed values") {
+    val d = Seq(
+      ("uniform4", "a b c d"),          // H = ln 4
+      ("half", "a a b b"),              // H = ln 2
+      ("degenerate", "a a a a a"),      // H = 0
+      ("skew", "a a a b")               // H = ln4 - (3 ln 3)/4
+    ).toDF("source", "text")
+    val got = TextAnalysis.sourceEntropy(d, "source", "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("uniform4")._1 == 4)
+    assert(math.abs(got("uniform4")._2 - math.log(4)) < 1e-5)
+    assert(math.abs(got("half")._2 - math.log(2)) < 1e-5)
+    assert(math.abs(got("degenerate")._2) < 1e-5)
+    val skew = math.log(4) - 3 * math.log(3) / 4
+    assert(math.abs(got("skew")._2 - skew) < 1e-5)
+  }
+
+  test("sourceEntropy is partition-invariant") {
+    val d = (0 until 3000)
+      .map(i => ("g", s"tok${i % 37} tok${i % 11} filler"))
+      .toDF("source", "text")
+    val one = TextAnalysis.sourceEntropy(d.repartition(1),
+      "source", "text").as[(String, Long, Double)].head()
+    val many = TextAnalysis.sourceEntropy(d.repartition(16),
+      "source", "text").as[(String, Long, Double)].head()
+    assert(one == many) // bit-identical, not approximately equal
+  }
 }
