@@ -1058,6 +1058,47 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Embedding-level decontamination: flag corpus vectors whose cosine
+    // to ANY held-out probe (vec_id < 25 stands in for an eval suite)
+    // reaches the threshold — candidates from the SAME OR-amplified
+    // hyperplane blocking as the knn/near-dup family, across two sets.
+    // The vector-space complement of the n-gram decontaminate gate.
+    Q("ext_semantic_decontaminate", {
+      val (planes, tabs, thr) = (6, 4, 0.8)
+      val cos = cosSql("cq.embedding", "p.embedding")
+      val bucketCase = (0 until tabs).map(t =>
+        s"WHEN $t THEN ${bucketSql("embedding", planes, t)}")
+        .mkString("CASE t ", " ", " END")
+      s"""WITH b AS (
+         | SELECT vec_id, embedding, t, $bucketCase AS bucket
+         | FROM embeddings, (SELECT unnest(range(0, $tabs)) AS t)),
+         |cand AS (
+         | SELECT DISTINCT bc.vec_id AS cid, bp.vec_id AS pid
+         | FROM b bc JOIN b bp ON bc.t = bp.t AND bc.bucket = bp.bucket
+         | WHERE bc.vec_id >= 25 AND bp.vec_id < 25),
+         |m AS (
+         | SELECT DISTINCT cid FROM cand
+         | JOIN embeddings cq ON cq.vec_id = cid
+         | JOIN embeddings p ON p.vec_id = pid
+         | WHERE $cos >= $thr)
+         |SELECT e.vec_id, (m.cid IS NOT NULL) AS contaminated
+         |FROM embeddings e LEFT JOIN m ON m.cid = e.vec_id
+         |WHERE e.vec_id >= 25 ORDER BY e.vec_id""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val corpus = e.filter(col("vec_id") >= 25)
+      val probes = e.filter(col("vec_id") < 25)
+      val hit = Similarity.semanticMatches(corpus, probes, "vec_id",
+          "embedding", threshold = 0.8, planes = 6, tables = 4)
+        .select(col("corpus_id").as("vec_id")).distinct()
+        .withColumn("contaminated", lit(true))
+      corpus.select(col("vec_id"))
+        .join(hit, Seq("vec_id"), "left")
+        .withColumn("contaminated",
+          coalesce(col("contaminated"), lit(false)))
+        .orderBy(col("vec_id"))
+    },
+
     Q("ext_knn_ivf", {
       val (cells, nProbe) = (16, 4)
       val seedCos = cosSql("c.embedding", "s.sv")

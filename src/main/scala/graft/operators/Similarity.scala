@@ -389,4 +389,50 @@ object Similarity {
     assigned.select(col("vid").as(idCol), col("cell").as("cluster_id"),
       col("cos").as("centroid_cos"))
   }
+
+  /** Cross-set semantic matches — the candidate generator for
+    * embedding-level decontamination (drop training docs semantically
+    * near ANY held-out eval item, the vector-space complement of the
+    * n-gram [[Corpus.decontaminate]]): (corpus_id, probe_id, cosine)
+    * for every corpus/probe pair with cosine ≥ `threshold`, found via
+    * the same OR-amplified hyperplane blocking as
+    * [[Dedup.embeddingPairs]] but across TWO sets. Only same-bucket
+    * (per table) pairs are scored — the corpus never cross-joins the
+    * probe set, so cost is bucket-local: at 100 TB corpus × small eval
+    * suite, each probe meets ~|corpus|/2^planes candidates.
+    */
+  def semanticMatches(corpus: DataFrame, probes: DataFrame, idCol: String,
+                      vecCol: String, threshold: Double, planes: Int = 8,
+                      tables: Int = 1): DataFrame = {
+    import graft.functions.VectorFns
+    def bucketed(df: DataFrame, idName: String, vName: String) =
+      fanOut(df).select(col(idCol).as(idName), col(vecCol).as(vName),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              VectorFns.lshBucket(col(vecCol), planes, t).as("bucket")))
+            : _*)).as("tb"))
+        .select(col(idName), col(vName), col("tb.t").as("t"),
+          col("tb.bucket").as("bucket"))
+    val c = bucketed(corpus, "corpus_id", "__cv")
+    val p = bucketed(probes, "probe_id", "__pv")
+    val matches = c.join(p, Seq("t", "bucket"))
+      .withColumn("cosine", VectorFns.cosine(col("__cv"), col("__pv")))
+      .filter(col("cosine") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("cosine"))
+    if (tables > 1) matches.dropDuplicates("corpus_id", "probe_id")
+    else matches
+  }
+
+  /** Corpus rows surviving semantic decontamination: anti-join on the
+    * matched ids (the match set is ≤ |corpus| ids — the corpus itself
+    * streams through untouched).
+    */
+  def semanticFilter(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, threshold: Double, planes: Int = 8,
+                     tables: Int = 1): DataFrame = {
+    val hit = semanticMatches(corpus, probes, idCol, vecCol, threshold,
+        planes, tables)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(hit, Seq(idCol), "left_anti")
+  }
 }

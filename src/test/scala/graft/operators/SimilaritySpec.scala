@@ -248,4 +248,29 @@ class SimilaritySpec extends SparkSpec {
     assert(evenCells.length == 1 && oddCells.length == 1 &&
       evenCells.head != oddCells.head)
   }
+
+  test("semanticMatches/Filter: drops corpus vectors near a probe, " +
+      "keeps the far ones") {
+    // probes = two orthogonal-ish base vectors; corpus = near-copies of
+    // probe 0 (ids 100,101), plus vectors far from both (200, 201)
+    def v(main: Int, eps: Double): Array[Float] = {
+      val a = Array.fill(8)(0.0f); a(main) = 1.0f
+      a(7) = eps.toFloat; a
+    }
+    val probes = Seq((0L, v(0, 0)), (1L, v(1, 0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (100L, v(0, 0.05)), (101L, v(0, 0.1)),
+      (200L, v(2, 0)), (201L, v(3, 0)))
+      .toDF("vec_id", "embedding")
+    val m = Similarity.semanticMatches(corpus, probes, "vec_id",
+        "embedding", threshold = 0.9, planes = 2, tables = 4)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(m.contains(100L) && m.contains(101L))
+    assert(!m.contains(200L) && !m.contains(201L))
+    val kept = Similarity.semanticFilter(corpus, probes, "vec_id",
+        "embedding", threshold = 0.9, planes = 2, tables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(200L, 201L))
+  }
 }
