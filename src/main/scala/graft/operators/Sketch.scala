@@ -334,15 +334,15 @@ object Sketch {
     */
   def cmsLookup(sketch: DataFrame, queries: DataFrame, queryCol: String,
                 groupCols: Seq[String]): DataFrame = {
-    val probes = queries.select(queries.columns.map(col) :+
+    val probes = queries.select(queries.columns.toIndexedSeq.map(col) :+
       explode(array((0 until CmsDepth).map(j =>
         struct(lit(j).as("row"),
           cmsCell(lit(j), col(queryCol)).as("cell"))): _*)).as("rc"): _*)
-      .select(queries.columns.map(col) ++
+      .select(queries.columns.toIndexedSeq.map(col) ++
         Seq(col("rc.row").as("row"), col("rc.cell").as("cell")): _*)
     probes
       .join(broadcast(sketch), groupCols ++ Seq("row", "cell"), "left")
-      .groupBy(queries.columns.map(col): _*)
+      .groupBy(queries.columns.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 }
