@@ -1022,6 +1022,32 @@ object CorpusQueries {
             col("n_chars")),
           "source", "n_chars", "doc_id")
         .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic weighted sampling (priority / A-ES) -------------
+    // Inclusion probability proportional to n_chars; the md5-uniform +
+    // fx-quantized ln + two correctly-rounded divisions make the draw
+    // bit-identical cross-engine, so the gate is the full selection.
+    Q("ext_sample_weighted", {
+      val k = 100
+      val twoPow60 = "1152921504606846976.0"
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |  CAST(floor(ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |      1, 15) AS BIGINT) + 1) / $twoPow60)
+         |    * 1000000000000.0 + 0.5) AS BIGINT) AS lnfx
+         | FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |sel AS (SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    CAST(-lnfx AS DOUBLE) / 1000000000000.0
+         |      / CAST(n_chars AS DOUBLE) AS e
+         |  FROM s ORDER BY e ASC, doc_id LIMIT $k))
+         |SELECT doc_id, n_chars FROM documents JOIN sel USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Corpus.sampleWeighted(
+          documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 100)
+        .orderBy(col("doc_id"))
     }
   )
 }

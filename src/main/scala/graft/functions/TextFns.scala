@@ -48,6 +48,14 @@ object TextFns {
   def hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast(LongType)
 
+  /** Deterministic 60-bit non-negative hash (first 15 hex chars of md5
+    * as a Long) — the uniform-variate source for sketches and weighted
+    * sampling. Oracle twin:
+    * `CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast(LongType)
+
   private val P = 2147483647L // 2^31-1, Mersenne prime
 
   /** The j-th MinHash permutation applied to a 32-bit hash value. */

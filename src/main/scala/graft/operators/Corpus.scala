@@ -113,6 +113,51 @@ object Corpus {
     df.filter(TextFns.hash32(col(idCol).cast("string")) % 100 < pct)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * exponential-race form of priority sampling, Efraimidis & Spirakis
+    * 2006): keep the `k` rows with the smallest e_i = −ln(u_i)/w_i,
+    * where u_i is a deterministic md5 uniform of the id — inclusion
+    * probability ∝ weight (quality-weighted corpus subsets: "the k
+    * docs drawn by quality mass", not "top k by score"). Reproducible
+    * across runs, partitionings and engines: u is exact
+    * (60-bit md5 + 1)/2⁶⁰, ln(u) is fx-quantized to 1e-12
+    * ([[graft.functions.Cols.fxTerm]] semantics), and the priority is
+    * two correctly-rounded IEEE divisions of exact values — identical
+    * text on the oracle side ⇒ identical selection. Rows with
+    * non-positive or null weight are excluded (they carry no mass).
+    *
+    * Prefix property (tested): the k-selection is a subset of the
+    * (k+m)-selection, so enlarging a sample never resamples.
+    *
+    * Scale shape: selection runs through the
+    * [[graft.expressions.TopKByScore]] bounded heap — map-side ≤ k
+    * candidates per partition, shuffle ≤ partitions × k, NO global
+    * sort — then a broadcast semi-join of the ≤ k winning ids.
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+      .contains(idType),
+      s"sampleWeighted needs an integral idCol, got ${idType.simpleString}")
+    val u = (TextFns.hash60(col(idCol).cast("string")) + 1L)
+      .cast(DoubleType) / lit((1L << 60).toDouble)
+    val lnFx = floor(log(u) * 1e12 + 0.5).cast(LongType)
+    val e = (-lnFx).cast(DoubleType) / lit(1e12) /
+      col(weightCol).cast(DoubleType)
+    val topk = Bridge.column(
+      graft.expressions.TopKByScore(
+        Bridge.expression(-e),
+        Bridge.expression(col(idCol).cast(LongType)), k)
+        .toAggregateExpression())
+    val winners = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .agg(topk.as("__topk"))
+      .select(explode(col("__topk")).as("__t"))
+      .select(col("__t.id").cast(idType).as(idCol))
+    df.join(broadcast(winners), Seq(idCol), "left_semi")
+  }
+
   /** Deterministic per-group quota (source mixing): keep at most
     * `quota` rows per `groupCol`, chosen by hash order (a reproducible
     * pseudo-random draw, not head-of-file order which would bias

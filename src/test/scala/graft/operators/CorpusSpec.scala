@@ -625,4 +625,32 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long, Int, Long)].collect()
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("sampleWeighted: weight-proportional, prefix-stable, deterministic") {
+    // 500 heavy (w=20) + 500 light (w=1): heavy mass is 20/21 of the
+    // total, so a k=300 draw should be overwhelmingly heavy
+    val d = ((0 until 500).map(i => (i.toLong, 20L)) ++
+      (500 until 1000).map(i => (i.toLong, 1L))).toDF("id", "w")
+    val k300 = Corpus.sampleWeighted(d, "id", "w", 300)
+      .select("id").as[Long].collect().toSet
+    assert(k300.size == 300)
+    val heavy = k300.count(_ < 500)
+    assert(heavy > 250, s"heavy=$heavy of 300 (mass share 95%)")
+    // prefix property: the 300-draw is contained in the 400-draw
+    val k400 = Corpus.sampleWeighted(d, "id", "w", 400)
+      .select("id").as[Long].collect().toSet
+    assert(k300.subsetOf(k400))
+    // partition invariance
+    val repart = Corpus.sampleWeighted(d.repartition(16), "id", "w", 300)
+      .select("id").as[Long].collect().toSet
+    assert(repart === k300)
+  }
+
+  test("sampleWeighted: zero/null weights carry no mass; k >= n keeps all") {
+    val d = Seq[(Long, java.lang.Long)]((1L, 5L), (2L, 0L), (3L, 5L),
+      (4L, null)).toDF("id", "w")
+    val got = Corpus.sampleWeighted(d, "id", "w", 10)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
 }
