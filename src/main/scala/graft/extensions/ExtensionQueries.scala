@@ -1315,12 +1315,13 @@ object ExtensionQueries {
     },
 
     // REAL header decode round-trip: per doc, synthesize a valid
-    // PNG / GIF89a / BMP header (format by doc_id mod 3) carrying
-    // dimensions derived from doc_id, push it through the binary
-    // decode path, and let the oracle check the parsed dims against
-    // the same arithmetic — any wrong offset/endianness/byte-order in
-    // a parser breaks the hash. n_frames = 1 marks the real-parse
-    // branch (vs the stub's length arithmetic).
+    // PNG / GIF89a / BMP / JPEG header (format by doc_id mod 4)
+    // carrying dimensions derived from doc_id, push it through the
+    // binary decode path, and let the oracle check the parsed dims
+    // against the same arithmetic — any wrong offset/endianness/
+    // byte-order (or JPEG marker-walk step) breaks the hash.
+    // n_frames = 1 marks the real-parse branch (vs the stub's length
+    // arithmetic).
     Q("ext_mm_decode_headers",
       """SELECT doc_id,
         | CAST(doc_id % 640 + 1 AS INT) AS width,
@@ -1343,9 +1344,15 @@ object ExtensionQueries {
       val bmp = concat(
         lit("424D00000000000000003600000028000000"),
         le32hex(w), le32hex(h))
-      val payloadHex = when(pmod(col("doc_id"), lit(3)) === 0, png)
-        .when(pmod(col("doc_id"), lit(3)) === 1, gif)
-        .otherwise(bmp)
+      def be16hex(c: Column) = lpad(hex(c), 4, "0")
+      // SOI, then an SOF0 frame header (len 0x000B: precision, height,
+      // width, 1 component spec) — exercises the marker walk
+      val jpeg = concat(lit("FFD8FFC0000B08"), be16hex(h), be16hex(w),
+        lit("01110011"))
+      val payloadHex = when(pmod(col("doc_id"), lit(4)) === 0, png)
+        .when(pmod(col("doc_id"), lit(4)) === 1, gif)
+        .when(pmod(col("doc_id"), lit(4)) === 2, bmp)
+        .otherwise(jpeg)
       Multimodal.decodeBinary(
           documents(s, d).select(col("doc_id"),
             unhex(payloadHex).as("payload")), "payload")

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas` (iterator-of-batches, one decoder init per
   * partition, vectorizable inner loop).
   *
-  * Dimension decode is REAL for PNG / GIF / BMP payloads: a pure-JVM
+  * Dimension decode is REAL for PNG / GIF / BMP / JPEG payloads: a pure-JVM
   * header parse ([[parseDims]], from the public format specs — no
   * native codecs needed) reads true width/height. Payloads in any
   * other format fall back to [[decodeStub]]'s deterministic fake
@@ -37,9 +37,8 @@ object Multimodal {
     StructField("features", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
-  /** Real image-header parse for the three formats whose dimensions
-    * live at fixed header offsets (public format specs; pure JVM, no
-    * codec libraries):
+  /** Real image-header parse for the four formats that dominate web
+    * corpora (public format specs; pure JVM, no codec libraries):
     *
     *  - PNG: 8-byte signature, then the IHDR chunk — width/height as
     *    big-endian u32 at offsets 16/20 (PNG spec §11.2.2);
@@ -50,7 +49,14 @@ object Multimodal {
     *    stores u16 dims at different offsets and must NOT be read as
     *    s32), width/height as little-endian s32 at offsets 18/22
     *    (height negative for top-down rows — absolute value is the
-    *    pixel height; a non-positive width is invalid → None).
+    *    pixel height; a non-positive width is invalid → None);
+    *  - JPEG: SOI (FF D8), then a bounded marker-segment walk to the
+    *    first SOFn frame header (C0–CF except the non-frame C4/C8/CC
+    *    — JPEG spec B.2.2): [len u16][precision u8][height u16]
+    *    [width u16]. Dimensions are NOT at a fixed offset (APPn/COM
+    *    segments precede the frame), hence the walk; it advances by
+    *    each segment's declared length, skips standalone markers and
+    *    FF fill bytes, and bails on desync or truncation.
     *
     * Returns None for any other payload (caller falls back to the
     * stub). Never throws: short/truncated headers return None.
@@ -62,7 +68,8 @@ object Multimodal {
     * dimension high bytes < 0x20 (true for every logical screen under
     * 8192px, false for printable text at those offsets); BMP
     * additionally requires the four reserved header bytes to be zero
-    * (text carries no NULs).
+    * (text carries no NULs). JPEG is safe like PNG: 0xFF cannot start
+    * UTF-8 text.
     */
   def parseDims(b: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = b(i) & 0xff
@@ -84,10 +91,35 @@ object Multimodal {
         Set(40, 52, 56, 108, 124).contains(le32(14)) &&
         le32(18) > 0)
       Some((le32(18), math.abs(le32(22))))
-    else None
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG marker walk (see scaladoc); total on any byte garbage
+      var i = 2
+      var res: Option[(Int, Int)] = None
+      var go = true
+      while (go && i + 3 < b.length) {
+        if (u8(i) != 0xff) go = false // desync: not a marker stream
+        else {
+          val m = u8(i + 1)
+          if (m == 0xff) i += 1 // fill byte before a marker
+          else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) i += 2 // standalone
+          else {
+            val len = (u8(i + 2) << 8) | u8(i + 3)
+            if (len < 2) go = false
+            else if (m >= 0xc0 && m <= 0xcf &&
+                m != 0xc4 && m != 0xc8 && m != 0xcc) {
+              if (i + 8 < b.length)
+                res = Some(((u8(i + 7) << 8) | u8(i + 8),
+                  (u8(i + 5) << 8) | u8(i + 6)))
+              go = false
+            } else i += 2 + len
+          }
+        }
+      }
+      res
+    } else None
   }
 
-  /** STUB decoder for non-PNG/GIF/BMP payloads (and for features in
+  /** STUB decoder for unrecognized payloads (and for features in
     * every case) — a real build replaces this body with an image/audio
     * codec call. Deterministic fake: dimensions from byte length,
     * features from the first bytes. Never throws; total on any payload.
@@ -106,7 +138,7 @@ object Multimodal {
       if (i < bytes.length) (bytes(i) & 0xff).toDouble else 0.0
     }.toArray
 
-  /** Full decode: real header dims when the payload is PNG/GIF/BMP
+  /** Full decode: real header dims when the payload is PNG/GIF/BMP/JPEG
     * (single known image frame → n_frames = 1), stub metadata
     * otherwise; features always from [[stubFeatures]].
     */

@@ -77,6 +77,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseDims(negW).isEmpty)
   }
 
+  test("parseDims walks JPEG markers to the SOF frame header") {
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // real-shape JPEG: SOI, APP0/JFIF (len 16), a COM segment, then
+    // SOF0 with height=7, width=13 — dims are NOT at a fixed offset,
+    // the walk must hop both leading segments
+    val jfif = hex("FFD8" +
+      "FFE000104A46494600010100000100010000" + // APP0, len 0x10
+      "FFFE0004ABCD" +                          // COM, len 4
+      "FFC0000B08" + "0007" + "000D" + "01110011") // SOF0 h=7 w=13
+    assert(Multimodal.parseDims(jfif) == Some((13, 7)))
+    // progressive (SOF2) parses the same frame-header layout
+    val prog = hex("FFD8FFC2000B08" + "0100" + "0200" + "01110011")
+    assert(Multimodal.parseDims(prog) == Some((512, 256)))
+    // DHT (C4) is NOT a frame header and must be hopped, not read
+    val dht = hex("FFD8" + "FFC40004ABCD" +
+      "FFC0000B08" + "0007" + "000D" + "01110011")
+    assert(Multimodal.parseDims(dht) == Some((13, 7)))
+    // truncation before/inside SOF → None (falls back to the stub)
+    assert(Multimodal.parseDims(hex("FFD8FFE000104A4649")).isEmpty)
+    assert(Multimodal.parseDims(hex("FFD8FFC0000B0800")).isEmpty)
+    // desync (non-marker byte where a marker must be) → None
+    assert(Multimodal.parseDims(hex("FFD800FFC0000B080007000D01")).isEmpty)
+  }
+
   test("parseDims: text starting with an ASCII magic does NOT sniff") {
     def t(s: String) = s.getBytes("UTF-8")
     // GIF/BMP magics are printable — plain prose must fall through to
