@@ -1315,13 +1315,13 @@ object ExtensionQueries {
     },
 
     // REAL header decode round-trip: per doc, synthesize a valid
-    // PNG / GIF89a / BMP / JPEG header (format by doc_id mod 4)
-    // carrying dimensions derived from doc_id, push it through the
-    // binary decode path, and let the oracle check the parsed dims
-    // against the same arithmetic — any wrong offset/endianness/
-    // byte-order (or JPEG marker-walk step) breaks the hash.
-    // n_frames = 1 marks the real-parse branch (vs the stub's length
-    // arithmetic).
+    // PNG / GIF89a / BMP / JPEG / WebP-VP8X header (format by
+    // doc_id mod 5) carrying dimensions derived from doc_id, push it
+    // through the binary decode path, and let the oracle check the
+    // parsed dims against the same arithmetic — any wrong offset/
+    // endianness/byte-order (or JPEG marker-walk step, or WebP
+    // minus-one canvas encoding) breaks the hash. n_frames = 1 marks
+    // the real-parse branch (vs the stub's length arithmetic).
     Q("ext_mm_decode_headers",
       """SELECT doc_id,
         | CAST(doc_id % 640 + 1 AS INT) AS width,
@@ -1349,10 +1349,16 @@ object ExtensionQueries {
       // width, 1 component spec) — exercises the marker walk
       val jpeg = concat(lit("FFD8FFC0000B08"), be16hex(h), be16hex(w),
         lit("01110011"))
-      val payloadHex = when(pmod(col("doc_id"), lit(4)) === 0, png)
-        .when(pmod(col("doc_id"), lit(4)) === 1, gif)
-        .when(pmod(col("doc_id"), lit(4)) === 2, bmp)
-        .otherwise(jpeg)
+      def le24hex(c: Column) = concat(byteHex(c), byteHex(shiftright(c, 8)),
+        byteHex(shiftright(c, 16)))
+      // RIFF/WEBP + VP8X: canvas (w-1)/(h-1) as little-endian u24
+      val webp = concat(lit("52494646000000005745425056503858" +
+        "0A00000000000000"), le24hex(w - 1), le24hex(h - 1))
+      val payloadHex = when(pmod(col("doc_id"), lit(5)) === 0, png)
+        .when(pmod(col("doc_id"), lit(5)) === 1, gif)
+        .when(pmod(col("doc_id"), lit(5)) === 2, bmp)
+        .when(pmod(col("doc_id"), lit(5)) === 3, jpeg)
+        .otherwise(webp)
       Multimodal.decodeBinary(
           documents(s, d).select(col("doc_id"),
             unhex(payloadHex).as("payload")), "payload")

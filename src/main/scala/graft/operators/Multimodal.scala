@@ -56,7 +56,13 @@ object Multimodal {
     *    [width u16]. Dimensions are NOT at a fixed offset (APPn/COM
     *    segments precede the frame), hence the walk; it advances by
     *    each segment's declared length, skips standalone markers and
-    *    FF fill bytes, and bails on desync or truncation.
+    *    FF fill bytes, and bails on desync or truncation;
+    *  - WebP: "RIFF"+"WEBP", then the first chunk tag decides the
+    *    layout (WebP container spec): VP8X — canvas (width−1)/
+    *    (height−1) as little-endian u24 at offsets 24/27; VP8 (lossy)
+    *    — 14-bit dims at offsets 26/28 after the 3-byte frame tag +
+    *    start code 9D 01 2A; VP8L (lossless) — signature 2F, then
+    *    14-bit-minus-one dims bit-packed little-endian from offset 21.
     *
     * Returns None for any other payload (caller falls back to the
     * stub). Never throws: short/truncated headers return None.
@@ -69,7 +75,10 @@ object Multimodal {
     * 8192px, false for printable text at those offsets); BMP
     * additionally requires the four reserved header bytes to be zero
     * (text carries no NULs). JPEG is safe like PNG: 0xFF cannot start
-    * UTF-8 text.
+    * UTF-8 text. WebP requires the exact 16-byte
+    * RIFF/WEBP/chunk-tag prefix plus per-layout structure (VP8's
+    * non-printable start code, VP8L's signature byte) — not a
+    * plausible prose prefix.
     */
   def parseDims(b: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int) = b(i) & 0xff
@@ -116,6 +125,25 @@ object Multimodal {
         }
       }
       res
+    } else if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'E' &&
+        b(10) == 'B' && b(11) == 'P') {
+      // WebP: layout by the first chunk tag (container spec)
+      val tag = new String(b.slice(12, 16), "US-ASCII")
+      tag match {
+        case "VP8X" =>
+          val w = (u8(24) | (u8(25) << 8) | (u8(26) << 16)) + 1
+          val h = (u8(27) | (u8(28) << 8) | (u8(29) << 16)) + 1
+          Some((w, h))
+        case "VP8 " if u8(23) == 0x9d && u8(24) == 0x01 && u8(25) == 0x2a =>
+          Some((le16(26) & 0x3fff, le16(28) & 0x3fff))
+        case "VP8L" if u8(20) == 0x2f =>
+          val bits = u8(21).toLong | (u8(22).toLong << 8) |
+            (u8(23).toLong << 16) | (u8(24).toLong << 24)
+          Some(((bits & 0x3fff).toInt + 1,
+            ((bits >> 14) & 0x3fff).toInt + 1))
+        case _ => None
+      }
     } else None
   }
 

@@ -102,6 +102,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseDims(hex("FFD800FFC0000B080007000D01")).isEmpty)
   }
 
+  test("parseDims reads WebP VP8X / VP8 / VP8L layouts") {
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // VP8X: canvas (13-1, 7-1) as LE u24
+    val vp8x = hex("52494646000000005745425056503858" +
+      "0A00000000000000" + "0C0000" + "060000")
+    assert(Multimodal.parseDims(vp8x) == Some((13, 7)))
+    // real 1x1 lossy webp (public reference payload)
+    val real = java.util.Base64.getDecoder.decode(
+      "UklGRiYAAABXRUJQVlA4IBoAAAAwAQCdASoBAAEAAQAcJaQAA3AA/vuUAAA=")
+    assert(Multimodal.parseDims(real) == Some((1, 1)))
+    // VP8L: 14-bit (w-1)=12, (h-1)=6 packed LSB-first after 0x2F
+    val bits = 12L | (6L << 14)
+    val vp8l = hex("5249464600000000574542505650384C" +
+      "0A0000002F" +
+      f"${bits & 0xff}%02X${(bits >> 8) & 0xff}%02X" +
+      f"${(bits >> 16) & 0xff}%02X${(bits >> 24) & 0xff}%02X" +
+      "0000000000")
+    assert(Multimodal.parseDims(vp8l) == Some((13, 7)))
+    // truncated container → None
+    assert(Multimodal.parseDims(hex("52494646000000005745425056")).isEmpty)
+  }
+
   test("parseDims: text starting with an ASCII magic does NOT sniff") {
     def t(s: String) = s.getBytes("UTF-8")
     // GIF/BMP magics are printable — plain prose must fall through to
