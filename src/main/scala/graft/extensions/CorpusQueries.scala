@@ -1024,6 +1024,25 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- n-gram novelty (data-selection signal) ------------------------
+    // Fraction of each doc's distinct 3-grams that no other doc has;
+    // exact integer ppm, full hash gate.
+    Q("ext_novelty",
+      s"""WITH g AS (SELECT doc_id, unnest(${shSql(3)}) AS gram
+         |  FROM documents),
+         |df AS (SELECT gram, CAST(count(*) AS BIGINT) AS df
+         |  FROM g GROUP BY 1),
+         |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS novel
+         |  FROM g JOIN df USING (gram) GROUP BY 1)
+         |SELECT doc_id, n_grams, novel,
+         |  CAST((novel * 1000000) // n_grams AS BIGINT) AS novelty_ppm
+         |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.ngramNovelty(documents(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- deterministic weighted sampling (priority / A-ES) -------------
     // Inclusion probability proportional to n_chars; the md5-uniform +
     // fx-quantized ln + two correctly-rounded divisions make the draw

@@ -260,6 +260,37 @@ object Corpus {
     * tokens have no spans and are absent (same contract as the
     * other shinglers).
     */
+  /** Per-document n-gram novelty — the data-selection complement of
+    * [[spanDuplication]]: instead of measuring which SPANS are shared,
+    * score each document by the fraction of its distinct n-grams that
+    * appear in NO other document (`novelty_ppm`, exact integer parts
+    * per million — division-order-free, bit-identical cross-engine).
+    * High-novelty docs carry information the rest of the corpus
+    * doesn't; near-zero novelty marks template/boilerplate mass that
+    * survives exact dedup. Documents shorter than `n` tokens carry no
+    * grams and are omitted.
+    *
+    * Scale shape (the tfidf audit applies): distinct-gram explode →
+    * ONE gram-keyed hash-agg for document frequency (map-side
+    * combined; grams are distinct per doc so `count(*)` IS the doc
+    * frequency — no count-distinct) → gram-keyed join back → doc-keyed
+    * agg. The gram vocabulary is never broadcast or collected.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = fanOut(docs).select(col(idCol),
+      explode(array_distinct(TextFns.shingles(col(textCol), n)))
+        .as("gram"))
+    val dfreq = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+           sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty_ppm",
+        expr("CAST(novel * 1000000 div n_grams AS BIGINT)"))
+  }
+
   def spanDuplication(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
     val toks = TextFns.toks(col(textCol))

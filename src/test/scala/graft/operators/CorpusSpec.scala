@@ -626,6 +626,23 @@ class CorpusSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("ngramNovelty: unique docs score 1e6 ppm, copies zero, mixes exact") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),   // all 2 trigrams unique -> 1e6
+      (2L, "one two three four five"),  // shares all grams with doc 3
+      (3L, "one two three four five"),
+      (4L, "one two three zulu yankee"),// "one two three" shared -> 2/3
+      (5L, "too short")                 // < 3 tokens: no grams, omitted
+    ).toDF("doc_id", "text")
+    val got = Corpus.ngramNovelty(d, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!got.contains(5L))
+    assert(got(1L) == ((1L, 2L, 2L, 1000000L)))
+    assert(got(2L)._4 == 0L && got(3L)._4 == 0L)
+    assert(got(4L) == ((4L, 3L, 2L, 666666L))) // 2 of 3 novel, floor ppm
+  }
+
   test("sampleWeighted: weight-proportional, prefix-stable, deterministic") {
     // 500 heavy (w=20) + 500 light (w=1): heavy mass is 20/21 of the
     // total, so a k=300 draw should be overwhelmingly heavy
