@@ -35,13 +35,22 @@ private[graft] object ProjectionQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Flattened to scalar (vec_id, dim, value) rows: the driver's compare
+    // harness hashes scalar cells only (an array column made this gate
+    // unrunnable in round 6), and the flattened form bit-verifies every
+    // projected double directly instead of transitively via the knn gate.
     Q("ext_rproj",
-      s"""SELECT e.vec_id, ${projListSql("e")} AS proj
-         |FROM embeddings e ORDER BY vec_id""".stripMargin) { (s, d) =>
+      s"""WITH p AS (SELECT e.vec_id, ${projListSql("e")} AS proj
+         |  FROM embeddings e)
+         |SELECT p.vec_id, CAST(d.dim AS INT) AS dim,
+         |  p.proj[CAST(d.dim AS INT) + 1] AS value
+         |FROM p, range($OutDim) d(dim)
+         |ORDER BY vec_id, dim""".stripMargin) { (s, d) =>
       Projection.randomProject(
           embeddings(s, d).select("vec_id", "embedding"),
           "embedding", InDim, OutDim)
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "value")))
+        .orderBy(col("vec_id"), col("dim"))
     },
 
     Q("ext_rproj_knn", {

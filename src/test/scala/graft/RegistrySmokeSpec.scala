@@ -20,6 +20,19 @@ class RegistrySmokeSpec extends SparkSpec {
     test(s"${q.name} executes at sf0.001") {
       val df = q.fn(spark, sf0001)
       assert(df.columns.nonEmpty)
+      // Driver-gate shape contract: the oracle compare hashes scalar
+      // cells only — an array/map/struct output column makes the gate
+      // unrunnable (round-6 ext_rproj failure mode). Catch it here.
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val nonScalar = df.schema.fields.filter { f =>
+        f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _ => false
+        }
+      }
+      assert(nonScalar.isEmpty,
+        s"non-scalar output columns break the driver's hasher: " +
+          nonScalar.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
       df.count() // force full execution
     }
   }
