@@ -16,7 +16,8 @@ object SparkEntry {
       graft.extensions.ExtensionQueries.all ++
       graft.extensions.CorpusQueries.all ++
       graft.extensions.SketchQueries.all ++
-      graft.extensions.ProjectionQueries.all
+      graft.extensions.ProjectionQueries.all ++
+      graft.extensions.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

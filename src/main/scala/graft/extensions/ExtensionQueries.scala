@@ -1265,10 +1265,12 @@ object ExtensionQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
-    // decoded features feed the similarity operators unchanged — the
-    // whole multimodal→ANN path under one hash gate (features are small
-    // integers, so the double→float cast is exact in both engines)
-    Q("ext_mm_knn", {
+    // the STUB-feature ANN path (byte-peek features through the decode
+    // fallback) — kept as the gate for the non-image-payload plumbing;
+    // the REAL-pixel twin is MultimodalQueries' ext_mm_knn (features
+    // are small integers, so the double→float cast is exact in both
+    // engines)
+    Q("ext_mm_knn_stub", {
       def feat(a: String) =
         s"list_transform(range(1, 9), i -> CAST(CAST(ascii(substr($a.text, i, 1)) AS DOUBLE) AS FLOAT))"
       def dot(x: String, y: String) =

@@ -1,0 +1,237 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.tables.Tables.documents
+
+/** Driver-checked queries for the REAL pixel path in
+  * [[graft.operators.Multimodal]] — `javax.imageio` decode, perceptual
+  * aHash/dHash fingerprints, grayscale histogram features, and image
+  * near-dup through the banded 64-bit machinery.
+  *
+  * How a non-SQL codec gets a FULL hash oracle: each doc synthesizes a
+  * valid uncompressed 24-bit BMP whose pixel at (x, y) is the gray
+  * value g = (7x + 13y + 31·(doc_id mod 16)) mod 256, with dims
+  * W = 8+4·(doc_id mod 4), H = 8+4·(doc_id mod 3) (W is a multiple of
+  * 4 so rows need no padding). The engine runs the actual decoder over
+  * the actual bytes; the DuckDB oracle never parses BMP — it re-derives
+  * the pixels from the same arithmetic and pushes them through the
+  * integer-exact feature definitions (floor-boundary box averages,
+  * floor means, luma = g for gray pixels since the BT.601 weights sum
+  * to 256). Any error in the BMP writer, the ImageIO row order
+  * (bottom-up), the luma weights, or a hash bit position breaks the
+  * hash compare. 64-bit hashes are emitted as (hi, lo) 32-bit halves
+  * so both engines stay in exact BIGINT arithmetic.
+  *
+  * The pattern repeats every lcm(4, 3, 16) = 48 ids, so the corpus
+  * contains genuine exact-duplicate image classes — the near-dup gate
+  * has real pairs to find.
+  */
+private[graft] object MultimodalQueries {
+
+  // ---- synthetic BMP payload (engine side, pure Column expressions) --
+
+  private def wCol(id: Column): Column =
+    (lit(8) + pmod(id, lit(4)) * 4).cast("int")
+  private def hCol(id: Column): Column =
+    (lit(8) + pmod(id, lit(3)) * 4).cast("int")
+  private def gCol(x: Column, y: Column, id: Column): Column =
+    pmod(x * 7 + y * 13 + pmod(id, lit(16)) * 31, lit(256))
+
+  private def byteHex(c: Column): Column =
+    lpad(hex(c.bitwiseAND(lit(255L))), 2, "0")
+  private def le32hex(c: Column): Column =
+    concat(byteHex(c), byteHex(shiftright(c, 8)),
+      byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24)))
+
+  /** W×H 24-bit bottom-up BMP with pixel (x,y) = gray g(x,y,id). */
+  private def syntheticBmp(id: Column): Column = {
+    val w = wCol(id)
+    val h = hCol(id)
+    val imgSize = w * 3 * h // row stride w*3 is already 4-byte aligned
+    val header = concat(
+      lit("424D"), le32hex(imgSize + 54), lit("0000000036000000"),
+      lit("28000000"), le32hex(w), le32hex(h), lit("01001800"),
+      lit("00000000"), le32hex(imgSize),
+      lit("00000000000000000000000000000000"))
+    val body = array_join(
+      transform(sequence(h - 1, lit(0), lit(-1)), y =>
+        array_join(transform(sequence(lit(0), w - 1), x =>
+          repeat(byteHex(gCol(x, y, id)), 3)), "")), "")
+    unhex(concat(header, body))
+  }
+
+  /** Decoded features over the synthetic corpus (shared by all gates). */
+  private def feats(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageFeatures(
+      documents(s, d).select(col("doc_id"),
+        syntheticBmp(col("doc_id")).as("payload")),
+      "payload")
+
+  // ---- oracle fragments (DuckDB re-derives the pixels) ---------------
+
+  private val dimsSql =
+    """dims AS (SELECT doc_id,
+      |  CAST(8 + 4*(doc_id % 4) AS BIGINT) AS w,
+      |  CAST(8 + 4*(doc_id % 3) AS BIGINT) AS h
+      | FROM documents)""".stripMargin
+
+  private val gSql = "((x*7 + y*13 + (doc_id % 16) * 31) % 256)"
+
+  /** Floor-boundary box-average cell for grid gw×gh — the SQL twin of
+    * [[graft.operators.Multimodal.boxGray]] (incl. the non-empty-window
+    * clamp for images narrower than the grid).
+    */
+  private def cellSql(gw: Int, gh: Int): String = {
+    val x0 = s"least(cx*w//$gw, w-1)"
+    val x1 = s"greatest($x0 + 1, (cx+1)*w//$gw)"
+    val y0 = s"least(cy*h//$gh, h-1)"
+    val y1 = s"greatest($y0 + 1, (cy+1)*h//$gh)"
+    s"(list_sum(flatten(list_transform(range($y0, $y1), y -> " +
+      s"list_transform(range($x0, $x1), x -> $gSql)))) " +
+      s"// (($x1 - $x0) * ($y1 - $y0)))"
+  }
+
+  /** CTEs deriving each doc's aHash as exact (hi, lo) BIGINT halves:
+    * bit k = cy·8+cx lives at position 63−k, split 32/32.
+    */
+  private val aHashCtes =
+    s"""acells AS (
+       | SELECT d.doc_id, cy.cy AS cy, cx.cx AS cx, ${cellSql(8, 8)} AS cell
+       | FROM dims d, range(8) cy(cy), range(8) cx(cx)),
+       |amean AS (SELECT doc_id, SUM(cell)//64 AS mean
+       | FROM acells GROUP BY doc_id),
+       |abits AS (
+       | SELECT c.doc_id,
+       |  CAST(SUM(CASE WHEN c.cell > m.mean AND (c.cy*8+c.cx) < 32
+       |    THEN (CAST(1 AS BIGINT) << CAST(31-(c.cy*8+c.cx) AS INT))
+       |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+       |  CAST(SUM(CASE WHEN c.cell > m.mean AND (c.cy*8+c.cx) >= 32
+       |    THEN (CAST(1 AS BIGINT) << CAST(63-(c.cy*8+c.cx) AS INT))
+       |    ELSE 0 END) AS BIGINT) AS ahash_lo
+       | FROM acells c JOIN amean m ON m.doc_id = c.doc_id
+       | GROUP BY c.doc_id)""".stripMargin
+
+  private val dHashCtes =
+    s"""dcells AS (
+       | SELECT d.doc_id, cy.cy AS cy, cx.cx AS cx, ${cellSql(9, 8)} AS cell
+       | FROM dims d, range(8) cy(cy), range(9) cx(cx)),
+       |dbits AS (
+       | SELECT a.doc_id,
+       |  CAST(SUM(CASE WHEN a.cell < b.cell AND (a.cy*8+a.cx) < 32
+       |    THEN (CAST(1 AS BIGINT) << CAST(31-(a.cy*8+a.cx) AS INT))
+       |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |  CAST(SUM(CASE WHEN a.cell < b.cell AND (a.cy*8+a.cx) >= 32
+       |    THEN (CAST(1 AS BIGINT) << CAST(63-(a.cy*8+a.cx) AS INT))
+       |    ELSE 0 END) AS BIGINT) AS dhash_lo
+       | FROM dcells a JOIN dcells b
+       |   ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+       | WHERE a.cx < 8 GROUP BY a.doc_id)""".stripMargin
+
+  private def hiLo(c: Column, hi: String, lo: String): Seq[Column] = Seq(
+    shiftrightunsigned(c, 32).as(hi),
+    c.bitwiseAND(lit(0xFFFFFFFFL)).as(lo))
+
+  val all: Seq[Q] = Seq(
+
+    // The whole real-decode path under one hash gate: BMP bytes →
+    // ImageIO pixels → luma → box grids → fingerprint bits.
+    Q("ext_mm_phash",
+      s"""WITH $dimsSql,
+         |$aHashCtes,
+         |$dHashCtes
+         |SELECT d.doc_id, CAST(d.w AS INT) AS width,
+         | CAST(d.h AS INT) AS height,
+         | a.ahash_hi, a.ahash_lo, b.dhash_hi, b.dhash_lo
+         |FROM dims d
+         |JOIN abits a ON a.doc_id = d.doc_id
+         |JOIN dbits b ON b.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      feats(s, d).select(
+        col("doc_id") +: col("img.width").as("width") +:
+          col("img.height").as("height") +:
+          (hiLo(col("img.ahash"), "ahash_hi", "ahash_lo") ++
+            hiLo(col("img.dhash"), "dhash_hi", "dhash_lo")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Image near-dup = the multimodal twin of text SimHash: perceptual
+    // aHash routed through the SAME banded 8×8 pigeonhole pair plan
+    // (Dedup.sigPairs64 — never all-pairs). The oracle brute-forces
+    // true Hamming over its re-derived hashes; banding at maxHamming=3
+    // is within the ≤7 recall guarantee, so the sets must agree.
+    Q("ext_mm_phash_neardup",
+      s"""WITH $dimsSql,
+         |$aHashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |   + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming
+         |FROM abits a JOIN abits b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |   + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.sigPairs64(
+          feats(s, d).select(col("doc_id").as("did"),
+            col("img.ahash").as("sig")),
+          maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Histogram features, flattened to scalar (doc_id, bin, frac) rows
+    // per the driver-gate shape contract.
+    Q("ext_mm_hist",
+      s"""WITH $dimsSql,
+         |px AS (SELECT doc_id, w, h,
+         |  unnest(flatten(list_transform(range(h), y ->
+         |    list_transform(range(w), x -> $gSql // 16)))) AS bin
+         | FROM dims),
+         |cnt AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS c
+         | FROM px GROUP BY 1, 2),
+         |spine AS (SELECT d.doc_id, d.w, d.h, b.b AS bin
+         | FROM dims d, range(16) b(b))
+         |SELECT s.doc_id, CAST(s.bin AS INT) AS bin,
+         | CAST(COALESCE(c.c, 0) AS DOUBLE) / (s.w * s.h) AS frac
+         |FROM spine s LEFT JOIN cnt c
+         |  ON c.doc_id = s.doc_id AND c.bin = s.bin
+         |ORDER BY s.doc_id, s.bin""".stripMargin) { (s, d) =>
+      feats(s, d)
+        .select(col("doc_id"),
+          posexplode(col("img.hist")).as(Seq("bin", "frac")))
+        .orderBy(col("doc_id"), col("bin"))
+    },
+
+    // Real-feature ANN: cosine top-k over the decoded histograms —
+    // decoded pixels feed Similarity.bruteKnn unchanged. Same-class
+    // docs are exact ties (identical vectors); both engines break them
+    // by ascending neighbor id.
+    Q("ext_mm_knn", {
+      val px = "flatten(list_transform(range(h), y -> " +
+        s"list_transform(range(w), x -> $gSql)))"
+      val featSql = "list_transform(range(16), b -> " +
+        s"CAST(len(list_filter($px, v -> v // 16 = b)) AS DOUBLE) / (w * h))"
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(range(1, 17), i -> ${x}_f[i] * ${y}_f[i]))"
+      val cos =
+        s"(${dot("c", "q")} / (sqrt(${dot("c", "c")}) * sqrt(${dot("q", "q")})))"
+      s"""WITH $dimsSql,
+         |feats AS (SELECT doc_id, $featSql AS f FROM dims)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q.doc_id
+         |    ORDER BY $cos DESC, c.doc_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM (SELECT doc_id, f AS q_f FROM feats) q
+         | JOIN (SELECT doc_id, f AS c_f FROM feats) c
+         |   ON q.doc_id != c.doc_id
+         | WHERE q.doc_id < 5)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val f = feats(s, d).select(col("doc_id"),
+        col("img.hist").as("embedding"))
+      Similarity.bruteKnn(f, f.filter(col("doc_id") < 5),
+          "doc_id", "embedding", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    })
+}

@@ -449,6 +449,16 @@ object Dedup {
                         maxHamming: Int): DataFrame =
     simhashPairs64From(simhash64Md5Sigs(docs, idCol, textCol), maxHamming)
 
+  /** Near-dup pairs over ANY pre-computed (did, sig: long) signature
+    * frame — the banded plan behind [[simhashPairs64]], exposed for
+    * non-text 64-bit signatures (e.g. perceptual image hashes from
+    * [[Multimodal.imageFeatures]]): image near-dup is the multimodal
+    * twin of text SimHash and shares the exact same 8×8-band
+    * pigeonhole machinery.
+    */
+  def sigPairs64(sigs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairs64From(sigs, maxHamming)
+
   /** The shared 8×8-band pair plan over any (did, sig: long) frame. */
   private def simhashPairs64From(sigs0: DataFrame,
                                  maxHamming: Int): DataFrame = {

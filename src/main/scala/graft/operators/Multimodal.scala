@@ -11,15 +11,18 @@ import org.apache.spark.sql.types._
   * analog of `mapInPandas` (iterator-of-batches, one decoder init per
   * partition, vectorizable inner loop).
   *
-  * Dimension decode is REAL for PNG / GIF / BMP / JPEG payloads: a pure-JVM
-  * header parse ([[parseDims]], from the public format specs — no
-  * native codecs needed) reads true width/height. Payloads in any
-  * other format fall back to [[decodeStub]]'s deterministic fake
-  * metadata, and FEATURE extraction remains a declared stub in every
-  * case (pixel decode needs codecs this container lacks). The
-  * Spark-side contract — schema, encoder, partition batching, null
-  * passthrough — is real and tested; swapping in a full pixel decoder
-  * touches only the function body.
+  * IMAGE decode is REAL end to end: [[parseDims]] reads true
+  * width/height from PNG / GIF / BMP / JPEG / WebP headers (pure-JVM
+  * parse from the public format specs), and [[decodeGray]] /
+  * [[imageFeatures]] decode actual pixels via the JDK's bundled
+  * `javax.imageio` codecs (PNG/JPEG/GIF/BMP/WBMP, headless, no native
+  * libraries) into perceptual fingerprints ([[aHash64]]/[[dHash64]])
+  * and histogram features. Non-image payloads fall back to
+  * [[decodeStub]]'s deterministic fake metadata; only AUDIO/VIDEO
+  * feature extraction remains a declared stub (no in-JDK decoder
+  * exists — the Spark-side contract — schema, encoder, partition
+  * batching, null passthrough — is real and tested, and swapping in a
+  * codec touches only the function body).
   *
   * Scale notes: decode is embarrassingly parallel and CPU-bound —
   * `repartition` to cores before the mapPartitions (no skew: payload
@@ -27,6 +30,18 @@ import org.apache.spark.sql.types._
   * downstream similarity operators (see [[Similarity]]) apply unchanged.
   */
 object Multimodal {
+
+  /** Pixel-feature schema appended by [[imageFeatures]]: real decoded
+    * dimensions, two 64-bit perceptual fingerprints, and a normalized
+    * grayscale histogram.
+    */
+  val imageSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("ahash", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false),
+    StructField("hist", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
 
   /** Decoded-asset schema appended by [[decodeBinary]]. */
   val metaSchema: StructType = StructType(Seq(
@@ -145,6 +160,165 @@ object Multimodal {
         case _ => None
       }
     } else None
+  }
+
+  // ---- real pixel decode + perceptual features ------------------------
+  //
+  // `javax.imageio` ships in the JDK and decodes PNG/JPEG/GIF/BMP/WBMP
+  // headlessly with no native codecs, so the pixel path below is REAL
+  // for the image formats that dominate web corpora. Only audio/video
+  // feature extraction remains stubbed (no in-JDK decoder exists).
+  //
+  // Every derived quantity is integer-exact and fully specified
+  // (integer luma, floor-boundary box averages, floor means), so the
+  // whole pipeline is reproducible in plain SQL given the pixel values
+  // — the registry's ext_mm_phash / ext_mm_hist gates exploit that by
+  // synthesizing uncompressed 24-bit BMPs whose pixels a DuckDB oracle
+  // can re-derive arithmetically.
+
+  /** Decode an image payload to (width, height, row-major grayscale)
+    * via `javax.imageio`. Luma is the integer BT.601-weighted
+    * `(77 R + 151 G + 28 B) >> 8` (weights sum to 256, so a gray pixel
+    * R=G=B=v maps to exactly v). Returns None for undecodable payloads;
+    * never throws.
+    */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per call
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        val gray = new Array[Int](w * h)
+        var i = 0
+        while (i < rgb.length) {
+          val p = rgb(i)
+          gray(i) = (77 * ((p >> 16) & 0xff) + 151 * ((p >> 8) & 0xff) +
+            28 * (p & 0xff)) >> 8
+          i += 1
+        }
+        Some((w, h, gray))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** Floor-boundary box-average downsample of a row-major grayscale to
+    * a `gw`×`gh` grid (row-major cells). Cell (cx, cy) averages the
+    * pixel block [cx·w/gw, (cx+1)·w/gw) × [cy·h/gh, (cy+1)·h/gh) with
+    * integer-floor boundaries and an integer-floor mean. Images
+    * narrower than the grid clamp each boundary to a non-empty
+    * single-pixel window (duplicating columns/rows), so the transform
+    * is total. All arithmetic is integer ⇒ SQL-reproducible.
+    */
+  def boxGray(gray: Array[Int], w: Int, h: Int,
+              gw: Int, gh: Int): Array[Int] = {
+    val out = new Array[Int](gw * gh)
+    var cy = 0
+    while (cy < gh) {
+      val y0r = math.min(cy * h / gh, h - 1)
+      val y1r = math.max(y0r + 1, (cy + 1) * h / gh)
+      var cx = 0
+      while (cx < gw) {
+        val x0 = math.min(cx * w / gw, w - 1)
+        val x1 = math.max(x0 + 1, (cx + 1) * w / gw)
+        var sum = 0L
+        var y = y0r
+        while (y < y1r) {
+          var x = x0
+          while (x < x1) { sum += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        out(cy * gw + cx) = (sum / ((x1 - x0).toLong * (y1r - y0r))).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** Average-hash perceptual fingerprint: 8×8 box grid, bit
+    * k = cy·8+cx (MSB-first: bit position 63−k) set iff the cell is
+    * strictly above the floor-mean of all 64 cells. Brightness- and
+    * scale-invariant; identical images ⇒ identical hashes, small edits
+    * ⇒ small Hamming distance — route through
+    * [[Dedup.sigPairs64]] for banded image near-dup at corpus scale.
+    */
+  def aHash64(gray: Array[Int], w: Int, h: Int): Long = {
+    val cells = boxGray(gray, w, h, 8, 8)
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += cells(i); i += 1 }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= 1L << (63 - i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Difference-hash fingerprint: 9×8 box grid, bit k = cy·8+cx
+    * (MSB-first) set iff cell (cx, cy) is strictly darker than its
+    * right neighbor (cx+1, cy) — a horizontal-gradient signature,
+    * complementary to [[aHash64]]'s global-mean thresholding.
+    */
+  def dHash64(gray: Array[Int], w: Int, h: Int): Long = {
+    val cells = boxGray(gray, w, h, 9, 8)
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (cells(cy * 9 + cx) < cells(cy * 9 + cx + 1))
+          hash |= 1L << (63 - (cy * 8 + cx))
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Normalized 16-bin grayscale histogram: bin = luma >> 4, fraction
+    * = count / (w·h) — one exact IEEE division of two exact integers
+    * per bin, so any engine reproduces it bit-for-bit.
+    */
+  def grayHist(gray: Array[Int], w: Int, h: Int): Array[Double] = {
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < gray.length) { counts(gray(i) >> 4) += 1; i += 1 }
+    counts.map(_.toDouble / (w.toLong * h))
+  }
+
+  /** Decode an image binary column into real pixel features
+    * ([[imageSchema]]: dims + aHash + dHash + histogram), preserving
+    * all input columns; null or undecodable payloads pass through with
+    * a null struct. Batched per partition like [[decodeBinary]] —
+    * embarrassingly parallel, CPU-bound, no shuffle.
+    */
+  def imageFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("img", imageSchema, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val img =
+          if (payload == null) null
+          else decodeGray(payload) match {
+            case Some((w, h, gray)) =>
+              Row(w, h, aHash64(gray, w, h), dHash64(gray, w, h),
+                grayHist(gray, w, h))
+            case None => null
+          }
+        Row.fromSeq(r.toSeq :+ img)
+      }
+    }
   }
 
   /** STUB decoder for unrecognized payloads (and for features in

@@ -160,4 +160,143 @@ class MultimodalSpec extends SparkSpec {
       .collect().toMap
     assert(out.size == 100 && out.forall { case (i, n) => n == i })
   }
+
+  // ---- real pixel decode (javax.imageio) ------------------------------
+
+  /** The synthetic gray pattern the registry's ext_mm_* gates use. */
+  private def patGray(x: Int, y: Int, id: Int): Int =
+    (x * 7 + y * 13 + (id % 16) * 31) % 256
+
+  /** Hand-rolled 24-bit bottom-up BMP (independent byte-level writer —
+    * NOT the Column-expression builder the registry queries use).
+    */
+  private def bmpBytes(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val img = stride * h
+    val out = java.nio.ByteBuffer.allocate(54 + img)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + img).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(img).putInt(0).putInt(0).putInt(0).putInt(0)
+    for (r <- 0 until h) { // file rows bottom-up
+      val y = h - 1 - r
+      for (x <- 0 until w) {
+        val g = gray(x, y).toByte
+        out.put(g).put(g).put(g)
+      }
+      for (_ <- w * 3 until stride) out.put(0.toByte)
+    }
+    out.array()
+  }
+
+  private def bufImg(w: Int, h: Int, gray: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = gray(x, y)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    img
+  }
+
+  private def encodeVia(fmt: String, img: java.awt.image.BufferedImage) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("decodeGray: BMP bytes decode to the exact source pixels") {
+    // stride padding exercised via w=10 (30 bytes → padded to 32)
+    for ((w, h) <- Seq((10, 7), (16, 12))) {
+      val Some((dw, dh, gray)) =
+        Multimodal.decodeGray(bmpBytes(w, h, patGray(_, _, 3)))
+      assert((dw, dh) == ((w, h)))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gray(y * w + x) == patGray(x, y, 3),
+          s"pixel ($x,$y): got ${gray(y * w + x)}")
+    }
+  }
+
+  test("decodeGray: PNG is lossless — decoded grays equal the source") {
+    val png = encodeVia("png", bufImg(16, 12, patGray(_, _, 5)))
+    val Some((w, h, gray)) = Multimodal.decodeGray(png)
+    assert((w, h) == ((16, 12)))
+    for (y <- 0 until 12; x <- 0 until 16)
+      assert(gray(y * 16 + x) == patGray(x, y, 5))
+    // and parseDims header parity agrees with the pixel decode
+    assert(Multimodal.parseDims(png).contains((16, 12)))
+  }
+
+  test("decodeGray: JPEG decodes with exact dims and a near aHash") {
+    val src = bmpBytes(32, 24, patGray(_, _, 7))
+    val jpeg = encodeVia("jpeg", bufImg(32, 24, patGray(_, _, 7)))
+    val Some((w, h, jGray)) = Multimodal.decodeGray(jpeg)
+    assert((w, h) == ((32, 24)))
+    val Some((_, _, bGray)) = Multimodal.decodeGray(src)
+    val d = java.lang.Long.bitCount(
+      Multimodal.aHash64(jGray, 32, 24) ^ Multimodal.aHash64(bGray, 32, 24))
+    assert(d <= 8, s"JPEG perceptual drift too large: hamming=$d")
+  }
+
+  test("boxGray: floor boundaries, floor means, narrow-image clamp") {
+    // 4x2 image → 2x2 grid: each cell averages a 2x1 block
+    val g = Array(0, 10, 20, 30, 40, 50, 60, 70)
+    assert(Multimodal.boxGray(g, 4, 2, 2, 2).toSeq ==
+      Seq((0 + 10) / 2, (20 + 30) / 2, (40 + 50) / 2, (60 + 70) / 2))
+    // 7/2 floor mean
+    assert(Multimodal.boxGray(Array(3, 4), 2, 1, 1, 1).toSeq == Seq(3))
+    // image narrower than the grid: 1x1 replicates into every cell
+    assert(Multimodal.boxGray(Array(9), 1, 1, 8, 8).forall(_ == 9))
+  }
+
+  test("aHash64/dHash64: known bit layout on a hand-built gradient") {
+    // 8x8 image matching the aHash grid 1:1 — cells are the pixels
+    val g = Array.tabulate(64)(i => i * 4) // mean = 126, cells>126 ⇔ i>31
+    val a = Multimodal.aHash64(g, 8, 8)
+    assert(a == 0x00000000FFFFFFFFL) // bottom half brighter than mean
+    // 9x8 image matching the dHash grid 1:1, strictly increasing
+    // left-to-right ⇒ every dHash bit set
+    val g9 = Array.tabulate(72)(i => (i % 9) * 20 + i / 9)
+    assert(Multimodal.dHash64(g9, 9, 8) == -1L)
+    // flat image: no cell above mean, no gradient — both hashes zero
+    val flat = Array.fill(64)(7)
+    assert(Multimodal.aHash64(flat, 8, 8) == 0L)
+    assert(Multimodal.dHash64(flat, 8, 8) == 0L)
+  }
+
+  test("grayHist: exact fractions over bins, sums to 1") {
+    val g = Array(0, 15, 16, 255) // bins 0,0,1,15
+    val hist = Multimodal.grayHist(g, 4, 1)
+    assert(hist(0) == 0.5 && hist(1) == 0.25 && hist(15) == 0.25)
+    assert(hist.sum == 1.0)
+  }
+
+  test("imageFeatures: real decode, null and non-image passthrough") {
+    val rows = Seq(
+      (1L, bmpBytes(16, 12, patGray(_, _, 1))),
+      (2L, "just some text".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.imageFeatures(rows, "payload")
+      .select($"id", $"img").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val img1 = out(1L)
+    assert(img1.getInt(0) == 16 && img1.getInt(1) == 12)
+    val expGray = Array.tabulate(12 * 16)(i => patGray(i % 16, i / 16, 1))
+    assert(img1.getLong(2) == Multimodal.aHash64(expGray, 16, 12))
+    assert(img1.getLong(3) == Multimodal.dHash64(expGray, 16, 12))
+    assert(img1.getSeq[Double](4).sum == 1.0)
+    assert(out(2L) == null && out(3L) == null)
+  }
+
+  test("image near-dup: identical images pair at hamming 0 via sigPairs64") {
+    val mk = (id: Int) => bmpBytes(16, 16, patGray(_, _, id))
+    val docs = Seq((1L, mk(1)), (2L, mk(17)), (3L, mk(4)))
+      .toDF("doc_id", "payload") // ids 1 and 17 share id%16 ⇒ same image
+    val sigs = Multimodal.imageFeatures(docs, "payload")
+      .select($"doc_id".as("did"), $"img.ahash".as("sig"))
+    val pairs = Dedup.sigPairs64(sigs, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }
