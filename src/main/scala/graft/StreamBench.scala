@@ -275,8 +275,18 @@ object StreamBench {
         "dau" -> (() => benchDau(spark, batches, rows)),
         "order_wide" -> (() => benchOrderWide(spark, batches, rows)))
       apps.map { case (name, f) =>
+        // min-of-2 drives per pipeline (fresh checkpoint each), same
+        // rationale as the batch bench's min-of-3: a single drive's
+        // p95 over ~11 steady batches is one-GC-pause noisy — measured
+        // 1.7x run-to-run spread (724→1210 ms) on code-identical
+        // order_wide, which is exactly the r5→r6 "creep" shape. The
+        // min is the steady-state cost a long-running app sees.
         val lat =
-          try f()
+          try {
+            val a = f(); val b = f()
+            if (a.p95 < 0) b else if (b.p95 < 0) a
+            else if (a.p95 <= b.p95) a else b
+          }
           catch { case _: Throwable => Lat(-1.0, -1.0) } // sentinel
         s""""$name":${lat.json}"""
       }.mkString("{", ",", "}")

@@ -61,14 +61,6 @@ object ExtensionQueries {
       s"list_min(list_transform(${shSql(n)}, s -> " +
       s"((j*2+1) * ${h32("s")} + (j+1) * 40503) % 2147483647)), 2147483647))"
 
-  /** 16-bit SimHash over tokens (mirrors TextFns.simhash16). */
-  private val simhashSql: String =
-    (0 until 16).map { b =>
-      s"(CASE WHEN list_sum(list_transform($TOKS, t -> " +
-        s"CASE WHEN (${h32("t")} >> $b) % 2 = 1 THEN 1 ELSE -1 END)) > 0 " +
-        s"THEN ${1L << b} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
-
   private val stopSql: Map[String, String] =
     TextAnalysis.stopwords.toMap.map { case (lang, words) =>
       lang -> (s"len(list_filter($TOKS, t -> list_contains(" +
@@ -826,17 +818,12 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
-    Q("ext_dedup_simhash",
-      s"""WITH sigs AS (SELECT doc_id AS did, $simhashSql AS sig
-         |  FROM documents)
-         |SELECT a.did AS id_a, b.did AS id_b,
-         | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-         |FROM sigs a JOIN sigs b
-         |  ON a.did < b.did AND bit_count(xor(a.sig, b.sig)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
-    },
+    // The 16-bit SimHash variant (Dedup.simhashPairs) is spec-gated
+    // only (DedupSpec "near-identical docs within small hamming
+    // radius"): its 65,536-value signature space saturates as the
+    // corpus grows, so its sig-pair expansion join is the one shape
+    // here that degrades with scale — the 64-bit production twin below
+    // carries the registry/bench slot instead.
 
     // 64-bit SimHash path under a FULL oracle via the md5-prefix
     // signature twin: the oracle rebuilds each 64-bit signature from

@@ -133,6 +133,12 @@ object Corpus {
     * [[graft.expressions.TopKByScore]] bounded heap — map-side ≤ k
     * candidates per partition, shuffle ≤ partitions × k, NO global
     * sort — then a broadcast semi-join of the ≤ k winning ids.
+    *
+    * PRECONDITION: `idCol` values must be unique (one row per id).
+    * Duplicate ids share a single priority draw (their weight mass is
+    * NOT summed) and the final left-semi join returns EVERY row
+    * carrying a winning id, so the result can exceed k rows.
+    * Pre-aggregate to one row per id before calling.
     */
   def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
                      k: Int): DataFrame = {
@@ -253,13 +259,6 @@ object Corpus {
           .as("n_removed"))
   }
 
-  /** Cross-document span duplication (the duplicate-passage metric):
-    * for each doc, the fraction of its word `n`-gram POSITIONS whose
-    * n-gram also appears in at least one OTHER document. Emits
-    * (id, n_spans, n_dup_spans, dup_frac); docs with fewer than `n`
-    * tokens have no spans and are absent (same contract as the
-    * other shinglers).
-    */
   /** Per-document n-gram novelty — the data-selection complement of
     * [[spanDuplication]]: instead of measuring which SPANS are shared,
     * score each document by the fraction of its distinct n-grams that
@@ -291,6 +290,13 @@ object Corpus {
         expr("CAST(novel * 1000000 div n_grams AS BIGINT)"))
   }
 
+  /** Cross-document span duplication (the duplicate-passage metric):
+    * for each doc, the fraction of its word `n`-gram POSITIONS whose
+    * n-gram also appears in at least one OTHER document. Emits
+    * (id, n_spans, n_dup_spans, dup_frac); docs with fewer than `n`
+    * tokens have no spans and are absent (same contract as the
+    * other shinglers).
+    */
   def spanDuplication(docs: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
     val toks = TextFns.toks(col(textCol))

@@ -316,7 +316,11 @@ object Sketch {
       .orderBy(col("qbucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCols.map(col): _*)
-    val cum = sketch
+    // Defensive merge: an unmerged union of shard sketches carries
+    // duplicate (group, qbucket) rows, and the ROWS-framed cumulative
+    // sum below would then depend on partition order at the duplicates.
+    // The sketch is ≤ ~900 rows per group-decade, so this agg is free.
+    val cum = qsketchMerge(sketch, groupCols)
       .withColumn("cum", sum(col("cnt")).over(w))
       .withColumn("total", sum(col("cnt")).over(wAll))
     cum

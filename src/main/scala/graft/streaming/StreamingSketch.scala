@@ -30,10 +30,21 @@ import graft.operators.Sketch
   */
 object StreamingSketch {
 
+  /** Directory-partition shadow of the first group column. The group
+    * column itself stays a DATA column inside the files: a partitionBy
+    * on the real column would round-trip its value through a directory
+    * name, and Spark's read-side partition-type inference can re-type
+    * it (string "2024-01-02" → DATE, "007" → 7), silently diverging
+    * from the batch-path schema. Readers drop the shadow; per-day
+    * pruning filters on it (string-typed, never inferred away).
+    */
+  private[graft] val PartCol = "__part"
+
   /** foreachBatch body: batch-local registers appended to the store,
-    * partitioned by the first group column (per-day estimates prune to
-    * one partition). `groupCols` must be non-empty — use a constant
-    * column for a global count.
+    * directory-partitioned by the stringified first group column
+    * ([[PartCol]] — per-day estimates prune to one partition).
+    * `groupCols` must be non-empty — use a constant column for a
+    * global count.
     */
   def appendRegisters(batch: DataFrame, storePath: String, value: Column,
                       groupCols: Seq[String], batchId: Long): Unit = {
@@ -41,8 +52,9 @@ object StreamingSketch {
       "groupCols must be non-empty (add a constant column for a global count)")
     Sketch.hllRegisters(batch, value, groupCols)
       .withColumn(Sinks.SeqCol, lit(batchId))
+      .withColumn(PartCol, col(groupCols.head).cast("string"))
       .write.mode(SaveMode.Append)
-      .partitionBy(groupCols.head)
+      .partitionBy(PartCol)
       .parquet(storePath)
   }
 
@@ -54,19 +66,25 @@ object StreamingSketch {
         appendRegisters(batch, storePath, value, groupCols, batchId)
     }
 
-  /** Current approximate distinct count per group from the store. */
+  /** Current approximate distinct count per group from the store. The
+    * group columns come back with their exact written dtypes (they are
+    * data columns; only the [[PartCol]] shadow rode the directory
+    * names, and it is dropped here).
+    */
   def estimate(spark: SparkSession, storePath: String,
                groupCols: Seq[String]): DataFrame =
     Sketch.hllEstimate(
-      Sketch.hllMerge(spark.read.parquet(storePath), groupCols),
+      Sketch.hllMerge(spark.read.parquet(storePath).drop(PartCol),
+        groupCols),
       groupCols)
 
   /** Rewrite the store to one max-merged row per (group, bucket). */
   def compactRegisters(spark: SparkSession, storePath: String,
                        groupCols: Seq[String]): Unit =
-    Sinks.swapRewrite(spark, storePath, groupCols.head)(store =>
-      Sketch.hllMerge(store, groupCols)
-        .withColumn(Sinks.SeqCol, lit(0L)))
+    Sinks.swapRewrite(spark, storePath, PartCol)(store =>
+      Sketch.hllMerge(store.drop(PartCol), groupCols)
+        .withColumn(Sinks.SeqCol, lit(0L))
+        .withColumn(PartCol, col(groupCols.head).cast("string")))
 
   // ---- sum-merged sketches (CMS counters, quantile buckets) -----------
   //

@@ -126,4 +126,36 @@ class TablesSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- content pins: catch a silent regeneration that keeps dtypes ----
+  // but changes semantics (the inverse of the r5 failure mode). Hash is
+  // order-independent (XOR of per-row xxhash64 over sorted-name JSON)
+  // and, for events, computed over the NORMALIZED eventsRaw shape so a
+  // pure encoding flip (NANOS↔MICROS) does NOT trip it — only a value
+  // change does. Refresh deliberately via graft.tools.PinFixtures.
+  private val pins: Map[String, (Long, Long)] = Map(
+    "region" -> (5L, -5651503024748686397L),
+    "nation" -> (25L, 4321497658629274824L),
+    "customer" -> (150L, -1355878662744390252L),
+    "supplier" -> (10L, -4733724550227575051L),
+    "part" -> (200L, 3312597342002846785L),
+    "orders" -> (1500L, -6274678722890197870L),
+    "lineitem" -> (6000L, -6791136413875100567L),
+    "events" -> (1000L, 3457195247681040869L),
+    "documents" -> (500L, -8338897894077822582L),
+    "embeddings" -> (500L, 8678858205436700256L))
+
+  test("sf0.001 row counts and content hashes match the checked-in pins") {
+    val drifted = Tables.names.flatMap { t =>
+      val df =
+        if (t == "events") Tables.eventsRaw(spark, sf0001)
+        else Tables.load(spark, sf0001, t)
+      val got = (df.count(), graft.tools.PinFixtures.tableHash(df))
+      if (got == pins(t)) None
+      else Some(s"$t: expected ${pins(t)}, got $got")
+    }
+    assert(drifted.isEmpty,
+      "fixture content drift (regenerate pins via graft.tools.PinFixtures " +
+        "ONLY if the change is intentional):\n" + drifted.mkString("\n"))
+  }
 }
