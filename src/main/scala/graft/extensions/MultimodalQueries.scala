@@ -70,6 +70,67 @@ private[graft] object MultimodalQueries {
         syntheticBmp(col("doc_id")).as("payload")),
       "payload")
 
+  // ---- synthetic WAV payload (engine side, pure Column expressions) --
+  //
+  // Same full-oracle trick for the REAL javax.sound decode path: each
+  // doc synthesizes a valid 16-bit mono 8 kHz PCM WAV whose sample i of
+  // n = 120 + (doc_id mod 50) is the pseudo-sawtooth
+  // s_i = (i·37 + doc_id·11) mod (2a+1) − a, a = 500 + (doc_id mod 7)·250
+  // — every operand non-negative, so `%` agrees across engines. The
+  // engine decodes the actual RIFF bytes through AudioSystem; the
+  // DuckDB oracle never parses WAV — it re-derives the samples from the
+  // same arithmetic and aggregates the integer-exact features. Any
+  // error in the RIFF layout, the little-endian two's-complement sample
+  // encoding, or the feature definitions breaks the hash compare.
+
+  private def waveN(id: Column): Column = lit(120) + pmod(id, lit(50))
+  private def waveA(id: Column): Column =
+    lit(500) + pmod(id, lit(7)) * 250
+  private def waveSample(i: Column, id: Column): Column =
+    pmod(i * 37 + id * 11, waveA(id) * 2 + 1) - waveA(id)
+
+  private def le16hex(c: Column): Column = {
+    val v = c.bitwiseAND(lit(0xffffL))
+    concat(byteHex(v), byteHex(shiftright(v, 8)))
+  }
+
+  /** n-sample 16-bit mono 8 kHz little-endian PCM WAV. */
+  private def syntheticWav(id: Column): Column = {
+    val n = waveN(id)
+    val dataSize = n * 2
+    val header = concat(
+      lit("52494646"), le32hex(dataSize + 36), // "RIFF" + chunk size
+      lit("57415645"), lit("666D7420"), // "WAVE" + "fmt "
+      lit("10000000"), // fmt chunk size 16
+      lit("0100"), lit("0100"), // PCM, mono
+      lit("401F0000"), lit("803E0000"), // 8000 Hz, 16000 B/s
+      lit("0200"), lit("1000"), // block align 2, 16 bits
+      lit("64617461"), le32hex(dataSize)) // "data" + size
+    val body = array_join(
+      transform(sequence(lit(0), n - 1), i =>
+        le16hex(waveSample(i, id))), "")
+    unhex(concat(header, body))
+  }
+
+  // ---- synthetic animated GIF (engine side, pure Column expressions) -
+  //
+  // A structurally complete GIF89a stream with f = 1 + (doc_id mod 4)
+  // frames: logical screen 2×2 with no global color table, then per
+  // frame a graphic-control extension + a 2×2 image descriptor with a
+  // 2-bit LZW stream (one data sub-block), then the 0x3B trailer. The
+  // engine's gifFrameCount walks the real block structure; the oracle
+  // re-derives f arithmetically.
+
+  private def syntheticGif(id: Column): Column = {
+    val frame = // GCE (delay 5) + image descriptor 2×2 + LZW data
+      "21F9040400050000" + "2C0000000002000200" + "00" + "02" +
+        "024C01" + "00"
+    val header = "474946383961" + "02000200" + "00" + "00" + "00"
+    unhex(concat(lit(header),
+      repeat(lit(frame), (lit(1) + pmod(id, lit(4))).cast("int")),
+      lit("3B")))
+  }
+
   // ---- oracle fragments (DuckDB re-derives the pixels) ---------------
 
   private val dimsSql =
@@ -233,5 +294,61 @@ private[graft] object MultimodalQueries {
       Similarity.bruteKnn(f, f.filter(col("doc_id") < 5),
           "doc_id", "embedding", k = 3)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // The whole real PCM-audio path under one hash gate: RIFF bytes →
+    // AudioSystem frames → channel-0 samples → integer-exact waveform
+    // features. The oracle re-derives the samples arithmetically
+    // (1-based list indexing: smp[i], smp[i+1] for i in range(1, n)
+    // are the 0-based consecutive pairs (s_{i-1}, s_i)).
+    Q("ext_mm_audio",
+      """WITH p AS (SELECT doc_id,
+        |  120 + doc_id % 50 AS n,
+        |  500 + (doc_id % 7) * 250 AS a FROM documents),
+        |s AS (SELECT doc_id, n, list_transform(range(n), i ->
+        |  (i*37 + doc_id*11) % (2*a + 1) - a) AS smp FROM p)
+        |SELECT doc_id,
+        | CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+        | CAST(16 AS INT) AS bits,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        | CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+        | CAST(len(list_filter(range(1, n), i ->
+        |   (smp[i] < 0) != (smp[i+1] < 0))) AS BIGINT) AS zero_crossings,
+        | CAST(list_sum(list_transform(smp, v -> v*v)) AS BIGINT) AS sumsq
+        |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.audioFeatures(
+          documents(s, d).select(col("doc_id"),
+            syntheticWav(col("doc_id")).as("payload")),
+          "payload")
+        .select(col("doc_id"), col("audio.channels").as("channels"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.bits").as("bits"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.duration_ms").as("duration_ms"),
+          col("audio.peak").as("peak"),
+          col("audio.zero_crossings").as("zero_crossings"),
+          col("audio.sumsq").as("sumsq"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Real multi-frame GIF walk feeding the frame-sampling primitive:
+    // gifFrameCount over complete synthesized GIF89a streams, then
+    // every 2nd frame via frameSample. The oracle re-derives
+    // f = 1 + doc_id % 4 and unnests the same stepped range.
+    Q("ext_mm_gif_frames",
+      """WITH f AS (SELECT doc_id,
+        |  1 + doc_id % 4 AS n_frames FROM documents)
+        |SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+        | CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val counted = Multimodal.gifFrames(
+        documents(s, d).select(col("doc_id"),
+          syntheticGif(col("doc_id")).as("payload")),
+        "payload")
+      Multimodal.frameSample(counted, "doc_id", "n_frames", step = 2)
+        .join(counted.select(col("doc_id"), col("n_frames")), "doc_id")
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     })
 }

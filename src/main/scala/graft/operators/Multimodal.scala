@@ -17,12 +17,16 @@ import org.apache.spark.sql.types._
   * [[imageFeatures]] decode actual pixels via the JDK's bundled
   * `javax.imageio` codecs (PNG/JPEG/GIF/BMP/WBMP, headless, no native
   * libraries) into perceptual fingerprints ([[aHash64]]/[[dHash64]])
-  * and histogram features. Non-image payloads fall back to
-  * [[decodeStub]]'s deterministic fake metadata; only AUDIO/VIDEO
-  * feature extraction remains a declared stub (no in-JDK decoder
-  * exists — the Spark-side contract — schema, encoder, partition
-  * batching, null passthrough — is real and tested, and swapping in a
-  * codec touches only the function body).
+  * and histogram features. AUDIO decode is REAL for PCM containers:
+  * [[decodePcm]] / [[audioFeatures]] use the JDK's bundled
+  * `javax.sound.sampled` to decode WAV/AIFF/AU into integer-exact
+  * waveform features, and [[gifFrameCount]] walks real multi-frame GIF
+  * streams for [[frameSample]]. Non-image/audio payloads fall back to
+  * [[decodeStub]]'s deterministic fake metadata; only COMPRESSED
+  * audio codecs (MP3/AAC/Opus) and video frame decode remain declared
+  * stubs (no in-JDK decoder exists — the Spark-side contract — schema,
+  * encoder, partition batching, null passthrough — is real and tested,
+  * and swapping in a codec touches only the function body).
   *
   * Scale notes: decode is embarrassingly parallel and CPU-bound —
   * `repartition` to cores before the mapPartitions (no skew: payload
@@ -166,8 +170,9 @@ object Multimodal {
   //
   // `javax.imageio` ships in the JDK and decodes PNG/JPEG/GIF/BMP/WBMP
   // headlessly with no native codecs, so the pixel path below is REAL
-  // for the image formats that dominate web corpora. Only audio/video
-  // feature extraction remains stubbed (no in-JDK decoder exists).
+  // for the image formats that dominate web corpora. (PCM audio is
+  // likewise real — see the javax.sound section below; only compressed
+  // audio codecs and video frame decode remain stubbed.)
   //
   // Every derived quantity is integer-exact and fully specified
   // (integer luma, floor-boundary box averages, floor means), so the
@@ -317,6 +322,192 @@ object Multimodal {
             case None => null
           }
         Row.fromSeq(r.toSeq :+ img)
+      }
+    }
+  }
+
+  // ---- real audio decode + waveform features (javax.sound) ------------
+  //
+  // `javax.sound.sampled.AudioSystem` also ships in the JDK and decodes
+  // WAV / AIFF / AU PCM containers headlessly (format negotiation,
+  // endianness, signed/unsigned), so the audio path is REAL for the PCM
+  // containers — only compressed codecs (MP3/AAC/Opus) and video remain
+  // out of in-JDK reach. Every feature below is integer-exact over the
+  // decoded samples, so the whole path gets the same full-SQL-oracle
+  // treatment as the BMP pixel gates (ext_mm_audio synthesizes WAV
+  // bytes whose samples DuckDB re-derives arithmetically).
+
+  /** Waveform-feature schema appended by [[audioFeatures]]: container
+    * facts plus integer-exact channel-0 statistics.
+    */
+  val audioSchema: StructType = StructType(Seq(
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("sumsq", LongType, nullable = false)))
+
+  /** Decode a PCM audio payload (WAV/AIFF/AU, 8- or 16-bit, signed or
+    * unsigned, either endianness) into [[audioSchema]] fields. Feature
+    * definitions (channel 0, frame-ordered samples s₀..s₋₁, all exact
+    * integer arithmetic — SQL-reproducible):
+    *
+    *  - `n_samples`: frame count; `duration_ms` = ⌊frames·1000/rate⌋;
+    *  - `peak` = max |sᵢ| (0 for an empty stream);
+    *  - `zero_crossings` = #{i ≥ 1 : (sᵢ₋₁ < 0) ≠ (sᵢ < 0)} — the
+    *    classic speech/music discriminator;
+    *  - `sumsq` = Σ sᵢ² (energy; RMS = sqrt(sumsq/n) for callers —
+    *    kept as the exact integer so cross-engine compares are
+    *    bit-safe). Bounded: 2¹⁵²·n fits a Long for any stream under
+    *    ~8·10⁹ samples (12 days of 8 kHz audio).
+    *
+    * Returns None for non-audio / compressed / >16-bit payloads; never
+    * throws.
+    */
+  def decodePcm(bytes: Array[Byte]): Option[Row] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        if ((!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16) || f.getChannels < 1 ||
+            f.getFrameSize < 1 || f.getSampleRate <= 0) None
+        else {
+          val fs = f.getFrameSize
+          val data = in.readAllBytes()
+          val frames = data.length / fs
+          val big = f.isBigEndian
+          var i = 0
+          var prevNeg = false
+          var zc = 0L
+          var peak = 0
+          var sumsq = 0L
+          while (i < frames) {
+            val off = i * fs
+            val s =
+              if (bits == 8) {
+                if (signed) data(off).toInt else (data(off) & 0xff) - 128
+              } else {
+                val b0 = data(off) & 0xff
+                val b1 = data(off + 1) & 0xff
+                val raw = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                if (signed) raw.toShort.toInt else raw - 32768
+              }
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            sumsq += s.toLong * s
+            i += 1
+          }
+          val rate = math.round(f.getSampleRate)
+          Some(Row(f.getChannels, rate, bits, frames.toLong,
+            frames.toLong * 1000L / rate, peak, zc, sumsq))
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+  }
+
+  /** Decode an audio binary column into waveform features
+    * ([[audioSchema]]), preserving all input columns; null or
+    * undecodable payloads pass through with a null struct. Batched per
+    * partition like [[imageFeatures]] — embarrassingly parallel,
+    * CPU-bound, no shuffle.
+    */
+  def audioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("audio", audioSchema, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val audio =
+          if (payload == null) null else decodePcm(payload).orNull
+        Row.fromSeq(r.toSeq :+ audio)
+      }
+    }
+  }
+
+  // ---- real video-adjacent parse: animated-GIF frame walk -------------
+
+  /** Count the frames of a complete GIF stream by walking its block
+    * structure (GIF89a spec §§20–26): after the logical screen
+    * descriptor (+ global color table when flagged), the stream is a
+    * sequence of extension blocks (0x21 label, then length-prefixed
+    * sub-blocks to a 0x00 terminator) and image descriptors (0x2C, 9
+    * fixed bytes, local color table when flagged, LZW min-code byte,
+    * then data sub-blocks) until the 0x3B trailer. One frame per image
+    * descriptor — the real multi-frame count [[frameSample]] needs,
+    * where [[parseDims]] alone can only see the logical screen.
+    *
+    * Returns None for non-GIF payloads, truncated streams, or a
+    * malformed block introducer; never throws. (Header-only fixtures —
+    * the ext_mm_decode_headers synthesis — have no trailer and return
+    * None by design.)
+    */
+  def gifFrameCount(b: Array[Byte]): Option[Int] = {
+    def u8(i: Int) = b(i) & 0xff
+    if (!(b.length >= 14 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'))
+      None
+    else {
+      var i = 13
+      if ((u8(10) & 0x80) != 0) i += 3 * (1 << ((u8(10) & 7) + 1))
+      var frames = 0
+      var res: Option[Int] = None
+      var go = true
+      // every arm re-checks bounds; any truncation ends the walk as None
+      while (go && i < b.length) {
+        u8(i) match {
+          case 0x2c if i + 9 < b.length =>
+            frames += 1
+            val packed = u8(i + 9)
+            i += 10
+            if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1))
+            i += 1 // LZW minimum code size
+            while (i < b.length && u8(i) != 0) i += 1 + u8(i)
+            i += 1 // sub-block terminator
+          case 0x21 if i + 1 < b.length =>
+            i += 2 // introducer + label
+            while (i < b.length && u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          case 0x3b =>
+            res = Some(frames)
+            go = false
+          case _ => go = false // malformed or truncated
+        }
+      }
+      res
+    }
+  }
+
+  /** Walk a GIF binary column into a real `n_frames` count (null for
+    * non-GIF / truncated payloads), preserving all input columns.
+    */
+  def gifFrames(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("n_frames", IntegerType, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val n: Any =
+          if (payload == null) null
+          else gifFrameCount(payload).map(Integer.valueOf).orNull
+        Row.fromSeq(r.toSeq :+ n)
       }
     }
   }

@@ -299,4 +299,148 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 0)))
   }
+
+  // ---- real PCM audio decode --------------------------------------
+
+  /** Audio container bytes via the JDK's own WRITER (AudioSystem.write)
+    * — an independent construction of the format our decoder parses.
+    */
+  private def audioBytes(samples: Array[Int], rate: Float, bits: Int,
+                         channels: Int, signed: Boolean, bigEndian: Boolean,
+                         fileType: javax.sound.sampled.AudioFileFormat.Type)
+      : Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, bits, channels, signed, bigEndian)
+    val bytesPer = bits / 8
+    val data = new Array[Byte](samples.length * bytesPer * channels)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      (0 until channels).foreach { c =>
+        val off = (i * channels + c) * bytesPer
+        // same sample on every channel; features read channel 0
+        if (bits == 8) data(off) = (if (signed) s else s + 128).toByte
+        else {
+          val v = if (signed) s else s + 32768
+          if (bigEndian) { data(off) = (v >> 8).toByte; data(off + 1) = v.toByte }
+          else { data(off) = v.toByte; data(off + 1) = (v >> 8).toByte }
+        }
+      }
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, fileType, out)
+    out.toByteArray
+  }
+
+  private def expectedFeats(samples: Array[Int]): (Int, Long, Long) = {
+    val peak = if (samples.isEmpty) 0 else samples.map(math.abs).max
+    val zc = samples.iterator.sliding(2).withPartial(false)
+      .count { case Seq(a, b) => (a < 0) != (b < 0) }
+    val sumsq = samples.map(s => s.toLong * s).sum
+    (peak, zc.toLong, sumsq)
+  }
+
+  test("decodePcm: 16-bit mono WAV round-trips exact waveform features") {
+    val samples = Array.tabulate(160)(i => (i * 131 + 7) % 2001 - 1000)
+    val wav = audioBytes(samples, 8000f, 16, 1, signed = true,
+      bigEndian = false, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val r = Multimodal.decodePcm(wav).get
+    val (peak, zc, sumsq) = expectedFeats(samples)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 8000 && r.getInt(2) == 16)
+    assert(r.getLong(3) == 160L && r.getLong(4) == 20L) // 160/8k = 20 ms
+    assert(r.getInt(5) == peak && r.getLong(6) == zc && r.getLong(7) == sumsq)
+  }
+
+  test("decodePcm: big-endian AIFF and stereo frames decode channel 0") {
+    val samples = Array.tabulate(100)(i => if (i % 4 < 2) 900 else -900)
+    val aiff = audioBytes(samples, 16000f, 16, 2, signed = true,
+      bigEndian = true, javax.sound.sampled.AudioFileFormat.Type.AIFF)
+    val r = Multimodal.decodePcm(aiff).get
+    val (peak, zc, sumsq) = expectedFeats(samples)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 16000 && r.getInt(2) == 16)
+    assert(r.getLong(3) == 100L)
+    assert(r.getInt(5) == peak && r.getLong(6) == zc && r.getLong(7) == sumsq)
+  }
+
+  test("decodePcm: 8-bit unsigned WAV recenters to signed samples") {
+    val samples = Array.tabulate(64)(i => (i % 11) * 10 - 50) // [-50, 50]
+    val wav = audioBytes(samples, 8000f, 8, 1, signed = false,
+      bigEndian = false, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val r = Multimodal.decodePcm(wav).get
+    val (peak, zc, sumsq) = expectedFeats(samples)
+    assert(r.getInt(2) == 8 && r.getLong(3) == 64L)
+    assert(r.getInt(5) == peak && r.getLong(6) == zc && r.getLong(7) == sumsq)
+  }
+
+  test("decodePcm: non-audio payloads and nulls are total") {
+    assert(Multimodal.decodePcm("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.decodePcm(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodePcm(bmpBytes(8, 8, patGray(_, _, 1))).isEmpty)
+  }
+
+  test("audioFeatures: columns preserved, null and non-audio pass null") {
+    val samples = Array.tabulate(80)(i => (i % 7) * 100 - 300)
+    val wav = audioBytes(samples, 8000f, 16, 1, signed = true,
+      bigEndian = false, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val df = Seq((1L, wav), (2L, "text".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val out = Multimodal.audioFeatures(df, "payload")
+    assert(out.columns.toSeq == Seq("id", "payload", "audio"))
+    val rows = out.select($"id", $"audio").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(rows(1L).getLong(3) == 80L)
+    assert(rows(2L) == null && rows(3L) == null)
+  }
+
+  // ---- real animated-GIF frame walk --------------------------------
+
+  /** Animated GIF via the JDK's own GIF WRITER (writeToSequence) — an
+    * independent construction of the stream gifFrameCount walks.
+    */
+  private def animatedGif(nFrames: Int): Array[Byte] = {
+    import javax.imageio._
+    import javax.imageio.stream.MemoryCacheImageOutputStream
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 4).foreach(x => img.setRGB(x, 0, f * 0x111111))
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  test("gifFrameCount matches the JDK GIF writer's frame count") {
+    Seq(1, 3, 7).foreach { n =>
+      assert(Multimodal.gifFrameCount(animatedGif(n)) == Some(n),
+        s"n=$n")
+    }
+  }
+
+  test("gifFrameCount: non-GIF, truncated, and header-only return None") {
+    assert(Multimodal.gifFrameCount("GIF89a then prose".getBytes).isEmpty)
+    val full = animatedGif(3)
+    assert(Multimodal.gifFrameCount(full.take(full.length - 2)).isEmpty)
+    assert(Multimodal.gifFrameCount(full.take(13)).isEmpty) // header only
+    assert(Multimodal.gifFrameCount("hello".getBytes).isEmpty)
+  }
+
+  test("gifFrames + frameSample: real counts drive the sampling rows") {
+    val df = Seq((1L, animatedGif(5)), (2L, "nope".getBytes))
+      .toDF("id", "payload")
+    val counted = Multimodal.gifFrames(df, "payload")
+    val got = counted.select($"id", $"n_frames")
+      .as[(Long, Option[Int])].collect().toMap
+    assert(got(1L) == Some(5) && got(2L).isEmpty)
+    val frames = Multimodal.frameSample(counted, "id", "n_frames", 2)
+      .as[(Long, Int)].collect().toSet
+    assert(frames == Set((1L, 0), (1L, 2), (1L, 4)))
+  }
 }
