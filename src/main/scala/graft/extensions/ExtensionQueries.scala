@@ -119,6 +119,45 @@ object ExtensionQueries {
       "' segment ' || c_mktsegment"
   }
 
+  /** Char-trigram LM oracle CTEs (mirror TextAnalysis.charLmScore):
+    * `keyExpr` keys the scored groups, `trainWhere` filters the
+    * training docs. lm_occ holds per-occurrence training trigrams,
+    * lm_c3/lm_c2/lm_t the model, lm_occ_by_key the map-side-combined
+    * (key, trigram, m) rows of the score set. DuckDB `range(1, n)`
+    * excludes n, so positions run 1..len−2 like Spark's sequence.
+    */
+  private def charLmCtes(keyExpr: String, keyName: String,
+                         trainWhere: String): String = {
+    val tris = "unnest(list_transform(range(1, len(t) - 1), i -> " +
+      "substr(t, CAST(i AS INT), 3)))"
+    s"""lm_d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       |lm_occ AS (SELECT $tris AS tri
+       | FROM lm_d WHERE len(t) >= 3 AND ($trainWhere)),
+       |lm_c3 AS (SELECT tri, CAST(count(*) AS BIGINT) AS c3
+       | FROM lm_occ GROUP BY 1),
+       |lm_c2 AS (SELECT substr(tri, 1, 2) AS ctx,
+       |  CAST(sum(c3) AS BIGINT) AS c2 FROM lm_c3 GROUP BY 1),
+       |lm_t AS (SELECT CAST(count(*) AS BIGINT) AS T FROM lm_c3),
+       |lm_occ_by_key AS (SELECT $keyExpr AS $keyName, tri,
+       |  CAST(count(*) AS BIGINT) AS m
+       | FROM (SELECT doc_id, lang, $tris AS tri
+       |   FROM lm_d WHERE len(t) >= 3)
+       | GROUP BY 1, 2)""".stripMargin
+  }
+  private val charLmModelSql = charLmCtes("doc_id", "doc_id", "TRUE")
+  private val charLmCrosslingModelSql =
+    charLmCtes("lang", "lang", "lang = 'en'")
+
+  /** The fx-summed m·nll term (mirrors Cols.fxTerm at 1e6): both
+    * engines round each (group, trigram) contribution to an exact
+    * BIGINT before the order-independent sum.
+    */
+  private def charLmQSql(c3: String, c2: String): String =
+    s"CAST(sum(CAST(floor(CAST(o.m AS DOUBLE) * " +
+      s"(ln(CAST($c2 AS DOUBLE) + CAST(lm_t.T AS DOUBLE)) - " +
+      s"ln(CAST($c3 AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) AS BIGINT)) " +
+      "AS BIGINT)"
+
   /** md5 of the normalized text — the exact-dedup identity (mirrors
     * `md5(TextFns.normText(text))`); shared by the exact-dedup,
     * fingerprint and curation oracles.
@@ -230,6 +269,53 @@ object ExtensionQueries {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       TextAnalysis.qualityScore(documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // Char-trigram LM perplexity scoring (the KenLM-style quality
+    // filter): train the trigram model on the corpus itself, charge
+    // each doc the add-one-smoothed avg negative log-likelihood. The
+    // fx convention keeps the ln-sum order-independent and exact.
+    Q("ext_charlm_score",
+      s"""WITH $charLmModelSql,
+         |sc AS (SELECT o.doc_id,
+         |   CAST(sum(o.m) AS BIGINT) AS n_trigrams,
+         |   ${charLmQSql("c.c3", "g.c2")} AS q
+         |  FROM lm_occ_by_key o
+         |  JOIN lm_c3 c USING (tri)
+         |  JOIN lm_c2 g ON g.ctx = substr(o.tri, 1, 2), lm_t
+         |  GROUP BY 1)
+         |SELECT doc_id, n_trigrams,
+         | CAST(q AS DOUBLE) / 1000000.0 / CAST(n_trigrams AS DOUBLE)
+         |   AS avg_nll
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      TextAnalysis.charLmScore(docs, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-lingual held-out scoring: the model trains on English docs
+    // only and each LANGUAGE is scored as one group — English lowest,
+    // the rest ranked by script distance, with zh exercising the
+    // fully-unseen smoothing path (every term ln(T) − ln(c₃+1) with
+    // c₃ = 0 for unseen trigrams and c₂ = 0 contexts). Group-level
+    // aggregation keeps the float work inside the exact fx sums.
+    Q("ext_charlm_crossling",
+      s"""WITH $charLmCrosslingModelSql,
+         |sc AS (SELECT o.lang,
+         |   CAST(sum(o.m) AS BIGINT) AS n_trigrams,
+         |   ${charLmQSql("COALESCE(c.c3, 0)", "COALESCE(g.c2, 0)")} AS q
+         |  FROM lm_occ_by_key o
+         |  LEFT JOIN lm_c3 c USING (tri)
+         |  LEFT JOIN lm_c2 g ON g.ctx = substr(o.tri, 1, 2), lm_t
+         |  GROUP BY 1)
+         |SELECT lang, n_trigrams,
+         | CAST(q AS DOUBLE) / 1000000.0 / CAST(n_trigrams AS DOUBLE)
+         |   AS avg_nll
+         |FROM sc ORDER BY lang""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      TextAnalysis.charLmScore(docs.filter(col("lang") === "en"),
+          docs, "lang", "text")
+        .orderBy(col("lang"))
     },
 
     Q("ext_fingerprint",

@@ -112,6 +112,122 @@ private[graft] object MultimodalQueries {
     unhex(concat(header, body))
   }
 
+  // ---- synthetic G.711 AU payload (engine side, Column expressions) --
+  //
+  // The compressed-audio path under the same full-oracle trick: each
+  // doc synthesizes a valid Sun AU container (big-endian header:
+  // ".snd", data offset 24, data size n, encoding 1 = G.711 μ-law or
+  // 27 = G.711 A-law, 8000 Hz, mono) whose n = 100 + (doc_id mod 40)
+  // companded bytes are u_i = (i·17 + doc_id·7) mod 256. The engine
+  // decodes the actual bytes through AudioSystem + the ITU expanders;
+  // the DuckDB oracle re-derives the same expansion arithmetically
+  // (the G.711 decode IS pure integer arithmetic on the code byte).
+
+  private def be32hex(c: Column): Column =
+    concat(byteHex(shiftright(c, 24)), byteHex(shiftright(c, 16)),
+      byteHex(shiftright(c, 8)), byteHex(c))
+
+  private def auN(id: Column): Column = lit(100) + pmod(id, lit(40))
+  private def auCode(i: Column, id: Column): Column =
+    pmod(i * 17 + id * 7, lit(256))
+
+  /** n-byte G.711 mono 8 kHz AU stream (μ-law or A-law). */
+  private def syntheticAu(id: Column, alaw: Boolean): Column = {
+    val n = auN(id)
+    val header = concat(lit("2E736E64"), lit("00000018"), be32hex(n),
+      lit(if (alaw) "0000001B" else "00000001"),
+      lit("00001F40"), lit("00000001"))
+    val body = array_join(
+      transform(sequence(lit(0), n - 1), i => byteHex(auCode(i, id))), "")
+    unhex(concat(header, body))
+  }
+
+  /** SQL twin of [[graft.operators.Multimodal.ulawExpand]]. */
+  private def ulawSql(u: String): String = {
+    val v = s"(255 - ($u))"
+    val t = s"(((($v % 16) * 8) + 132) * (1 << (($v // 16) % 8)))"
+    s"(CASE WHEN $v >= 128 THEN 132 - $t ELSE $t - 132 END)"
+  }
+
+  /** SQL twin of [[graft.operators.Multimodal.alawExpand]]. */
+  private def alawSql(u: String): String = {
+    val a = s"xor(($u), 85)"
+    val t = s"(CASE WHEN (($a // 16) % 8) = 0 THEN ($a % 16) * 16 + 8 " +
+      s"WHEN (($a // 16) % 8) = 1 THEN ($a % 16) * 16 + 264 " +
+      s"ELSE ((($a % 16) * 16 + 264) << ((($a // 16) % 8) - 1)) END)"
+    s"(CASE WHEN $a >= 128 THEN $t ELSE -($t) END)"
+  }
+
+  // ---- synthetic DIB AVI (engine side, pure Column expressions) ------
+  //
+  // The video path under the same trick: each doc synthesizes a valid
+  // AVI RIFF container (hdrl LIST with avih + a 'vids'/'DIB ' strh and
+  // a 24-bit BITMAPINFOHEADER strf; movi LIST with n = 1 + doc_id mod 3
+  // uncompressed '00db' frames) of 8×8 bottom-up BI_RGB frames whose
+  // pixel (x, y) of frame f is the gray value
+  // g = (7x + 13y + 29f + 31·(doc_id mod 16)) mod 256. The engine walks
+  // the real container and decodes the real DIB bytes; the oracle
+  // re-derives the pixels arithmetically. With W = H = 8 each aHash box
+  // cell is exactly one pixel, so the per-frame fingerprint is directly
+  // derivable.
+
+  private def vidN(id: Column): Column =
+    (lit(1) + pmod(id, lit(3))).cast("int")
+  private def vidG(x: Column, y: Column, f: Column, id: Column): Column =
+    pmod(x * 7 + y * 13 + f * 29 + pmod(id, lit(16)) * 31, lit(256))
+
+  private def syntheticAvi(id: Column): Column = {
+    val n = vidN(id)
+    def frameBody(f: Column) = array_join(
+      transform(sequence(lit(7), lit(0), lit(-1)), y =>
+        array_join(transform(sequence(lit(0), lit(7)), x =>
+          repeat(byteHex(vidG(x, y, f, id)), 3)), "")), "")
+    val frames = array_join(transform(sequence(lit(0), n - 1), f =>
+      concat(lit("30306462C0000000"), frameBody(f))), "")
+    val avih = concat(
+      lit("6176696838000000" + "A0860100" + "00000000" * 3),
+      le32hex(n), lit("00000000" + "01000000" + "C0000000" +
+        "08000000" + "08000000" + "00000000" * 4))
+    val strh = concat(
+      lit("7374726838000000" + "76696473" + "44494220" +
+        "00000000" * 3 + "01000000" + "0A000000" + "00000000"),
+      le32hex(n),
+      lit("C0000000" + "00000000" * 2 + "0000000008000800"))
+    val strf = lit("7374726628000000" + "28000000" + "08000000" +
+      "08000000" + "01001800" + "00000000" + "C0000000" +
+      "00000000" * 4)
+    val hdrl = concat(lit("4C495354C00000006864726C"), avih,
+      concat(lit("4C495354740000007374726C"), strh, strf))
+    val movi = concat(lit("4C495354"), le32hex(n * 200 + 4),
+      lit("6D6F7669"), frames)
+    unhex(concat(lit("52494646"), le32hex(n * 200 + 216),
+      lit("41564920"), hdrl, movi))
+  }
+
+
+  /** Per-frame aHash CTEs over the synthetic DIB AVIs (shared by the
+    * frame and scene gates): with 8×8 frames each box cell IS the
+    * pixel, mean is the 64-cell floor mean, bits split 32/32 like
+    * [[aHashCtes]].
+    */
+  private val vidBitsCtes =
+    """p AS (SELECT doc_id, 1 + doc_id % 3 AS n FROM documents),
+      |fr AS (SELECT doc_id, unnest(range(n)) AS f FROM p),
+      |vcells AS (SELECT doc_id, f, cy.cy AS cy, cx.cx AS cx,
+      |  (cx.cx*7 + cy.cy*13 + f*29 + (doc_id % 16) * 31) % 256 AS cell
+      | FROM fr, range(8) cy(cy), range(8) cx(cx)),
+      |vmean AS (SELECT doc_id, f, SUM(cell)//64 AS mean
+      | FROM vcells GROUP BY 1, 2),
+      |vbits AS (SELECT c.doc_id, c.f,
+      |  CAST(SUM(CASE WHEN c.cell > m.mean AND (c.cy*8+c.cx) < 32
+      |    THEN (CAST(1 AS BIGINT) << CAST(31-(c.cy*8+c.cx) AS INT))
+      |    ELSE 0 END) AS BIGINT) AS ahash_hi,
+      |  CAST(SUM(CASE WHEN c.cell > m.mean AND (c.cy*8+c.cx) >= 32
+      |    THEN (CAST(1 AS BIGINT) << CAST(63-(c.cy*8+c.cx) AS INT))
+      |    ELSE 0 END) AS BIGINT) AS ahash_lo
+      | FROM vcells c JOIN vmean m ON m.doc_id = c.doc_id AND m.f = c.f
+      | GROUP BY 1, 2)""".stripMargin
+
   // ---- synthetic animated GIF (engine side, pure Column expressions) -
   //
   // A structurally complete GIF89a stream with f = 1 + (doc_id mod 4)
@@ -349,6 +465,98 @@ private[graft] object MultimodalQueries {
       Multimodal.frameSample(counted, "doc_id", "n_frames", step = 2)
         .join(counted.select(col("doc_id"), col("n_frames")), "doc_id")
         .select(col("doc_id"), col("n_frames"), col("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // The whole compressed-audio (G.711) path under one hash gate: AU
+    // container bytes → AudioSystem frames → ITU μ-law/A-law expansion
+    // → integer-exact waveform features, both laws over the same code
+    // stream. The oracle re-derives the expansion arithmetically — the
+    // G.711 decode is pure integer arithmetic on the code byte, so the
+    // codec itself is SQL-expressible.
+    Q("ext_mm_audio_g711", {
+      val code = "((i*17 + doc_id*7) % 256)"
+      def feats(smp: String, sfx: String) =
+        s"""CAST(list_max(list_transform($smp, v -> abs(v))) AS INT)
+           |   AS peak_$sfx,
+           | CAST(len(list_filter(range(1, n), i ->
+           |   ($smp[i] < 0) != ($smp[i+1] < 0))) AS BIGINT) AS zc_$sfx,
+           | CAST(list_sum(list_transform($smp, v -> v*v)) AS BIGINT)
+           |   AS sumsq_$sfx""".stripMargin
+      s"""WITH p AS (SELECT doc_id, 100 + doc_id % 40 AS n FROM documents),
+         |s AS (SELECT doc_id, n,
+         |  list_transform(range(n), i -> ${ulawSql(code)}) AS su,
+         |  list_transform(range(n), i -> ${alawSql(code)}) AS sa
+         | FROM p)
+         |SELECT doc_id, CAST(8 AS INT) AS bits,
+         | CAST(8000 AS INT) AS sample_rate,
+         | CAST(n AS BIGINT) AS n_samples,
+         | ${feats("su", "u")},
+         | ${feats("sa", "a")}
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val base = documents(s, d).select(col("doc_id"),
+        syntheticAu(col("doc_id"), alaw = false).as("pu"),
+        syntheticAu(col("doc_id"), alaw = true).as("pa"))
+      val u = Multimodal.audioFeatures(
+          base.select(col("doc_id"), col("pu")), "pu")
+        .select(col("doc_id"), col("audio.bits").as("bits"),
+          col("audio.sample_rate").as("sample_rate"),
+          col("audio.n_samples").as("n_samples"),
+          col("audio.peak").as("peak_u"),
+          col("audio.zero_crossings").as("zc_u"),
+          col("audio.sumsq").as("sumsq_u"))
+      val a = Multimodal.audioFeatures(
+          base.select(col("doc_id"), col("pa")), "pa")
+        .select(col("doc_id"), col("audio.peak").as("peak_a"),
+          col("audio.zero_crossings").as("zc_a"),
+          col("audio.sumsq").as("sumsq_a"))
+      u.join(a, "doc_id").orderBy(col("doc_id"))
+    },
+
+    // The whole real-video path under one hash gate: AVI RIFF bytes →
+    // container walk → uncompressed DIB frame decode → per-frame
+    // perceptual aHash. The oracle re-derives every frame's pixels and
+    // fingerprint bits arithmetically; any error in the RIFF walk, the
+    // bottom-up DIB row order, the BGR byte order, or a hash bit
+    // position breaks the hash compare.
+    Q("ext_mm_video_frames",
+      s"""WITH $vidBitsCtes
+         |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         | CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         | ahash_hi, ahash_lo
+         |FROM vbits ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.videoFrameHashes(
+          documents(s, d).select(col("doc_id"),
+            syntheticAvi(col("doc_id")).as("payload")),
+          "payload")
+        .select(col("doc_id") +: col("frame_idx") +: col("width") +:
+          col("height") +:
+          hiLo(col("ahash"), "ahash_hi", "ahash_lo"): _*)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Shot-boundary detection over the decoded frames: consecutive
+    // per-frame aHash Hamming distances with an is_cut threshold — the
+    // one id-partitioned window the plan needs. The oracle joins its
+    // re-derived fingerprints on f = f−1.
+    Q("ext_mm_video_scenes",
+      s"""WITH $vidBitsCtes
+         |SELECT a.doc_id, CAST(b.f AS INT) AS frame_idx,
+         | CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |   + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT) AS hamming,
+         | CAST(CASE WHEN bit_count(xor(a.ahash_hi, b.ahash_hi))
+         |   + bit_count(xor(a.ahash_lo, b.ahash_lo)) > 10
+         |   THEN 1 ELSE 0 END AS INT) AS is_cut
+         |FROM vbits a JOIN vbits b
+         |  ON b.doc_id = a.doc_id AND b.f = a.f + 1
+         |ORDER BY a.doc_id, frame_idx""".stripMargin) { (s, d) =>
+      val frames = Multimodal.videoFrameHashes(
+        documents(s, d).select(col("doc_id"),
+          syntheticAvi(col("doc_id")).as("payload")),
+        "payload")
+      Multimodal.sceneCuts(frames, "doc_id", "frame_idx", "ahash",
+          threshold = 10)
         .orderBy(col("doc_id"), col("frame_idx"))
     })
 }

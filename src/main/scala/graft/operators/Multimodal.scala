@@ -20,13 +20,20 @@ import org.apache.spark.sql.types._
   * and histogram features. AUDIO decode is REAL for PCM containers:
   * [[decodePcm]] / [[audioFeatures]] use the JDK's bundled
   * `javax.sound.sampled` to decode WAV/AIFF/AU into integer-exact
-  * waveform features, and [[gifFrameCount]] walks real multi-frame GIF
-  * streams for [[frameSample]]. Non-image/audio payloads fall back to
-  * [[decodeStub]]'s deterministic fake metadata; only COMPRESSED
-  * audio codecs (MP3/AAC/Opus) and video frame decode remain declared
-  * stubs (no in-JDK decoder exists — the Spark-side contract — schema,
-  * encoder, partition batching, null passthrough — is real and tested,
-  * and swapping in a codec touches only the function body).
+  * waveform features — including the companded G.711 μ-law/A-law
+  * codecs via [[ulawExpand]]/[[alawExpand]] — and [[gifFrameCount]]
+  * walks real multi-frame GIF streams for [[frameSample]]. VIDEO frame
+  * decode is REAL for AVI containers: [[parseAvi]] walks the RIFF
+  * structure and [[videoFrameHashes]] decodes uncompressed BI_RGB DIB
+  * frames arithmetically and MJPEG frames via ImageIO into per-frame
+  * perceptual fingerprints, feeding [[sceneCuts]] shot-boundary
+  * detection. Non-image/audio/video payloads fall back to
+  * [[decodeStub]]'s deterministic fake metadata; only PERCEPTUAL
+  * compressed codecs (MP3/AAC/Opus audio; H.264/VP9/AV1 inter-frame
+  * video) remain declared stubs (no in-JDK decoder exists — the
+  * Spark-side contract — schema, encoder, partition batching, null
+  * passthrough — is real and tested, and swapping in a codec touches
+  * only the function body).
   *
   * Scale notes: decode is embarrassingly parallel and CPU-bound —
   * `repartition` to cores before the mapPartitions (no skew: payload
@@ -350,8 +357,42 @@ object Multimodal {
     StructField("zero_crossings", LongType, nullable = false),
     StructField("sumsq", LongType, nullable = false)))
 
-  /** Decode a PCM audio payload (WAV/AIFF/AU, 8- or 16-bit, signed or
-    * unsigned, either endianness) into [[audioSchema]] fields. Feature
+  /** ITU-T G.711 μ-law expansion (the decode half of the codec — the
+    * transmitted byte is bit-complemented sign/exponent/mantissa):
+    * v = ~u, magnitude t = ((v & 0x0F)·8 + 0x84) << ((v & 0x70) >> 4),
+    * sample = 0x84 − t when the (complemented) sign bit is set, else
+    * t − 0x84. Range ±32124; all-integer, so SQL-reproducible. Agrees
+    * bit-exactly with the JDK's bundled ULAW codec on all 256 codes
+    * (cross-checked in MultimodalSpec).
+    */
+  def ulawExpand(u: Int): Int = {
+    val v = ~u & 0xff
+    val t = (((v & 0x0f) << 3) + 0x84) << ((v & 0x70) >> 4)
+    if ((v & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion: a = code ^ 0x55 (even-bit inversion),
+    * segment s = (a & 0x70) >> 4, base t = (a & 0x0F) << 4; magnitude
+    * t+8 for segment 0, t+0x108 for segment 1, (t+0x108) << (s−1)
+    * above; sign-bit SET means positive (the A-law convention, opposite
+    * of μ-law). Range ±32256; all-integer. Agrees bit-exactly with the
+    * JDK's ALAW codec on all 256 codes (cross-checked in spec).
+    */
+  def alawExpand(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xff
+    val base = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    val t =
+      if (seg == 0) base + 8
+      else if (seg == 1) base + 0x108
+      else (base + 0x108) << (seg - 1)
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Decode a PCM or G.711 audio payload (WAV/AIFF/AU; linear 8- or
+    * 16-bit signed/unsigned either endianness, or 8-bit μ-law/A-law —
+    * the companded G.711 codecs, expanded via [[ulawExpand]] /
+    * [[alawExpand]]) into [[audioSchema]] fields. Feature
     * definitions (channel 0, frame-ordered samples s₀..s₋₁, all exact
     * integer arithmetic — SQL-reproducible):
     *
@@ -364,8 +405,8 @@ object Multimodal {
     *    bit-safe). Bounded: 2¹⁵²·n fits a Long for any stream under
     *    ~8·10⁹ samples (12 days of 8 kHz audio).
     *
-    * Returns None for non-audio / compressed / >16-bit payloads; never
-    * throws.
+    * Returns None for non-audio / perceptually-compressed (MP3/AAC) /
+    * >16-bit payloads; never throws.
     */
   def decodePcm(bytes: Array[Byte]): Option[Row] = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
@@ -377,8 +418,12 @@ object Multimodal {
         val enc = f.getEncoding
         val bits = f.getSampleSizeInBits
         val signed = enc == AudioFormat.Encoding.PCM_SIGNED
-        if ((!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
-            (bits != 8 && bits != 16) || f.getChannels < 1 ||
+        val ulaw = enc == AudioFormat.Encoding.ULAW
+        val alaw = enc == AudioFormat.Encoding.ALAW
+        val g711 = (ulaw || alaw) && bits == 8
+        val linear = (signed || enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16)
+        if ((!linear && !g711) || f.getChannels < 1 ||
             f.getFrameSize < 1 || f.getSampleRate <= 0) None
         else {
           val fs = f.getFrameSize
@@ -393,7 +438,10 @@ object Multimodal {
           while (i < frames) {
             val off = i * fs
             val s =
-              if (bits == 8) {
+              if (g711) {
+                val c = data(off) & 0xff
+                if (ulaw) ulawExpand(c) else alawExpand(c)
+              } else if (bits == 8) {
                 if (signed) data(off).toInt else (data(off) & 0xff) - 128
               } else {
                 val b0 = data(off) & 0xff
@@ -510,6 +558,188 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ n)
       }
     }
+  }
+
+  // ---- real video frame decode: AVI container walk ---------------------
+  //
+  // AVI is a RIFF container (public Microsoft spec: 'RIFF'+'AVI ', a
+  // 'hdrl' LIST carrying per-stream 'strh'/'strf' headers, a 'movi'
+  // LIST carrying '##db'/'##dc' video frame chunks). The walk below is
+  // pure-JVM like the image-header parsers; frame payloads then decode
+  // for real — uncompressed BI_RGB DIB frames arithmetically (the
+  // SQL-oracle-able path: ext_mm_video_frames synthesizes DIB AVIs
+  // whose pixels DuckDB re-derives), MJPEG frames via the in-JDK
+  // `javax.imageio` JPEG codec (spec-covered; JPEG is lossy, so no
+  // arithmetic oracle exists by construction). Only inter-frame codecs
+  // (H.264/VP9/AV1) remain out of in-JDK reach.
+
+  /** First video stream of an AVI payload: dimensions and bit depth
+    * from its `strf` BITMAPINFOHEADER, plus the raw bytes of every
+    * video frame chunk in `movi` order.
+    */
+  final case class AviVideo(width: Int, height: Int, bitCount: Int,
+                            compression: Int, frames: Vector[Array[Byte]])
+
+  /** Walk an AVI RIFF payload into [[AviVideo]]: verify the
+    * 'RIFF'+size+'AVI ' envelope, find the first 'vids' stream's 'strf'
+    * (BITMAPINFOHEADER: s32 width/height at offsets 4/8, u16 bit count
+    * at 14, u32 compression at 16 — 0 = BI_RGB uncompressed), and
+    * collect the payload of every '##db'/'##dc' chunk inside the 'movi'
+    * LIST (chunks are word-aligned: odd sizes carry a pad byte).
+    * Returns None for non-AVI payloads, a missing/oversized header, or
+    * a truncated chunk; never throws.
+    */
+  def parseAvi(b: Array[Byte]): Option[AviVideo] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+      (u8(i + 3) << 24)
+    def tag(i: Int) = new String(b, i, 4, "US-ASCII")
+    if (!(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI "))
+      None
+    else {
+      var dims: Option[(Int, Int, Int, Int)] = None
+      val frames = Vector.newBuilder[Array[Byte]]
+      var inVids = false
+      var bad = false
+      // recursive chunk walk over [start, end)
+      def walk(start: Int, end: Int): Unit = {
+        var i = start
+        while (!bad && i + 8 <= end) {
+          val fourcc = tag(i)
+          val size = le32(i + 4)
+          val body = i + 8
+          if (size < 0 || body + size > end) { bad = true }
+          else {
+            if (fourcc == "LIST" && size >= 4) {
+              walk(body + 4, body + size) // skip the list-type fourcc
+            } else if (fourcc == "strh" && size >= 4) {
+              inVids = tag(body) == "vids"
+            } else if (fourcc == "strf" && inVids && size >= 20 &&
+                dims.isEmpty) {
+              val w = le32(body + 4)
+              val h = le32(body + 8)
+              if (w > 0 && h != 0)
+                dims = Some((w, math.abs(h), le16(body + 14), le32(body + 16)))
+              inVids = false
+            } else if (fourcc.length == 4 &&
+                fourcc(0).isDigit && fourcc(1).isDigit &&
+                (fourcc.substring(2) == "db" || fourcc.substring(2) == "dc")) {
+              frames += java.util.Arrays.copyOfRange(b, body, body + size)
+            }
+            i = body + size + (size & 1) // word alignment
+          }
+        }
+      }
+      try {
+        walk(12, math.min(b.length, 8 + le32(4)))
+        if (bad) None
+        else dims.map { case (w, h, bpp, comp) =>
+          AviVideo(w, h, bpp, comp, frames.result())
+        }
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Decode one AVI video frame payload to (width, height, row-major
+    * top-down grayscale): JPEG payloads (MJPEG streams — FF D8 magic)
+    * via [[decodeGray]]'s ImageIO path; otherwise an uncompressed
+    * 24-bit bottom-up BI_RGB DIB with the stream-header dimensions
+    * (rows padded to 4-byte stride, B-G-R byte order, same integer
+    * BT.601 luma as [[decodeGray]]). Returns None for truncated or
+    * unsupported payloads; never throws.
+    */
+  def decodeFrameGray(payload: Array[Byte], w: Int,
+                      h: Int): Option[(Int, Int, Array[Int])] =
+    if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8)
+      decodeGray(payload)
+    else {
+      val stride = (w * 3 + 3) & ~3
+      if (w <= 0 || h <= 0 || payload.length < stride * h) None
+      else {
+        val gray = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          val src = (h - 1 - y) * stride
+          var x = 0
+          while (x < w) {
+            val off = src + x * 3
+            val bl = payload(off) & 0xff
+            val g = payload(off + 1) & 0xff
+            val r = payload(off + 2) & 0xff
+            gray(y * w + x) = (77 * r + 151 * g + 28 * bl) >> 8
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, gray))
+      }
+    }
+
+  /** Per-frame row schema appended by [[videoFrameHashes]]. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("ahash", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** Explode an AVI binary column into one row per decoded video frame
+    * — frame index, real dimensions, and the [[aHash64]]/[[dHash64]]
+    * perceptual fingerprints of the decoded pixels — preserving all
+    * input columns. Assets that fail the container walk, and frames
+    * that fail decode, produce no rows (mirroring [[frameSample]]'s
+    * zero-frame contract). Batched per partition — embarrassingly
+    * parallel, CPU-bound, no shuffle; downstream near-dup/scene
+    * analysis reuses the banded 64-bit machinery unchanged.
+    */
+  def videoFrameHashes(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ frameSchema.fields)
+    val binIdx = inSchema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        if (payload == null) Iterator.empty
+        else parseAvi(payload) match {
+          case None => Iterator.empty
+          case Some(av) =>
+            av.frames.iterator.zipWithIndex.flatMap { case (fb, idx) =>
+              decodeFrameGray(fb, av.width, av.height).map {
+                case (w, h, gray) =>
+                  // Seq[Any]: Scala would otherwise widen the Int
+                  // fields to Long alongside the hash Longs
+                  Row.fromSeq(r.toSeq ++ Seq[Any](idx, w, h,
+                    aHash64(gray, w, h), dHash64(gray, w, h)))
+              }
+            }
+        }
+      }
+    }
+  }
+
+  /** Scene-cut detection over per-frame fingerprints: for each asset
+    * (ordered by frame index) the Hamming distance between consecutive
+    * frames' hashes, and `is_cut` = 1 when it exceeds `threshold` — the
+    * classic shot-boundary heuristic over perceptual hashes. The first
+    * frame of each asset has no predecessor and is excluded. One
+    * id-partitioned window — fully distributed, no skew beyond frame
+    * counts.
+    */
+  def sceneCuts(frames: DataFrame, idCol: String, frameIdxCol: String,
+                hashCol: String, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col(frameIdxCol))
+    frames
+      .withColumn("__prev", lag(col(hashCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(idCol), col(frameIdxCol),
+        graft.functions.TextFns.hamming(col(hashCol), col("__prev"))
+          .cast("int").as("hamming"))
+      .withColumn("is_cut",
+        (col("hamming") > threshold).cast("int"))
   }
 
   /** STUB decoder for unrecognized payloads (and for features in

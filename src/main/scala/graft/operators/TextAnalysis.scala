@@ -309,4 +309,66 @@ object TextAnalysis {
           fxVal(col("__q"), 1e6) / col("n_tokens").cast(DoubleType))
           .as("entropy"))
   }
+
+  /** Character-trigram language-model cross-entropy scoring — the
+    * KenLM-style perplexity quality filter at corpus scale. A trigram
+    * model is counted over `train` (c₃ = trigram occurrences, c₂ =
+    * leading-bigram context occurrences, T = distinct trigram types);
+    * each `score` group (document, language, source — whatever `idCol`
+    * keys) is charged the add-one-smoothed negative log-likelihood per
+    * trigram occurrence,
+    *   nll(abc) = ln(c₂(ab) + T) − ln(c₃(abc) + 1),
+    * and reported as `n_trigrams` plus `avg_nll` (nats per trigram —
+    * low = fluent under the model, high = outlier/noise/other
+    * language). Unseen trigrams and contexts smooth to ln(T), so
+    * scoring held-out or cross-lingual text is total. Text is
+    * lowercased first; groups with no trigram (< 3 chars of text) drop
+    * out.
+    *
+    * Cross-engine exactness: per (group, trigram) the m·nll term is
+    * fixed-pointed at 1e−6 before the exact BIGINT sum (the repo's fx
+    * convention — both engines take ln of identical integers), and the
+    * final average divides two exact values once.
+    *
+    * Scale shape: occurrences combine map-side to distinct
+    * (group, trigram, m) rows before the model joins; the model tables
+    * are equi-joins bounded by the train alphabet³, and the type count
+    * T is a one-row broadcast. No all-pairs anywhere; the expensive
+    * joins shuffle on the trigram key only.
+    */
+  def charLmScore(train: DataFrame, score: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    def tris(c: Column): Column = {
+      val t = lower(c)
+      when(length(t) >= 3,
+        transform(sequence(lit(1), length(t) - 2), i =>
+          t.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val c3 = fanOut(train)
+      .select(explode(tris(col(textCol))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("__c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("__ctx"))
+      .agg(sum(col("__c3")).as("__c2"))
+    val types = c3.agg(count(lit(1)).as("__T"))
+    val occ = fanOut(score)
+      .select(col(idCol), explode(tris(col(textCol))).as("tri"))
+      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("__m"))
+    val nll =
+      log(col("__c2").cast(DoubleType) + col("__T").cast(DoubleType)) -
+        log(col("__c3").cast(DoubleType) + lit(1.0))
+    occ
+      .join(c3, Seq("tri"), "left")
+      .withColumn("__ctx", substring(col("tri"), 1, 2))
+      .join(c2, Seq("__ctx"), "left")
+      .na.fill(0L, Seq("__c3", "__c2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_trigrams"),
+        fxSum(col("__m").cast(DoubleType) * nll, 1e6).as("__q"))
+      .select(col(idCol), col("n_trigrams"),
+        (fxVal(col("__q"), 1e6) / col("n_trigrams").cast(DoubleType))
+          .as("avg_nll"))
+  }
 }

@@ -443,4 +443,173 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSet
     assert(frames == Set((1L, 0), (1L, 2), (1L, 4)))
   }
+
+  // ---- G.711 companded audio decode --------------------------------
+
+  test("G.711 expanders agree bit-exactly with the JDK codec, all 256 codes") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    Seq[(AudioFormat.Encoding, Int => Int)](
+      (AudioFormat.Encoding.ULAW, Multimodal.ulawExpand),
+      (AudioFormat.Encoding.ALAW, Multimodal.alawExpand)).foreach {
+      case (enc, ref) =>
+        // two independent implementations: the JDK's table-driven codec
+        // vs our ITU-T formula expanders
+        val fmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(codes), fmt, 256L)
+        val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false)
+        val dec = AudioSystem.getAudioInputStream(pcm, in).readAllBytes()
+        (0 until 256).foreach { i =>
+          val jdk = ((dec(2 * i) & 0xff) | (dec(2 * i + 1) << 8)).toShort.toInt
+          assert(jdk == ref(i), s"$enc code $i")
+        }
+    }
+  }
+
+  test("decodePcm: JDK-written mu-law/A-law AU decodes to expanded samples") {
+    import javax.sound.sampled._
+    val codes = Array.tabulate(200)(i => (i * 31 + 5) % 256)
+    Seq[(AudioFormat.Encoding, Int => Int)](
+      (AudioFormat.Encoding.ULAW, Multimodal.ulawExpand),
+      (AudioFormat.Encoding.ALAW, Multimodal.alawExpand)).foreach {
+      case (enc, ref) =>
+        val fmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(codes.map(_.toByte)),
+          fmt, codes.length.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(in, AudioFileFormat.Type.AU, out)
+        val r = Multimodal.decodePcm(out.toByteArray).get
+        val (peak, zc, sumsq) = expectedFeats(codes.map(ref))
+        assert(r.getInt(0) == 1 && r.getInt(1) == 8000 && r.getInt(2) == 8,
+          s"$enc header")
+        assert(r.getLong(3) == 200L)
+        assert(r.getInt(5) == peak && r.getLong(6) == zc &&
+          r.getLong(7) == sumsq, s"$enc features")
+    }
+  }
+
+  // ---- real AVI video frame decode ---------------------------------
+
+  /** Minimal AVI writer (independent of the engine's Column-expression
+    * synthesis): hdrl LIST with a 'vids' strh + BITMAPINFOHEADER strf,
+    * movi LIST with one '00db'/'00dc' chunk per frame payload,
+    * word-aligned chunks throughout.
+    */
+  private def aviBytes(w: Int, h: Int, frames: Seq[Array[Byte]],
+                       mjpeg: Boolean): Array[Byte] = {
+    val bo = java.nio.ByteOrder.LITTLE_ENDIAN
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val buf = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1)).order(bo)
+      buf.put(fourcc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      buf.array()
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val strh = java.nio.ByteBuffer.allocate(56).order(bo)
+      .put("vids".getBytes("US-ASCII")).array() // rest zero
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40).order(bo)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.putInt(if (mjpeg) 0x47504A4D else 0) // 'MJPG' fourcc | BI_RGB
+      b.array()
+    }
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.flatMap(chunk(if (mjpeg) "00dc" else "00db", _)).toArray)
+    val riff = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    java.nio.ByteBuffer.allocate(8 + riff.length).order(bo)
+      .put("RIFF".getBytes("US-ASCII")).putInt(riff.length).put(riff)
+      .array()
+  }
+
+  /** Bottom-up 24-bit BI_RGB DIB (4-byte row stride) with gray g(x,y). */
+  private def dibBytes(w: Int, h: Int, g: (Int, Int) => Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (g(x, y) & 0xff).toByte
+      val off = (h - 1 - y) * stride + x * 3
+      out(off) = v; out(off + 1) = v; out(off + 2) = v
+    }
+    out
+  }
+
+  test("parseAvi walks RIFF into dims + frame payloads; total on garbage") {
+    val frames = Seq(dibBytes(6, 5, (x, y) => x + y),
+      dibBytes(6, 5, (x, y) => x * y))
+    val avi = aviBytes(6, 5, frames, mjpeg = false)
+    val got = Multimodal.parseAvi(avi).get
+    assert(got.width == 6 && got.height == 5 && got.bitCount == 24 &&
+      got.compression == 0)
+    assert(got.frames.size == 2 &&
+      got.frames(0).sameElements(frames(0)) &&
+      got.frames(1).sameElements(frames(1)))
+    // totality: prose, truncation mid-chunk, and non-AVI RIFF
+    assert(Multimodal.parseAvi("RIFF but prose after".getBytes).isEmpty)
+    assert(Multimodal.parseAvi(avi.take(avi.length - 7)).isEmpty)
+    assert(Multimodal.parseAvi(avi.take(30)).isEmpty)
+    assert(Multimodal.parseAvi("hello world".getBytes).isEmpty)
+  }
+
+  test("videoFrameHashes: DIB frames decode to exact per-frame hashes") {
+    // w=6 forces a padded 20-byte stride — the row-walk must skip it
+    def pat(f: Int)(x: Int, y: Int): Int = (x * 40 + y * 30 + f * 50) % 256
+    val avi = aviBytes(6, 5,
+      (0 until 3).map(f => dibBytes(6, 5, pat(f))), mjpeg = false)
+    val df = Seq((1L, avi), (2L, "not a video".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val rows = Multimodal.videoFrameHashes(df, "payload")
+      .select($"id", $"frame_idx", $"width", $"height", $"ahash", $"dhash")
+      .as[(Long, Int, Int, Int, Long, Long)].collect().sortBy(_._2)
+    assert(rows.forall(_._1 == 1L) && rows.length == 3) // others drop out
+    rows.foreach { case (_, f, w, h, ahash, dhash) =>
+      assert(w == 6 && h == 5)
+      val gray = Array.tabulate(6 * 5)(i => pat(f)(i % 6, i / 6))
+      assert(ahash == Multimodal.aHash64(gray, 6, 5), s"frame $f ahash")
+      assert(dhash == Multimodal.dHash64(gray, 6, 5), s"frame $f dhash")
+    }
+  }
+
+  test("videoFrameHashes: MJPEG frames route through the ImageIO decoder") {
+    def jpeg(f: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach { x =>
+        val v = (x * 16 + f * 60) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = (0 until 2).map(jpeg)
+    val avi = aviBytes(16, 16, frames, mjpeg = true)
+    val got = Multimodal.videoFrameHashes(
+        Seq((1L, avi)).toDF("id", "payload"), "payload")
+      .select($"frame_idx", $"width", $"height", $"ahash")
+      .as[(Int, Int, Int, Long)].collect().sortBy(_._1)
+    assert(got.length == 2)
+    got.foreach { case (f, w, h, ahash) =>
+      // the same JPEG bytes decoded directly must yield the same hash
+      val (dw, dh, gray) = Multimodal.decodeGray(frames(f)).get
+      assert(w == dw && h == dh && w == 16)
+      assert(ahash == Multimodal.aHash64(gray, dw, dh), s"frame $f")
+    }
+  }
+
+  test("sceneCuts: per-asset consecutive Hamming, first frame excluded") {
+    val frames = Seq(
+      (1L, 0, 0L), (1L, 1, 1L), (1L, 2, 0xFF00L), // d=1 then d=9
+      (2L, 0, 5L)) // single frame: no pair rows
+      .toDF("id", "frame_idx", "ahash")
+    val got = Multimodal.sceneCuts(frames, "id", "frame_idx", "ahash", 3)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    // 0^1 = 1 bit; 1^0xFF00 = 9 bits
+    assert(got == Set((1L, 1, 1, 0), (1L, 2, 9, 1)))
+  }
 }

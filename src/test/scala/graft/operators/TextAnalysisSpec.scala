@@ -108,4 +108,42 @@ class TextAnalysisSpec extends SparkSpec {
       "source", "text").as[(String, Long, Double)].head()
     assert(one == many) // bit-identical, not approximately equal
   }
+
+  test("charLmScore: hand-computed trigram model and smoothed nll") {
+    // train/score = {ABCabc, abcd}: trigram counts abc:3, bca:1,
+    // cab:1, bcd:1 (T = 4); contexts ab:3, bc:2, ca:1
+    val d = Seq((1L, "ABCabc"), (2L, "abcd")).toDF("id", "text")
+    val got = TextAnalysis.charLmScore(d, d, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 2)
+    // doc 2: abc → ln(3+4)−ln(3+1); bcd → ln(2+4)−ln(1+1)
+    val exp2 = (math.log(7.0 / 4) + math.log(6.0 / 2)) / 2
+    assert(math.abs(got(2L)._2 - exp2) < 1e-5)
+    val exp1 = (2 * math.log(7.0 / 4) + // abc ×2
+      math.log(6.0 / 2) + // bca: ctx bc
+      math.log(5.0 / 2)) / 4 // cab: ctx ca
+    assert(math.abs(got(1L)._2 - exp1) < 1e-5)
+  }
+
+  test("charLmScore: unseen trigrams smooth to ln(T); short docs drop") {
+    val train = Seq((0L, "aaab")).toDF("id", "text") // aaa, aab; T = 2
+    val score = Seq((1L, "zzzz"), (2L, "xy")).toDF("id", "text")
+    val got = TextAnalysis.charLmScore(train, score, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // zzz ×2 fully unseen: nll = ln(0 + 2) − ln(0 + 1) = ln 2
+    assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - math.log(2)) < 1e-5)
+    assert(!got.contains(2L)) // < 3 chars: no trigrams, drops out
+  }
+
+  test("charLmScore is partition-invariant (fx sums)") {
+    val d = (0 until 2000)
+      .map(i => (i.toLong % 7, s"doc text ${i % 13} with shared runs"))
+      .toDF("id", "text")
+    def run(p: Int) = TextAnalysis.charLmScore(
+        d.repartition(p), d.repartition(p), "id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) == run(16)) // bit-identical
+  }
 }
