@@ -17,6 +17,7 @@ object SparkEntry {
       graft.extensions.CorpusQueries.all ++
       graft.extensions.SketchQueries.all ++
       graft.extensions.ProjectionQueries.all ++
+      graft.extensions.ModelQueries.all ++
       graft.extensions.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.functions.{Cols, TextFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Product quantization (PQ) for embedding columns — the memory-side
+  * complement of [[Similarity.ivfKnn]]'s inverted file and
+  * [[Quantize]]'s int8 path, and the third leg of the large-corpus ANN
+  * stack (FAISS-style IVF/PQ, Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011). The 64-dim float32 vector
+  * (256 B) is split into `m` subvectors; each subvector is quantized to
+  * the id of its nearest centroid in a per-subspace codebook of `ksub`
+  * entries, so the whole vector compresses to `m` small ints (4 B at
+  * the default m=4 — a 64× reduction). Queries never decompress the
+  * corpus: asymmetric distance computation (ADC) scores a candidate by
+  * summing, per subspace, the precomputed distance from the query's
+  * subvector to the candidate's codeword.
+  *
+  * Everything is deterministic and oracle-matchable, mirroring
+  * [[Similarity.kmeansFixed]]'s conventions:
+  *  - codebook seeds are the `ksub` corpus vectors with the smallest
+  *    (md5-prefix hash of id, id), sliced per subspace — no RNG;
+  *  - `rounds` Lloyd passes per subspace with argmin squared-L2
+  *    assignment (ties to the lowest cell id) and FIXED-POINT centroid
+  *    means ([[Cols.fxSum]], scale 1e9 — order-independent, exact);
+  *  - ADC distances are quantized to 1e-9 ([[Cols.fxTerm]]) so the
+  *    per-candidate sum over subspaces is exact integer arithmetic —
+  *    rank order cannot depend on float addition order.
+  *
+  * Scale shape: training is `rounds` × (ONE broadcast join of the
+  * m·ksub-row codebook + a per-(vector, subspace) argmin window with
+  * ksub rows per partition + a (sub, cell, dim) hash-agg). Encoding is
+  * the same broadcast argmin — a narrow pass. ADC joins the corpus
+  * code table (m small ints per vector — the entire point at 100 TB)
+  * against a broadcast distance table of nq·m·ksub rows, then top-k via
+  * the shared bounded-heap aggregate. No O(n²) anywhere; the corpus is
+  * touched twice (train+encode) and queries never meet raw corpus
+  * vectors.
+  */
+object Pq {
+
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Sequential-fold squared-L2 distance between a float subvector and
+    * a double codeword — bit-matches the oracle's
+    * `list_sum(list_transform(range(..), i -> (CAST(a[i] AS DOUBLE) -
+    * b[i]) * (CAST(a[i] AS DOUBLE) - b[i])))`.
+    */
+  private[operators] def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Explode each vector into (vid, sub, sv) subvector rows. */
+  private def subvecs(df: DataFrame, idCol: String, vecCol: String,
+                      m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol).as("vid"),
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecCol), s * dsub + 1, dsub).as("sv"))): _*))
+          .as("e"))
+      .select(col("vid"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Train the per-subspace codebooks AND encode the corpus in one
+    * flow. Returns (codebooks(sub, cell, cv: array<double>),
+    * codes(vid, sub, code)) — `codes` is the compressed corpus, the
+    * artifact a production pipeline persists.
+    */
+  def pqModel(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+              dims: Int = 64): (DataFrame, DataFrame) = {
+    require(m >= 1 && dims % m == 0,
+      s"m must divide dims: m=$m dims=$dims")
+    require(ksub >= 1 && ksub <= 4096,
+      s"ksub must be in [1, 4096], got $ksub")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16], got $rounds")
+    val dsub = dims / m
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ksub whole seed vectors by (hash, id) — TakeOrdered, bounded —
+    // sliced into one seed codeword per subspace
+    val seedRows = emb
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"))
+      .withColumn("h", TextFns.hash32(col("sid").cast("string")))
+      .orderBy(col("h"), col("sid")).limit(ksub)
+      .select(col("sv")).collect()
+    var cents: DataFrame = seedRows.zipWithIndex.flatMap { case (r, c) =>
+      val v = r.getSeq[Float](0)
+      (0 until m).map { s =>
+        (s, c, v.slice(s * dsub, (s + 1) * dsub).map(_.toDouble).toSeq)
+      }
+    }.toSeq.toDF("sub", "cell", "cv")
+    val vs = subvecs(fanOut(emb), idCol, vecCol, m, dsub)
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vid"), col("sub"))
+        .orderBy(col("d2").asc, col("cell"))
+      vs.join(broadcast(c), Seq("sub"))
+        .withColumn("d2", sqDist(col("sv"), col("cv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vid"), col("sub"), col("cell"), col("sv"))
+    }
+    var assigned = assign(cents)
+    (2 to rounds).foreach { _ =>
+      val means = assigned
+        .select(col("sub"), col("cell"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("cell"), col("i"))
+        .agg(Cols.fxSum(col("x").cast(DoubleType), 1e9).as("q"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("cell"), col("i"),
+          (Cols.fxVal(col("q"), 1e9) / col("n").cast(DoubleType)).as("mc"))
+      cents = means.groupBy(col("sub"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("i"), col("mc")))),
+          s => s.getField("mc")).as("cv"))
+      assigned = assign(cents)
+    }
+    (cents,
+      assigned.select(col("vid"), col("sub"), col("cell").as("code")))
+  }
+
+  /** The compressed corpus as scalar rows: (id, sub, code) — the
+    * hash-checkable shape of the stored artifact.
+    */
+  def pqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+              dims: Int = 64): DataFrame = {
+    val (_, codes) = pqModel(emb, idCol, vecCol, m, ksub, rounds, dims)
+    codes.select(col("vid").as(idCol), col("sub"), col("code"))
+  }
+
+  /** ADC top-k over the PQ-compressed corpus: for each query,
+    * (neighbor_id, rank, adist) with adist the sum over subspaces of
+    * the squared-L2 from the query subvector to the neighbor's
+    * codeword (ascending = nearest). Ranks tie-break by neighbor id;
+    * queries drawn from the corpus never match themselves.
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame,
+            idCol: String, vecCol: String, k: Int,
+            m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+            dims: Int = 64): DataFrame = {
+    pqAdc(corpus, queries, idCol, vecCol, k, m, ksub, rounds, dims)
+  }
+
+  private def pqAdc(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    m: Int, ksub: Int, rounds: Int,
+                    dims: Int): DataFrame = {
+    val (cents, codes) = pqModel(corpus, idCol, vecCol, m, ksub, rounds,
+      dims)
+    val dsub = dims / m
+    // distance table: nq × m × ksub rows — tiny, broadcast
+    val dtable = subvecs(queries, idCol, vecCol, m, dsub)
+      .withColumnRenamed("vid", "query_id")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        Cols.fxTerm(sqDist(col("sv"), col("cv")), 1e9).as("dfx"))
+    val scored = codes
+      .join(broadcast(dtable), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(sum(col("dfx")).as("afx")) // exact integer ADC sum
+      .filter(col("query_id") =!= col("vid"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        (-col("afx")).cast(DoubleType).as("cosine")) // heap ranks desc
+    Similarity.topK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        ((-col("cosine")) / 1e9).as("adist"))
+  }
+
+  /** Production serving shape: ADC shortlists `shortlist` candidates
+    * per query from the compressed corpus, then EXACT cosine re-ranks
+    * only the shortlist against raw vectors — the FAISS
+    * search-then-refine pattern. The expensive float math touches
+    * `shortlist` rows per query instead of the corpus; the compressed
+    * scan does the winnowing. Output matches [[Similarity.bruteKnn]]:
+    * (query_id, neighbor_id, rank, cosine).
+    */
+  def pqKnnRerank(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  shortlist: Int = 64,
+                  m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+                  dims: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cand = pqAdc(corpus, queries, idCol, vecCol, shortlist,
+        m, ksub, rounds, dims)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"))
+    val scored = cand
+      .join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine",
+        graft.functions.VectorFns.cosine(col("__qv"), col("__cv")))
+    Similarity.topK(scored, k)
+  }
+}
