@@ -2,8 +2,9 @@ package graft.extensions
 
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.operators.Pq
-import graft.tables.Tables.embeddings
+import graft.functions.TextFns
+import graft.operators.{Paging, Pq, Relevance, TextAnalysis}
+import graft.tables.Tables.{documents, embeddings}
 
 /** Driver-checked queries for the learned-model operators: product
   * quantization ([[graft.operators.Pq]]). The oracles GENERATE
@@ -15,7 +16,7 @@ import graft.tables.Tables.embeddings
   */
 private[graft] object ModelQueries {
 
-  import OracleSql.h32
+  import OracleSql.{TOKS, h32}
 
   private val M = 4 // subspaces
   private val Ksub = 16 // codewords per subspace
@@ -158,5 +159,111 @@ private[graft] object ModelQueries {
           "embedding", k = 5, shortlist = Shortlist,
           m = M, ksub = Ksub, rounds = Rounds)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Multinomial Naive Bayes source classifier on a 20% md5-holdout:
+    // train on the other 80%, predict each held-out doc's source. The
+    // fastText/CCNet-style curation classifier in closed form — Bayes
+    // training is pure aggregation, so the whole model AND every
+    // prediction is bit-reproducible in SQL (fixed-point ln terms,
+    // exact-integer argmax).
+    Q("ext_nb_classify", {
+      val h = h32("CAST(doc_id AS VARCHAR)")
+      s"""WITH tr AS (SELECT source AS lab, unnest($TOKS) AS tok
+         |  FROM documents WHERE $h % 100 >= 20),
+         |clt AS (SELECT lab, tok, count(*) AS c FROM tr GROUP BY 1, 2),
+         |v AS (SELECT count(DISTINCT tok) AS vv FROM clt),
+         |lt AS (SELECT lab, CAST(sum(c) AS BIGINT) AS tl FROM clt
+         |  GROUP BY 1),
+         |dl AS (SELECT source AS lab, count(*) AS dlc FROM documents
+         |  WHERE $h % 100 >= 20 GROUP BY 1),
+         |dt AS (SELECT count(*) AS dtc FROM documents
+         |  WHERE $h % 100 >= 20),
+         |model AS (SELECT l.lab,
+         |   CAST(floor((ln(CAST(d.dlc AS DOUBLE)) -
+         |     ln(CAST(t.dtc AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)
+         |     AS pfx,
+         |   CAST(floor(ln(CAST(l.tl + v.vv AS DOUBLE)) * 1000000.0 + 0.5)
+         |     AS BIGINT) AS lfx
+         |  FROM lt l JOIN dl d ON d.lab = l.lab, dt t, v),
+         |lnc AS (SELECT lab, tok,
+         |   CAST(floor(ln(CAST(c + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+         |     AS BIGINT) AS wfx FROM clt),
+         |occ AS (SELECT doc_id, tok, count(*) AS m FROM (
+         |  SELECT doc_id, unnest($TOKS) AS tok FROM documents
+         |  WHERE $h % 100 < 20) GROUP BY 1, 2),
+         |nd AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n FROM occ
+         |  GROUP BY 1),
+         |hits AS (SELECT o.doc_id, l.lab,
+         |   CAST(sum(o.m * l.wfx) AS BIGINT) AS hfx
+         |  FROM occ o JOIN lnc l USING (tok) GROUP BY 1, 2),
+         |sc AS (SELECT n.doc_id, m.lab,
+         |   m.pfx + COALESCE(h.hfx, 0) - n.n * m.lfx AS sfx
+         |  FROM nd n CROSS JOIN model m
+         |  LEFT JOIN hits h ON h.doc_id = n.doc_id AND h.lab = m.lab)
+         |SELECT s.doc_id, d.source, s.lab AS pred_source,
+         | CAST(s.sfx AS DOUBLE) / 1000000.0 AS score
+         |FROM (SELECT doc_id, lab, sfx, row_number() OVER (
+         |   PARTITION BY doc_id ORDER BY sfx DESC, lab) AS rn FROM sc) s
+         |JOIN documents d USING (doc_id)
+         |WHERE s.rn = 1 ORDER BY s.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val h = TextFns.hash32(col("doc_id").cast("string")) % 100
+      TextAnalysis.nbClassify(docs.filter(h >= 20), docs.filter(h < 20),
+          "source", "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("pred_source"),
+          col("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Okapi BM25 top-20 over the documents corpus — the production
+    // ranking function behind ext_tfidf/w3's linear scorer. Constants
+    // are interpolated from the SAME doubles the engine uses, and
+    // every float op runs in the same order, so the scores (hence the
+    // ranking) hash-match bit-for-bit.
+    Q("ext_bm25", {
+      val (k1, b) = (1.2, 0.75)
+      val terms = Seq("data", "table", "scan")
+      def term(t: String, df: String) =
+        s"""CASE WHEN $df > 0 THEN
+           |  (ln(1.0 + (CAST(n - $df AS DOUBLE) + 0.5) /
+           |    (CAST($df AS DOUBLE) + 0.5))
+           |   * (CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE)
+           |      * ${k1 + 1.0}))
+           |  / (CAST(len(list_filter(tk, x -> x = '$t')) AS DOUBLE)
+           |     + $k1 * (${1.0 - b} +
+           |        ($b * CAST(len(tk) AS DOUBLE)) / avgdl))
+           |  ELSE 0.0 END""".stripMargin
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN list_contains($TOKS, '$t') THEN 1 ELSE 0 END)" +
+          s" AS df$i"
+      }.mkString(",\n  ")
+      val scoreSum = terms.zipWithIndex
+        .map { case (t, i) => s"(${term(t, s"df$i")})" }
+        .mkString("(", " + ", ")")
+      s"""WITH s AS (SELECT count(*) AS n,
+         |  CAST(sum(len($TOKS)) AS BIGINT) AS sdl,
+         |  $dfs
+         | FROM documents),
+         |s2 AS (SELECT *,
+         |  CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM s),
+         |sc AS (SELECT doc_id, $scoreSum AS score
+         | FROM (SELECT doc_id, $TOKS AS tk FROM documents), s2)
+         |SELECT doc_id, score, CAST(rn AS INT) AS rn FROM (
+         | SELECT doc_id, score,
+         |  row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         | FROM sc WHERE score > 0)
+         |WHERE rn <= 20 ORDER BY rn""".stripMargin
+    }) { (s, d) =>
+      val scored = Relevance.bm25(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "text", "data table scan")
+        .withColumn("__negscore", -col("score"))
+      Paging.paginate(scored, Seq("__negscore", "doc_id"),
+          from = 0, size = 20)
+        .select(col("doc_id"), col("score"), col("rn"))
+        .orderBy(col("rn"))
     })
 }

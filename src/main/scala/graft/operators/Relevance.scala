@@ -70,4 +70,63 @@ object Relevance {
       .drop("__n" +: qs.indices.map(i => s"__df_$i"): _*)
       .filter(col("score") > 0)
   }
+
+  /** Okapi BM25 relevance — the standard ranking function [[scored]]'s
+    * linear-idf approximates (Robertson & Zaragoza, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond", 2009). Saturating tf and
+    * length normalization make it the scorer an external search system
+    * actually runs:
+    *
+    *   score = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *             · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))
+    *
+    * Determinism contract: every float step happens in the SAME
+    * operation order on both engines — per-term expressions add in
+    * query-token order, constants are interpolated from the same
+    * doubles — so scores (and the ranking) are bit-identical, not just
+    * close. Same scale shape as [[scored]]: ONE scalar aggregate
+    * (N, Σdl, per-token df) broadcast onto the rows, then a narrow
+    * projection; ordering goes through Paging's TakeOrdered.
+    *
+    * Zero-score rows (no query token present) are dropped.
+    */
+  def bm25(df: DataFrame, textCol: String, query: String,
+           k1: Double = 1.2, b: Double = 0.75,
+           corpus: Option[DataFrame] = None): DataFrame = {
+    val qs = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    require(qs.nonEmpty, "bm25 needs a non-empty query")
+    val reserved = df.columns.toSet.intersect(
+      Set("score", "__n", "__sdl") ++ qs.indices.map(i => s"__df_$i"))
+    require(reserved.isEmpty,
+      s"input columns collide with bm25's working columns: $reserved")
+    val toks = Cols.tokens(col(textCol))
+    val aggs = Seq(count(lit(1)).as("__n"),
+      sum(size(toks).cast("long")).as("__sdl")) ++
+      qs.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L))
+          .as(s"__df_$i")
+      }
+    val stats = corpus.getOrElse(df).agg(aggs.head, aggs.tail: _*)
+    val avgdl =
+      col("__sdl").cast(DoubleType) / col("__n").cast(DoubleType)
+    val dl = size(toks).cast(DoubleType)
+    val termScores: Seq[Column] = qs.zipWithIndex.map { case (t, i) =>
+      val dfT = col(s"__df_$i")
+      val tf = size(filter(toks, x => x === t)).cast(DoubleType)
+      val idf = log(lit(1.0) +
+        ((col("__n") - dfT).cast(DoubleType) + lit(0.5)) /
+          (dfT.cast(DoubleType) + lit(0.5)))
+      val denom = tf +
+        lit(k1) * (lit(1.0 - b) + (lit(b) * dl) / col("__avgdl"))
+      when(dfT > 0, (idf * (tf * lit(k1 + 1.0))) / denom)
+        .otherwise(lit(0.0))
+    }
+    df.crossJoin(broadcast(stats))
+      .withColumn("__avgdl", avgdl)
+      .withColumn("score", termScores.reduce(_ + _))
+      .drop("__n" +: "__sdl" +: "__avgdl" +:
+        qs.indices.map(i => s"__df_$i"): _*)
+      .filter(col("score") > 0)
+  }
 }

@@ -371,4 +371,70 @@ object TextAnalysis {
         (fxVal(col("__q"), 1e6) / col("n_trigrams").cast(DoubleType))
           .as("avg_nll"))
   }
+
+  /** Multinomial Naive Bayes text classifier, trained and applied in
+    * one flow — the closed-form stand-in for the linear quality/domain
+    * classifiers web-scale curation pipelines run (CCNet/fastText
+    * style): label documents by source/domain, learn per-label token
+    * likelihoods, score unlabeled text. Bayes training IS aggregation
+    * (token counts per label + add-one smoothing), so unlike SGD
+    * models it is exactly reproducible and oracle-checkable.
+    *
+    * Scoring convention (all fixed-point at 1e-6, summed as exact
+    * integers — argmax cannot depend on float addition order):
+    *
+    *   S(d, l) = ln P(l) + Σ_tok m·ln(c_lt + 1) − N_d·ln(tokens_l + V)
+    *
+    * with m the token's count in d, N_d the doc's token total, V the
+    * training vocabulary size. Tokens unseen for a label contribute
+    * ln(0 + 1) = 0, so only matched (token, label) pairs join. Emits
+    * (id, pred_<label>, score) — the argmax label (ties to the
+    * lexicographically first) and its score in nats.
+    *
+    * Scale shape: the model is (labels × vocab) token counts — a
+    * hash-agg — plus a labels-row broadcast frame; scoring is one
+    * token-keyed equi-join (occurrences × label vocab) and a per-doc
+    * window over exactly |labels| rows. Nothing driver-side, no
+    * cross joins beyond the |labels|-row broadcast.
+    */
+  def nbClassify(train: DataFrame, score: DataFrame, labelCol: String,
+                 idCol: String, textCol: String): DataFrame = {
+    import graft.functions.Cols.fxTerm
+    import org.apache.spark.sql.expressions.Window
+    val toks = explode(TextFns.toks(col(textCol)))
+    val clt = fanOut(train)
+      .select(col(labelCol).as("__lab"), toks.as("__tok"))
+      .groupBy(col("__lab"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val vocab = clt.agg(countDistinct(col("__tok")).as("__V"))
+    val labTok = clt.groupBy(col("__lab")).agg(sum(col("__c")).as("__tl"))
+    val docsL = train.groupBy(col(labelCol).as("__lab"))
+      .agg(count(lit(1)).as("__dl"))
+    val docsT = train.agg(count(lit(1)).as("__dt"))
+    val model = labTok.join(docsL, Seq("__lab"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(docsT))
+      .select(col("__lab"),
+        fxTerm(log(col("__dl").cast(DoubleType)) -
+          log(col("__dt").cast(DoubleType)), 1e6).as("__pfx"),
+        fxTerm(log((col("__tl") + col("__V")).cast(DoubleType)), 1e6)
+          .as("__lfx"))
+    val lnc = clt.select(col("__lab"), col("__tok"),
+      fxTerm(log((col("__c") + lit(1)).cast(DoubleType)), 1e6).as("__wfx"))
+    val occ = fanOut(score)
+      .select(col(idCol), toks.as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__m"))
+    val nd = occ.groupBy(col(idCol)).agg(sum(col("__m")).as("__n"))
+    val hits = occ.join(lnc, Seq("__tok"))
+      .groupBy(col(idCol), col("__lab"))
+      .agg(sum(col("__m") * col("__wfx")).as("__hfx"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sfx").desc, col("__lab"))
+    nd.crossJoin(broadcast(model))
+      .join(hits, Seq(idCol, "__lab"), "left")
+      .na.fill(0L, Seq("__hfx"))
+      .withColumn("__sfx",
+        col("__pfx") + col("__hfx") - col("__n") * col("__lfx"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col(idCol), col("__lab").as(s"pred_$labelCol"),
+        (col("__sfx").cast(DoubleType) / 1e6).as("score"))
+  }
 }

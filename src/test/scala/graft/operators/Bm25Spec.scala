@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() = Seq(
+    (1L, "spark spark spark spark spark spark spark spark"), // high tf, long
+    (2L, "spark engine"), // low tf, short
+    (3L, "spark spark engine"),
+    (4L, "flink only here"),
+    (5L, "nothing relevant at all whatsoever in this one longer doc")
+  ).toDF("id", "text")
+
+  test("bm25 drops zero-score docs and scores all matches") {
+    val r = Relevance.bm25(docs(), "text", "spark").collect()
+    assert(r.map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("bm25 tf saturation: 8x term repeats do not give 8x score") {
+    val r = Relevance.bm25(docs(), "text", "spark")
+      .select("id", "score")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // doc 1 has 8 occurrences vs doc 3's 2, but BM25 saturates tf
+    assert(r(1L) < 4 * r(3L))
+    assert(r(1L) > 0 && r(3L) > 0)
+  }
+
+  test("bm25 length normalization: same tf, shorter doc wins") {
+    val d = Seq(
+      (10L, "spark is fast"),
+      (11L, "spark is fast and also many many many more words here")
+    ).toDF("id", "text")
+    val r = Relevance.bm25(d, "text", "spark")
+      .select("id", "score")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(10L) > r(11L))
+  }
+
+  test("bm25 multi-term scores add; missing term contributes zero") {
+    val one = Relevance.bm25(docs(), "text", "engine")
+      .select("id", "score")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val both = Relevance.bm25(docs(), "text", "engine nosuchterm")
+      .select("id", "score")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(one.keySet === both.keySet)
+    one.foreach { case (id, s) => assert(both(id) === s) }
+  }
+
+  test("bm25 rejects reserved column collisions") {
+    val bad = docs().withColumn("score", lit(1))
+    intercept[IllegalArgumentException] {
+      Relevance.bm25(bad, "text", "spark")
+    }
+  }
+
+  test("bm25 idf orders rare terms above common ones at equal tf") {
+    val d = Seq(
+      (20L, "common rare"),
+      (21L, "common word"),
+      (22L, "common term"),
+      (23L, "common thing")
+    ).toDF("id", "text")
+    val r = Relevance.bm25(d, "text", "common rare")
+      .select("id", "score")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // doc 20 matches both; the rare term must contribute more than
+    // common does for the others
+    assert(r(20L) > 2 * r(21L))
+  }
+}
