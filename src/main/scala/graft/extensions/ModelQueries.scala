@@ -24,6 +24,16 @@ private[graft] object ModelQueries {
   private val Dsub = 16 // dims per subspace (64 / M)
   private val Shortlist = 50 // ADC shortlist the exact re-rank refines
 
+  /** Sequential-fold 64-dim cosine (mirrors VectorFns.cosine — same
+    * shape as ExtensionQueries' cosSql).
+    */
+  private def cos64Sql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
   /** Sequential-fold squared L2 between a sliced float subvector and a
     * double codeword list (mirrors Pq.sqDist).
     */
@@ -123,12 +133,7 @@ private[graft] object ModelQueries {
     // stages — integer ADC cut, then the same sequential-fold cosine
     // every ext_knn gate uses.
     Q("ext_knn_pq_rerank", {
-      def dot(x: String, y: String) =
-        s"list_sum(list_transform(range(1, 65), i -> " +
-          s"CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-      val cos = s"(${dot("ce.embedding", "qe.embedding")} / " +
-        s"(sqrt(${dot("ce.embedding", "ce.embedding")}) * " +
-        s"sqrt(${dot("qe.embedding", "qe.embedding")})))"
+      val cos = cos64Sql("ce.embedding", "qe.embedding")
       s"""WITH $pqModelSql,
          |dt AS (SELECT q.vec_id AS query_id, q.sub, c.cell,
          |   CAST(floor((${d2Sql("q.sv", "c.cv")}) * 1000000000.0 + 0.5)
@@ -157,6 +162,59 @@ private[graft] object ModelQueries {
       val e = embeddings(s, d).select("vec_id", "embedding")
       Pq.pqKnnRerank(e, e.filter(col("vec_id") < 10), "vec_id",
           "embedding", k = 5, shortlist = Shortlist,
+          m = M, ksub = Ksub, rounds = Rounds)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF + PQ composed (FAISS IVFADC): coarse Voronoi cells bound
+    // each query's candidates to nProbe cells; integer-exact ADC over
+    // the PQ codes ranks only those. The serving shape of a 100 TB
+    // vector corpus — candidates ∝ corpus·nProbe/cells, no raw vector
+    // touched after indexing.
+    Q("ext_knn_ivfpq", {
+      val (cells, nProbe) = (16, 4)
+      val seedCos = cos64Sql("c.embedding", "s.s0")
+      val probeCos = cos64Sql("q.embedding", "s.s0")
+      s"""WITH $pqModelSql,
+         |seeds AS (SELECT vec_id AS cell0, embedding AS s0
+         |  FROM embeddings WHERE vec_id < $cells),
+         |cc AS (SELECT neighbor_id, cell0 FROM (
+         |  SELECT c.vec_id AS neighbor_id, s.cell0,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell0) AS rn
+         |  FROM embeddings c, seeds s) WHERE rn = 1),
+         |qp AS (SELECT query_id, cell0 FROM (
+         |  SELECT q.vec_id AS query_id, s.cell0,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY $probeCos DESC, s.cell0) AS rn
+         |  FROM embeddings q, seeds s WHERE q.vec_id < 10)
+         | WHERE rn <= $nProbe),
+         |cand AS (SELECT qp.query_id, cc.neighbor_id
+         |  FROM cc JOIN qp USING (cell0)
+         |  WHERE qp.query_id != cc.neighbor_id),
+         |dt AS (SELECT q.vec_id AS query_id, q.sub, c.cell,
+         |   CAST(floor((${d2Sql("q.sv", "c.cv")}) * 1000000000.0 + 0.5)
+         |     AS BIGINT) AS dfx
+         |  FROM sv q JOIN cent$Rounds c ON c.sub = q.sub
+         |  WHERE q.vec_id < 10),
+         |adc AS (SELECT n.query_id, n.neighbor_id,
+         |   CAST(sum(d.dfx) AS BIGINT) AS afx
+         |  FROM cand n
+         |  JOIN a$Rounds a ON a.vid = n.neighbor_id
+         |  JOIN dt d ON d.query_id = n.query_id AND d.sub = a.sub
+         |   AND d.cell = a.cell
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank,
+         | CAST(afx AS DOUBLE) / 1000000000.0 AS adist FROM (
+         | SELECT query_id, neighbor_id, afx,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY afx ASC, neighbor_id) AS INT) AS rank
+         | FROM adc) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      Pq.ivfPqKnn(e, e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", k = 5, cells = 16, nProbe = 4,
           m = M, ksub = Ksub, rounds = Rounds)
         .orderBy(col("query_id"), col("rank"))
     },

@@ -46,6 +46,34 @@ private[graft] object MultimodalQueries {
     concat(byteHex(c), byteHex(shiftright(c, 8)),
       byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24)))
 
+  /** Synthetic MPEG-1 Layer III frame stream (ext_mm_mp3): 3–7 frames,
+    * CBR 128 kbps (even ids) or VBR cycling 128/160/192 (odd ids),
+    * sample rate from {44100, 48000, 32000} by id, padding bit
+    * alternating per frame. Headers are real — the engine's walk must
+    * parse them and hop the exact frame lengths.
+    */
+  private def syntheticMp3(id: Column): Column = {
+    val nf = lit(3) + pmod(id, lit(5))
+    val sri = pmod(id, lit(3))
+    val rate = when(sri === 0, lit(44100))
+      .when(sri === 1, lit(48000)).otherwise(lit(32000))
+    val isvbr = pmod(id, lit(2)) === 1
+    def frameHex(f: Column): Column = {
+      val bri = when(isvbr, lit(9) + pmod(id + f, lit(3)))
+        .otherwise(lit(9))
+      val kbps = when(bri === 9, lit(128)).when(bri === 10, lit(160))
+        .otherwise(lit(192))
+      val pad = pmod(f, lit(2))
+      val b2 = bri * 16 + sri * 4 + pad * 2
+      val flen = floor((lit(144000) * kbps).cast("double") /
+        rate.cast("double")).cast("int") + pad
+      concat(lit("FFFB"), byteHex(b2), lit("00"),
+        lit("0" * 4000).substr(lit(1), (flen - 4) * 2))
+    }
+    unhex(array_join(
+      transform(sequence(lit(0), nf - 1), f => frameHex(f)), ""))
+  }
+
   /** W×H 24-bit bottom-up BMP with pixel (x,y) = gray g(x,y,id). */
   private def syntheticBmp(id: Column): Column = {
     val w = wCol(id)
@@ -558,5 +586,43 @@ private[graft] object MultimodalQueries {
       Multimodal.sceneCuts(frames, "doc_id", "frame_idx", "ahash",
           threshold = 10)
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // MPEG-1 Layer III header walk: each doc synthesizes a valid MP3
+    // frame stream (3–7 frames; CBR at 128 kbps or VBR cycling
+    // 128/160/192; sample rate from {44100, 48000, 32000}; alternating
+    // padding bits) whose real bytes the engine hops frame-by-frame —
+    // any error in the sync check, the bitrate/rate tables, the
+    // ⌊144000·kbps/rate⌋+pad frame length, or the 1152-samples-per-
+    // frame duration breaks the hash compare against the oracle's
+    // arithmetic re-derivation.
+    Q("ext_mm_mp3",
+      s"""WITH p AS (SELECT doc_id, 3 + doc_id % 5 AS nf,
+         |   doc_id % 3 AS sri, doc_id % 2 AS isvbr FROM documents),
+         |r AS (SELECT *, CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+         |   ELSE 32000 END AS rate FROM p),
+         |b AS (SELECT doc_id, nf, rate,
+         |   list_transform(range(nf), f -> CASE WHEN isvbr = 1 THEN
+         |     CASE ((doc_id + f) % 3) WHEN 0 THEN 128 WHEN 1 THEN 160
+         |       ELSE 192 END ELSE 128 END) AS brs FROM r)
+         |SELECT doc_id, CAST(nf AS INT) AS n_frames,
+         | CAST(rate AS INT) AS sample_rate,
+         | CAST(list_min(brs) AS INT) AS bitrate_min,
+         | CAST(list_max(brs) AS INT) AS bitrate_max,
+         | CAST(nf * 1152000 // rate AS BIGINT) AS duration_ms,
+         | list_min(brs) != list_max(brs) AS vbr
+         |FROM b ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.mp3Features(
+          documents(s, d).select(col("doc_id"),
+            syntheticMp3(col("doc_id")).as("payload")),
+          "payload")
+        .select(col("doc_id"),
+          col("mp3.n_frames").as("n_frames"),
+          col("mp3.sample_rate").as("sample_rate"),
+          col("mp3.bitrate_min").as("bitrate_min"),
+          col("mp3.bitrate_max").as("bitrate_max"),
+          col("mp3.duration_ms").as("duration_ms"),
+          col("mp3.vbr").as("vbr"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -742,6 +742,88 @@ object Multimodal {
         (col("hamming") > threshold).cast("int"))
   }
 
+  // ---- MPEG audio (MP3) frame-header walk -----------------------------
+
+  /** Fields produced by [[mp3Features]]. */
+  val mp3Schema: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bitrate_min", IntegerType, nullable = false), // kbps
+    StructField("bitrate_max", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("vbr", BooleanType, nullable = false)))
+
+  // MPEG-1 Layer III tables (ISO/IEC 11172-3): bitrate kbps by header
+  // index (0 = free-format, 15 = invalid), sample rate by index
+  private val Mp3Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** Walk a stream of MPEG-1 Layer III frames by their headers — the
+    * MP3 twin of [[parseDims]]'s JPEG marker walk: perceptual DECODE
+    * needs a codec the JVM doesn't ship, but duration/bitrate/VBR
+    * metadata is pure header arithmetic (frame length =
+    * ⌊144000·kbps/rate⌋ + padding; 1152 samples per frame), which is
+    * exactly what a curation pipeline filters on. Strict contract:
+    * every byte must belong to a valid frame (no ID3 tags, no trailing
+    * junk) and the sample rate must be constant — anything else
+    * returns None rather than a half-parsed guess. Never throws.
+    */
+  def mp3Info(b: Array[Byte]): Option[Row] = {
+    var i = 0
+    var n = 0
+    var sr = -1
+    var brMin = Int.MaxValue
+    var brMax = 0
+    var ok = true
+    while (ok && i + 4 <= b.length) {
+      val h1 = b(i + 1) & 0xff
+      val h2 = b(i + 2) & 0xff
+      val bri = (h2 >> 4) & 15
+      val sri = (h2 >> 2) & 3
+      if ((b(i) & 0xff) != 0xff || (h1 & 0xe0) != 0xe0 ||
+          ((h1 >> 3) & 3) != 3 || ((h1 >> 1) & 3) != 1 ||
+          bri == 0 || bri == 15 || sri == 3) ok = false
+      else {
+        val br = Mp3Bitrates(bri)
+        val rate = Mp3Rates(sri)
+        if (sr < 0) sr = rate
+        if (rate != sr) ok = false
+        else {
+          if (br < brMin) brMin = br
+          if (br > brMax) brMax = br
+          n += 1
+          i += 144000 * br / rate + ((h2 >> 1) & 1)
+        }
+      }
+    }
+    if (ok && n >= 1 && i == b.length)
+      Some(Row(n, sr, brMin, brMax, n.toLong * 1152000L / sr,
+        brMin != brMax))
+    else None
+  }
+
+  /** Decode an MP3 binary column into header-walk metadata
+    * ([[mp3Schema]]), preserving all input columns; null or
+    * non-MP3 payloads pass through with a null struct. Batched per
+    * partition like [[audioFeatures]] — embarrassingly parallel,
+    * CPU-bound, no shuffle.
+    */
+  def mp3Features(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("mp3", mp3Schema, nullable = true))
+    val binIdx = inSchema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.get(binIdx).asInstanceOf[Array[Byte]]
+        val mp3 = if (payload == null) null else mp3Info(payload).orNull
+        Row.fromSeq(r.toSeq :+ mp3)
+      }
+    }
+  }
+
   /** STUB decoder for unrecognized payloads (and for features in
     * every case) — a real build replaces this body with an image/audio
     * codec call. Deterministic fake: dimensions from byte length,

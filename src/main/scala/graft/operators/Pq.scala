@@ -201,4 +201,62 @@ object Pq {
         graft.functions.VectorFns.cosine(col("__qv"), col("__cv")))
     Similarity.topK(scored, k)
   }
+
+  /** IVF + PQ composed — the FAISS IVFADC architecture, the shape a
+    * 100 TB vector corpus actually serves from: a coarse quantizer
+    * ([[Similarity.ivfKnn]]'s Voronoi cells) bounds each query's
+    * candidate set to its `nProbe` nearest cells, and ADC over the
+    * PQ codes ranks ONLY those candidates. Per-query cost is
+    * |corpus|·nProbe/cells table lookups of m integers — no raw
+    * vector is touched after indexing. (This variant quantizes raw
+    * vectors, not per-cell residuals; the oracle-exact integer ADC is
+    * the same either way.) Output: (query_id, neighbor_id, rank,
+    * adist), ascending approximate squared-L2 like [[pqKnn]].
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               cells: Int = 16, nProbe: Int = 4,
+               m: Int = 4, ksub: Int = 16, rounds: Int = 2,
+               dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // coarse cells: first `cells` vectors by id seed the Voronoi
+    // partition (the oracle-reproducible ivfKnn configuration)
+    val seeds = corpus.orderBy(col(idCol)).limit(cells)
+      .select(col(idCol).as("__cell0"), col(vecCol).as("__s0"))
+    def assign(df: DataFrame, id: String, keep: Int) = {
+      val scored = df.select(col(idCol).as(id), col(vecCol).as("__v"))
+        .join(broadcast(seeds))
+        .withColumn("__scos",
+          graft.functions.VectorFns.cosine(col("__v"), col("__s0")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__scos").desc, col("__cell0"))
+      scored.withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .select(col(id), col("__cell0"))
+    }
+    val corpusCells = assign(fanOut(corpus), "neighbor_id", 1)
+    val queryProbes = assign(queries, "query_id", nProbe)
+    val cand = corpusCells.join(broadcast(queryProbes), Seq("__cell0"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val (cents, codes) = pqModel(corpus, idCol, vecCol, m, ksub,
+      rounds, dims)
+    val dsub = dims / m
+    val dtable = subvecs(queries, idCol, vecCol, m, dsub)
+      .withColumnRenamed("vid", "query_id")
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        Cols.fxTerm(sqDist(col("sv"), col("cv")), 1e9).as("dfx"))
+    val scored = cand
+      .join(codes.withColumnRenamed("vid", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dfx")).as("afx"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("afx")).cast(DoubleType).as("cosine"))
+    Similarity.topK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        ((-col("cosine")) / 1e9).as("adist"))
+  }
 }
