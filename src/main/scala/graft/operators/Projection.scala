@@ -46,18 +46,23 @@ object Projection {
   /** Project `vecCol` (array<float|double>, length `inDim`) down to
     * `outDim` dims. Output: input columns minus `vecCol`, plus
     * `projCol` array<double> of length `outDim`.
+    *
+    * Compiles to ONE codegen expression
+    * ([[graft.expressions.JlProject]]) rather than an
+    * outDim·inDim-node literal chain — bit-identical numerics (same
+    * sign constants, same left-to-right add order, same exact scale),
+    * but constant plan size and one tight compiled loop nest.
     */
   def randomProject(df: DataFrame, vecCol: String, inDim: Int,
                     outDim: Int, projCol: String = "proj"): DataFrame = {
-    val scale = scaleOf(outDim)
-    val outputs: Seq[Column] = (0 until outDim).map { j =>
-      val terms = (0 until inDim).map { i =>
-        val x = element_at(col(vecCol), i + 1).cast("double")
-        if (sign(i, j) > 0) x else -x
-      }
-      lit(scale) * terms.reduceLeft(_ + _)
+    val signs = Array.tabulate(outDim * inDim) { n =>
+      sign(n % inDim, n / inDim).toByte
     }
-    df.withColumn(projCol, array(outputs: _*)).drop(vecCol)
+    val projected = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.JlProject(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
+        inDim, outDim, scaleOf(outDim), signs))
+    df.withColumn(projCol, projected).drop(vecCol)
   }
 
   /** DuckDB oracle expression for one projected output dim `j` over a
