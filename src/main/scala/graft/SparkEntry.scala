@@ -18,7 +18,8 @@ object SparkEntry {
       graft.extensions.SketchQueries.all ++
       graft.extensions.ProjectionQueries.all ++
       graft.extensions.ModelQueries.all ++
-      graft.extensions.MultimodalQueries.all
+      graft.extensions.MultimodalQueries.all ++
+      graft.extensions.WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

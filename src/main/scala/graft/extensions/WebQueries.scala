@@ -1,0 +1,163 @@
+package graft.extensions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.Web
+import graft.tables.Tables.documents
+
+/** Driver-checked queries for the URL/domain curation operators
+  * ([[graft.operators.Web]]).
+  *
+  * Oracle pattern (same as the multimodal BMP/MP3 gates): each doc
+  * synthesizes a REAL URL string from doc_id arithmetic — subdomain,
+  * two-level-suffix TLDs, case noise in the host, explicit default and
+  * non-default ports, root and nested paths, tracking and payload
+  * query params in id-dependent order, fragments — and the engine runs
+  * its actual `parse_url`-based operators over those strings. The
+  * DuckDB oracle never parses a URL: it re-derives every expected
+  * component from the same arithmetic, so any defect in host
+  * lowercasing, the public-suffix label logic, port extraction,
+  * tracking-param stripping, param sorting, or default-port removal
+  * breaks the hash compare.
+  */
+private[graft] object WebQueries {
+
+  // ---- synthetic URL (engine side, pure Column expressions) ----------
+
+  private def s(c: Column): Column = c.cast("string")
+
+  private def hostLower(id: Column): Column = {
+    val sub = element_at(array(lit(""), lit("www."), lit("cdn.")),
+      (pmod(id, lit(3)) + 1).cast("int"))
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io")),
+      (pmod(id, lit(4)) + 1).cast("int"))
+    concat(sub, lit("site"), s(pmod(id, lit(97))), lit("."), tld)
+  }
+
+  private def scheme(id: Column): Column =
+    when(pmod(id, lit(2)) === 0, lit("https")).otherwise(lit("http"))
+
+  private def syntheticUrl(id: Column): Column = {
+    val rawHost = when(pmod(id, lit(5)) === 0, upper(hostLower(id)))
+      .otherwise(hostLower(id))
+    val portPart = when(pmod(id, lit(7)) === 0, lit(":8080"))
+      .when(pmod(id, lit(7)) === 1,
+        when(scheme(id) === "https", lit(":443")).otherwise(lit(":80")))
+      .otherwise(lit(""))
+    val path = when(pmod(id, lit(11)) === 0, lit("/"))
+      .otherwise(concat(lit("/art/"), s(pmod(id, lit(50)))))
+    val pUtm = when(pmod(id, lit(2)) === 0, lit("utm_source=feed"))
+    val pQ = when(pmod(id, lit(17)) =!= 0, concat(lit("q="), s(pmod(id, lit(10)))))
+    val pPage = when(pmod(id, lit(3)) =!= 0, concat(lit("page="), s(pmod(id, lit(5)))))
+    val pF = when(pmod(id, lit(13)) === 0, concat(lit("fbclid=x"), s(pmod(id, lit(7)))))
+    val ordered = when(pmod(id, lit(4)) < 2, array(pUtm, pQ, pPage, pF))
+      .otherwise(array(pQ, pPage, pUtm, pF))
+    val present = filter(ordered, p => p.isNotNull)
+    val qPart = when(size(present) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(present, "&")))
+    val frag = when(pmod(id, lit(6)) === 0, concat(lit("#sec"), s(pmod(id, lit(3)))))
+      .otherwise(lit(""))
+    concat(scheme(id), lit("://"), rawHost, portPart, path, qPart, frag)
+  }
+
+  private def urls(sp: org.apache.spark.sql.SparkSession, dir: String) =
+    documents(sp, dir).select(col("doc_id"),
+      syntheticUrl(col("doc_id")).as("url"))
+
+  // ---- oracle arithmetic (DuckDB side, component re-derivation) ------
+
+  /** CTE deriving the expected components for each doc_id. */
+  private val oracleComponents: String =
+    """u AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END AS scheme,
+      |  (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.'
+      |    END) || 'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+      |   (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |    WHEN 2 THEN 'co.uk' ELSE 'io' END) AS host,
+      |  'site' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+      |   (CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |    WHEN 2 THEN 'co.uk' ELSE 'io' END) AS reg_domain,
+      |  CASE WHEN doc_id % 7 = 0 THEN 8080 WHEN doc_id % 7 = 1 THEN
+      |   (CASE WHEN doc_id % 2 = 0 THEN 443 ELSE 80 END)
+      |   ELSE NULL END AS port,
+      |  CASE WHEN doc_id % 11 = 0 THEN '/'
+      |   ELSE '/art/' || CAST(doc_id % 50 AS VARCHAR) END AS path,
+      |  doc_id % 2 = 0 AS has_utm, doc_id % 17 != 0 AS has_q,
+      |  doc_id % 3 != 0 AS has_page, doc_id % 13 = 0 AS has_f
+      | FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Components out of the real parser vs the generator arithmetic.
+    // port is -1-coalesced on both sides so the column stays integer
+    // (a NULL would float-ify one pandas load path in the compare).
+    Q("ext_url_parse",
+      s"""WITH $oracleComponents
+         |SELECT doc_id, scheme, host, reg_domain, path,
+         | CAST(coalesce(port, -1) AS INT) AS port,
+         | CAST(CAST(has_utm AS INT) + CAST(has_q AS INT) +
+         |   CAST(has_page AS INT) + CAST(has_f AS INT) AS INT)
+         |   AS n_params,
+         | doc_id % 6 = 0 AS has_frag
+         |FROM u ORDER BY doc_id""".stripMargin) { (sp, dir) =>
+      Web.parseUrls(urls(sp, dir), "url")
+        .select(col("doc_id"), col("scheme"), col("host"),
+          col("reg_domain"), col("path"),
+          coalesce(col("port"), lit(-1)).as("port"),
+          col("n_params"), col("has_frag"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Canonicalization: lowercase scheme/host, default ports stripped
+    // (explicit :8080 survives), fragment gone, utm_*/fbclid params
+    // dropped, survivors sorted ('page=' < 'q=' bytewise).
+    Q("ext_url_normalize",
+      s"""WITH $oracleComponents
+         |SELECT doc_id, scheme || '://' || host ||
+         | (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) || path ||
+         | (CASE
+         |   WHEN has_page AND has_q THEN
+         |    '?page=' || CAST(doc_id % 5 AS VARCHAR) ||
+         |    '&q=' || CAST(doc_id % 10 AS VARCHAR)
+         |   WHEN has_page THEN '?page=' || CAST(doc_id % 5 AS VARCHAR)
+         |   WHEN has_q THEN '?q=' || CAST(doc_id % 10 AS VARCHAR)
+         |   ELSE '' END) AS url_norm
+         |FROM u ORDER BY doc_id""".stripMargin) { (sp, dir) =>
+      urls(sp, dir)
+        .select(col("doc_id"), Web.normalizeUrl(col("url")).as("url_norm"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-registered-domain cap (RefinedWeb's SEO-farm bound): md5
+    // priority, at most 3 docs survive per domain. The oracle windows
+    // over the SAME md5 text, so rank and membership are bit-checked.
+    Q("ext_domain_cap",
+      s"""WITH $oracleComponents
+         |SELECT doc_id, reg_domain, CAST(rn AS INT) AS domain_rank
+         |FROM (SELECT doc_id, reg_domain, row_number() OVER (
+         |   PARTITION BY reg_domain
+         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM u)
+         |WHERE rn <= 3 ORDER BY reg_domain, domain_rank""".stripMargin) {
+      (sp, dir) =>
+        Web.domainCap(urls(sp, dir), "url", "doc_id", cap = 3)
+          .select(col("doc_id"), col("reg_domain"), col("domain_rank"))
+          .orderBy(col("reg_domain"), col("domain_rank"))
+    },
+
+    // Blocklist anti-join: three registered domains vanish; everything
+    // else passes through with its derived reg_domain.
+    Q("ext_domain_block",
+      s"""WITH $oracleComponents
+         |SELECT doc_id, reg_domain FROM u
+         |WHERE reg_domain NOT IN
+         | ('site3.com', 'site15.co.uk', 'site42.io')
+         |ORDER BY doc_id""".stripMargin) { (sp, dir) =>
+      Web.blocklistFilter(urls(sp, dir), "url",
+          Seq("site3.com", "site15.co.uk", "site42.io"))
+        .select(col("doc_id"), col("reg_domain"))
+        .orderBy(col("doc_id"))
+    })
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(url: String) = Seq((1L, url)).toDF("doc_id", "url")
+
+  test("parseUrls extracts components and lowercases the host") {
+    val r = Web.parseUrls(
+        one("https://WWW.Example.CO.UK:8443/a/b?x=1&y=2#frag"), "url")
+      .select("scheme", "host", "port", "reg_domain", "path",
+        "n_params", "has_frag")
+      .head()
+    assert(r.getString(0) === "https")
+    assert(r.getString(1) === "www.example.co.uk")
+    assert(r.getInt(2) === 8443)
+    assert(r.getString(3) === "example.co.uk")
+    assert(r.getString(4) === "/a/b")
+    assert(r.getInt(5) === 2)
+    assert(r.getBoolean(6) === true)
+  }
+
+  test("parseUrls: no port -> null, no query -> 0 params") {
+    val r = Web.parseUrls(one("http://a.example.com/p"), "url")
+      .select("port", "reg_domain", "n_params", "has_frag").head()
+    assert(r.isNullAt(0))
+    assert(r.getString(1) === "example.com")
+    assert(r.getInt(2) === 0)
+    assert(r.getBoolean(3) === false)
+  }
+
+  test("registeredDomain: bare two-label host and deep subdomains") {
+    val hosts = Seq("example.com", "a.b.c.example.com", "x.co.jp",
+      "deep.sub.x.co.jp", "localhost").toDF("h")
+    val got = hosts.select(Web.registeredDomain(col("h"))).as[String]
+      .collect().toSeq
+    assert(got === Seq("example.com", "example.com", "x.co.jp",
+      "x.co.jp", "localhost"))
+  }
+
+  test("normalizeUrl strips default ports, fragments and trackers; sorts params") {
+    val cases = Seq(
+      "https://Ex.COM:443/p?utm_source=a&b=2&a=1#z" ->
+        "https://ex.com/p?a=1&b=2",
+      "http://ex.com:80/" -> "http://ex.com/",
+      "http://ex.com:8080/p?fbclid=x" -> "http://ex.com:8080/p",
+      // empty path and all-tracker query both collapse
+      "https://ex.com?gclid=1" -> "https://ex.com/")
+    cases.foreach { case (in, want) =>
+      val got = one(in).select(Web.normalizeUrl(col("url"))).as[String].head()
+      assert(got === want, s"for $in")
+    }
+  }
+
+  test("domainCap keeps at most cap rows per registered domain") {
+    val df = (0L until 40L).map(i =>
+        (i, s"https://www.dom${i % 4}.com/p$i")).toDF("doc_id", "url")
+    val kept = Web.domainCap(df, "url", "doc_id", cap = 3)
+    assert(kept.count() === 12)
+    val perDom = kept.groupBy("reg_domain").count().as[(String, Long)]
+      .collect().toMap
+    assert(perDom.values.forall(_ === 3L) && perDom.size === 4)
+    // deterministic: same priorities on a rerun
+    val again = Web.domainCap(df, "url", "doc_id", cap = 3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again === kept.select("doc_id").as[Long].collect().sorted)
+  }
+
+  test("blocklistFilter drops exactly the blocked registered domains") {
+    val df = (0L until 20L).map(i =>
+        (i, s"https://cdn.dom${i % 4}.co.uk/p")).toDF("doc_id", "url")
+    val kept = Web.blocklistFilter(df, "url", Seq("dom1.co.uk", "dom3.co.uk"))
+    assert(kept.count() === 10)
+    assert(kept.select("reg_domain").distinct().as[String].collect().toSet
+      === Set("dom0.co.uk", "dom2.co.uk"))
+  }
+}
