@@ -1,0 +1,109 @@
+package graft.extensions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.Html
+import graft.tables.Tables.documents
+
+/** Driver-checked queries for HTML text extraction
+  * ([[graft.operators.Html]]).
+  *
+  * Oracle pattern (as the multimodal and URL gates): each doc
+  * synthesizes a REAL HTML document from doc_id arithmetic — head
+  * with title and a style block, comments, mixed-case tags,
+  * attributes, character entities (including a double-escaped one), a
+  * script block containing both a bare `<` and a quoted `"</p>"`, and
+  * 1–2 anchors (absolute + relative) — and the engine runs its actual
+  * regex extraction over that markup. The DuckDB oracle never touches
+  * HTML: it re-derives the expected visible text, title and link list
+  * from the same arithmetic, so any defect in block removal, tag
+  * stripping, entity decode order, or whitespace collapse breaks the
+  * hash compare.
+  */
+private[graft] object HtmlQueries {
+
+  private def s(c: Column): Column = c.cast("string")
+
+  /** Synthetic HTML document for one doc_id. Visible text must come
+    * out EXACTLY as: `Doc A Head B para "C" & <raw D' rel?> link E
+    * [rel F] tail G footer` (see oracle text below).
+    */
+  private def syntheticHtml(id: Column): Column = {
+    val a = s(pmod(id, lit(40)))
+    val b = s(pmod(id, lit(7)))
+    val c = s(pmod(id, lit(5)))
+    val d = s(pmod(id, lit(9)))
+    val p = s(pmod(id, lit(11)))
+    val r = s(pmod(id, lit(6)))
+    val g = s(pmod(id, lit(13)))
+    val h1 = when(pmod(id, lit(2)) === 0,
+      concat(lit("<h1 class=\"x\">Head "), b, lit("</h1>")))
+      .otherwise(concat(lit("<H1>Head "), b, lit("</H1>")))
+    val script = when(pmod(id, lit(2)) === 0,
+      lit("<script type=\"text/javascript\">if (1 < 2) { var x = \"</p>\"; }</script>"))
+      .otherwise(lit(""))
+    val rel = when(pmod(id, lit(4)) === 0,
+      concat(lit("<a href='/rel"), r, lit("'>rel</a> ")))
+      .otherwise(lit(""))
+    concat(
+      lit("<html><!-- comment "), s(pmod(id, lit(3))), lit(" -->"),
+      lit("<head><title>Doc "), a, lit("</title>"),
+      lit("<style>p { color: red; }</style></head>\n<body>\n"),
+      h1, lit("\n"),
+      lit("<p>para &quot;"), c, lit("&quot; &amp; &amp;lt; more</p>\n"),
+      lit("<a href=\"https://ref"), d, lit(".com/p"), p,
+      lit("\">link "), d, lit("</a> "), rel,
+      script,
+      lit("\n<P>tail "), g, lit("</P>&nbsp;footer\n</body></html>"))
+  }
+
+  private def htmlDocs(sp: org.apache.spark.sql.SparkSession, dir: String) =
+    documents(sp, dir).select(col("doc_id"),
+      syntheticHtml(col("doc_id")).as("html"))
+
+  val all: Seq[Q] = Seq(
+
+    // Visible text + title out of the real extractor vs the generator
+    // arithmetic. The `&amp;lt;` in the source must surface as the
+    // LITERAL text `&lt;` (decode-amp-last), the script block with its
+    // quoted "</p>" must vanish entirely, and &nbsp; must collapse
+    // into the single space before `footer`.
+    Q("ext_html_text",
+      """SELECT doc_id,
+        | 'Doc ' || CAST(doc_id % 40 AS VARCHAR) AS title,
+        | 'Doc ' || CAST(doc_id % 40 AS VARCHAR) ||
+        | ' Head ' || CAST(doc_id % 7 AS VARCHAR) ||
+        | ' para "' || CAST(doc_id % 5 AS VARCHAR) || '" & &lt; more' ||
+        | ' link ' || CAST(doc_id % 9 AS VARCHAR) ||
+        | (CASE WHEN doc_id % 4 = 0 THEN ' rel' ELSE '' END) ||
+        | ' tail ' || CAST(doc_id % 13 AS VARCHAR) || ' footer'
+        |  AS text_plain,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS INT)
+        |  AS n_links
+        |FROM documents ORDER BY doc_id""".stripMargin) { (sp, dir) =>
+      Html.extract(htmlDocs(sp, dir), "html")
+        .select(col("doc_id"), col("title"), col("text_plain"),
+          size(col("links")).as("n_links"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Outlinks in document order, flattened to scalar rows (the
+    // compare harness hashes scalars only).
+    Q("ext_html_links",
+      """SELECT doc_id, idx, href FROM (
+        | SELECT doc_id, 0 AS idx,
+        |  'https://ref' || CAST(doc_id % 9 AS VARCHAR) || '.com/p' ||
+        |   CAST(doc_id % 11 AS VARCHAR) AS href
+        | FROM documents
+        | UNION ALL
+        | SELECT doc_id, 1 AS idx,
+        |  '/rel' || CAST(doc_id % 6 AS VARCHAR) AS href
+        | FROM documents WHERE doc_id % 4 = 0)
+        |ORDER BY doc_id, idx""".stripMargin) { (sp, dir) =>
+      htmlDocs(sp, dir)
+        .select(col("doc_id"),
+          posexplode(Html.htmlLinks(col("html"))).as(Seq("idx", "href")))
+        .orderBy(col("doc_id"), col("idx"))
+    })
+}

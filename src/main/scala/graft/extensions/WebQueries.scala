@@ -147,6 +147,47 @@ private[graft] object WebQueries {
           .orderBy(col("reg_domain"), col("domain_rank"))
     },
 
+    // URL-level dedup: superficial raw variants (host case, explicit
+    // default port, utm param, fragment) of the SAME page collapse to
+    // one canonical URL. 8 core pages fan out to dozens of raw
+    // spellings across the corpus; the gate checks the canonical key,
+    // how many docs share it, and how many distinct raw spellings the
+    // normalizer collapsed.
+    Q("ext_url_dedup",
+      """WITH v AS (SELECT doc_id, doc_id % 8 AS j,
+        |  (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) || ',' ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) || ',' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) || ',' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS variant
+        | FROM documents)
+        |SELECT 'https://site' || CAST(j AS VARCHAR) || '.com/p' ||
+        |  CAST(j AS VARCHAR) || '?q=' || CAST(j AS VARCHAR) AS url_norm,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT variant) AS BIGINT) AS n_variants,
+        | CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM v GROUP BY j ORDER BY url_norm""".stripMargin) { (sp, dir) =>
+      val id = col("doc_id")
+      val j = s(pmod(id, lit(8)))
+      val hostRaw = concat(lit("site"), j, lit(".com"))
+      val raw = concat(
+        lit("https://"),
+        when(pmod(id, lit(5)) === 0, upper(hostRaw)).otherwise(hostRaw),
+        when(pmod(id, lit(7)) === 0, lit(":443")).otherwise(lit("")),
+        lit("/p"), j,
+        lit("?"),
+        when(pmod(id, lit(2)) === 0, lit("utm_source=feed&"))
+          .otherwise(lit("")),
+        lit("q="), j,
+        when(pmod(id, lit(3)) === 0, lit("#top")).otherwise(lit("")))
+      documents(sp, dir).select(id, raw.as("url"))
+        .withColumn("url_norm", Web.normalizeUrl(col("url")))
+        .groupBy(col("url_norm"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("min_doc"))
+        .orderBy(col("url_norm"))
+    },
+
     // Blocklist anti-join: three registered domains vanish; everything
     // else passes through with its derived reg_domain.
     Q("ext_domain_block",

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** HTML → text extraction — the step that turns crawled markup into
+  * trainable text (the WET-extraction stage ahead of every quality /
+  * dedup operator in this engine). Heuristic, regex-based main-content
+  * extraction in the C4 tradition: script/style/comment blocks go
+  * first (their content is code, not prose), then tags, then character
+  * entities, then whitespace collapse.
+  *
+  * Everything is a narrow per-row projection over codegen'd
+  * `regexp_replace`/`regexp_extract_all` builtins — no UDF, no
+  * shuffle; at 100 TB this runs at scan speed next to the parquet
+  * reader, which is exactly where an extraction pass must sit.
+  */
+object Html {
+
+  /** Named character entities [[htmlToText]] decodes (the set that
+    * dominates real-world corpora); `&amp;` is decoded LAST so
+    * double-escaped text cannot alias into markup.
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  /** Visible text of an HTML document: script/style/comment blocks
+    * removed, tags stripped, entities decoded, whitespace collapsed
+    * and trimmed.
+    */
+  def htmlToText(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComments = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]+>", " ")
+    val decoded = Entities.foldLeft(noTags) { case (c, (ent, ch)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(ent),
+        java.util.regex.Matcher.quoteReplacement(ch))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** `<title>` content (first occurrence), entity-decoded and
+    * whitespace-collapsed; null when the document has none.
+    */
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1)
+    when(raw === "", lit(null)).otherwise(htmlToText(raw))
+  }
+
+  /** All `href` targets of a document, in document order (the
+    * outlink list that seeds crawl frontiers and link-graph dedup).
+    */
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"),
+      lit(1))
+
+  /** Extraction pass over a corpus: adds `title`, `text_plain` and
+    * `links` columns derived from `htmlCol`. One whole-stage-codegen
+    * projection.
+    */
+  def extract(df: DataFrame, htmlCol: String): DataFrame =
+    df.withColumn("title", htmlTitle(col(htmlCol)))
+      .withColumn("text_plain", htmlToText(col(htmlCol)))
+      .withColumn("links", htmlLinks(col(htmlCol)))
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def text(html: String): String =
+    Seq(html).toDF("h").select(Html.htmlToText(col("h"))).as[String].head()
+
+  test("htmlToText strips tags and collapses whitespace") {
+    assert(text("<html><body><p>Hello   <b>world</b></p></body></html>")
+      === "Hello world")
+  }
+
+  test("htmlToText removes script/style/comment blocks wholesale") {
+    assert(text("<style>p{a:1}</style>A<script>var x = '</p>';</script>B" +
+      "<!-- gone\nacross lines -->C") === "A B C")
+    // case-insensitive closers with whitespace
+    assert(text("<SCRIPT>x</SCRIPT >kept") === "kept")
+  }
+
+  test("htmlToText decodes entities, &amp; last") {
+    assert(text("<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp; g</p>")
+      === "a <b> \"c\" 'd' e f & g")
+    // double-escaped markup stays literal text
+    assert(text("<p>&amp;lt;tag&amp;gt;</p>") === "&lt;tag&gt;")
+  }
+
+  test("htmlTitle extracts the first title, null when absent") {
+    val df = Seq(
+      "<head><title>One  Two</title></head><title>Nope</title>",
+      "<head></head>").toDF("h")
+    val got = df.select(Html.htmlTitle(col("h"))).as[Option[String]]
+      .collect().toSeq
+    assert(got === Seq(Some("One Two"), None))
+  }
+
+  test("htmlLinks returns hrefs in document order") {
+    val got = Seq("""<a href="/a">1</a><img src="x"/><a HREF = 'b.html'>2</a>""")
+      .toDF("h").select(Html.htmlLinks(col("h"))).as[Seq[String]].head()
+    assert(got === Seq("/a", "b.html"))
+  }
+
+  test("extract adds title, text_plain and links together") {
+    val r = Html.extract(
+        Seq((7L, "<title>T</title><body><a href='/x'>L</a></body>"))
+          .toDF("doc_id", "html"), "html")
+      .select("doc_id", "title", "text_plain", "links").head()
+    assert(r.getLong(0) === 7L)
+    assert(r.getString(1) === "T")
+    assert(r.getString(2) === "T L")
+    assert(r.getSeq[String](3) === Seq("/x"))
+  }
+}
