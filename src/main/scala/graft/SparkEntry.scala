@@ -20,7 +20,8 @@ object SparkEntry {
       graft.extensions.ModelQueries.all ++
       graft.extensions.MultimodalQueries.all ++
       graft.extensions.WebQueries.all ++
-      graft.extensions.HtmlQueries.all
+      graft.extensions.HtmlQueries.all ++
+      graft.extensions.GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

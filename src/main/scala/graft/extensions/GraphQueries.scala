@@ -1,0 +1,89 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.Graph
+import graft.tables.Tables.documents
+
+/** Driver-checked queries for the link-graph operators
+  * ([[graft.operators.Graph]]).
+  *
+  * The graph is synthesized from doc_id arithmetic (64 nodes, two
+  * out-edge families per doc, self-loops dropped, distinct), so both
+  * engines derive the identical edge list; PageRank's integer
+  * fixed-point arithmetic then makes the 3-iteration ranks bit-exact
+  * under a plain unrolled-CTE oracle.
+  */
+private[graft] object GraphQueries {
+
+  /** Shared edge-list derivation, DuckDB side. */
+  private val edgeSql: String =
+    """e AS (SELECT DISTINCT src, dst FROM (
+      |  SELECT doc_id % 64 AS src, (3 * doc_id + 7) % 64 AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id % 64, (5 * doc_id + doc_id // 64) % 64
+      |  FROM documents)
+      | WHERE src != dst)""".stripMargin
+
+  private def edges(sp: org.apache.spark.sql.SparkSession, dir: String) = {
+    val id = col("doc_id")
+    val d = documents(sp, dir)
+    val e1 = d.select(pmod(id, lit(64)).as("src"),
+      pmod(id * 3 + 7, lit(64)).as("dst"))
+    val e2 = d.select(pmod(id, lit(64)).as("src"),
+      pmod(id * 5 + expr("doc_id div 64"), lit(64)).as("dst"))
+    e1.union(e2).filter(col("src") =!= col("dst")).distinct()
+  }
+
+  /** One damped fixed-point PageRank step, oracle side: contribs from
+    * rank CTE `rPrev` → rank CTE pair (cK, rK).
+    */
+  private def stepSql(k: Int, prev: String): String =
+    s"""c$k AS (SELECT e.dst AS node, sum(r.pr // od.od) AS s
+       |  FROM e JOIN $prev r ON r.node = e.src
+       |  JOIN od ON od.src = e.src GROUP BY 1),
+       |r$k AS (SELECT nodes.node,
+       |  (15000000000000 // (100 * nn.n)) +
+       |  (85 * coalesce(c$k.s, 0)) // 100 AS pr
+       | FROM nodes CROSS JOIN nn
+       | LEFT JOIN c$k ON c$k.node = nodes.node)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Degree profile of the synthesized link graph — the spam/SEO
+    // heuristic inputs (a node with huge out-degree and no in-degree
+    // is a link farm).
+    Q("ext_link_degrees",
+      s"""WITH $edgeSql,
+         |o AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+         |i AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY 1)
+         |SELECT coalesce(o.node, i.node) AS node,
+         | CAST(coalesce(od, 0) AS BIGINT) AS out_deg,
+         | CAST(coalesce(idg, 0) AS BIGINT) AS in_deg
+         |FROM o FULL JOIN i ON o.node = i.node
+         |ORDER BY node""".stripMargin) { (sp, dir) =>
+      Graph.degrees(edges(sp, dir), "src", "dst")
+        .orderBy(col("node"))
+    },
+
+    // 3-iteration damped PageRank, bit-exact in BIGINT fixed-point on
+    // both engines (float PageRank would be add-order-dependent).
+    Q("ext_pagerank",
+      s"""WITH $edgeSql,
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000000000 // nn.n AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |${stepSql(1, "r0")},
+         |${stepSql(2, "r1")},
+         |${stepSql(3, "r2")}
+         |SELECT node, CAST(pr AS BIGINT) AS pr_fx,
+         | CAST(pr AS DOUBLE) / 1000000000000.0 AS pr
+         |FROM r3 ORDER BY node""".stripMargin) { (sp, dir) =>
+      Graph.pageRank(edges(sp, dir), "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    })
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators over an edge list — the web-graph half of a
+  * crawl-curation pipeline (rank pages for crawl priority / quality
+  * weighting, degree stats for spam heuristics).
+  *
+  * Scale shape: PageRank here is the canonical iterative
+  * join-aggregate — per iteration ONE equi-join of edges to ranks on
+  * src and ONE hash aggregation by dst. Edges and ranks co-partition
+  * on the join key, so a 100 TB graph pays one co-partitioned shuffle
+  * per iteration and nothing is ever driver-side except the node
+  * count (a scalar). Iterations are a fixed small constant (crawl
+  * ranking uses 3–10), so the lineage stays bounded.
+  *
+  * Determinism: ranks are BIGINT fixed-point (1e12 scale) and every
+  * per-iteration step is integer arithmetic — contribution =
+  * `pr div out_degree`, damping = `(85 · Σ) div 100` — so the result
+  * is bit-exact regardless of partitioning or add order, and a plain
+  * SQL oracle reproduces it exactly (float PageRank sums would be
+  * partition-order-dependent).
+  */
+object Graph {
+
+  /** Fixed-point scale for [[pageRank]] ranks: 1.0 == 1e12. */
+  val PrScale: Long = 1000000000000L
+
+  /** In/out degree per node of a distinct edge list `(srcCol,
+    * dstCol)`. Nodes appearing only on one side report 0 on the
+    * other. Two hash aggregations and one full-outer merge.
+    */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col(dstCol).as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** PageRank with damping 0.85 over a distinct edge list, `iters`
+    * synchronous iterations from a uniform start. Requires every node
+    * to have at least one out-edge (no dangling mass — callers drop
+    * or self-loop dangling nodes first; `require`-checked). Returns
+    * `(node, pr_fx, pr)` where `pr_fx` is the exact fixed-point rank
+    * and `pr = pr_fx / 1e12`.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty graph")
+    val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+    val dangling = nodes.join(outDeg, col("node") === col("__src"),
+      "left_anti").limit(1).count()
+    require(dangling == 0,
+      "pageRank requires every node to have an out-edge")
+    val teleportFx = (15L * PrScale) / (100L * n)
+    var ranks = nodes.withColumn("pr_fx", lit(PrScale / n))
+    (1 to iters).foreach { _ =>
+      val contribs = e
+        .join(ranks, col("__src") === col("node"))
+        .join(outDeg, Seq("__src"))
+        .select(col("__dst"), expr("pr_fx div __od").as("__c"))
+        .groupBy(col("__dst")).agg(sum(col("__c")).as("__s"))
+      ranks = nodes
+        .join(contribs, col("node") === col("__dst"), "left_outer")
+        .select(col("node"),
+          (lit(teleportFx) +
+            expr(s"(85 * coalesce(__s, 0L)) div 100")).as("pr_fx"))
+    }
+    ranks.select(col("node"), col("pr_fx"),
+      (col("pr_fx").cast("double") / PrScale.toDouble).as("pr"))
+  }
+}

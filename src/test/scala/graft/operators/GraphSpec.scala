@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("degrees counts both sides, zero-filled") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.degrees(e, "src", "dst")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)))
+  }
+
+  test("pageRank on a 2-cycle is the uniform fixed point") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRank(e, "src", "dst", iters = 3)
+      .select("node", "pr_fx").as[(Long, Long)].collect().toMap
+    // n=2: teleport 75e9 + 0.85 * 5e11 = 5e11 every iteration
+    assert(got === Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("pageRank concentrates mass on a sink-with-return hub") {
+    // star: spokes point at hub, hub returns to one spoke
+    val e = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L))
+      .toDF("src", "dst")
+    val pr = Graph.pageRank(e, "src", "dst", iters = 3)
+      .select("node", "pr").as[(Long, Double)].collect().toMap
+    assert(pr(9L) > pr(1L) && pr(1L) > pr(2L))
+    assert(pr(2L) === pr(3L))
+    // total mass stays ~1 (integer-div leakage only)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-3)
+  }
+
+  test("pageRank rejects dangling nodes") {
+    val e = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edge
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "src", "dst", iters = 1)
+    }
+    assert(ex.getMessage.contains("out-edge"))
+  }
+
+  test("pageRank is deterministic across repartitionings") {
+    val e = (0L until 200L).map(i => (i % 16, (i * 7 + 3) % 16))
+      .filter(p => p._1 != p._2).distinct.toDF("src", "dst")
+    val a = Graph.pageRank(e, "src", "dst", iters = 3)
+      .select("node", "pr_fx").as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(e.repartition(13), "src", "dst", iters = 3)
+      .select("node", "pr_fx").as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+}
