@@ -49,6 +49,22 @@ private[graft] object GraphQueries {
        | FROM nodes CROSS JOIN nn
        | LEFT JOIN c$k ON c$k.node = nodes.node)""".stripMargin
 
+  /** One HITS half-step, oracle side: keyed raw sums from `in`, L1
+    * normalization against the 1-row total (divide-first, mirroring
+    * [[graft.operators.Graph.hits]]'s overflow-safe shape), zero-filled
+    * over all nodes.
+    */
+  private def hitsHalf(name: String, in: String, key: String,
+                       join: String): String =
+    s"""${name}r AS (SELECT e.$key AS node, sum(r.v) AS raw
+       |  FROM e JOIN $in r ON r.node = e.$join GROUP BY 1),
+       |${name}t AS (SELECT sum(raw) AS tot FROM ${name}r),
+       |$name AS (SELECT nodes.node,
+       |  coalesce(${name}r.raw, 0) //
+       |    greatest(${name}t.tot // 1000000000000, 1) AS v
+       | FROM nodes CROSS JOIN ${name}t
+       | LEFT JOIN ${name}r ON ${name}r.node = nodes.node)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Degree profile of the synthesized link graph — the spam/SEO
@@ -84,6 +100,29 @@ private[graft] object GraphQueries {
          | CAST(pr AS DOUBLE) / 1000000000000.0 AS pr
          |FROM r3 ORDER BY node""".stripMargin) { (sp, dir) =>
       Graph.pageRank(edges(sp, dir), "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    },
+
+    // 2-iteration HITS hubs/authorities, bit-exact in BIGINT
+    // fixed-point under the same unrolled-CTE oracle pattern as
+    // ext_pagerank (each half-step = keyed sum + L1 normalization
+    // against a 1-row total).
+    Q("ext_hits",
+      s"""WITH $edgeSql,
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |h0 AS (SELECT node, 1000000000000 AS v FROM nodes),
+         |${hitsHalf("a1", "h0", "dst", "src")},
+         |${hitsHalf("h1", "a1", "src", "dst")},
+         |${hitsHalf("a2", "h1", "dst", "src")},
+         |${hitsHalf("h2", "a2", "src", "dst")}
+         |SELECT h2.node AS node, CAST(h2.v AS BIGINT) AS hub_fx,
+         | CAST(a2.v AS BIGINT) AS auth_fx,
+         | CAST(h2.v AS DOUBLE) / 1000000000000.0 AS hub,
+         | CAST(a2.v AS DOUBLE) / 1000000000000.0 AS auth
+         |FROM h2 JOIN a2 ON a2.node = h2.node
+         |ORDER BY h2.node""".stripMargin) { (sp, dir) =>
+      Graph.hits(edges(sp, dir), "src", "dst", iters = 2)
         .orderBy(col("node"))
     })
 }

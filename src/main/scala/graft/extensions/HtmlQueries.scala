@@ -105,5 +105,33 @@ private[graft] object HtmlQueries {
         .select(col("doc_id"),
           posexplode(Html.htmlLinks(col("html"))).as(Seq("idx", "href")))
         .orderBy(col("doc_id"), col("idx"))
+    },
+
+    // Per-target anchor-text aggregation (the link-graph relevance
+    // signal): anchors extracted by the real (href, visible-text)
+    // parser across the corpus, grouped by target. The oracle
+    // re-derives every pair from the generator arithmetic — the
+    // absolute link's text 'link {d}' is td-determined so each target
+    // must report exactly one distinct text.
+    Q("ext_anchor_agg",
+      """SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
+        | CAST(count(DISTINCT t) AS BIGINT) AS n_texts,
+        | min(t) AS anchor
+        |FROM (
+        | SELECT 'https://ref' || CAST(doc_id % 9 AS VARCHAR) ||
+        |   '.com/p' || CAST(doc_id % 11 AS VARCHAR) AS href,
+        |  'link ' || CAST(doc_id % 9 AS VARCHAR) AS t
+        | FROM documents
+        | UNION ALL
+        | SELECT '/rel' || CAST(doc_id % 6 AS VARCHAR), 'rel'
+        | FROM documents WHERE doc_id % 4 = 0)
+        |GROUP BY href ORDER BY href""".stripMargin) { (sp, dir) =>
+      htmlDocs(sp, dir)
+        .select(explode(Html.htmlAnchors(col("html"))).as("a"))
+        .groupBy(col("a.href").as("href"))
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("a.text")).as("n_texts"),
+          min(col("a.text")).as("anchor"))
+        .orderBy(col("href"))
     })
 }

@@ -66,6 +66,38 @@ private[graft] object WebQueries {
     documents(sp, dir).select(col("doc_id"),
       syntheticUrl(col("doc_id")).as("url"))
 
+  /** Synthetic robots.txt body for host index `k`: a comment line, a
+    * GraftBot group (absent when k%4==3, leaving its directives
+    * group-less — RFC 9309 says such lines are ignored), a `*` group,
+    * and an `evilbot` group, with case noise in field names and a
+    * blank separator line.
+    */
+  private def robotsBody(k: Column): Column = {
+    val m = s(pmod(k, lit(5)))
+    concat(
+      lit("# robots "), s(k), lit("\n"),
+      when(pmod(k, lit(4)) =!= 3, lit("User-Agent: GraftBot\n"))
+        .otherwise(lit("")),
+      lit("Disallow: /private"), m, lit("/\n"),
+      when(pmod(k, lit(2)) === 0,
+        concat(lit("Allow: /private"), m, lit("/pub/\n")))
+        .otherwise(lit("")),
+      when(pmod(k, lit(3)) === 0, lit("disallow: /tmp\n"))
+        .otherwise(lit("")),
+      lit("\nUser-agent: *\n"),
+      lit("Disallow: /blog/\n"),
+      lit("User-agent: evilbot\n"),
+      lit("Disallow: /\n"))
+  }
+
+  /** One row per synthetic host: `(host, robots)` for k in 0..19. */
+  private def robotsHosts(sp: org.apache.spark.sql.SparkSession,
+                          dir: String) =
+    documents(sp, dir)
+      .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+      .select(concat(lit("site"), s(col("k")), lit(".com")).as("host"),
+        robotsBody(col("k")).as("robots"))
+
   // ---- oracle arithmetic (DuckDB side, component re-derivation) ------
 
   /** CTE deriving the expected components for each doc_id. */
@@ -186,6 +218,77 @@ private[graft] object WebQueries {
           countDistinct(col("url")).as("n_variants"),
           min(col("doc_id")).as("min_doc"))
         .orderBy(col("url_norm"))
+    },
+
+    // robots.txt parse: REAL RFC 9309-shaped bodies (comments, blank
+    // lines, case-noisy field names, a group-less directive block that
+    // must be dropped, three user-agent groups) synthesized per host;
+    // the engine runs its actual line parser + group-attribution
+    // window, the oracle re-derives every directive row from the
+    // generator arithmetic.
+    Q("ext_robots_parse",
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |r AS (
+        | SELECT k, 'graftbot' AS agent, 'disallow' AS rule,
+        |  '/private' || CAST(k % 5 AS VARCHAR) || '/' AS prefix
+        | FROM k WHERE k % 4 != 3
+        | UNION ALL
+        | SELECT k, 'graftbot', 'allow',
+        |  '/private' || CAST(k % 5 AS VARCHAR) || '/pub/'
+        | FROM k WHERE k % 4 != 3 AND k % 2 = 0
+        | UNION ALL
+        | SELECT k, 'graftbot', 'disallow', '/tmp'
+        | FROM k WHERE k % 4 != 3 AND k % 3 = 0
+        | UNION ALL SELECT k, '*', 'disallow', '/blog/' FROM k
+        | UNION ALL SELECT k, 'evilbot', 'disallow', '/' FROM k)
+        |SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
+        | agent, rule, prefix, CAST(length(prefix) AS INT) AS prefix_len
+        |FROM r ORDER BY host, agent, prefix""".stripMargin) { (sp, dir) =>
+      Web.parseRobots(robotsHosts(sp, dir), "host", "robots")
+        .select(col("host"), col("agent"), col("rule"), col("prefix"),
+          col("prefix_len"))
+        .orderBy(col("host"), col("agent"), col("prefix"))
+    },
+
+    // robots.txt fetch decisions for agent "graftbot": group selection
+    // (the specific group shadows '*' where present; hosts without a
+    // graftbot group fall back to '*'), longest-prefix-match with
+    // allow-wins ties (the /private{m}/pub/ carve-out inside a
+    // disallowed tree), default-allow. The oracle computes each
+    // decision with closed-form CASE arithmetic.
+    Q("ext_robots_eval",
+      """WITH u AS (SELECT doc_id, doc_id % 20 AS k,
+        |  (doc_id // 3) % 5 AS j, doc_id % 6 AS c FROM documents)
+        |SELECT doc_id,
+        | 'https://site' || CAST(k AS VARCHAR) || '.com' ||
+        |  (CASE c
+        |   WHEN 0 THEN '/private' || CAST(j AS VARCHAR) || '/x'
+        |   WHEN 1 THEN '/private' || CAST(j AS VARCHAR) || '/pub/y'
+        |   WHEN 2 THEN '/tmp/f' WHEN 3 THEN '/blog/post'
+        |   WHEN 4 THEN '/ok' ELSE '/' END) AS url,
+        | CASE WHEN k % 4 != 3 THEN
+        |   CASE c WHEN 0 THEN NOT (j = k % 5)
+        |    WHEN 1 THEN NOT (j = k % 5 AND k % 2 = 1)
+        |    WHEN 2 THEN NOT (k % 3 = 0)
+        |    ELSE TRUE END
+        |  ELSE c != 3 END AS allowed
+        |FROM u ORDER BY doc_id""".stripMargin) { (sp, dir) =>
+      val id = col("doc_id")
+      val k = s(pmod(id, lit(20)))
+      val j = s(pmod(expr("doc_id div 3"), lit(5)))
+      val c = pmod(id, lit(6))
+      val path = when(c === 0, concat(lit("/private"), j, lit("/x")))
+        .when(c === 1, concat(lit("/private"), j, lit("/pub/y")))
+        .when(c === 2, lit("/tmp/f"))
+        .when(c === 3, lit("/blog/post"))
+        .when(c === 4, lit("/ok"))
+        .otherwise(lit("/"))
+      val us = documents(sp, dir).select(id,
+        concat(lit("https://site"), k, lit(".com"), path).as("url"))
+      val rules = Web.parseRobots(robotsHosts(sp, dir), "host", "robots")
+      Web.robotsAllowed(us, "url", rules, "graftbot")
+        .select(col("doc_id"), col("url"), col("allowed"))
+        .orderBy(col("doc_id"))
     },
 
     // Blocklist anti-join: three registered domains vanish; everything

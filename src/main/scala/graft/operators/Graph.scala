@@ -78,4 +78,50 @@ object Graph {
     ranks.select(col("node"), col("pr_fx"),
       (col("pr_fx").cast("double") / PrScale.toDouble).as("pr"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over a distinct edge
+    * list, `iters` synchronous iterations from uniform hub scores.
+    * Returns `(node, hub_fx, auth_fx, hub, auth)` with the `_fx`
+    * columns exact fixed-point (1.0 == 1e12 before normalization).
+    *
+    * Per half-iteration: ONE equi-join of edges to scores and ONE hash
+    * aggregation — the same co-partitioned shape as [[pageRank]] — plus
+    * an L1 normalization against a 1-row broadcast total (never a
+    * driver scalar). Normalization divides by `max(total div scale, 1)`
+    * instead of multiplying by the scale first, so no intermediate can
+    * overflow BIGINT regardless of graph size; scores stay exact
+    * integers, so the result is bit-identical under any partitioning
+    * and a plain unrolled-CTE SQL oracle reproduces it.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+
+    // raw keyed sums → L1-normalized scores joined back onto all nodes
+    def normalize(raw: DataFrame, keyCol: String, out: String) = {
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      nodes.join(raw, col("node") === col(keyCol), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"coalesce(__raw, 0L) div greatest(__tot div $PrScale, 1L)")
+            .as(out))
+    }
+
+    var hub = nodes.withColumn("hub_fx", lit(PrScale))
+    var auth = nodes.withColumn("auth_fx", lit(0L))
+    (1 to iters).foreach { _ =>
+      val aRaw = e.join(hub, col("__src") === col("node"))
+        .groupBy(col("__dst")).agg(sum(col("hub_fx")).as("__raw"))
+      auth = normalize(aRaw, "__dst", "auth_fx")
+      val hRaw = e.join(auth, col("__dst") === col("node"))
+        .groupBy(col("__src")).agg(sum(col("auth_fx")).as("__raw"))
+      hub = normalize(hRaw, "__src", "hub_fx")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("hub_fx"), col("auth_fx"),
+        (col("hub_fx").cast("double") / PrScale.toDouble).as("hub"),
+        (col("auth_fx").cast("double") / PrScale.toDouble).as("auth"))
+  }
 }

@@ -58,6 +58,23 @@ object Html {
     regexp_extract_all(html, lit("(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"),
       lit(1))
 
+  /** All anchors of a document as `array<struct<href, text>>` in
+    * document order — the (target, anchor-text) pairs whose per-target
+    * aggregation is the classic link-graph relevance signal. `text` is
+    * the anchor's visible text ([[htmlToText]] applied inside the
+    * element, so nested markup and entities are handled identically to
+    * body text); anchors without an `href` report null. One codegen
+    * projection like the rest of this object.
+    */
+  def htmlAnchors(html: Column): Column = {
+    val tags = regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*>.*?</a\\s*>"), lit(0))
+    transform(tags, a => struct(
+      nullif(regexp_extract(a, "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']", 1),
+        lit("")).as("href"),
+      htmlToText(regexp_extract(a, "(?is)>(.*?)</a\\s*>", 1)).as("text")))
+  }
+
   /** Extraction pass over a corpus: adds `title`, `text_plain` and
     * `links` columns derived from `htmlCol`. One whole-stage-codegen
     * projection.

@@ -131,6 +131,82 @@ object Web {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** Parse robots.txt bodies into directive rows `(host, agent, rule,
+    * prefix, prefix_len, line_no)` — `rule` is `allow`/`disallow`,
+    * `agent` the lowercased token of the governing `User-agent` line.
+    * RFC 9309 shapes covered: `#` comments, blank lines, case-
+    * insensitive field names, directives before any `User-agent`
+    * dropped, empty-path directives dropped (an empty `Disallow:`
+    * imposes no rule). Single-agent groups (one `User-agent` line per
+    * group) are supported; multi-agent group headers are out of scope.
+    *
+    * Scale shape: posexplode of lines then ONE window partitioned by
+    * host to attribute each directive to the most recent agent line —
+    * robots bodies are KB-sized, so per-host partitions stay tiny no
+    * matter how many hosts the crawl covers.
+    */
+  def parseRobots(df: DataFrame, hostCol: String,
+                  contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(hostCol).as("host"),
+      posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
+    val clean = trim(regexp_replace(col("raw"), "#.*$", ""))
+    val ua = when(clean.rlike("(?i)^user-agent\\s*:"),
+      lower(regexp_extract(clean, "(?i)^user-agent\\s*:\\s*(\\S+)", 1)))
+    val rule = lower(regexp_extract(clean, "(?i)^(allow|disallow)\\s*:", 1))
+    val prefix = regexp_extract(clean,
+      "(?i)^(?:allow|disallow)\\s*:\\s*(\\S+)", 1)
+    val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("agent", last(ua, ignoreNulls = true).over(w))
+      .withColumn("rule", rule).withColumn("prefix", prefix)
+      .filter(col("agent").isNotNull && col("rule") =!= "" &&
+        col("prefix") =!= "")
+      .select(col("host"), col("agent"), col("rule"), col("prefix"),
+        length(col("prefix")).cast("int").as("prefix_len"),
+        col("line_no"))
+  }
+
+  /** RFC 9309 fetch decision for `agent` over every URL row: adds
+    * `allowed`. Group selection per host: if any group names `agent`
+    * exactly, ONLY that group applies, else the `*` group; among
+    * matching path prefixes the LONGEST wins, an `allow`/`disallow`
+    * tie at equal length resolving to allow; no match ⇒ allowed (and
+    * hosts with no robots rules allow everything).
+    *
+    * Shape: the group-selection aggregate and the rule join both key
+    * on host (rules co-partition with URLs on the join key); the
+    * longest-match argmax is ONE `max(struct(...))` hash aggregation —
+    * no window, no per-URL sort.
+    */
+  def robotsAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
+                    agent: String): DataFrame = {
+    val hostGroups = rules.groupBy(col("host"))
+      .agg(max(col("agent") === lit(agent)).as("__has_specific"))
+    val applicable = rules.join(hostGroups, Seq("host"))
+      .filter(when(col("__has_specific"), col("agent") === lit(agent))
+        .otherwise(col("agent") === lit("*")))
+      .select(col("host").as("__rhost"), col("rule").as("__rule"),
+        col("prefix").as("__prefix"), col("prefix_len").as("__plen"))
+    val u = urls.withColumn("__host", host(col(urlCol)))
+      .withColumn("__path",
+        coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
+          lit("/")))
+    val urlCols = u.columns.map(col)
+    u.join(applicable, col("__host") === col("__rhost"), "left_outer")
+      .withColumn("__match",
+        col("__prefix").isNotNull &&
+          startswith(col("__path"), col("__prefix")))
+      .groupBy(urlCols: _*)
+      .agg(max(struct(col("__match").cast("int").as("m"),
+        coalesce(col("__plen"), lit(0)).as("len"),
+        (col("__rule") === "allow").cast("int").as("al"))).as("__best"))
+      .withColumn("allowed",
+        col("__best.m") === 0 || col("__best.al") === 1)
+      .drop("__best", "__host", "__path")
+  }
+
   /** Drop rows whose registered domain is in `blocked` (URL-level
     * blocklist filtering). The blocklist broadcasts: corpus-side the
     * filter is a narrow broadcast anti-join, never a shuffle.

@@ -41,6 +41,31 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("out-edge"))
   }
 
+  test("hits: authority concentrates on the pointed-at node") {
+    // spokes 1,2,3 -> 9; 9 -> 1. 9 is the authority, spokes are hubs.
+    val e = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iters = 2)
+      .select("node", "hub_fx", "auth_fx")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(9L)._2 > r(1L)._2)             // 9 is the top authority
+    assert(r(1L)._1 === r(2L)._1)           // symmetric spokes tie
+    assert(r(2L)._1 > 0 && r(2L)._2 === 0)  // pure hub: no in-edges
+  }
+
+  test("hits is deterministic across repartitionings") {
+    val e = (0L until 200L).map(i => (i % 16, (i * 7 + 3) % 16))
+      .filter(p => p._1 != p._2).distinct.toDF("src", "dst")
+    val a = Graph.hits(e, "src", "dst", iters = 2)
+      .select("node", "hub_fx", "auth_fx")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = Graph.hits(e.repartition(13), "src", "dst", iters = 2)
+      .select("node", "hub_fx", "auth_fx")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
   test("pageRank is deterministic across repartitionings") {
     val e = (0L until 200L).map(i => (i % 16, (i * 7 + 3) % 16))
       .filter(p => p._1 != p._2).distinct.toDF("src", "dst")

@@ -43,6 +43,21 @@ class HtmlSpec extends SparkSpec {
     assert(got === Seq("/a", "b.html"))
   }
 
+  test("htmlAnchors pairs hrefs with entity-decoded visible text") {
+    val got = Seq(
+        """<a href="/a"><b>Bold</b> &amp; more</a> x <a HREF='b'>2</a>""")
+      .toDF("h").select(Html.htmlAnchors(col("h")).as("a"))
+      .selectExpr("inline(a)").as[(String, String)].collect().toSeq
+    assert(got === Seq(("/a", "Bold & more"), ("b", "2")))
+  }
+
+  test("htmlAnchors: anchor without href reports null target") {
+    val got = Seq("""<a name="top">here</a>""").toDF("h")
+      .select(Html.htmlAnchors(col("h")).as("a"))
+      .selectExpr("inline(a)").as[(Option[String], String)].head()
+    assert(got === ((None, "here")))
+  }
+
   test("extract adds title, text_plain and links together") {
     val r = Html.extract(
         Seq((7L, "<title>T</title><body><a href='/x'>L</a></body>"))

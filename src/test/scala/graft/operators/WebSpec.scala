@@ -77,4 +77,65 @@ class WebSpec extends SparkSpec {
     assert(kept.select("reg_domain").distinct().as[String].collect().toSet
       === Set("dom0.co.uk", "dom2.co.uk"))
   }
+
+  private val robotsBody =
+    """# welcome
+      |User-Agent: GraftBot
+      |Disallow: /private/   # inline comment
+      |Allow: /private/pub/
+      |
+      |User-agent: *
+      |disallow: /blog/
+      |User-agent: evilbot
+      |Disallow: /
+      |""".stripMargin
+
+  test("parseRobots attributes directives to groups, drops noise") {
+    val rules = Web.parseRobots(
+        Seq(("h.com", robotsBody)).toDF("host", "robots"),
+        "host", "robots")
+      .select("agent", "rule", "prefix").as[(String, String, String)]
+      .collect().toSet
+    assert(rules === Set(
+      ("graftbot", "disallow", "/private/"),
+      ("graftbot", "allow", "/private/pub/"),
+      ("*", "disallow", "/blog/"),
+      ("evilbot", "disallow", "/")))
+  }
+
+  test("parseRobots ignores directives before any user-agent line") {
+    val rules = Web.parseRobots(
+        Seq(("h.com", "Disallow: /x\nUser-agent: *\nDisallow: /y\n"))
+          .toDF("host", "robots"), "host", "robots")
+      .select("prefix").as[String].collect().toSeq
+    assert(rules === Seq("/y"))
+  }
+
+  test("robotsAllowed: longest match, allow-wins tie, group shadowing") {
+    val rules = Web.parseRobots(
+      Seq(("h.com", robotsBody)).toDF("host", "robots"),
+      "host", "robots")
+    val urls = Seq(
+      (1L, "https://h.com/private/secret"),   // disallow /private/
+      (2L, "https://h.com/private/pub/ok"),   // longer allow wins
+      (3L, "https://h.com/blog/x"),           // '*' rule shadowed
+      (4L, "https://h.com/open"),             // no match -> allowed
+      (5L, "https://other.com/private/x")     // no robots -> allowed
+    ).toDF("doc_id", "url")
+    val got = Web.robotsAllowed(urls, "url", rules, "graftbot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> true, 5L -> true))
+  }
+
+  test("robotsAllowed falls back to the '*' group without a specific") {
+    val rules = Web.parseRobots(
+      Seq(("h.com", "User-agent: *\nDisallow: /blog/\n"))
+        .toDF("host", "robots"), "host", "robots")
+    val got = Web.robotsAllowed(
+        Seq((1L, "https://h.com/blog/p"), (2L, "https://h.com/ok"))
+          .toDF("doc_id", "url"), "url", rules, "graftbot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true))
+  }
 }
