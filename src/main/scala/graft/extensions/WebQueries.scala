@@ -250,6 +250,52 @@ private[graft] object WebQueries {
         .orderBy(col("host"), col("agent"), col("prefix"))
     },
 
+    // sitemap.xml parse: REAL per-host sitemap documents (XML preamble,
+    // urlset, variable url-block counts, whitespace-padded loc values,
+    // optional lastmod/priority fields) through the real block parser;
+    // the oracle regenerates every (host, loc, lastmod, priority) row
+    // arithmetically. priority reaches the gate through an identical
+    // string-to-double cast on both engines; nullable fields are
+    // sentinel-coalesced so the compare stays scalar-typed.
+    Q("ext_sitemap",
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |u AS (SELECT k.k, r.i FROM k, range(4) r(i)
+        |  WHERE r.i <= k.k % 4)
+        |SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
+        | 'https://site' || CAST(k AS VARCHAR) || '.com/page' ||
+        |  CAST(i AS VARCHAR) AS loc,
+        | coalesce(CASE WHEN i % 2 = 0
+        |   THEN '2026-01-0' || CAST(i % 7 + 1 AS VARCHAR) END, '')
+        |  AS lastmod,
+        | coalesce(CASE WHEN i % 3 = 0 THEN
+        |   CAST('0.' || CAST(i % 5 + 5 AS VARCHAR) AS DOUBLE) END,
+        |  -1.0) AS priority
+        |FROM u ORDER BY host, loc""".stripMargin) { (sp, dir) =>
+      val k = col("k")
+      val idxs = sequence(lit(0L), pmod(k, lit(4)))
+      val blocks = transform(idxs, i => concat(
+        lit("<url>\n  <loc> https://site"), s(k), lit(".com/page"),
+        s(i), lit(" </loc>\n"),
+        when(pmod(i, lit(2)) === 0,
+          concat(lit("  <lastmod>2026-01-0"), s(pmod(i, lit(7)) + 1),
+            lit("</lastmod>\n"))).otherwise(lit("")),
+        when(pmod(i, lit(3)) === 0,
+          concat(lit("  <priority>0."), s(pmod(i, lit(5)) + 5),
+            lit("</priority>\n"))).otherwise(lit("")),
+        lit("</url>")))
+      val xml = concat(lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+        array_join(blocks, "\n"), lit("\n</urlset>"))
+      val sitemaps = documents(sp, dir)
+        .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+        .select(concat(lit("site"), s(k), lit(".com")).as("host"),
+          xml.as("sitemap"))
+      Web.sitemapUrls(sitemaps, "sitemap")
+        .select(col("host"), col("loc"),
+          coalesce(col("lastmod"), lit("")).as("lastmod"),
+          coalesce(col("priority"), lit(-1.0)).as("priority"))
+        .orderBy(col("host"), col("loc"))
+    },
+
     // robots.txt fetch decisions for agent "graftbot": group selection
     // (the specific group shadows '*' where present; hosts without a
     // graftbot group fall back to '*'), longest-prefix-match with
@@ -289,6 +335,55 @@ private[graft] object WebQueries {
       Web.robotsAllowed(us, "url", rules, "graftbot")
         .select(col("doc_id"), col("url"), col("allowed"))
         .orderBy(col("doc_id"))
+    },
+
+    // End-to-end crawl-frontier composition: sitemap seeds (REAL XML
+    // through the real parser, paths landing in allowed and disallowed
+    // trees) → robots.txt gate for graftbot (REAL bodies through the
+    // real parser, group shadowing exercised both ways) → per-domain
+    // politeness cap by md5 priority. Four operators chained under one
+    // closed-form oracle.
+    Q("ext_crawl_frontier",
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |u AS (SELECT k.k, r.i FROM k, range(4) r(i)
+        |  WHERE r.i <= k.k % 4),
+        |seeds AS (SELECT k, i,
+        |  'https://site' || CAST(k AS VARCHAR) || '.com' ||
+        |  (CASE i % 3
+        |   WHEN 0 THEN '/private' || CAST(k % 5 AS VARCHAR) || '/x' ||
+        |    CAST(i AS VARCHAR)
+        |   WHEN 1 THEN '/blog/p' || CAST(i AS VARCHAR)
+        |   ELSE '/page' || CAST(i AS VARCHAR) END) AS loc FROM u),
+        |gated AS (SELECT k, loc FROM seeds WHERE
+        |  CASE i % 3 WHEN 0 THEN k % 4 = 3
+        |   WHEN 1 THEN k % 4 != 3 ELSE TRUE END),
+        |capped AS (SELECT
+        |  'site' || CAST(k AS VARCHAR) || '.com' AS reg_domain, loc,
+        |  row_number() OVER (PARTITION BY k ORDER BY md5(loc), loc)
+        |   AS rn FROM gated)
+        |SELECT reg_domain, loc, CAST(rn AS INT) AS domain_rank
+        |FROM capped WHERE rn <= 2
+        |ORDER BY reg_domain, loc""".stripMargin) { (sp, dir) =>
+      val k = col("k")
+      val idxs = sequence(lit(0L), pmod(k, lit(4)))
+      val blocks = transform(idxs, i => concat(
+        lit("<url><loc>https://site"), s(k), lit(".com"),
+        when(pmod(i, lit(3)) === 0,
+          concat(lit("/private"), s(pmod(k, lit(5))), lit("/x"), s(i)))
+          .when(pmod(i, lit(3)) === 1, concat(lit("/blog/p"), s(i)))
+          .otherwise(concat(lit("/page"), s(i))),
+        lit("</loc></url>")))
+      val sitemaps = documents(sp, dir)
+        .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+        .select(concat(lit("<urlset>"), array_join(blocks, "\n"),
+          lit("</urlset>")).as("sitemap"))
+      val seeds = Web.sitemapUrls(sitemaps, "sitemap").select(col("loc"))
+      val rules = Web.parseRobots(robotsHosts(sp, dir), "host", "robots")
+      val gated = Web.robotsAllowed(seeds, "loc", rules, "graftbot")
+        .filter(col("allowed")).select(col("loc"))
+      Web.domainCap(gated, "loc", "loc", cap = 2)
+        .select(col("reg_domain"), col("loc"), col("domain_rank"))
+        .orderBy(col("reg_domain"), col("loc"))
     },
 
     // Blocklist anti-join: three registered domains vanish; everything

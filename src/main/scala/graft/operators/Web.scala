@@ -207,6 +207,31 @@ object Web {
       .drop("__best", "__host", "__path")
   }
 
+  /** Parse sitemap XML bodies (sitemaps.org protocol): one output row
+    * per `<url>` block, keeping `df`'s columns and adding `loc`
+    * (whitespace-trimmed, the protocol requires one per block),
+    * `lastmod` (null when absent) and `priority` (double, null when
+    * absent). Block-scoped regexp extraction like [[Html.htmlAnchors]]
+    * — a field can never be read from a neighboring block — and one
+    * codegen projection + explode, no UDF, scan speed at 100 TB.
+    */
+  def sitemapUrls(df: DataFrame, xmlCol: String): DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?is)<url>(.*?)</url>"), lit(1))
+    def field(b: Column, tag: String): Column =
+      nullif(trim(regexp_extract(b,
+        s"(?is)<$tag>(.*?)</$tag>", 1)), lit(""))
+    val parsed = transform(blocks, b => struct(
+      field(b, "loc").as("loc"),
+      field(b, "lastmod").as("lastmod"),
+      field(b, "priority").cast("double").as("priority")))
+    df.withColumn("__u", explode(parsed))
+      .select(df.columns.map(col) :+ col("__u.loc").as("loc") :+
+        col("__u.lastmod").as("lastmod") :+
+        col("__u.priority").as("priority"): _*)
+      .drop("__u")
+  }
+
   /** Drop rows whose registered domain is in `blocked` (URL-level
     * blocklist filtering). The blocklist broadcasts: corpus-side the
     * filter is a narrow broadcast anti-join, never a shuffle.

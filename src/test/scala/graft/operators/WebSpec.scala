@@ -78,6 +78,30 @@ class WebSpec extends SparkSpec {
       === Set("dom0.co.uk", "dom2.co.uk"))
   }
 
+  test("sitemapUrls parses url blocks with optional fields") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc> https://h.com/a </loc><lastmod>2026-01-02</lastmod>
+        | <priority>0.8</priority></url>
+        |<url><loc>https://h.com/b</loc></url>
+        |</urlset>""".stripMargin
+    val got = Web.sitemapUrls(Seq(("h", xml)).toDF("host", "xml"), "xml")
+      .select("loc", "lastmod", "priority")
+      .as[(String, Option[String], Option[Double])].collect().toSeq
+    assert(got === Seq(
+      ("https://h.com/a", Some("2026-01-02"), Some(0.8)),
+      ("https://h.com/b", None, None)))
+  }
+
+  test("sitemapUrls never reads a field from a neighboring block") {
+    val xml = "<url><loc>/a</loc></url><url><lastmod>2026-02-02" +
+      "</lastmod><loc>/b</loc></url>"
+    val got = Web.sitemapUrls(Seq(("h", xml)).toDF("host", "xml"), "xml")
+      .select("loc", "lastmod").as[(String, Option[String])]
+      .collect().toSeq
+    assert(got === Seq(("/a", None), ("/b", Some("2026-02-02"))))
+  }
+
   private val robotsBody =
     """# welcome
       |User-Agent: GraftBot
