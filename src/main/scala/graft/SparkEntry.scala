@@ -22,7 +22,8 @@ object SparkEntry {
       graft.extensions.WebQueries.all ++
       graft.extensions.HtmlQueries.all ++
       graft.extensions.GraphQueries.all ++
-      graft.extensions.WarcQueries.all
+      graft.extensions.WarcQueries.all ++
+      graft.extensions.ChatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,122 @@
+package graft.extensions
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.operators.Chat
+import graft.tables.Tables.documents
+
+/** Driver-checked queries for chat-template rendering and loss-mask
+  * spans ([[graft.operators.Chat]]).
+  *
+  * Conversations are synthesized from doc_id arithmetic — 2/4/6
+  * alternating user/assistant turns, a leading system turn on every
+  * 4th conversation — so both engines derive the identical turn table;
+  * the oracle renders with `string_agg(... ORDER BY t)` and re-derives
+  * the span offsets with the same exclusive prefix sum of rendered
+  * lengths. The engine-side `span_ok` column actually SLICES the
+  * rendered conversation at the claimed offsets and compares to the
+  * turn text, so a span defect fails the gate even though the oracle's
+  * column is a constant TRUE.
+  */
+private[graft] object ChatQueries {
+
+  private def s(c: org.apache.spark.sql.Column) = c.cast("string")
+
+  private def turns(sp: org.apache.spark.sql.SparkSession, dir: String) = {
+    val id = col("conv_id")
+    val base = documents(sp, dir).select(
+      col("doc_id").as("conv_id"),
+      (pmod(col("doc_id"), lit(4)) === 0).as("hs"))
+      .withColumn("total",
+        lit(2) + pmod(id, lit(3)).cast("int") * 2 +
+          when(col("hs"), 1).otherwise(0))
+      .select(id, col("hs"),
+        explode(sequence(lit(0), col("total") - 1)).as("t"))
+    val off = when(col("hs"), 1).otherwise(0)
+    base
+      .withColumn("role",
+        when(col("hs") && col("t") === 0, lit("system"))
+          .when(pmod(col("t") - off, lit(2)) === 0, lit("user"))
+          .otherwise(lit("assistant")))
+      .withColumn("text",
+        when(col("role") === "system",
+          concat(lit("sys "), s(pmod(id, lit(5)))))
+          .when(col("role") === "user",
+            concat(lit("ask "), s(pmod(id, lit(7))), lit(" "),
+              s(col("t"))))
+          .otherwise(concat(lit("ans "), s(pmod(id, lit(11))),
+            lit(" "), s(col("t")))))
+  }
+
+  /** Oracle CTE reconstructing the turn table and rendered segments. */
+  private val oracleTurns: String =
+    """t AS (SELECT d.doc_id, d.hs, r.i AS t
+      |  FROM (SELECT doc_id, doc_id % 4 = 0 AS hs FROM documents) d,
+      |   range(7) r(i)
+      |  WHERE r.i < 2 + 2 * (d.doc_id % 3) +
+      |   CASE WHEN d.hs THEN 1 ELSE 0 END),
+      |r AS (SELECT doc_id, t,
+      |  CASE WHEN hs AND t = 0 THEN 'system'
+      |   WHEN (t - CASE WHEN hs THEN 1 ELSE 0 END) % 2 = 0 THEN 'user'
+      |   ELSE 'assistant' END AS role,
+      |  CASE WHEN hs AND t = 0
+      |    THEN 'sys ' || CAST(doc_id % 5 AS VARCHAR)
+      |   WHEN (t - CASE WHEN hs THEN 1 ELSE 0 END) % 2 = 0
+      |    THEN 'ask ' || CAST(doc_id % 7 AS VARCHAR) || ' ' ||
+      |     CAST(t AS VARCHAR)
+      |   ELSE 'ans ' || CAST(doc_id % 11 AS VARCHAR) || ' ' ||
+      |    CAST(t AS VARCHAR) END AS txt
+      | FROM t),
+      |seg AS (SELECT doc_id, t, role, txt,
+      |  '<|' || role || '|>' || txt || '<|end|>' AS sg FROM r)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Template rendering: per-conversation ordered concatenation of
+    // <|role|>text<|end|> segments (system turn included as a turn).
+    Q("ext_chat_render",
+      s"""WITH $oracleTurns
+         |SELECT doc_id AS conv_id,
+         | CAST(2 + 2 * (doc_id % 3) +
+         |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+         |  AS n_turns,
+         | string_agg(sg, '' ORDER BY t) AS text
+         |FROM seg GROUP BY doc_id ORDER BY conv_id""".stripMargin) {
+      (sp, dir) =>
+        Chat.renderConversations(turns(sp, dir), "conv_id", "t",
+            "role", "text")
+          .orderBy(col("conv_id"))
+    },
+
+    // Loss-mask spans: 0-based [char_start, char_end) of each
+    // assistant turn's text in the rendered conversation; span_ok is
+    // an ACTUAL slice-and-compare on the engine side.
+    Q("ext_chat_spans",
+      s"""WITH $oracleTurns
+         |SELECT conv_id, turn_idx, char_start,
+         | CAST(char_start + tl AS BIGINT) AS char_end, TRUE AS span_ok
+         |FROM (SELECT doc_id AS conv_id, CAST(t AS INT) AS turn_idx,
+         |  role, length(txt) AS tl,
+         |  CAST(coalesce(sum(length(sg)) OVER (PARTITION BY doc_id
+         |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0) + 13 AS BIGINT) AS char_start
+         | FROM seg)
+         |WHERE role = 'assistant'
+         |ORDER BY conv_id, turn_idx""".stripMargin) { (sp, dir) =>
+      val tt = turns(sp, dir)
+      val spans = Chat.assistantSpans(tt, "conv_id", "t", "role", "text")
+      val rendered = Chat.renderConversations(tt, "conv_id", "t",
+          "role", "text")
+        .select(col("conv_id"), col("text").as("__full"))
+      spans
+        .join(rendered, Seq("conv_id"))
+        .join(tt.select(col("conv_id"), col("t"),
+          col("text").as("__turn")), Seq("conv_id", "t"))
+        .withColumn("span_ok",
+          expr("substring(__full, char_start + 1, char_end - char_start)")
+            === col("__turn"))
+        .select(col("conv_id"), col("t").cast("int").as("turn_idx"),
+          col("char_start"), col("char_end"), col("span_ok"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    })
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chat-template rendering and loss-mask spans — the SFT-data prep
+  * stage: turn tables become packed training text, and the assistant
+  * turns' character ranges become the spans a trainer unmasks for the
+  * loss.
+  *
+  * Template: each turn renders as `<|role|>text<|end|>` and a
+  * conversation is its turns concatenated in `idxCol` order (a system
+  * turn is just a row with role `system`, so the operators need no
+  * special-casing).
+  *
+  * Scale shape: rendering is ONE hash aggregation per conversation
+  * (collect into an array, `array_sort` for determinism against
+  * collect_list's arrival order, then a fold — conversations are
+  * KB-sized so the per-group state is bounded); spans are ONE window
+  * partitioned by conversation doing an exclusive prefix sum of
+  * rendered-turn lengths. Both shuffle once on the conversation key
+  * and nothing is driver-side.
+  */
+object Chat {
+
+  /** `<|role|>text<|end|>` — one turn's rendered form. */
+  def renderedTurn(role: Column, text: Column): Column =
+    concat(lit("<|"), role, lit("|>"), text, lit("<|end|>"))
+
+  /** One row per conversation: `(convCol, n_turns, text)` with turns
+    * concatenated in `idxCol` order.
+    */
+  def renderConversations(df: DataFrame, convCol: String, idxCol: String,
+                          roleCol: String, textCol: String): DataFrame =
+    df.groupBy(col(convCol))
+      .agg(count(lit(1)).cast("int").as("n_turns"),
+        aggregate(
+          array_sort(collect_list(struct(col(idxCol).as("i"),
+            renderedTurn(col(roleCol), col(textCol)).as("r")))),
+          lit(""), (acc, x) => concat(acc, x.getField("r"))).as("text"))
+
+  /** 0-based character spans of the assistant turns' text (template
+    * markers excluded) inside the rendered conversation: one row per
+    * assistant turn, `(convCol, idxCol, char_start, char_end)` with
+    * `char_end` exclusive — `substring(rendered, char_start + 1,
+    * char_end - char_start)` is exactly the turn's text.
+    */
+  def assistantSpans(df: DataFrame, convCol: String, idxCol: String,
+                     roleCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(convCol)).orderBy(col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = coalesce(sum(length(renderedTurn(col(roleCol),
+      col(textCol)))).over(w), lit(0L))
+    val open = length(concat(lit("<|"), col(roleCol), lit("|>")))
+    df.withColumn("char_start", prev + open)
+      .withColumn("char_end", col("char_start") + length(col(textCol)))
+      .filter(col(roleCol) === "assistant")
+      .select(col(convCol), col(idxCol),
+        col("char_start").cast("long").as("char_start"),
+        col("char_end").cast("long").as("char_end"))
+  }
+}

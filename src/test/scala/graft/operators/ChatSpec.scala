@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val turns = Seq(
+    (1L, 0, "system", "be brief"),
+    (1L, 1, "user", "hi"),
+    (1L, 2, "assistant", "hello"),
+    (1L, 3, "user", "more"),
+    (1L, 4, "assistant", "ok"),
+    (2L, 0, "user", "solo"),
+    (2L, 1, "assistant", "yes")
+  ).toDF("conv", "idx", "role", "text")
+
+  test("renderConversations concatenates turns in index order") {
+    val got = Chat.renderConversations(turns, "conv", "idx", "role",
+        "text")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 5, "<|system|>be brief<|end|><|user|>hi<|end|>" +
+        "<|assistant|>hello<|end|><|user|>more<|end|>" +
+        "<|assistant|>ok<|end|>"),
+      (2L, 2, "<|user|>solo<|end|><|assistant|>yes<|end|>")))
+  }
+
+  test("renderConversations is order-insensitive to input row order") {
+    val shuffled = turns.orderBy(rand(7)).repartition(5)
+    val a = Chat.renderConversations(turns, "conv", "idx", "role", "text")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    val b = Chat.renderConversations(shuffled, "conv", "idx", "role",
+        "text")
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+  }
+
+  test("assistantSpans slices back to exactly the turn text") {
+    val spans = Chat.assistantSpans(turns, "conv", "idx", "role", "text")
+    val rendered = Chat.renderConversations(turns, "conv", "idx",
+        "role", "text")
+      .select(col("conv"), col("text").as("full"))
+    val ok = spans.join(rendered, Seq("conv"))
+      .join(turns.select(col("conv"), col("idx"),
+        col("text").as("turn")), Seq("conv", "idx"))
+      .withColumn("slice",
+        expr("substring(full, char_start + 1, char_end - char_start)"))
+      .select("slice", "turn").as[(String, String)].collect()
+    assert(ok.nonEmpty && ok.forall(p => p._1 === p._2))
+  }
+
+  test("assistantSpans returns only assistant turns, 0-based") {
+    val got = Chat.assistantSpans(turns, "conv", "idx", "role", "text")
+      .as[(Long, Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
+      .toSeq
+    // conv 2: "<|user|>solo<|end|>" is 19 chars, "<|assistant|>" is 13
+    assert(got.map(t => (t._1, t._2)) === Seq((1L, 2), (1L, 4), (2L, 1)))
+    assert(got(2) === ((2L, 1, 32L, 35L)))
+  }
+}
