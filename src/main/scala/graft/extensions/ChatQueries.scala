@@ -2,7 +2,8 @@ package graft.extensions
 
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.operators.Chat
+import graft.functions.TextFns
+import graft.operators.{Chat, Fim}
 import graft.tables.Tables.documents
 
 /** Driver-checked queries for chat-template rendering and loss-mask
@@ -118,5 +119,70 @@ private[graft] object ChatQueries {
         .select(col("conv_id"), col("t").cast("int").as("turn_idx"),
           col("char_start"), col("char_end"), col("span_ok"))
         .orderBy(col("conv_id"), col("turn_idx"))
+    },
+
+    // DPO preference pairs over REAL document texts: ~5 responses per
+    // prompt (doc_id % 101), scored by an md5-prefix hash both engines
+    // derive identically; the oracle picks chosen/rejected with twin
+    // row_number windows mirroring max(struct)/min(struct) tie order.
+    Q("ext_dpo_pairs",
+      """WITH r AS (SELECT doc_id % 101 AS prompt_id, text,
+        |  CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 13
+        |   AS INT) AS score FROM documents),
+        |w AS (SELECT prompt_id, text, score,
+        |  row_number() OVER (PARTITION BY prompt_id
+        |   ORDER BY score DESC, text DESC) AS rc,
+        |  row_number() OVER (PARTITION BY prompt_id
+        |   ORDER BY score ASC, text ASC) AS rr,
+        |  count(*) OVER (PARTITION BY prompt_id) AS n FROM r),
+        |c AS (SELECT prompt_id, text AS chosen, score AS chosen_score,
+        |  n FROM w WHERE rc = 1),
+        |j AS (SELECT prompt_id, text AS rejected,
+        |  score AS rejected_score FROM w WHERE rr = 1)
+        |SELECT c.prompt_id, chosen, chosen_score, rejected,
+        | rejected_score, CAST(n AS INT) AS n_responses,
+        | CAST(chosen_score - rejected_score AS INT) AS margin
+        |FROM c JOIN j USING (prompt_id)
+        |WHERE chosen_score > rejected_score
+        |ORDER BY prompt_id""".stripMargin) { (sp, dir) =>
+      val resp = documents(sp, dir).select(
+        pmod(col("doc_id"), lit(101)).as("prompt_id"), col("text"),
+        (TextFns.hash32(col("text")) % 13).cast("int").as("score"))
+      Chat.preferencePairs(resp, "prompt_id", "text", "score")
+        .orderBy(col("prompt_id"))
+    },
+
+    // Fill-in-middle rewrite of REAL document texts (PSM order, 60%
+    // apply rate): the oracle reproduces the md5-derived apply bit and
+    // cut points and reassembles the identical <PRE>/<SUF>/<MID>
+    // string from three substrs.
+    Q("ext_fim",
+      """WITH f AS (SELECT doc_id, text, length(text) AS len,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m'),
+        |   1, 8) AS BIGINT) % 100 < 60 AS ap,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'),
+        |   1, 8) AS BIGINT) % (length(text) + 1) AS h1,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'),
+        |   1, 8) AS BIGINT) % (length(text) + 1) AS h2
+        | FROM documents)
+        |SELECT doc_id, ap AS fim_applied,
+        | CAST(CASE WHEN ap THEN least(h1, h2) ELSE -1 END AS INT)
+        |  AS cut_start,
+        | CAST(CASE WHEN ap THEN greatest(h1, h2) ELSE -1 END AS INT)
+        |  AS cut_end,
+        | CASE WHEN ap THEN
+        |  '<PRE>' || substr(text, 1, least(h1, h2)) ||
+        |  '<SUF>' || substr(text, greatest(h1, h2) + 1,
+        |    len - greatest(h1, h2)) ||
+        |  '<MID>' || substr(text, least(h1, h2) + 1,
+        |    greatest(h1, h2) - least(h1, h2))
+        |  ELSE text END AS fim_text
+        |FROM f ORDER BY doc_id""".stripMargin) { (sp, dir) =>
+      Fim.fimTransform(
+          documents(sp, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", ratePct = 60)
+        .select(col("doc_id"), col("fim_applied"), col("cut_start"),
+          col("cut_end"), col("fim_text"))
+        .orderBy(col("doc_id"))
     })
 }

@@ -40,6 +40,30 @@ object Chat {
             renderedTurn(col(roleCol), col(textCol)).as("r")))),
           lit(""), (acc, x) => concat(acc, x.getField("r"))).as("text"))
 
+  /** Per-prompt preference pairs for DPO-style training: `chosen` is
+    * the (score, text)-max response, `rejected` the min, and only
+    * prompts with a strict score gap survive (a pair with no margin
+    * teaches nothing). ONE hash aggregation — `max(struct)` /
+    * `min(struct)` — per prompt; ties break lexicographically on the
+    * response text so the pair is deterministic under any
+    * partitioning.
+    */
+  def preferencePairs(df: DataFrame, promptCol: String, textCol: String,
+                      scoreCol: String): DataFrame =
+    df.groupBy(col(promptCol))
+      .agg(
+        max(struct(col(scoreCol).as("s"), col(textCol).as("t")))
+          .as("__c"),
+        min(struct(col(scoreCol).as("s"), col(textCol).as("t")))
+          .as("__r"),
+        count(lit(1)).cast("int").as("n_responses"))
+      .select(col(promptCol),
+        col("__c.t").as("chosen"), col("__c.s").as("chosen_score"),
+        col("__r.t").as("rejected"), col("__r.s").as("rejected_score"),
+        col("n_responses"))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+
   /** 0-based character spans of the assistant turns' text (template
     * markers excluded) inside the rendered conversation: one row per
     * assistant turn, `(convCol, idxCol, char_start, char_end)` with

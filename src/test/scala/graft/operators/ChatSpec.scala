@@ -51,6 +51,26 @@ class ChatSpec extends SparkSpec {
     assert(ok.nonEmpty && ok.forall(p => p._1 === p._2))
   }
 
+  test("preferencePairs picks max/min by (score, text), strict margin") {
+    val resp = Seq(
+      (1L, "a", 3), (1L, "b", 7), (1L, "c", 5),   // clear pair
+      (2L, "x", 4), (2L, "y", 4),                  // no margin -> drop
+      (3L, "only", 9)                              // single -> drop
+    ).toDF("prompt", "text", "score")
+    val got = Chat.preferencePairs(resp, "prompt", "text", "score")
+      .select("prompt", "chosen", "rejected", "n_responses", "margin")
+      .as[(Long, String, String, Int, Int)].collect().toSeq
+    assert(got === Seq((1L, "b", "a", 3, 4)))
+  }
+
+  test("preferencePairs breaks score ties lexicographically") {
+    val resp = Seq((1L, "zz", 5), (1L, "aa", 5), (1L, "mm", 2))
+      .toDF("prompt", "text", "score")
+    val r = Chat.preferencePairs(resp, "prompt", "text", "score")
+      .select("chosen", "rejected").as[(String, String)].head()
+    assert(r === (("zz", "mm")))
+  }
+
   test("assistantSpans returns only assistant turns, 0-based") {
     val got = Chat.assistantSpans(turns, "conv", "idx", "role", "text")
       .as[(Long, Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
