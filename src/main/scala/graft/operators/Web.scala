@@ -175,36 +175,47 @@ object Web {
     * tie at equal length resolving to allow; no match ⇒ allowed (and
     * hosts with no robots rules allow everything).
     *
-    * Shape: the group-selection aggregate and the rule join both key
-    * on host (rules co-partition with URLs on the join key); the
-    * longest-match argmax is ONE `max(struct(...))` hash aggregation —
-    * no window, no per-URL sort.
+    * Shape: the group-selection aggregate and the per-host rule-array
+    * rollup run on the TINY rules side only; the corpus then takes one
+    * broadcast join and a narrow array-fold projection — the URL table
+    * is never shuffled and never grouped, so this runs at scan speed
+    * at 100 TB. (`urls` must not already carry `host`/`__`-prefixed
+    * working columns.)
     */
   def robotsAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
                     agent: String): DataFrame = {
     val hostGroups = rules.groupBy(col("host"))
       .agg(max(col("agent") === lit(agent)).as("__has_specific"))
-    val applicable = rules.join(hostGroups, Seq("host"))
+    val ruleSets = rules.join(hostGroups, Seq("host"))
       .filter(when(col("__has_specific"), col("agent") === lit(agent))
         .otherwise(col("agent") === lit("*")))
-      .select(col("host").as("__rhost"), col("rule").as("__rule"),
-        col("prefix").as("__prefix"), col("prefix_len").as("__plen"))
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("prefix_len"),
+        (col("rule") === "allow").as("al"))).as("__rules"))
+    val emptyRules = array()
+      .cast("array<struct<prefix:string,prefix_len:int,al:boolean>>")
     val u = urls.withColumn("__host", host(col(urlCol)))
       .withColumn("__path",
         coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
           lit("/")))
-    val urlCols = u.columns.map(col)
-    u.join(applicable, col("__host") === col("__rhost"), "left_outer")
-      .withColumn("__match",
-        col("__prefix").isNotNull &&
-          startswith(col("__path"), col("__prefix")))
-      .groupBy(urlCols: _*)
-      .agg(max(struct(col("__match").cast("int").as("m"),
-        coalesce(col("__plen"), lit(0)).as("len"),
-        (col("__rule") === "allow").cast("int").as("al"))).as("__best"))
+    u.join(broadcast(ruleSets), col("__host") === col("host"),
+        "left_outer")
+      .withColumn("__best",
+        aggregate(
+          filter(coalesce(col("__rules"), emptyRules),
+            r => startswith(col("__path"), r.getField("prefix"))),
+          struct(lit(-1).as("len"), lit(1).as("al")),
+          (acc, r) => {
+            val len = r.getField("prefix_len")
+            val al = r.getField("al").cast("int")
+            when(len > acc.getField("len") ||
+              (len === acc.getField("len") &&
+                al > acc.getField("al")),
+              struct(len.as("len"), al.as("al"))).otherwise(acc)
+          }))
       .withColumn("allowed",
-        col("__best.m") === 0 || col("__best.al") === 1)
-      .drop("__best", "__host", "__path")
+        col("__best.len") === -1 || col("__best.al") === 1)
+      .drop("host", "__rules", "__best", "__host", "__path")
   }
 
   /** Parse sitemap XML bodies (sitemaps.org protocol): one output row
