@@ -1476,6 +1476,67 @@ object ExtensionQueries {
           .select(lit("mirror_b").as("source"), col("text")))
       Dedup.sourceOverlap(aug, "text", "source")
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // Sentence segmentation: REAL prose synthesized from doc_id
+    // arithmetic (1-4 sentences, mixed ./!/? terminators) through the
+    // real lookbehind splitter; the oracle regenerates each expected
+    // sentence (terminator included) arithmetically — DuckDB's RE2 has
+    // no lookbehind, which is exactly why the oracle must re-derive
+    // rather than re-split.
+    Q("ext_sentences",
+      """WITH s AS (SELECT d.doc_id, r.i,
+        | 'Sent ' || CAST(r.i AS VARCHAR) || ' of doc ' ||
+        |  CAST(d.doc_id % 50 AS VARCHAR) ||
+        |  (CASE (d.doc_id + r.i) % 3 WHEN 0 THEN '.'
+        |   WHEN 1 THEN '!' ELSE '?' END) AS sent
+        | FROM documents d, range(4) r(i)
+        | WHERE r.i <= d.doc_id % 4)
+        |SELECT doc_id, CAST(i AS INT) AS sent_idx, sent AS sentence
+        |FROM s ORDER BY doc_id, sent_idx""".stripMargin) { (sp, dir) =>
+      TextAnalysis.sentences(sentenceDocs(sp, dir), "doc_id", "prose")
+        .select(col("doc_id"), col("sent_idx"), col("sentence"))
+        .orderBy(col("doc_id"), col("sent_idx"))
+    },
+
+    // Sentence-aware chunking (never splits a sentence): greedy
+    // prefix-sum assignment mirrored as window arithmetic in the
+    // oracle, chunk text re-joined with string_agg ORDER BY.
+    Q("ext_sentence_chunks",
+      """WITH s AS (SELECT d.doc_id, r.i,
+        | 'Sent ' || CAST(r.i AS VARCHAR) || ' of doc ' ||
+        |  CAST(d.doc_id % 50 AS VARCHAR) ||
+        |  (CASE (d.doc_id + r.i) % 3 WHEN 0 THEN '.'
+        |   WHEN 1 THEN '!' ELSE '?' END) AS sent
+        | FROM documents d, range(4) r(i)
+        | WHERE r.i <= d.doc_id % 4),
+        |a AS (SELECT doc_id, i, sent,
+        |  CAST(coalesce(sum(length(sent) + 1) OVER (
+        |    PARTITION BY doc_id ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   // 40 AS INT) AS chunk_id
+        | FROM s)
+        |SELECT doc_id, chunk_id,
+        | CAST(count(*) AS INT) AS n_sentences,
+        | string_agg(sent, ' ' ORDER BY i) AS chunk_text
+        |FROM a GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (sp, dir) =>
+      TextAnalysis.sentenceChunks(sentenceDocs(sp, dir), "doc_id",
+          "prose", maxChars = 40)
+        .orderBy(col("doc_id"), col("chunk_id"))
     }
   )
+
+  /** Synthetic multi-sentence prose per doc for the sentence gates. */
+  private def sentenceDocs(sp: org.apache.spark.sql.SparkSession,
+                           dir: String) = {
+    val id = col("doc_id")
+    val sents = transform(sequence(lit(0L), pmod(id, lit(4))), i =>
+      concat(lit("Sent "), i.cast("string"), lit(" of doc "),
+        pmod(id, lit(50)).cast("string"),
+        element_at(array(lit("."), lit("!"), lit("?")),
+          (pmod(id + i, lit(3)) + 1).cast("int"))))
+    documents(sp, dir).select(id,
+      array_join(sents, " ").as("prose"))
+  }
 }

@@ -437,4 +437,50 @@ object TextAnalysis {
       .select(col(idCol), col("__lab").as(s"pred_$labelCol"),
         (col("__sfx").cast(DoubleType) / 1e6).as("score"))
   }
+
+  /** Sentence segmentation: one row per sentence, `(df's columns,
+    * sent_idx, sentence)` in document order. A sentence boundary is
+    * whitespace PRECEDED by `.`/`!`/`?` (lookbehind split, so each
+    * sentence keeps its terminator); a trailing fragment without a
+    * terminator is its own sentence. Heuristic by design —
+    * abbreviations like "Dr." split; the chunking consumer below only
+    * needs boundaries that never fall inside a word. Narrow
+    * split+posexplode projection, no shuffle.
+    */
+  def sentences(docs: DataFrame, idCol: String,
+                textCol: String): DataFrame =
+    docs.select(docs.columns.map(col) :+
+      posexplode(split(col(textCol), "(?<=[.!?])\\s+"))
+        .as(Seq("sent_idx", "sentence")): _*)
+      .filter(col("sentence") =!= "")
+
+  /** Sentence-aware chunking: pack each document's sentences into
+    * chunks of ~`maxChars` characters WITHOUT ever splitting a
+    * sentence — the RAG/long-context prep that plain char-offset
+    * chunking ([[Corpus]]'s `chunk`) can't give. Assignment is by
+    * exclusive prefix sum: a sentence lands in chunk
+    * `prev_chars div maxChars` (prev counts each earlier sentence +1
+    * separator), so chunks fill to at least `maxChars` before rolling
+    * over and a chunk may exceed it only by its last sentence — the
+    * documented greedy-prefix contract, reproducible as plain window
+    * arithmetic on any engine. ONE window + ONE hash agg per doc.
+    */
+  def sentenceChunks(docs: DataFrame, idCol: String, textCol: String,
+                     maxChars: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxChars > 0, s"maxChars must be positive, got $maxChars")
+    val s = sentences(docs, idCol, textCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sent_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = coalesce(sum(length(col("sentence")) + 1).over(w), lit(0L))
+    s.withColumn("__prev", prev)
+      .withColumn("chunk_id",
+        expr(s"__prev div ${maxChars}L").cast("int"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).cast("int").as("n_sentences"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx").as("i"),
+            col("sentence").as("s")))),
+          x => x.getField("s")), " ").as("chunk_text"))
+  }
 }

@@ -146,4 +146,46 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(run(1) == run(16)) // bit-identical
   }
+
+  test("sentences splits on terminator+space, keeps terminators") {
+    val d = Seq((1L, "One. Two!  Three? trailing bit")).toDF("id", "t")
+    val got = TextAnalysis.sentences(d, "id", "t")
+      .select("sent_idx", "sentence").as[(Int, String)].collect().toSeq
+    assert(got === Seq((0, "One."), (1, "Two!"), (2, "Three?"),
+      (3, "trailing bit")))
+  }
+
+  test("sentences: single sentence and no-terminator text") {
+    val d = Seq((1L, "just words no stop"), (2L, "Hi.")).toDF("id", "t")
+    val got = TextAnalysis.sentences(d, "id", "t")
+      .select("id", "sentence").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "just words no stop"), (2L, "Hi.")))
+  }
+
+  test("sentenceChunks never splits a sentence, concatenation inverts") {
+    val text = (0 until 12).map(i => s"Sentence number $i ends here.")
+      .mkString(" ")
+    val d = Seq((1L, text)).toDF("id", "t")
+    val chunks = TextAnalysis.sentenceChunks(d, "id", "t", maxChars = 80)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_sentences", "chunk_text")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(chunks.size > 1)
+    // every chunk is whole sentences; rejoining restores the doc
+    assert(chunks.map(_._3).mkString(" ") === text)
+    assert(chunks.map(_._2).sum === 12)
+    // chunk ids are dense from 0
+    assert(chunks.map(_._1) === chunks.indices.toSeq)
+  }
+
+  test("sentenceChunks is deterministic across repartitionings") {
+    val d = (0L until 40L).map(i =>
+        (i, (0 to (i % 5).toInt).map(j => s"S $j of $i.").mkString(" ")))
+      .toDF("id", "t")
+    def run(p: Int) = TextAnalysis.sentenceChunks(
+        d.repartition(p), "id", "t", maxChars = 20)
+      .select("id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(run(1) === run(16))
+  }
 }
