@@ -602,6 +602,43 @@ object CorpusQueries {
     // Eval set = the deterministic 10% hash sample; train = the rest.
     // A train doc is contaminated when any of its distinct 5-grams
     // occurs anywhere in the eval set (GPT-3/PaLM overlap test).
+    // The audit-side contamination REPORT: which eval item leaked into
+    // which train doc, with shared-gram counts and per-item coverage —
+    // the stopgram guard (train doc-freq <= 50) exercised on both
+    // sides so the pair join's fanout bound is itself under the gate.
+    Q("ext_contamination_report", {
+      val n = 5
+      val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"
+      s"""WITH tr AS (SELECT doc_id, ${shSql(n)} AS g FROM documents
+         |  WHERE NOT ($samp) AND len($TOKS) >= $n),
+         |ev AS (SELECT doc_id AS eval_id, ${shSql(n)} AS g
+         |  FROM documents WHERE ($samp) AND len($TOKS) >= $n),
+         |tg AS (SELECT doc_id, unnest(g) AS gram FROM tr),
+         |rare AS (SELECT gram FROM tg GROUP BY gram
+         |  HAVING count(*) <= 50),
+         |eg AS (SELECT eval_id, unnest(g) AS gram FROM ev),
+         |etot AS (SELECT eval_id, CAST(len(g) AS BIGINT)
+         |  AS eval_n_grams FROM ev),
+         |p AS (SELECT t.doc_id, e.eval_id,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         | FROM tg t JOIN rare USING (gram) JOIN eg e USING (gram)
+         | GROUP BY 1, 2)
+         |SELECT p.doc_id, p.eval_id, p.n_shared, etot.eval_n_grams,
+         | CAST(n_shared AS DOUBLE) / CAST(eval_n_grams AS DOUBLE)
+         |  AS eval_coverage
+         |FROM p JOIN etot USING (eval_id)
+         |ORDER BY doc_id, eval_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val samp = TextFns.hash32(col("doc_id").cast("string")) % 100 < 10
+      Corpus.contaminationReport(
+          docs.filter(!samp),
+          docs.filter(samp).select(col("doc_id").as("eval_id"),
+            col("text")),
+          "doc_id", "eval_id", "text", n = 5, maxGramDocFreq = 50)
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+
     Q("ext_decontaminate", {
       val n = 5
       val samp = s"${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10"

@@ -560,6 +560,49 @@ object Corpus {
           .as("gram"))
       .distinct()
 
+  /** Contamination REPORT — the audit-side complement of
+    * [[decontaminate]]: one row per (train doc, eval item) pair that
+    * shares at least one rare n-gram, with the shared count, the eval
+    * item's total gram count, and `eval_coverage` (shared / total — how
+    * much of the eval item leaked into that doc). [[decontaminate]]
+    * answers "drop this doc?"; this answers the auditor's "WHICH
+    * benchmark item leaked WHERE".
+    *
+    * Scale shape: grams explode distinct-per-doc on both sides and the
+    * pair join is keyed by gram; grams occurring in more than
+    * `maxGramDocFreq` train docs are dropped from matching first (the
+    * [[Dedup]]-style stopgram guard), so join fanout per gram is
+    * bounded by `maxGramDocFreq · |eval items with that gram|` and the
+    * common-phrase quadratic blowup cannot occur. Coverage counts only
+    * guard-surviving matches (a conservative lower bound) over the
+    * item's FULL gram count.
+    */
+  def contaminationReport(train: DataFrame, eval: DataFrame,
+                          trainIdCol: String, evalIdCol: String,
+                          textCol: String, n: Int,
+                          maxGramDocFreq: Int = 1000): DataFrame = {
+    val tg = fanOut(train).select(col(trainIdCol),
+      explode(distinctShingles(col(textCol), n)).as("gram"))
+    val rare = tg.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDocFreq)
+      .select(col("gram"))
+    val eg = fanOut(eval).select(col(evalIdCol),
+      explode(distinctShingles(col(textCol), n)).as("gram"))
+    val etot = eval.select(col(evalIdCol),
+      size(distinctShingles(col(textCol), n)).cast("long")
+        .as("eval_n_grams"))
+    tg.join(rare, Seq("gram"), "left_semi")
+      .join(eg, Seq("gram"))
+      .groupBy(col(trainIdCol), col(evalIdCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(etot, Seq(evalIdCol))
+      .select(col(trainIdCol), col(evalIdCol), col("n_shared"),
+        col("eval_n_grams"),
+        (col("n_shared").cast("double") /
+          col("eval_n_grams").cast("double")).as("eval_coverage"))
+  }
+
   /** [[decontaminate]] against a pre-built [[evalGramIndex]] (same
     * `n`). `assumeDistinct = true` skips re-deduplicating the index —
     * correct for indexes produced by [[evalGramIndex]] (or read back

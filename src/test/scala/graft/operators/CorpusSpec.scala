@@ -670,4 +670,40 @@ class CorpusSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got === Set(1L, 3L))
   }
+
+  test("contaminationReport pairs docs with leaked eval items") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content with no overlap at all here"),
+      (3L, "quick brown fox jumps over the lazy dog again")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "quick brown fox jumps over the lazy dog"),
+      (200L, "nothing shared with anything in the training corpus")
+    ).toDF("eval_id", "text")
+    val got = Corpus.contaminationReport(train, eval, "doc_id",
+        "eval_id", "text", n = 5, maxGramDocFreq = 1000)
+      .select("doc_id", "eval_id", "n_shared", "eval_n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // eval 100 has 4 distinct 5-grams; docs 1 and 3 contain them
+    assert(got.map(t => (t._1, t._2)) === Set((1L, 100L), (3L, 100L)))
+    assert(got.forall(_._4 === 4L))
+    assert(got.forall(t => t._3 >= 3L && t._3 <= 4L))
+  }
+
+  test("contaminationReport stopgram guard drops over-frequent grams") {
+    // the same gram in every train doc: with the guard at 2 the gram
+    // is a stopgram and no pair survives
+    val train = (0L until 5L)
+      .map(i => (i, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "alpha beta gamma delta epsilon"))
+      .toDF("eval_id", "text")
+    val guarded = Corpus.contaminationReport(train, eval, "doc_id",
+      "eval_id", "text", n = 5, maxGramDocFreq = 2)
+    assert(guarded.count() === 0)
+    val open = Corpus.contaminationReport(train, eval, "doc_id",
+      "eval_id", "text", n = 5, maxGramDocFreq = 5)
+    assert(open.count() === 5)
+  }
 }
