@@ -602,6 +602,25 @@ object CorpusQueries {
     // Eval set = the deterministic 10% hash sample; train = the rest.
     // A train doc is contaminated when any of its distinct 5-grams
     // occurs anywhere in the eval set (GPT-3/PaLM overlap test).
+    // Epoch-salted deterministic training order: 2 epochs × 4 shards,
+    // both engines derive shard and in-shard position from the same
+    // epoch-salted md5, so the full (doc, epoch) layout is hash-exact.
+    Q("ext_epoch_shuffle",
+      s"""WITH e AS (SELECT doc_id, r.i AS epoch
+         |  FROM documents, range(2) r(i)),
+         |h AS (SELECT doc_id, epoch,
+         |  ${h32("CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+         |   AS hh FROM e)
+         |SELECT doc_id, CAST(epoch AS INT) AS epoch,
+         | CAST(hh % 4 AS INT) AS shard,
+         | CAST(row_number() OVER (PARTITION BY epoch, hh % 4
+         |   ORDER BY hh, doc_id) AS INT) AS pos
+         |FROM h ORDER BY epoch, shard, pos""".stripMargin) { (s, d) =>
+      Corpus.epochShuffle(documents(s, d).select(col("doc_id")),
+          "doc_id", epochs = 2, shards = 4)
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    },
+
     // The audit-side contamination REPORT: which eval item leaked into
     // which train doc, with shared-gram counts and per-item coverage —
     // the stopgram guard (train doc-freq <= 50) exercised on both

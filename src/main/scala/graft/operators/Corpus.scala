@@ -1318,4 +1318,34 @@ object Corpus {
           w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__h")
   }
+
+  /** Epoch-salted deterministic global shuffle — the training-order
+    * stage: every epoch sees the corpus in a DIFFERENT but fully
+    * reproducible order (salt the order hash with the epoch, never
+    * `rand()`). One row per (doc, epoch) with `shard` (which output
+    * file serves it) and `pos` (its position within that shard's read
+    * order) — the layout a data loader streams sequentially.
+    *
+    * Shape: the epoch fan-out is a narrow `explode(sequence(...))`;
+    * ordering is ONE window per (epoch, shard) hash partition — the
+    * same single-shuffle shape as [[shardAssign]], epochs · shards
+    * partitions wide. The per-epoch permutations are independent
+    * because the md5 salt changes: no epoch ever replays another's
+    * order (the batch-order-memorization guard).
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   shards: Int): DataFrame = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = TextFns.hash32(concat(col("epoch").cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("epoch",
+        explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__h", h)
+      .withColumn("shard", (col("__h") % shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
 }

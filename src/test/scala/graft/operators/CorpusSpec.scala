@@ -671,6 +671,27 @@ class CorpusSpec extends SparkSpec {
     assert(got === Set(1L, 3L))
   }
 
+  test("epochShuffle: reproducible, epochs permute independently") {
+    val d = (0L until 100L).toDF("id")
+    def run(p: Int) = Corpus.epochShuffle(d.repartition(p), "id",
+        epochs = 2, shards = 4)
+      .select("id", "epoch", "shard", "pos")
+      .as[(Long, Int, Int, Int)].collect().sortBy(t => (t._2, t._3, t._4))
+      .toSeq
+    val a = run(1)
+    assert(a === run(16)) // deterministic under partitioning
+    // every (doc, epoch) appears exactly once
+    assert(a.size === 200 && a.map(t => (t._1, t._2)).toSet.size === 200)
+    // epoch orders differ: the doc sequence of epoch 0 != epoch 1
+    val order0 = a.filter(_._2 === 0).sortBy(t => (t._3, t._4)).map(_._1)
+    val order1 = a.filter(_._2 === 1).sortBy(t => (t._3, t._4)).map(_._1)
+    assert(order0 !== order1)
+    // positions are dense from 1 within each (epoch, shard)
+    a.groupBy(t => (t._2, t._3)).values.foreach { g =>
+      assert(g.map(_._4).sorted === (1 to g.size).toSeq)
+    }
+  }
+
   test("contaminationReport pairs docs with leaked eval items") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),
