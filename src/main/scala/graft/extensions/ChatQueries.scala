@@ -121,6 +121,44 @@ private[graft] object ChatQueries {
         .orderBy(col("conv_id"), col("turn_idx"))
     },
 
+    // PII-scrubbed SFT rendering — the composition a real SFT pipeline
+    // runs (redact THEN render, so no raw PII survives into packed
+    // training text): user turns carry a real synthesized email and
+    // SSN through the real regex redaction; the oracle states the
+    // expected post-redaction conversation outright, so a redaction
+    // miss OR an over-redaction breaks the hash.
+    Q("ext_chat_redact",
+      s"""WITH $oracleTurns,
+         |rt AS (SELECT doc_id, t,
+         |  CASE WHEN role = 'user'
+         |   THEN 'reach <EMAIL> or <SSN> turn ' || CAST(t AS VARCHAR)
+         |   ELSE txt END AS txt, role FROM r),
+         |seg2 AS (SELECT doc_id, t,
+         |  '<|' || role || '|>' || txt || '<|end|>' AS sg FROM rt)
+         |SELECT doc_id AS conv_id,
+         | CAST(2 + 2 * (doc_id % 3) +
+         |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT)
+         |  AS n_turns,
+         | string_agg(sg, '' ORDER BY t) AS text
+         |FROM seg2 GROUP BY doc_id ORDER BY conv_id""".stripMargin) {
+      (sp, dir) =>
+        val id = col("conv_id")
+        val userTxt = concat(
+          lit("reach user"), s(pmod(id, lit(9))),
+          lit("@mail"), s(pmod(id, lit(7))), lit(".com or "),
+          s(pmod(id, lit(900)) + 100), lit("-"),
+          s(pmod(id, lit(90)) + 10), lit("-"),
+          s(pmod(id, lit(9000)) + 1000),
+          lit(" turn "), s(col("t")))
+        val withPii = turns(sp, dir).withColumn("text",
+          when(col("role") === "user", userTxt).otherwise(col("text")))
+        val scrubbed = withPii.withColumn("text",
+          graft.operators.Pii.redact(col("text")))
+        Chat.renderConversations(scrubbed, "conv_id", "t", "role",
+            "text")
+          .orderBy(col("conv_id"))
+    },
+
     // DPO preference pairs over REAL document texts: ~5 responses per
     // prompt (doc_id % 101), scored by an md5-prefix hash both engines
     // derive identically; the oracle picks chosen/rejected with twin

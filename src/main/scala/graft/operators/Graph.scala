@@ -103,7 +103,9 @@ object Graph {
     * the result is bit-identical under any partitioning and a plain
     * unrolled-CTE SQL oracle reproduces it. Loop invariants and each
     * half-step's |nodes|-bounded frames are persisted (GraphX/Pregel
-    * pattern) so the lineage stays linear in `iters`.
+    * pattern) so the lineage stays linear in `iters`; like
+    * [[Corpus.decontaminateBloom]]'s index, they stay cached for the
+    * returned plan's lifetime (Spark evicts LRU under pressure).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame = {
