@@ -64,6 +64,42 @@ class StreamingChatSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("restart from checkpoint never re-emits a closed conversation") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Turn]
+    val ckpt = tmp("chat_restart_ckpt")
+    val out = tmp("chat_restart_out")
+    // memory sink can't recover from a checkpoint; the file sink is
+    // the fault-tolerant one, so the restart contract is tested there
+    def start() =
+      StreamingChat.conversations(src.toDF(), "conv", "idx", "role",
+          "text", "ts", gap = "60 seconds", lateness = "0 seconds")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    val q1 = start()
+    try {
+      src.addData(Turn(1L, 0, "user", "a", ts(0)))
+      q1.processAllAvailable()
+      src.addData(Turn(2L, 0, "user", "b", ts(700))) // closes conv 1
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 1)
+    } finally q1.stop()
+    // restart against the same checkpoint: committed batches must not
+    // replay (conv 1 stays emitted-once), state must survive (conv 2
+    // closes from its checkpointed session)
+    val q2 = start()
+    try {
+      src.addData(Turn(3L, 0, "user", "c", ts(1500))) // closes conv 2
+      q2.processAllAvailable()
+      val after = spark.read.parquet(out)
+        .select($"conv").as[Long].collect().toSeq.sorted
+      assert(after === Seq(1L, 2L)) // each exactly once across restart
+    } finally q2.stop()
+  }
+
   test("each conversation emits exactly once (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Turn]
