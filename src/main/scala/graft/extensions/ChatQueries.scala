@@ -159,6 +159,44 @@ private[graft] object ChatQueries {
           .orderBy(col("conv_id"))
     },
 
+    // Tool-call QA: assistant turns carry REAL JSON tool calls (valid,
+    // unknown-tool, truncated-JSON and plain-text variants) through
+    // the real from_json validation; the oracle states every expected
+    // flag from the generator branch, so a parse that wrongly accepts
+    // the truncated call or rejects a valid one breaks the hash.
+    Q("ext_chat_tool_calls",
+      s"""WITH $oracleTurns
+         |SELECT doc_id AS conv_id, CAST(t AS INT) AS turn_idx,
+         | doc_id % 5 != 4 AS is_call,
+         | CASE doc_id % 5 WHEN 0 THEN 'search' WHEN 1 THEN 'calc'
+         |  WHEN 2 THEN 'frobnicate' ELSE '' END AS tool,
+         | doc_id % 5 IN (0, 1, 2) AS parsed_ok,
+         | doc_id % 5 IN (0, 1) AS tool_known,
+         | CAST(CASE doc_id % 5 WHEN 0 THEN 2 WHEN 1 THEN 1
+         |  WHEN 2 THEN 0 ELSE -1 END AS INT) AS n_args
+         |FROM r WHERE role = 'assistant'
+         |ORDER BY conv_id, turn_idx""".stripMargin) { (sp, dir) =>
+      val id = col("conv_id")
+      val c = pmod(id, lit(5))
+      val callTxt = when(c === 0, concat(
+          lit("{\"tool\":\"search\",\"args\":{\"q\":\"q"),
+          s(pmod(id, lit(9))), lit("\",\"k\":\"5\"}}")))
+        .when(c === 1, concat(
+          lit("{\"tool\":\"calc\",\"args\":{\"x\":\""),
+          s(pmod(id, lit(7))), lit("\"}}")))
+        .when(c === 2, lit("{\"tool\":\"frobnicate\",\"args\":{}}"))
+        .when(c === 3, lit("{\"tool\":\"search\",\"args\":"))
+        .otherwise(col("text"))
+      val tt = turns(sp, dir).withColumn("text",
+        when(col("role") === "assistant", callTxt).otherwise(col("text")))
+      Chat.validateToolCalls(tt, "conv_id", "t", "role", "text",
+          allowed = Seq("search", "calc"))
+        .select(col("conv_id"), col("t").cast("int").as("turn_idx"),
+          col("is_call"), col("tool"), col("parsed_ok"),
+          col("tool_known"), col("n_args"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+
     // DPO preference pairs over REAL document texts: ~5 responses per
     // prompt (doc_id % 101), scored by an md5-prefix hash both engines
     // derive identically; the oracle picks chosen/rejected with twin

@@ -40,6 +40,40 @@ object Chat {
             renderedTurn(col(roleCol), col(textCol)).as("r")))),
           lit(""), (acc, x) => concat(acc, x.getField("r"))).as("text"))
 
+  /** Tool-call QA over assistant turns — the SFT-data validation step
+    * that catches malformed function-calling examples before they
+    * reach training: one row per assistant turn with `is_call` (the
+    * text looks like a JSON object), `tool` (parsed name, empty when
+    * absent), `parsed_ok` (JSON parsed and carried a tool name),
+    * `tool_known` (name is in `allowed`) and `n_args` (-1 when
+    * unparseable). Parsing is Spark-native `from_json` with an
+    * explicit schema — a narrow codegen-adjacent projection, no UDF,
+    * no shuffle.
+    */
+  def validateToolCalls(df: DataFrame, convCol: String, idxCol: String,
+                        roleCol: String, textCol: String,
+                        allowed: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("tool", StringType),
+      StructField("args", MapType(StringType, StringType))))
+    val parsed = from_json(col(textCol), schema)
+    df.filter(col(roleCol) === "assistant")
+      .withColumn("is_call", startswith(trim(col(textCol)), lit("{")))
+      .withColumn("__tool",
+        when(col("is_call"), parsed.getField("tool")))
+      .withColumn("parsed_ok", col("is_call") && col("__tool").isNotNull)
+      .withColumn("tool_known",
+        col("parsed_ok") && col("__tool").isin(allowed: _*))
+      .withColumn("n_args",
+        when(col("parsed_ok"),
+          coalesce(size(parsed.getField("args")), lit(0)))
+          .otherwise(lit(-1)).cast("int"))
+      .select(col(convCol), col(idxCol), col("is_call"),
+        coalesce(col("__tool"), lit("")).as("tool"),
+        col("parsed_ok"), col("tool_known"), col("n_args"))
+  }
+
   /** Per-prompt preference pairs for DPO-style training: `chosen` is
     * the (score, text)-max response, `rejected` the min, and only
     * prompts with a strict score gap survive (a pair with no margin

@@ -71,6 +71,27 @@ class ChatSpec extends SparkSpec {
     assert(r === (("zz", "mm")))
   }
 
+  test("validateToolCalls flags valid/unknown/malformed/plain turns") {
+    val turns = Seq(
+      (1L, 0, "user", "find cats"),
+      (1L, 1, "assistant", """{"tool":"search","args":{"q":"cats","k":"3"}}"""),
+      (2L, 0, "assistant", """{"tool":"nuke","args":{}}"""),
+      (3L, 0, "assistant", """{"tool":"search","args":"""),
+      (4L, 0, "assistant", "plain prose answer")
+    ).toDF("conv", "idx", "role", "text")
+    val got = Chat.validateToolCalls(turns, "conv", "idx", "role",
+        "text", allowed = Seq("search"))
+      .select("conv", "is_call", "tool", "parsed_ok", "tool_known",
+        "n_args")
+      .as[(Long, Boolean, String, Boolean, Boolean, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, true, "search", true, true, 2),
+      (2L, true, "nuke", true, false, 0),
+      (3L, true, "", false, false, -1),
+      (4L, false, "", false, false, -1)))
+  }
+
   test("assistantSpans returns only assistant turns, 0-based") {
     val got = Chat.assistantSpans(turns, "conv", "idx", "role", "text")
       .as[(Long, Int, Long, Long)].collect().sortBy(t => (t._1, t._2))
