@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Q
-import graft.operators.Html
+import graft.operators.{Graph, Html, Web}
 import graft.tables.Tables.documents
 
 /** Driver-checked queries for HTML text extraction
@@ -133,5 +133,34 @@ private[graft] object HtmlQueries {
           countDistinct(col("a.text")).as("n_texts"),
           min(col("a.text")).as("anchor"))
         .orderBy(col("href"))
+    },
+
+    // The full web-graph chain over REAL extraction: HTML outlinks →
+    // absolute-link filter → host parse → registered domain → distinct
+    // domain edge list → degree profile. Relative links must NOT
+    // become edges, and the target hosts come out of the real
+    // parse_url/public-suffix logic; the oracle re-derives the edge
+    // list from the anchor-generator arithmetic.
+    Q("ext_link_graph",
+      """WITH e AS (SELECT DISTINCT
+        |  'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS src,
+        |  'ref' || CAST(doc_id % 9 AS VARCHAR) || '.com' AS dst
+        | FROM documents),
+        |o AS (SELECT src AS node, count(*) AS od FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, count(*) AS idg FROM e GROUP BY 1)
+        |SELECT coalesce(o.node, i.node) AS node,
+        | CAST(coalesce(od, 0) AS BIGINT) AS out_deg,
+        | CAST(coalesce(idg, 0) AS BIGINT) AS in_deg
+        |FROM o FULL JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin) { (sp, dir) =>
+      val edges = htmlDocs(sp, dir)
+        .select(concat(lit("site"), s(pmod(col("doc_id"), lit(20))),
+          lit(".com")).as("src"),
+          explode(Html.htmlLinks(col("html"))).as("href"))
+        .filter(startswith(col("href"), lit("https://")))
+        .select(col("src"),
+          Web.registeredDomain(Web.host(col("href"))).as("dst"))
+        .distinct()
+      Graph.degrees(edges, "src", "dst").orderBy(col("node"))
     })
 }
