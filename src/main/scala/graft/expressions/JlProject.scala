@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * 1/√outDim scale. Inputs widen losslessly from float.
   *
   * Null contract: null input → null; an input shorter than `inDim` →
-  * null (the element_at-beyond-length behavior of the old chain).
+  * null (the element_at-beyond-length behavior of the old chain); a
+  * null ELEMENT among the first `inDim` → null (the chain's null
+  * propagation — never an undefined garbage read).
   */
 case class JlProject(child: Expression, inDim: Int, outDim: Int,
                      scale: Double, signs: Array[Byte])
@@ -58,6 +60,7 @@ case class JlProject(child: Expression, inDim: Int, outDim: Int,
       val x = new Array[Double](inDim)
       var i = 0
       while (i < inDim) {
+        if (a.isNullAt(i)) return null
         x(i) = if (isD) a.getDouble(i) else a.getFloat(i).toDouble
         i += 1
       }
@@ -95,9 +98,12 @@ case class JlProject(child: Expression, inDim: Int, outDim: Int,
           ${ev.isNull} = true;
         } else {
           final double[] $x = new double[$inDim];
-          for (int $i = 0; $i < $inDim; $i++) { $x[$i] = $elem; }
+          for (int $i = 0; $i < $inDim; $i++) {
+            if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $x[$i] = $elem;
+          }
           final double[] $out = new double[$outDim];
-          for (int $j = 0; $j < $outDim; $j++) {
+          if (!${ev.isNull}) for (int $j = 0; $j < $outDim; $j++) {
             final int $off = $j * $inDim;
             double $s = $sg[$off] > 0 ? $x[0] : -$x[0];
             for (int $i = 1; $i < $inDim; $i++) {
@@ -105,9 +111,11 @@ case class JlProject(child: Expression, inDim: Int, outDim: Int,
             }
             $out[$j] = $scale * $s;
           }
-          ${ev.value} =
-            org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-              .fromPrimitiveArray($out);
+          if (!${ev.isNull}) {
+            ${ev.value} =
+              org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+                .fromPrimitiveArray($out);
+          }
         }
       """
     })

@@ -91,9 +91,12 @@ object Pq {
       .orderBy(col("h"), col("sid")).limit(ksub)
       .select(col("sv")).collect()
     var cents: DataFrame = seedRows.zipWithIndex.flatMap { case (r, c) =>
-      val v = r.getSeq[Float](0)
+      // element type may be float OR double (sqDist handles either);
+      // read through Number so an array<double> vecCol doesn't throw
+      // an opaque ClassCastException at the driver
+      val v = r.getSeq[Number](0).map(_.doubleValue())
       (0 until m).map { s =>
-        (s, c, v.slice(s * dsub, (s + 1) * dsub).map(_.toDouble).toSeq)
+        (s, c, v.slice(s * dsub, (s + 1) * dsub).toSeq)
       }
     }.toSeq.toDF("sub", "cell", "cv")
     val vs = subvecs(fanOut(emb), idCol, vecCol, m, dsub)

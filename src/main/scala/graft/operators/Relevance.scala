@@ -97,7 +97,8 @@ object Relevance {
       .distinct.toSeq
     require(qs.nonEmpty, "bm25 needs a non-empty query")
     val reserved = df.columns.toSet.intersect(
-      Set("score", "__n", "__sdl") ++ qs.indices.map(i => s"__df_$i"))
+      Set("score", "__n", "__sdl", "__avgdl") ++
+        qs.indices.map(i => s"__df_$i"))
     require(reserved.isEmpty,
       s"input columns collide with bm25's working columns: $reserved")
     val toks = Cols.tokens(col(textCol))

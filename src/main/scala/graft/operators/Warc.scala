@@ -21,12 +21,14 @@ object Warc {
   private val Sep = "\r\n\r\n"
 
   /** Explode WARC bodies into one row per record: keeps `df`'s
-    * columns and adds `rec_idx` (0-based, in-file order), `warc_type`,
+    * columns EXCEPT `contentCol` (which is replaced by the per-record
+    * columns) and adds `rec_idx` (0-based, in-file order), `warc_type`,
     * `target_uri` (null on records without one, e.g. warcinfo),
     * `content_length` (the declared header value), `body` (the record
     * block with the trailing record-separator CRLFs stripped) and
-    * `len_ok` (declared length == actual body length — the integrity
-    * check a loader filters on).
+    * `len_ok` (declared length == actual body OCTET length — WARC
+    * Content-Length counts bytes, so multi-byte UTF-8 bodies compare
+    * correctly — the integrity check a loader filters on).
     *
     * `contentCol` must start with its first `WARC/1.0` version line
     * (the WARC grammar — records are self-delimiting from offset 0).
@@ -55,7 +57,8 @@ object Warc {
         regexp_extract(header, "(?m)^Content-Length:\\s*(\\d+)", 1)
           .cast("long"))
       .withColumn("body", body)
-      .withColumn("len_ok", length(body) === col("content_length"))
+      .withColumn("len_ok",
+        length(encode(body, "UTF-8")) === col("content_length"))
       .drop("__i", "__rec", contentCol)
   }
 
