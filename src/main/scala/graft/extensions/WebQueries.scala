@@ -67,10 +67,16 @@ private[graft] object WebQueries {
       syntheticUrl(col("doc_id")).as("url"))
 
   /** Synthetic robots.txt body for host index `k`: a comment line, a
-    * GraftBot group (absent when k%4==3, leaving its directives
-    * group-less — RFC 9309 says such lines are ignored), a `*` group,
-    * and an `evilbot` group, with case noise in field names and a
-    * blank separator line.
+    * GraftBot-led group (absent when k%4==3, leaving its directives
+    * group-less — RFC 9309 says such lines are ignored; STACKED with a
+    * `newsbot` header line when k%6==1, so its rules belong to both
+    * agents; carrying a `Crawl-delay` when k is odd), a `*` group
+    * (with its own `Crawl-delay` when k%5==0 — shadowed for graftbot
+    * whenever a specific group exists), an `evilbot` group, and — when
+    * k%8==3 — a trailing EMPTY GraftBot group at EOF (RFC 9309
+    * §2.2.1: an empty specific group still shadows `*` and allows
+    * everything). Case noise in field names and a blank separator
+    * line throughout.
     */
   private def robotsBody(k: Column): Column = {
     val m = s(pmod(k, lit(5)))
@@ -78,16 +84,25 @@ private[graft] object WebQueries {
       lit("# robots "), s(k), lit("\n"),
       when(pmod(k, lit(4)) =!= 3, lit("User-Agent: GraftBot\n"))
         .otherwise(lit("")),
+      when(pmod(k, lit(4)) =!= 3 && pmod(k, lit(6)) === 1,
+        lit("User-agent: newsbot\n")).otherwise(lit("")),
       lit("Disallow: /private"), m, lit("/\n"),
       when(pmod(k, lit(2)) === 0,
         concat(lit("Allow: /private"), m, lit("/pub/\n")))
         .otherwise(lit("")),
       when(pmod(k, lit(3)) === 0, lit("disallow: /tmp\n"))
         .otherwise(lit("")),
+      when(pmod(k, lit(2)) === 1,
+        concat(lit("Crawl-delay: "), s(pmod(k, lit(7)) + 1), lit("\n")))
+        .otherwise(lit("")),
       lit("\nUser-agent: *\n"),
       lit("Disallow: /blog/\n"),
+      when(pmod(k, lit(5)) === 0, lit("Crawl-delay: 10\n"))
+        .otherwise(lit("")),
       lit("User-agent: evilbot\n"),
-      lit("Disallow: /\n"))
+      lit("Disallow: /\n"),
+      when(pmod(k, lit(8)) === 3, lit("User-Agent: GraftBot\n"))
+        .otherwise(lit("")))
   }
 
   /** One row per synthetic host: `(host, robots)` for k in 0..19. */
@@ -222,32 +237,48 @@ private[graft] object WebQueries {
 
     // robots.txt parse: REAL RFC 9309-shaped bodies (comments, blank
     // lines, case-noisy field names, a group-less directive block that
-    // must be dropped, three user-agent groups) synthesized per host;
-    // the engine runs its actual line parser + group-attribution
-    // window, the oracle re-derives every directive row from the
+    // must be dropped, STACKED two-agent group headers whose rules fan
+    // out to both agents, Crawl-delay lines, an EMPTY trailing group
+    // that must still emit its marker row) synthesized per host; the
+    // engine runs its actual line parser + header-run attribution, the
+    // oracle re-derives every marker and directive row from the
     // generator arithmetic.
     Q("ext_robots_parse",
       """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |ga AS (
+        | SELECT k, 'graftbot' AS agent FROM k WHERE k % 4 != 3
+        | UNION ALL
+        | SELECT k, 'newsbot' FROM k WHERE k % 4 != 3 AND k % 6 = 1),
         |r AS (
-        | SELECT k, 'graftbot' AS agent, 'disallow' AS rule,
-        |  '/private' || CAST(k % 5 AS VARCHAR) || '/' AS prefix
-        | FROM k WHERE k % 4 != 3
+        | SELECT k, agent, 'agent' AS rule, '' AS prefix FROM ga
         | UNION ALL
-        | SELECT k, 'graftbot', 'allow',
+        | SELECT k, 'graftbot', 'agent', '' FROM k WHERE k % 8 = 3
+        | UNION ALL SELECT k, '*', 'agent', '' FROM k
+        | UNION ALL SELECT k, 'evilbot', 'agent', '' FROM k
+        | UNION ALL
+        | SELECT k, agent, 'disallow',
+        |  '/private' || CAST(k % 5 AS VARCHAR) || '/' FROM ga
+        | UNION ALL
+        | SELECT k, agent, 'allow',
         |  '/private' || CAST(k % 5 AS VARCHAR) || '/pub/'
-        | FROM k WHERE k % 4 != 3 AND k % 2 = 0
+        | FROM ga WHERE k % 2 = 0
         | UNION ALL
-        | SELECT k, 'graftbot', 'disallow', '/tmp'
-        | FROM k WHERE k % 4 != 3 AND k % 3 = 0
+        | SELECT k, agent, 'disallow', '/tmp' FROM ga WHERE k % 3 = 0
+        | UNION ALL
+        | SELECT k, agent, 'crawl-delay', CAST(k % 7 + 1 AS VARCHAR)
+        | FROM ga WHERE k % 2 = 1
         | UNION ALL SELECT k, '*', 'disallow', '/blog/' FROM k
+        | UNION ALL
+        | SELECT k, '*', 'crawl-delay', '10' FROM k WHERE k % 5 = 0
         | UNION ALL SELECT k, 'evilbot', 'disallow', '/' FROM k)
         |SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
         | agent, rule, prefix, CAST(length(prefix) AS INT) AS prefix_len
-        |FROM r ORDER BY host, agent, prefix""".stripMargin) { (sp, dir) =>
-      Web.parseRobots(robotsHosts(sp, dir), "host", "robots")
-        .select(col("host"), col("agent"), col("rule"), col("prefix"),
-          col("prefix_len"))
-        .orderBy(col("host"), col("agent"), col("prefix"))
+        |FROM r ORDER BY host, agent, rule, prefix""".stripMargin) {
+      (sp, dir) =>
+        Web.parseRobots(robotsHosts(sp, dir), "host", "robots")
+          .select(col("host"), col("agent"), col("rule"), col("prefix"),
+            col("prefix_len"))
+          .orderBy(col("host"), col("agent"), col("rule"), col("prefix"))
     },
 
     // sitemap.xml parse: REAL per-host sitemap documents (XML preamble,
@@ -297,7 +328,9 @@ private[graft] object WebQueries {
     },
 
     // robots.txt fetch decisions for agent "graftbot": group selection
-    // (the specific group shadows '*' where present; hosts without a
+    // (the specific group shadows '*' where present — INCLUDING the
+    // k%8==3 hosts whose graftbot group is EMPTY, which must allow
+    // everything rather than fall back to '*'; hosts without any
     // graftbot group fall back to '*'), longest-prefix-match with
     // allow-wins ties (the /private{m}/pub/ carve-out inside a
     // disallowed tree), default-allow. The oracle computes each
@@ -317,6 +350,7 @@ private[graft] object WebQueries {
         |    WHEN 1 THEN NOT (j = k % 5 AND k % 2 = 1)
         |    WHEN 2 THEN NOT (k % 3 = 0)
         |    ELSE TRUE END
+        |  WHEN k % 8 = 3 THEN TRUE
         |  ELSE c != 3 END AS allowed
         |FROM u ORDER BY doc_id""".stripMargin) { (sp, dir) =>
       val id = col("doc_id")
@@ -356,7 +390,7 @@ private[graft] object WebQueries {
         |   ELSE '/page' || CAST(i AS VARCHAR) END) AS loc FROM u),
         |gated AS (SELECT k, loc FROM seeds WHERE
         |  CASE i % 3 WHEN 0 THEN k % 4 = 3
-        |   WHEN 1 THEN k % 4 != 3 ELSE TRUE END),
+        |   WHEN 1 THEN k % 4 != 3 OR k % 8 = 3 ELSE TRUE END),
         |capped AS (SELECT
         |  'site' || CAST(k AS VARCHAR) || '.com' AS reg_domain, loc,
         |  row_number() OVER (PARTITION BY k ORDER BY md5(loc), loc)
@@ -384,6 +418,39 @@ private[graft] object WebQueries {
       Web.domainCap(gated, "loc", "loc", cap = 2)
         .select(col("reg_domain"), col("loc"), col("domain_rank"))
         .orderBy(col("reg_domain"), col("loc"))
+    },
+
+    // Politeness delay surface: per host, the Crawl-delay of the group
+    // SELECTED for graftbot — the specific group's own delay when it
+    // declares one (odd k), null when the specific group exists but
+    // declares none (even k — the '*' group's delay must be SHADOWED,
+    // not inherited), null for the empty trailing group (k%8==3), and
+    // the '*' delay only on true fallback hosts (k%4==3, k%8!=3).
+    // blog_allowed rides along to pin that the same selected group
+    // also drives the allow decision.
+    Q("ext_crawl_delay",
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents)
+        |SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
+        | CASE WHEN k % 4 != 3 THEN
+        |   CASE WHEN k % 2 = 1 THEN CAST(k % 7 + 1 AS DOUBLE)
+        |    ELSE -1.0 END
+        |  WHEN k % 8 = 3 THEN -1.0
+        |  WHEN k % 5 = 0 THEN 10.0 ELSE -1.0 END AS crawl_delay,
+        | CASE WHEN k % 4 = 3 AND k % 8 != 3 THEN FALSE
+        |  ELSE TRUE END AS blog_allowed
+        |FROM k ORDER BY host""".stripMargin) { (sp, dir) =>
+      val k = col("k")
+      val us = documents(sp, dir)
+        .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+        .select(concat(lit("site"), s(k), lit(".com")).as("h0"),
+          concat(lit("https://site"), s(k), lit(".com/blog/p"))
+            .as("url"))
+      val rules = Web.parseRobots(robotsHosts(sp, dir), "host", "robots")
+      Web.robotsAllowed(us, "url", rules, "graftbot")
+        .select(col("h0").as("host"),
+          coalesce(col("crawl_delay"), lit(-1.0)).as("crawl_delay"),
+          col("allowed").as("blog_allowed"))
+        .orderBy(col("host"))
     },
 
     // Blocklist anti-join: three registered domains vanish; everything

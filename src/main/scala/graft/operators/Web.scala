@@ -131,19 +131,32 @@ object Web {
       .filter(col("domain_rank") <= cap)
   }
 
-  /** Parse robots.txt bodies into directive rows `(host, agent, rule,
-    * prefix, prefix_len, line_no)` — `rule` is `allow`/`disallow`,
-    * `agent` the lowercased token of the governing `User-agent` line.
+  /** Parse robots.txt bodies into rows `(host, agent, rule, prefix,
+    * prefix_len, line_no)`. `rule` is one of:
+    *   - `agent` — a GROUP-MARKER row, one per `User-agent:` line
+    *     (`prefix` empty). Markers make rule-less groups visible: RFC
+    *     9309 group selection must see that an empty specific group
+    *     exists (it still shadows `*`), which directive rows alone
+    *     cannot express.
+    *   - `allow` / `disallow` — a path rule, fanned out to EVERY agent
+    *     of its group's (possibly stacked) header.
+    *   - `crawl-delay` — the de-facto politeness extension; `prefix`
+    *     carries the raw delay token.
+    *
     * RFC 9309 shapes covered: `#` comments, blank lines, case-
     * insensitive field names, directives before any `User-agent`
-    * dropped, empty-path directives dropped (an empty `Disallow:`
-    * imposes no rule). Single-agent groups (one `User-agent` line per
-    * group) are supported; multi-agent group headers are out of scope.
+    * dropped, empty-path `Allow:`/`Disallow:` imposing no rule (but
+    * still terminating a header run, per the grammar), and STACKED
+    * group headers (§2.2 ABNF: consecutive `User-agent:` lines —
+    * blank/comment lines between them don't split the run — form one
+    * group whose rules belong to all named agents; a `User-agent:`
+    * line after a rule line starts a new group).
     *
-    * Scale shape: posexplode of lines then ONE window partitioned by
-    * host to attribute each directive to the most recent agent line —
-    * robots bodies are KB-sized, so per-host partitions stay tiny no
-    * matter how many hosts the crawl covers.
+    * Scale shape: posexplode of lines, ONE host-partitioned window to
+    * number header runs, then a per-(host, run) equi-join fanning each
+    * directive to its header's agents — robots bodies are KB-sized, so
+    * per-host partitions stay tiny no matter how many hosts the crawl
+    * covers, and the fan-out is bounded by agents-per-header.
     */
   def parseRobots(df: DataFrame, hostCol: String,
                   contentCol: String): DataFrame = {
@@ -151,29 +164,62 @@ object Web {
     val lines = df.select(col(hostCol).as("host"),
       posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
     val clean = trim(regexp_replace(col("raw"), "#.*$", ""))
-    val ua = when(clean.rlike("(?i)^user-agent\\s*:"),
-      lower(regexp_extract(clean, "(?i)^user-agent\\s*:\\s*(\\S+)", 1)))
-    val rule = lower(regexp_extract(clean, "(?i)^(allow|disallow)\\s*:", 1))
-    val prefix = regexp_extract(clean,
-      "(?i)^(?:allow|disallow)\\s*:\\s*(\\S+)", 1)
+    val isUa = clean.rlike("(?i)^user-agent\\s*:")
+    val uaName = lower(
+      regexp_extract(clean, "(?i)^user-agent\\s*:\\s*(\\S+)", 1))
+    val rule = lower(regexp_extract(clean,
+      "(?i)^(allow|disallow|crawl-delay)\\s*:", 1))
+    val value = regexp_extract(clean,
+      "(?i)^(?:allow|disallow|crawl-delay)\\s*:\\s*(\\S+)", 1)
+    // meaningful lines only (UA or rule field): blank/comment lines
+    // between stacked User-agent lines must not split a header run
+    val meaningful = lines
+      .withColumn("__is_ua", isUa)
+      .withColumn("__agent", uaName)
+      .withColumn("__rule", rule)
+      .withColumn("__value", value)
+      .filter(col("__is_ua") || col("__rule") =!= "")
     val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lines
-      .withColumn("agent", last(ua, ignoreNulls = true).over(w))
-      .withColumn("rule", rule).withColumn("prefix", prefix)
-      .filter(col("agent").isNotNull && col("rule") =!= "" &&
-        col("prefix") =!= "")
+    val runStart = col("__is_ua") &&
+      !lag(col("__is_ua"), 1, false).over(w)
+    val withGrp = meaningful
+      .withColumn("__grp", sum(runStart.cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val agents = withGrp.filter(col("__is_ua") && col("__agent") =!= "")
+      .select(col("host"), col("__grp"), col("__agent").as("agent"),
+        col("line_no"))
+    val markers = agents.select(col("host"), col("agent"),
+      lit("agent").as("rule"), lit("").as("prefix"),
+      lit(0).as("prefix_len"), col("line_no"))
+    val directives = withGrp
+      .filter(!col("__is_ua") && col("__value") =!= "")
+      .select(col("host"), col("__grp"), col("__rule").as("rule"),
+        col("__value").as("prefix"), col("line_no"))
+    val fanned = directives
+      .join(agents.select(col("host"), col("__grp"), col("agent")),
+        Seq("host", "__grp"))
       .select(col("host"), col("agent"), col("rule"), col("prefix"),
         length(col("prefix")).cast("int").as("prefix_len"),
         col("line_no"))
+    markers.unionByName(fanned)
   }
 
   /** RFC 9309 fetch decision for `agent` over every URL row: adds
-    * `allowed`. Group selection per host: if any group names `agent`
-    * exactly, ONLY that group applies, else the `*` group; among
-    * matching path prefixes the LONGEST wins, an `allow`/`disallow`
-    * tie at equal length resolving to allow; no match ⇒ allowed (and
-    * hosts with no robots rules allow everything).
+    * `allowed` and `crawl_delay` (double; the politeness delay of the
+    * SELECTED group, null when it declares none). Group selection per
+    * host uses [[parseRobots]]'s group-marker rows: if any `User-agent`
+    * line names `agent` exactly, ONLY the groups naming it apply — even
+    * when they carry zero directives (RFC 9309 §2.2.1: the matching
+    * group governs; an empty one allows everything) — else the `*`
+    * groups; multiple matching groups' rules combine. Among matching
+    * path prefixes the LONGEST wins, an `allow`/`disallow` tie at equal
+    * length resolving to allow; no match ⇒ allowed (and hosts with no
+    * robots rules allow everything). When the selected groups declare
+    * several `Crawl-delay`s the MAX (most polite) is reported.
+    *
+    * `rules` must be [[parseRobots]] output (the marker rows carry the
+    * group-existence signal).
     *
     * Shape: the group-selection aggregate and the per-host rule-array
     * rollup run on the TINY rules side only; the corpus then takes one
@@ -184,21 +230,27 @@ object Web {
     */
   def robotsAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
                     agent: String): DataFrame = {
-    val hostGroups = rules.groupBy(col("host"))
+    val hostGroups = rules.filter(col("rule") === "agent")
+      .groupBy(col("host"))
       .agg(max(col("agent") === lit(agent)).as("__has_specific"))
-    val ruleSets = rules.join(hostGroups, Seq("host"))
+    val perHost = rules.join(hostGroups, Seq("host"))
       .filter(when(col("__has_specific"), col("agent") === lit(agent))
         .otherwise(col("agent") === lit("*")))
       .groupBy(col("host"))
-      .agg(collect_list(struct(col("prefix"), col("prefix_len"),
-        (col("rule") === "allow").as("al"))).as("__rules"))
+      .agg(
+        // collect_list skips the nulls the marker/delay rows produce
+        collect_list(when(col("rule").isin("allow", "disallow"),
+          struct(col("prefix"), col("prefix_len"),
+            (col("rule") === "allow").as("al")))).as("__rules"),
+        max(when(col("rule") === "crawl-delay",
+          col("prefix").cast("double"))).as("__delay"))
     val emptyRules = array()
       .cast("array<struct<prefix:string,prefix_len:int,al:boolean>>")
     val u = urls.withColumn("__host", host(col(urlCol)))
       .withColumn("__path",
         coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
           lit("/")))
-    u.join(broadcast(ruleSets), col("__host") === col("host"),
+    u.join(broadcast(perHost), col("__host") === col("host"),
         "left_outer")
       .withColumn("__best",
         aggregate(
@@ -215,7 +267,8 @@ object Web {
           }))
       .withColumn("allowed",
         col("__best.len") === -1 || col("__best.al") === 1)
-      .drop("host", "__rules", "__best", "__host", "__path")
+      .withColumn("crawl_delay", col("__delay"))
+      .drop("host", "__rules", "__best", "__host", "__path", "__delay")
   }
 
   /** Parse sitemap XML bodies (sitemaps.org protocol): one output row

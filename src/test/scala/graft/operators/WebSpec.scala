@@ -121,6 +121,9 @@ class WebSpec extends SparkSpec {
       .select("agent", "rule", "prefix").as[(String, String, String)]
       .collect().toSet
     assert(rules === Set(
+      ("graftbot", "agent", ""),
+      ("*", "agent", ""),
+      ("evilbot", "agent", ""),
       ("graftbot", "disallow", "/private/"),
       ("graftbot", "allow", "/private/pub/"),
       ("*", "disallow", "/blog/"),
@@ -131,8 +134,50 @@ class WebSpec extends SparkSpec {
     val rules = Web.parseRobots(
         Seq(("h.com", "Disallow: /x\nUser-agent: *\nDisallow: /y\n"))
           .toDF("host", "robots"), "host", "robots")
+      .filter($"rule" =!= "agent")
       .select("prefix").as[String].collect().toSeq
     assert(rules === Seq("/y"))
+  }
+
+  test("parseRobots stacks consecutive user-agent lines into one " +
+      "group (RFC 9309 §2.2), blank lines not splitting the run") {
+    val body = "User-agent: a\n\nUser-agent: b\nDisallow: /x\n" +
+      "User-agent: c\nAllow: /y\n"
+    val rules = Web.parseRobots(
+        Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+      .select("agent", "rule", "prefix").as[(String, String, String)]
+      .collect().toSet
+    assert(rules === Set(
+      ("a", "agent", ""), ("b", "agent", ""), ("c", "agent", ""),
+      ("a", "disallow", "/x"), ("b", "disallow", "/x"),
+      ("c", "allow", "/y")))
+  }
+
+  test("parseRobots keeps a marker row for a rule-less trailing group " +
+      "and parses crawl-delay") {
+    val body = "User-agent: *\nDisallow: /z\nCrawl-delay: 4\n" +
+      "User-agent: graftbot\n"
+    val rules = Web.parseRobots(
+        Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+      .select("agent", "rule", "prefix").as[(String, String, String)]
+      .collect().toSet
+    assert(rules === Set(
+      ("*", "agent", ""), ("graftbot", "agent", ""),
+      ("*", "disallow", "/z"), ("*", "crawl-delay", "4")))
+  }
+
+  test("an empty-path directive terminates a header run but imposes " +
+      "no rule") {
+    // 'Disallow:' between the two UA lines is a rule line per the
+    // grammar, so b starts a NEW group — a must not get /x
+    val body = "User-agent: a\nDisallow:\nUser-agent: b\nDisallow: /x\n"
+    val rules = Web.parseRobots(
+        Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+      .select("agent", "rule", "prefix").as[(String, String, String)]
+      .collect().toSet
+    assert(rules === Set(
+      ("a", "agent", ""), ("b", "agent", ""),
+      ("b", "disallow", "/x")))
   }
 
   test("robotsAllowed: longest match, allow-wins tie, group shadowing") {
@@ -161,5 +206,46 @@ class WebSpec extends SparkSpec {
           .toDF("doc_id", "url"), "url", rules, "graftbot")
       .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
     assert(got === Map(1L -> false, 2L -> true))
+  }
+
+  test("robotsAllowed: an EMPTY specific group shadows '*' — the RFC " +
+      "9309 shape the r7 property suite falsified") {
+    // '*' disallows /b/y, graftbot's group has zero directives; RFC
+    // 9309 §2.2.1: the specific group, even empty, governs → allowed
+    val body = "User-agent: *\nDisallow: /b/y\nUser-agent: graftbot\n"
+    val rules = Web.parseRobots(
+      Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+    val got = Web.robotsAllowed(
+        Seq((1L, "https://h.com/b/y"), (2L, "https://h.com/ok"))
+          .toDF("doc_id", "url"), "url", rules, "graftbot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true))
+  }
+
+  test("robotsAllowed: stacked header rules bind to every named agent") {
+    val body = "User-agent: graftbot\nUser-agent: *\nDisallow: /x\n"
+    val rules = Web.parseRobots(
+      Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+    val got = Web.robotsAllowed(
+        Seq((1L, "https://h.com/x"), (2L, "https://h.com/y"))
+          .toDF("doc_id", "url"), "url", rules, "graftbot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true))
+  }
+
+  test("robotsAllowed reports the SELECTED group's crawl-delay, " +
+      "shadowing the '*' delay when a specific group exists") {
+    val body = "User-agent: *\nCrawl-delay: 10\nDisallow: /b\n" +
+      "User-agent: graftbot\nDisallow: /p\nCrawl-delay: 3\n"
+    val rules = Web.parseRobots(
+      Seq(("h.com", body), ("g.com", "User-agent: *\nCrawl-delay: 7\n"))
+        .toDF("host", "robots"), "host", "robots")
+    val got = Web.robotsAllowed(
+        Seq((1L, "https://h.com/ok"), (2L, "https://g.com/ok"),
+          (3L, "https://nobots.com/ok")).toDF("doc_id", "url"),
+        "url", rules, "graftbot")
+      .select("doc_id", "crawl_delay")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got === Map(1L -> Some(3.0), 2L -> Some(7.0), 3L -> None))
   }
 }

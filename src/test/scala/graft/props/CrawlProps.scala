@@ -6,74 +6,20 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
 /** Property-based invariants for the crawl/SFT operator families:
-  * robots decisions vs an independent in-memory RFC 9309 model, WARC
-  * round-trips on generated record sets, FIM reassembly, URL
+  * WARC round-trips on generated record sets, FIM reassembly, URL
   * normalization as a fixed point, and chat span slicing on arbitrary
   * conversations. Each property evaluates a whole generated batch in
-  * one Spark job to keep runtime sane.
+  * one Spark job to keep runtime sane. (The robots-vs-RFC-9309
+  * property lives in [[RobotsProps]], at a higher case count — it is
+  * the one that falsified the round-7 group-selection bug.)
   */
 object CrawlProps extends Properties("crawl") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(8)
+    p.withMinSuccessfulTests(25)
 
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
-
-  // ---- robots vs reference model -----------------------------------
-
-  private case class Group(agent: String, rules: List[(String, String)])
-
-  private val prefixGen = Gen.oneOf("/", "/a", "/a/", "/a/b", "/a/b/c",
-    "/b", "/b/y", "/c")
-  private val ruleGen = Gen.zip(Gen.oneOf("Allow", "Disallow"), prefixGen)
-  private val groupGen = for {
-    agent <- Gen.oneOf("graftbot", "*", "otherbot")
-    n <- Gen.chooseNum(0, 3)
-    rules <- Gen.listOfN(n, ruleGen)
-  } yield Group(agent, rules)
-  private val robotsGen = Gen.chooseNum(0, 3)
-    .flatMap(n => Gen.listOfN(n, groupGen))
-  private val pathGen = Gen.oneOf("/a/b/c", "/a/b", "/a/x", "/b/y",
-    "/c", "/", "/d")
-
-  /** Independent model of the engine semantics: groups named `agent`
-    * apply when any exists, else the `*` groups; longest matching
-    * prefix wins, an allow/disallow tie at equal length resolves to
-    * allow; no match ⇒ allowed.
-    */
-  private def refAllowed(groups: List[Group], agent: String,
-                         path: String): Boolean = {
-    val specific = groups.filter(_.agent == agent)
-    val applicable = if (specific.nonEmpty) specific
-      else groups.filter(_.agent == "*")
-    val matches = applicable.flatMap(_.rules)
-      .filter { case (_, p) => path.startsWith(p) }
-    if (matches.isEmpty) true
-    else {
-      val maxLen = matches.map(_._2.length).max
-      matches.exists { case (r, p) =>
-        p.length == maxLen && r == "Allow" }
-    }
-  }
-
-  property("robotsAllowed agrees with the reference REP model") =
-    Prop.forAll(robotsGen, Gen.listOfN(4, pathGen)) { (groups, paths) =>
-      val body = groups.map(g =>
-        s"User-agent: ${g.agent}\n" +
-          g.rules.map { case (r, p) => s"$r: $p\n" }.mkString)
-        .mkString("\n")
-      val rules = Web.parseRobots(
-        Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
-      val urls = paths.zipWithIndex
-        .map { case (p, i) => (i.toLong, s"https://h.com$p") }
-        .toDF("id", "url")
-      val got = Web.robotsAllowed(urls, "url", rules, "graftbot")
-        .select("id", "allowed").as[(Long, Boolean)].collect().toMap
-      paths.zipWithIndex.forall { case (p, i) =>
-        got(i.toLong) == refAllowed(groups, "graftbot", p)
-      }
-    }
 
   // ---- WARC round-trip ---------------------------------------------
 
