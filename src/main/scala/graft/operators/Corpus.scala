@@ -1157,8 +1157,13 @@ object Corpus {
     * round is a narrow split + explode + hash-agg over vocab rows, a
     * driver-collected 1-row argmax (bounded: `merges` rounds × 1 row,
     * the [[graft.operators.Similarity.kmeansFixed]] pacing), and a
-    * narrow `replace` projection, localCheckpointed so round plans
-    * stay flat. Stops early if no adjacent pairs remain.
+    * narrow `replace` projection. Pending replaces FOLD into the round
+    * plan and the vocab localCheckpoints only every 4th merge — a
+    * replace chain of depth ≤ 4 is a single narrow codegen projection,
+    * while an eager checkpoint per round doubled the sequential job
+    * count (the r7 bench-variance source: more jobs, more exposure to
+    * ambient GC/codegen noise). Stops early if no adjacent pairs
+    * remain.
     */
   def bpeTrain(docs: DataFrame, textCol: String,
                merges: Int): DataFrame = {
@@ -1196,9 +1201,9 @@ object Corpus {
             (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           out += ((step, l, r, l + r, pc))
           vocab = vocab.select(col("wc"),
-              replace(col("s"), lit(s"$US$l$US$US$r$US"),
-                lit(s"$US$l$r$US")).as("s"))
-            .localCheckpoint()
+            replace(col("s"), lit(s"$US$l$US$US$r$US"),
+              lit(s"$US$l$r$US")).as("s"))
+          if (step % 4 == 0) vocab = vocab.localCheckpoint()
         }
       }
     }
