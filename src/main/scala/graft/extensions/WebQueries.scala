@@ -420,6 +420,116 @@ private[graft] object WebQueries {
         .orderBy(col("reg_domain"), col("loc"))
     },
 
+    // Two-level sitemap expansion: REAL <sitemapindex> XML through the
+    // real index parser, each child loc joined to its (synthesized,
+    // REAL-XML) urlset and pushed through the real <url> parser — the
+    // layout every site beyond the 50k-URL cap ships. The oracle
+    // regenerates the full (host, child_loc, loc) expansion
+    // arithmetically.
+    Q("ext_sitemap_index",
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |c AS (SELECT k.k, r.i FROM k, range(3) r(i)
+        |  WHERE r.i <= k.k % 3),
+        |u AS (SELECT c.k, c.i, r2.j FROM c, range(2) r2(j)
+        |  WHERE r2.j <= c.i % 2)
+        |SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
+        | 'https://site' || CAST(k AS VARCHAR) || '.com/sitemap' ||
+        |  CAST(i AS VARCHAR) || '.xml' AS child_loc,
+        | 'https://site' || CAST(k AS VARCHAR) || '.com/s' ||
+        |  CAST(i AS VARCHAR) || '/p' || CAST(j AS VARCHAR) AS loc
+        |FROM u ORDER BY host, child_loc, loc""".stripMargin) {
+      (sp, dir) =>
+        val k = col("k")
+        val idxs = sequence(lit(0L), pmod(k, lit(3)))
+        val blocks = transform(idxs, i => concat(
+          lit("<sitemap>\n  <loc> https://site"), s(k),
+          lit(".com/sitemap"), s(i), lit(".xml </loc>\n"),
+          when(pmod(i, lit(2)) === 0,
+            lit("  <lastmod>2026-02-01</lastmod>\n")).otherwise(lit("")),
+          lit("</sitemap>")))
+        val indexXml = concat(
+          lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+          array_join(blocks, "\n"), lit("\n</sitemapindex>"))
+        val hosts = documents(sp, dir)
+          .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+          .select(concat(lit("site"), s(k), lit(".com")).as("host"),
+            indexXml.as("idx_xml"))
+        val children = Web.sitemapIndex(hosts, "idx_xml")
+          .select(col("host"), col("child_loc"))
+        // child urlset bodies keyed by the PARSED child_loc (so a
+        // mis-parsed loc can never find its body)
+        val i = regexp_extract(col("child_loc"),
+          "sitemap(\\d+)\\.xml$", 1).cast("long")
+        val js = sequence(lit(0L), pmod(i, lit(2)))
+        val urlBlocks = transform(js, j => concat(
+          lit("<url><loc>https://"), Web.host(col("child_loc")),
+          lit("/s"), s(i), lit("/p"), s(j), lit("</loc></url>")))
+        val withXml = children.withColumn("child_xml",
+          concat(lit("<urlset>"), array_join(urlBlocks, "\n"),
+            lit("</urlset>")))
+        Web.sitemapUrls(withXml, "child_xml")
+          .select(col("host"), col("child_loc"), col("loc"))
+          .orderBy(col("host"), col("child_loc"), col("loc"))
+    },
+
+    // Politeness scheduling composition: sitemap seeds → robots gate
+    // (allowed + the SELECTED group's crawl_delay) → per-host fetch
+    // slots by md5 priority with fetch_offset_s = slot × delay
+    // (default 1 s where the host declares none). The oracle re-plays
+    // the gate decision, the delay selection and the window
+    // arithmetic in closed form — slot × delay products are exact
+    // small-int × exact-double, so the hash compare is bitwise.
+    Q("ext_frontier_schedule",
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |u AS (SELECT k.k, r.i FROM k, range(4) r(i)
+        |  WHERE r.i <= k.k % 4),
+        |seeds AS (SELECT k, i,
+        |  'https://site' || CAST(k AS VARCHAR) || '.com' ||
+        |  (CASE i % 3
+        |   WHEN 0 THEN '/private' || CAST(k % 5 AS VARCHAR) || '/x' ||
+        |    CAST(i AS VARCHAR)
+        |   WHEN 1 THEN '/blog/p' || CAST(i AS VARCHAR)
+        |   ELSE '/page' || CAST(i AS VARCHAR) END) AS loc FROM u),
+        |gated AS (SELECT k, loc FROM seeds WHERE
+        |  CASE i % 3 WHEN 0 THEN k % 4 = 3
+        |   WHEN 1 THEN k % 4 != 3 OR k % 8 = 3 ELSE TRUE END),
+        |d AS (SELECT k, CASE WHEN k % 4 != 3 THEN
+        |   CASE WHEN k % 2 = 1 THEN CAST(k % 7 + 1 AS DOUBLE)
+        |    ELSE 1.0 END
+        |  WHEN k % 8 = 3 THEN 1.0
+        |  WHEN k % 5 = 0 THEN 10.0 ELSE 1.0 END AS delay FROM k),
+        |sch AS (SELECT k, loc, row_number() OVER (PARTITION BY k
+        |   ORDER BY md5(loc), loc) - 1 AS slot FROM gated)
+        |SELECT 'site' || CAST(sch.k AS VARCHAR) || '.com' AS host,
+        | loc, CAST(slot AS INT) AS fetch_slot,
+        | slot * delay AS fetch_offset_s
+        |FROM sch JOIN d ON sch.k = d.k
+        |ORDER BY host, loc""".stripMargin) { (sp, dir) =>
+      val k = col("k")
+      val idxs = sequence(lit(0L), pmod(k, lit(4)))
+      val blocks = transform(idxs, i => concat(
+        lit("<url><loc>https://site"), s(k), lit(".com"),
+        when(pmod(i, lit(3)) === 0,
+          concat(lit("/private"), s(pmod(k, lit(5))), lit("/x"), s(i)))
+          .when(pmod(i, lit(3)) === 1, concat(lit("/blog/p"), s(i)))
+          .otherwise(concat(lit("/page"), s(i))),
+        lit("</loc></url>")))
+      val sitemaps = documents(sp, dir)
+        .select(pmod(col("doc_id"), lit(20)).as("k")).distinct()
+        .select(concat(lit("<urlset>"), array_join(blocks, "\n"),
+          lit("</urlset>")).as("sitemap"))
+      val seeds = Web.sitemapUrls(sitemaps, "sitemap").select(col("loc"))
+      val rules = Web.parseRobots(robotsHosts(sp, dir), "host", "robots")
+      val gated = Web.robotsAllowed(seeds, "loc", rules, "graftbot")
+        .filter(col("allowed"))
+        .select(col("loc"), col("crawl_delay"))
+      Web.frontierSchedule(gated, "loc", "crawl_delay",
+          defaultDelaySec = 1.0)
+        .select(Web.host(col("loc")).as("host"), col("loc"),
+          col("fetch_slot"), col("fetch_offset_s"))
+        .orderBy(col("host"), col("loc"))
+    },
+
     // Politeness delay surface: per host, the Crawl-delay of the group
     // SELECTED for graftbot — the specific group's own delay when it
     // declares one (odd k), null when the specific group exists but

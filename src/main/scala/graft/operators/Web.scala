@@ -296,6 +296,56 @@ object Web {
       .drop("__u")
   }
 
+  /** Parse sitemap INDEX bodies (sitemaps.org `<sitemapindex>` — the
+    * two-level layout every large site uses once it passes the 50k-URL
+    * per-file cap): one output row per `<sitemap>` block, keeping
+    * `df`'s columns and adding `child_loc` (trimmed) and
+    * `child_lastmod` (null when absent). Same block-scoped extraction
+    * as [[sitemapUrls]]; compose the two for full index → urlset
+    * expansion.
+    */
+  def sitemapIndex(df: DataFrame, xmlCol: String): DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?is)<sitemap>(.*?)</sitemap>"), lit(1))
+    def field(b: Column, tag: String): Column =
+      nullif(trim(regexp_extract(b,
+        s"(?is)<$tag>(.*?)</$tag>", 1)), lit(""))
+    val parsed = transform(blocks, b => struct(
+      field(b, "loc").as("child_loc"),
+      field(b, "lastmod").as("child_lastmod")))
+    df.withColumn("__s", explode(parsed))
+      .select(df.columns.map(col) :+
+        col("__s.child_loc").as("child_loc") :+
+        col("__s.child_lastmod").as("child_lastmod"): _*)
+      .drop("__s")
+  }
+
+  /** Politeness scheduling over a robots-gated frontier: per host,
+    * order URLs by deterministic md5 priority (the [[domainCap]]
+    * convention) and assign each a 0-based `fetch_slot` and its
+    * `fetch_offset_s` — slot × the host's crawl delay (`delayCol`,
+    * from [[robotsAllowed]]; `defaultDelaySec` where the host declares
+    * none). The offset is when a single polite fetcher may issue the
+    * request relative to the host's first fetch, which is exactly the
+    * per-host rate budget a frontier scheduler feeds its work queue.
+    *
+    * Shape: ONE hash-partitioned window keyed by host — the
+    * [[domainCap]] scale argument verbatim; per-host groups are
+    * frontier-sized, not corpus-sized.
+    */
+  def frontierSchedule(df: DataFrame, urlCol: String, delayCol: String,
+                       defaultDelaySec: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__sched_host"))
+      .orderBy(md5(col(urlCol)), col(urlCol))
+    df.withColumn("__sched_host", host(col(urlCol)))
+      .withColumn("fetch_slot", row_number().over(w) - 1)
+      .withColumn("fetch_offset_s",
+        col("fetch_slot").cast("double") *
+          coalesce(col(delayCol), lit(defaultDelaySec)))
+      .drop("__sched_host")
+  }
+
   /** Drop rows whose registered domain is in `blocked` (URL-level
     * blocklist filtering). The blocklist broadcasts: corpus-side the
     * filter is a narrow broadcast anti-join, never a shuffle.

@@ -102,6 +102,43 @@ class WebSpec extends SparkSpec {
     assert(got === Seq(("/a", None), ("/b", Some("2026-02-02"))))
   }
 
+  test("sitemapIndex parses sitemap blocks with optional lastmod") {
+    val xml = "<sitemapindex><sitemap><loc> https://h.com/a.xml </loc>" +
+      "<lastmod>2026-01-01</lastmod></sitemap>" +
+      "<sitemap><loc>https://h.com/b.xml</loc></sitemap></sitemapindex>"
+    val got = Web.sitemapIndex(Seq(("h", xml)).toDF("host", "xml"), "xml")
+      .select("child_loc", "child_lastmod")
+      .as[(String, Option[String])].collect().toSeq
+    assert(got === Seq(
+      ("https://h.com/a.xml", Some("2026-01-01")),
+      ("https://h.com/b.xml", None)))
+  }
+
+  test("frontierSchedule: per-host md5-ordered slots, offset = slot " +
+      "x delay with the default where the host declares none") {
+    val df = Seq(
+      ("https://a.com/1", Some(3.0)), ("https://a.com/2", Some(3.0)),
+      ("https://a.com/3", Some(3.0)), ("https://b.com/1", None))
+      .toDF("url", "delay")
+    val got = Web.frontierSchedule(df, "url", "delay",
+        defaultDelaySec = 1.5)
+      .select("url", "fetch_slot", "fetch_offset_s")
+      .as[(String, Int, Double)].collect()
+    val aSlots = got.filter(_._1.startsWith("https://a.com"))
+      .map(r => (r._2, r._3)).sortBy(_._1).toSeq
+    assert(aSlots === Seq((0, 0.0), (1, 3.0), (2, 6.0)))
+    assert(got.find(_._1 == "https://b.com/1").get._2 === 0)
+    assert(got.find(_._1 == "https://b.com/1").get._3 === 0.0)
+    // deterministic: the slot order is md5(url), not input order
+    val expected = Seq("https://a.com/1", "https://a.com/2",
+      "https://a.com/3").sortBy(u => (java.security.MessageDigest
+        .getInstance("MD5").digest(u.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, u))
+    val bySlot = got.filter(_._1.startsWith("https://a.com"))
+      .sortBy(_._2).map(_._1).toSeq
+    assert(bySlot === expected)
+  }
+
   private val robotsBody =
     """# welcome
       |User-Agent: GraftBot

@@ -16,7 +16,7 @@ import org.scalacheck.{Gen, Prop, Properties, Test}
 object CrawlProps extends Properties("crawl") {
 
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(25)
+    p.withMinSuccessfulTests(16)
 
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
