@@ -1001,6 +1001,52 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Hard-negative mining: per query, the top-5 most-similar corpus
+    // vectors EXCLUDING its known positives (residue-class pairs
+    // c % 10 = q — including the query itself) — the contrastive-loss
+    // negative sampler. The oracle replays the exclusion inside the
+    // join predicate and re-ranks with the same sequential-fold cosine.
+    Q("ext_hard_negatives", {
+      val cos = cosSql("c.embedding", "q.embedding")
+      s"""SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $cos DESC, c.vec_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM embeddings q JOIN embeddings c
+         |  ON q.vec_id != c.vec_id AND c.vec_id % 10 != q.vec_id
+         | WHERE q.vec_id < 10)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val positives = e.select(col("vec_id").as("pos_doc"))
+        .withColumn("query_id", pmod(col("pos_doc"), lit(10)))
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", positives, "query_id", "pos_doc",
+          k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Chunk → document mean-pooling in the flat (grp, dim, value)
+    // form: 50 pseudo-documents of ~40 chunk embeddings each, pooled
+    // dimension-wise with the order-independent decimal mean; the
+    // oracle re-derives every pooled coordinate with the identical
+    // decimal-fixed-point sum / count.
+    Q("ext_embed_pool",
+      """SELECT CAST(vec_id % 50 AS BIGINT) AS grp,
+        | CAST(d.i AS INT) AS dim,
+        | CAST(sum(CAST(CAST(embedding[CAST(d.i AS INT) + 1] AS DOUBLE)
+        |    AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE) AS value
+        |FROM embeddings, range(64) d(i)
+        |GROUP BY 1, 2 ORDER BY grp, dim""".stripMargin) { (s, d) =>
+      Similarity.meanPool(
+          embeddings(s, d).select(pmod(col("vec_id"), lit(50)).as("grp"),
+            col("embedding")),
+          "grp", "embedding")
+        .orderBy(col("grp"), col("dim"))
+    },
+
     // k-NN majority-vote labeler over the exact neighbor set: the
     // embedding-space label-propagation primitive (tag unlabeled docs
     // by their nearest labeled ones). Ties break to the smaller label.

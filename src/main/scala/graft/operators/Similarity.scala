@@ -61,6 +61,60 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for retrieval/embedding training: for each
+    * query vector, the `k` corpus items MOST similar to it that are
+    * NOT among its known positives (`positives(posQueryCol,
+    * posDocCol)` pairs) and not itself — the negatives closest to the
+    * decision boundary, which contrastive losses (InfoNCE, triplet)
+    * need to keep improving once random negatives are trivially
+    * separated. Output: (query_id, neighbor_id, rank, cosine).
+    *
+    * Scale shape: [[bruteKnn]]'s broadcast-queries corpus scan, the
+    * positive-pair set broadcast into a left_anti equi-join BEFORE the
+    * bounded-heap top-k (positives are |queries| × few — always the
+    * tiny side), so exclusion adds no shuffle and the corpus is still
+    * read once. Swap in [[lshKnn]]/[[ivfKnn]] candidate generation
+    * upstream for huge query sets.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, positives: DataFrame,
+                    posQueryCol: String, posDocCol: String,
+                    k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"))
+    val pos = positives.select(col(posQueryCol).as("__pq"),
+      col(posDocCol).as("__pd"))
+    val c = fanOut(corpus).select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(pos), col("query_id") === col("__pq") &&
+        col("neighbor_id") === col("__pd"), "left_anti")
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    topK(scored, k)
+  }
+
+  /** Mean-pool embeddings per group — the chunk-embeddings → document
+    * embedding (or passage → query context) aggregation every
+    * retrieval corpus build runs. Output is the FLAT `(groupCol, dim,
+    * value)` form (the [[graft.operators.Projection]] convention —
+    * scalar columns survive the oracle gate and downstream joins
+    * equally well). `value` is the order-independent decimal-exact
+    * mean ([[graft.functions.Cols.decAvg]]): pooled embeddings must
+    * not depend on partition order.
+    *
+    * Scale shape: one posexplode + one hash aggregation keyed
+    * (group, dim) — fully map-side-combining, dims bounded, never a
+    * window.
+    */
+  def meanPool(df: DataFrame, groupCol: String,
+               vecCol: String): DataFrame =
+    df.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(graft.functions.Cols.decAvg(col("__v").cast("double"))
+        .as("value"))
+
   /** k-NN majority-vote classification: each query takes the most
     * frequent label among its `k` exact nearest LABELED corpus
     * neighbors (ties by smaller label) — null-labeled corpus rows are

@@ -273,4 +273,33 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(200L, 201L))
   }
+
+  test("hardNegatives: positives and self never rank; the nearest " +
+      "non-positive does") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f)), // nearest, but a known positive
+      (2L, Seq(0.9f, 0.1f)),   // hardest legal negative
+      (3L, Seq(0.5f, 0.5f)),
+      (4L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val positives = Seq((0L, 1L)).toDF("q", "p")
+    val got = Similarity.hardNegatives(embs,
+        embs.filter($"vec_id" === 0L), "vec_id", "embedding",
+        positives, "q", "p", k = 2)
+      .select($"neighbor_id", $"rank").as[(Long, Int)]
+      .collect().toSeq.sortBy(_._2)
+    assert(got === Seq((2L, 1), (3L, 2)))
+  }
+
+  test("meanPool averages per (group, dim), order-independently") {
+    val embs = Seq(
+      (0L, Seq(1.0f, 2.0f)), (0L, Seq(3.0f, 4.0f)),
+      (1L, Seq(5.0f, 6.0f))
+    ).toDF("grp", "embedding")
+    val got = Similarity.meanPool(embs, "grp", "embedding")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(got === Set((0L, 0, 2.0), (0L, 1, 3.0),
+      (1L, 0, 5.0), (1L, 1, 6.0)))
+  }
 }
