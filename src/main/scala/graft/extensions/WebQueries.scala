@@ -70,7 +70,9 @@ private[graft] object WebQueries {
     * GraftBot-led group (absent when k%4==3, leaving its directives
     * group-less — RFC 9309 says such lines are ignored; STACKED with a
     * `newsbot` header line when k%6==1, so its rules belong to both
-    * agents; carrying a `Crawl-delay` when k is odd), a `*` group
+    * agents; always carrying a §2.2.3 WILDCARD + end-anchor rule on
+    * the `/d/` tree — star, `.pdf`, dollar-anchored; carrying a
+    * `Crawl-delay` when k is odd), a `*` group
     * (with its own `Crawl-delay` when k%5==0 — shadowed for graftbot
     * whenever a specific group exists), an `evilbot` group, and — when
     * k%8==3 — a trailing EMPTY GraftBot group at EOF (RFC 9309
@@ -92,6 +94,7 @@ private[graft] object WebQueries {
         .otherwise(lit("")),
       when(pmod(k, lit(3)) === 0, lit("disallow: /tmp\n"))
         .otherwise(lit("")),
+      lit("Disallow: /d/*.pdf$\n"),
       when(pmod(k, lit(2)) === 1,
         concat(lit("Crawl-delay: "), s(pmod(k, lit(7)) + 1), lit("\n")))
         .otherwise(lit("")),
@@ -264,6 +267,7 @@ private[graft] object WebQueries {
         | FROM ga WHERE k % 2 = 0
         | UNION ALL
         | SELECT k, agent, 'disallow', '/tmp' FROM ga WHERE k % 3 = 0
+        | UNION ALL SELECT k, agent, 'disallow', '/d/*.pdf$' FROM ga
         | UNION ALL
         | SELECT k, agent, 'crawl-delay', CAST(k % 7 + 1 AS VARCHAR)
         | FROM ga WHERE k % 2 = 1
@@ -331,10 +335,12 @@ private[graft] object WebQueries {
     // (the specific group shadows '*' where present — INCLUDING the
     // k%8==3 hosts whose graftbot group is EMPTY, which must allow
     // everything rather than fall back to '*'; hosts without any
-    // graftbot group fall back to '*'), longest-prefix-match with
+    // graftbot group fall back to '*'), longest-pattern-match with
     // allow-wins ties (the /private{m}/pub/ carve-out inside a
-    // disallowed tree), default-allow. The oracle computes each
-    // decision with closed-form CASE arithmetic.
+    // disallowed tree), §2.2.3 wildcard + end-anchor matching (c=5
+    // paths hit /d/*.pdf$ on even j and dodge its $ anchor on odd j),
+    // default-allow. The oracle computes each decision with
+    // closed-form CASE arithmetic.
     Q("ext_robots_eval",
       """WITH u AS (SELECT doc_id, doc_id % 20 AS k,
         |  (doc_id // 3) % 5 AS j, doc_id % 6 AS c FROM documents)
@@ -344,11 +350,15 @@ private[graft] object WebQueries {
         |   WHEN 0 THEN '/private' || CAST(j AS VARCHAR) || '/x'
         |   WHEN 1 THEN '/private' || CAST(j AS VARCHAR) || '/pub/y'
         |   WHEN 2 THEN '/tmp/f' WHEN 3 THEN '/blog/post'
-        |   WHEN 4 THEN '/ok' ELSE '/' END) AS url,
+        |   WHEN 4 THEN '/ok'
+        |   ELSE '/d/f' || CAST(j AS VARCHAR) ||
+        |    (CASE WHEN j % 2 = 0 THEN '.pdf' ELSE '.pdfz' END)
+        |   END) AS url,
         | CASE WHEN k % 4 != 3 THEN
         |   CASE c WHEN 0 THEN NOT (j = k % 5)
         |    WHEN 1 THEN NOT (j = k % 5 AND k % 2 = 1)
         |    WHEN 2 THEN NOT (k % 3 = 0)
+        |    WHEN 5 THEN j % 2 != 0
         |    ELSE TRUE END
         |  WHEN k % 8 = 3 THEN TRUE
         |  ELSE c != 3 END AS allowed
@@ -356,13 +366,15 @@ private[graft] object WebQueries {
       val id = col("doc_id")
       val k = s(pmod(id, lit(20)))
       val j = s(pmod(expr("doc_id div 3"), lit(5)))
+      val jn = pmod(expr("doc_id div 3"), lit(5))
       val c = pmod(id, lit(6))
       val path = when(c === 0, concat(lit("/private"), j, lit("/x")))
         .when(c === 1, concat(lit("/private"), j, lit("/pub/y")))
         .when(c === 2, lit("/tmp/f"))
         .when(c === 3, lit("/blog/post"))
         .when(c === 4, lit("/ok"))
-        .otherwise(lit("/"))
+        .otherwise(concat(lit("/d/f"), j,
+          when(pmod(jn, lit(2)) === 0, lit(".pdf")).otherwise(lit(".pdfz"))))
       val us = documents(sp, dir).select(id,
         concat(lit("https://site"), k, lit(".com"), path).as("url"))
       val rules = Web.parseRobots(robotsHosts(sp, dir), "host", "robots")

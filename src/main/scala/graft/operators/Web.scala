@@ -205,6 +205,26 @@ object Web {
     markers.unionByName(fanned)
   }
 
+  /** Java-regex translation of an RFC 9309 §2.2.3 path pattern, null
+    * for PLAIN prefixes (no `*`, no trailing `$`) — the common case,
+    * which [[robotsAllowed]] matches with codegen `startswith` instead
+    * of a regex. `*` matches any char sequence, a trailing `$` anchors
+    * the end; everything else (including a mid-pattern `$`) is
+    * literal, regex-escaped segment-wise. The translation runs ONCE
+    * per rule on the tiny rules side.
+    */
+  private[operators] def pathPatternRegex(p: Column): Column = {
+    val hasEnd = endswith(p, lit("$"))
+    val isPlain = !contains(p, lit("*")) && !hasEnd
+    val body = when(hasEnd, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    val esc = transform(split(body, "\\*", -1),
+      s => regexp_replace(s, lit("([\\\\^$.|?*+()\\[\\]{}])"),
+        lit("\\\\$1")))
+    when(isPlain, lit(null).cast("string"))
+      .otherwise(concat(lit("^"), array_join(esc, ".*"),
+        when(hasEnd, lit("$")).otherwise(lit(""))))
+  }
+
   /** RFC 9309 fetch decision for `agent` over every URL row: adds
     * `allowed` and `crawl_delay` (double; the politeness delay of the
     * SELECTED group, null when it declares none). Group selection per
@@ -212,8 +232,11 @@ object Web {
     * line names `agent` exactly, ONLY the groups naming it apply — even
     * when they carry zero directives (RFC 9309 §2.2.1: the matching
     * group governs; an empty one allows everything) — else the `*`
-    * groups; multiple matching groups' rules combine. Among matching
-    * path prefixes the LONGEST wins, an `allow`/`disallow` tie at equal
+    * groups; multiple matching groups' rules combine. Path rules match
+    * per §2.2.3: plain prefixes byte-wise, `*` as any-sequence, a
+    * trailing `$` as an end anchor. Among matching rules the LONGEST
+    * pattern (most octets, special chars counted — the reference REP
+    * parser's precedence) wins, an `allow`/`disallow` tie at equal
     * length resolving to allow; no match ⇒ allowed (and hosts with no
     * robots rules allow everything). When the selected groups declare
     * several `Crawl-delay`s the MAX (most polite) is reported.
@@ -221,12 +244,14 @@ object Web {
     * `rules` must be [[parseRobots]] output (the marker rows carry the
     * group-existence signal).
     *
-    * Shape: the group-selection aggregate and the per-host rule-array
-    * rollup run on the TINY rules side only; the corpus then takes one
-    * broadcast join and a narrow array-fold projection — the URL table
-    * is never shuffled and never grouped, so this runs at scan speed
-    * at 100 TB. (`urls` must not already carry `host`/`__`-prefixed
-    * working columns.)
+    * Shape: the group-selection aggregate, the per-host rule-array
+    * rollup AND the wildcard→regex translation run on the TINY rules
+    * side only; the corpus then takes one broadcast join and a narrow
+    * array-fold projection — plain prefixes (the overwhelming majority
+    * in real robots files) match via codegen `startswith`, only
+    * wildcard rules pay a regex — and the URL table is never shuffled
+    * and never grouped, so this runs at scan speed at 100 TB. (`urls`
+    * must not already carry `host`/`__`-prefixed working columns.)
     */
   def robotsAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
                     agent: String): DataFrame = {
@@ -241,11 +266,12 @@ object Web {
         // collect_list skips the nulls the marker/delay rows produce
         collect_list(when(col("rule").isin("allow", "disallow"),
           struct(col("prefix"), col("prefix_len"),
-            (col("rule") === "allow").as("al")))).as("__rules"),
+            (col("rule") === "allow").as("al"),
+            pathPatternRegex(col("prefix")).as("rex")))).as("__rules"),
         max(when(col("rule") === "crawl-delay",
           col("prefix").cast("double"))).as("__delay"))
-    val emptyRules = array()
-      .cast("array<struct<prefix:string,prefix_len:int,al:boolean>>")
+    val emptyRules = array().cast(
+      "array<struct<prefix:string,prefix_len:int,al:boolean,rex:string>>")
     val u = urls.withColumn("__host", host(col(urlCol)))
       .withColumn("__path",
         coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
@@ -255,7 +281,10 @@ object Web {
       .withColumn("__best",
         aggregate(
           filter(coalesce(col("__rules"), emptyRules),
-            r => startswith(col("__path"), r.getField("prefix"))),
+            r => when(r.getField("rex").isNull,
+                startswith(col("__path"), r.getField("prefix")))
+              .otherwise(regexp_like(col("__path"),
+                r.getField("rex")))),
           struct(lit(-1).as("len"), lit(1).as("al")),
           (acc, r) => {
             val len = r.getField("prefix_len")

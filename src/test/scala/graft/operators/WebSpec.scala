@@ -270,6 +270,26 @@ class WebSpec extends SparkSpec {
     assert(got === Map(1L -> false, 2L -> true))
   }
 
+  test("robotsAllowed matches RFC 9309 §2.2.3 wildcard and end-anchor " +
+      "patterns, plain prefixes still win by pattern length") {
+    val body = "User-agent: graftbot\nDisallow: /d/*.pdf$\n" +
+      "Disallow: /a$\nAllow: /d/pub*.pdf$\nDisallow: /*ssn\n"
+    val rules = Web.parseRobots(
+      Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+    val got = Web.robotsAllowed(Seq(
+        (1L, "https://h.com/d/x.pdf"),    // wildcard+anchor -> deny
+        (2L, "https://h.com/d/x.pdfz"),   // dodges the $ anchor
+        (3L, "https://h.com/a"),          // exact /a$ -> deny
+        (4L, "https://h.com/a/b"),        // /a$ anchored: allowed
+        (5L, "https://h.com/d/pub1.pdf"), // longer allow pattern wins
+        (6L, "https://h.com/x/ssn"),      // leading-* wildcard -> deny
+        (7L, "https://h.com/ok")
+      ).toDF("doc_id", "url"), "url", rules, "graftbot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> true, 5L -> true, 6L -> false, 7L -> true))
+  }
+
   test("robotsAllowed reports the SELECTED group's crawl-delay, " +
       "shadowing the '*' delay when a specific group exists") {
     val body = "User-agent: *\nCrawl-delay: 10\nDisallow: /b\n" +

@@ -32,7 +32,9 @@ object RobotsProps extends Properties("robots") {
                            delay: Option[Int])
 
   private val prefixGen = Gen.oneOf("/", "/a", "/a/", "/a/b", "/a/b/c",
-    "/b", "/b/y", "/c")
+    "/b", "/b/y", "/c",
+    // RFC 9309 §2.2.3 special characters: any-sequence and end anchor
+    "/*/y", "/a/*.x$", "/a$", "/*", "/b/y$")
   private val ruleGen = Gen.zip(Gen.oneOf("Allow", "Disallow"), prefixGen)
   private val agentGen = Gen.oneOf("graftbot", "*", "otherbot")
   private val groupGen = for {
@@ -45,7 +47,7 @@ object RobotsProps extends Properties("robots") {
   private val robotsGen = Gen.chooseNum(0, 3)
     .flatMap(n => Gen.listOfN(n, groupGen))
   private val pathGen = Gen.oneOf("/a/b/c", "/a/b", "/a/x", "/b/y",
-    "/c", "/", "/d")
+    "/c", "/", "/d", "/a", "/a/c.x", "/a/c.xy", "/q/y")
 
   private def render(groups: List[Group]): String =
     groups.map { g =>
@@ -93,10 +95,26 @@ object RobotsProps extends Properties("robots") {
     groups ++ cur.toList
   }
 
+  /** §2.2.3 pattern match: plain prefix byte-wise, `*` any sequence,
+    * trailing `$` end anchor, mid-pattern `$` literal.
+    */
+  private def patMatches(pattern: String, path: String): Boolean =
+    if (!pattern.contains("*") && !pattern.endsWith("$"))
+      path.startsWith(pattern)
+    else {
+      val hasEnd = pattern.endsWith("$")
+      val body = if (hasEnd) pattern.dropRight(1) else pattern
+      val rex = "^" + body.split("\\*", -1)
+        .map(java.util.regex.Pattern.quote).mkString(".*") +
+        (if (hasEnd) "$" else "")
+      java.util.regex.Pattern.compile(rex).matcher(path).find()
+    }
+
   /** (allowed, crawl_delay) for `agent` fetching `path`: specific
-    * groups (even empty) shadow `*`; matching groups combine; longest
-    * prefix wins with allow on ties; no match ⇒ allowed; delay = max
-    * of the selected groups' delays.
+    * groups (even empty) shadow `*`; matching groups combine; the
+    * longest matching PATTERN (special chars counted) wins with allow
+    * on ties; no match ⇒ allowed; delay = max of the selected groups'
+    * delays.
     */
   private def refDecision(groups: List[G], agent: String,
                           path: String): (Boolean, Option[Double]) = {
@@ -104,7 +122,7 @@ object RobotsProps extends Properties("robots") {
     val app = if (spec.nonEmpty) spec
       else groups.filter(_.agents.contains("*"))
     val matches = app.flatMap(_.rules)
-      .filter { case (_, p) => path.startsWith(p) }
+      .filter { case (_, p) => patMatches(p, path) }
     val allowed = matches.isEmpty || {
       val maxLen = matches.map(_._2.length).max
       matches.exists { case (r, p) => p.length == maxLen && r == "allow" }
