@@ -64,6 +64,54 @@ private[graft] object HtmlQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Image–text pair mining (the LAION recipe): REAL <img> markup —
+    // free attribute order, both quote styles, self-closing and plain
+    // tags, missing src/alt, an entity in the alt text — through the
+    // real extractor; the oracle re-derives every (doc, idx, src, alt)
+    // row arithmetically, with the entity already decoded.
+    Q("ext_html_images",
+      """WITH i AS (SELECT doc_id, r.i FROM documents, range(2) r(i)
+        |  WHERE r.i < doc_id % 3)
+        |SELECT doc_id, CAST(i AS INT) AS img_idx,
+        | CASE WHEN (doc_id + i) % 7 = 0 THEN ''
+        |  ELSE 'https://img.example/i' || CAST(doc_id % 50 AS VARCHAR)
+        |   || '_' || CAST(i AS VARCHAR) || '.jpg' END AS src,
+        | CASE WHEN (doc_id + i) % 2 = 0
+        |  THEN 'Pic & no. ' || CAST(doc_id % 7 AS VARCHAR)
+        |  ELSE '' END AS alt
+        |FROM i ORDER BY doc_id, img_idx""".stripMargin) { (sp, dir) =>
+      val id = col("doc_id")
+      val n = pmod(id, lit(3))
+      val idxs = when(n > 0, sequence(lit(0L), n - 1))
+        .otherwise(array().cast("array<bigint>"))
+      val tags = transform(idxs, i => {
+        val qo = when(pmod(id, lit(2)) === 0, lit("\""))
+          .otherwise(lit("'"))
+        val srcAttr = when(pmod(id + i, lit(7)) === 0, lit(""))
+          .otherwise(concat(lit(" src="), qo,
+            lit("https://img.example/i"), s(pmod(id, lit(50))),
+            lit("_"), s(i), lit(".jpg"), qo))
+        val altAttr = when(pmod(id + i, lit(2)) === 0,
+          concat(lit(" alt="), qo, lit("Pic &amp; no. "),
+            s(pmod(id, lit(7))), qo)).otherwise(lit(""))
+        val attrs = when(pmod(i, lit(2)) === 0,
+          concat(srcAttr, altAttr)).otherwise(concat(altAttr, srcAttr))
+        concat(lit("<img"), attrs,
+          when(pmod(id + i, lit(3)) === 0, lit(" />"))
+            .otherwise(lit(">")))
+      })
+      val html = concat(lit("<p>before</p>\n"), array_join(tags, "\n"),
+        lit("\n<p>after</p>"))
+      documents(sp, dir).select(id, html.as("html"))
+        .select(id,
+          posexplode(Html.htmlImages(col("html")))
+            .as(Seq("img_idx", "im")))
+        .select(id, col("img_idx").cast("int").as("img_idx"),
+          coalesce(col("im.src"), lit("")).as("src"),
+          coalesce(col("im.alt"), lit("")).as("alt"))
+        .orderBy(id, col("img_idx"))
+    },
+
     // Visible text + title out of the real extractor vs the generator
     // arithmetic. The `&amp;lt;` in the source must surface as the
     // LITERAL text `&lt;` (decode-amp-last), the script block with its

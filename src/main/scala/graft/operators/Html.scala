@@ -75,6 +75,26 @@ object Html {
       htmlToText(regexp_extract(a, "(?is)>(.*?)</a\\s*>", 1)).as("text")))
   }
 
+  /** All `<img>` elements as `array<struct<src, alt>>` in document
+    * order — the (image URL, alt text) pairs that seed image–text
+    * training corpora (LAION-style pair mining from crawled pages).
+    * Attribute order is free, quoting may be `"` or `'`, a missing or
+    * empty attribute reports null; alt text is entity-decoded and
+    * whitespace-collapsed exactly like body text ([[htmlToText]]). One
+    * codegen projection like the rest of this object.
+    */
+  def htmlImages(html: Column): Column = {
+    val tags = regexp_extract_all(html, lit("(?i)<img\\b[^>]*>"),
+      lit(0))
+    transform(tags, t => struct(
+      nullif(regexp_extract(t,
+        "(?i)\\bsrc\\s*=\\s*[\"']([^\"']*)[\"']", 1), lit(""))
+        .as("src"),
+      nullif(htmlToText(regexp_extract(t,
+        "(?i)\\balt\\s*=\\s*[\"']([^\"']*)[\"']", 1)), lit(""))
+        .as("alt")))
+  }
+
   /** Extraction pass over a corpus: adds `title`, `text_plain` and
     * `links` columns derived from `htmlCol`. One whole-stage-codegen
     * projection.

@@ -58,6 +58,23 @@ class HtmlSpec extends SparkSpec {
     assert(got === ((None, "here")))
   }
 
+  test("htmlImages: attribute order/quote freedom, missing attrs " +
+      "null, alt entity-decoded") {
+    val html = "<img src=\"https://h/a.jpg\" alt=\"A &amp; B\">" +
+      "<IMG alt='only alt' />" +
+      "<img src='https://h/c.jpg'>" +
+      "<img>"
+    val got = Seq((1L, html)).toDF("id", "html")
+      .select(posexplode(Html.htmlImages($"html")).as(Seq("i", "im")))
+      .selectExpr("im.src", "im.alt")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got === Seq(
+      (Some("https://h/a.jpg"), Some("A & B")),
+      (None, Some("only alt")),
+      (Some("https://h/c.jpg"), None),
+      (None, None)))
+  }
+
   test("extract adds title, text_plain and links together") {
     val r = Html.extract(
         Seq((7L, "<title>T</title><body><a href='/x'>L</a></body>"))
