@@ -200,6 +200,33 @@ object CorpusQueries {
         .orderBy(col("source"), col("mix_rank"))
     },
 
+    // Token-budgeted source quotas: each source fills a 600-token
+    // budget in md5-priority order, the crossing doc kept (greedy
+    // fill) — the token-weighted mixture knob row quotas can't
+    // express. The oracle mirrors rank + running sum over the same
+    // hash ordering.
+    Q("ext_token_quota",
+      s"""WITH s AS (SELECT doc_id, source,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY ${h32("CAST(doc_id AS VARCHAR)")}, doc_id)
+         |   AS INT) AS tok_rank,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ${h32("CAST(doc_id AS VARCHAR)")}, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS cum_tokens
+         | FROM s)
+         |SELECT doc_id, source, tok_rank, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < 600
+         |ORDER BY source, tok_rank""".stripMargin) { (s, d) =>
+      Corpus.tokenQuotaByGroup(documents(s, d), "source", "doc_id",
+          "text", tokenBudget = 600L)
+        .select(col("doc_id"), col("source"), col("tok_rank"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("tok_rank"))
+    },
+
     // Stratified rates: up-weight low-resource zh/de, down-weight en,
     // trickle the rest — the mixture-control knob.
     Q("ext_sample_stratified",

@@ -177,6 +177,34 @@ object Corpus {
       .filter(col("mix_rank") <= quota)
   }
 
+  /** Token-budgeted per-group selection — the token-weighted analog of
+    * [[quotaByGroup]]: mixture recipes budget their SOURCES in tokens,
+    * not rows (a source of long documents must not get `quota`× more
+    * tokens than a source of short ones). Within each group, rows rank
+    * by the same deterministic md5 priority and survive while the
+    * group's RUNNING token count has not yet reached `tokenBudget` —
+    * the row that crosses the budget is kept (greedy fill), everything
+    * after it drops. Survivors carry `tok_rank`, `n_tokens` and the
+    * inclusive `cum_tokens`.
+    *
+    * Scale shape: one narrow token-count projection, then ONE
+    * hash-partitioned window per group ([[quotaByGroup]]'s argument) —
+    * rank and running sum share the single sort.
+    */
+  def tokenQuotaByGroup(df: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(TextFns.hash32(col(idCol).cast("string")), col(idCol))
+    df.withColumn("n_tokens",
+        size(TextFns.toks(col(textCol))).cast("long"))
+      .withColumn("tok_rank", row_number().over(w).cast(IntegerType))
+      .withColumn("cum_tokens", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("cum_tokens") - col("n_tokens") < tokenBudget)
+  }
+
   /** C4-style LINE-level cleaning (reference scope: the quality gates a
     * web-scale training pipeline runs before document scoring; the C4
     * dataset's rules are the public canon): split each doc on newline,

@@ -72,6 +72,26 @@ class CorpusSpec extends SparkSpec {
       again.orderBy($"g", $"mix_rank").collect())
   }
 
+  test("tokenQuotaByGroup: greedy fill keeps the budget-crossing doc " +
+      "and drops the rest, per group independently") {
+    val df = spark.range(40)
+      .select(($"id" % 2).cast("string").as("g"), $"id",
+        // every doc is exactly 5 tokens
+        lit("t1 t2 t3 t4 t5").as("text"))
+    val out = Corpus.tokenQuotaByGroup(df, "g", "id", "text",
+      tokenBudget = 12L)
+    val byG = out.groupBy($"g").agg(count(lit(1)).as("n"),
+        max($"cum_tokens").as("mx"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 5+5=10 < 12 → third doc crosses (cum 15) and is kept; 4th drops
+    assert(byG === Seq(("0", 3L, 15L), ("1", 3L, 15L)))
+    // ranks are the window ranks 1..3 and survive deterministically
+    assert(out.select(max($"tok_rank")).head.getInt(0) === 3)
+    val again = Corpus.tokenQuotaByGroup(df, "g", "id", "text", 12L)
+    assert(out.orderBy($"g", $"tok_rank").collect() ===
+      again.orderBy($"g", $"tok_rank").collect())
+  }
+
   test("capPerKey: matches the per-key window top-k with id tiebreak") {
     import org.apache.spark.sql.expressions.Window
     // score = id % 5 → heavy ties inside every key: the id tiebreak
