@@ -323,5 +323,62 @@ private[graft] object ModelQueries {
           from = 0, size = 20)
         .select(col("doc_id"), col("score"), col("rn"))
         .orderBy(col("rn"))
+    },
+
+    // Batch BM25 retrieval: five query rows (one with a vocabulary
+    // miss, one single-term) ranked top-10 each over the corpus, the
+    // multi-query counterpart of ext_bm25. Per-term scores quantize to
+    // 1e-6 fixed point before the cross-row sum, so the oracle's
+    // identical ln/tf/dl arithmetic (data-side df this time — nothing
+    // interpolated) hash-matches the BIGINT scores exactly.
+    Q("ext_bm25_batch", {
+      // interpolate the SAME Scala-computed doubles the engine folds
+      // into its plan (k1+1.0 is NOT guaranteed to equal a literal
+      // 2.2 bit-for-bit)
+      val (k1, b) = (1.2, 0.75)
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(len(tk)) AS BIGINT) AS sdl FROM t),
+         |q(qid, qtext) AS (VALUES
+         |  (CAST(0 AS BIGINT), 'data table'),
+         |  (CAST(1 AS BIGINT), 'scan filter'),
+         |  (CAST(2 AS BIGINT), 'hash join merge'),
+         |  (CAST(3 AS BIGINT), 'vector stream'),
+         |  (CAST(4 AS BIGINT), 'zzzunseen table')),
+         |qt AS (SELECT qid, u.x AS term
+         |  FROM q, unnest(string_split(qtext, ' ')) u(x)),
+         |tf AS (SELECT doc_id, u.x AS term,
+         |  CAST(count(*) AS BIGINT) AS tf,
+         |  any_value(len(tk)) AS dl
+         | FROM t, unnest(tk) u(x)
+         | WHERE u.x IN (SELECT DISTINCT term FROM qt)
+         | GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS dft
+         |  FROM tf GROUP BY 1),
+         |sc AS (SELECT qt.qid, tf.doc_id,
+         |  CAST(sum(CAST(floor(
+         |   ((ln(1.0 + (CAST(s.n - dfx.dft AS DOUBLE) + 0.5) /
+         |      (CAST(dfx.dft AS DOUBLE) + 0.5))
+         |     * (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}))
+         |    / (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} +
+         |       ($b * CAST(tf.dl AS DOUBLE)) /
+         |        (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+         |   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_fx
+         | FROM tf JOIN dfx USING (term) JOIN qt USING (term), s
+         | GROUP BY 1, 2)
+         |SELECT qid, doc_id, rank, score_fx FROM (
+         | SELECT qid, doc_id, score_fx, CAST(row_number() OVER (
+         |   PARTITION BY qid ORDER BY score_fx DESC, doc_id) AS INT)
+         |  AS rank FROM sc)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val qs = Seq((0L, "data table"), (1L, "scan filter"),
+        (2L, "hash join merge"), (3L, "vector stream"),
+        (4L, "zzzunseen table")).toDF("qid", "qtext")
+      Relevance.bm25Batch(
+          documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", qs, "qid", "qtext", k = 10)
+        .orderBy(col("qid"), col("rank"))
     })
 }

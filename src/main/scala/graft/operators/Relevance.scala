@@ -130,4 +130,69 @@ object Relevance {
         qs.indices.map(i => s"__df_$i"): _*)
       .filter(col("score") > 0)
   }
+
+  /** Batch Okapi BM25 retrieval: the top-`k` corpus documents for
+    * EVERY query row — the multi-query counterpart of [[bm25]], which
+    * interpolates its (few) query terms into the plan and so cannot
+    * serve a query TABLE. Hard-negative mining over text, RAG
+    * candidate generation and eval-set retrieval all score query
+    * batches. Output: `(qidCol, idCol, rank, score_fx)` — `score_fx`
+    * is the per-(query, doc) BM25 sum in 1e-6 fixed point
+    * ([[Cols.fxTerm]] per matched term, exact BIGINT sum: a raw
+    * cross-ROW double sum would be partition-order-dependent). Queries
+    * with no matching term return no rows (BM25 of an unmatched query
+    * is empty, as in [[bm25]]'s zero-score drop).
+    *
+    * Scale shape: corpus stats (N, Σdl) are one driver scalar; the
+    * query-term set broadcasts into the corpus token explode, so the
+    * corpus filters to query terms BEFORE any aggregation; document
+    * frequencies aggregate on the already-small tf frame; the final
+    * per-(query, doc) rollup is an integer hash agg and the top-k is
+    * the bounded-heap aggregate (map-side) — the corpus is never
+    * broadcast, never windowed.
+    */
+  def bm25Batch(corpus: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, qTextCol: String,
+                k1: Double = 1.2, b: Double = 0.75,
+                k: Int = 10): DataFrame = {
+    val base = corpus.select(col(idCol).as("__doc"),
+      Cols.tokens(col(textCol)).as("__tk"))
+    val st = base.agg(count(lit(1)),
+      sum(size(col("__tk")).cast("long"))).head()
+    val (n, sdl) = (st.getLong(0), st.getLong(1))
+    require(n > 0, "bm25Batch needs a non-empty corpus")
+    val avgdl = sdl.toDouble / n.toDouble
+    val qt = queries.select(col(qidCol).as("__qid"),
+        explode(array_distinct(Cols.tokens(col(qTextCol))))
+          .as("__term"))
+      .filter(length(col("__term")) > 0)
+    val terms = qt.select(col("__term")).distinct()
+    val tf = base.select(col("__doc"),
+        size(col("__tk")).cast(DoubleType).as("__dl"),
+        explode(col("__tk")).as("__term"))
+      .join(broadcast(terms), Seq("__term"))
+      .groupBy(col("__doc"), col("__term"))
+      .agg(count(lit(1)).cast(DoubleType).as("__tf"),
+        first(col("__dl")).as("__dl"))
+    val dft = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    // float-op order mirrors bm25's termScores exactly — an oracle
+    // must reproduce score_fx bit-for-bit
+    val idf = log(lit(1.0) +
+      ((lit(n) - col("__df")).cast(DoubleType) + lit(0.5)) /
+        (col("__df").cast(DoubleType) + lit(0.5)))
+    val denom = col("__tf") +
+      lit(k1) * (lit(1.0 - b) + (lit(b) * col("__dl")) / lit(avgdl))
+    val term = (idf * (col("__tf") * lit(k1 + 1.0))) / denom
+    val perPair = tf.join(broadcast(dft), Seq("__term"))
+      .join(broadcast(qt), Seq("__term"))
+      .select(col("__qid"), col("__doc"),
+        Cols.fxTerm(term, 1000000.0).as("__fx"))
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(sum(col("__fx")).as("__score"))
+    Similarity.topK(perPair.select(col("__qid").as("query_id"),
+        col("__doc").as("neighbor_id"),
+        col("__score").cast(DoubleType).as("cosine")), k)
+      .select(col("query_id").as(qidCol), col("neighbor_id").as(idCol),
+        col("rank"), col("cosine").cast("long").as("score_fx"))
+  }
 }

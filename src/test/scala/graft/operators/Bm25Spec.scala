@@ -71,4 +71,32 @@ class Bm25Spec extends SparkSpec {
     // common does for the others
     assert(r(20L) > 2 * r(21L))
   }
+
+  test("bm25Batch ranks each query like single-query bm25, drops " +
+      "unmatched queries, fixed-point scores track the doubles") {
+    val qs = Seq((0L, "spark"), (1L, "engine flink"),
+      (2L, "zzznothinghere")).toDF("qid", "qtext")
+    val got = Relevance.bm25Batch(docs(), "id", "text", qs,
+        "qid", "qtext", k = 3)
+      .select($"qid", $"id", $"rank", $"score_fx")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    // query 2 matches nothing -> no rows
+    assert(!got.exists(_._1 == 2L))
+    // query 0: same doc order as the single-query operator
+    val single = Relevance.bm25(docs(), "text", "spark")
+      .orderBy($"score".desc, $"id").select($"id")
+      .as[Long].collect().toSeq
+    val batch0 = got.filter(_._1 == 0L).sortBy(_._3).map(_._2)
+    assert(batch0 === single.take(3))
+    // fixed-point scores match the double scores to quantization
+    val singleScores = Relevance.bm25(docs(), "text", "spark")
+      .select($"id", $"score")
+      .as[(Long, Double)].collect().toMap
+    got.filter(_._1 == 0L).foreach { case (_, id, _, fx) =>
+      assert(math.abs(fx - singleScores(id) * 1e6) <= 1.0,
+        s"doc $id fx=$fx vs ${singleScores(id) * 1e6}")
+    }
+    // query 1 matches engine (docs 2,3) and flink (doc 4)
+    assert(got.filter(_._1 == 1L).map(_._2).toSet === Set(2L, 3L, 4L))
+  }
 }
