@@ -331,54 +331,117 @@ private[graft] object ModelQueries {
     // 1e-6 fixed point before the cross-row sum, so the oracle's
     // identical ln/tf/dl arithmetic (data-side df this time — nothing
     // interpolated) hash-matches the BIGINT scores exactly.
-    Q("ext_bm25_batch", {
-      // interpolate the SAME Scala-computed doubles the engine folds
-      // into its plan (k1+1.0 is NOT guaranteed to equal a literal
-      // 2.2 bit-for-bit)
-      val (k1, b) = (1.2, 0.75)
-      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(len(tk)) AS BIGINT) AS sdl FROM t),
-         |q(qid, qtext) AS (VALUES
-         |  (CAST(0 AS BIGINT), 'data table'),
-         |  (CAST(1 AS BIGINT), 'scan filter'),
-         |  (CAST(2 AS BIGINT), 'hash join merge'),
-         |  (CAST(3 AS BIGINT), 'vector stream'),
-         |  (CAST(4 AS BIGINT), 'zzzunseen table')),
-         |qt AS (SELECT qid, u.x AS term
-         |  FROM q, unnest(string_split(qtext, ' ')) u(x)),
-         |tf AS (SELECT doc_id, u.x AS term,
-         |  CAST(count(*) AS BIGINT) AS tf,
-         |  any_value(len(tk)) AS dl
-         | FROM t, unnest(tk) u(x)
-         | WHERE u.x IN (SELECT DISTINCT term FROM qt)
-         | GROUP BY 1, 2),
-         |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS dft
-         |  FROM tf GROUP BY 1),
-         |sc AS (SELECT qt.qid, tf.doc_id,
-         |  CAST(sum(CAST(floor(
-         |   ((ln(1.0 + (CAST(s.n - dfx.dft AS DOUBLE) + 0.5) /
-         |      (CAST(dfx.dft AS DOUBLE) + 0.5))
-         |     * (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}))
-         |    / (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} +
-         |       ($b * CAST(tf.dl AS DOUBLE)) /
-         |        (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
-         |   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_fx
-         | FROM tf JOIN dfx USING (term) JOIN qt USING (term), s
-         | GROUP BY 1, 2)
-         |SELECT qid, doc_id, rank, score_fx FROM (
-         | SELECT qid, doc_id, score_fx, CAST(row_number() OVER (
-         |   PARTITION BY qid ORDER BY score_fx DESC, doc_id) AS INT)
-         |  AS rank FROM sc)
-         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
-    }) { (s, d) =>
-      import s.implicits._
-      val qs = Seq((0L, "data table"), (1L, "scan filter"),
-        (2L, "hash join merge"), (3L, "vector stream"),
-        (4L, "zzzunseen table")).toDF("qid", "qtext")
+    Q("ext_bm25_batch",
+      s"""WITH $bmBatchCtes
+         |SELECT qid, doc_id, rank, score_fx FROM r
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin) { (s, d) =>
       Relevance.bm25Batch(
           documents(s, d).select(col("doc_id"), col("text")),
-          "doc_id", "text", qs, "qid", "qtext", k = 10)
+          "doc_id", "text", fixtureQueries(s), "qid", "qtext", k = 10)
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // Retrieval evaluation over the SAME batch-BM25 run: recall@10,
+    // MRR and nDCG@10 against arithmetic qrels (10 judged docs per
+    // query, doc_id ≡ 3·qid mod 50). The oracle rebuilds the run CTE
+    // and the metric arithmetic — DCG terms quantized to the identical
+    // fixed point, recall/MRR/nDCG as single exact-integer divisions —
+    // so every metric double hash-matches bit-for-bit.
+    Q("ext_retrieval_metrics", {
+      val ln2 = math.log(2.0)
+      def dcgFx(rank: String) =
+        s"CAST(floor((1.0 / (ln(CAST($rank + 1 AS DOUBLE)) / $ln2))" +
+          " * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH $bmBatchCtes,
+         |qr AS (SELECT (d.doc_id % 50) // 3 AS qid, d.doc_id
+         |  FROM documents d
+         |  WHERE d.doc_id % 50 <= 12 AND (d.doc_id % 50) % 3 = 0),
+         |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+         |  FROM qr GROUP BY 1),
+         |h AS (SELECT r.qid, CAST(count(*) AS BIGINT) AS hits,
+         |  min(r.rank) AS minrank,
+         |  CAST(sum(${dcgFx("r.rank")}) AS BIGINT) AS dcg_fx
+         | FROM r JOIN qr ON r.qid = qr.qid AND r.doc_id = qr.doc_id
+         | WHERE r.rank <= 10 GROUP BY 1),
+         |i AS (SELECT nr.qid,
+         |  CAST(sum(${dcgFx("g.i")}) AS BIGINT) AS idcg_fx
+         | FROM nr, range(1, 11) g(i) WHERE g.i <= least(nr.n_rel, 10)
+         | GROUP BY 1)
+         |SELECT nr.qid, nr.n_rel,
+         | CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         | CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(nr.n_rel AS DOUBLE)
+         |  AS recall,
+         | CASE WHEN h.minrank IS NULL THEN 0.0
+         |  ELSE 1.0 / CAST(h.minrank AS DOUBLE) END AS mrr,
+         | CASE WHEN h.dcg_fx IS NULL THEN 0.0
+         |  ELSE CAST(h.dcg_fx AS DOUBLE) / CAST(i.idcg_fx AS DOUBLE)
+         |  END AS ndcg
+         |FROM nr LEFT JOIN h ON nr.qid = h.qid
+         | JOIN i ON nr.qid = i.qid
+         |ORDER BY nr.qid""".stripMargin
+    }) { (s, d) =>
+      val run = Relevance.bm25Batch(
+        documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", fixtureQueries(s), "qid", "qtext", k = 10)
+      val m = pmod(col("doc_id"), lit(50))
+      val qrels = documents(s, d)
+        .filter(m <= 12 && pmod(m, lit(3)) === 0)
+        .select(expr("(doc_id % 50) div 3").as("qid"), col("doc_id"))
+      Relevance.retrievalMetrics(run, "qid", "doc_id", "rank",
+          qrels, "qid", "doc_id", k = 10)
+        .orderBy(col("qid"))
     })
+
+  /** The five fixture retrieval queries shared by `ext_bm25_batch` and
+    * `ext_retrieval_metrics` (one vocabulary miss, one single-term).
+    */
+  private def fixtureQueries(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq((0L, "data table"), (1L, "scan filter"),
+      (2L, "hash join merge"), (3L, "vector stream"),
+      (4L, "zzzunseen table")).toDF("qid", "qtext")
+  }
+
+  /** Shared oracle CTE chain mirroring [[Relevance.bm25Batch]] over
+    * [[fixtureQueries]] — ends in `r(qid, doc_id, score_fx, rank)`.
+    * Constants are interpolated from the SAME Scala doubles the engine
+    * folds into its plan (k1+1.0 is NOT guaranteed to equal a literal
+    * 2.2 bit-for-bit); df/ln run data-side in both engines.
+    */
+  private lazy val bmBatchCtes: String = {
+    val (k1, b) = (1.2, 0.75)
+    s"""t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(len(tk)) AS BIGINT) AS sdl FROM t),
+       |q(qid, qtext) AS (VALUES
+       |  (CAST(0 AS BIGINT), 'data table'),
+       |  (CAST(1 AS BIGINT), 'scan filter'),
+       |  (CAST(2 AS BIGINT), 'hash join merge'),
+       |  (CAST(3 AS BIGINT), 'vector stream'),
+       |  (CAST(4 AS BIGINT), 'zzzunseen table')),
+       |qt AS (SELECT qid, u.x AS term
+       |  FROM q, unnest(string_split(qtext, ' ')) u(x)),
+       |tf AS (SELECT doc_id, u.x AS term,
+       |  CAST(count(*) AS BIGINT) AS tf,
+       |  any_value(len(tk)) AS dl
+       | FROM t, unnest(tk) u(x)
+       | WHERE u.x IN (SELECT DISTINCT term FROM qt)
+       | GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS dft
+       |  FROM tf GROUP BY 1),
+       |sc AS (SELECT qt.qid, tf.doc_id,
+       |  CAST(sum(CAST(floor(
+       |   ((ln(1.0 + (CAST(s.n - dfx.dft AS DOUBLE) + 0.5) /
+       |      (CAST(dfx.dft AS DOUBLE) + 0.5))
+       |     * (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0}))
+       |    / (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} +
+       |       ($b * CAST(tf.dl AS DOUBLE)) /
+       |        (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+       |   * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_fx
+       | FROM tf JOIN dfx USING (term) JOIN qt USING (term), s
+       | GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score_fx, CAST(row_number() OVER (
+       |   PARTITION BY qid ORDER BY score_fx DESC, doc_id) AS INT)
+       |  AS rank FROM sc)""".stripMargin
+  }
 }

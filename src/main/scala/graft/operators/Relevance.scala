@@ -195,4 +195,60 @@ object Relevance {
       .select(col("query_id").as(qidCol), col("neighbor_id").as(idCol),
         col("rank"), col("cosine").cast("long").as("score_fx"))
   }
+
+  /** Retrieval-run evaluation against relevance judgments — the
+    * metric pass that closes the [[bm25Batch]] /
+    * [[Similarity.hardNegatives]] loop (a retriever you can't score
+    * you can't tune). One row per JUDGED query:
+    * `(qidCol, n_rel, hits, recall, mrr, ndcg)` over the top-`k` of a
+    * ranked run; queries judged but unmatched by the run report zeros
+    * (silent drops would overstate the run).
+    *
+    * Exactness: recall = hits/n_rel and MRR = 1/first-hit-rank are
+    * single divisions of exact integers; each DCG term
+    * 1/(ln(rank+1)/ln 2) quantizes to 1e-6 fixed point
+    * ([[Cols.fxTerm]]) before the order-independent integer sum, and
+    * nDCG is one further exact-integer division by the ideal DCG
+    * built from the same quantized terms.
+    *
+    * Scale shape: the run is ≤ |queries|·k rows and qrels is
+    * |queries|·judgments — two hash aggs and two equi-joins on
+    * query-sized frames; nothing corpus-sized is touched.
+    */
+  def retrievalMetrics(run: DataFrame, qidCol: String, docCol: String,
+                       rankCol: String, qrels: DataFrame,
+                       qrelQidCol: String, qrelDocCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ln2 = math.log(2.0)
+    def dcgTerm(rank: Column): Column =
+      lit(1.0) / (log(rank.cast(DoubleType) + lit(1.0)) / lit(ln2))
+    val rel = qrels.select(col(qrelQidCol).as("__qid"),
+      col(qrelDocCol).as("__doc"))
+    val nrel = rel.groupBy(col("__qid"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = run.select(col(qidCol).as("__qid"),
+        col(docCol).as("__doc"), col(rankCol).as("__rank"))
+      .filter(col("__rank") <= k)
+      .join(rel, Seq("__qid", "__doc"))
+      .groupBy(col("__qid"))
+      .agg(count(lit(1)).as("hits"),
+        min(col("__rank")).as("__minrank"),
+        sum(Cols.fxTerm(dcgTerm(col("__rank")), 1000000.0))
+          .as("__dcg_fx"))
+    val idcgFx = aggregate(
+      sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+      lit(0L), (acc, i) => acc + Cols.fxTerm(dcgTerm(i), 1000000.0))
+    nrel.join(hits, Seq("__qid"), "left_outer")
+      .select(col("__qid").as(qidCol), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast(DoubleType) /
+          col("n_rel").cast(DoubleType)).as("recall"),
+        when(col("__minrank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__minrank").cast(DoubleType))
+          .as("mrr"),
+        when(col("__dcg_fx").isNull, lit(0.0))
+          .otherwise(col("__dcg_fx").cast(DoubleType) /
+            idcgFx.cast(DoubleType)).as("ndcg"))
+  }
 }

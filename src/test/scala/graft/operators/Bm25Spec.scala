@@ -99,4 +99,24 @@ class Bm25Spec extends SparkSpec {
     // query 1 matches engine (docs 2,3) and flink (doc 4)
     assert(got.filter(_._1 == 1L).map(_._2).toSet === Set(2L, 3L, 4L))
   }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG, zeros for a " +
+      "judged query the run never matched") {
+    val run = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3))
+      .toDF("qid", "doc", "rank")
+    val qrels = Seq((0L, 20L), (0L, 99L), (1L, 50L))
+      .toDF("qid", "doc")
+    val got = Relevance.retrievalMetrics(run, "qid", "doc", "rank",
+        qrels, "qid", "doc", k = 10)
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val (q0, q1) = (got(0), got(1))
+    assert(q0._2 === 2L && q0._3 === 1L)      // n_rel=2, hit d20@rank2
+    assert(q0._4 === 0.5 && q0._5 === 0.5)    // recall, mrr
+    // dcg = fx(1/log2(3)); idcg = fx(1/log2(2)) + fx(1/log2(3))
+    val t3 = math.floor(1.0 / (math.log(3.0) / math.log(2.0))
+      * 1e6 + 0.5)
+    assert(q0._6 === t3 / (1000000.0 + t3))
+    assert(q1 === ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
