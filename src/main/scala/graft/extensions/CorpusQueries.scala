@@ -200,6 +200,24 @@ object CorpusQueries {
         .orderBy(col("source"), col("mix_rank"))
     },
 
+    // Content-addressed corpus manifest over 8 deterministic shards:
+    // doc counts, token totals and the order-independent Σ-of-hash32
+    // content fingerprint — the dataset-release artifact whose rows
+    // must be byte-stable across engines, partitionings and runs. The
+    // oracle re-derives shard ids, counts and fingerprint sums from
+    // the same md5-prefix arithmetic.
+    Q("ext_corpus_manifest",
+      s"""SELECT ${h32("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens,
+         | CAST(sum(${h32("CAST(doc_id AS VARCHAR) || '|' || text")})
+         |  AS BIGINT) AS content_fp
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin) {
+      (s, d) =>
+        Corpus.manifest(documents(s, d), "doc_id", "text", nShards = 8)
+          .orderBy(col("shard"))
+    },
+
     // Token-budgeted source quotas: each source fills a 600-token
     // budget in md5-priority order, the crossing doc kept (greedy
     // fill) — the token-weighted mixture knob row quotas can't

@@ -205,6 +205,35 @@ object Corpus {
       .filter(col("cum_tokens") - col("n_tokens") < tokenBudget)
   }
 
+  /** Content-addressed corpus manifest — the reproducibility artifact
+    * a dataset release ships: per deterministic shard, the doc count,
+    * token total and an order-independent content fingerprint
+    * (Σ of 32-bit md5-prefix hashes over `id|text`, exact BIGINT — two
+    * corpora are byte-identical iff every shard row matches). Rows are
+    * MERGEABLE: the manifest of a union is the element-wise sum of the
+    * parts' manifests (same shard grid), so shard-built manifests roll
+    * up without touching the data again.
+    *
+    * Scale shape: one narrow hash projection + ONE hash aggregation
+    * keyed by shard — map-side combining, no window, no sort. Overflow
+    * headroom: 2^32-max hashes × 2^21 docs per shard still fit BIGINT
+    * with 10 bits to spare; beyond that, shard finer.
+    */
+  def manifest(df: DataFrame, idCol: String, textCol: String,
+               nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards must be in [1, 2^20], got $nShards")
+    val h = TextFns.hash32(
+      concat(col(idCol).cast("string"), lit("|"), col(textCol)))
+    df.select(pmod(TextFns.hash32(col(idCol).cast("string")),
+          lit(nShards.toLong)).as("shard"),
+        h.as("__h"),
+        size(TextFns.toks(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        sum(col("__h")).as("content_fp"))
+  }
+
   /** C4-style LINE-level cleaning (reference scope: the quality gates a
     * web-scale training pipeline runs before document scoring; the C4
     * dataset's rules are the public canon): split each doc on newline,

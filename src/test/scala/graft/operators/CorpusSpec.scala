@@ -72,6 +72,28 @@ class CorpusSpec extends SparkSpec {
       again.orderBy($"g", $"mix_rank").collect())
   }
 
+  test("manifest: mergeable (union == elementwise shard sums), " +
+      "content-sensitive, partition-invariant") {
+    val a = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text")
+    val b = Seq((3L, "delta eps zeta")).toDF("id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Corpus.manifest(df, "id", "text", nShards = 4)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (ma, mb, mu) = (m(a), m(b), m(a.unionByName(b)))
+    val summed = (ma.keySet ++ mb.keySet).map { s =>
+      val (d1, t1, f1) = ma.getOrElse(s, (0L, 0L, 0L))
+      val (d2, t2, f2) = mb.getOrElse(s, (0L, 0L, 0L))
+      s -> ((d1 + d2, t1 + t2, f1 + f2))
+    }.toMap
+    assert(mu === summed)
+    // one changed byte moves exactly its shard's fingerprint
+    val a2 = Seq((1L, "alpha betA"), (2L, "gamma")).toDF("id", "text")
+    assert(m(a2) !== ma)
+    // partition-order invariance
+    assert(m(a.repartition(7)) === ma)
+  }
+
   test("tokenQuotaByGroup: greedy fill keeps the budget-crossing doc " +
       "and drops the rest, per group independently") {
     val df = spark.range(40)
