@@ -200,6 +200,58 @@ object CorpusQueries {
         .orderBy(col("source"), col("mix_rank"))
     },
 
+    // Markdown ATX-header segmentation: REAL markdown (optional
+    // preamble, 1–3 sections at varying header levels, 1–2 body lines
+    // each) through the real line parser + header-run window; the
+    // oracle regenerates every (doc, sec_idx, level, heading, body,
+    // n_lines) row arithmetically, preamble sections included.
+    Q("ext_md_sections",
+      """WITH d AS (SELECT doc_id FROM documents),
+        |p AS (SELECT doc_id, 0 AS sec_idx, 0 AS level, '' AS heading,
+        |  'intro ' || CAST(doc_id % 9 AS VARCHAR) AS body, 1 AS n_lines
+        | FROM d WHERE doc_id % 4 != 0),
+        |s AS (SELECT doc_id, i + 1 AS sec_idx,
+        |  CAST(i % 3 + 1 AS INT) AS level,
+        |  'Sec ' || CAST(i AS VARCHAR) || ' t' ||
+        |   CAST(doc_id % 5 AS VARCHAR) AS heading,
+        |  CASE WHEN i % 2 = 0
+        |   THEN 'line ' || CAST(i AS VARCHAR) || ' 0 v' || m
+        |   ELSE 'line ' || CAST(i AS VARCHAR) || ' 0 v' || m ||
+        |    chr(10) || 'line ' || CAST(i AS VARCHAR) || ' 1 v' || m
+        |   END AS body,
+        |  i % 2 + 1 AS n_lines
+        | FROM (SELECT doc_id, r.i, CAST(doc_id % 7 AS VARCHAR) AS m
+        |   FROM d, range(3) r(i) WHERE r.i <= doc_id % 3))
+        |SELECT doc_id, CAST(sec_idx AS BIGINT) AS sec_idx,
+        | CAST(level AS INT) AS level, heading, body,
+        | CAST(n_lines AS BIGINT) AS n_lines
+        |FROM (SELECT * FROM p UNION ALL SELECT * FROM s)
+        |ORDER BY doc_id, sec_idx""".stripMargin) { (sp, dir) =>
+      val id = col("doc_id")
+      def st(c: org.apache.spark.sql.Column) = c.cast("string")
+      val secs = transform(sequence(lit(0L), pmod(id, lit(3))), i => {
+        val hashes = when(pmod(i, lit(3)) === 0, lit("#"))
+          .when(pmod(i, lit(3)) === 1, lit("##")).otherwise(lit("###"))
+        val header = concat(hashes, lit(" Sec "), st(i), lit(" t"),
+          st(pmod(id, lit(5))))
+        val body = array_join(
+          transform(sequence(lit(0L), pmod(i, lit(2))), j =>
+            concat(lit("line "), st(i), lit(" "), st(j), lit(" v"),
+              st(pmod(id, lit(7))))), "\n")
+        concat(header, lit("\n"), body)
+      })
+      val pre = when(pmod(id, lit(4)) =!= 0,
+        concat(lit("intro "), st(pmod(id, lit(9))), lit("\n")))
+        .otherwise(lit(""))
+      val md = concat(pre, array_join(secs, "\n"))
+      TextAnalysis.markdownSections(
+          documents(sp, dir).select(id, md.as("md")), "doc_id", "md")
+        .select(id, col("sec_idx"), col("level"),
+          coalesce(col("heading"), lit("")).as("heading"), col("body"),
+          col("n_lines"))
+        .orderBy(id, col("sec_idx"))
+    },
+
     // Content-addressed corpus manifest over 8 deterministic shards:
     // doc counts, token totals and the order-independent Σ-of-hash32
     // content fingerprint — the dataset-release artifact whose rows

@@ -188,4 +188,23 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Int, String)].collect().sortBy(x => (x._1, x._2)).toSeq
     assert(run(1) === run(16))
   }
+
+  test("markdownSections: preamble, levels, non-headers (#nospace, " +
+      "7 hashes) stay body, header-opening doc has no sec 0") {
+    val md = "pre a\npre b\n# One\nx\n### Three\n#nospace\n" +
+      "####### seven\ny"
+    val got = TextAnalysis.markdownSections(
+        Seq((1L, md)).toDF("id", "text"), "id", "text")
+      .select("sec_idx", "level", "heading", "body", "n_lines")
+      .as[(Long, Int, Option[String], String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 0, None, "pre a\npre b", 2L),
+      (1L, 1, Some("One"), "x", 1L),
+      (2L, 3, Some("Three"), "#nospace\n####### seven\ny", 3L)))
+    val noPre = TextAnalysis.markdownSections(
+        Seq((1L, "# H\nbody")).toDF("id", "text"), "id", "text")
+      .select("sec_idx").as[Long].collect().toSet
+    assert(noPre === Set(1L))
+  }
 }
