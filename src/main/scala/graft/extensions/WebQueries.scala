@@ -74,7 +74,10 @@ private[graft] object WebQueries {
     * the `/d/` tree — star, `.pdf`, dollar-anchored; carrying a
     * `Crawl-delay` when k is odd), a `*` group
     * (with its own `Crawl-delay` when k%5==0 — shadowed for graftbot
-    * whenever a specific group exists), an `evilbot` group, and — when
+    * whenever a specific group exists), an `evilbot` group,
+    * group-INDEPENDENT `Sitemap:` discovery lines (one up top for every
+    * host, a lowercase-field second INSIDE the `*` group for even k —
+    * it must neither break the group nor scope to it), and — when
     * k%8==3 — a trailing EMPTY GraftBot group at EOF (RFC 9309
     * §2.2.1: an empty specific group still shadows `*` and allows
     * everything). Case noise in field names and a blank separator
@@ -84,6 +87,8 @@ private[graft] object WebQueries {
     val m = s(pmod(k, lit(5)))
     concat(
       lit("# robots "), s(k), lit("\n"),
+      lit("Sitemap: https://site"), s(k), lit(".com/sitemap"),
+      s(pmod(k, lit(3))), lit(".xml\n"),
       when(pmod(k, lit(4)) =!= 3, lit("User-Agent: GraftBot\n"))
         .otherwise(lit("")),
       when(pmod(k, lit(4)) =!= 3 && pmod(k, lit(6)) === 1,
@@ -99,6 +104,9 @@ private[graft] object WebQueries {
         concat(lit("Crawl-delay: "), s(pmod(k, lit(7)) + 1), lit("\n")))
         .otherwise(lit("")),
       lit("\nUser-agent: *\n"),
+      when(pmod(k, lit(2)) === 0,
+        concat(lit("sitemap: https://cdn"), s(k),
+          lit(".example/sm.xml\n"))).otherwise(lit("")),
       lit("Disallow: /blog/\n"),
       when(pmod(k, lit(5)) === 0, lit("Crawl-delay: 10\n"))
         .otherwise(lit("")),
@@ -540,6 +548,30 @@ private[graft] object WebQueries {
         .select(Web.host(col("loc")).as("host"), col("loc"),
           col("fetch_slot"), col("fetch_offset_s"))
         .orderBy(col("host"), col("loc"))
+    },
+
+    // Sitemap discovery from robots.txt: the group-independent
+    // `Sitemap:` lines every self-bootstrapping frontier starts from
+    // (robots → sitemap URLs → urlset seeds → robots gate). One line
+    // sits INSIDE the '*' group — it must be extracted anyway, must
+    // not scope to the group, and must not break the group's rule
+    // attribution (ext_robots_parse/eval stay green over the same
+    // bodies).
+    Q("ext_robots_sitemaps",
+      """WITH k AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+        |r AS (
+        | SELECT k, 'https://site' || CAST(k AS VARCHAR) ||
+        |  '.com/sitemap' || CAST(k % 3 AS VARCHAR) || '.xml'
+        |  AS sitemap_url FROM k
+        | UNION ALL
+        | SELECT k, 'https://cdn' || CAST(k AS VARCHAR) ||
+        |  '.example/sm.xml' FROM k WHERE k % 2 = 0)
+        |SELECT 'site' || CAST(k AS VARCHAR) || '.com' AS host,
+        | sitemap_url
+        |FROM r ORDER BY host, sitemap_url""".stripMargin) { (sp, dir) =>
+      Web.robotsSitemaps(robotsHosts(sp, dir), "host", "robots")
+        .select(col("host"), col("sitemap_url"))
+        .orderBy(col("host"), col("sitemap_url"))
     },
 
     // Politeness delay surface: per host, the Crawl-delay of the group

@@ -205,6 +205,30 @@ object Web {
     markers.unionByName(fanned)
   }
 
+  /** `Sitemap:` directives of robots.txt bodies — the crawl-discovery
+    * lines (sitemaps.org cross-submission / RFC 9309 §2.3 "other
+    * records") that let a frontier BOOTSTRAP itself from robots alone:
+    * robots → sitemap URLs → [[sitemapUrls]] seeds → [[robotsAllowed]]
+    * gate. Per the protocol they are GROUP-INDEPENDENT (valid anywhere
+    * in the file, not scoped to a `User-agent` header), so this is a
+    * separate extraction from [[parseRobots]]'s group machinery: one
+    * row per directive, `(host, sitemap_url, line_no)`, values taken
+    * verbatim (they are absolute URLs by spec). Case-insensitive field
+    * name, `#` comments stripped. One codegen projection + explode —
+    * scan speed, no shuffle.
+    */
+  def robotsSitemaps(df: DataFrame, hostCol: String,
+                     contentCol: String): DataFrame = {
+    val lines = df.select(col(hostCol).as("host"),
+      posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
+    val clean = trim(regexp_replace(col("raw"), "#.*$", ""))
+    lines
+      .withColumn("sitemap_url",
+        regexp_extract(clean, "(?i)^sitemap\\s*:\\s*(\\S+)", 1))
+      .filter(col("sitemap_url") =!= "")
+      .select(col("host"), col("sitemap_url"), col("line_no"))
+  }
+
   /** Java-regex translation of an RFC 9309 §2.2.3 path pattern, null
     * for PLAIN prefixes (no `*`, no trailing `$`) — the common case,
     * which [[robotsAllowed]] matches with codegen `startswith` instead

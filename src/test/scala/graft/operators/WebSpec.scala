@@ -270,6 +270,24 @@ class WebSpec extends SparkSpec {
     assert(got === Map(1L -> false, 2L -> true))
   }
 
+  test("robotsSitemaps extracts group-independent Sitemap lines; " +
+      "parseRobots neither scopes nor breaks on them") {
+    val body = "Sitemap: https://h.com/a.xml\nUser-agent: a\n" +
+      "Sitemap: https://h.com/b.xml  # comment\nUser-agent: b\n" +
+      "Disallow: /x\n"
+    val sm = Web.robotsSitemaps(
+        Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+      .select("sitemap_url").as[String].collect().toSet
+    assert(sm === Set("https://h.com/a.xml", "https://h.com/b.xml"))
+    // the sitemap line between the two UA lines must NOT split the
+    // stacked header: /x belongs to both a and b
+    val rules = Web.parseRobots(
+        Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+      .filter($"rule" === "disallow")
+      .select("agent").as[String].collect().toSet
+    assert(rules === Set("a", "b"))
+  }
+
   test("robotsAllowed matches RFC 9309 §2.2.3 wildcard and end-anchor " +
       "patterns, plain prefixes still win by pattern length") {
     val body = "User-agent: graftbot\nDisallow: /d/*.pdf$\n" +
