@@ -202,9 +202,11 @@ object CorpusQueries {
 
     // Markdown ATX-header segmentation: REAL markdown (optional
     // preamble, 1–3 sections at varying header levels, 1–2 body lines
-    // each) through the real line parser + header-run window; the
-    // oracle regenerates every (doc, sec_idx, level, heading, body,
-    // n_lines) row arithmetically, preamble sections included.
+    // each, and — every sixth doc — a ``` fenced code block whose
+    // `# not a header` line must stay BODY of section 1, not split a
+    // new section) through the real line parser + fence-aware
+    // header-run window; the oracle regenerates every (doc, sec_idx,
+    // level, heading, body, n_lines) row arithmetically.
     Q("ext_md_sections",
       """WITH d AS (SELECT doc_id FROM documents),
         |p AS (SELECT doc_id, 0 AS sec_idx, 0 AS level, '' AS heading,
@@ -214,12 +216,17 @@ object CorpusQueries {
         |  CAST(i % 3 + 1 AS INT) AS level,
         |  'Sec ' || CAST(i AS VARCHAR) || ' t' ||
         |   CAST(doc_id % 5 AS VARCHAR) AS heading,
-        |  CASE WHEN i % 2 = 0
+        |  (CASE WHEN i % 2 = 0
         |   THEN 'line ' || CAST(i AS VARCHAR) || ' 0 v' || m
         |   ELSE 'line ' || CAST(i AS VARCHAR) || ' 0 v' || m ||
         |    chr(10) || 'line ' || CAST(i AS VARCHAR) || ' 1 v' || m
-        |   END AS body,
-        |  i % 2 + 1 AS n_lines
+        |   END) ||
+        |  (CASE WHEN i = 0 AND doc_id % 6 = 0
+        |   THEN chr(10) || '```' || chr(10) || '# not a header v' ||
+        |    m || chr(10) || '```' ELSE '' END) AS body,
+        |  i % 2 + 1 +
+        |   (CASE WHEN i = 0 AND doc_id % 6 = 0 THEN 3 ELSE 0 END)
+        |   AS n_lines
         | FROM (SELECT doc_id, r.i, CAST(doc_id % 7 AS VARCHAR) AS m
         |   FROM d, range(3) r(i) WHERE r.i <= doc_id % 3))
         |SELECT doc_id, CAST(sec_idx AS BIGINT) AS sec_idx,
@@ -238,7 +245,10 @@ object CorpusQueries {
           transform(sequence(lit(0L), pmod(i, lit(2))), j =>
             concat(lit("line "), st(i), lit(" "), st(j), lit(" v"),
               st(pmod(id, lit(7))))), "\n")
-        concat(header, lit("\n"), body)
+        val fenced = when(i === 0 && pmod(id, lit(6)) === 0,
+          concat(body, lit("\n```\n# not a header v"),
+            st(pmod(id, lit(7))), lit("\n```"))).otherwise(body)
+        concat(header, lit("\n"), fenced)
       })
       val pre = when(pmod(id, lit(4)) =!= 0,
         concat(lit("intro "), st(pmod(id, lit(9))), lit("\n")))

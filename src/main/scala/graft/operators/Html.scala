@@ -86,12 +86,14 @@ object Html {
   def htmlImages(html: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?i)<img\\b[^>]*>"),
       lit(0))
+    // (?<![\w-]) so data-src / data-alt (lazy-load markup) can never
+    // win the first-match race against the real attribute
     transform(tags, t => struct(
       nullif(regexp_extract(t,
-        "(?i)\\bsrc\\s*=\\s*[\"']([^\"']*)[\"']", 1), lit(""))
+        "(?i)(?<![\\w-])src\\s*=\\s*[\"']([^\"']*)[\"']", 1), lit(""))
         .as("src"),
       nullif(htmlToText(regexp_extract(t,
-        "(?i)\\balt\\s*=\\s*[\"']([^\"']*)[\"']", 1)), lit(""))
+        "(?i)(?<![\\w-])alt\\s*=\\s*[\"']([^\"']*)[\"']", 1)), lit(""))
         .as("alt")))
   }
 

@@ -159,8 +159,11 @@ object Relevance {
       Cols.tokens(col(textCol)).as("__tk"))
     val st = base.agg(count(lit(1)),
       sum(size(col("__tk")).cast("long"))).head()
-    val (n, sdl) = (st.getLong(0), st.getLong(1))
+    val n = st.getLong(0)
+    // read n BEFORE sdl: on an empty corpus the sum is null and
+    // getLong would NPE ahead of the intended error
     require(n > 0, "bm25Batch needs a non-empty corpus")
+    val sdl = st.getLong(1)
     val avgdl = sdl.toDouble / n.toDouble
     val qt = queries.select(col(qidCol).as("__qid"),
         explode(array_distinct(Cols.tokens(col(qTextCol))))

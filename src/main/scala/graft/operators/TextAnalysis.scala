@@ -490,26 +490,35 @@ object TextAnalysis {
     * text becomes `heading`, its hash count `level`) and runs to the
     * next header; lines before the first header form a level-0
     * preamble section with a null heading (absent when the document
-    * opens with a header). `body` joins the section's non-header lines
-    * with `\n`; `n_lines` counts them. The structure pass a
-    * docs/wiki corpus needs before section-level dedup, chunking or
-    * heading-conditioned training.
+    * opens with a header). Lines INSIDE a ``` fenced code block are
+    * never headers (CommonMark: a `# install deps` shell comment in a
+    * fence must not split a section) — fences toggle on lines starting
+    * with three backticks and stay body text. `body` joins the
+    * section's non-header lines with `\n`; `n_lines` counts them. The
+    * structure pass a docs/wiki corpus needs before section-level
+    * dedup, chunking or heading-conditioned training.
     *
     * Scale shape: the [[graft.operators.Web.parseRobots]] pattern —
     * posexplode of lines, ONE doc-partitioned window numbering header
-    * runs (documents are KB-sized, partitions stay tiny), one hash
-    * agg with `array_sort` for deterministic line order.
+    * runs (documents are KB-sized, partitions stay tiny; fence parity
+    * shares the same window), one hash agg with `array_sort` for
+    * deterministic line order.
     */
   def markdownSections(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__ln", "__line")))
-    val isHeader = col("__line").rlike("^#{1,6}\\s")
     val w = Window.partitionBy(col(idCol)).orderBy(col("__ln"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isFence = col("__line").rlike("^```")
+    // a line is inside a fence iff an ODD number of fence lines
+    // precede it (a fence line itself never looks like a header)
+    val inFence =
+      pmod(sum(isFence.cast("int")).over(w), lit(2)) === 1
     lines
-      .withColumn("__is_h", isHeader)
+      .withColumn("__is_h",
+        col("__line").rlike("^#{1,6}\\s") && !inFence)
       .withColumn("sec_idx",
         sum(col("__is_h").cast("int")).over(w))
       .groupBy(col(idCol), col("sec_idx"))

@@ -186,9 +186,12 @@ object Web {
       .withColumn("__grp", sum(runStart.cast("int"))
         .over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))
+    // dedupe per (host, run, agent) — a header run repeating the same
+    // agent name (`User-agent: a` twice) must not double every
+    // directive row; min(line_no) keeps the marker deterministic
     val agents = withGrp.filter(col("__is_ua") && col("__agent") =!= "")
-      .select(col("host"), col("__grp"), col("__agent").as("agent"),
-        col("line_no"))
+      .groupBy(col("host"), col("__grp"), col("__agent").as("agent"))
+      .agg(min(col("line_no")).as("line_no"))
     val markers = agents.select(col("host"), col("agent"),
       lit("agent").as("rule"), lit("").as("prefix"),
       lit(0).as("prefix_len"), col("line_no"))

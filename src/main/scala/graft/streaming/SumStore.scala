@@ -26,6 +26,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Contract: each logical input row must reach the sink in exactly one
   * batch (upstream incremental dedup guarantees this for crawl/corpus
   * feeds); partials must share one schema of `keyCols ++ sumCols`.
+  * [[compact]] swaps the WHOLE store directory, so it must run in a
+  * maintenance window with the writing stream STOPPED (the same
+  * offline requirement as [[Sinks.compact]]'s CompactionJob): a batch
+  * directory landed between the snapshot read and the swap renames
+  * would be silently dropped. Readers go through [[Sinks.readStore]],
+  * which first recovers any crashed half-finished swap.
   */
 private[streaming] object SumStore {
 
@@ -60,15 +66,19 @@ private[streaming] object SumStore {
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
 
-  /** Current per-key sums over everything landed so far. */
+  /** Current per-key sums over everything landed so far.
+    * [[Sinks.readStore]] recovers a crashed half-finished swap first.
+    */
   def merged(spark: SparkSession, storePath: String,
              keyCols: Seq[String], sumCols: Seq[String]): DataFrame =
-    rollup(effective(spark.read.parquet(storePath)), keyCols, sumCols)
+    rollup(effective(Sinks.readStore(spark, storePath)), keyCols,
+      sumCols)
 
   /** Fold the store to one summed partition in `batch=-1`,
     * watermarked at the greatest batch id absorbed, via the
-    * staged-swap protocol. Run from a maintenance schedule; bounds
-    * read amplification to |keys| + O(batches since last fold).
+    * staged-swap protocol. Run from a maintenance window with the
+    * writing stream STOPPED (see class doc); bounds read
+    * amplification to |keys| + O(batches since last fold).
     */
   def compact(spark: SparkSession, storePath: String,
               keyCols: Seq[String], sumCols: Seq[String]): Unit =

@@ -59,10 +59,10 @@ class HtmlSpec extends SparkSpec {
   }
 
   test("htmlImages: attribute order/quote freedom, missing attrs " +
-      "null, alt entity-decoded") {
+      "null, alt entity-decoded, data-src never shadows src") {
     val html = "<img src=\"https://h/a.jpg\" alt=\"A &amp; B\">" +
       "<IMG alt='only alt' />" +
-      "<img src='https://h/c.jpg'>" +
+      "<img data-src='https://h/lazy.jpg' src='https://h/c.jpg'>" +
       "<img>"
     val got = Seq((1L, html)).toDF("id", "html")
       .select(posexplode(Html.htmlImages($"html")).as(Seq("i", "im")))

@@ -207,4 +207,17 @@ class TextAnalysisSpec extends SparkSpec {
       .select("sec_idx").as[Long].collect().toSet
     assert(noPre === Set(1L))
   }
+
+  test("markdownSections: a # line inside a ``` fence is body, not a " +
+      "header; headers after the fence closes still split") {
+    val md = "# Top\n```bash\n# install deps\napt-get install x\n```\n" +
+      "# Next\ny"
+    val got = TextAnalysis.markdownSections(
+        Seq((1L, md)).toDF("id", "text"), "id", "text")
+      .select("sec_idx", "heading", "body")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "Top", "```bash\n# install deps\napt-get install x\n```"),
+      (2L, "Next", "y")))
+  }
 }

@@ -270,6 +270,17 @@ class WebSpec extends SparkSpec {
     assert(got === Map(1L -> false, 2L -> true))
   }
 
+  test("parseRobots dedupes a repeated agent name within one header " +
+      "run — directives are never doubled") {
+    val body = "User-agent: a\nUser-agent: a\nDisallow: /x\n"
+    val rules = Web.parseRobots(
+        Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+      .select("agent", "rule", "prefix").as[(String, String, String)]
+      .collect().toSeq
+    assert(rules.sorted === Seq(
+      ("a", "agent", ""), ("a", "disallow", "/x")))
+  }
+
   test("robotsSitemaps extracts group-independent Sitemap lines; " +
       "parseRobots neither scopes nor breaks on them") {
     val body = "Sitemap: https://h.com/a.xml\nUser-agent: a\n" +

@@ -25,15 +25,26 @@ import xml.etree.ElementTree as ET
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+MIN_PLAUSIBLE_QUERIES = 100  # the registry passed this in round 5
+
+
 def query_count(override):
-    if override:
-        return override
-    for d in ("/tmp/verify_sf001", "/tmp/out"):
-        p = os.path.join(d, "oracle_sql.json")
-        if os.path.exists(p):
-            with open(p) as f:
-                return len(json.load(f))
-    sys.exit("no oracle_sql.json found; pass --queries N")
+    n = override
+    if not n:
+        # ONLY the full-run artifact: a SPARK_GRAFT_ONLY-filtered dev
+        # dump (e.g. /tmp/out) would silently rewrite README to its
+        # tiny filtered count
+        p = "/tmp/verify_sf001/oracle_sql.json"
+        if not os.path.exists(p):
+            sys.exit("no full-run oracle_sql.json at /tmp/verify_sf001;"
+                     " pass --queries N")
+        with open(p) as f:
+            n = len(json.load(f))
+    if n < MIN_PLAUSIBLE_QUERIES:
+        sys.exit(f"query count {n} looks like a filtered dev run "
+                 f"(registry has been > {MIN_PLAUSIBLE_QUERIES} since "
+                 "round 5); refusing to rewrite README")
+    return n
 
 
 def test_count():
