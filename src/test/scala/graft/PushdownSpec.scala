@@ -129,4 +129,66 @@ class PushdownSpec extends SparkSpec {
     assert(ps.exists(_.requiredSchema.fieldNames.toSet ==
       Set("p_partkey", "p_name")))
   }
+
+  /** AQE off for the duration of `body` so executedPlan exposes the
+    * prepared exchanges/aggregates to `collect` (the bucketed test
+    * above does the same inline).
+    */
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bm25Batch never broadcasts or re-shuffles the corpus before " +
+      "its map-side top-k partials") { withoutAqe {
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.{
+      HashAggregateExec, ObjectHashAggregateExec}
+    val plan = q("ext_bm25_batch").queryExecution.executedPlan
+    // a broadcast side touching the documents scan must have been
+    // aggregated DOWN first (the term-sized dft frame) — the raw
+    // corpus must never broadcast
+    plan.collect { case b: BroadcastExchangeExec => b }.foreach { b =>
+      val touchesDocs = b.collect { case s: FileSourceScanExec => s }
+        .exists(_.metadata.get("Location").exists(_.contains("documents")))
+      if (touchesDocs)
+        assert(b.collect {
+          case a: HashAggregateExec => a
+          case a: ObjectHashAggregateExec => a
+        }.nonEmpty,
+          "raw documents scan broadcast without aggregation")
+    }
+    // the bounded-heap top-k runs as partial ObjectHashAggregate below
+    // ONE exchange keyed by query id — exchanges are bounded by the
+    // pipeline's aggregation stages: tf grouping (the one corpus-token
+    // shuffle, already filtered to query terms), dft, terms-distinct,
+    // per-(query, doc) rollup, top-k, and the final ORDER BY sort
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 7,
+      s"unexpected extra shuffles: ${shuffles.size}")
+    assert(plan.collect { case o: ObjectHashAggregateExec => o }.nonEmpty,
+      "bounded-heap TopKByScore partials missing from the plan")
+  } }
+
+  test("frontierSchedule / tokenQuotaByGroup add exactly ONE shuffle " +
+      "for their per-group window") { withoutAqe {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.operators.{Corpus, Web}
+    import org.apache.spark.sql.functions._
+    val urls = spark.range(64).select(
+      concat(lit("https://h"), (col("id") % 8).cast("string"),
+        lit(".com/p"), col("id").cast("string")).as("url"),
+      lit(1.0).as("delay"))
+    val sched = Web.frontierSchedule(urls, "url", "delay", 1.0)
+    assert(sched.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.size == 1)
+    val docs = spark.range(64).select(col("id"),
+      (col("id") % 4).cast("string").as("g"), lit("a b c").as("text"))
+    val tq = Corpus.tokenQuotaByGroup(docs, "g", "id", "text", 10L)
+    assert(tq.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.size == 1)
+  } }
 }
