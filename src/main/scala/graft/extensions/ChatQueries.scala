@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFns
-import graft.operators.{Chat, Fim}
+import graft.operators.{Chat, Dedup, Fim}
 import graft.tables.Tables.documents
 
 /** Driver-checked queries for chat-template rendering and loss-mask
@@ -87,6 +87,56 @@ private[graft] object ChatQueries {
         Chat.renderConversations(turns(sp, dir), "conv_id", "t",
             "role", "text")
           .orderBy(col("conv_id"))
+    },
+
+    // SFT corpus dedup composition: conversations rendered by the
+    // REAL template engine collapse to exact duplicate groups — every
+    // turn derives from k = conv_id % 100, so each of the 100 distinct
+    // dialogues recurs across the corpus. The oracle rebuilds each
+    // rendered string with string_agg, md5-hashes it directly
+    // (normText is the identity on template output: already lowercase,
+    // single-spaced, untrimmed ends) and re-derives canonical ids and
+    // group sizes arithmetically.
+    Q("ext_chat_dedup",
+      """WITH g AS (SELECT doc_id % 100 AS k,
+        |  CAST(count(*) AS BIGINT) AS group_size,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+        | FROM documents GROUP BY 1),
+        |seg AS (SELECT kk.k, r.i AS t,
+        |  '<|' || (CASE WHEN r.i % 2 = 0 THEN 'user'
+        |    ELSE 'assistant' END) || '|>' ||
+        |  (CASE WHEN r.i % 2 = 0
+        |    THEN 'ask ' || CAST(kk.k % 7 AS VARCHAR)
+        |    ELSE 'ans ' || CAST(kk.k % 11 AS VARCHAR) END) ||
+        |  ' ' || CAST(r.i AS VARCHAR) || '<|end|>' AS sg
+        | FROM (SELECT DISTINCT k FROM g) kk, range(6) r(i)
+        | WHERE r.i < 2 + 2 * (kk.k % 3)),
+        |txt AS (SELECT k, string_agg(sg, '' ORDER BY t) AS rendered
+        |  FROM seg GROUP BY 1)
+        |SELECT md5(rendered) AS text_hash, canonical_id, group_size
+        |FROM txt JOIN g USING (k)
+        |ORDER BY canonical_id""".stripMargin) { (sp, dir) =>
+      val id = col("conv_id")
+      val k = pmod(id, lit(100))
+      val turnsK = documents(sp, dir)
+        .select(col("doc_id").as("conv_id"))
+        .withColumn("total", lit(2) + pmod(k, lit(3)).cast("int") * 2)
+        .select(id, explode(sequence(lit(0), col("total") - 1)).as("t"))
+        .withColumn("role",
+          when(pmod(col("t"), lit(2)) === 0, lit("user"))
+            .otherwise(lit("assistant")))
+        .withColumn("text",
+          when(col("role") === "user",
+            concat(lit("ask "), s(pmod(k, lit(7))), lit(" "),
+              s(col("t"))))
+            .otherwise(concat(lit("ans "), s(pmod(k, lit(11))),
+              lit(" "), s(col("t")))))
+      val rendered = Chat.renderConversations(turnsK, "conv_id", "t",
+        "role", "text")
+      Dedup.exact(rendered, "conv_id", "text")
+        .select(col("text_hash"), col("canonical_id"),
+          col("group_size"))
+        .orderBy(col("canonical_id"))
     },
 
     // Loss-mask spans: 0-based [char_start, char_end) of each
