@@ -621,6 +621,33 @@ object CorpusQueries {
         .orderBy(col("cohort_dt"), col("day_offset"))
     },
 
+    // ---- temporal holdout split + leakage report --------------------------
+    // Train/eval by a max-date − 7d cutoff, with the cross-split
+    // user-overlap count — the hindsight-leakage signal a group-aware
+    // splitter drives to zero. Counts and the cutoff are exact date /
+    // integer arithmetic on both engines.
+    Q("ext_time_split",
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+        |c AS (SELECT max(dt) - 7 AS cut FROM e),
+        |t AS (SELECT user_id,
+        |  CASE WHEN dt >= cut THEN 'eval' ELSE 'train' END AS split
+        | FROM e, c),
+        |p AS (SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM t GROUP BY 1),
+        |o AS (SELECT 'overlap' AS split, CAST(0 AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM
+        |  (SELECT DISTINCT user_id FROM t WHERE split = 'train') a
+        |  JOIN (SELECT DISTINCT user_id FROM t WHERE split = 'eval') b
+        |   USING (user_id))
+        |SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM o)
+        |ORDER BY split""".stripMargin) { (s, d) =>
+      Temporal.holdoutReport(
+          events(s, d).select(col("user_id"), to_date(col("ts")).as("dt")),
+          "user_id", "dt", holdoutDays = 7)
+        .orderBy(col("split"))
+    },
+
     // ---- duplicate-span removal -----------------------------------------
     // C4-style remediation: 5-token blocks, keep the globally first
     // occurrence of each distinct block, re-assemble docs in order.

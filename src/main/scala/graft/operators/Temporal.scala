@@ -292,4 +292,38 @@ object Temporal {
       .groupBy(col("cohort_dt"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Temporal holdout split + leakage report: tag events before the
+    * cutoff (max date − `holdoutDays`) as `train` and the rest as
+    * `eval`, and report, per split, event and distinct-entity counts —
+    * plus an `overlap` row counting entities present in BOTH splits
+    * (0 events by construction). Time-based holdouts are how
+    * forecasting/ranking eval sets avoid hindsight leakage, and the
+    * overlap count is the signal a GROUP-aware splitter (split by
+    * entity, not by event) would drive to zero.
+    *
+    * Output rows: `(split ∈ {train, eval, overlap}, n_events,
+    * n_users)`. Scale shape: the cutoff is one driver scalar; the tag
+    * is a narrow projection; counts are two hash aggs plus one
+    * distinct-key equi-join — nothing event-sized shuffles more than
+    * once.
+    */
+  def holdoutReport(events: DataFrame, keyCol: String, dtCol: String,
+                    holdoutDays: Int): DataFrame = {
+    require(holdoutDays >= 1, s"holdoutDays must be >= 1, got $holdoutDays")
+    val mx = events.agg(max(col(dtCol))).head().getDate(0)
+    val tagged = events.select(col(keyCol).as("__u"),
+      when(col(dtCol) >= date_sub(lit(mx), holdoutDays), lit("eval"))
+        .otherwise(lit("train")).as("split"))
+    val per = tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__u")).as("n_users"))
+    def users(s: String) = tagged.filter(col("split") === s)
+      .select(col("__u")).distinct()
+    val overlap = users("train").join(users("eval"), Seq("__u"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit("overlap").as("split"), lit(0L).as("n_events"),
+        col("n_users"))
+    per.unionByName(overlap)
+  }
 }

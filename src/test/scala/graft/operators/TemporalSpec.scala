@@ -236,4 +236,22 @@ class TemporalSpec extends SparkSpec {
     assert(out === Array(
       Row(d0, 0, 2L), Row(d0, 1, 1L), Row(d0, 2, 1L), Row(d1, 0, 1L)))
   }
+
+  test("holdoutReport: cutoff = max - holdoutDays, eval inclusive, " +
+      "overlap counts entities in both splits") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // max = 01-10, holdout 3 -> cutoff 01-07; eval is dt >= 01-07
+    val ev = Seq(
+      (1L, d("2026-01-01")), (1L, d("2026-01-07")), // user 1: both
+      (2L, d("2026-01-02")),                        // train only
+      (3L, d("2026-01-10"))                         // eval only
+    ).toDF("user_id", "dt")
+    val got = Temporal.holdoutReport(ev, "user_id", "dt", 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "train" -> ((2L, 2L)),   // u1@01-01, u2@01-02
+      "eval" -> ((2L, 2L)),    // u1@01-07, u3@01-10
+      "overlap" -> ((0L, 1L)))) // only u1 leaks across
+  }
 }
