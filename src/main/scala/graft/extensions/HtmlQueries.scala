@@ -96,7 +96,14 @@ private[graft] object HtmlQueries {
             s(pmod(id, lit(7))), qo)).otherwise(lit(""))
         val attrs = when(pmod(i, lit(2)) === 0,
           concat(srcAttr, altAttr)).otherwise(concat(altAttr, srcAttr))
-        concat(lit("<img"), attrs,
+        // decoy attribute whose VALUE is src=-shaped text, placed
+        // before the real attributes: a first-match src extractor
+        // (instead of a left-to-right attribute scan) reads the evil
+        // URL and breaks the hash compare
+        val decoy = when(pmod(id + i, lit(5)) === 0,
+          lit(" title=\"go src='https://evil/t.jpg' end\""))
+          .otherwise(lit(""))
+        concat(lit("<img"), decoy, attrs,
           when(pmod(id + i, lit(3)) === 0, lit(" />"))
             .otherwise(lit(">")))
       })

@@ -607,6 +607,54 @@ private[graft] object WebQueries {
         .orderBy(col("host"))
     },
 
+    // Query-string rule matching (RFC 9309 §2.2.2: rules match the
+    // path PLUS the optional query): a wildcard rule targeting
+    // '?sid=' sessions must hit '/p3?sid=3' but NOT '/p3?x=3&sid=1'
+    // (no '?sid=' octet run there), a plain '/q' prefix must match
+    // '/q?sid=pub' through its query, and an end-anchored
+    // 'Allow: /q?sid=pub$' carve-out must out-rank both on even
+    // hosts. A path-only matcher returns TRUE for every c=1/c=3 row
+    // and breaks the compare.
+    Q("ext_robots_query",
+      """WITH u AS (SELECT doc_id, doc_id % 10 AS k, doc_id % 50 AS j,
+        |  doc_id % 4 AS c FROM documents)
+        |SELECT doc_id,
+        | 'https://q' || CAST(k AS VARCHAR) || '.com' ||
+        |  (CASE c WHEN 0 THEN '/p' || CAST(j AS VARCHAR)
+        |   WHEN 1 THEN '/p' || CAST(j AS VARCHAR) || '?sid=' ||
+        |    CAST(j AS VARCHAR)
+        |   WHEN 2 THEN '/p' || CAST(j AS VARCHAR) || '?x=' ||
+        |    CAST(j AS VARCHAR) || '&sid=1'
+        |   ELSE '/q?sid=pub' END) AS url,
+        | CASE c WHEN 0 THEN TRUE WHEN 1 THEN FALSE WHEN 2 THEN TRUE
+        |  ELSE k % 2 = 0 END AS allowed
+        |FROM u ORDER BY doc_id""".stripMargin) { (sp, dir) =>
+      val id = col("doc_id")
+      val k = pmod(id, lit(10))
+      val j = s(pmod(id, lit(50)))
+      val c = pmod(id, lit(4))
+      val path = when(c === 0, concat(lit("/p"), j))
+        .when(c === 1, concat(lit("/p"), j, lit("?sid="), j))
+        .when(c === 2, concat(lit("/p"), j, lit("?x="), j, lit("&sid=1")))
+        .otherwise(lit("/q?sid=pub"))
+      val us = documents(sp, dir).select(id,
+        concat(lit("https://q"), s(k), lit(".com"), path).as("url"))
+      val hosts = documents(sp, dir)
+        .select(pmod(col("doc_id"), lit(10)).as("k")).distinct()
+        .select(concat(lit("q"), s(col("k")), lit(".com")).as("host"),
+          concat(
+            lit("User-agent: GraftBot\n"),
+            lit("Disallow: /*?sid=\n"),
+            lit("Disallow: /q\n"),
+            when(pmod(col("k"), lit(2)) === 0,
+              lit("Allow: /q?sid=pub$\n")).otherwise(lit("")))
+            .as("robots"))
+      val rules = Web.parseRobots(hosts, "host", "robots")
+      Web.robotsAllowed(us, "url", rules, "graftbot")
+        .select(col("doc_id"), col("url"), col("allowed"))
+        .orderBy(col("doc_id"))
+    },
+
     // Blocklist anti-join: three registered domains vanish; everything
     // else passes through with its derived reg_domain.
     Q("ext_domain_block",

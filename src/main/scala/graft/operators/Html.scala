@@ -86,15 +86,22 @@ object Html {
   def htmlImages(html: Column): Column = {
     val tags = regexp_extract_all(html, lit("(?i)<img\\b[^>]*>"),
       lit(0))
-    // (?<![\w-]) so data-src / data-alt (lazy-load markup) can never
-    // win the first-match race against the real attribute
+    // left-to-right attribute scan: tokenize the tag into name=value
+    // units whose quoted values are CONSUMED by the match, so
+    // src=/alt=-shaped text inside another attribute's value
+    // (alt="use src='x'") can never be read as the attribute — and
+    // data-src / data-alt (lazy-load markup) never alias the real one
+    // because the full token name is compared, not a prefix
+    def attr(t: Column, name: String): Column = {
+      val toks = regexp_extract_all(t,
+        lit("(?s)[\\w-]+\\s*=\\s*(?:\"[^\"]*\"|'[^']*')"), lit(0))
+      val hits = filter(toks,
+        a => lower(regexp_extract(a, "^([\\w-]+)", 1)) === name)
+      regexp_extract(get(hits, lit(0)), "(?s)[\"'](.*)[\"']$", 1)
+    }
     transform(tags, t => struct(
-      nullif(regexp_extract(t,
-        "(?i)(?<![\\w-])src\\s*=\\s*[\"']([^\"']*)[\"']", 1), lit(""))
-        .as("src"),
-      nullif(htmlToText(regexp_extract(t,
-        "(?i)(?<![\\w-])alt\\s*=\\s*[\"']([^\"']*)[\"']", 1)), lit(""))
-        .as("alt")))
+      nullif(attr(t, "src"), lit("")).as("src"),
+      nullif(htmlToText(attr(t, "alt")), lit("")).as("alt")))
   }
 
   /** Extraction pass over a corpus: adds `title`, `text_plain` and

@@ -205,7 +205,9 @@ object Relevance {
     * you can't tune). One row per JUDGED query:
     * `(qidCol, n_rel, hits, recall, mrr, ndcg)` over the top-`k` of a
     * ranked run; queries judged but unmatched by the run report zeros
-    * (silent drops would overstate the run).
+    * (silent drops would overstate the run). Duplicate (qid, doc)
+    * pairs in either input are tolerated: qrels dedup exactly, run
+    * rows dedup keeping the best (minimum) rank.
     *
     * Exactness: recall = hits/n_rel and MRR = 1/first-hit-rank are
     * single divisions of exact integers; each DCG term
@@ -226,13 +228,19 @@ object Relevance {
     val ln2 = math.log(2.0)
     def dcgTerm(rank: Column): Column =
       lit(1.0) / (log(rank.cast(DoubleType) + lit(1.0)) / lit(ln2))
+    // both inputs dedup on (qid, doc) first: repeated qrel rows or a
+    // run listing a doc twice would multiply through the equi-join and
+    // inflate hits/n_rel/DCG (a doc can only be retrieved once — the
+    // best/min rank is the one that scores)
     val rel = qrels.select(col(qrelQidCol).as("__qid"),
-      col(qrelDocCol).as("__doc"))
+      col(qrelDocCol).as("__doc")).distinct()
     val nrel = rel.groupBy(col("__qid"))
       .agg(count(lit(1)).as("n_rel"))
     val hits = run.select(col(qidCol).as("__qid"),
         col(docCol).as("__doc"), col(rankCol).as("__rank"))
       .filter(col("__rank") <= k)
+      .groupBy(col("__qid"), col("__doc"))
+      .agg(min(col("__rank")).as("__rank"))
       .join(rel, Seq("__qid", "__doc"))
       .groupBy(col("__qid"))
       .agg(count(lit(1)).as("hits"),

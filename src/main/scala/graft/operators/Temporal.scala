@@ -295,7 +295,9 @@ object Temporal {
 
   /** Temporal holdout split + leakage report: tag events before the
     * cutoff (max date − `holdoutDays`) as `train` and the rest as
-    * `eval`, and report, per split, event and distinct-entity counts —
+    * `eval` — `dtCol` may be DATE or TIMESTAMP (timestamps are cut at
+    * their calendar date) — and report, per split, event and
+    * distinct-entity counts —
     * plus an `overlap` row counting entities present in BOTH splits
     * (0 events by construction). Time-based holdouts are how
     * forecasting/ranking eval sets avoid hindsight leakage, and the
@@ -311,9 +313,13 @@ object Temporal {
   def holdoutReport(events: DataFrame, keyCol: String, dtCol: String,
                     holdoutDays: Int): DataFrame = {
     require(holdoutDays >= 1, s"holdoutDays must be >= 1, got $holdoutDays")
-    val mx = events.agg(max(col(dtCol))).head().getDate(0)
+    // the cutoff works in DATE space regardless of dtCol's type: a
+    // TimestampType column casts to its calendar date (a bare
+    // max().getDate would ClassCastException on timestamps)
+    val d = col(dtCol).cast("date")
+    val mx = events.agg(max(d)).head().getDate(0)
     val tagged = events.select(col(keyCol).as("__u"),
-      when(col(dtCol) >= date_sub(lit(mx), holdoutDays), lit("eval"))
+      when(d >= date_sub(lit(mx), holdoutDays), lit("eval"))
         .otherwise(lit("train")).as("split"))
     val per = tagged.groupBy(col("split"))
       .agg(count(lit(1)).as("n_events"),

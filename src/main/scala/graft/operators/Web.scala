@@ -260,8 +260,10 @@ object Web {
     * when they carry zero directives (RFC 9309 §2.2.1: the matching
     * group governs; an empty one allows everything) — else the `*`
     * groups; multiple matching groups' rules combine. Path rules match
-    * per §2.2.3: plain prefixes byte-wise, `*` as any-sequence, a
-    * trailing `$` as an end anchor. Among matching rules the LONGEST
+    * per §2.2.3 against the URL's path PLUS its query when one is
+    * present (`path?query`, per §2.2.2 — query-targeting rules like a
+    * star followed by `?sessionid=` work): plain prefixes byte-wise,
+    * `*` as any-sequence, a trailing `$` as an end anchor. Among matching rules the LONGEST
     * pattern (most octets, special chars counted — the reference REP
     * parser's precedence) wins, an `allow`/`disallow` tie at equal
     * length resolving to allow; no match ⇒ allowed (and hosts with no
@@ -299,10 +301,16 @@ object Web {
           col("prefix").cast("double"))).as("__delay"))
     val emptyRules = array().cast(
       "array<struct<prefix:string,prefix_len:int,al:boolean,rex:string>>")
+    // RFC 9309 §2.2.2: rules match the path AND the optional query
+    // ('Disallow: /*?sessionid=' must be able to match) — the query is
+    // re-attached after the empty-path -> "/" rewrite
+    val q = parse_url(col(urlCol), lit("QUERY"))
     val u = urls.withColumn("__host", host(col(urlCol)))
       .withColumn("__path",
-        coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
-          lit("/")))
+        concat(
+          coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
+            lit("/")),
+          when(q.isNotNull, concat(lit("?"), q)).otherwise(lit(""))))
     u.join(broadcast(perHost), col("__host") === col("host"),
         "left_outer")
       .withColumn("__best",

@@ -178,6 +178,23 @@ object Sinks {
     spark.read.option("mergeSchema", "true").parquet(path)
   }
 
+  /** [[readStore]] for callers with a legitimate empty-store case
+    * (first batch of a fresh stream): recovery runs first, then ONLY a
+    * genuinely absent — or present-but-empty, the mkdir'd fresh root —
+    * live path reads as None. Any other failure propagates — a
+    * membership reader that swallowed a transient read error as
+    * "empty" would silently re-emit every already-seen key.
+    */
+  private[graft] def readStoreIfExists(spark: SparkSession,
+                                       path: String): Option[DataFrame] = {
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverStore(fs, dst)
+    if (fs.exists(dst) && fs.listStatus(dst).nonEmpty)
+      Some(spark.read.option("mergeSchema", "true").parquet(path))
+    else None
+  }
+
   /** Attach the keyed-upsert sink to a streaming DataFrame with a
     * 5-second trigger (the reference's batch interval) and checkpoint.
     * The micro-batch id becomes the store's `__seq`, so replayed

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import scala.util.Try
 
 /** Cross-batch SEEN-KEY gate — the exact-key companion of
   * [[StreamingNearDedup]]'s content gate and the membership store a
@@ -46,7 +45,14 @@ object StreamingSeen {
                       storePath: String, batchId: Long): DataFrame = {
     require(batchId >= 0, s"batch ids are >= 0, got $batchId")
     val spark = batch.sparkSession
-    val seen = Try(spark.read.parquet(storePath)).toOption
+    // membership via the RECOVERING reader: a crash between
+    // compactSeen's two swap renames leaves the live path missing with
+    // the full store set aside — readStoreIfExists heals that before
+    // the read, and only a genuinely absent path (first batch of a
+    // fresh stream) reads as the empty store. A blanket Try here once
+    // treated ANY read failure as empty, re-emitting every seen key
+    // AND recreating the store root so recovery could never run.
+    val seen = Sinks.readStoreIfExists(spark, storePath)
       .map(_.filter(col("batch").cast("long") =!= batchId)
         .select(col(keyCol)))
     val fresh0 = batch.dropDuplicates(keyCol)

@@ -119,4 +119,25 @@ class Bm25Spec extends SparkSpec {
     assert(q0._6 === t3 / (1000000.0 + t3))
     assert(q1 === ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("retrievalMetrics: duplicate (qid, doc) pairs in run or qrels " +
+      "never inflate hits/n_rel/DCG — run dups keep the best rank") {
+    val run = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3),
+        (0L, 20L, 5)) // duplicate retrieval of d20 at a worse rank
+      .toDF("qid", "doc", "rank")
+    val qrels = Seq((0L, 20L), (0L, 20L), (0L, 99L), (1L, 50L), (1L, 50L))
+      .toDF("qid", "doc") // duplicate judgments
+    val got = Relevance.retrievalMetrics(run, "qid", "doc", "rank",
+        qrels, "qid", "doc", k = 10)
+      .as[(Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    // identical to the dup-free case above: n_rel=2, one hit at rank 2
+    val (q0, q1) = (got(0), got(1))
+    assert(q0._2 === 2L && q0._3 === 1L)
+    assert(q0._4 === 0.5 && q0._5 === 0.5)
+    val t3 = math.floor(1.0 / (math.log(3.0) / math.log(2.0))
+      * 1e6 + 0.5)
+    assert(q0._6 === t3 / (1000000.0 + t3))
+    assert(q1 === ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
 }

@@ -75,6 +75,22 @@ class HtmlSpec extends SparkSpec {
       (None, None)))
   }
 
+  test("htmlImages: src=/alt=-shaped text inside another attribute's " +
+      "value is never extracted as the attribute") {
+    val html =
+      "<img title=\"see src='https://evil/a.jpg'\" src='https://h/r.jpg'>" +
+        "<img alt=\"use src='x'\">" +
+        "<img title='alt=\"ghost\"' src=\"https://h/s.jpg\" alt='real'>"
+    val got = Seq((1L, html)).toDF("id", "html")
+      .select(posexplode(Html.htmlImages($"html")).as(Seq("i", "im")))
+      .selectExpr("im.src", "im.alt")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got === Seq(
+      (Some("https://h/r.jpg"), None),
+      (None, Some("use src='x'")),
+      (Some("https://h/s.jpg"), Some("real"))))
+  }
+
   test("extract adds title, text_plain and links together") {
     val r = Html.extract(
         Seq((7L, "<title>T</title><body><a href='/x'>L</a></body>"))

@@ -254,4 +254,22 @@ class TemporalSpec extends SparkSpec {
       "eval" -> ((2L, 2L)),    // u1@01-07, u3@01-10
       "overlap" -> ((0L, 1L)))) // only u1 leaks across
   }
+
+  test("holdoutReport: TIMESTAMP dtCol works, cut at the calendar date") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // same shape as above but through timestamps with time-of-day:
+    // max DATE = 01-10, cutoff 01-07; 01-07 23:59 is still eval
+    val ev = Seq(
+      (1L, t("2026-01-01 08:00:00")), (1L, t("2026-01-07 23:59:59")),
+      (2L, t("2026-01-02 12:30:00")),
+      (3L, t("2026-01-10 00:00:01"))
+    ).toDF("user_id", "ts")
+    val got = Temporal.holdoutReport(ev, "user_id", "ts", 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "train" -> ((2L, 2L)),
+      "eval" -> ((2L, 2L)),
+      "overlap" -> ((0L, 1L))))
+  }
 }

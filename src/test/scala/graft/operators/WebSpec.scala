@@ -319,6 +319,25 @@ class WebSpec extends SparkSpec {
       4L -> true, 5L -> true, 6L -> false, 7L -> true))
   }
 
+  test("robotsAllowed matches rules against path + '?' + query " +
+      "(RFC 9309 §2.2.2), not the path alone") {
+    val body = "User-agent: graftbot\nDisallow: /*?sid=\n" +
+      "Disallow: /q\nAllow: /q?sid=pub$\n"
+    val rules = Web.parseRobots(
+      Seq(("h.com", body)).toDF("host", "robots"), "host", "robots")
+    val got = Web.robotsAllowed(Seq(
+        (1L, "https://h.com/p"),             // no query
+        (2L, "https://h.com/p?sid=9"),       // wildcard query rule hits
+        (3L, "https://h.com/p?x=1&sid=9"),   // no '?sid=' octet run
+        (4L, "https://h.com/q?other=1"),     // plain /q prefix through ?
+        (5L, "https://h.com/q?sid=pub"),     // anchored allow out-ranks
+        (6L, "https://h.com/q?sid=pub2")     // dodges the $ anchor
+      ).toDF("doc_id", "url"), "url", rules, "graftbot")
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false))
+  }
+
   test("robotsAllowed reports the SELECTED group's crawl-delay, " +
       "shadowing the '*' delay when a specific group exists") {
     val body = "User-agent: *\nCrawl-delay: 10\nDisallow: /b\n" +

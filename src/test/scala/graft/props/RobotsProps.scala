@@ -34,7 +34,10 @@ object RobotsProps extends Properties("robots") {
   private val prefixGen = Gen.oneOf("/", "/a", "/a/", "/a/b", "/a/b/c",
     "/b", "/b/y", "/c",
     // RFC 9309 §2.2.3 special characters: any-sequence and end anchor
-    "/*/y", "/a/*.x$", "/a$", "/*", "/b/y$")
+    "/*/y", "/a/*.x$", "/a$", "/*", "/b/y$",
+    // query-targeting rules (§2.2.2: the match target is path + '?' +
+    // query) — plain-prefix, wildcard and end-anchored forms
+    "/a?x", "/*?sid=", "/*?*", "/a/b?x=1&y=2$")
   private val ruleGen = Gen.zip(Gen.oneOf("Allow", "Disallow"), prefixGen)
   private val agentGen = Gen.oneOf("graftbot", "*", "otherbot")
   private val groupGen = for {
@@ -47,7 +50,10 @@ object RobotsProps extends Properties("robots") {
   private val robotsGen = Gen.chooseNum(0, 3)
     .flatMap(n => Gen.listOfN(n, groupGen))
   private val pathGen = Gen.oneOf("/a/b/c", "/a/b", "/a/x", "/b/y",
-    "/c", "/", "/d", "/a", "/a/c.x", "/a/c.xy", "/q/y")
+    "/c", "/", "/d", "/a", "/a/c.x", "/a/c.xy", "/q/y",
+    // query-bearing URLs: the engine must re-attach the parsed query
+    // to the path before matching (the model matches the raw string)
+    "/a?x=1", "/a?sid=7", "/a/b?x=1&y=2", "/?q=1", "/b/y?sid=2")
 
   private def render(groups: List[Group]): String =
     groups.map { g =>

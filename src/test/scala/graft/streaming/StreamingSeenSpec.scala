@@ -37,4 +37,21 @@ class StreamingSeenSpec extends SparkSpec {
       .as[String].collect().toSet ===
       Set("u/a", "u/b", "u/c", "u/d"))
   }
+
+  test("membership survives a compaction crash between the swap renames") {
+    val store = tmp()
+    assert(gate(store, 0L, "u/a", "u/b") === Set("u/a", "u/b"))
+    // simulate compactSeen dying after rename(live -> old), before
+    // rename(tmp -> live): the live path is MISSING, the full store is
+    // set aside — the old Try-based read saw this as an empty store,
+    // re-emitted u/a and u/b, and the batch write recreated the store
+    // root so the set-aside store was never restored
+    val fs = new java.io.File(store)
+    val aside = new java.io.File(store + ".__compact_old")
+    assert(fs.renameTo(aside), "test setup: could not set the store aside")
+    assert(gate(store, 1L, "u/a", "u/c") === Set("u/c"))
+    assert(StreamingSeen.seenKeys(spark, store, "url")
+      .as[String].collect().toSet === Set("u/a", "u/b", "u/c"))
+    assert(!aside.exists(), "recovery must consume the set-aside store")
+  }
 }
