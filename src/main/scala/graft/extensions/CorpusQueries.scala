@@ -365,6 +365,46 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- cross-document duplicated-span REMOVAL -------------------------
+    // ExactSubstr-style rewrite over the same positional 8-gram frame
+    // ext_span_dedup measures: every duplicated gram position except
+    // its global (id, pos)-first occurrence is removed, documents
+    // re-assembled from the uncovered tokens. The oracle replays the
+    // winner election with a window rank, the ×8 position fan-out and
+    // the token-coverage anti-join in SQL.
+    Q("ext_span_trim",
+      s"""WITH t AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+         |   array_to_string(t[i:i+7], ' ') AS gram
+         |  FROM t, unnest(range(1, len(t) - 6)) u(i)
+         |  WHERE len(t) >= 8),
+         |mk AS (SELECT doc_id, p, row_number() OVER (
+         |   PARTITION BY gram ORDER BY doc_id, p) AS rn FROM pos),
+         |marked AS (SELECT doc_id, p FROM mk WHERE rn > 1),
+         |mc AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+         |   AS n_removed_spans FROM marked GROUP BY 1),
+         |rem AS (SELECT DISTINCT doc_id, p + r.k AS ti
+         |  FROM marked, range(0, 8) r(k)),
+         |tok AS (SELECT doc_id, CAST(j AS BIGINT) AS ti, t[j] AS tk
+         |  FROM t, unnest(range(1, len(t) + 1)) u(j)),
+         |agg AS (SELECT tok.doc_id,
+         |  coalesce(string_agg(CASE WHEN rem.ti IS NULL THEN tk END,
+         |    ' ' ORDER BY tok.ti), '') AS clean_text,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN rem.ti IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_removed_tokens
+         | FROM tok LEFT JOIN rem
+         |   ON tok.doc_id = rem.doc_id AND tok.ti = rem.ti
+         | GROUP BY tok.doc_id)
+         |SELECT a.doc_id, clean_text, n_tokens, n_removed_tokens,
+         | coalesce(mc.n_removed_spans, 0) AS n_removed_spans
+         |FROM agg a LEFT JOIN mc ON a.doc_id = mc.doc_id
+         |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      Corpus.removeDuplicatedSpans(documents(s, d), "doc_id", "text",
+          n = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- global vocabulary head -----------------------------------------
     Q("ext_vocab_topk",
       s"""WITH tok AS (SELECT unnest($TOKS) AS token FROM documents),

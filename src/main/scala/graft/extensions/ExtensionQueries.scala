@@ -1255,6 +1255,54 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Hard-negative mining over IVF candidate generation — the
+    // ANN-composed variant of ext_hard_negatives (broadcast-queries
+    // full scan replaced by the probed-cell equi-join, the shape for
+    // huge query sets): same residue-class positives (c % 10 = q,
+    // including self) anti-joined out of the probe candidates before
+    // the top-5. The oracle replays cell assignment, probing, the
+    // exclusion predicate and the re-rank.
+    Q("ext_hard_negatives_ann", {
+      val (cells, nProbe) = (16, 4)
+      val seedCos = cosSql("c.embedding", "s.sv")
+      val probeCos = cosSql("q.embedding", "s.sv")
+      val cos = cosSql("cc.cv", "qp.qv")
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
+         |  WHERE vec_id < $cells),
+         |corpus_cells AS (
+         | SELECT neighbor_id, cv, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, s.cell,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell) AS rn
+         |  FROM embeddings c, seeds s)
+         | WHERE rn = 1),
+         |query_probes AS (
+         | SELECT query_id, qv, cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, s.cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY $probeCos DESC, s.cell) AS rn
+         |  FROM embeddings q, seeds s WHERE q.vec_id < 10)
+         | WHERE rn <= $nProbe)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT qp.query_id, cc.neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY qp.query_id
+         |    ORDER BY $cos DESC, cc.neighbor_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM corpus_cells cc JOIN query_probes qp USING (cell)
+         | WHERE qp.query_id != cc.neighbor_id
+         |  AND cc.neighbor_id % 10 != qp.query_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val positives = e.select(col("vec_id").as("pos_doc"))
+        .withColumn("query_id", pmod(col("pos_doc"), lit(10)))
+      Similarity.hardNegativesIvf(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", positives, "query_id", "pos_doc",
+          k = 5, cells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Deterministic spherical k-means (topic bucketing for curation):
     // hash-ordered seeds, fixed-point centroid recompute, argmax-cosine
     // assignment — every round mirrored CTE-for-stage in the oracle, so

@@ -375,6 +375,79 @@ object Corpus {
         col("n_dup_spans").cast(DoubleType) / col("n_spans").cast(DoubleType))
   }
 
+  /** Cross-document duplicated-SPAN removal (ExactSubstr-style — the
+    * rewrite step [[spanDuplication]] only measures): every word
+    * `n`-gram POSITION whose gram text occurs anywhere else in the
+    * corpus — another document OR another position of the same one —
+    * is removed except the gram's single global FIRST occurrence
+    * (deterministic min-(id, position) winner), and each document is
+    * re-assembled from the tokens no removed span covers. Emits one
+    * row per doc: (id, clean_text, n_tokens, n_removed_tokens,
+    * n_removed_spans); docs shorter than `n` tokens carry no spans and
+    * pass through re-joined. Unlike [[removeDuplicateSpans]]'s
+    * disjoint fixed blocks, the positional frame catches duplicated
+    * passages at ANY alignment — the dedup real pretraining pipelines
+    * run after measuring (Lee et al. 2022's ExactSubstr, at n-gram
+    * rather than suffix-array granularity).
+    *
+    * Scale shape: three corpus-sized shuffles, all keyed — positional
+    * grams to a gram-keyed MIN aggregate (map-side combined; a
+    * boilerplate gram repeated 10^8 times reduces inside each task)
+    * and back via one gram equi-join; removed positions explode ×n
+    * (only DUPLICATED positions pay this) into a (id, token-index)
+    * equi-join against the exploded tokens; one doc-keyed agg
+    * re-assembles (array_sort over collected structs — never
+    * order-dependent collect_list). No pair join, no window, nothing
+    * driver-side. At 100 TB, key the gram agg/join on
+    * xxhash64(gram) and keep text only for collision verification if
+    * shuffle bytes dominate.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    val toksC = TextFns.toks(col(textCol))
+    val base = fanOut(docs).select(col(idCol), toksC.as("__t"))
+    val grams = base.select(col(idCol),
+        posexplode(when(size(col("__t")) >= n,
+          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+            i => array_join(slice(col("__t"), i, lit(n)), " "))))
+          .as(Seq("__p0", "gram")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("p"),
+        col("gram"))
+    // struct ordering = (id, p) lexicographic: the global first
+    val firsts = grams.groupBy(col("gram"))
+      .agg(min(struct(col(idCol), col("p"))).as("__first"))
+    val marked = grams.join(firsts, "gram")
+      .filter(struct(col(idCol), col("p")) =!= col("__first"))
+      .select(col(idCol), col("p"))
+    val markCounts = marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed_spans"))
+    val removedTok = marked
+      .select(col(idCol),
+        explode(sequence(col("p"), col("p") + (n - 1))).as("ti"))
+      .distinct()
+      .withColumn("__rm", lit(true))
+    val tokens = base.select(col(idCol),
+        posexplode(col("__t")).as(Seq("__i", "tok")))
+      .select(col(idCol), (col("__i") + 1).cast("long").as("ti"),
+        col("tok"))
+    tokens.join(removedTok, Seq(idCol, "ti"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rm").isNull, struct(col("ti"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm").isNotNull, 1L).otherwise(0L))
+          .as("n_removed_tokens"))
+      .join(markCounts, Seq(idCol), "left_outer")
+      .withColumn("n_removed_spans",
+        coalesce(col("n_removed_spans"), lit(0L)))
+  }
+
   /** Global top-`k` tokens by occurrence count (the Zipf head), via the
     * map-side bounded-heap aggregate: emits (token, ct, rn) ordered by
     * (ct desc, token asc). Counts are < 2^53 so the double round-trip

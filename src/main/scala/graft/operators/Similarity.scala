@@ -313,7 +313,19 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              cells: Int = 16, nProbe: Int = 4,
              refineIters: Int = 0,
-             refineFraction: Double = 1.0): DataFrame = {
+             refineFraction: Double = 1.0): DataFrame =
+    topK(ivfScored(corpus, queries, idCol, vecCol, cells, nProbe,
+      refineIters, refineFraction), k)
+
+  /** IVF candidate generation + scoring shared by [[ivfKnn]] and
+    * [[hardNegativesIvf]]: (query_id, neighbor_id, cosine) for every
+    * probed-cell candidate pair, self-pairs excluded, NOT yet top-k'd.
+    */
+  private def ivfScored(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        cells: Int, nProbe: Int,
+                        refineIters: Int,
+                        refineFraction: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cell ids need not be contiguous — the seed's own id IS the cell
     // id (no global row_number window over the seed table)
@@ -336,9 +348,35 @@ object Similarity {
     }
     val corpusCells = assign(fanOut(corpus), "neighbor_id", "cv", 1)
     val queryProbes = assign(queries, "query_id", "qv", nProbe)
-    val scored = corpusCells.join(broadcast(queryProbes), Seq("cell"))
+    corpusCells.join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+  }
+
+  /** [[hardNegatives]] over IVF candidate generation — the composition
+    * its scaladoc promises for huge query sets: candidates come from
+    * the query's `nProbe` nearest cells (per-query work is
+    * |corpus| × nProbe / cells, and the corpus side is an equi-join on
+    * cell id — the broadcast-queries full scan is gone), known
+    * positives are anti-joined out BEFORE the bounded-heap top-k.
+    * Same output contract as [[hardNegatives]]; recall < 1 by design —
+    * a positive-heavy neighborhood in an unprobed cell stays unseen,
+    * the [[ivfKnn]] trade. Raise `nProbe` (or `refineIters`) to buy
+    * recall.
+    */
+  def hardNegativesIvf(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       positives: DataFrame, posQueryCol: String,
+                       posDocCol: String, k: Int,
+                       cells: Int = 16, nProbe: Int = 4,
+                       refineIters: Int = 0,
+                       refineFraction: Double = 1.0): DataFrame = {
+    val pos = positives.select(col(posQueryCol).as("__pq"),
+      col(posDocCol).as("__pd"))
+    val scored = ivfScored(corpus, queries, idCol, vecCol, cells,
+        nProbe, refineIters, refineFraction)
+      .join(broadcast(pos), col("query_id") === col("__pq") &&
+        col("neighbor_id") === col("__pd"), "left_anti")
     topK(scored, k)
   }
 

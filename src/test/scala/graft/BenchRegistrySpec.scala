@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 2×-of-baseline bench gate is only airtight if every gated query
+  * has a bench row: round 8's driver bench measured 190 of the 193
+  * oracle-gated queries (three landed after its bench pass). Two
+  * guards here:
+  *
+  *  1. the CODE contract — Bench's unfiltered selection is exactly the
+  *     registry, so a driver bench run after the last query lands can
+  *     never under-cover by construction;
+  *  2. the ARTIFACT check — when a same-round BENCH/CORRECTNESS pair
+  *     with a full queries object exists in the repo, their key sets
+  *     must agree (the shipped BENCH_r*.json artifacts keep only a
+  *     truncated tail, so this engages only on full artifacts).
+  */
+class BenchRegistrySpec extends AnyFunSuite {
+
+  test("Bench with no SPARK_GRAFT_ONLY filter runs the ENTIRE " +
+      "registry; the filter selects exactly the named queries") {
+    assert(Bench.select(None).keySet === SparkEntry.queries.keySet)
+    assert(Bench.select(Some("q1_agg, a1_dau_total")).keySet ===
+      Set("q1_agg", "a1_dau_total"))
+    assert(Bench.select(Some("no_such_query")).isEmpty)
+  }
+
+  private def read(f: java.io.File): String = {
+    val s = scala.io.Source.fromFile(f, "UTF-8")
+    try s.mkString finally s.close()
+  }
+
+  private def rounds(prefix: String): Map[Int, java.io.File] =
+    Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches(prefix + "_r\\d+\\.json"))
+      .map(f => f.getName.replaceAll("\\D", "").toInt -> f).toMap
+
+  // per-query correctness entries are flat objects, so top-level keys
+  // are exactly the names followed by '{'
+  private def correctnessKeys(txt: String): Set[String] =
+    "\"([A-Za-z0-9_]+)\"\\s*:\\s*\\{".r.findAllMatchIn(txt)
+      .map(_.group(1)).toSet
+
+  // None when the artifact carries no full queries object (the
+  // tail-truncated driver copies)
+  private def benchKeys(txt: String): Option[Set[String]] = {
+    val i = txt.indexOf("\"queries\":{")
+    if (i < 0) None
+    else Some("\"([A-Za-z0-9_]+)\"".r
+      .findAllMatchIn(txt.substring(i + 11, txt.indexOf('}', i)))
+      .map(_.group(1)).toSet)
+  }
+
+  test("a same-round full BENCH artifact, when present, measures " +
+      "every CORRECTNESS-gated query") {
+    val bench = rounds("BENCH")
+    val corr = rounds("CORRECTNESS")
+    val pairs = (bench.keySet intersect corr.keySet).toSeq.sorted
+      .flatMap(n => benchKeys(read(bench(n))).map(n -> _))
+    assume(pairs.nonEmpty,
+      "no full same-round artifact pair in the repo (driver copies " +
+        "are tail-truncated) — the code contract above still holds")
+    val (n, b) = pairs.last
+    val missing = correctnessKeys(read(corr(n))) diff b
+    assert(missing.isEmpty,
+      s"round $n gated ${missing.size} queries its bench never " +
+        s"measured: $missing")
+  }
+}

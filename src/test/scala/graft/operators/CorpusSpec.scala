@@ -436,6 +436,46 @@ class CorpusSpec extends SparkSpec {
     assert(out === Array((1L, "p q r", 1L, 0L), (2L, "s t u", 1L, 0L)))
   }
 
+  test("removeDuplicatedSpans: positional frame catches any alignment, " +
+      "winner doc keeps the passage, covered tokens go") {
+    val d = Seq(
+      (1L, "u1 sa sb sc u2"),       // global first 'sa sb sc' → kept
+      (2L, "v1 v2 sa sb sc v3"),    // same passage, OTHER offset → cut
+      (3L, "w1 sa sb sc w2 sa sb sc w3"), // cross-doc AND in-doc repeat
+      (4L, "x1 x2")                 // < n tokens: passes through
+    ).toDF("id", "text")
+    val out = Corpus.removeDuplicatedSpans(d, "id", "text", n = 3)
+      .orderBy($"id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, "u1 sa sb sc u2", 5L, 0L, 0L),
+      // marked at p=3 only; tokens 3-5 covered
+      (2L, "v1 v2 v3", 6L, 3L, 1L),
+      // both passage copies are later than doc 1's: p=2 and p=6 marked,
+      // covered tokens 2-4 and 6-8
+      (3L, "w1 w2 w3", 9L, 6L, 2L),
+      (4L, "x1 x2", 2L, 0L, 0L)))
+  }
+
+  test("removeDuplicatedSpans: a fully-duplicated doc empties; " +
+      "re-running on the output removes nothing") {
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d")  // every position duplicates doc 1's
+    ).toDF("id", "text")
+    val out = Corpus.removeDuplicatedSpans(d, "id", "text", n = 2)
+      .orderBy($"id").as[(Long, String, Long, Long, Long)].collect()
+    assert(out === Array(
+      (1L, "a b c d", 4L, 0L, 0L),
+      (2L, "", 4L, 4L, 3L))) // 3 marked 2-gram positions cover all 4
+    val again = Corpus.removeDuplicatedSpans(
+        out.map(r => (r._1, r._2)).toSeq.toDF("id", "text"),
+        "id", "text", n = 2)
+      .orderBy($"id").as[(Long, String, Long, Long, Long)].collect()
+    assert(again.map(r => (r._1, r._2, r._4, r._5)) ===
+      Array((1L, "a b c d", 0L, 0L), (2L, "", 0L, 0L)))
+  }
+
   test("chunk: sliding windows with overlap, every token covered") {
     val d = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))) // 11 tokens
       .toDF("id", "text")

@@ -292,6 +292,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq((2L, 1), (3L, 2)))
   }
 
+  test("hardNegativesIvf: positives never rank, results stay within " +
+      "the probed candidate set, recall vs brute is reasonable") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 50)
+    val positives = e.select($"vec_id".as("pos_doc"))
+      .withColumn("query_id", pmod($"pos_doc", lit(10)))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet
+    val brute = pairs(Similarity.hardNegatives(e, q, "vec_id",
+      "embedding", positives, "query_id", "pos_doc", k = 5))
+    val ivf = pairs(Similarity.hardNegativesIvf(e, q, "vec_id",
+      "embedding", positives, "query_id", "pos_doc", k = 5,
+      cells = 16, nProbe = 4))
+    // the exclusion holds: no emitted pair is a known positive
+    assert(ivf.forall { case (qid, nid) => nid % 10 != qid })
+    // every IVF hit is a pair the plain ivfKnn candidate set contains
+    val ivfAll = pairs(Similarity.ivfKnn(e, q, "vec_id", "embedding",
+      k = 200, cells = 16, nProbe = 4))
+    assert(ivf.subsetOf(ivfAll))
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall > 0.4, s"recall=$recall")
+  }
+
   test("meanPool averages per (group, dim), order-independently") {
     val embs = Seq(
       (0L, Seq(1.0f, 2.0f)), (0L, Seq(3.0f, 4.0f)),
