@@ -278,6 +278,54 @@ private[graft] object ChatQueries {
         .orderBy(col("prompt_id"))
     },
 
+    // Branching conversation-tree linearization: messages form
+    // complete binary trees in blocks of 15 (heap indexing: node r's
+    // parent is (r-1)/2, roots at r=0), so every ancestor chain is
+    // CLOSED-FORM — node at path depth j is ((r+1) // 2^(dep-j)) - 1 —
+    // and the oracle needs no recursion, while the Spark side runs the
+    // REAL leaf discovery (anti-join) and iterative parent joins. The
+    // tail block is truncated, so leaf discovery must handle interior
+    // nodes whose children fall off the end of the table.
+    Q("ext_chat_tree",
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id, doc_id // 15 AS b, doc_id % 15 AS r
+        |  FROM documents),
+        |lv AS (SELECT doc_id, b, r,
+        |  CASE WHEN r = 0 THEN 0 WHEN r <= 2 THEN 1
+        |   WHEN r <= 6 THEN 2 ELSE 3 END AS dep
+        | FROM d CROSS JOIN nn
+        | WHERE 2*r + 1 >= least(15, nn.n - b*15)),
+        |t AS (SELECT doc_id, dep, j,
+        |  b*15 + ((r+1) // (1 << (dep - j))) - 1 AS node
+        | FROM lv, unnest(range(0, dep + 1)) u(j))
+        |SELECT doc_id AS conv_id, CAST(dep + 1 AS INT) AS n_turns,
+        | TRUE AS complete, CAST(j AS INT) AS turn_idx,
+        | CASE WHEN j = 0 THEN 'system' WHEN j % 2 = 1 THEN 'user'
+        |  ELSE 'assistant' END AS role,
+        | 'm' || CAST(node AS VARCHAR) AS text
+        |FROM t ORDER BY conv_id, turn_idx""".stripMargin) { (sp, dir) =>
+      val id = col("doc_id")
+      val r = pmod(id, lit(15))
+      val msgs = documents(sp, dir).select(
+        id.as("msg_id"),
+        when(r === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(doc_id div 15) * 15 + ((doc_id % 15) - 1) div 2"))
+          .as("parent_id"),
+        when(r === 0, lit("system"))
+          .when(r <= 2 || r >= 7, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        concat(lit("m"), s(id)).as("text"))
+      Chat.linearizeTree(msgs, "msg_id", "parent_id", "role", "text",
+          maxDepth = 4)
+        .select(col("conv_id"), col("n_turns"), col("complete"),
+          posexplode(col("turns")).as(Seq("turn_idx", "__t")))
+        .select(col("conv_id"), col("n_turns"), col("complete"),
+          col("turn_idx").cast("int").as("turn_idx"),
+          col("__t.role").as("role"), col("__t.text").as("text"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    },
+
     // Fill-in-middle rewrite of REAL document texts (PSM order, 60%
     // apply rate): the oracle reproduces the md5-derived apply bit and
     // cut points and reassembles the identical <PRE>/<SUF>/<MID>

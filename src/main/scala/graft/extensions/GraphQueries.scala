@@ -103,6 +103,35 @@ private[graft] object GraphQueries {
         .orderBy(col("node"))
     },
 
+    // Warm-start PageRank through the exact composition identity:
+    // warm-starting 2 iterations from cold(2)'s ranks must be
+    // bit-identical to cold(4) — so the oracle is simply the
+    // ext_pagerank CTE unrolled to 4 steps, while the Spark side runs
+    // the REAL two-phase warm path (cold 2 iters → seed → warm 2
+    // iters). Any drift in the seed join, the missing-node teleport
+    // default, or the warm loop breaks the hash.
+    Q("ext_pagerank_warm",
+      s"""WITH $edgeSql,
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000000000 // nn.n AS pr
+         |  FROM nodes CROSS JOIN nn),
+         |${stepSql(1, "r0")},
+         |${stepSql(2, "r1")},
+         |${stepSql(3, "r2")},
+         |${stepSql(4, "r3")}
+         |SELECT node, CAST(pr AS BIGINT) AS pr_fx,
+         | CAST(pr AS DOUBLE) / 1000000000000.0 AS pr
+         |FROM r4 ORDER BY node""".stripMargin) { (sp, dir) =>
+      val es = edges(sp, dir)
+      val seed = Graph.pageRank(es, "src", "dst", iters = 2)
+        .select(col("node"), col("pr_fx"))
+      Graph.pageRankWarm(es, "src", "dst", iters = 2, seed)
+        .orderBy(col("node"))
+    },
+
     // 2-iteration HITS hubs/authorities, bit-exact in BIGINT
     // fixed-point under the same unrolled-CTE oracle pattern as
     // ext_pagerank (each half-step = keyed sum + L1 normalization
@@ -123,6 +152,33 @@ private[graft] object GraphQueries {
          |FROM h2 JOIN a2 ON a2.node = h2.node
          |ORDER BY h2.node""".stripMargin) { (sp, dir) =>
       Graph.hits(edges(sp, dir), "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    },
+
+    // Warm-start HITS through the same composition identity as
+    // ext_pagerank_warm: warm-starting 1 iteration from cold(1)'s hub
+    // scores must be bit-identical to cold(2) — so the oracle is
+    // EXACTLY ext_hits's 4-half-step CTE, while the Spark side runs
+    // the real two-phase warm path.
+    Q("ext_hits_warm",
+      s"""WITH $edgeSql,
+         |nodes AS (SELECT DISTINCT src AS node FROM e
+         |  UNION SELECT DISTINCT dst FROM e),
+         |h0 AS (SELECT node, 1000000000000 AS v FROM nodes),
+         |${hitsHalf("a1", "h0", "dst", "src")},
+         |${hitsHalf("h1", "a1", "src", "dst")},
+         |${hitsHalf("a2", "h1", "dst", "src")},
+         |${hitsHalf("h2", "a2", "src", "dst")}
+         |SELECT h2.node AS node, CAST(h2.v AS BIGINT) AS hub_fx,
+         | CAST(a2.v AS BIGINT) AS auth_fx,
+         | CAST(h2.v AS DOUBLE) / 1000000000000.0 AS hub,
+         | CAST(a2.v AS DOUBLE) / 1000000000000.0 AS auth
+         |FROM h2 JOIN a2 ON a2.node = h2.node
+         |ORDER BY h2.node""".stripMargin) { (sp, dir) =>
+      val es = edges(sp, dir)
+      val seed = Graph.hits(es, "src", "dst", iters = 1)
+        .select(col("node"), col("hub_fx"))
+      Graph.hitsWarm(es, "src", "dst", iters = 1, seed)
         .orderBy(col("node"))
     })
 }

@@ -78,6 +78,66 @@ private[graft] object SketchQueries {
       Sketch.hllEstimate(merged, Seq("source")).orderBy(col("source"))
     },
 
+    // Multi-granularity rollup from ONE register pass: per-(source,
+    // shard) sketches persisted once, then max-merged up to (source),
+    // (shard) and the grand total — the "profile a 100 TB corpus at
+    // every granularity from one scan" path (re-aggregating persisted
+    // sketches instead of re-scanning raw data per grouping). The
+    // oracle computes each grouping's registers DIRECTLY via GROUPING
+    // SETS, so hash equality proves merge-invariance at every level.
+    Q("ext_hll_cube", {
+      val m = Sketch.NumRegisters
+      val wMask = (1L << 48) - 1
+      val twoPow49 = 1L << 49
+      s"""WITH tok AS (SELECT source, doc_id % 8 AS shard,
+         |  unnest($TOKS) AS t FROM documents),
+         |h AS (SELECT source, shard,
+         |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h60
+         |  FROM tok WHERE t <> ''),
+         |b AS (SELECT source, shard, h60 >> 48 AS bucket,
+         |    CASE WHEN (h60 & $wMask) = 0 THEN 49
+         |         ELSE 49 - length(bin(h60 & $wMask)) END AS rank
+         |  FROM h),
+         |reg AS (SELECT coalesce(source, '*') AS source,
+         |    coalesce(CAST(shard AS VARCHAR), '*') AS shard,
+         |    bucket, max(rank) AS reg
+         |  FROM b GROUP BY GROUPING SETS ((source, shard, bucket),
+         |    (source, bucket), (shard, bucket), (bucket))),
+         |agg AS (SELECT source, shard, count(*) AS present,
+         |    CAST(sum(1::BIGINT << (49 - reg)) AS BIGINT) AS zp
+         |  FROM reg GROUP BY 1, 2),
+         |est AS (SELECT source, shard,
+         |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+         |      * ${twoPow49.toDouble}
+         |      / CAST(zp + ($m - present) * $twoPow49 AS DOUBLE) AS raw,
+         |    $m - present AS v
+         |  FROM agg)
+         |SELECT source, shard,
+         |  CAST(floor(CASE WHEN raw <= ${2.5 * m} AND v > 0
+         |    THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+         |    ELSE raw END) AS BIGINT) AS approx_distinct
+         |FROM est ORDER BY source, shard""".stripMargin
+    }) { (s, d) =>
+      val sharded = tokensBySource(s, d)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      val perShard = Sketch.hllRegisters(sharded, col("t"),
+          Seq("source", "shard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def level(keys: Seq[String]) =
+        Sketch.hllEstimate(Sketch.hllMerge(perShard, keys), keys)
+          .select(
+            (if (keys.contains("source")) col("source") else lit("*"))
+              .as("source"),
+            (if (keys.contains("shard")) col("shard").cast("string")
+             else lit("*")).as("shard"),
+            col("approx_distinct"))
+      level(Seq("source", "shard"))
+        .unionAll(level(Seq("source")))
+        .unionAll(level(Seq("shard")))
+        .unionAll(level(Seq.empty))
+        .orderBy(col("source"), col("shard"))
+    },
+
     // Count-min point-frequency estimates for the corpus's top-20
     // tokens (exact-count selection, token tie-break), alongside the
     // exact counts — every value integer, so the gate is a full

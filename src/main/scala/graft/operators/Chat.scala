@@ -118,4 +118,64 @@ object Chat {
         col("char_start").cast("long").as("char_start"),
         col("char_end").cast("long").as("char_end"))
   }
+
+  /** BRANCHING conversation-tree linearization — the SFT-prep step for
+    * message tables where a turn can have multiple alternative
+    * children (edit/regenerate trees): every LEAF becomes one training
+    * sample whose turns are its root-to-leaf path. Input is one row
+    * per message `(idCol, parentCol, roleCol, textCol)` with
+    * `parentCol` null at roots; leaves are discovered (a message no
+    * other message names as parent), so the caller passes the raw
+    * table. Output is one row per leaf: `(conv_id = leaf id, n_turns,
+    * complete, turns)` with `turns` the root-first
+    * `array<struct<role, text>>` and `complete` false when an ancestor
+    * chain was cut off by `maxDepth` or a missing parent row —
+    * callers filter on it rather than training on truncated prefixes.
+    *
+    * Scale shape: `maxDepth` synchronous iterations, each ONE
+    * equi-join of the path frontier to the message table on the
+    * parent key (the [[Graph.pageRank]] loop pattern — invariants
+    * persisted, lineage linear in depth, nothing driver-side). Paths
+    * carry their accumulated turns, so a path row is conversation-
+    * sized, never corpus-sized. A viral shared ancestor (many leaves
+    * under one root) is a hot join key on the MESSAGE side — the
+    * build side of the hash join — so fan-out skew lands on the
+    * probe side where AQE skew-split applies; depth is the bounded
+    * dimension (chat trees are tens of turns, not thousands).
+    */
+  def linearizeTree(messages: DataFrame, idCol: String,
+                    parentCol: String, roleCol: String, textCol: String,
+                    maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val m = messages.select(col(idCol).as("__id"),
+        col(parentCol).as("__parent"), col(roleCol).as("__role"),
+        col(textCol).as("__text"))
+      .persist(MEMORY_AND_DISK)
+    val leaves = m.join(
+      m.select(col("__parent").as("__id")).filter(col("__id").isNotNull),
+      Seq("__id"), "left_anti")
+    var paths = leaves.select(col("__id").as("conv_id"),
+      col("__parent").as("__cur"),
+      array(struct(col("__role").as("role"), col("__text").as("text")))
+        .as("__turns"))
+    (1 until maxDepth).foreach { _ =>
+      paths = paths.join(
+          m.select(col("__id").as("__cur"), col("__parent").as("__next"),
+            struct(col("__role").as("role"), col("__text").as("text"))
+              .as("__t")),
+          Seq("__cur"), "left_outer")
+        .select(col("conv_id"),
+          when(col("__t").isNotNull, col("__next"))
+            .otherwise(col("__cur")).as("__cur"),
+          when(col("__t").isNotNull,
+            concat(array(col("__t")), col("__turns")))
+            .otherwise(col("__turns")).as("__turns"))
+        .persist(MEMORY_AND_DISK)
+    }
+    paths.select(col("conv_id"),
+      size(col("__turns")).as("n_turns"),
+      col("__cur").isNull.as("complete"),
+      col("__turns").as("turns"))
+  }
 }

@@ -50,7 +50,33 @@ object Graph {
     * and `pr = pr_fx / 1e12`.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int): DataFrame = {
+               iters: Int): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, iters, None)
+
+  /** WARM-START PageRank: identical iteration map to [[pageRank]],
+    * seeded from `seed` `(node, pr_fx)` — the previous crawl
+    * snapshot's ranks — instead of the uniform start. Because the
+    * fixed-point iteration is a deterministic integer map, a warm
+    * start from near the fixed point reaches it in a small constant
+    * number of iterations, which is the 100 TB path: an incremental
+    * crawl re-ranks per refresh by running 2-3 warm iterations over
+    * the updated edge list rather than the cold 10+ (see
+    * [[graft.streaming.StreamingGraph.warmPageRank]] for the variant
+    * that also takes nodes/out-degrees from the incremental degree
+    * store instead of re-aggregating the edge list). Nodes absent
+    * from `seed` (newly discovered pages) start at the teleport
+    * value; seed rows for nodes no longer in the graph are dropped.
+    * Exact composition contract (oracle-checkable): warm-starting
+    * from cold(k)'s ranks for m iterations is bit-identical to
+    * cold(k+m).
+    */
+  def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+                   iters: Int, seed: DataFrame): DataFrame =
+    pageRankFrom(edges, srcCol, dstCol, iters, Some(seed))
+
+  private def pageRankFrom(edges: DataFrame, srcCol: String,
+                           dstCol: String, iters: Int,
+                           seedOpt: Option[DataFrame]): DataFrame = {
     // e/nodes/outDeg are loop invariants consumed every iteration —
     // persist them once (the GraphX pattern; see also
     // Corpus.decontaminateBloom) instead of recomputing their upstream
@@ -69,7 +95,27 @@ object Graph {
     require(dangling == 0,
       "pageRank requires every node to have an out-edge")
     val teleportFx = (15L * PrScale) / (100L * n)
-    var ranks = nodes.withColumn("pr_fx", lit(PrScale / n))
+    val ranks0 = seedOpt match {
+      case None => nodes.withColumn("pr_fx", lit(PrScale / n))
+      case Some(seed) => nodes
+        .join(seed.select(col("node"),
+          col("pr_fx").cast("long").as("__seed")), Seq("node"),
+          "left_outer")
+        .select(col("node"),
+          coalesce(col("__seed"), lit(teleportFx)).as("pr_fx"))
+    }
+    pageRankLoop(e, nodes, outDeg, teleportFx, ranks0, iters)
+  }
+
+  /** The shared synchronous-iteration core: `e(__src,__dst)`,
+    * `nodes(node)`, `outDeg(__src,__od)` must be persisted,
+    * dangling-free loop invariants; `ranks0(node, pr_fx)` the start.
+    */
+  private[graft] def pageRankLoop(e: DataFrame, nodes: DataFrame,
+                                  outDeg: DataFrame, teleportFx: Long,
+                                  ranks0: DataFrame,
+                                  iters: Int): DataFrame = {
+    var ranks = ranks0
     (1 to iters).foreach { _ =>
       val contribs = e
         .join(ranks, col("__src") === col("node"))
@@ -108,7 +154,25 @@ object Graph {
     * returned plan's lifetime (Spark evicts LRU under pressure).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int): DataFrame = {
+           iters: Int): DataFrame =
+    hitsFrom(edges, srcCol, dstCol, iters, None)
+
+  /** WARM-START HITS: seeded from `seed` `(node, hub_fx)` — the
+    * previous snapshot's hub scores — instead of the uniform start
+    * (each full iteration depends only on the entering hub vector, so
+    * the hub column is the complete warm-start state). Nodes absent
+    * from `seed` start at the cold value (`PrScale`); extra seed rows
+    * are dropped. Same exact composition contract as [[pageRankWarm]]:
+    * warm(m, seed = cold(k).hub) is bit-identical to cold(k+m) — the
+    * incremental re-rank path for a refreshing crawl.
+    */
+  def hitsWarm(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, seed: DataFrame): DataFrame =
+    hitsFrom(edges, srcCol, dstCol, iters, Some(seed))
+
+  private def hitsFrom(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int,
+                       seedOpt: Option[DataFrame]): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .persist(MEMORY_AND_DISK)
@@ -128,7 +192,16 @@ object Graph {
         .persist(MEMORY_AND_DISK)
     }
 
-    var hub = nodes.withColumn("hub_fx", lit(PrScale))
+    var hub = seedOpt match {
+      case None => nodes.withColumn("hub_fx", lit(PrScale))
+      case Some(seed) => nodes
+        .join(seed.select(col("node"),
+          col("hub_fx").cast("long").as("__seed")), Seq("node"),
+          "left_outer")
+        .select(col("node"),
+          coalesce(col("__seed"), lit(PrScale)).as("hub_fx"))
+        .persist(MEMORY_AND_DISK)
+    }
     var auth = nodes.withColumn("auth_fx", lit(0L))
     (1 to iters).foreach { _ =>
       val aRaw = e.join(hub, col("__src") === col("node"))

@@ -58,4 +58,47 @@ object StreamingGraph {
   /** Fold the store (see [[SumStore.compact]]). */
   def compactDegrees(spark: SparkSession, storePath: String): Unit =
     SumStore.compact(spark, storePath, Keys, Sums)
+
+  /** Incremental PageRank refresh: warm-start the
+    * [[graft.operators.Graph.pageRankLoop]] iteration from the
+    * PREVIOUS snapshot's ranks, with the node set and out-degrees read
+    * from this degree store instead of re-aggregated from the edge
+    * list. At crawl scale that turns a re-rank from "cold 10+
+    * iterations plus a full-edge-list degree aggregation" into "merge
+    * the store partials (O(store), incremental by construction) plus
+    * 2-3 warm iterations" — the iteration join over `edges` is the
+    * only full-edge-list work left per refresh.
+    *
+    * `edges` must be the same distinct edge list the store has
+    * accumulated (the store keeps degrees, not endpoints, so the
+    * contribution join still needs it) and every node must have an
+    * out-edge, as in the batch operator (`require`-checked from the
+    * store). `prevRanks` is `(node, pr_fx)`; newly discovered nodes
+    * absent from it start at the teleport value. Bit-compatible with
+    * the batch operator: same loop, same integer arithmetic, so
+    * warm(m, seed = cold(k)) == cold(k+m) exactly.
+    */
+  def warmPageRank(spark: SparkSession, storePath: String,
+                   edges: DataFrame, srcCol: String, dstCol: String,
+                   prevRanks: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val deg = degrees(spark, storePath).persist(MEMORY_AND_DISK)
+    val nodes = deg.select(col("node")).persist(MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "warmPageRank needs a non-empty degree store")
+    require(deg.filter(col("out_deg") <= 0).limit(1).count() == 0,
+      "pageRank requires every node to have an out-edge")
+    val outDeg = deg.select(col("node").as("__src"),
+      col("out_deg").as("__od")).persist(MEMORY_AND_DISK)
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .persist(MEMORY_AND_DISK)
+    val teleportFx = (15L * Graph.PrScale) / (100L * n)
+    val ranks0 = nodes
+      .join(prevRanks.select(col("node"),
+        col("pr_fx").cast("long").as("__seed")), Seq("node"),
+        "left_outer")
+      .select(col("node"),
+        coalesce(col("__seed"), lit(teleportFx)).as("pr_fx"))
+    Graph.pageRankLoop(e, nodes, outDeg, teleportFx, ranks0, iters)
+  }
 }

@@ -100,4 +100,45 @@ class ChatSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)) === Seq((1L, 2), (1L, 4), (2L, 1)))
     assert(got(2) === ((2L, 1, 32L, 35L)))
   }
+
+  test("linearizeTree: every leaf becomes one root-first path; " +
+      "branches share their prefix") {
+    // tree: 1(sys) -> 2(user) -> {3(asst), 4(asst)}; 5(sys) solo root
+    val msgs = Seq(
+      (1L, None, "system", "s1"),
+      (2L, Some(1L), "user", "u2"),
+      (3L, Some(2L), "assistant", "a3"),
+      (4L, Some(2L), "assistant", "a4"),
+      (5L, None, "system", "s5"))
+      .toDF("msg_id", "parent_id", "role", "text")
+    val got = Chat.linearizeTree(msgs, "msg_id", "parent_id", "role",
+        "text", maxDepth = 5)
+      .select($"conv_id", $"n_turns", $"complete",
+        expr("transform(turns, t -> t.text)"))
+      .as[(Long, Int, Boolean, Seq[String])].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (3L, 3, true, Seq("s1", "u2", "a3")),
+      (4L, 3, true, Seq("s1", "u2", "a4")),
+      (5L, 1, true, Seq("s5"))))
+  }
+
+  test("linearizeTree: maxDepth cutoff and missing parents are " +
+      "flagged incomplete, not silently truncated-as-complete") {
+    val msgs = Seq(
+      (1L, None, "system", "s1"),
+      (2L, Some(1L), "user", "u2"),
+      (3L, Some(2L), "assistant", "a3"),
+      (9L, Some(99L), "user", "orphan")) // parent row missing
+      .toDF("msg_id", "parent_id", "role", "text")
+    val got = Chat.linearizeTree(msgs, "msg_id", "parent_id", "role",
+        "text", maxDepth = 2)
+      .select($"conv_id", $"n_turns", $"complete",
+        expr("transform(turns, t -> t.text)"))
+      .as[(Long, Int, Boolean, Seq[String])].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (3L, 2, false, Seq("u2", "a3")), // cut at maxDepth: root missing
+      (9L, 1, false, Seq("orphan"))))  // dangling parent pointer
+  }
 }

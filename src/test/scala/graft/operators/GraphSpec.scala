@@ -66,6 +66,47 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  private def fixture200 = (0L until 200L)
+    .map(i => (i % 16, (i * 7 + 3) % 16))
+    .filter(p => p._1 != p._2).distinct.toDF("src", "dst")
+
+  test("pageRankWarm: warm(2, seed=cold(2)) is bit-identical to cold(4)") {
+    val e = fixture200
+    val seed = Graph.pageRank(e, "src", "dst", iters = 2)
+      .select("node", "pr_fx")
+    val warm = Graph.pageRankWarm(e, "src", "dst", iters = 2, seed)
+      .select("node", "pr_fx").as[(Long, Long)].collect().toMap
+    val cold = Graph.pageRank(e, "src", "dst", iters = 4)
+      .select("node", "pr_fx").as[(Long, Long)].collect().toMap
+    assert(warm === cold)
+  }
+
+  test("pageRankWarm: nodes absent from the seed enter at teleport, " +
+      "seeded nodes carry their previous rank") {
+    // G1 = 2-cycle (uniform fixed point 5e11 each); G2 adds node 3
+    val g2 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val seed = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 3).select("node", "pr_fx")
+    // iters = 0 exposes the start vector itself
+    val warm0 = Graph.pageRankWarm(g2, "src", "dst", iters = 0, seed)
+      .select("node", "pr_fx").as[(Long, Long)].collect().toMap
+    assert(warm0(1L) === 500000000000L && warm0(2L) === 500000000000L)
+    assert(warm0(3L) === (15L * Graph.PrScale) / (100L * 3))
+  }
+
+  test("hitsWarm: warm(1, seed=cold(1).hub) is bit-identical to cold(2)") {
+    val e = fixture200
+    val seed = Graph.hits(e, "src", "dst", iters = 1)
+      .select("node", "hub_fx")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "hub_fx", "auth_fx")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3)))
+        .toMap
+    assert(m(Graph.hitsWarm(e, "src", "dst", iters = 1, seed)) ===
+      m(Graph.hits(e, "src", "dst", iters = 2)))
+  }
+
   test("pageRank is deterministic across repartitionings") {
     val e = (0L until 200L).map(i => (i % 16, (i * 7 + 3) % 16))
       .filter(p => p._1 != p._2).distinct.toDF("src", "dst")

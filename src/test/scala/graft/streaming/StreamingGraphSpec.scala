@@ -77,4 +77,48 @@ class StreamingGraphSpec extends SparkSpec {
     StreamingGraph.compactDegrees(spark, store)
     assert(merged(store) === batchParity(b1 ++ b2 ++ b3))
   }
+
+  test("warmPageRank: store-degree path is bit-compatible with the " +
+      "batch operator, and a previous-snapshot seed converges faster " +
+      "than the cold uniform start") {
+    val store = tmp("deg_store3")
+    // G1 = 10-node cycle + every node pointing at hub 0 (a SKEWED
+    // fixed point — a near-regular graph ranks ~uniform and the warm
+    // seed would be indistinguishable from the cold start); G2
+    // perturbs it with two new edges — the incremental-crawl shape (a
+    // refresh touches a sliver of the graph, so last snapshot's ranks
+    // are already near the new fixed point while the uniform start is
+    // far from it)
+    val base = ((0L until 10L).map(i => (i, (i + 1) % 10)) ++
+      (1L until 10L).map(j => (j, 0L))).distinct
+    val extra = Seq((3L, 7L), (7L, 3L))
+    assert(extra.forall(e => !base.contains(e)))
+    StreamingGraph.writeDegreeBatch(base.toDF("src", "dst"), store,
+      "src", "dst", 0L)
+    val prev = Graph.pageRank(base.toDF("src", "dst"), "src", "dst",
+      iters = 12).select("node", "pr_fx")
+    StreamingGraph.writeDegreeBatch(extra.toDF("src", "dst"), store,
+      "src", "dst", 1L)
+    val all = (base ++ extra).toDF("src", "dst")
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("node", "pr_fx").as[(Long, Long)].collect().toMap
+    def cold(k: Int) = ranks(Graph.pageRank(all, "src", "dst", k))
+    // 1) exact bit-compat: warm(2) from cold(2) over STORE degrees
+    //    equals cold(4) — store-maintained node set/out-degrees feed
+    //    the identical integer loop
+    val seed2 = Graph.pageRank(all, "src", "dst", 2)
+      .select("node", "pr_fx")
+    assert(ranks(StreamingGraph.warmPageRank(spark, store, all,
+      "src", "dst", seed2, iters = 2)) === cold(4))
+    // 2) convergence: after the same 3 iterations, the warm start is
+    //    strictly closer to the settled ranks than the cold start
+    val ref = cold(20)
+    def l1(m: Map[Long, Long]) =
+      ref.map { case (n, v) => math.abs(v - m(n)) }.sum
+    val dWarm = l1(ranks(StreamingGraph.warmPageRank(spark, store, all,
+      "src", "dst", prev, iters = 3)))
+    val dCold = l1(cold(3))
+    assert(dWarm * 2 < dCold,
+      s"warm start should at least halve the residual: warm=$dWarm cold=$dCold")
+  }
 }
