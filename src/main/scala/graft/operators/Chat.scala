@@ -132,6 +132,17 @@ object Chat {
     * chain was cut off by `maxDepth` or a missing parent row —
     * callers filter on it rather than training on truncated prefixes.
     *
+    * Corrupt parent pointers: a SELF-parent row is treated as a root
+    * of its own conversation (the pointer is neutralized, the message
+    * is not lost). A pure parent-pointer CYCLE of length ≥ 2 with no
+    * external child has NO leaf, so its members yield no output rows
+    * at all — the one silent-drop mode; a cycle that does have an
+    * external child surfaces as that child's `complete = false` path.
+    * Exports that may contain multi-node cycles need an upstream
+    * audit (e.g. diff distinct message ids against emitted path
+    * coverage); detecting them here would cost a second full
+    * propagation loop every call.
+    *
     * Scale shape: `maxDepth` synchronous iterations, each ONE
     * equi-join of the path frontier to the message table on the
     * parent key (the [[Graph.pageRank]] loop pattern — invariants
@@ -149,8 +160,9 @@ object Chat {
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val m = messages.select(col(idCol).as("__id"),
-        col(parentCol).as("__parent"), col(roleCol).as("__role"),
-        col(textCol).as("__text"))
+        when(col(parentCol) === col(idCol), lit(null))
+          .otherwise(col(parentCol)).as("__parent"),
+        col(roleCol).as("__role"), col(textCol).as("__text"))
       .persist(MEMORY_AND_DISK)
     val leaves = m.join(
       m.select(col("__parent").as("__id")).filter(col("__id").isNotNull),

@@ -405,8 +405,14 @@ object Corpus {
   def removeDuplicatedSpans(docs: DataFrame, idCol: String,
                             textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"span length must be >= 1, got $n")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toksC = TextFns.toks(col(textCol))
+    // base/grams/marked each feed TWO consumers below — persist them
+    // (the pageRankFrom/decontaminateBloom convention) so the corpus
+    // tokenize scan and the gram-keyed election shuffle run once, not
+    // once per downstream subtree
     val base = fanOut(docs).select(col(idCol), toksC.as("__t"))
+      .persist(MEMORY_AND_DISK)
     val grams = base.select(col(idCol),
         posexplode(when(size(col("__t")) >= n,
           transform(sequence(lit(1), size(col("__t")) - (n - 1)),
@@ -414,12 +420,14 @@ object Corpus {
           .as(Seq("__p0", "gram")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("p"),
         col("gram"))
+      .persist(MEMORY_AND_DISK)
     // struct ordering = (id, p) lexicographic: the global first
     val firsts = grams.groupBy(col("gram"))
       .agg(min(struct(col(idCol), col("p"))).as("__first"))
     val marked = grams.join(firsts, "gram")
       .filter(struct(col(idCol), col("p")) =!= col("__first"))
       .select(col(idCol), col("p"))
+      .persist(MEMORY_AND_DISK)
     val markCounts = marked.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_removed_spans"))
     val removedTok = marked

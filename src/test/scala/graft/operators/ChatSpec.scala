@@ -141,4 +141,27 @@ class ChatSpec extends SparkSpec {
       (3L, 2, false, Seq("u2", "a3")), // cut at maxDepth: root missing
       (9L, 1, false, Seq("orphan"))))  // dangling parent pointer
   }
+
+  test("linearizeTree: self-parents become roots; a pure 2-cycle has " +
+      "no leaf and yields no rows (the documented silent-drop mode); " +
+      "a cycle WITH an external child surfaces incomplete") {
+    val msgs = Seq(
+      (1L, Some(1L), "system", "selfloop"), // corrupt: own parent
+      (2L, Some(3L), "user", "cycA"),       // pure 2-cycle: no output
+      (3L, Some(2L), "user", "cycB"),
+      (4L, Some(5L), "user", "cycC"),       // 2-cycle with a child...
+      (5L, Some(4L), "user", "cycD"),
+      (6L, Some(4L), "assistant", "tail"))  // ...surfaces via the child
+      .toDF("msg_id", "parent_id", "role", "text")
+    val got = Chat.linearizeTree(msgs, "msg_id", "parent_id", "role",
+        "text", maxDepth = 4)
+      .select($"conv_id", $"n_turns", $"complete",
+        expr("transform(turns, t -> t.text)"))
+      .as[(Long, Int, Boolean, Seq[String])].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 1, true, Seq("selfloop")),
+      // leaf 6 walks up 4 -> 5 -> 4 until maxDepth, flagged incomplete
+      (6L, 4, false, Seq("cycC", "cycD", "cycC", "tail"))))
+  }
 }
