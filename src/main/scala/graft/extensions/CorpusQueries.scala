@@ -451,6 +451,45 @@ object CorpusQueries {
         .orderBy(col("doc_id"), col("seq_id"))
     },
 
+    // Attention boundaries (cu_seqlens) over the REAL packed output:
+    // same packing CTE as ext_pack, then per-sequence piece ranks and
+    // 0-based offsets plus doc open/close flags — the artifact a
+    // block-diagonal-attention trainer consumes. is_doc_end via en = n
+    // in the oracle vs the engine's max-seq-per-doc window: equal
+    // because a doc's pieces carry strictly increasing seq_ids.
+    Q("ext_pack_boundaries", {
+      val L = 64
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM t
+         |  WHERE len(tk) >= 1),
+         |o AS (SELECT doc_id, n,
+         |  CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS off
+         | FROM n),
+         |p AS (SELECT doc_id, n, off, CAST(s AS BIGINT) AS seq_id,
+         |   CAST(greatest(s*$L - off, 0) AS BIGINT) AS st,
+         |   CAST(least((s+1)*$L - off, n) AS BIGINT) AS en
+         |  FROM o, unnest(range(off // $L, (off + n - 1) // $L + 1))
+         |    AS u(s))
+         |SELECT seq_id,
+         | CAST(row_number() OVER (PARTITION BY seq_id
+         |   ORDER BY off + st) - 1 AS INT) AS piece_idx,
+         | doc_id,
+         | off + st - seq_id*$L AS tok_start,
+         | off + en - seq_id*$L AS tok_end,
+         | st = 0 AS is_doc_start,
+         | en = n AS is_doc_end,
+         | CAST(count(*) OVER (PARTITION BY seq_id) AS INT) AS n_pieces
+         |FROM p ORDER BY seq_id, piece_idx""".stripMargin
+    }) { (s, d) =>
+      Corpus.packBoundaries(
+          Corpus.packSequences(documents(s, d), "doc_id", "text",
+            seqLen = 64),
+          "doc_id")
+        .orderBy(col("seq_id"), col("piece_idx"))
+    },
+
     // ---- context-window chunking ----------------------------------------
     // Sliding 40-token windows with 8 tokens of carried context
     // (stride 32): training-sequence prep over the documents table.

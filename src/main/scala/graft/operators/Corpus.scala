@@ -1097,6 +1097,46 @@ object Corpus {
           .as("piece_text"))
   }
 
+  /** Attention-boundary export over [[packSequences]] output — the
+    * per-sequence document-boundary offsets (the cu_seqlens artifact)
+    * a trainer needs for block-diagonal attention over packed
+    * sequences: one row per packed piece with `piece_idx` (0-based
+    * position within its sequence), 0-based `[tok_start, tok_end)`
+    * offsets inside the sequence, `is_doc_start`/`is_doc_end` (whether
+    * the piece opens/closes its source document — a mid-doc
+    * continuation from the previous sequence must NOT be loss-masked
+    * as a document head), and `n_pieces` per sequence. Sorting a
+    * sequence's rows by `piece_idx` and reading `tok_end` yields its
+    * cu_seqlens prefix array directly.
+    *
+    * Scale shape: two keyed windows, both hash-partitioned and
+    * bounded — the seq-keyed rank/count groups hold ≤ seqLen rows
+    * (every piece is ≥ 1 token) and the doc-keyed max-seq groups hold
+    * ceil(doc_len/seqLen)+1 rows. No global window, no shuffle beyond
+    * the two window keys, nothing driver-side.
+    */
+  def packBoundaries(packed: DataFrame, idCol: String): DataFrame = {
+    val bySeq = Window.partitionBy(col("seq_id"))
+      .orderBy(col("seq_tok_start"))
+    val seqAll = Window.partitionBy(col("seq_id"))
+    val byDoc = Window.partitionBy(col(idCol))
+    packed
+      .select(col(idCol), col("seq_id"), col("doc_tok_start"),
+        col("seq_tok_start"), col("piece_len"))
+      .withColumn("piece_idx", (row_number().over(bySeq) - 1).cast("int"))
+      .withColumn("n_pieces", count(lit(1)).over(seqAll).cast("int"))
+      .withColumn("tok_start", col("seq_tok_start") - 1)
+      .withColumn("tok_end", col("seq_tok_start") - 1 + col("piece_len"))
+      .withColumn("is_doc_start", col("doc_tok_start") === 1)
+      // a doc's pieces carry strictly increasing seq_ids, so its
+      // max-seq piece is the one that closes it
+      .withColumn("is_doc_end",
+        col("seq_id") === max(col("seq_id")).over(byDoc))
+      .select(col("seq_id"), col("piece_idx"), col(idCol),
+        col("tok_start"), col("tok_end"), col("is_doc_start"),
+        col("is_doc_end"), col("n_pieces"))
+  }
+
   /** [[decontaminateAgainst]] with a Bloom-filter prefilter — the
     * 100 TB shuffle-elimination path. Output is IDENTICAL to
     * [[decontaminate]] (same columns, same rows, same values): the

@@ -476,6 +476,35 @@ class CorpusSpec extends SparkSpec {
       Array((1L, "a b c d", 0L, 0L), (2L, "", 0L, 0L)))
   }
 
+  test("packBoundaries: per-sequence piece offsets tile the sequence, " +
+      "doc open/close flags mark true document edges") {
+    val d = Seq(
+      (1L, "a1 a2 a3"),             // 3 tokens
+      (2L, "b1 b2 b3 b4"),          // 4: splits across seq 0/1
+      (3L, "c1 c2 c3 c4 c5 c6"))    // 6: splits across seq 1/2
+      .toDF("id", "text")
+    val got = Corpus.packBoundaries(
+        Corpus.packSequences(d, "id", "text", seqLen = 5), "id")
+      .as[(Long, Int, Long, Long, Long, Boolean, Boolean, Int)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq(
+      (0L, 0, 1L, 0L, 3L, true, true, 2),
+      (0L, 1, 2L, 3L, 5L, true, false, 2),
+      (1L, 0, 2L, 0L, 2L, false, true, 2),
+      (1L, 1, 3L, 2L, 5L, true, false, 2),
+      (2L, 0, 3L, 0L, 3L, false, true, 1)))
+    // cu_seqlens contract: within a sequence, pieces tile [0, end):
+    // first starts at 0, each next starts where the previous ended
+    got.groupBy(_._1).values.foreach { pieces =>
+      val s = pieces.sortBy(_._2)
+      assert(s.head._4 === 0L)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 === a._5)
+        case _ => ()
+      }
+    }
+  }
+
   test("chunk: sliding windows with overlap, every token covered") {
     val d = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" "))) // 11 tokens
       .toDF("id", "text")
