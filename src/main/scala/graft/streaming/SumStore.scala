@@ -74,6 +74,25 @@ private[streaming] object SumStore {
     rollup(effective(Sinks.readStore(spark, storePath)), keyCols,
       sumCols)
 
+  /** [[merged]] minus one batch directory, `None` when the store does
+    * not exist yet — the replay-stable read for a foreachBatch body
+    * that consults cumulative sums BEFORE overwriting its own partial
+    * (the [[StreamingSeen.unseenAndRecord]] membership pattern applied
+    * to sums): an at-least-once redelivery of batch N sees exactly the
+    * totals N originally saw. Same compaction caveat as the seen
+    * store: a batch replayed AFTER a fold absorbed it would see its
+    * own contribution (checkpointed batches never replay, so the
+    * window is the crash-recovery gap only).
+    */
+  def mergedExcludingIfExists(spark: SparkSession, storePath: String,
+                              keyCols: Seq[String], sumCols: Seq[String],
+                              excludeBatch: Long): Option[DataFrame] =
+    Sinks.readStoreIfExists(spark, storePath).map { store =>
+      rollup(effective(store)
+        .filter(col("batch").cast("long") =!= excludeBatch),
+        keyCols, sumCols)
+    }
+
   /** Fold the store to one summed partition in `batch=-1`,
     * watermarked at the greatest batch id absorbed, via the
     * staged-swap protocol. Run from a maintenance window with the
