@@ -293,6 +293,54 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Interpolated Kneser-Ney BIGRAM scoring (the CCNet-style word-level
+    // perplexity filter): every count CTE (bigram, context totals +
+    // follow types, continuation types, T/V) and the exact double
+    // expression tree are mirrored op-for-op, with per-term 1e-6
+    // fixed-point quantization making the per-doc ln-sum
+    // order-independent on both engines.
+    Q("ext_kn_score", {
+      import OracleSql.fxSql
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+         |  FROM tok, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+         |cb AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+         |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1,
+         |   count(*) AS n1f FROM cb GROUP BY 1),
+         |cont AS (SELECT split_part(bg, ' ', 2) AS w2, count(*) AS n1c
+         |  FROM cb GROUP BY 1),
+         |tt AS (SELECT (SELECT count(*) FROM cb) AS tcnt,
+         |  (SELECT count(DISTINCT tk) FROM
+         |    (SELECT unnest(t) AS tk FROM tok)) AS vcnt),
+         |occ AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+         |pr AS (SELECT doc_id, m,
+         |   CASE WHEN c1 > 0 THEN
+         |    (greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0) +
+         |      0.75 * CAST(n1f AS DOUBLE) * pc) / CAST(c1 AS DOUBLE)
+         |   ELSE pc END AS p
+         |  FROM (SELECT o.doc_id, o.m,
+         |    coalesce(cb.c12, 0) AS c12, coalesce(ctx.c1, 0) AS c1,
+         |    coalesce(ctx.n1f, 0) AS n1f,
+         |    (CAST(coalesce(cont.n1c, 0) AS DOUBLE) + 1.0) /
+         |      (CAST(tcnt AS DOUBLE) + CAST(vcnt AS DOUBLE) + 1.0) AS pc
+         |   FROM occ o
+         |   LEFT JOIN cb USING (bg)
+         |   LEFT JOIN ctx ON ctx.w1 = split_part(o.bg, ' ', 1)
+         |   LEFT JOIN cont ON cont.w2 = split_part(o.bg, ' ', 2)
+         |   CROSS JOIN tt)),
+         |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |   ${fxSql("CAST(m AS DOUBLE) * (-ln(p))", "1000000.0")} AS q
+         |  FROM pr GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         | CAST(q AS DOUBLE) / 1000000.0 / CAST(n_bigrams AS DOUBLE)
+         |   AS avg_nll
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      TextAnalysis.knBigramScore(docs, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Cross-lingual held-out scoring: the model trains on English docs
     // only and each LANGUAGE is scored as one group — English lowest,
     // the rest ranked by script distance, with zh exercising the

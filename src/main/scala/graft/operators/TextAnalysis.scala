@@ -372,6 +372,96 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Interpolated Kneser-Ney BIGRAM language-model scoring — the
+    * word-level LM quality signal (CCNet-style perplexity filtering)
+    * one step up from [[charLmScore]]'s character trigrams: train
+    * bigram/continuation counts on `train`, score each `score` doc's
+    * average negative log-likelihood. KN's continuation probability
+    * (how many distinct contexts a word FOLLOWS, not how often it
+    * occurs) is the part add-one smoothing gets wrong for
+    * high-frequency-single-context words ("francisco").
+    *
+    * Per bigram (w1, w2), with D = `discount`, integer counts
+    * c12 = c(w1 w2), c1 = Σ_w c(w1 w), n1f = |{w : c(w1 w) > 0}|,
+    * n1c = |{w : c(w w2) > 0}|, T = distinct bigrams, V = vocab:
+    *
+    *   Pc(w2)     = (n1c + 1) / (T + V + 1)          (add-one floor so
+    *                                                  unseen words keep mass)
+    *   P(w2|w1)   = (max(c12 − D, 0) + D·n1f·Pc(w2)) / c1   when c1 > 0
+    *              = Pc(w2)                                   otherwise
+    *
+    * Emits (id, n_bigrams, avg_nll); docs with < 2 tokens carry no
+    * bigrams and drop. Determinism: every input to the formula is an
+    * exact integer, the double expression tree is mirrored op-for-op
+    * by the SQL oracle, and per-doc accumulation quantizes each
+    * m·(−ln P) term to 1e-6 fixed point before an exact integer sum
+    * ([[graft.functions.Cols.fxSum]]) — partition order cannot move
+    * the result.
+    *
+    * Scale shape: training is two map-side-combining hash aggs keyed
+    * by bigram then two small reaggs keyed by w1/w2; T and V are a
+    * 1-row broadcast. Scoring is one bigram-keyed equi-join of the
+    * doc's distinct-bigram occurrences against the model plus two
+    * token-keyed joins (context, continuation) and one per-doc hash
+    * agg — no window, nothing driver-side, hot bigrams (boilerplate)
+    * reduce map-side before every shuffle.
+    */
+  def knBigramScore(train: DataFrame, score: DataFrame, idCol: String,
+                    textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def bigrams(c: Column): Column = {
+      val t = TextFns.toks(c)
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i =>
+          concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    }
+    // the bigram count table feeds FOUR consumers (ctx, cont, T, and
+    // the scoring join) — persist it once
+    val cb = fanOut(train)
+      .select(explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("__c12"))
+      .persist(MEMORY_AND_DISK)
+    val ctx = cb.groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1f"))
+    val cont = cb.groupBy(substring_index(col("bg"), " ", -1).as("__w2"))
+      .agg(count(lit(1)).as("__n1c"))
+    val totals = cb.agg(count(lit(1)).as("__T")).crossJoin(
+      fanOut(train).select(explode(TextFns.toks(col(textCol))).as("__tk"))
+        .agg(countDistinct(col("__tk")).as("__V")))
+    val occ = fanOut(score)
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("__m"))
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .withColumn("__w2", substring_index(col("bg"), " ", -1))
+    val d = lit(discount)
+    val joined = occ
+      .join(cb, Seq("bg"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .na.fill(0L, Seq("__c12", "__c1", "__n1f", "__n1c"))
+      .crossJoin(broadcast(totals))
+    val pc = (col("__n1c").cast(DoubleType) + lit(1.0)) /
+      (col("__T").cast(DoubleType) + col("__V").cast(DoubleType) +
+        lit(1.0))
+    val p = when(col("__c1") > 0,
+        (greatest(col("__c12").cast(DoubleType) - d, lit(0.0)) +
+          d * col("__n1f").cast(DoubleType) * pc) /
+          col("__c1").cast(DoubleType))
+      .otherwise(pc)
+    joined
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        fxSum(col("__m").cast(DoubleType) * -log(p), 1e6).as("__q"))
+      .select(col(idCol), col("n_bigrams"),
+        (fxVal(col("__q"), 1e6) / col("n_bigrams").cast(DoubleType))
+          .as("avg_nll"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained and applied in
     * one flow — the closed-form stand-in for the linear quality/domain
     * classifiers web-scale curation pipelines run (CCNet/fastText

@@ -137,6 +137,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(2L)) // < 3 chars: no trigrams, drops out
   }
 
+  test("knBigramScore: hand-computed interpolated KN probabilities, " +
+      "unseen context backs off to continuation, short docs drop") {
+    // train "a b a c": bigrams {a b, b a, a c} each once; T = 3, V = 3
+    // ctx a: c1 = 2, n1f = 2; ctx b: c1 = 1, n1f = 1
+    // Pc(any seen w2) = (1+1)/(3+3+1) = 2/7
+    val train = Seq((0L, "a b a c")).toDF("id", "text")
+    val score = Seq((1L, "a b a c"), (2L, "z b"), (3L, "x"))
+      .toDF("id", "text")
+    val got = TextAnalysis.knBigramScore(train, score, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val pc = 2.0 / 7
+    val pAb = (0.25 + 0.75 * 2 * pc) / 2 // P(b|a) = P(c|a)
+    val pBa = 0.25 + 0.75 * 1 * pc       // P(a|b), c1 = 1
+    val exp1 = (2 * -math.log(pAb) - math.log(pBa)) / 3
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - exp1) < 1e-5)
+    // "z b": context z unseen → pure continuation Pc(b) = 2/7
+    assert(got(2L)._1 == 1 &&
+      math.abs(got(2L)._2 + math.log(pc)) < 1e-5)
+    assert(!got.contains(3L)) // single token: no bigrams
+  }
+
+  test("knBigramScore: continuation counts, not raw frequency, drive " +
+      "the backoff (the 'francisco' property)") {
+    // 'x' occurs 3x but ALWAYS after 'a'; 'y' occurs 3x after three
+    // DIFFERENT contexts → Pc(y) > Pc(x) although frequencies tie
+    val train = Seq((0L, "a x a x a x p y q y r y")).toDF("id", "text")
+    val score = Seq((1L, "zz x"), (2L, "zz y")).toDF("id", "text")
+    val got = TextAnalysis.knBigramScore(train, score, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(2L),
+      s"nll(x after unseen ctx) ${got(1L)} should exceed y's ${got(2L)}")
+  }
+
+  test("knBigramScore is partition-invariant (fx sums)") {
+    val d = (0 until 500)
+      .map(i => (i.toLong, s"tok${i % 11} tok${i % 7} tok${i % 5} end"))
+      .toDF("id", "text")
+    def run(p: Int) = TextAnalysis.knBigramScore(
+        d.repartition(p), d.repartition(p), "id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) === run(16)) // bit-identical
+  }
+
   test("charLmScore is partition-invariant (fx sums)") {
     val d = (0 until 2000)
       .map(i => (i.toLong % 7, s"doc text ${i % 13} with shared runs"))
