@@ -241,6 +241,56 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode script profile over synthetically code-switched text
+    // (each doc gets a Han/Cyrillic/Kana/Arabic suffix by residue; one
+    // branch repeats the Han run 60× so dominance actually flips away
+    // from Latin): per-script counts via the identical regexp class
+    // on both engines, fractions as single exact integer divisions,
+    // dominant script through the same strictly-greater running-max
+    // fold.
+    Q("ext_script_profile", {
+      val names = TextAnalysis.scripts.map(_._1)
+      val hanBig = " 你好世界" * 60
+      val cnts = TextAnalysis.scripts.map { case (n, cls) =>
+        s"length(txt) - length(regexp_replace(txt, '[$cls]', '', 'g'))" +
+          s" AS n_$n"
+      }.mkString(",\n|   ")
+      val folds = names.tail.zipWithIndex.map { case (n, i) =>
+        s"f${i + 1} AS (SELECT *, CASE WHEN n_$n > m$i THEN '$n' " +
+          s"ELSE b$i END AS b${i + 1}, greatest(n_$n, m$i) AS " +
+          s"m${i + 1} FROM f$i)"
+      }.mkString(",\n|")
+      val last = names.size - 1
+      s"""WITH base AS (SELECT doc_id, text ||
+         |  CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN ' 你好世界'
+         |   WHEN 2 THEN ' привет мир' WHEN 3 THEN '$hanBig'
+         |   ELSE ' مرحبا こんにちは' END AS txt FROM documents),
+         |s AS (SELECT doc_id, length(txt) AS n_chars,
+         |   $cnts
+         |  FROM base),
+         |f0 AS (SELECT *, CASE WHEN n_latin > 0 THEN 'latin'
+         |  ELSE 'other' END AS b0, n_latin AS m0 FROM s),
+         |$folds
+         |SELECT doc_id, n_chars,
+         | ${names.map(n => s"n_$n, " +
+             s"CAST(n_$n AS DOUBLE) / CAST(n_chars AS DOUBLE) AS frac_$n")
+             .mkString(",\n| ")},
+         | b$last AS dominant_script
+         |FROM f$last ORDER BY doc_id""".stripMargin
+    }) { (sp, dir) =>
+      val hanBig = " 你好世界" * 60
+      val suffix = when(pmod(col("doc_id"), lit(5)) === 0, lit(""))
+        .when(pmod(col("doc_id"), lit(5)) === 1, lit(" 你好世界"))
+        .when(pmod(col("doc_id"), lit(5)) === 2, lit(" привет мир"))
+        .when(pmod(col("doc_id"), lit(5)) === 3, lit(hanBig))
+        .otherwise(lit(" مرحبا こんにちは"))
+      TextAnalysis.scriptProfile(
+          documents(sp, dir).select(col("doc_id"),
+            concat(col("text"), suffix).as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     Q("ext_lang_id", {
       val langs = TextAnalysis.stopwords.map(_._1)
       val folds = langs.tail.zipWithIndex.map { case (lang, i) =>

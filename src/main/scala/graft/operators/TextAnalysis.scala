@@ -372,6 +372,69 @@ object TextAnalysis {
           .as("avg_nll"))
   }
 
+  /** Major Unicode script blocks for [[scriptProfile]] — BMP ranges
+    * shared verbatim by the SQL oracle (RE2 and java.util.regex both
+    * accept the `\x{hhhh}` class syntax). Order is the dominant-script
+    * tie priority.
+    */
+  val scripts: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z",
+    "han" -> "\\x{4E00}-\\x{9FFF}",
+    "kana" -> "\\x{3040}-\\x{30FF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "greek" -> "\\x{0370}-\\x{03FF}")
+
+  /** Per-document Unicode SCRIPT profile — the multilingual-curation
+    * signal the stopword [[languageId]] heuristic cannot give for
+    * unsegmented scripts: for each major script block, the count of
+    * the doc's characters in it and its fraction of the doc's total
+    * characters, plus `dominant_script` (highest count; ties break by
+    * the [[scripts]] priority order; `other` when no block matches).
+    * Mixed-script docs (code-switching, boilerplate chrome around CJK
+    * body text) show up as split fractions — the routing signal for
+    * per-script tokenizer/quality pipelines.
+    *
+    * Scale shape: one narrow whole-stage-codegen projection — each
+    * count is `length(text) − length(regexp_replace(text, class,
+    * ''))`, no explode, no shuffle, no state. Fractions are one exact
+    * integer division each, so the oracle bit-matches.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val total = length(col(textCol))
+    val counts = scripts.map { case (name, cls) =>
+      name -> (total -
+        length(regexp_replace(col(textCol), s"[$cls]", "")))
+        .cast("long")
+    }
+    val withCounts = counts.foldLeft(fanOut(docs)) {
+      case (df, (name, c)) => df.withColumn(s"n_$name", c)
+    }
+    // argmax with fixed priority: a later script must be STRICTLY
+    // greater to displace an earlier one (mirrors the oracle fold)
+    val dominant = counts.tail.foldLeft(
+      when(col(s"n_${counts.head._1}") > 0, lit(counts.head._1))
+        .otherwise(lit("other"))
+        -> col(s"n_${counts.head._1}")) {
+      case ((bestName, bestCnt), (name, _)) =>
+        val c = col(s"n_$name")
+        (when(c > greatest(bestCnt, lit(0L)), lit(name))
+          .otherwise(bestName),
+          greatest(c, bestCnt))
+    }._1
+    withCounts
+      .withColumn("n_chars", total.cast("long"))
+      .withColumn("dominant_script", dominant)
+      .select(Seq(col(idCol), col("n_chars")) ++
+        scripts.flatMap { case (name, _) => Seq(col(s"n_$name"),
+          (col(s"n_$name").cast(DoubleType) /
+            col("n_chars").cast(DoubleType)).as(s"frac_$name")) } :+
+        col("dominant_script"): _*)
+  }
+
   /** Interpolated Kneser-Ney BIGRAM language-model scoring — the
     * word-level LM quality signal (CCNet-style perplexity filtering)
     * one step up from [[charLmScore]]'s character trigrams: train

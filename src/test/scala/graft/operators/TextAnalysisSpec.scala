@@ -137,6 +137,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.contains(2L)) // < 3 chars: no trigrams, drops out
   }
 
+  test("scriptProfile: per-script counts/fractions; dominance is " +
+      "strictly-greater with priority-order ties; no match = other") {
+    val d = Seq(
+      (1L, "abc"),            // pure latin
+      (2L, "你好 abc"),       // mixed, latin wins 3 > 2
+      (3L, "你好你好 ab"),    // han wins 4 > 2
+      (4L, "123 !!"),         // no script chars at all
+      (5L, "καλημέρα"),       // greek (lowest priority, only nonzero)
+      (6L, "ab 你好"))        // exact tie 2 = 2 → latin (priority)
+      .toDF("id", "text")
+    val got = TextAnalysis.scriptProfile(d, "id", "text")
+      .select("id", "n_chars", "n_latin", "n_han", "n_greek",
+        "frac_latin", "dominant_script")
+      .as[(Long, Long, Long, Long, Long, Double, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 3L, 0L, 0L, 1.0, "latin")))
+    assert(got(2L)._2 === 6L && got(2L)._3 === 3L &&
+      got(2L)._4 === 2L && got(2L)._7 === "latin")
+    assert(got(3L)._7 === "han")
+    assert(got(4L)._7 === "other")
+    assert(got(5L)._5 === 8L && got(5L)._7 === "greek")
+    assert(got(6L)._7 === "latin")
+  }
+
   test("knBigramScore: hand-computed interpolated KN probabilities, " +
       "unseen context backs off to continuation, short docs drop") {
     // train "a b a c": bigrams {a b, b a, a c} each once; T = 3, V = 3
