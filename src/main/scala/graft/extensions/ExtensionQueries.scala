@@ -1002,6 +1002,28 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Dedup-AWARE splitting over the SAME clusters: the train/val/test
+    // hash keys on cluster_id, so a near-duplicate pair can never
+    // straddle the split boundary (the leakage mode per-doc hashing
+    // has). The oracle replays the cluster closure and applies the
+    // ext_splits hash to cluster_id.
+    Q("ext_cluster_split",
+      s"""WITH RECURSIVE $clustersCteSql
+         |SELECT doc_id, cluster_id,
+         | CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  ${h32("CAST(cluster_id AS VARCHAR)")} % 100 AS h FROM clust)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docsDf = documents(s, d)
+      Dedup.clusterSplits(docsDf, "doc_id",
+          Dedup.minhashLshPairs(docsDf, "doc_id", "text",
+            n = 3, k = 24, bands = 6, threshold = 0.5),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // The 16-bit SimHash variant (Dedup.simhashPairs) is spec-gated
     // only (DedupSpec "near-identical docs within small hamming
     // radius"): its 65,536-value signature space saturates as the
@@ -1398,6 +1420,41 @@ object ExtensionQueries {
       Similarity.hardNegativesIvf(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", positives, "query_id", "pos_doc",
           k = 5, cells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Deterministic RANDOM-negative sampling over the md5 ring (the
+    // contrastive baseline ext_hard_negatives upgrades from): the
+    // oracle replays the ring ranks with one global row_number (fine
+    // for an oracle; the engine uses the bounded two-level
+    // zipWithIndex shape), the hashed per-query start offsets, the
+    // window probes, the positive exclusion and the ring-order rank.
+    Q("ext_random_negatives", {
+      val (k, win) = (5, 13) // oversample = 8
+      val h = h32("CAST(doc_id AS VARCHAR)")
+      s"""WITH rk AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY $h, doc_id) - 1 AS rn
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS n FROM rk),
+         |q AS (SELECT doc_id AS query_id, $h % n AS s
+         |  FROM documents CROSS JOIN nn WHERE doc_id < 20),
+         |probes AS (SELECT query_id, i AS pi, (s + i) % n AS rn
+         |  FROM q CROSS JOIN nn, range(0, $win) u(i)),
+         |cand AS (SELECT p.query_id, rk.doc_id, p.pi
+         |  FROM probes p JOIN rk USING (rn)
+         |  WHERE rk.doc_id % 20 != p.query_id)
+         |SELECT query_id, doc_id, rank FROM (
+         | SELECT query_id, doc_id, CAST(row_number() OVER (
+         |   PARTITION BY query_id ORDER BY pi) AS INT) AS rank
+         | FROM cand)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      val positives = docs.select(col("doc_id").as("pos_doc"))
+        .withColumn("query_id", pmod(col("pos_doc"), lit(20)))
+      Similarity.randomNegatives(docs, "doc_id",
+          docs.filter(col("doc_id") < 20), "doc_id",
+          positives, "query_id", "pos_doc", k = 5, oversample = 8)
         .orderBy(col("query_id"), col("rank"))
     },
 

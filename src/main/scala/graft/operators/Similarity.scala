@@ -94,6 +94,84 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** RANDOM-negative sampling for contrastive training — the uniform
+    * baseline [[hardNegatives]] upgrades from (InfoNCE starts on
+    * random negatives; hard negatives matter once those are trivially
+    * separated): for each query, `k` deterministic pseudo-random
+    * corpus docs that are not among its known positives. No vectors
+    * needed — the draw is positional: corpus docs take a md5-ordered
+    * RING position, each query reads `k + oversample` consecutive
+    * positions starting at its own hashed offset, positives are
+    * anti-joined out, and the first `k` survivors (ring order) emit as
+    * (query_id, doc_id, rank). Fully deterministic (re-runs and both
+    * engines agree), uniform because md5 order is independent of any
+    * doc attribute. A query whose window is positive-saturated
+    * under-fills rather than scanning on — raise `oversample` (must
+    * cover the max positives per query for guaranteed fills). Include
+    * self-pairs in `positives` when queries are drawn from the corpus.
+    *
+    * Scale shape: ring ranks via the bounded two-level zipWithIndex
+    * pattern ([[Corpus.packSequences]]'s argument — a 256-bucket
+    * window cumcount + a 256-row driver offset pass, never a global
+    * window); the draw is ONE equi-join of |queries| × (k +
+    * oversample) position probes against the ranked corpus, and the
+    * per-query rank window holds ≤ k + oversample rows. Eager note:
+    * building the ring runs the 256-row offsets collect up front; the
+    * corpus id projection is locally checkpointed so upstream runs
+    * once.
+    */
+  def randomNegatives(corpus: DataFrame, idCol: String,
+                      queries: DataFrame, queryIdCol: String,
+                      positives: DataFrame, posQueryCol: String,
+                      posDocCol: String, k: Int,
+                      oversample: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample >= 0, s"oversample must be >= 0, got $oversample")
+    import org.apache.spark.sql.expressions.Window
+    val win = k + oversample
+    // bucket = the hash's high 8 bits — MONOTONE in the (h, doc) sort
+    // key (a modulo bucket would interleave hash ranges and corrupt
+    // the concatenated global order), hash32 is < 2^32
+    val d0 = corpus.select(col(idCol).as("__doc"))
+      .withColumn("__h", TextFns.hash32(col("__doc").cast("string")))
+      .withColumn("__bkt", expr("__h div 16777216"))
+      .localCheckpoint()
+    val inB = d0.withColumn("__r",
+      row_number().over(Window.partitionBy(col("__bkt"))
+        .orderBy(col("__h"), col("__doc"))).cast("long"))
+    val totals = d0.groupBy(col("__bkt")).count()
+      .orderBy(col("__bkt")).collect()
+    val n = totals.map(_.getLong(1)).sum
+    require(n >= win,
+      s"corpus ($n docs) must cover the probe window ($win)")
+    var acc = 0L
+    val offRows = totals.map { r =>
+      val o = acc; acc += r.getLong(1); (r.getLong(0), o)
+    }.toSeq
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val ranked = inB
+      .join(broadcast(offRows.toDF("__bkt", "__off")), Seq("__bkt"))
+      .select((col("__off") + col("__r") - 1).as("__rn"), col("__doc"))
+    val pos = positives.select(col(posQueryCol).as("__pq"),
+      col(posDocCol).as("__pd"))
+    val probes = queries.select(col(queryIdCol).as("query_id"))
+      .withColumn("__s",
+        pmod(TextFns.hash32(col("query_id").cast("string")), lit(n)))
+      .select(col("query_id"), col("__s"),
+        explode(sequence(lit(0L), lit(win.toLong - 1))).as("__i"))
+      .withColumn("__rn", pmod(col("__s") + col("__i"), lit(n)))
+    val cand = probes.join(ranked, Seq("__rn"))
+      .join(broadcast(pos), col("query_id") === col("__pq") &&
+        col("__doc") === col("__pd"), "left_anti")
+    cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__i")))
+        .cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("__doc").as("doc_id"), col("rank"))
+  }
+
   /** Mean-pool embeddings per group — the chunk-embeddings → document
     * embedding (or passage → query context) aggregation every
     * retrieval corpus build runs. Output is the FLAT `(groupCol, dim,

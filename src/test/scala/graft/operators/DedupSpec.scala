@@ -463,4 +463,25 @@ class DedupSpec extends SparkSpec {
     // the 3-source blob exceeds the cap; only the 2-source pair counts
     assert(out === Array(("s1", "s2", 1L)))
   }
+
+  test("clusterSplits: near-duplicate pairs never straddle a split; " +
+      "membership keys only on cluster_id") {
+    val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("id", "text")
+    val pairs = (0L until 20L).map(i => (2 * i, 2 * i + 1))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterSplits(docs, "id", pairs,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    // one split per cluster, by construction of the cluster-id hash
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._3).distinct.size === 1,
+        s"cluster ${members.head._2} straddles: $members")
+    }
+    // the paired docs share clusters AND splits
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    (0L until 20L).foreach { i =>
+      assert(byId(2 * i) === byId(2 * i + 1))
+    }
+  }
 }

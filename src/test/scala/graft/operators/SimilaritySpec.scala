@@ -316,6 +316,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.4, s"recall=$recall")
   }
 
+  test("randomNegatives: exactly k positive-free ring draws per " +
+      "query, deterministic and partition-invariant") {
+    val docs = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    val queries = (0L until 10L).map(Tuple1(_)).toDF("doc_id")
+    // positives: every doc with doc % 10 == query (includes self)
+    val positives = docs.select($"doc_id".as("pos_doc"))
+      .withColumn("query_id", pmod($"pos_doc", lit(10)))
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.randomNegatives(c, "doc_id", queries, "doc_id",
+          positives, "query_id", "pos_doc", k = 5)
+        .as[(Long, Long, Int)].collect().sortBy(t => (t._1, t._3)).toSeq
+    val got = run(docs)
+    // k rows per query, ranks 1..k, no positive ever drawn
+    assert(got.size === 50)
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted === (1 to 5))
+    }
+    assert(got.forall { case (q, d, _) => d % 10 != q })
+    // deterministic under repartitioning (the ring is bucketed — a
+    // non-monotone bucket key would shuffle the global order)
+    assert(run(docs.repartition(7)) === got)
+    // windows are consecutive ring positions, so two queries with
+    // different hashed starts draw different sets (not a constant)
+    val sets = got.groupBy(_._1).values.map(_.map(_._2).toSet).toSeq
+    assert(sets.distinct.size > 1)
+  }
+
   test("meanPool averages per (group, dim), order-independently") {
     val embs = Seq(
       (0L, Seq(1.0f, 2.0f)), (0L, Seq(3.0f, 4.0f)),
