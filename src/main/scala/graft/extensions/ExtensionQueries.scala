@@ -2,7 +2,7 @@ package graft.extensions
 
 import graft.Q
 import graft.functions.TextFns
-import graft.operators.{Corpus, Dedup, Multimodal, Pii, Quantize, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Pii, Quantize, Relevance, Similarity, TextAnalysis}
 import graft.tables.Tables._
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
@@ -1421,6 +1421,61 @@ object ExtensionQueries {
           "vec_id", "embedding", positives, "query_id", "pos_doc",
           k = 5, cells = 16, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Reciprocal-rank fusion of two overlapping ranked runs (hybrid
+    // lexical+dense search's default ensembling): run A ranks each
+    // query's residue-class docs, run B a coarser class that overlaps
+    // A (docs in both runs must fuse higher), both by md5 order. The
+    // oracle replays the runs, the 1e-12 fixed-point 1/(60+rank)
+    // terms, the exact sum and the fused tie order.
+    Q("ext_rrf_fusion", {
+      val hA = h32("'a:' || CAST(doc_id AS VARCHAR)")
+      val hB = h32("'b:' || CAST(doc_id AS VARCHAR)")
+      val term = "CAST(floor(1.0 / (60.0 + CAST(rank AS DOUBLE)) * " +
+        "1000000000000.0 + 0.5) AS BIGINT)"
+      s"""WITH a AS (SELECT q, doc, rank FROM (
+         |  SELECT doc_id % 10 AS q, doc_id AS doc,
+         |   row_number() OVER (PARTITION BY doc_id % 10
+         |     ORDER BY $hA, doc_id) AS rank FROM documents)
+         | WHERE rank <= 10),
+         |b AS (SELECT q, doc, rank FROM (
+         |  SELECT u.q, doc_id AS doc,
+         |   row_number() OVER (PARTITION BY u.q
+         |     ORDER BY $hB, doc_id) AS rank
+         |  FROM documents, unnest([doc_id % 5, doc_id % 5 + 5]) u(q))
+         | WHERE rank <= 10),
+         |runs AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+         |fused AS (SELECT q, doc,
+         |   CAST(sum($term) AS BIGINT) AS rrf_fx
+         |  FROM runs GROUP BY 1, 2)
+         |SELECT q, doc, rrf_fx,
+         | CAST(rrf_fx AS DOUBLE) / 1000000000000.0 AS rrf, rank
+         |FROM (SELECT q, doc, rrf_fx, CAST(row_number() OVER (
+         |   PARTITION BY q ORDER BY rrf_fx DESC, doc) AS INT) AS rank
+         |  FROM fused)
+         |WHERE rank <= 5 ORDER BY q, rank""".stripMargin
+    }) { (sp, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(sp, d).select(col("doc_id"))
+      def h(tag: String) = graft.functions.TextFns.hash32(
+        concat(lit(tag + ":"), col("doc_id").cast("string")))
+      val runA = docs
+        .withColumn("q", pmod(col("doc_id"), lit(10)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(h("a"), col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q"), col("doc_id").as("doc"), col("rank"))
+      val runB = docs
+        .select(col("doc_id"), explode(array(
+          pmod(col("doc_id"), lit(5)),
+          pmod(col("doc_id"), lit(5)) + 5)).as("q"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q")).orderBy(h("b"), col("doc_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q"), col("doc_id").as("doc"), col("rank"))
+      Relevance.rrfFuse(runA.unionAll(runB), "q", "doc", "rank", k = 5)
+        .orderBy(col("q"), col("rank"))
     },
 
     // Deterministic RANDOM-negative sampling over the md5 ring (the

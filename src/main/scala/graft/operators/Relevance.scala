@@ -262,4 +262,46 @@ object Relevance {
           .otherwise(col("__dcg_fx").cast(DoubleType) /
             idcgFx.cast(DoubleType)).as("ndcg"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    * hybrid-search ensembling step: merge ANY number of per-query
+    * ranked runs (lexical BM25, dense ANN, ...) into one ranking by
+    * summing `1 / (k0 + rank)` per (query, doc) across runs, k0 = 60
+    * canonically. Rank-based, so the runs' score scales never need
+    * calibrating — why RRF is the default fusion in production hybrid
+    * retrieval. Input: `runs(queryCol, docCol, rankCol)` — the union
+    * of the runs, one row per (run, query, doc); output: the fused
+    * top-`k` per query as (query, doc, rrf_fx, rrf, rank), ties by
+    * ascending doc.
+    *
+    * Determinism: each 1/(k0+rank) term is quantized to 1e-12 fixed
+    * point ([[graft.functions.Cols.fxTerm]]; terms ≤ 1/(k0+1), so even
+    * 10^6 runs per doc stay far inside 2^53) and summed as exact
+    * integers — the fused order cannot depend on float add order, and
+    * a SQL oracle reproduces it bit-for-bit.
+    *
+    * Scale shape: ONE hash aggregation keyed (query, doc) —
+    * map-side combining — and one per-query window whose groups hold
+    * only that query's fused candidates (≤ Σ run depths, hundreds).
+    */
+  def rrfFuse(runs: DataFrame, queryCol: String, docCol: String,
+              rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    import org.apache.spark.sql.expressions.Window
+    val term = lit(1.0) /
+      (lit(k0.toDouble) + col(rankCol).cast(DoubleType))
+    val fused = runs
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(Cols.fxTerm(term, 1e12)).as("rrf_fx"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_fx").desc, col(docCol)))
+        .cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(docCol), col("rrf_fx"),
+        (col("rrf_fx").cast(DoubleType) / lit(1e12)).as("rrf"),
+        col("rank"))
+  }
 }

@@ -140,4 +140,26 @@ class Bm25Spec extends SparkSpec {
     assert(q0._6 === t3 / (1000000.0 + t3))
     assert(q1 === ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("rrfFuse: cross-run agreement outranks any single run; ties " +
+      "break by ascending doc; exact fixed-point terms") {
+    val runs = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), // run A
+      (1L, 20L, 1), (1L, 30L, 2), // run B: d20 in both runs
+      (2L, 40L, 1), (2L, 50L, 1)) // q2: two runs, rank-1 tie
+      .toDF("q", "doc", "rank")
+    val got = Relevance.rrfFuse(runs, "q", "doc", "rank", k = 3)
+      .select("q", "doc", "rrf_fx", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+      .sortBy(t => (t._1, t._4)).toSeq
+    def fx(ranks: Int*) =
+      ranks.map(r => math.floor(1.0 / (60.0 + r) * 1e12 + 0.5).toLong)
+        .sum
+    assert(got === Seq(
+      (1L, 20L, fx(2, 1), 1), // 1/62 + 1/61 beats either alone
+      (1L, 10L, fx(1), 2),
+      (1L, 30L, fx(2), 3),
+      (2L, 40L, fx(1), 1),    // equal scores: ascending doc
+      (2L, 50L, fx(1), 2)))
+  }
 }
