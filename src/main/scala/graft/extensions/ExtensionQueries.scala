@@ -321,6 +321,31 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-annealed curriculum interleave: per-source quality rank,
+    // then the GLOBAL round-robin position computed closed-form from
+    // the per-source counts (no global sort on the engine side). The
+    // oracle states the semantic ground truth directly — global_pos
+    // IS the index under ORDER BY (grp_rank, source) — so any error
+    // in the Σ min(r−1, n) + earlier-same-rank formula breaks the
+    // hash.
+    Q("ext_curriculum",
+      s"""WITH q AS (SELECT doc_id, source, $qualitySql AS quality
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |   row_number() OVER (PARTITION BY source
+         |     ORDER BY quality DESC, doc_id) AS grp_rank FROM q)
+         |SELECT doc_id, source, CAST(grp_rank AS BIGINT) AS grp_rank,
+         | CAST(row_number() OVER (ORDER BY grp_rank, source) - 1
+         |   AS BIGINT) AS global_pos
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val withQ = documents(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.qualityCol(col("text")).as("quality"))
+      Corpus.curriculumOrder(withQ, "source", "doc_id", "quality")
+        .select(col("doc_id"), col("source"), col("grp_rank"),
+          col("global_pos"))
+        .orderBy(col("doc_id"))
+    },
+
     // Char-trigram LM perplexity scoring (the KenLM-style quality
     // filter): train the trigram model on the corpus itself, charge
     // each doc the add-one-smoothed avg negative log-likelihood. The

@@ -205,6 +205,59 @@ object Corpus {
       .filter(col("cum_tokens") - col("n_tokens") < tokenBudget)
   }
 
+  /** Curriculum interleave ordering — the trainer-facing data-order
+    * artifact: rank each group's (source's) documents by `scoreCol`
+    * descending (best first — quality-annealed curriculum; pass a
+    * hash for a plain balanced interleave) and emit a GLOBAL
+    * `global_pos` that round-robins the groups rank-by-rank (all the
+    * rank-1 docs in group order, then rank-2, ...; exhausted groups
+    * drop out) — so consuming in `global_pos` order anneals quality
+    * while never letting one source run consecutively.
+    *
+    * The interesting part at 100 TB: `global_pos` is the index the
+    * row would have under a global ORDER BY (grp_rank, group) — but
+    * computed WITHOUT any global sort. Because the position depends
+    * only on (group, rank) and the per-group counts,
+    *
+    *   pos(g, r) = Σ_g' min(r−1, n_g')  +  |{g' < g : n_g' ≥ r}|
+    *
+    * (docs of earlier ranks, plus same-rank docs of earlier groups),
+    * and groups are data SOURCES — bounded by construction — the
+    * counts collect driver-side (require-gated ≤ `maxGroups`, the PQ
+    * codebook convention) and the formula compiles into one narrow
+    * projection. Total cost: ONE hash-partitioned per-group window +
+    * a scan — no global window, no second shuffle.
+    *
+    * Ties in `scoreCol` break by ascending `idCol`, so the order is
+    * total and partition-invariant. Eager note: the counts aggregate
+    * runs at call time; the ranked frame is locally checkpointed so
+    * the window runs once across it and the final plan.
+    */
+  def curriculumOrder(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String,
+                      maxGroups: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = df
+      .withColumn("grp_rank", row_number().over(w).cast("long"))
+      .localCheckpoint()
+    val counts = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n")).collect()
+    require(counts.length <= maxGroups,
+      s"curriculumOrder saw ${counts.length} groups; the closed-form " +
+        s"position compiles one term per group — gate is $maxGroups " +
+        "(group by SOURCE, not by key)")
+    val r = col("grp_rank")
+    val g = col(groupCol)
+    val pos = counts.map { row =>
+      val g2 = row.get(0)
+      val n2 = row.getLong(1)
+      least(lit(n2), r - 1) +
+        when(lit(g2) < g && lit(n2) >= r, 1L).otherwise(0L)
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+    ranked.withColumn("global_pos", pos)
+  }
+
   /** Content-addressed corpus manifest — the reproducibility artifact
     * a dataset release ships: per deterministic shard, the doc count,
     * token total and an order-independent content fingerprint

@@ -476,6 +476,32 @@ class CorpusSpec extends SparkSpec {
       Array((1L, "a b c d", 0L, 0L), (2L, "", 0L, 0L)))
   }
 
+  test("curriculumOrder: round-robin interleave by rank then group, " +
+      "exhausted groups drop out, positions are a permutation") {
+    // A: scores 9, 8, 7; B: scores 9, 5 → A1 B1 A2 B2 A3
+    val d = Seq(
+      (1L, "A", 9.0), (2L, "A", 8.0), (3L, "A", 7.0),
+      (4L, "B", 9.0), (5L, "B", 5.0)).toDF("id", "grp", "score")
+    val got = Corpus.curriculumOrder(d, "grp", "id", "score")
+      .select("id", "grp_rank", "global_pos")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((1L, 0L)), 4L -> ((1L, 1L)),
+      2L -> ((2L, 2L)), 5L -> ((2L, 3L)),
+      3L -> ((3L, 4L))))
+    // permutation + equals a literal global sort, at a larger scale
+    val big = (0L until 300L)
+      .map(i => (i, s"g${i % 7}", (i * 13 % 17).toDouble))
+      .toDF("id", "grp", "score")
+    val rows = Corpus.curriculumOrder(big, "grp", "id", "score")
+      .select("id", "grp", "grp_rank", "global_pos")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.map(_._4).sorted === (0L until 300L).toArray)
+    val byPos = rows.sortBy(_._4).map(r => (r._3, r._2)).toSeq
+    assert(byPos === rows.sortBy(r => (r._3, r._2)).map(r => (r._3, r._2)).toSeq)
+  }
+
   test("packBoundaries: per-sequence piece offsets tile the sequence, " +
       "doc open/close flags mark true document edges") {
     val d = Seq(
