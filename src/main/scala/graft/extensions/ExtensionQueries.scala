@@ -824,6 +824,45 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Subset REMOVAL over the same containment frame (the apply step
+    // ext_containment only measures): a doc ≥60% contained in a larger
+    // doc drops, the superset survives, ties by smaller id, best
+    // absorber by (containment desc, size desc, id) — every direction
+    // and tie-break replayed in the oracle.
+    Q("ext_drop_contained",
+      s"""WITH sh AS (SELECT doc_id AS did, unnest(${shSql(3)}) AS sh
+         |  FROM documents),
+         |cnt AS (SELECT did, CAST(count(*) AS BIGINT) AS nsh FROM sh
+         |  GROUP BY did),
+         |pr AS (SELECT a2.id_a, a2.id_b, ca.nsh AS nsh_a, cb.nsh AS nsh_b,
+         |  CAST(a2.i AS DOUBLE) / CAST(ca.nsh AS DOUBLE) AS cont_a,
+         |  CAST(a2.i AS DOUBLE) / CAST(cb.nsh AS DOUBLE) AS cont_b
+         | FROM (SELECT a.did AS id_a, b.did AS id_b,
+         |    CAST(count(*) AS BIGINT) AS i
+         |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.did < b.did
+         |   GROUP BY 1, 2) a2
+         | JOIN cnt ca ON a2.id_a = ca.did
+         | JOIN cnt cb ON a2.id_b = cb.did),
+         |dir AS (
+         | SELECT id_a AS x, id_b AS y, cont_a AS c, nsh_b AS ny FROM pr
+         |  WHERE cont_a >= 0.6 AND (nsh_b > nsh_a OR
+         |    (nsh_b = nsh_a AND id_b < id_a))
+         | UNION ALL
+         | SELECT id_b, id_a, cont_b, nsh_a FROM pr
+         |  WHERE cont_b >= 0.6 AND (nsh_a > nsh_b OR
+         |    (nsh_a = nsh_b AND id_a < id_b))),
+         |best AS (SELECT x, y FROM (SELECT x, y, row_number() OVER (
+         |   PARTITION BY x ORDER BY c DESC, ny DESC, y) AS rn FROM dir)
+         |  WHERE rn = 1)
+         |SELECT doc_id, y IS NULL AS kept,
+         | coalesce(y, -1) AS absorbed_by
+         |FROM documents LEFT JOIN best ON doc_id = x
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dropContained(documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy(col("doc_id"))
+    },
+
     Q("ext_dedup_minhash", {
       val k = 24; val bands = 6; val rows = k / bands
       val bandKeys = s"list_transform(range(0, $bands), b -> " +

@@ -203,6 +203,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("nsh_a"),
         col("nsh_b"), col("cont_a"), col("cont_b"))
 
+  /** Containment-directed SUBSET REMOVAL — the apply step
+    * [[containmentPairs]] only measures: a document ≥ `threshold`
+    * shingle-contained in any LARGER document (ties by smaller id) is
+    * dropped, the superset survives — quote pages, syndicated
+    * excerpts and partial mirrors collapse into their fullest copy,
+    * the asymmetric case symmetric Jaccard dedup misses. Emits one
+    * row per input doc: `(idCol, kept, absorbed_by)` with
+    * `absorbed_by` the BEST absorber (highest containment, then
+    * largest, then smallest id; -1 when kept). Absorption is
+    * NON-transitive by contract: a doc contained in a doc that is
+    * itself absorbed still drops — its content survives through the
+    * chain's top.
+    *
+    * Scale shape: [[containmentPairs]]' inverted-index plan plus a
+    * per-absorbed-doc argmax hash aggregation (min-struct, map-side
+    * combinable) and one left join back onto the corpus ids — no new
+    * window, nothing driver-side.
+    */
+  def dropContained(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, threshold: Double,
+                    maxShingleFreq: Int = 0): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, n, threshold,
+      maxShingleFreq)
+    val dirA = pairs.filter(col("cont_a") >= threshold &&
+        (col("nsh_b") > col("nsh_a") ||
+          (col("nsh_b") === col("nsh_a") && col("id_b") < col("id_a"))))
+      .select(col("id_a").as("__x"), col("id_b").as("__y"),
+        col("cont_a").as("__c"), col("nsh_b").as("__ny"))
+    val dirB = pairs.filter(col("cont_b") >= threshold &&
+        (col("nsh_a") > col("nsh_b") ||
+          (col("nsh_a") === col("nsh_b") && col("id_a") < col("id_b"))))
+      .select(col("id_b").as("__x"), col("id_a").as("__y"),
+        col("cont_b").as("__c"), col("nsh_a").as("__ny"))
+    // argmax absorber via min-struct: (-containment, -size, id)
+    val absorbed = dirA.unionAll(dirB)
+      .groupBy(col("__x"))
+      .agg(min(struct((-col("__c")).as("nc"), (-col("__ny")).as("nn"),
+        col("__y").as("y"))).as("__best"))
+      .select(col("__x"), col("__best.y").as("__by"))
+    docs.select(col(idCol))
+      .join(absorbed, col(idCol) === col("__x"), "left_outer")
+      .select(col(idCol), col("__by").isNull.as("kept"),
+        coalesce(col("__by"), lit(-1L)).as("absorbed_by"))
+  }
+
   /** Banded MinHash signature INDEX of a corpus: one
     * (did, sig, band) row per (doc, band). This is the artifact an
     * incremental ingestion pipeline PERSISTS (in production: written

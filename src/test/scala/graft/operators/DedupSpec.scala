@@ -464,6 +464,28 @@ class DedupSpec extends SparkSpec {
     assert(out === Array(("s1", "s2", 1L)))
   }
 
+  test("dropContained: subsets drop into their fullest absorber, " +
+      "equal sets keep the smaller id, chains are non-transitive") {
+    val d = Seq(
+      (1L, "w1 w2 w3 w4"),                   // ⊂ 2 and ⊂ 6
+      (2L, "w1 w2 w3 w4 w5 w6"),             // ⊂ 6
+      (6L, "w1 w2 w3 w4 w5 w6 w7 w8"),       // chain top: kept
+      (3L, "u1 u2 u3 u4"),                   // = 4 (mutual): kept
+      (4L, "u1 u2 u3 u4"),                   // absorbed by 3 (min id)
+      (5L, "z1 z2 z3 z4 z5"))                // unrelated: kept
+      .toDF("id", "text")
+    val got = Dedup.dropContained(d, "id", "text", n = 3,
+        threshold = 0.6)
+      .as[(Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, false, 6L), // best absorber = biggest at equal containment
+      (2L, false, 6L),
+      (3L, true, -1L),
+      (4L, false, 3L),
+      (5L, true, -1L),
+      (6L, true, -1L)))
+  }
+
   test("clusterSplits: near-duplicate pairs never straddle a split; " +
       "membership keys only on cluster_id") {
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("id", "text")
