@@ -171,8 +171,14 @@ object Chat {
       col("__parent").as("__cur"),
       array(struct(col("__role").as("role"), col("__text").as("text")))
         .as("__turns"))
+    // only `m` is a loop INVARIANT; each iteration's paths frame is
+    // consumed exactly once by the next, so eager-persist the new
+    // frame and drop its predecessor — otherwise O(maxDepth)
+    // conversation-sized frames stay pinned for the returned plan's
+    // lifetime (unlike pageRankLoop, whose persists are all invariants)
+    var prev: DataFrame = null
     (1 until maxDepth).foreach { _ =>
-      paths = paths.join(
+      val next = paths.join(
           m.select(col("__id").as("__cur"), col("__parent").as("__next"),
             struct(col("__role").as("role"), col("__text").as("text"))
               .as("__t")),
@@ -183,8 +189,15 @@ object Chat {
           when(col("__t").isNotNull,
             concat(array(col("__t")), col("__turns")))
             .otherwise(col("__turns")).as("__turns"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint() // materializes now, so unpersisting the
+                           // predecessor below cannot force a recompute
+      if (prev != null) { prev.unpersist(); () }
+      prev = next
+      paths = next
     }
+    // after ≥1 materialized iteration the returned plan reads only the
+    // last checkpointed frame — the message table can go too
+    if (maxDepth > 1) { m.unpersist(); () }
     paths.select(col("conv_id"),
       size(col("__turns")).as("n_turns"),
       col("__cur").isNull.as("complete"),

@@ -216,46 +216,68 @@ object Corpus {
     *
     * The interesting part at 100 TB: `global_pos` is the index the
     * row would have under a global ORDER BY (grp_rank, group) — but
-    * computed WITHOUT any global sort. Because the position depends
-    * only on (group, rank) and the per-group counts,
-    *
-    *   pos(g, r) = Σ_g' min(r−1, n_g')  +  |{g' < g : n_g' ≥ r}|
-    *
-    * (docs of earlier ranks, plus same-rank docs of earlier groups),
-    * and groups are data SOURCES — bounded by construction — the
-    * counts collect driver-side (require-gated ≤ `maxGroups`, the PQ
-    * codebook convention) and the formula compiles into one narrow
-    * projection. Total cost: ONE hash-partitioned per-group window +
-    * a scan — no global window, no second shuffle.
+    * computed WITHOUT any global sort, via a bucketed prefix sum:
+    * ranks are cut into ≤ `maxGroups` contiguous ranges (`__bucket =
+    * (grp_rank−1) div width`), the per-bucket row counts collect
+    * driver-side (bounded by construction) and turn into per-bucket
+    * START OFFSETS, and one hash-partitioned window per bucket gives
+    * the within-bucket position — `global_pos = offset(bucket) +
+    * row_number − 1`. Bucket sizes are balanced: each group
+    * contributes at most `width` rows per bucket, so with the group
+    * count require-gated ≤ `maxGroups` (groups are data SOURCES —
+    * bounded by construction, the PQ codebook convention) a bucket
+    * holds ≤ N/maxGroups + maxGroups rows regardless of group-size
+    * skew. Total cost: TWO hash-partitioned windows (per-group rank,
+    * per-bucket position) + one broadcast join of ≤ maxGroups offset
+    * rows — no global window, and every projection is a handful of
+    * codegen-friendly terms (the previous closed form compiled one
+    * `least+when` term PER GROUP into a single projection, which blows
+    * Janino's 64 KB method limit and silently drops to interpreted
+    * eval near the gate).
     *
     * Ties in `scoreCol` break by ascending `idCol`, so the order is
-    * total and partition-invariant. Eager note: the counts aggregate
-    * runs at call time; the ranked frame is locally checkpointed so
-    * the window runs once across it and the final plan.
+    * total and partition-invariant. Eager note: the scalar aggregate
+    * and bucket counts run at call time; the ranked frame is locally
+    * checkpointed so the rank window runs once across them and the
+    * final plan.
     */
   def curriculumOrder(df: DataFrame, groupCol: String, idCol: String,
                       scoreCol: String,
                       maxGroups: Int = 4096): DataFrame = {
+    require(maxGroups >= 1, s"maxGroups must be >= 1, got $maxGroups")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(idCol))
     val ranked = df
       .withColumn("grp_rank", row_number().over(w).cast("long"))
       .localCheckpoint()
-    val counts = ranked.groupBy(col(groupCol))
+    val head = ranked
+      .agg(max(col("grp_rank")), countDistinct(col(groupCol))).head()
+    if (head.isNullAt(0)) // empty input: no positions to assign
+      return ranked.withColumn("global_pos", lit(0L))
+    val maxN = head.getLong(0)
+    val nGroups = head.getLong(1)
+    require(nGroups <= maxGroups,
+      s"curriculumOrder saw $nGroups groups; bucket balance is argued " +
+        s"for ≤ $maxGroups (group by SOURCE, not by key)")
+    val width = math.max(1L, (maxN + maxGroups - 1) / maxGroups)
+    val bucketed = ranked.withColumn("__bucket",
+      expr(s"(grp_rank - 1L) div ${width}L"))
+    // ≤ maxGroups buckets by construction of width — driver-bounded
+    val sizes = bucketed.groupBy(col("__bucket"))
       .agg(count(lit(1)).as("__n")).collect()
-    require(counts.length <= maxGroups,
-      s"curriculumOrder saw ${counts.length} groups; the closed-form " +
-        s"position compiles one term per group — gate is $maxGroups " +
-        "(group by SOURCE, not by key)")
-    val r = col("grp_rank")
-    val g = col(groupCol)
-    val pos = counts.map { row =>
-      val g2 = row.get(0)
-      val n2 = row.getLong(1)
-      least(lit(n2), r - 1) +
-        when(lit(g2) < g && lit(n2) >= r, 1L).otherwise(0L)
-    }.reduceOption(_ + _).getOrElse(lit(0L))
-    ranked.withColumn("global_pos", pos)
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = sizes.scanLeft((0L, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.init.zip(sizes).map { case ((_, off), (b, _)) => (b, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__bucket", "__offset")
+    val wb = Window.partitionBy(col("__bucket"))
+      .orderBy(col("grp_rank"), col(groupCol))
+    bucketed.join(broadcast(offsetsDf), Seq("__bucket"))
+      .withColumn("global_pos",
+        col("__offset") + row_number().over(wb).cast("long") - 1L)
+      .drop("__bucket", "__offset")
   }
 
   /** Content-addressed corpus manifest — the reproducibility artifact

@@ -573,23 +573,6 @@ object Dedup {
     *    distributed loop runs unchanged, so a pathological pair
     *    explosion can never OOM the driver.
     */
-  /** Dedup-AWARE train/val/test assignment: the split is hashed on
-    * the near-dup CLUSTER id, never the document id, so two
-    * near-duplicates can NEVER straddle a split boundary — the
-    * train/test leakage mode plain per-doc hashing has (a paraphrased
-    * copy of a training document landing in the eval split scores as
-    * generalization). Composition of [[clusters]] +
-    * [[Corpus.assignSplits]]: one row per doc, `(idCol, cluster_id,
-    * split)`; the hash depends only on `cluster_id`, so membership is
-    * constant within a cluster by construction and stable under
-    * re-partitioning. Adds nothing to [[clusters]]' scale shape (the
-    * split is a narrow projection).
-    */
-  def clusterSplits(docs: DataFrame, idCol: String, pairs: DataFrame,
-                    splits: Seq[(String, Int)]): DataFrame =
-    Corpus.assignSplits(clusters(docs, idCol, pairs), "cluster_id",
-      splits)
-
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIter: Int = 20,
                maxDriverPairs: Long = 2000000L): DataFrame = {
@@ -645,6 +628,28 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
+
+  /** Dedup-AWARE train/val/test assignment: the split is hashed on
+    * the near-dup CLUSTER id, never the document id, so two
+    * near-duplicates can NEVER straddle a split boundary — the
+    * train/test leakage mode plain per-doc hashing has (a paraphrased
+    * copy of a training document landing in the eval split scores as
+    * generalization). Composition of [[clusters]] +
+    * [[Corpus.assignSplits]]: one row per doc, `(idCol, cluster_id,
+    * split)`; the hash depends only on `cluster_id`, so membership is
+    * constant within a cluster by construction and stable under
+    * re-partitioning. Adds nothing to [[clusters]]' scale shape (the
+    * split is a narrow projection). `maxIter`/`maxDriverPairs` pass
+    * through to [[clusters]] (same defaults), so callers with large
+    * pair sets keep the driver-union-find gate reachable.
+    */
+  def clusterSplits(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    splits: Seq[(String, Int)],
+                    maxIter: Int = 20,
+                    maxDriverPairs: Long = 2000000L): DataFrame =
+    Corpus.assignSplits(
+      clusters(docs, idCol, pairs, maxIter, maxDriverPairs),
+      "cluster_id", splits)
 
   /** Driver-side exact resolution for [[clusters]]' small-graph regime:
     * union-find with union-by-min (the root of each tree is the

@@ -87,17 +87,27 @@ object Html {
     val tags = regexp_extract_all(html, lit("(?i)<img\\b[^>]*>"),
       lit(0))
     // left-to-right attribute scan: tokenize the tag into name=value
-    // units whose quoted values are CONSUMED by the match, so
-    // src=/alt=-shaped text inside another attribute's value
-    // (alt="use src='x'") can never be read as the attribute — and
+    // units whose values — quoted OR unquoted — are CONSUMED by the
+    // match, so src=/alt=-shaped text inside another attribute's
+    // quoted value (alt="use src='x'") or inside an unquoted one
+    // (onload=f(src="e")) can never be read as the attribute — and
     // data-src / data-alt (lazy-load markup) never alias the real one
-    // because the full token name is compared, not a prefix
+    // because the full token name is compared, not a prefix. An
+    // unquoted value ends at whitespace or `>`, matching the HTML
+    // spec's attribute tokenization, so `onload=f( src="x")` does
+    // surface src — exactly as a browser would parse it.
     def attr(t: Column, name: String): Column = {
       val toks = regexp_extract_all(t,
-        lit("(?s)[\\w-]+\\s*=\\s*(?:\"[^\"]*\"|'[^']*')"), lit(0))
+        lit("(?s)[\\w-]+\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(0))
       val hits = filter(toks,
         a => lower(regexp_extract(a, "^([\\w-]+)", 1)) === name)
-      regexp_extract(get(hits, lit(0)), "(?s)[\"'](.*)[\"']$", 1)
+      val body = regexp_extract(get(hits, lit(0)),
+        "(?s)^[\\w-]+\\s*=\\s*(.*)$", 1)
+      when(body.rlike("(?s)^\".*\"$"),
+          regexp_extract(body, "(?s)^\"(.*)\"$", 1))
+        .when(body.rlike("(?s)^'.*'$"),
+          regexp_extract(body, "(?s)^'(.*)'$", 1))
+        .otherwise(body)
     }
     transform(tags, t => struct(
       nullif(attr(t, "src"), lit("")).as("src"),

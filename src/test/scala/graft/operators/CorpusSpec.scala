@@ -502,6 +502,46 @@ class CorpusSpec extends SparkSpec {
     assert(byPos === rows.sortBy(r => (r._3, r._2)).map(r => (r._3, r._2)).toSeq)
   }
 
+  test("curriculumOrder at the 4096-group gate boundary: positions " +
+      "match a literal global sort and codegen does not fall back") {
+    // the r9 closed form compiled one least+when term PER GROUP into a
+    // single projection — a ~4096-term Add tree that blows Janino's
+    // 64 KB method limit and silently drops to interpreted eval. The
+    // bucketed prefix-sum form must (a) stay exact at the gate
+    // boundary and (b) keep every generated method compilable —
+    // enforced by disabling the silent fallback so a Janino failure
+    // THROWS instead of degrading.
+    val nGroups = 4096
+    // skewed sizes: group g0 carries 300 rows, the rest 1 — exercises
+    // width > 1 bucketing AND the same-rank wave across all groups
+    val rows = (0 until nGroups).flatMap { g =>
+      val n = if (g == 0) 300 else 1
+      (0 until n).map(k =>
+        (g.toLong * 1000 + k, f"g$g%04d", (k * 7 % 13).toDouble))
+    }
+    val d = rows.toDF("id", "grp", "score").repartition(8)
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Corpus.curriculumOrder(d, "grp", "id", "score")
+        .select("id", "grp", "grp_rank", "global_pos")
+        .as[(Long, String, Long, Long)].collect()
+      assert(got.map(_._4).sorted === (0L until rows.size.toLong).toArray)
+      // global_pos is the index under ORDER BY (grp_rank, grp)
+      val byPos = got.sortBy(_._4).map(r => (r._3, r._2)).toSeq
+      assert(byPos === got.sortBy(r => (r._3, r._2))
+        .map(r => (r._3, r._2)).toSeq)
+      // the giant per-group projection is gone: the optimized plan is
+      // group-count-independent (the old form serialized ~4096 terms
+      // here)
+      val plan = Corpus.curriculumOrder(d, "grp", "id", "score")
+        .queryExecution.optimizedPlan.toString
+      assert(plan.length < 100000, s"projection blew up: ${plan.length}")
+      assert(!plan.contains("least("), "per-group closed form resurfaced")
+    } finally
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+  }
+
   test("packBoundaries: per-sequence piece offsets tile the sequence, " +
       "doc open/close flags mark true document edges") {
     val d = Seq(
