@@ -3,7 +3,7 @@ package graft
 import graft.streaming._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Streaming latency micro-bench: drives the four app pipelines
@@ -36,6 +36,7 @@ object StreamBench {
   case class Detail(order_id: Long, detail_id: Long, sku_id: Long,
                     split_total_amount: Double,
                     create_ts: java.sql.Timestamp)
+  case class Doc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   /** (p50, p95) millis over the non-empty micro-batches. */
   case class Lat(p50: Double, p95: Double) {
@@ -251,7 +252,265 @@ object StreamBench {
     }, batches, cp)
   }
 
-  /** Run all four; returns the JSON fragment for Bench's output line.
+  // ---- LLM-pipeline streaming gates ---------------------------------
+  //
+  // Realistic document/url/edge feeds for the cross-batch-state
+  // pipelines: ids are globally unique, but CONTENT recurs with period
+  // rows × 2 (the benchDau discipline), so every dedup/membership gate
+  // genuinely consults — and grows — its persisted state each batch.
+
+  /** ~30-token synthetic document; the token pool is bounded so
+    * shingles/minhash find real cross-doc structure.
+    */
+  private def docText(i: Long): String = {
+    val a = i % 97; val b = i % 31; val c = i % 13
+    s"record $a describes item $b in category $c with details ${i % 7} " +
+      s"and ${i % 5} shared boilerplate tokens alpha bravo charlie " +
+      s"delta echo foxtrot golf hotel india juliet kilo lima $a $b $c"
+  }
+
+  private def tmpDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"sbench_$name").toString
+
+  /** Ingest-time NEAR-dedup gate: per batch, MinHash signatures,
+    * in-batch self-join, band-join against the GROWING parquet index,
+    * survivor landing + index append (the full foreachBatch body a
+    * production gate runs).
+    */
+  private def benchNearDedup(spark: SparkSession, batches: Int,
+                             rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val idx = tmpDir("ndd_idx"); val out = tmpDir("ndd_out")
+    val cp = ckpt("ndd")
+    val q = StreamingNearDedup.nearDedupSink(docs, "doc_id", "text",
+        idx, out, cp, trigger = Trigger.ProcessingTime(0L)).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r; (i, docText(i % (rows * 2)))
+      })
+      ()
+    }, batches, cp)
+    finally {
+      deleteRec(new java.io.File(idx)); deleteRec(new java.io.File(out))
+    }
+  }
+
+  /** Cross-batch token-budget admission: SumStore rollup + broadcast
+    * spend join + per-source window per batch; budgets sized so
+    * sources start shutting mid-run (the gate's full regime).
+    */
+  private def benchQuota(spark: SparkSession, batches: Int,
+                         rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String, String)]
+    val docs = src.toDF().toDF("doc_id", "source", "text")
+    val store = tmpDir("quota"); val cp = ckpt("quota")
+    val q = StreamingQuota.quotaSink(docs, "source", "doc_id", "text",
+        tokenBudget = 8000L, store) { admitted =>
+      admitted.write.format("noop").mode("overwrite").save()
+    }.option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        (i, s"src_${i % 64}", docText(i))
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
+  /** Quality gate → watermarked exact dedup (real state store) →
+    * token annotation — the transform-only curation pipeline.
+    */
+  private def benchCurate(spark: SparkSession, batches: Int,
+                          rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Doc]
+    val cur = StreamingCurate.curate(src.toDF(), "text", "ts",
+      minQuality = 0.3)
+    val cp = ckpt("curate")
+    val q = cur.writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", cp).start()
+    val t0 = 1700000000000L
+    drive(q, b => {
+      val ts = new java.sql.Timestamp(t0 + b * 5000L)
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        Doc(i, docText(i % (rows * 2)), ts)
+      })
+      ()
+    }, batches, cp)
+  }
+
+  /** Cross-batch seen-key gate (crawl-frontier membership): one
+    * left_anti join against the growing store + owned-by-path record
+    * per batch.
+    */
+  private def benchSeen(spark: SparkSession, batches: Int,
+                        rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[String]
+    val urls = src.toDF().toDF("url")
+    val store = tmpDir("seen"); val cp = ckpt("seen")
+    val q = urls.writeStream
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        StreamingSeen.unseenAndRecord(batch, "url", store, bid)
+          .write.format("noop").mode("overwrite").save()
+      }.start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        s"https://h${i % 50}.example.com/p${i % (rows * 2)}"
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
+  /** Streaming n-gram decontamination against a STATIC persisted
+    * eval-gram index (opened and cached once at sink build).
+    */
+  private def benchDecontaminate(spark: SparkSession, batches: Int,
+                                 rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val idx = tmpDir("dec_idx"); val out = tmpDir("dec_out")
+    val cp = ckpt("dec")
+    // eval suite overlapping 1/3 of the stream's content pool
+    graft.operators.Corpus.evalGramIndex(
+        (0 until (rows / 2)).map(i => docText((i * 3).toLong))
+          .toDF("text"), "text", n = 5)
+      .write.mode("overwrite").parquet(idx)
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val q = StreamingDecontaminate.decontaminateSink(docs, "doc_id",
+        "text", idx, out, cp, n = 5, maxHitFrac = 0.0,
+        trigger = Trigger.ProcessingTime(0L)).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r; (i, docText(i % (rows * 2)))
+      })
+      ()
+    }, batches, cp)
+    finally {
+      spark.read.parquet(idx).unpersist() // the sink's static cache
+      deleteRec(new java.io.File(idx)); deleteRec(new java.io.File(out))
+    }
+  }
+
+  /** Incremental link-graph degree store: per batch one distinct +
+    * degree agg on batch edges, landed as SumStore partials.
+    */
+  private def benchGraphDegrees(spark: SparkSession, batches: Int,
+                                rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long)]
+    val edges = src.toDF().toDF("src", "dst")
+    val store = tmpDir("deg"); val cp = ckpt("deg")
+    val q = StreamingGraph.degreeSink(edges, store, "src", "dst")
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        (i % 500, (3 * i + 7) % 500)
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
+  /** Mergeable content-manifest partials: one hash projection + one
+    * shard-keyed agg per batch.
+    */
+  private def benchManifest(spark: SparkSession, batches: Int,
+                            rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val store = tmpDir("man"); val cp = ckpt("man")
+    val q = StreamingManifest.manifestSink(docs, store, "doc_id",
+        "text", nShards = 256)
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r; (i, docText(i))
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
+  /** Streaming HLL register store: per-batch register partials keyed
+    * by day, partition-pruned store layout.
+    */
+  private def benchSketch(spark: SparkSession, batches: Int,
+                          rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, String)]
+    val events = src.toDF().toDF("day", "user")
+    val store = tmpDir("hll"); val cp = ckpt("hll")
+    val q = StreamingSketch.registerSink(events, store, col("user"),
+        Seq("day"))
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        (s"2023-11-${14 + (b % 2)}", s"u${i % 5000}")
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
+  /** Pipeline name → the streaming source object it drives. The
+    * coverage contract StreamBenchSpec lints: every
+    * `streaming/Streaming*.scala` with a foreachBatch entry point
+    * (plus the transform-only curation pipeline) must appear in
+    * `values`, and [[apps]] must measure exactly `keySet` — so a new
+    * streaming pipeline cannot land without a latency row.
+    */
+  private[graft] val covers: Map[String, String] = Map(
+    "log_split" -> "LogSplit",
+    "cdc_split" -> "CdcSplit",
+    "dau" -> "DauPipeline",
+    "order_wide" -> "OrderWidePipeline",
+    "near_dedup" -> "StreamingNearDedup",
+    "quota" -> "StreamingQuota",
+    "curate" -> "StreamingCurate",
+    "seen" -> "StreamingSeen",
+    "decontaminate" -> "StreamingDecontaminate",
+    "graph_degrees" -> "StreamingGraph",
+    "manifest" -> "StreamingManifest",
+    "sketch" -> "StreamingSketch")
+
+  /** The measured pipeline set — one entry per [[covers]] key. */
+  private[graft] def apps(spark: SparkSession, batches: Int,
+                          rows: Int): Seq[(String, () => Lat)] = Seq(
+    "log_split" -> (() => benchLogSplit(spark, batches, rows)),
+    "cdc_split" -> (() => benchCdcSplit(spark, batches, rows)),
+    "dau" -> (() => benchDau(spark, batches, rows)),
+    "order_wide" -> (() => benchOrderWide(spark, batches, rows)),
+    "near_dedup" -> (() => benchNearDedup(spark, batches, rows)),
+    "quota" -> (() => benchQuota(spark, batches, rows)),
+    "curate" -> (() => benchCurate(spark, batches, rows)),
+    "seen" -> (() => benchSeen(spark, batches, rows)),
+    "decontaminate" -> (() => benchDecontaminate(spark, batches, rows)),
+    "graph_degrees" -> (() => benchGraphDegrees(spark, batches, rows)),
+    "manifest" -> (() => benchManifest(spark, batches, rows)),
+    "sketch" -> (() => benchSketch(spark, batches, rows)))
+
+  /** Run every [[covers]] pipeline; returns the JSON fragment for
+    * Bench's output line.
     *
     * Shuffle partitions are right-sized to the micro-batch volume for
     * the streaming section (and restored after): the batch bench's 32
@@ -269,12 +528,7 @@ object StreamBench {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
     try {
-      val apps = Seq(
-        "log_split" -> (() => benchLogSplit(spark, batches, rows)),
-        "cdc_split" -> (() => benchCdcSplit(spark, batches, rows)),
-        "dau" -> (() => benchDau(spark, batches, rows)),
-        "order_wide" -> (() => benchOrderWide(spark, batches, rows)))
-      apps.map { case (name, f) =>
+      apps(spark, batches, rows).map { case (name, f) =>
         // min-of-2 drives per pipeline (fresh checkpoint each), same
         // rationale as the batch bench's min-of-3: a single drive's
         // p95 over ~11 steady batches is one-GC-pause noisy — measured

@@ -2,7 +2,7 @@ package graft.extensions
 
 import graft.Q
 import graft.functions.TextFns
-import graft.operators.{Corpus, Layout, Stats, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Layout, Stats, Temporal, TextAnalysis}
 import graft.tables.Tables._
 import org.apache.spark.sql.functions._
 
@@ -88,6 +88,107 @@ object CorpusQueries {
     (1 to merges).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
 
   val all: Seq[Q] = Seq(
+
+    // ---- corpus growth / mixture diagnostics ---------------------------
+
+    // Cross-corpus n-gram novelty: a doc's fraction of trigrams it is
+    // the FIRST (min doc_id) to contribute — the diminishing-returns
+    // curation signal. Oracle re-derives first-seen ownership over the
+    // identical distinct-shingle sets; novelty is one exact integer
+    // division cast to double on both engines.
+    Q("ext_novelty_first",
+      s"""WITH g AS (SELECT doc_id, unnest(${shSql(3)}) AS gram
+         |  FROM documents),
+         |f AS (SELECT gram, min(doc_id) AS first FROM g GROUP BY 1)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         | CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_novel,
+         | CAST(sum(CASE WHEN f.first = g.doc_id THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM g JOIN f USING (gram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Corpus.noveltyScores(documents(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source unigram KL from the corpus blend: Σ p·ln(p/q), every
+    // count integer-exact, terms 1e-9 fx-quantized before the exact
+    // per-source sum — the mixture-skew diagnostic.
+    Q("ext_source_kl", {
+      val term = "(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)) * " +
+        "ln((CAST(c AS DOUBLE) / CAST(ns AS DOUBLE)) / " +
+        "(CAST(gc AS DOUBLE) / CAST(n AS DOUBLE)))"
+      s"""WITH tk AS (SELECT source, unnest($TOKS) AS tok
+         |  FROM documents),
+         |st AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |g AS (SELECT tok, sum(c) AS gc FROM st GROUP BY 1),
+         |nsx AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+         |nt AS (SELECT sum(c) AS n FROM st),
+         |t AS (SELECT st.source, st.c, nsx.ns, g.gc, nt.n
+         |  FROM st JOIN g USING (tok) JOIN nsx USING (source)
+         |  CROSS JOIN nt)
+         |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+         | CAST(${fxSql(term, "1000000000.0")} AS DOUBLE) / 1000000000.0
+         |   AS kl_nats
+         |FROM t GROUP BY 1 ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      Corpus.sourceTokenKl(documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
+    // Uniform-target mixture reweighting (DoReMi-lite): sampling
+    // weights ∝ 1/tok_s normalized, the denominator 1e12 fx-quantized
+    // so normalization is order-independent on both engines.
+    Q("ext_mix_weights",
+      s"""WITH s AS (SELECT source,
+         |   CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |d AS (SELECT ${fxSql("1.0 / CAST(n_tokens AS DOUBLE)",
+            "1000000000000.0")} AS q FROM s)
+         |SELECT source, n_tokens,
+         | (1.0 / CAST(n_tokens AS DOUBLE)) /
+         |   (CAST(q AS DOUBLE) / 1000000000000.0) AS weight
+         |FROM s, d ORDER BY source""".stripMargin) { (s, d) =>
+      Corpus.mixtureWeights(documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
+    // Paragraph-level exact dedup with doc rewrite: paragraph breaks
+    // are synthesized deterministically on both engines (every
+    // literal ' table ' becomes a break), each distinct normalized
+    // paragraph survives only at its minimum (doc, position), docs
+    // reassemble in original order. The oracle replays the split,
+    // the normText keying, the winner rule and the reassembly.
+    Q("ext_par_dedup",
+      s"""WITH d0 AS (SELECT doc_id,
+         |   string_split(replace(text, ' table ', chr(10) || chr(10)),
+         |     chr(10) || chr(10)) AS ps
+         |  FROM documents),
+         |p AS (SELECT doc_id, CAST(i AS INT) AS idx,
+         |   ps[CAST(i AS INT) + 1] AS par
+         |  FROM d0, unnest(range(0, len(ps))) u(i)),
+         |p2 AS (SELECT doc_id, idx, par,
+         |   md5(regexp_replace(trim(lower(par)), '\\s+', ' ', 'g'))
+         |     AS key
+         |  FROM p WHERE trim(par) != ''),
+         |w AS (SELECT doc_id, idx, par FROM (
+         |   SELECT p2.*, row_number() OVER (PARTITION BY key
+         |     ORDER BY doc_id, idx) AS rn FROM p2) WHERE rn = 1),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pars
+         |  FROM p2 GROUP BY 1),
+         |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |   string_agg(par, chr(10) || chr(10) ORDER BY idx)
+         |     AS clean_text
+         |  FROM w GROUP BY 1)
+         |SELECT c.doc_id, n_pars, coalesce(r.n_kept, 0) AS n_kept,
+         | coalesce(r.clean_text, '') AS clean_text
+         |FROM c LEFT JOIN r ON r.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+      val synth = documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), " table ", "\n\n").as("text"))
+      Dedup.dedupParagraphs(synth, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
 
     // ---- sessionization -------------------------------------------------
     Q("ext_sessionize",

@@ -416,6 +416,82 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Interpolated Kneser-Ney TRIGRAM scoring with bigram backoff —
+    // the standard-order perplexity filter. Same mirror-op-for-op
+    // technique as ext_kn_score, one order deeper: every model CTE
+    // (trigram types, (w1 w2) context totals + follow types, "w2 w3"
+    // continuation types, middle-word type totals, the bigram backoff
+    // tables, T/V) is integer-exact on both engines, and the nested
+    // pbo→p double tree is written in the identical operation order.
+    Q("ext_kn3_score", {
+      import OracleSql.fxSql
+      s"""WITH tok AS (SELECT doc_id, $TOKS AS t FROM documents),
+         |tg AS (SELECT doc_id,
+         |   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri,
+         |   t[i] || ' ' || t[i+1] AS p12,
+         |   t[i+1] || ' ' || t[i+2] AS s23,
+         |   t[i+1] AS w2, t[i+2] AS w3
+         |  FROM tok, unnest(range(1, len(t) - 1)) u(i)
+         |  WHERE len(t) >= 3),
+         |ct AS (SELECT tri, p12, s23, w2, w3, count(*) AS c123
+         |  FROM tg GROUP BY 1, 2, 3, 4, 5),
+         |ctx3 AS (SELECT p12, sum(c123) AS c12t, count(*) AS n12f
+         |  FROM ct GROUP BY 1),
+         |mid23 AS (SELECT s23, count(*) AS n1c23 FROM ct GROUP BY 1),
+         |midw2 AS (SELECT w2, count(*) AS nmid FROM ct GROUP BY 1),
+         |bg AS (SELECT t[i] || ' ' || t[i+1] AS bg2
+         |  FROM tok, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+         |cb AS (SELECT bg2, count(*) AS c12 FROM bg GROUP BY 1),
+         |ctx2 AS (SELECT split_part(bg2, ' ', 1) AS w2b, count(*) AS n1f
+         |  FROM cb GROUP BY 1),
+         |cont AS (SELECT split_part(bg2, ' ', 2) AS w3b, count(*) AS n1c
+         |  FROM cb GROUP BY 1),
+         |tt AS (SELECT (SELECT count(*) FROM cb) AS tcnt,
+         |  (SELECT count(DISTINCT tk) FROM
+         |    (SELECT unnest(t) AS tk FROM tok)) AS vcnt),
+         |occ AS (SELECT doc_id, tri, p12, s23, w2, w3, count(*) AS m
+         |  FROM tg GROUP BY 1, 2, 3, 4, 5, 6),
+         |pr AS (SELECT doc_id, m,
+         |   CASE WHEN c12t > 0 THEN
+         |    (greatest(CAST(c123 AS DOUBLE) - 0.75, 0.0) +
+         |      0.75 * CAST(n12f AS DOUBLE) * pbo) / CAST(c12t AS DOUBLE)
+         |   ELSE pbo END AS p
+         |  FROM (SELECT doc_id, m, c123, c12t, n12f,
+         |    CASE WHEN nmid > 0 THEN
+         |     (greatest(CAST(n1c23 AS DOUBLE) - 0.75, 0.0) +
+         |       0.75 * CAST(n1f AS DOUBLE) * pc) / CAST(nmid AS DOUBLE)
+         |    ELSE pc END AS pbo
+         |   FROM (SELECT o.doc_id, o.m,
+         |      coalesce(ct.c123, 0) AS c123,
+         |      coalesce(ctx3.c12t, 0) AS c12t,
+         |      coalesce(ctx3.n12f, 0) AS n12f,
+         |      coalesce(mid23.n1c23, 0) AS n1c23,
+         |      coalesce(midw2.nmid, 0) AS nmid,
+         |      coalesce(ctx2.n1f, 0) AS n1f,
+         |      (CAST(coalesce(cont.n1c, 0) AS DOUBLE) + 1.0) /
+         |        (CAST(tcnt AS DOUBLE) + CAST(vcnt AS DOUBLE) + 1.0)
+         |        AS pc
+         |     FROM occ o
+         |     LEFT JOIN ct ON ct.tri = o.tri
+         |     LEFT JOIN ctx3 ON ctx3.p12 = o.p12
+         |     LEFT JOIN mid23 ON mid23.s23 = o.s23
+         |     LEFT JOIN midw2 ON midw2.w2 = o.w2
+         |     LEFT JOIN ctx2 ON ctx2.w2b = o.w2
+         |     LEFT JOIN cont ON cont.w3b = o.w3
+         |     CROSS JOIN tt))),
+         |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+         |   ${fxSql("CAST(m AS DOUBLE) * (-ln(p))", "1000000.0")} AS q
+         |  FROM pr GROUP BY 1)
+         |SELECT doc_id, n_trigrams,
+         | CAST(q AS DOUBLE) / 1000000.0 / CAST(n_trigrams AS DOUBLE)
+         |   AS avg_nll
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = documents(s, d)
+      TextAnalysis.knTrigramScore(docs, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     // Cross-lingual held-out scoring: the model trains on English docs
     // only and each LANGUAGE is scored as one group — English lowest,
     // the rest ranked by script distance, with zh exercising the
@@ -1436,6 +1512,64 @@ object ExtensionQueries {
       val e = embeddings(s, d)
       Similarity.ivfKnn(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, cells = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Incremental ANN ingestion — the 100 TB embedding-ingestion
+    // shape: the IVF index is BUILT once over the resident corpus
+    // (vec_id % 8 != 0) in two installments (initial build < 256,
+    // later vectors filed via ivfAppend under the FIXED centroids),
+    // then a NEW batch (vec_id % 8 = 0, first 10) probes the
+    // persisted index without the corpus ever being re-scanned. The
+    // oracle flattens the two installments away — appending under
+    // fixed centroids must be indistinguishable from indexing the
+    // whole corpus at once — so any drift in the append path breaks
+    // the hash.
+    Q("ext_knn_incremental", {
+      val (cells, nProbe) = (16, 4)
+      val seedCos = cosSql("c.embedding", "s.sv")
+      val probeCos = cosSql("q.embedding", "s.sv")
+      val cos = cosSql("cc.cv", "qp.qv")
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
+         |  WHERE vec_id % 8 != 0 ORDER BY vec_id LIMIT $cells),
+         |corpus_cells AS (
+         | SELECT neighbor_id, cv, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, s.cell,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell) AS rn
+         |  FROM embeddings c, seeds s WHERE c.vec_id % 8 != 0)
+         | WHERE rn = 1),
+         |query_probes AS (
+         | SELECT query_id, qv, cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, s.cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY $probeCos DESC, s.cell) AS rn
+         |  FROM embeddings q, seeds s
+         |  WHERE q.vec_id % 8 = 0 AND q.vec_id < 80)
+         | WHERE rn <= $nProbe)
+         |SELECT query_id, neighbor_id, rank, cosine FROM (
+         | SELECT qp.query_id, cc.neighbor_id,
+         |  CAST(row_number() OVER (PARTITION BY qp.query_id
+         |    ORDER BY $cos DESC, cc.neighbor_id) AS INT) AS rank,
+         |  $cos AS cosine
+         | FROM corpus_cells cc JOIN query_probes qp USING (cell)
+         | WHERE qp.query_id != cc.neighbor_id)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val resident = e.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val ix0 = Similarity.ivfIndex(
+        resident.filter(col("vec_id") < 256),
+        "vec_id", "embedding", cells = 16)
+      val appended = Similarity.ivfAppend(ix0,
+        resident.filter(col("vec_id") >= 256), "vec_id", "embedding")
+      val ix = Similarity.IvfIndexFrames(ix0.centroids,
+        ix0.postings.unionByName(appended))
+      Similarity.knnAgainstIndex(ix,
+          e.filter(pmod(col("vec_id"), lit(8)) === 0 &&
+            col("vec_id") < 80),
+          "vec_id", "embedding", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
     },
 

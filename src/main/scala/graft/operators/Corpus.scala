@@ -1606,4 +1606,114 @@ object Corpus {
       .withColumn("pos", row_number().over(w))
       .drop("__h")
   }
+
+  /** Cross-corpus n-gram NOVELTY scoring — the diminishing-returns
+    * signal data curation reads before adding a source (RefinedWeb/
+    * FineWeb ablations report it as "fraction of new n-grams"): a
+    * gram's FIRST-SEEN document is the minimum doc id containing it,
+    * and a doc's novelty is the fraction of its distinct n-grams it
+    * is the first to contribute under that deterministic id order.
+    * Late near-copies score ≈ 0; the corpus-growth curve is
+    * `sum(n_novel)` over docs in id order. Emits
+    * (id, n_grams, n_novel, novelty) for docs with ≥ n tokens (no
+    * grams → no row, the [[Dedup]] family convention).
+    *
+    * Scale shape: distinct-gram explode (per-doc distinct — hot
+    * boilerplate grams contribute one row per DOC, not per
+    * occurrence), ONE gram-keyed min-agg (map-side combining), one
+    * gram-keyed join back, one per-doc agg. The gram frame feeds the
+    * min-agg and the join, so it is persisted once ([[TextAnalysis
+    * .knBigramScore]]'s cb convention). No window, nothing
+    * driver-side; novelty is a single exact integer division.
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val grams = fanOut(docs)
+      .select(col(idCol),
+        explode(distinctShingles(col(textCol), n)).as("__gram"))
+      .persist(MEMORY_AND_DISK)
+    val first = grams.groupBy(col("__gram"))
+      .agg(min(col(idCol)).as("__first"))
+    grams.join(first, Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus-wide token
+    * distribution — the mixture diagnostic that ranks sources by how
+    * far their language deviates from the blend (a skewed source gets
+    * down-weighted or re-inspected before training). KL(source ‖
+    * corpus) = Σ_t p·ln(p/q) with p = c_st/n_s and q = c_t/N, every
+    * count an exact integer; terms are 1e-9 fixed-point-quantized
+    * before the per-source integer sum, so the result is
+    * partition-order-independent and oracle-exact. Emits
+    * (groupCol, n_tokens, kl_nats); KL ≥ 0, and = 0 only for a source
+    * whose distribution equals the corpus's.
+    *
+    * Scale shape: ONE (source, token) hash agg (map-side combining —
+    * the only corpus-sized shuffle), a token-keyed reagg for the
+    * global counts, a token-keyed join of the two, a broadcast join
+    * of the ≤|sources| totals row set, the 1-row corpus total as a
+    * driver scalar, and a final per-source agg. No window.
+    */
+  def sourceTokenKl(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val st = fanOut(docs)
+      .select(col(groupCol),
+        explode(TextFns.toks(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(MEMORY_AND_DISK) // feeds glob, ns, N and the term join
+    val glob = st.groupBy(col("__tok")).agg(sum(col("__c")).as("__g"))
+    val ns = st.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ns"))
+    val nRow = st.agg(sum(col("__c"))).head()
+    require(!nRow.isNullAt(0), "sourceTokenKl needs a non-empty corpus")
+    val bigN = nRow.getLong(0).toDouble
+    val p = col("__c").cast("double") / col("__ns").cast("double")
+    val q = col("__g").cast("double") / lit(bigN)
+    st.join(glob, Seq("__tok"))
+      .join(broadcast(ns), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ns")).as("n_tokens"),
+        fxSum(p * log(p / q), 1e9).as("__q"))
+      .select(col(groupCol), col("n_tokens"),
+        fxVal(col("__q"), 1e9).as("kl_nats"))
+  }
+
+  /** Uniform-target mixture reweighting — the simplest DoReMi-style
+    * domain-weight correction: sampling weights proportional to
+    * target_share / current_share with a UNIFORM target, i.e.
+    * w_s ∝ 1/tok_s normalized to Σ w = 1 — sources the crawl
+    * over-represents get down-sampled to equal token footprints.
+    * Emits (groupCol, n_tokens, weight); the denominator Σ 1/tok_s is
+    * 1e12 fixed-point-quantized so the normalization is
+    * order-independent and oracle-exact.
+    *
+    * Scale shape: one token-count hash agg to the ≤|sources| row set
+    * (locally checkpointed — it feeds the scalar denominator and the
+    * output), one driver scalar, one narrow projection.
+    */
+  def mixtureWeights(docs: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    val grp = fanOut(docs)
+      .select(col(groupCol),
+        size(TextFns.toks(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col(groupCol)).agg(sum(col("__nt")).as("n_tokens"))
+      .localCheckpoint()
+    val inv = lit(1.0) / col("n_tokens").cast("double")
+    val dRow = grp.agg(fxSum(inv, 1e12)).head()
+    require(!dRow.isNullAt(0), "mixtureWeights needs a non-empty corpus")
+    val denom = dRow.getLong(0).toDouble / 1e12
+    grp.select(col(groupCol), col("n_tokens"),
+      (inv / lit(denom)).as("weight"))
+  }
 }

@@ -80,6 +80,60 @@ object Dedup {
       .select(cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** PARAGRAPH-level exact dedup with document rewrite — the C4/
+    * RefinedWeb granularity between whole-doc [[exact]] and n-gram
+    * span removal ([[Corpus.removeDuplicatedSpans]]): boilerplate
+    * paragraphs (nav blocks, license footers, cookie banners) repeat
+    * across thousands of pages whose documents are otherwise unique,
+    * so the page survives but the repeated PARAGRAPH must go. Split
+    * each doc on `sep`, key paragraphs by normalized-content hash
+    * ([[graft.functions.TextFns.normText]] — the corpus-wide identity
+    * convention), keep each distinct paragraph ONLY in its first
+    * occurrence (minimum (doc id, position) — deterministic,
+    * partition-invariant), and reassemble survivors in original order.
+    * Whitespace-only paragraphs are dropped before keying. Emits one
+    * row per doc with ≥ 1 non-blank paragraph: (id, n_pars, n_kept,
+    * clean_text) — n_kept = 0 and clean_text = '' for a doc whose
+    * every paragraph lives earlier.
+    *
+    * Scale shape: posexplode (bounded by text size), ONE key-keyed
+    * min-struct hash agg for the winners (map-side combining — a hot
+    * boilerplate key reduces before the shuffle), one key-keyed join
+    * back, and a per-doc collect_list/sort reassembly agg (rows per
+    * doc = its paragraph count, never corpus-sized). The paragraph
+    * frame feeds the winner agg, the join and the per-doc counts, so
+    * it is persisted once. No window.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pars = fanOut(docs)
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__idx", "__p")))
+      .filter(trim(col("__p")) =!= "")
+      .withColumn("__key", md5(TextFns.normText(col("__p"))))
+      .persist(MEMORY_AND_DISK)
+    val winner = pars.groupBy(col("__key"))
+      .agg(min(struct(col(idCol).as("d"), col("__idx").as("i")))
+        .as("__w"))
+    val kept = pars.join(winner, Seq("__key"))
+      .filter(col(idCol) === col("__w.d") && col("__idx") === col("__w.i"))
+    val counts = pars.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pars"))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__idx"), col("__p")))),
+            s => s.getField("__p")),
+          sep).as("clean_text"))
+    counts.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_pars"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Spread a (possibly single-split) corpus across the cluster before
     * CPU-heavy per-row work: hashing/shingling cost dwarfs the shuffle
     * of raw text. On a real cluster big inputs arrive pre-split and

@@ -395,18 +395,52 @@ object Similarity {
     topK(ivfScored(corpus, queries, idCol, vecCol, cells, nProbe,
       refineIters, refineFraction), k)
 
-  /** IVF candidate generation + scoring shared by [[ivfKnn]] and
-    * [[hardNegativesIvf]]: (query_id, neighbor_id, cosine) for every
-    * probed-cell candidate pair, self-pairs excluded, NOT yet top-k'd.
+  /** An IVF index as FIRST-CLASS DATA: `centroids(cell, sv)` — the
+    * coarse quantizer, ≤ `cells` rows, broadcast at probe time — and
+    * `postings(neighbor_id, cv, cell)` — the cell-keyed inverted
+    * file. Both are plain DataFrames so the 100 TB flow is: build
+    * once, WRITE `postings` to parquet partitioned/bucketed by
+    * `cell` and `centroids` beside it, then probe every incoming
+    * batch against the store ([[knnAgainstIndex]]) and append new
+    * vectors' codes ([[ivfAppend]]) WITHOUT touching the existing
+    * corpus — the embedding twin of
+    * [[Dedup.incrementalMinhashPairs]]'s index-once-probe-per-batch
+    * contract.
     */
-  private def ivfScored(corpus: DataFrame, queries: DataFrame,
-                        idCol: String, vecCol: String,
-                        cells: Int, nProbe: Int,
-                        refineIters: Int,
-                        refineFraction: Double): DataFrame = {
+  final case class IvfIndexFrames(centroids: DataFrame,
+                                  postings: DataFrame)
+
+  /** Nearest-`keep` cell assignment of `df`'s vectors against a
+    * centroid table (ties to the lower cell id): `(idName, vName,
+    * cell)`. The window partitions by vector id — ≤ |centroids| rows
+    * per partition, never a global sort.
+    */
+  private def assignCells(seeds: DataFrame, df: DataFrame,
+                          idCol: String, vecCol: String,
+                          idName: String, vName: String,
+                          keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cell ids need not be contiguous — the seed's own id IS the cell
-    // id (no global row_number window over the seed table)
+    val scored = df.select(col(idCol).as(idName), col(vecCol).as(vName))
+      .join(broadcast(seeds))
+      .withColumn("seed_cos", VectorFns.cosine(col(vName), col("sv")))
+    val w = Window.partitionBy(col(idName))
+      .orderBy(col("seed_cos").desc, col("cell"))
+    scored.withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= keep)
+      .select(col(idName), col(vName), col("cell"))
+  }
+
+  /** Build the IVF index over a corpus: deterministic seeds (first
+    * `cells` vectors by id — the seed's own id IS the cell id, no
+    * global row_number over the seed table), optional Lloyd
+    * refinement, then every corpus vector files under its nearest
+    * cell. [[ivfKnn]] is exactly `knnAgainstIndex(ivfIndex(corpus),
+    * queries)` — proven by spec — so a persisted index returns the
+    * same neighbors the one-shot operator would.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+               cells: Int = 16, refineIters: Int = 0,
+               refineFraction: Double = 1.0): IvfIndexFrames = {
     val seeds0 = corpus.orderBy(col(idCol)).limit(cells)
       .select(col(idCol).as("cell"), col(vecCol).as("sv"))
     val seeds =
@@ -414,22 +448,60 @@ object Similarity {
       else refineSeeds(
         fanOut(corpus).select(col(idCol).as("vid"), col(vecCol).as("v")),
         seeds0, refineIters, refineFraction)
-    def assign(df: DataFrame, id: String, v: String, keep: Int) = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as(v))
-        .join(broadcast(seeds))
-        .withColumn("seed_cos", VectorFns.cosine(col(v), col("sv")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("seed_cos").desc, col("cell"))
-      scored.withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .select(col(id), col(v), col("cell"))
-    }
-    val corpusCells = assign(fanOut(corpus), "neighbor_id", "cv", 1)
-    val queryProbes = assign(queries, "query_id", "qv", nProbe)
-    corpusCells.join(broadcast(queryProbes), Seq("cell"))
+    IvfIndexFrames(seeds,
+      assignCells(seeds, fanOut(corpus), idCol, vecCol,
+        "neighbor_id", "cv", 1))
+  }
+
+  /** File a NEW batch of vectors under an existing index's centroids
+    * — the ingestion append: centroids stay FIXED (re-seeding would
+    * silently re-cluster the whole store), the returned postings rows
+    * union/append onto the persisted inverted file. Per-batch cost is
+    * |batch| × |centroids| — the corpus is never re-read.
+    */
+  def ivfAppend(index: IvfIndexFrames, batch: DataFrame,
+                idCol: String, vecCol: String): DataFrame =
+    assignCells(index.centroids, fanOut(batch), idCol, vecCol,
+      "neighbor_id", "cv", 1)
+
+  /** Top-k neighbors of each batch vector against a PERSISTED index —
+    * the incremental-ingestion probe ([[ivfKnn]]'s semantics with the
+    * corpus-side work done once at index build). The batch's probes
+    * broadcast into an equi-join on cell id, so per-batch cost is
+    * |postings| × nProbe / cells candidate scores; store the postings
+    * bucketed by `cell` and the probe join shuffles nothing at all
+    * (the [[graft.operators.JoinOps]] pattern, proven for the minhash
+    * index in PushdownSpec). Output: (query_id, neighbor_id, rank,
+    * cosine), self-pairs excluded.
+    */
+  def knnAgainstIndex(index: IvfIndexFrames, batch: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int = 4): DataFrame =
+    topK(scoredAgainstIndex(index, batch, idCol, vecCol, nProbe), k)
+
+  private def scoredAgainstIndex(index: IvfIndexFrames, queries: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 nProbe: Int): DataFrame = {
+    val queryProbes = assignCells(index.centroids, queries, idCol,
+      vecCol, "query_id", "qv", nProbe)
+    index.postings.join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
   }
+
+  /** IVF candidate generation + scoring shared by [[ivfKnn]] and
+    * [[hardNegativesIvf]]: (query_id, neighbor_id, cosine) for every
+    * probed-cell candidate pair, self-pairs excluded, NOT yet top-k'd.
+    * One-shot composition of [[ivfIndex]] + [[scoredAgainstIndex]].
+    */
+  private def ivfScored(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String,
+                        cells: Int, nProbe: Int,
+                        refineIters: Int,
+                        refineFraction: Double): DataFrame =
+    scoredAgainstIndex(
+      ivfIndex(corpus, idCol, vecCol, cells, refineIters, refineFraction),
+      queries, idCol, vecCol, nProbe)
 
   /** [[hardNegatives]] over IVF candidate generation — the composition
     * its scaladoc promises for huge query sets: candidates come from

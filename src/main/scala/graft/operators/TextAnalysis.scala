@@ -435,6 +435,18 @@ object TextAnalysis {
         col("dominant_script"): _*)
   }
 
+  /** Word bigrams of `c` as "w1 w2" strings (empty array below 2
+    * tokens) — the n-gram unit [[knBigramScore]] and
+    * [[knTrigramScore]]'s backoff level share.
+    */
+  private def wordBigrams(c: Column): Column = {
+    val t = TextFns.toks(c)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1), i =>
+        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Interpolated Kneser-Ney BIGRAM language-model scoring — the
     * word-level LM quality signal (CCNet-style perplexity filtering)
     * one step up from [[charLmScore]]'s character trigrams: train
@@ -476,13 +488,7 @@ object TextAnalysis {
       s"discount must be in (0,1), got $discount")
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    def bigrams(c: Column): Column = {
-      val t = TextFns.toks(c)
-      when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1), i =>
-          concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-        .otherwise(array().cast("array<string>"))
-    }
+    val bigrams = wordBigrams _
     // the bigram count table feeds FOUR consumers (ctx, cont, T, and
     // the scoring join) — persist it once
     val cb = fanOut(train)
@@ -522,6 +528,129 @@ object TextAnalysis {
         fxSum(col("__m").cast(DoubleType) * -log(p), 1e6).as("__q"))
       .select(col(idCol), col("n_bigrams"),
         (fxVal(col("__q"), 1e6) / col("n_bigrams").cast(DoubleType))
+          .as("avg_nll"))
+  }
+
+  /** Interpolated Kneser-Ney TRIGRAM scoring with bigram-level
+    * backoff — the standard-order form of [[knBigramScore]] (trigram
+    * perplexity is the usual CCNet-style curation signal; bigrams are
+    * a weak approximation). Same recursive KN structure, one order
+    * deeper; the middle order uses CONTINUATION counts (how many
+    * distinct left contexts a bigram has), which is the part that
+    * distinguishes KN backoff from naive count backoff.
+    *
+    * Per trigram (w1, w2, w3), D = `discount`, all counts integers:
+    *
+    *   c123  = c(w1 w2 w3)        c12t = Σ_w c(w1 w2 w)
+    *   n12f  = |{w : c(w1 w2 w) > 0}|
+    *   n1c23 = |{w : c(w w2 w3) > 0}|     (continuation of "w2 w3")
+    *   nmid  = |{(u,w) : c(u w2 w) > 0}|  (trigram types around w2)
+    *   n1f   = |{w : c(w2 w) > 0}|        (bigram followers of w2)
+    *   n1c   = |{w : c(w w3) > 0}|, T = distinct bigrams, V = vocab
+    *
+    *   Pc(w3)        = (n1c + 1) / (T + V + 1)
+    *   Pbo(w3|w2)    = (max(n1c23 − D, 0) + D·n1f·Pc(w3)) / nmid
+    *                    when nmid > 0, else Pc(w3)
+    *   P(w3|w1 w2)   = (max(c123 − D, 0) + D·n12f·Pbo(w3|w2)) / c12t
+    *                    when c12t > 0, else Pbo(w3|w2)
+    *
+    * Emits (id, n_trigrams, avg_nll); docs with < 3 tokens drop.
+    * Determinism: the double expression tree is mirrored op-for-op by
+    * the SQL oracle and per-doc accumulation goes through the 1e-6
+    * fixed-point sum, exactly like the bigram model.
+    *
+    * Scale shape: the trigram TYPE table is ONE map-side-combining
+    * hash agg (persisted — it feeds the three model reaggs and the
+    * scoring join); the bigram/unigram backoff tables are
+    * [[knBigramScore]]'s. Scoring is six equi-joins keyed on the
+    * n-gram fragments carried from construction (no string
+    * re-splitting on the oracle-sensitive path) plus one per-doc hash
+    * agg — no window, nothing driver-side.
+    */
+  def knTrigramScore(train: DataFrame, score: DataFrame, idCol: String,
+                     textCol: String,
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // each trigram carries its join fragments from construction so
+    // both engines key the model joins on identical strings
+    def trigrams(c: Column): Column = {
+      val t = TextFns.toks(c)
+      when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2), i => struct(
+          concat(element_at(t, i), lit(" "), element_at(t, i + 1),
+            lit(" "), element_at(t, i + 2)).as("tri"),
+          concat(element_at(t, i), lit(" "), element_at(t, i + 1))
+            .as("p12"),
+          concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))
+            .as("s23"),
+          element_at(t, i + 1).as("w2"),
+          element_at(t, i + 2).as("w3"))))
+        .otherwise(array().cast(
+          "array<struct<tri:string,p12:string,s23:string," +
+            "w2:string,w3:string>>"))
+    }
+    val tg = fanOut(train)
+      .select(explode(trigrams(col(textCol))).as("g")).select(col("g.*"))
+    // trigram type table: four consumers (ctx3, mid23, midw2, scoring)
+    val ct = tg.groupBy(col("tri"), col("p12"), col("s23"), col("w2"),
+        col("w3"))
+      .agg(count(lit(1)).as("__c123"))
+      .persist(MEMORY_AND_DISK)
+    val ctx3 = ct.groupBy(col("p12"))
+      .agg(sum(col("__c123")).as("__c12t"), count(lit(1)).as("__n12f"))
+    val mid23 = ct.groupBy(col("s23")).agg(count(lit(1)).as("__n1c23"))
+    val midw2 = ct.groupBy(col("w2")).agg(count(lit(1)).as("__nmid"))
+    // bigram-level backoff tables — knBigramScore's model, reused
+    val cb = fanOut(train)
+      .select(explode(wordBigrams(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("__c12"))
+      .persist(MEMORY_AND_DISK)
+    val ctx2 = cb.groupBy(substring_index(col("bg"), " ", 1).as("w2"))
+      .agg(count(lit(1)).as("__n1f"))
+    val cont = cb.groupBy(substring_index(col("bg"), " ", -1).as("w3"))
+      .agg(count(lit(1)).as("__n1c"))
+    val totals = cb.agg(count(lit(1)).as("__T")).crossJoin(
+      fanOut(train).select(explode(TextFns.toks(col(textCol))).as("__tk"))
+        .agg(countDistinct(col("__tk")).as("__V")))
+    val occ = fanOut(score)
+      .select(col(idCol), explode(trigrams(col(textCol))).as("g"))
+      .select(col(idCol), col("g.*"))
+      .groupBy(col(idCol), col("tri"), col("p12"), col("s23"),
+        col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__m"))
+    val d = lit(discount)
+    val joined = occ
+      .join(ct.select(col("tri"), col("__c123")), Seq("tri"), "left")
+      .join(ctx3, Seq("p12"), "left")
+      .join(mid23, Seq("s23"), "left")
+      .join(midw2, Seq("w2"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(cont, Seq("w3"), "left")
+      .na.fill(0L, Seq("__c123", "__c12t", "__n12f", "__n1c23",
+        "__nmid", "__n1f", "__n1c"))
+      .crossJoin(broadcast(totals))
+    val pc = (col("__n1c").cast(DoubleType) + lit(1.0)) /
+      (col("__T").cast(DoubleType) + col("__V").cast(DoubleType) +
+        lit(1.0))
+    val pbo = when(col("__nmid") > 0,
+        (greatest(col("__n1c23").cast(DoubleType) - d, lit(0.0)) +
+          d * col("__n1f").cast(DoubleType) * pc) /
+          col("__nmid").cast(DoubleType))
+      .otherwise(pc)
+    val p = when(col("__c12t") > 0,
+        (greatest(col("__c123").cast(DoubleType) - d, lit(0.0)) +
+          d * col("__n12f").cast(DoubleType) * pbo) /
+          col("__c12t").cast(DoubleType))
+      .otherwise(pbo)
+    joined
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_trigrams"),
+        fxSum(col("__m").cast(DoubleType) * -log(p), 1e6).as("__q"))
+      .select(col(idCol), col("n_trigrams"),
+        (fxVal(col("__q"), 1e6) / col("n_trigrams").cast(DoubleType))
           .as("avg_nll"))
   }
 

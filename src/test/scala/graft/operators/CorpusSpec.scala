@@ -542,6 +542,65 @@ class CorpusSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
+  test("noveltyScores: first doc owns its grams, copies score zero, " +
+      "partial overlap in between") {
+    val d = Seq(
+      (1L, "a b c d"),      // grams {a b c, b c d} — both novel
+      (2L, "a b c d"),      // exact copy — novelty 0
+      (3L, "x y z a b c"),  // {x y z, y z a, z a b, a b c}: 3 of 4 novel
+      (4L, "q"))            // < 3 tokens: no grams, no row
+      .toDF("id", "text")
+    val got = Corpus.noveltyScores(d, "id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((4L, 3L, 0.75)))
+    assert(!got.contains(4L))
+  }
+
+  test("sourceTokenKl: the corpus-matching source scores 0, a skewed " +
+      "source scores > 0, and KL is partition-invariant") {
+    // source A: tokens {x, y} evenly; source B: only x — corpus is
+    // 3x : 1y, so KL(A) > 0 and KL(B) > 0, with B more skewed than
+    // the blend in the opposite direction
+    val d = Seq((1L, "A", "x y"), (2L, "A", "x y"), (3L, "B", "x x"),
+      (4L, "B", "x x")).toDF("id", "src", "text")
+    val got = Corpus.sourceTokenKl(d, "src", "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // hand numbers: N=8, global x=6 (q=.75), y=2 (q=.25)
+    // A: p(x)=p(y)=.5 → .5 ln(.5/.75) + .5 ln(.5/.25)
+    val klA = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    val klB = 1.0 * math.log(1.0 / 0.75)
+    assert(got("A")._1 == 4L && math.abs(got("A")._2 - klA) < 1e-6)
+    assert(got("B")._1 == 4L && math.abs(got("B")._2 - klB) < 1e-6)
+    // a source that IS the corpus distribution scores exactly 0
+    val uni = Seq((1L, "A", "x y"), (2L, "B", "x y"))
+      .toDF("id", "src", "text")
+    Corpus.sourceTokenKl(uni, "src", "text")
+      .as[(String, Long, Double)].collect()
+      .foreach(r => assert(r._3 == 0.0, s"expected exact 0 for $r"))
+    def run(p: Int) = Corpus.sourceTokenKl(
+        d.repartition(p), "src", "text")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) === run(16)) // bit-identical (fx sums)
+  }
+
+  test("mixtureWeights: weights ∝ 1/tokens, sum to ~1, uniform when " +
+      "sources are balanced") {
+    val d = Seq((1L, "A", "a b c d e f"), (2L, "B", "a b c"),
+      (3L, "C", "a b c")).toDF("id", "src", "text")
+    val got = Corpus.mixtureWeights(d, "src", "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("A")._1 == 6L && got("B")._1 == 3L)
+    // B and C tie; A has 2x the tokens → half the weight
+    assert(math.abs(got("B")._2 - got("C")._2) < 1e-12)
+    assert(math.abs(got("A")._2 * 2 - got("B")._2) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("packBoundaries: per-sequence piece offsets tile the sequence, " +
       "doc open/close flags mark true document edges") {
     val d = Seq(

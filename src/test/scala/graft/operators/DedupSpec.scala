@@ -486,6 +486,28 @@ class DedupSpec extends SparkSpec {
       (6L, true, -1L)))
   }
 
+  test("dedupParagraphs: first (doc, position) keeps each paragraph, " +
+      "later copies are cut, docs reassemble in order") {
+    val d = Seq(
+      (1L, "alpha one\n\nshared footer\n\nbeta two"),
+      (2L, "SHARED   footer\n\ngamma three"), // normText-equal copy
+      (3L, "shared footer"),                  // nothing left
+      (4L, " \n\n  "))                        // only blanks: no row
+      .toDF("id", "text")
+    val got = Dedup.dedupParagraphs(d, "id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 3L, "alpha one\n\nshared footer\n\nbeta two")))
+    assert(got(2L) === ((2L, 1L, "gamma three")))
+    assert(got(3L) === ((1L, 0L, "")))
+    assert(!got.contains(4L))
+    // a repeat INSIDE one doc also dedups (position order wins)
+    val e = Seq((7L, "p\n\nq\n\np")).toDF("id", "text")
+    val one = Dedup.dedupParagraphs(e, "id", "text")
+      .as[(Long, Long, Long, String)].head()
+    assert(one === ((7L, 3L, 2L, "p\n\nq")))
+  }
+
   test("clusterSplits: near-duplicate pairs never straddle a split; " +
       "membership keys only on cluster_id") {
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("id", "text")

@@ -137,6 +137,46 @@ class SimilaritySpec extends SparkSpec {
     assert(refined >= raw, s"refined=$refined < raw=$raw")
   }
 
+  test("knnAgainstIndex over ivfIndex(corpus) == ivfKnn(corpus) — a " +
+      "full-coverage persisted index answers exactly like the one-shot") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = e.filter($"vec_id" < 10)
+    val oneShot = Similarity.ivfKnn(e, q, "vec_id", "embedding",
+        k = 5, cells = 16, nProbe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val ix = Similarity.ivfIndex(e, "vec_id", "embedding", cells = 16)
+    val viaIndex = Similarity.knnAgainstIndex(ix, q, "vec_id",
+        "embedding", k = 5, nProbe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaIndex === oneShot)
+  }
+
+  test("ivfAppend under fixed centroids == indexing everything at " +
+      "once (the codes-appended ingestion contract)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val part1 = e.filter($"vec_id" < 250)
+    val part2 = e.filter($"vec_id" >= 250)
+    val ix0 = Similarity.ivfIndex(part1, "vec_id", "embedding",
+      cells = 16)
+    val grown = Similarity.IvfIndexFrames(ix0.centroids,
+      ix0.postings.unionByName(
+        Similarity.ivfAppend(ix0, part2, "vec_id", "embedding")))
+    // the flattened reference: same centroids (seeds are the first 16
+    // ids, all in part1), whole corpus filed in one pass
+    val flat = Similarity.ivfIndex(e, "vec_id", "embedding", cells = 16)
+    val q = e.filter($"vec_id" < 10)
+    def run(ix: Similarity.IvfIndexFrames) =
+      Similarity.knnAgainstIndex(ix, q, "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    assert(run(grown) === run(flat))
+    // and the grown postings ARE the flat postings, row for row
+    assert(grown.postings.select("neighbor_id", "cell")
+        .as[(Long, Long)].collect().toSet ===
+      flat.postings.select("neighbor_id", "cell")
+        .as[(Long, Long)].collect().toSet)
+  }
+
   test("lshKnn results are a subset of brute-force candidates with " +
     "reasonable recall on the real embeddings") {
     val e = Tables.embeddings(spark, sf0001)

@@ -206,6 +206,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(1) === run(16)) // bit-identical
   }
 
+  test("knTrigramScore: hand-computed trigram KN with bigram backoff, " +
+      "unseen (w1 w2) context backs off, short docs drop") {
+    // train "a b c a b d": trigram types {a b c, b c a, c a b, a b d}
+    // each once; ctx3("a b") = (c12t 2, n12f 2); mid23("b c") = 1;
+    // midw2(b) = 2 (types a b c / a b d); bigram followers n1f(b) = 2
+    // {c,d}; T = 4 bigram types, V = 4 → Pc(c) = (1+1)/(4+4+1) = 2/9
+    val train = Seq((0L, "a b c a b d")).toDF("id", "text")
+    val score = Seq((1L, "a b c"), (2L, "z b c"), (3L, "x y"))
+      .toDF("id", "text")
+    val got = TextAnalysis.knTrigramScore(train, score, "id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val pc = 2.0 / 9
+    val pbo = (0.25 + 0.75 * 2 * pc) / 2 // Pbo(c|b)
+    val p = (0.25 + 0.75 * 2 * pbo) / 2  // P(c|a b)
+    assert(got(1L)._1 == 1 && math.abs(got(1L)._2 + math.log(p)) < 1e-5)
+    // unseen context "z b" → pure backoff Pbo(c|b)
+    assert(got(2L)._1 == 1 && math.abs(got(2L)._2 + math.log(pbo)) < 1e-5)
+    // the seen trigram must score strictly better than the backoff
+    assert(got(1L)._2 < got(2L)._2)
+    assert(!got.contains(3L)) // two tokens: no trigrams
+  }
+
+  test("knTrigramScore is partition-invariant (fx sums)") {
+    val d = (0 until 500)
+      .map(i => (i.toLong, s"tok${i % 11} tok${i % 7} tok${i % 5} end"))
+      .toDF("id", "text")
+    def run(p: Int) = TextAnalysis.knTrigramScore(
+        d.repartition(p), d.repartition(p), "id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) === run(16)) // bit-identical
+  }
+
   test("charLmScore is partition-invariant (fx sums)") {
     val d = (0 until 2000)
       .map(i => (i.toLong % 7, s"doc text ${i % 13} with shared runs"))
