@@ -527,6 +527,95 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing fingerprints (the MOSS passage-localization
+    // algorithm): char-5-gram hashes, window of 4, min per window
+    // with rightmost tie — the oracle replays the hash grid, the
+    // per-window rightmost-argmin (ORDER BY h ASC, i DESC) and the
+    // repeated-pick dedup. Any drift in the tie rule or window
+    // arithmetic breaks the hash.
+    Q("ext_winnow", {
+      val (k, w) = (5, 4)
+      s"""WITH d0 AS (SELECT doc_id, lower(text) AS t,
+         |   length(text) - ${k - 1} AS n FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |   ${h32(s"substr(t, CAST(i AS INT), $k)")} AS h
+         |  FROM d0, unnest(range(1, n + 1)) u(i) WHERE n >= 1),
+         |p AS (SELECT doc_id, CAST(j AS BIGINT) AS j
+         |  FROM d0, unnest(range(1, n - ${w - 1} + 1)) u(j)
+         |  WHERE n >= $w),
+         |c AS (SELECT p.doc_id, p.j, g.i, g.h
+         |  FROM p JOIN g ON g.doc_id = p.doc_id
+         |   AND g.i BETWEEN p.j AND p.j + ${w - 1}),
+         |pick AS (SELECT doc_id, i, h FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY doc_id, j
+         |    ORDER BY h ASC, i DESC) AS rn FROM c) WHERE rn = 1)
+         |SELECT DISTINCT doc_id, i AS pos, h AS fp
+         |FROM pick ORDER BY doc_id, pos, fp""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.winnow(documents(s, d), "doc_id", "text",
+          k = 5, w = 4)
+        .orderBy(col("doc_id"), col("pos"), col("fp"))
+    },
+
+    // The MOSS passage-match report over the winnow index: doc pairs
+    // sharing >= 3 surviving fingerprints after the hot-fp guard
+    // (boilerplate fps in > 20 docs leave the index). The oracle
+    // replays the winnow picks, the dedup, the frequency gate, the
+    // oriented pair join and the HAVING cut.
+    Q("ext_winnow_matches", {
+      val (k, w, minShared, maxDf) = (5, 4, 3, 20)
+      s"""WITH d0 AS (SELECT doc_id, lower(text) AS t,
+         |   length(text) - ${k - 1} AS n FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |   ${h32(s"substr(t, CAST(i AS INT), $k)")} AS h
+         |  FROM d0, unnest(range(1, n + 1)) u(i) WHERE n >= 1),
+         |p AS (SELECT doc_id, CAST(j AS BIGINT) AS j
+         |  FROM d0, unnest(range(1, n - ${w - 1} + 1)) u(j)
+         |  WHERE n >= $w),
+         |c AS (SELECT p.doc_id, p.j, g.i, g.h
+         |  FROM p JOIN g ON g.doc_id = p.doc_id
+         |   AND g.i BETWEEN p.j AND p.j + ${w - 1}),
+         |pick AS (SELECT doc_id, i, h FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY doc_id, j
+         |    ORDER BY h ASC, i DESC) AS rn FROM c) WHERE rn = 1),
+         |wf AS (SELECT DISTINCT doc_id, h AS fp FROM pick),
+         |hot AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM wf
+         |  GROUP BY 1) WHERE df > $maxDf),
+         |idx AS (SELECT wf.* FROM wf
+         |  LEFT JOIN hot ON hot.fp = wf.fp WHERE hot.fp IS NULL)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(count(*) AS BIGINT) AS n_shared
+         |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $minShared
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.winnowMatches(documents(s, d), "doc_id", "text",
+          k = 5, w = 4, minShared = 3, maxDocFreq = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Out-of-vocabulary rate against the corpus's own top-256 token
+    // head (ties to the smaller token) — the tokenizer-fit signal.
+    // One exact integer division per doc; the head cut is replayed
+    // with the identical (count desc, token) order.
+    Q("ext_oov_rate",
+      s"""WITH tk AS (SELECT doc_id, unnest($TOKS) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         |v AS (SELECT tok, 1 AS inv FROM c
+         |  ORDER BY c DESC, tok LIMIT 256)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_oov,
+         | CAST(sum(CASE WHEN v.inv IS NULL THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM tk LEFT JOIN v USING (tok)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.oovRate(documents(s, d), "doc_id", "text",
+          vocabSize = 256)
+        .orderBy(col("doc_id"))
+    },
+
     // Unicode canonicalization + control-char scrub — the first pass of
     // any web-scale ingest (decomposed accents must dedup with their
     // composed twins; stray C0/C1 bytes break downstream tokenizers).

@@ -83,7 +83,81 @@ private[graft] object ModelQueries {
        |${assignCte(Rounds)}""".stripMargin
   }
 
+  /** Incremental-PQ oracle CTEs: codebooks train on the RESIDENT
+    * corpus only (`trainWhere`), the final encode assign runs over
+    * ALL vectors — appending under fixed codebooks must be
+    * indistinguishable from encoding everyone with the resident-
+    * trained model. Ends with `enc(vid, sub, cell)`.
+    */
+  private def pqIncSql(trainWhere: String): String = {
+    val seedH = h32("CAST(vec_id AS VARCHAR)")
+    def assignCte(r: Int) =
+      s"""a$r AS (SELECT vid, sub, cell FROM (
+         |  SELECT v.vec_id AS vid, v.sub, c.cell,
+         |   row_number() OVER (PARTITION BY v.vec_id, v.sub
+         |     ORDER BY ${d2Sql("v.sv", "c.cv")} ASC, c.cell) AS rn
+         |  FROM sv v JOIN cent$r c ON c.sub = v.sub) WHERE rn = 1)"""
+        .stripMargin
+    def recomputeCte(r: Int) =
+      s"""m$r AS (SELECT a.sub, a.cell, u.i,
+         |   (CAST(${OracleSql.fxSql("CAST(v.sv[u.i] AS DOUBLE)",
+                                     "1000000000.0")} AS DOUBLE)
+         |    / 1000000000.0) / CAST(count(*) AS DOUBLE) AS mc
+         |  FROM a$r a JOIN sv v ON v.vec_id = a.vid AND v.sub = a.sub,
+         |   unnest(range(1, ${Dsub + 1})) AS u(i)
+         |  GROUP BY a.sub, a.cell, u.i),
+         |cent${r + 1} AS (SELECT sub, cell, list(mc ORDER BY i) AS cv
+         |  FROM m$r GROUP BY sub, cell)""".stripMargin
+    val body = (1 until Rounds)
+      .map(r => s"${assignCte(r)},\n${recomputeCte(r)}")
+      .mkString(",\n")
+    s"""subs AS (SELECT unnest(range(0, $M)) AS sub),
+       |sva AS (SELECT e.vec_id, s.sub,
+       |   list_slice(e.embedding, s.sub * $Dsub + 1,
+       |     s.sub * $Dsub + $Dsub) AS sv
+       |  FROM embeddings e, subs s),
+       |sv AS (SELECT * FROM sva WHERE $trainWhere),
+       |seedv AS (SELECT row_number() OVER (ORDER BY $seedH, vec_id) - 1
+       |    AS cell, embedding
+       |  FROM embeddings WHERE $trainWhere
+       |  ORDER BY $seedH, vec_id LIMIT $Ksub),
+       |cent1 AS (SELECT s.sub, d.cell,
+       |   list_transform(list_slice(d.embedding, s.sub * $Dsub + 1,
+       |     s.sub * $Dsub + $Dsub), x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM seedv d, subs s),
+       |$body,
+       |enc AS (SELECT vid, sub, cell FROM (
+       |  SELECT v.vec_id AS vid, v.sub, c.cell,
+       |   row_number() OVER (PARTITION BY v.vec_id, v.sub
+       |     ORDER BY ${d2Sql("v.sv", "c.cv")} ASC, c.cell) AS rn
+       |  FROM sva v JOIN cent$Rounds c ON c.sub = v.sub)
+       | WHERE rn = 1)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // PQ codes-appended ingestion: codebooks train on the resident
+    // corpus (vec_id % 8 != 0), the newcomers (vec_id % 8 = 0) encode
+    // via pqEncode under the FIXED codebooks. The oracle trains on
+    // the residents and encodes everyone in one pass — any drift in
+    // the frozen-codebook encode path breaks the hash.
+    Q("ext_pq_append",
+      s"""WITH ${pqIncSql("vec_id % 8 != 0")}
+         |SELECT vid AS vec_id, CAST(sub AS INT) AS sub,
+         | CAST(cell AS INT) AS code
+         |FROM enc ORDER BY vec_id, sub""".stripMargin) { (s, d) =>
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val resident = e.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val (cents, residentCodes) = Pq.pqModel(resident, "vec_id",
+        "embedding", m = M, ksub = Ksub, rounds = Rounds)
+      val appended = Pq.pqEncode(cents,
+        e.filter(pmod(col("vec_id"), lit(8)) === 0), "vec_id",
+        "embedding", m = M)
+      residentCodes.unionByName(appended)
+        .select(col("vid").as("vec_id"), col("sub").cast("int").as("sub"),
+          col("code").cast("int").as("code"))
+        .orderBy(col("vec_id"), col("sub"))
+    },
 
     // The compressed corpus itself: every (vector, subspace) codeword
     // id — the 64-float -> m-byte artifact a 100 TB pipeline persists.

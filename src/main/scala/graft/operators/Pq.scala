@@ -128,6 +128,32 @@ object Pq {
       assigned.select(col("vid"), col("sub"), col("cell").as("code")))
   }
 
+  /** Encode a NEW batch of vectors under EXISTING codebooks — the
+    * PQ half of the incremental-ingestion contract
+    * ([[Similarity.ivfAppend]]'s analog): codebooks stay FIXED
+    * (retraining would silently re-map every stored code), the
+    * returned `(vid, sub, code)` rows append onto the persisted code
+    * table. One broadcast join of the m·ksub codebook + a per-
+    * (vector, subspace) argmin window — |batch| × m rows, the corpus
+    * never re-read. Encoding the training corpus under its own
+    * codebooks reproduces [[pqModel]]'s codes exactly (spec-pinned),
+    * so appended and originally-encoded codes are indistinguishable.
+    */
+  def pqEncode(codebooks: DataFrame, batch: DataFrame, idCol: String,
+               vecCol: String, m: Int = 4, dims: Int = 64): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"m must divide dims: m=$m dims=$dims")
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dims / m
+    val vs = subvecs(fanOut(batch), idCol, vecCol, m, dsub)
+    val w = Window.partitionBy(col("vid"), col("sub"))
+      .orderBy(col("d2").asc, col("cell"))
+    vs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", sqDist(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vid"), col("sub"), col("cell").as("code"))
+  }
+
   /** The compressed corpus as scalar rows: (id, sub, code) — the
     * hash-checkable shape of the stored artifact.
     */

@@ -219,6 +219,128 @@ object TextAnalysis {
         coalesce(col("shfp"), lit("")).as("shingle_fp"))
   }
 
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every character `k`-gram of the lowered
+    * text, slide a window of `w` consecutive hashes, and record each
+    * window's MINIMUM hash — rightmost position on ties, the paper's
+    * rule — deduplicating repeated picks. The guarantee the whole-doc
+    * [[fingerprints]] min-hash lacks: any shared substring of length
+    * ≥ k + w − 1 between two docs yields at least one shared
+    * fingerprint, so matching (fp) — or (fp, pos) runs — LOCALIZES
+    * plagiarized/boilerplate passages instead of just flagging
+    * near-identical docs. Emits one row per selected fingerprint:
+    * (id, pos, fp) with `pos` the 1-based k-gram start; docs shorter
+    * than k + w − 1 chars have no window and emit nothing.
+    *
+    * Scale shape: one narrow per-row projection (the gram-hash array
+    * and the per-window fold are higher-order expressions over
+    * text-length-bounded arrays — per-row cost O(len·w), no shuffle)
+    * followed by one explode. Downstream passage matching is a plain
+    * fp-keyed equi-join — never a pair scan.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val t = lower(col(textCol))
+    val n = (length(t) - lit(k - 1)).cast("int") // k-gram count
+    val hpType = "array<struct<h:bigint,pos:bigint>>"
+    // the (hash, pos) grid MUST land in its own projection column: a
+    // HOF lambda re-evaluates any embedded subexpression per
+    // invocation, so an inline grid would recompute every k-gram md5
+    // once per window element — O(len²·w) hashing (measured 60×
+    // slower); through the column reference it is hashed once per row
+    // (CollapseProject keeps multi-use non-cheap aliases separate)
+    val grid = when(length(t) >= lit(k),
+      transform(sequence(lit(1), n), i =>
+        struct(TextFns.hash32(t.substr(i, lit(k))).as("h"),
+          i.cast("long").as("pos"))))
+      .otherwise(array().cast(hpType))
+    val hp = col("__hp")
+    // per window: fold (min, pos) with <= so ties advance to the
+    // RIGHTMOST minimal position (the winnowing robustness rule)
+    val picks = when(size(hp) >= lit(w),
+      transform(sequence(lit(1), size(hp) - lit(w - 1)), j =>
+        aggregate(slice(hp, j, lit(w)),
+          struct(lit(Long.MaxValue).as("h"), lit(0L).as("pos")),
+          (acc, e) =>
+            when(e.getField("h") <= acc.getField("h"),
+                struct(e.getField("h").as("h"),
+                  e.getField("pos").as("pos")))
+              .otherwise(acc))))
+      .otherwise(array().cast(hpType))
+    fanOut(docs)
+      .select(col(idCol), grid.as("__hp"))
+      .select(col(idCol), explode(array_distinct(picks)).as("f"))
+      .select(col(idCol), col("f.pos").as("pos"), col("f.h").as("fp"))
+  }
+
+  /** Passage-level match report over [[winnow]] fingerprints — the
+    * MOSS output: document pairs sharing at least `minShared` selected
+    * fingerprints, with the shared count. This is what localized
+    * fingerprints are FOR: two docs sharing a ≥ k+w−1-char passage
+    * share fingerprints even when their whole-document similarity is
+    * negligible (a licence block inside otherwise-unrelated pages).
+    *
+    * Scale shape: the classic inverted-index pair join —
+    * fingerprint-keyed self-join of the distinct (doc, fp) table,
+    * oriented id_a < id_b, then one pair-keyed count agg. A
+    * fingerprint present in more than `maxDocFreq` docs is dropped
+    * from the index first ([[Dedup]]'s hot-shingle guard): ubiquitous
+    * boilerplate would otherwise explode the join quadratically while
+    * telling us nothing pair-specific.
+    */
+  def winnowMatches(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4, minShared: Int = 2,
+                    maxDocFreq: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val wf = winnow(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp")).distinct()
+      .localCheckpoint() // feeds the frequency gate and both join sides
+    val hot = wf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select(col("fp"))
+    val idx = wf.join(hot, Seq("fp"), "left_anti")
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * tokens — the tokenizer-fit signal (a doc whose tokens rarely
+    * appear in the vocabulary head will fragment into long byte-level
+    * token sequences; curation caps or reroutes such docs). Vocabulary
+    * = the `vocabSize` most frequent tokens, ties to the
+    * lexicographically smaller (deterministic, engine-portable).
+    * Emits (id, n_tokens, n_oov, oov_rate); docs with zero tokens
+    * produce a single empty-string token under the split convention
+    * and still emit.
+    *
+    * Scale shape: one token hash-agg, a TakeOrdered vocabulary head
+    * (bounded, broadcast), one broadcast left-anti-style join marked
+    * in-row, one per-doc agg. The corpus shuffles once (token
+    * counts); scoring is map-side against the broadcast head.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 256): DataFrame = {
+    require(vocabSize >= 1 && vocabSize <= (1 << 20),
+      s"vocabSize must be in [1, 2^20], got $vocabSize")
+    val tk = fanOut(docs).select(col(idCol),
+      explode(TextFns.toks(col(textCol))).as("__tok"))
+    val vocab = tk.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__inv"))
+    tk.join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
+
   /** Token-distribution drift per group (source/crawl/snapshot) against
     * the whole corpus — the mixture-health check a training-data
     * pipeline runs per ingest: a source whose unigram distribution sits

@@ -60,6 +60,18 @@ class PqSpec extends SparkSpec {
     assert(recall > 0.7, s"recall=$recall")
   }
 
+  test("pqEncode under the corpus's own codebooks reproduces " +
+      "pqModel's codes exactly (frozen-codebook append contract)") {
+    import spark.implicits._
+    val (cents, codes) = Pq.pqModel(e, "vec_id", "embedding",
+      m = 4, ksub = 16, rounds = 2)
+    val re = Pq.pqEncode(cents, e, "vec_id", "embedding", m = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vid"), col("sub").cast("long"),
+        col("code").cast("long")).as[(Long, Long, Long)].collect().toSet
+    assert(rows(codes) === rows(re))
+  }
+
   test("pqKnnRerank scores match bruteKnn cosine on shared pairs") {
     val q = e.filter(col("vec_id") < 10)
     val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5)

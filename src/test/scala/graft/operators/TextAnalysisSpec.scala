@@ -239,6 +239,78 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(1) === run(16)) // bit-identical
   }
 
+  test("winnow: rightmost tie rule, short docs drop, and the " +
+      "shared-substring locality guarantee") {
+    // all-equal hashes ("aaaa", k=2, w=2): grams at 1,2,3; each
+    // window advances to its RIGHTMOST minimal position -> {2, 3}
+    val ties = TextAnalysis.winnow(
+        Seq((1L, "aaaa")).toDF("id", "text"), "id", "text", k = 2, w = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(ties.map(_._2).toSet === Set(2L, 3L))
+    assert(ties.map(_._3).distinct.length === 1) // one repeated hash
+    // below k + w - 1 chars there is no full window
+    assert(TextAnalysis.winnow(
+      Seq((2L, "ab")).toDF("id", "text"), "id", "text",
+      k = 2, w = 2).count() === 0)
+    // the SIGMOD-03 guarantee: docs sharing a substring of length
+    // >= k + w - 1 = 8 share at least one fingerprint VALUE
+    val d = Seq(
+      (10L, "xxxx SHARED-PASSAGE-HERE yyyy"),
+      (11L, "aaaaaaaa SHARED-PASSAGE-HERE bbb"),
+      (12L, "nothing in common at all")).toDF("id", "text")
+    val fps = TextAnalysis.winnow(d, "id", "text", k = 5, w = 4)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).toSet }
+    assert((fps(10L) intersect fps(11L)).nonEmpty)
+    // and fingerprint values recompute from (pos, k-gram) exactly
+    import org.apache.spark.sql.functions.{col, lit, lower}
+    val re = TextAnalysis.winnow(d, "id", "text", k = 5, w = 4)
+      .join(d, Seq("id"))
+      .withColumn("expect", graft.functions.TextFns.hash32(
+        lower(col("text")).substr(col("pos").cast("int"), lit(5))))
+    assert(re.filter(col("fp") =!= col("expect")).count() === 0)
+  }
+
+  test("winnowMatches: passage-sharing pairs surface, hot boilerplate " +
+      "fingerprints are gated, minShared cuts weak pairs") {
+    val d = Seq(
+      (1L, "AAAA unique-shared-long-passage-one BBBB"),
+      (2L, "CCCC unique-shared-long-passage-one DDDD"),
+      (3L, "totally different content here wxyz")).toDF("id", "text")
+    val got = TextAnalysis.winnowMatches(d, "id", "text",
+        k = 5, w = 4, minShared = 2, maxDocFreq = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 >= 2)
+    // a fingerprint in EVERY doc is boilerplate: with maxDocFreq = 2
+    // (< 3 docs) the shared-everywhere text stops creating pairs
+    val boiler = Seq(
+      (1L, "the same everywhere text block"),
+      (2L, "the same everywhere text block"),
+      (3L, "the same everywhere text block")).toDF("id", "text")
+    assert(TextAnalysis.winnowMatches(boiler, "id", "text",
+      k = 5, w = 4, minShared = 1, maxDocFreq = 2).count() === 0)
+  }
+
+  test("oovRate: head tokens score 0, tail tokens count as OOV, " +
+      "boundary ties break lexicographically") {
+    // vocabSize=2: counts x:3 y:2 z:1 -> head {x, y}
+    val d = Seq((1L, "x x y"), (2L, "x y z")).toDF("id", "text")
+    val got = TextAnalysis.oovRate(d, "id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 0L, 0.0)))
+    assert(got(2L)._1 == 3L && got(2L)._2 == 1L &&
+      math.abs(got(2L)._3 - 1.0 / 3) < 1e-12)
+    // tie at the boundary: a and b both count 1, vocabSize=1 after x
+    // -> vocab {a} (lexicographic), b is OOV
+    val t = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    val tied = TextAnalysis.oovRate(t, "id", "text", vocabSize = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(tied === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("charLmScore is partition-invariant (fx sums)") {
     val d = (0 until 2000)
       .map(i => (i.toLong % 7, s"doc text ${i % 13} with shared runs"))
