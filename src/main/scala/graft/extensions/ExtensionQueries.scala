@@ -536,7 +536,7 @@ object ExtensionQueries {
     Q("ext_winnow", {
       val (k, w) = (5, 4)
       s"""WITH d0 AS (SELECT doc_id, lower(text) AS t,
-         |   length(text) - ${k - 1} AS n FROM documents),
+         |   length(lower(text)) - ${k - 1} AS n FROM documents),
          |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
          |   ${h32(s"substr(t, CAST(i AS INT), $k)")} AS h
          |  FROM d0, unnest(range(1, n + 1)) u(i) WHERE n >= 1),
@@ -565,7 +565,7 @@ object ExtensionQueries {
     Q("ext_winnow_matches", {
       val (k, w, minShared, maxDf) = (5, 4, 3, 20)
       s"""WITH d0 AS (SELECT doc_id, lower(text) AS t,
-         |   length(text) - ${k - 1} AS n FROM documents),
+         |   length(lower(text)) - ${k - 1} AS n FROM documents),
          |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
          |   ${h32(s"substr(t, CAST(i AS INT), $k)")} AS h
          |  FROM d0, unnest(range(1, n + 1)) u(i) WHERE n >= 1),

@@ -35,19 +35,36 @@ private[graft] object GraphQueries {
     * `ext_hits_warm` artifact. The memo keeps correctness identical
     * (the checkpointed frame IS cold(k)'s exact fixed-point output;
     * the oracle stays the unrolled cold(k+m) CTE) while the timed
-    * plan is the warm phase only. Bounded: |nodes| rows per entry,
-    * one entry per (session, dir, name).
+    * plan is the warm phase only. The key carries a signature of the
+    * documents parquet under `dir` (max lastModified + total length),
+    * so a REWRITTEN fixture invalidates the memo instead of silently
+    * replaying a stale seed against fresh data. Bounded: |nodes|
+    * (= 64) rows per entry, one entry per (session, dir, signature,
+    * name); superseded entries are dead weight of the same tiny size.
     */
   private val seedCache =
     scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String, String),
+      .empty[(org.apache.spark.sql.SparkSession, String, Long, String),
              org.apache.spark.sql.DataFrame]
+
+  /** Cheap change signature of the table files the seed derives from. */
+  private def dirSig(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles() match {
+          case null => 0L
+          case kids => kids.map(walk).foldLeft(0L)(_ ^ _)
+        }
+      else f.lastModified() ^ (f.length() * 1000003L)
+    walk(new java.io.File(dir, "documents.parquet"))
+  }
 
   private def cachedSeed(sp: org.apache.spark.sql.SparkSession,
                          dir: String, name: String)(
       make: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    seedCache.getOrElseUpdate((sp, dir, name), make.localCheckpoint())
+    seedCache.getOrElseUpdate((sp, dir, dirSig(dir), name),
+      make.localCheckpoint())
 
   private def edges(sp: org.apache.spark.sql.SparkSession, dir: String) = {
     val id = col("doc_id")

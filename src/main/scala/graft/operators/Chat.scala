@@ -172,10 +172,14 @@ object Chat {
       array(struct(col("__role").as("role"), col("__text").as("text")))
         .as("__turns"))
     // only `m` is a loop INVARIANT; each iteration's paths frame is
-    // consumed exactly once by the next, so eager-persist the new
-    // frame and drop its predecessor — otherwise O(maxDepth)
-    // conversation-sized frames stay pinned for the returned plan's
-    // lifetime (unlike pageRankLoop, whose persists are all invariants)
+    // consumed exactly once by the next, so persist the new frame,
+    // force it NOW (the count), and release its predecessor —
+    // otherwise O(maxDepth) conversation-sized frames stay pinned for
+    // the returned plan's lifetime (unlike pageRankLoop, whose
+    // persists are all invariants). persist + unpersist, NOT
+    // localCheckpoint: Dataset.unpersist only consults the
+    // CacheManager and is a no-op for a localCheckpoint's RDD blocks,
+    // so a checkpointed chain could never actually be released.
     var prev: DataFrame = null
     (1 until maxDepth).foreach { _ =>
       val next = paths.join(
@@ -189,14 +193,15 @@ object Chat {
           when(col("__t").isNotNull,
             concat(array(col("__t")), col("__turns")))
             .otherwise(col("__turns")).as("__turns"))
-        .localCheckpoint() // materializes now, so unpersisting the
-                           // predecessor below cannot force a recompute
+        .persist(MEMORY_AND_DISK)
+      next.count() // materialize before dropping the predecessor, so
+                   // the release below can never force a recompute
       if (prev != null) { prev.unpersist(); () }
       prev = next
       paths = next
     }
     // after ≥1 materialized iteration the returned plan reads only the
-    // last checkpointed frame — the message table can go too
+    // last persisted frame — the message table can go too
     if (maxDepth > 1) { m.unpersist(); () }
     paths.select(col("conv_id"),
       size(col("__turns")).as("n_turns"),

@@ -319,24 +319,30 @@ object TextAnalysis {
     * produce a single empty-string token under the split convention
     * and still emit.
     *
-    * Scale shape: one token hash-agg, a TakeOrdered vocabulary head
-    * (bounded, broadcast), one broadcast left-anti-style join marked
-    * in-row, one per-doc agg. The corpus shuffles once (token
-    * counts); scoring is map-side against the broadcast head.
+    * Scale shape: ONE (doc, token) hash-agg over the exploded corpus
+    * — the single corpus-sized pass, persisted because it feeds both
+    * the vocabulary head and the scoring join (the
+    * [[knBigramScore]] cb convention) — then a TakeOrdered head
+    * (bounded, broadcast), a map-side membership mark, and a per-doc
+    * rollup of the occurrence counts.
     */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int = 256): DataFrame = {
     require(vocabSize >= 1 && vocabSize <= (1 << 20),
       s"vocabSize must be in [1, 2^20], got $vocabSize")
-    val tk = fanOut(docs).select(col(idCol),
-      explode(TextFns.toks(col(textCol))).as("__tok"))
-    val vocab = tk.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val occ = fanOut(docs)
+      .select(col(idCol), explode(TextFns.toks(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__m"))
+      .persist(MEMORY_AND_DISK)
+    val vocab = occ.groupBy(col("__tok")).agg(sum(col("__m")).as("__c"))
       .orderBy(col("__c").desc, col("__tok")).limit(vocabSize)
       .select(col("__tok"), lit(1).as("__inv"))
-    tk.join(broadcast(vocab), Seq("__tok"), "left")
+    occ.join(broadcast(vocab), Seq("__tok"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(when(col("__inv").isNull, col("__m")).otherwise(0L))
+          .as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
