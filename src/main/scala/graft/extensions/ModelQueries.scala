@@ -3,7 +3,7 @@ package graft.extensions
 import org.apache.spark.sql.functions._
 import graft.Q
 import graft.functions.TextFns
-import graft.operators.{Paging, Pq, Relevance, TextAnalysis}
+import graft.operators.{Paging, Pq, Relevance, Similarity, TextAnalysis}
 import graft.tables.Tables.{documents, embeddings}
 
 /** Driver-checked queries for the learned-model operators: product
@@ -85,11 +85,14 @@ private[graft] object ModelQueries {
 
   /** Incremental-PQ oracle CTEs: codebooks train on the RESIDENT
     * corpus only (`trainWhere`), the final encode assign runs over
-    * ALL vectors — appending under fixed codebooks must be
-    * indistinguishable from encoding everyone with the resident-
-    * trained model. Ends with `enc(vid, sub, cell)`.
+    * every vector matching `encodeWhere` (default: all) — appending
+    * under fixed codebooks must be indistinguishable from encoding
+    * that set with the resident-trained model. Ends with
+    * `enc(vid, sub, cell)`; `sva` (all subvectors) and
+    * `cent$Rounds` stay visible for downstream CTEs.
     */
-  private def pqIncSql(trainWhere: String): String = {
+  private def pqIncSql(trainWhere: String,
+                       encodeWhere: String = "TRUE"): String = {
     val seedH = h32("CAST(vec_id AS VARCHAR)")
     def assignCte(r: Int) =
       s"""a$r AS (SELECT vid, sub, cell FROM (
@@ -130,7 +133,8 @@ private[graft] object ModelQueries {
        |  SELECT v.vec_id AS vid, v.sub, c.cell,
        |   row_number() OVER (PARTITION BY v.vec_id, v.sub
        |     ORDER BY ${d2Sql("v.sv", "c.cv")} ASC, c.cell) AS rn
-       |  FROM sva v JOIN cent$Rounds c ON c.sub = v.sub)
+       |  FROM sva v JOIN cent$Rounds c ON c.sub = v.sub
+       |  WHERE $encodeWhere)
        | WHERE rn = 1)""".stripMargin
   }
 
@@ -157,6 +161,80 @@ private[graft] object ModelQueries {
         .select(col("vid").as("vec_id"), col("sub").cast("int").as("sub"),
           col("code").cast("int").as("code"))
         .orderBy(col("vec_id"), col("sub"))
+    },
+
+    // The FULL incremental IVF+PQ serving path (FAISS IVFADC, index
+    // as data): coarse centroids from the initial installment
+    // (residents < 256), postings grown via ivfAppend; PQ codebooks
+    // frozen at the initial build, codes appended via pqEncode; a NEW
+    // batch (vec_id % 8 = 0) probes nProbe cells and integer-exact
+    // ADC ranks only those candidates. The oracle trains on the
+    // initial installment, encodes/files ALL residents in one pass
+    // and replays probing + ADC — drift anywhere in the
+    // grown-index path breaks the hash.
+    Q("ext_knn_ivfpq_incremental", {
+      val (cells, nProbe) = (16, 4)
+      val seedCos = cos64Sql("c.embedding", "s.s0")
+      val probeCos = cos64Sql("q.embedding", "s.s0")
+      s"""WITH ${pqIncSql("vec_id % 8 != 0 AND vec_id < 256",
+            "v.vec_id % 8 != 0")},
+         |seeds AS (SELECT vec_id AS cell0, embedding AS s0
+         |  FROM embeddings WHERE vec_id % 8 != 0
+         |  ORDER BY vec_id LIMIT $cells),
+         |cc AS (SELECT neighbor_id, cell0 FROM (
+         |  SELECT c.vec_id AS neighbor_id, s.cell0,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell0) AS rn
+         |  FROM embeddings c, seeds s WHERE c.vec_id % 8 != 0)
+         | WHERE rn = 1),
+         |qp AS (SELECT query_id, cell0 FROM (
+         |  SELECT q.vec_id AS query_id, s.cell0,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY $probeCos DESC, s.cell0) AS rn
+         |  FROM embeddings q, seeds s
+         |  WHERE q.vec_id % 8 = 0 AND q.vec_id < 80)
+         | WHERE rn <= $nProbe),
+         |cand AS (SELECT qp.query_id, cc.neighbor_id
+         |  FROM cc JOIN qp USING (cell0)
+         |  WHERE qp.query_id != cc.neighbor_id),
+         |dt AS (SELECT q.vec_id AS query_id, q.sub, c.cell,
+         |   CAST(floor((${d2Sql("q.sv", "c.cv")}) * 1000000000.0 + 0.5)
+         |     AS BIGINT) AS dfx
+         |  FROM sva q JOIN cent$Rounds c ON c.sub = q.sub
+         |  WHERE q.vec_id % 8 = 0 AND q.vec_id < 80),
+         |adc AS (SELECT n.query_id, n.neighbor_id,
+         |   CAST(sum(d.dfx) AS BIGINT) AS afx
+         |  FROM cand n
+         |  JOIN enc a ON a.vid = n.neighbor_id
+         |  JOIN dt d ON d.query_id = n.query_id AND d.sub = a.sub
+         |   AND d.cell = a.cell
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rank,
+         | CAST(afx AS DOUBLE) / 1000000000.0 AS adist FROM (
+         | SELECT query_id, neighbor_id, afx,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY afx ASC, neighbor_id) AS INT) AS rank
+         | FROM adc) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d).select("vec_id", "embedding")
+      val resident = e.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val initial = resident.filter(col("vec_id") < 256)
+      val later = resident.filter(col("vec_id") >= 256)
+      val ix0 = Similarity.ivfIndex(initial, "vec_id", "embedding",
+        cells = 16)
+      val ix = Similarity.IvfIndexFrames(ix0.centroids,
+        ix0.postings.unionByName(
+          Similarity.ivfAppend(ix0, later, "vec_id", "embedding")))
+      val (cents, codes0) = Pq.pqModel(initial, "vec_id", "embedding",
+        m = M, ksub = Ksub, rounds = Rounds)
+      val codes = codes0.unionByName(
+        Pq.pqEncode(cents, later, "vec_id", "embedding", m = M))
+      Pq.ivfPqAgainstIndex(ix, cents, codes,
+          e.filter(pmod(col("vec_id"), lit(8)) === 0 &&
+            col("vec_id") < 80),
+          "vec_id", "embedding", k = 5, nProbe = 4, m = M)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // The compressed corpus itself: every (vector, subspace) codeword

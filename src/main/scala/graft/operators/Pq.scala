@@ -154,6 +154,51 @@ object Pq {
       .select(col("vid"), col("sub"), col("cell").as("code"))
   }
 
+  /** ADC top-k of a NEW batch against a PERSISTED IVF+PQ index — the
+    * serving probe of the incremental stack: coarse centroids
+    * ([[Similarity.IvfIndexFrames]], built once + [[Similarity
+    * .ivfAppend]]-grown), PQ `codebooks` (frozen) and the appended
+    * `codes(vid, sub, code)` table ([[pqModel]] + [[pqEncode]]).
+    * Candidates come from the batch's `nProbe` nearest cells via the
+    * postings equi-join; integer-exact ADC ranks only those — no raw
+    * corpus vector is touched at probe time, the FAISS IVFADC shape
+    * with the index living as plain parquet-able DataFrames. Output:
+    * (query_id, neighbor_id, rank, adist), ascending approximate
+    * squared-L2 like [[pqKnn]]; self-pairs excluded.
+    */
+  def ivfPqAgainstIndex(ivf: Similarity.IvfIndexFrames,
+                        codebooks: DataFrame, codes: DataFrame,
+                        batch: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int = 4, m: Int = 4,
+                        dims: Int = 64): DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"m must divide dims: m=$m dims=$dims")
+    val dsub = dims / m
+    val probes = Similarity.assignCells(ivf.centroids, batch, idCol,
+      vecCol, "query_id", "qv", nProbe)
+    val cand = ivf.postings.select(col("neighbor_id"), col("cell"))
+      .join(broadcast(probes.select(col("query_id"), col("cell"))),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val dtable = subvecs(batch, idCol, vecCol, m, dsub)
+      .withColumnRenamed("vid", "query_id")
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cell").as("code"),
+        Cols.fxTerm(sqDist(col("sv"), col("cv")), 1e9).as("dfx"))
+    val scored = cand
+      .join(codes.withColumnRenamed("vid", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(dtable), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dfx")).as("afx"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("afx")).cast(DoubleType).as("cosine"))
+    Similarity.topK(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        ((-col("cosine")) / 1e9).as("adist"))
+  }
+
   /** The compressed corpus as scalar rows: (id, sub, code) — the
     * hash-checkable shape of the stored artifact.
     */

@@ -415,10 +415,10 @@ object Similarity {
     * cell)`. The window partitions by vector id — ≤ |centroids| rows
     * per partition, never a global sort.
     */
-  private def assignCells(seeds: DataFrame, df: DataFrame,
-                          idCol: String, vecCol: String,
-                          idName: String, vName: String,
-                          keep: Int): DataFrame = {
+  private[operators] def assignCells(seeds: DataFrame, df: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     idName: String, vName: String,
+                                     keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = df.select(col(idCol).as(idName), col(vecCol).as(vName))
       .join(broadcast(seeds))

@@ -72,6 +72,22 @@ class PqSpec extends SparkSpec {
     assert(rows(codes) === rows(re))
   }
 
+  test("ivfPqAgainstIndex over a full-coverage persisted index == " +
+      "the one-shot ivfPqKnn") {
+    import spark.implicits._
+    val q = e.filter(col("vec_id") < 10)
+    val oneShot = Pq.ivfPqKnn(e, q, "vec_id", "embedding", k = 5,
+        cells = 16, nProbe = 4, m = 4, ksub = 16, rounds = 2)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val ix = Similarity.ivfIndex(e, "vec_id", "embedding", cells = 16)
+    val (cents, codes) = Pq.pqModel(e, "vec_id", "embedding",
+      m = 4, ksub = 16, rounds = 2)
+    val viaIndex = Pq.ivfPqAgainstIndex(ix, cents, codes, q,
+        "vec_id", "embedding", k = 5, nProbe = 4, m = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(viaIndex === oneShot)
+  }
+
   test("pqKnnRerank scores match bruteKnn cosine on shared pairs") {
     val q = e.filter(col("vec_id") < 10)
     val brute = Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5)
