@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   /** Query selection under the SPARK_GRAFT_ONLY dev filter. With no
     * filter (the driver's run) this IS the full registry — the
@@ -13,9 +14,11 @@ object Bench {
       case None        => SparkEntry.queries
     }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // driver contract: bench runs local[32] with 32 shuffle partitions
+  /** The bench SparkSession — local[cpus], cpus shuffle partitions
+    * (the driver contract), shared by the main run and the forked
+    * isolated/streaming sections so numbers are comparable.
+    */
+  private[graft] def mkSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,26 +27,105 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: pay session/parquet-footer init outside the per-query
-    // timings
+    spark
+  }
+
+  /** Warm-up: pay session/parquet-footer init + first-call
+    * whole-stage codegen outside the per-query timings (the heavy
+    * nested-JSON queries pay multi-second one-time codegen
+    * otherwise). Timed runs still run the real SF.
+    */
+  private[graft] def warmup(spark: SparkSession, queries: Iterable[
+      (SparkSession, String) => org.apache.spark.sql.DataFrame]): Unit = {
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     graft.tables.Tables.names.foreach { t =>
-      try graft.tables.Tables.load(spark, sfDir, t)
+      try graft.tables.Tables.load(spark, warmDir, t)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // JIT/codegen warm-up: run every query once at the smallest SF so
-    // timed runs measure plan execution, not first-call whole-stage
-    // code generation (the heavy nested-JSON queries pay multi-second
-    // one-time codegen otherwise). Timings below still run the real SF.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-    // noop sink: materializes every output column (a bare count() lets
-    // Catalyst prune projections and under-reports real work).
+  }
+
+  /** Time one query: one UNRECORDED same-SF pass first (the warm-dir
+    * warm-up does not cover AQE-replanned stages — plan shape at the
+    * real SF differs, so first-run Janino codegen still lands in pass
+    * 1 otherwise; observed as a 1.5-1.7x first-run spread on
+    * unchanged plans), then `passes` recorded passes. The noop sink
+    * materializes every output column (a bare count() lets Catalyst
+    * prune projections and under-reports real work). A crashing query
+    * must not masquerade as a fast timing: it returns the single
+    * NEGATED wall-time sentinel instead.
+    */
+  private[graft] def timeQuery(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      passes: Int): Seq[Double] = {
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t0 = System.nanoTime()
+    try { pass(); Seq.fill(passes)(pass()) }
+    catch { case _: Throwable => Seq(-(System.nanoTime() - t0) / 1e9) }
+  }
+
+  /** The jdk17 --add-opens set a forked bare-java Spark driver needs
+    * (mirrors build.sbt / spark-submit's JavaModuleOptions).
+    */
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Fork `cls` as a FRESH JVM (same classpath — sbt runs forked, so
+    * java.class.path is the real application classpath; env inherits)
+    * and return the payload of the single stdout line starting with
+    * `marker`. None on spawn failure, non-zero exit, or no marker —
+    * callers fall back to the in-process path so the bench never
+    * breaks on an exotic launch mechanism.
+    */
+  private[graft] def forkMain(cls: String, args: Seq[String],
+                              marker: String): Option[String] =
+    try {
+      import scala.sys.process._
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+      val cmd = Seq(javaBin) ++ jdk17AddOpens ++ Seq(s"-Xmx$mem",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"), cls) ++ args
+      val out = new StringBuilder
+      val code = Process(cmd).!(ProcessLogger(
+        line => if (line.startsWith(marker)) { out ++= line; () },
+        _ => ()))
+      if (code == 0 && out.nonEmpty) Some(out.toString.stripPrefix(marker))
+      else None
+    } catch { case _: Throwable => None }
+
+  /** Parse BenchIsolated's `{"name":[1.2,3.4],...}` payload. */
+  private[graft] def parseIso(json: String): Map[String, Seq[Double]] =
+    "\"([^\"]+)\":\\[([^\\]]*)\\]".r.findAllMatchIn(json).map { m =>
+      m.group(1) -> m.group(2).split(",").toSeq
+        .filter(_.nonEmpty).map(_.toDouble)
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = mkSession()
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    // (unset in the driver's run — full registry, same contract)
+    val selected = select(sys.env.get("SPARK_GRAFT_ONLY"))
+    warmup(spark, selected.values)
     // Three timed passes per query, min reported: single-pass numbers
     // mix steady-state plan cost with one-time JIT/codegen and GC
     // noise (observed 3x swings on identical plans run-to-run), and
@@ -51,33 +133,34 @@ object Bench {
     // window (r02 logged 3-5x spikes on unchanged plans); the min of
     // three spread passes is the steady-state measure a long-running
     // cluster job actually sees.
-    // A crashing query must not masquerade as a fast timing: its
-    // per-query value is NEGATED (sentinel) and its name listed under
-    // "failed"; the total still counts the wall time it burned.
-    // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries
-    // (unset in the driver's run — full registry, same contract)
-    val selected = select(sys.env.get("SPARK_GRAFT_ONLY"))
-    val results = selected.map { case (name, fn) =>
-      def pass(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t0 = System.nanoTime()
-      // one UNRECORDED same-SF pass first: the sf0.001 warm-up above
-      // does not cover AQE-replanned stages (plan shape at the real SF
-      // differs, so first-run Janino codegen still lands in pass 1 —
-      // observed as a 1.5-1.7x first-run spread on unchanged plans).
-      // Its wall time still counts against a crashing query's sentinel.
-      val passes =
-        try { pass(); Seq(pass(), pass(), pass()) }
-        catch { case _: Throwable => Seq.empty[Double] }
-      name -> (if (passes.nonEmpty) passes
-               else Seq(-(System.nanoTime() - t0) / 1e9))
+    val measured = selected.map { case (name, fn) =>
+      name -> timeQuery(spark, sfDir, fn, passes = 3)
+    }
+    // End-of-run outlier re-time, ISOLATED (r10 verdict): a query
+    // whose pass spread exceeds 1.5x with min > 0.5 s was measured
+    // under ambient shared-JVM load (GC/heap pressure from the 200+
+    // queries before it — the r9/r10 "rising passes" signature, e.g.
+    // svc_detail_by_item [0.65, 3.24, 3.57]). Re-time those once in a
+    // FRESH forked JVM (own heap, warmed the same way) and fold the
+    // isolated passes into the min, so the artifact reports plan
+    // cost, not co-tenancy. Fork failure falls back to the in-run
+    // numbers.
+    val outliers = measured.collect {
+      case (name, ps)
+        if ps.min > 0.5 && ps.nonEmpty && ps.max / ps.min > 1.5 => name
+    }.toSeq.sorted
+    val iso: Map[String, Seq[Double]] =
+      if (outliers.isEmpty ||
+          sys.env.get("SPARK_GRAFT_ISOLATE").contains("0")) Map.empty
+      else forkMain("graft.BenchIsolated", Seq(outliers.mkString(",")),
+        BenchIsolated.Marker).map(parseIso).getOrElse(Map.empty)
+    val results = measured.map { case (name, ps) =>
+      name -> (ps ++ iso.getOrElse(name, Seq.empty))
     }
     // "queries" stays name→min-sec (the driver contract); "runs" adds
-    // the raw three passes so a reader can separate contention noise
-    // (large spread, code-identical) from a real plan regression.
+    // the raw passes (isolated re-times appended) so a reader can
+    // separate contention noise from a real plan regression;
+    // "isolated" names the re-timed queries.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
     val runs = results
@@ -85,17 +168,68 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v.min < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
+    val isoNames = iso.keys.toSeq.sorted.map(n => s"\"$n\"")
+      .mkString("[", ",", "]")
     val total = results.values.map(v => math.abs(v.min)).sum
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("0")
     // streaming latency section: per-micro-batch p50/p95 execution
-    // millis for the four app pipelines (the reference's operating
-    // envelope is 5 s micro-batches — see StreamBench). -1 = crashed.
-    // SPARK_GRAFT_STREAM_BENCH=0 skips it.
+    // millis for the app pipelines (the reference's operating
+    // envelope is 5 s micro-batches — see StreamBench). Runs in a
+    // FORKED fresh JVM (r10 verdict: after the 219-query batch bench
+    // the shared JVM sits under heap/GC pressure that inflated
+    // streaming p95s two rounds running); in-process fallback if the
+    // fork cannot launch. -1 = crashed pipeline. SPARK_GRAFT_STREAM_
+    // BENCH=0 skips it.
     val streaming =
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
-      else StreamBench.run(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"streaming":$streaming,"sf":$sf,"sfDir":"$sfDir"}""")
+      else forkMain("graft.StreamBenchMain", Seq.empty,
+          StreamBenchMain.Marker)
+        .getOrElse(StreamBench.run(spark))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"isolated":$isoNames,"streaming":$streaming,"sf":$sf,"sfDir":"$sfDir"}""")
+    spark.stop()
+  }
+}
+
+/** Fresh-JVM re-time of specific registry queries (forked by
+  * [[Bench]] for spread outliers): same session shape, same warm-up
+  * discipline, one unrecorded + two recorded passes per query,
+  * result as one marker-prefixed JSON line on stdout.
+  */
+object BenchIsolated {
+  private[graft] val Marker = "BENCHISO_JSON="
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Bench.mkSession()
+    val selected = Bench.select(args.headOption)
+    Bench.warmup(spark, selected.values)
+    val results = selected.map { case (name, fn) =>
+      s"\"" + name + "\":" +
+        Bench.timeQuery(spark, sfDir, fn, passes = 2)
+          .mkString("[", ",", "]")
+    }
+    println(Marker + results.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}
+
+/** Fresh-JVM streaming latency section (forked by [[Bench]] so the
+  * stateful pipelines are measured on a quiet heap, not under the
+  * batch bench's end-of-run GC pressure). Emits [[StreamBench.run]]'s
+  * JSON fragment as one marker-prefixed stdout line.
+  */
+object StreamBenchMain {
+  private[graft] val Marker = "STREAMBENCH_JSON="
+
+  def main(args: Array[String]): Unit = {
+    val spark = Bench.mkSession()
+    // dev-loop knobs (unset in the driver's run — full defaults)
+    val batches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+      .map(_.toInt).getOrElse(12)
+    val rows = sys.env.get("SPARK_GRAFT_STREAM_ROWS")
+      .map(_.toInt).getOrElse(2000)
+    println(Marker + StreamBench.run(spark, batches, rows))
     spark.stop()
   }
 }

@@ -449,6 +449,45 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Deterministic 64-dim float vector from an id — bounded value
+    * pool so IVF cells get real multi-member structure.
+    */
+  private def vec(i: Long): Array[Float] =
+    Array.tabulate(64)(j =>
+      (((i * 31 + j * 7 + (i % 13) * j) % 97).toFloat / 97.0f) - 0.5f)
+
+  /** Incremental-ANN ingestion: per batch, top-k probe of the batch's
+    * vectors against the persisted IVF store (grown by every prior
+    * batch), then the batch's own postings append — the full
+    * StreamingKnn foreachBatch body over a 512-vector seed index.
+    */
+  private def benchKnn(spark: SparkSession, batches: Int,
+                       rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cents = tmpDir("knn_c"); val posts = tmpDir("knn_p")
+    val out = tmpDir("knn_o"); val cp = ckpt("knn")
+    StreamingKnn.initIndex(
+      (0 until 512).map(i => (i.toLong, vec(i.toLong)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, posts, cells = 16)
+    val src = MemoryStream[(Long, Array[Float])]
+    val vecs = src.toDF().toDF("vec_id", "embedding")
+    val q = StreamingKnn.knnSink(vecs, "vec_id", "embedding", cents,
+        posts, out, cp, k = 5, nProbe = 4,
+        trigger = Trigger.ProcessingTime(0L)).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = 10000L + b.toLong * rows + r; (i, vec(i))
+      })
+      ()
+    }, batches, cp)
+    finally {
+      deleteRec(new java.io.File(cents)); deleteRec(new java.io.File(posts))
+      deleteRec(new java.io.File(out))
+    }
+  }
+
   /** Streaming HLL register store: per-batch register partials keyed
     * by day, partition-pruned store layout.
     */
@@ -491,7 +530,8 @@ object StreamBench {
     "decontaminate" -> "StreamingDecontaminate",
     "graph_degrees" -> "StreamingGraph",
     "manifest" -> "StreamingManifest",
-    "sketch" -> "StreamingSketch")
+    "sketch" -> "StreamingSketch",
+    "knn" -> "StreamingKnn")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
   private[graft] def apps(spark: SparkSession, batches: Int,
@@ -507,7 +547,8 @@ object StreamBench {
     "decontaminate" -> (() => benchDecontaminate(spark, batches, rows)),
     "graph_degrees" -> (() => benchGraphDegrees(spark, batches, rows)),
     "manifest" -> (() => benchManifest(spark, batches, rows)),
-    "sketch" -> (() => benchSketch(spark, batches, rows)))
+    "sketch" -> (() => benchSketch(spark, batches, rows)),
+    "knn" -> (() => benchKnn(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline; returns the JSON fragment for
     * Bench's output line.

@@ -61,6 +61,77 @@ object ExtensionQueries {
       s"list_min(list_transform(${shSql(n)}, s -> " +
       s"((j*2+1) * ${h32("s")} + (j+1) * 40503) % 2147483647)), 2147483647))"
 
+  /** DuckDB mirror of [[TextAnalysis.knTrigramScore]] — shared by the
+    * exact (minCount = 1) and pruned (minCount > 1) registry entries.
+    * The HAVING cut lands on the ct CTE, so every model CTE derives
+    * from the pruned type table in the Spark consumer order.
+    */
+  private def kn3Sql(minCount: Int): String = {
+    import OracleSql.fxSql
+    val prune = if (minCount > 1) s" HAVING count(*) >= $minCount" else ""
+    s"""WITH tok AS (SELECT doc_id, $TOKS AS t FROM documents),
+       |tg AS (SELECT doc_id,
+       |   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri,
+       |   t[i] || ' ' || t[i+1] AS p12,
+       |   t[i+1] || ' ' || t[i+2] AS s23,
+       |   t[i+1] AS w2, t[i+2] AS w3
+       |  FROM tok, unnest(range(1, len(t) - 1)) u(i)
+       |  WHERE len(t) >= 3),
+       |ct AS (SELECT tri, p12, s23, w2, w3, count(*) AS c123
+       |  FROM tg GROUP BY 1, 2, 3, 4, 5$prune),
+       |ctx3 AS (SELECT p12, sum(c123) AS c12t, count(*) AS n12f
+       |  FROM ct GROUP BY 1),
+       |mid23 AS (SELECT s23, count(*) AS n1c23 FROM ct GROUP BY 1),
+       |midw2 AS (SELECT w2, count(*) AS nmid FROM ct GROUP BY 1),
+       |bg AS (SELECT t[i] || ' ' || t[i+1] AS bg2
+       |  FROM tok, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
+       |cb AS (SELECT bg2, count(*) AS c12 FROM bg GROUP BY 1),
+       |ctx2 AS (SELECT split_part(bg2, ' ', 1) AS w2b, count(*) AS n1f
+       |  FROM cb GROUP BY 1),
+       |cont AS (SELECT split_part(bg2, ' ', 2) AS w3b, count(*) AS n1c
+       |  FROM cb GROUP BY 1),
+       |tt AS (SELECT (SELECT count(*) FROM cb) AS tcnt,
+       |  (SELECT count(DISTINCT tk) FROM
+       |    (SELECT unnest(t) AS tk FROM tok)) AS vcnt),
+       |occ AS (SELECT doc_id, tri, p12, s23, w2, w3, count(*) AS m
+       |  FROM tg GROUP BY 1, 2, 3, 4, 5, 6),
+       |pr AS (SELECT doc_id, m,
+       |   CASE WHEN c12t > 0 THEN
+       |    (greatest(CAST(c123 AS DOUBLE) - 0.75, 0.0) +
+       |      0.75 * CAST(n12f AS DOUBLE) * pbo) / CAST(c12t AS DOUBLE)
+       |   ELSE pbo END AS p
+       |  FROM (SELECT doc_id, m, c123, c12t, n12f,
+       |    CASE WHEN nmid > 0 THEN
+       |     (greatest(CAST(n1c23 AS DOUBLE) - 0.75, 0.0) +
+       |       0.75 * CAST(n1f AS DOUBLE) * pc) / CAST(nmid AS DOUBLE)
+       |    ELSE pc END AS pbo
+       |   FROM (SELECT o.doc_id, o.m,
+       |      coalesce(ct.c123, 0) AS c123,
+       |      coalesce(ctx3.c12t, 0) AS c12t,
+       |      coalesce(ctx3.n12f, 0) AS n12f,
+       |      coalesce(mid23.n1c23, 0) AS n1c23,
+       |      coalesce(midw2.nmid, 0) AS nmid,
+       |      coalesce(ctx2.n1f, 0) AS n1f,
+       |      (CAST(coalesce(cont.n1c, 0) AS DOUBLE) + 1.0) /
+       |        (CAST(tcnt AS DOUBLE) + CAST(vcnt AS DOUBLE) + 1.0)
+       |        AS pc
+       |     FROM occ o
+       |     LEFT JOIN ct ON ct.tri = o.tri
+       |     LEFT JOIN ctx3 ON ctx3.p12 = o.p12
+       |     LEFT JOIN mid23 ON mid23.s23 = o.s23
+       |     LEFT JOIN midw2 ON midw2.w2 = o.w2
+       |     LEFT JOIN ctx2 ON ctx2.w2b = o.w2
+       |     LEFT JOIN cont ON cont.w3b = o.w3
+       |     CROSS JOIN tt))),
+       |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
+       |   ${fxSql("CAST(m AS DOUBLE) * (-ln(p))", "1000000.0")} AS q
+       |  FROM pr GROUP BY 1)
+       |SELECT doc_id, n_trigrams,
+       | CAST(q AS DOUBLE) / 1000000.0 / CAST(n_trigrams AS DOUBLE)
+       |   AS avg_nll
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   private val stopSql: Map[String, String] =
     TextAnalysis.stopwords.toMap.map { case (lang, words) =>
       lang -> (s"len(list_filter($TOKS, t -> list_contains(" +
@@ -423,72 +494,24 @@ object ExtensionQueries {
     // continuation types, middle-word type totals, the bigram backoff
     // tables, T/V) is integer-exact on both engines, and the nested
     // pbo→p double tree is written in the identical operation order.
-    Q("ext_kn3_score", {
-      import OracleSql.fxSql
-      s"""WITH tok AS (SELECT doc_id, $TOKS AS t FROM documents),
-         |tg AS (SELECT doc_id,
-         |   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tri,
-         |   t[i] || ' ' || t[i+1] AS p12,
-         |   t[i+1] || ' ' || t[i+2] AS s23,
-         |   t[i+1] AS w2, t[i+2] AS w3
-         |  FROM tok, unnest(range(1, len(t) - 1)) u(i)
-         |  WHERE len(t) >= 3),
-         |ct AS (SELECT tri, p12, s23, w2, w3, count(*) AS c123
-         |  FROM tg GROUP BY 1, 2, 3, 4, 5),
-         |ctx3 AS (SELECT p12, sum(c123) AS c12t, count(*) AS n12f
-         |  FROM ct GROUP BY 1),
-         |mid23 AS (SELECT s23, count(*) AS n1c23 FROM ct GROUP BY 1),
-         |midw2 AS (SELECT w2, count(*) AS nmid FROM ct GROUP BY 1),
-         |bg AS (SELECT t[i] || ' ' || t[i+1] AS bg2
-         |  FROM tok, unnest(range(1, len(t))) u(i) WHERE len(t) >= 2),
-         |cb AS (SELECT bg2, count(*) AS c12 FROM bg GROUP BY 1),
-         |ctx2 AS (SELECT split_part(bg2, ' ', 1) AS w2b, count(*) AS n1f
-         |  FROM cb GROUP BY 1),
-         |cont AS (SELECT split_part(bg2, ' ', 2) AS w3b, count(*) AS n1c
-         |  FROM cb GROUP BY 1),
-         |tt AS (SELECT (SELECT count(*) FROM cb) AS tcnt,
-         |  (SELECT count(DISTINCT tk) FROM
-         |    (SELECT unnest(t) AS tk FROM tok)) AS vcnt),
-         |occ AS (SELECT doc_id, tri, p12, s23, w2, w3, count(*) AS m
-         |  FROM tg GROUP BY 1, 2, 3, 4, 5, 6),
-         |pr AS (SELECT doc_id, m,
-         |   CASE WHEN c12t > 0 THEN
-         |    (greatest(CAST(c123 AS DOUBLE) - 0.75, 0.0) +
-         |      0.75 * CAST(n12f AS DOUBLE) * pbo) / CAST(c12t AS DOUBLE)
-         |   ELSE pbo END AS p
-         |  FROM (SELECT doc_id, m, c123, c12t, n12f,
-         |    CASE WHEN nmid > 0 THEN
-         |     (greatest(CAST(n1c23 AS DOUBLE) - 0.75, 0.0) +
-         |       0.75 * CAST(n1f AS DOUBLE) * pc) / CAST(nmid AS DOUBLE)
-         |    ELSE pc END AS pbo
-         |   FROM (SELECT o.doc_id, o.m,
-         |      coalesce(ct.c123, 0) AS c123,
-         |      coalesce(ctx3.c12t, 0) AS c12t,
-         |      coalesce(ctx3.n12f, 0) AS n12f,
-         |      coalesce(mid23.n1c23, 0) AS n1c23,
-         |      coalesce(midw2.nmid, 0) AS nmid,
-         |      coalesce(ctx2.n1f, 0) AS n1f,
-         |      (CAST(coalesce(cont.n1c, 0) AS DOUBLE) + 1.0) /
-         |        (CAST(tcnt AS DOUBLE) + CAST(vcnt AS DOUBLE) + 1.0)
-         |        AS pc
-         |     FROM occ o
-         |     LEFT JOIN ct ON ct.tri = o.tri
-         |     LEFT JOIN ctx3 ON ctx3.p12 = o.p12
-         |     LEFT JOIN mid23 ON mid23.s23 = o.s23
-         |     LEFT JOIN midw2 ON midw2.w2 = o.w2
-         |     LEFT JOIN ctx2 ON ctx2.w2b = o.w2
-         |     LEFT JOIN cont ON cont.w3b = o.w3
-         |     CROSS JOIN tt))),
-         |sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_trigrams,
-         |   ${fxSql("CAST(m AS DOUBLE) * (-ln(p))", "1000000.0")} AS q
-         |  FROM pr GROUP BY 1)
-         |SELECT doc_id, n_trigrams,
-         | CAST(q AS DOUBLE) / 1000000.0 / CAST(n_trigrams AS DOUBLE)
-         |   AS avg_nll
-         |FROM sc ORDER BY doc_id""".stripMargin
-    }) { (s, d) =>
+    // `minCount` mirrors knTrigramScore's type-table pruning: the ct
+    // CTE gets a HAVING cut, and every model CTE derives from the
+    // pruned table — exactly the Spark-side consumer order.
+    Q("ext_kn3_score", kn3Sql(minCount = 1)) { (s, d) =>
       val docs = documents(s, d)
       TextAnalysis.knTrigramScore(docs, docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // The pruned-model twin (minCount = 2): hapax trigram types leave
+    // the type table, their mass re-routes through the bigram backoff
+    // — the standard count-cutoff pruning that keeps the 100 TB type
+    // table Zipf-proof. Hash-green here proves the pruned model is
+    // bit-reproducible, not merely approximate.
+    Q("ext_kn3_pruned", kn3Sql(minCount = 2)) { (s, d) =>
+      val docs = documents(s, d)
+      TextAnalysis.knTrigramScore(docs, docs, "doc_id", "text",
+          minCount = 2)
         .orderBy(col("doc_id"))
     },
 
@@ -590,6 +613,47 @@ object ExtensionQueries {
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       TextAnalysis.winnowMatches(documents(s, d), "doc_id", "text",
+          k = 5, w = 4, minShared = 3, maxDocFreq = 20)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // The MOSS report with match EXTENTS: per qualifying pair, the
+    // min/max matched k-gram start position in each doc — what a
+    // reviewer opens to see the overlapping passage (chars
+    // [a_from, a_to + 4]). The oracle replays the position-carrying
+    // index, the distinct-doc frequency gate, the oriented pair join
+    // and the extent aggregation.
+    Q("ext_winnow_spans", {
+      val (k, w, minShared, maxDf) = (5, 4, 3, 20)
+      s"""WITH d0 AS (SELECT doc_id, lower(text) AS t,
+         |   length(lower(text)) - ${k - 1} AS n FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+         |   ${h32(s"substr(t, CAST(i AS INT), $k)")} AS h
+         |  FROM d0, unnest(range(1, n + 1)) u(i) WHERE n >= 1),
+         |p AS (SELECT doc_id, CAST(j AS BIGINT) AS j
+         |  FROM d0, unnest(range(1, n - ${w - 1} + 1)) u(j)
+         |  WHERE n >= $w),
+         |c AS (SELECT p.doc_id, p.j, g.i, g.h
+         |  FROM p JOIN g ON g.doc_id = p.doc_id
+         |   AND g.i BETWEEN p.j AND p.j + ${w - 1}),
+         |pick AS (SELECT doc_id, i, h FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY doc_id, j
+         |    ORDER BY h ASC, i DESC) AS rn FROM c) WHERE rn = 1),
+         |wp AS (SELECT DISTINCT doc_id, i AS pos, h AS fp FROM pick),
+         |hot AS (SELECT fp FROM (SELECT fp,
+         |   count(DISTINCT doc_id) AS df FROM wp
+         |  GROUP BY 1) WHERE df > $maxDf),
+         |idx AS (SELECT wp.* FROM wp
+         |  LEFT JOIN hot ON hot.fp = wp.fp WHERE hot.fp IS NULL)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared,
+         | min(a.pos) AS a_from, max(a.pos) AS a_to,
+         | min(b.pos) AS b_from, max(b.pos) AS b_to
+         |FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(DISTINCT a.fp) >= $minShared
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.winnowSpans(documents(s, d), "doc_id", "text",
           k = 5, w = 4, minShared = 3, maxDocFreq = 20)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -1660,6 +1724,115 @@ object ExtensionQueries {
             col("vec_id") < 80),
           "vec_id", "embedding", k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // IVF cell-balance report over an append-grown index — the
+    // operational health check of the fixed-centroid serving story:
+    // the index is built over the resident corpus (vec_id % 8 != 0),
+    // the remaining vectors arrive via ivfAppend under the FIXED
+    // centroids, and ivfStats reports each cell's posting count /
+    // share / load ratio over the grown store. The oracle flattens
+    // the two installments (appending under fixed centroids must be
+    // indistinguishable from assigning the whole corpus at once) and
+    // replays the count/frac/load arithmetic on exact integers.
+    Q("ext_ivf_stats", {
+      val cells = 16
+      val seedCos = cosSql("c.embedding", "s.sv")
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
+         |  WHERE vec_id % 8 != 0 ORDER BY vec_id LIMIT $cells),
+         |cc AS (
+         | SELECT neighbor_id, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, s.cell,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell) AS rn
+         |  FROM embeddings c, seeds s)
+         | WHERE rn = 1),
+         |cnt AS (SELECT cell, count(*) AS n FROM cc GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM cc) AS n,
+         |  (SELECT count(*) FROM seeds) AS k)
+         |SELECT s.cell,
+         | CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_postings,
+         | CAST(coalesce(cnt.n, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+         |   AS frac,
+         | CAST(coalesce(cnt.n, 0) AS DOUBLE) * CAST(tot.k AS DOUBLE) /
+         |   CAST(tot.n AS DOUBLE) AS load_ratio
+         |FROM seeds s LEFT JOIN cnt ON cnt.cell = s.cell CROSS JOIN tot
+         |ORDER BY s.cell""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val resident = e.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val ix0 = Similarity.ivfIndex(resident, "vec_id", "embedding",
+        cells = 16)
+      val appended = Similarity.ivfAppend(ix0,
+        e.filter(pmod(col("vec_id"), lit(8)) === 0), "vec_id", "embedding")
+      Similarity.ivfStats(Similarity.IvfIndexFrames(ix0.centroids,
+          ix0.postings.unionByName(appended)))
+        .orderBy(col("cell"))
+    },
+
+    // ANN recall@5 of the IVF probe against the exact brute top-5 —
+    // the measurement every index variant's cost/recall dial needs:
+    // per query, |ivf ∩ brute| / |brute| at rank <= 5 under the
+    // default (cells=16, nProbe=4). The oracle replays BOTH neighbor
+    // computations (the ext_knn_ivf and ext_knn_brute CTEs verbatim)
+    // and the membership-join recall arithmetic on exact integers.
+    Q("ext_ann_recall", {
+      val (cells, nProbe) = (16, 4)
+      val seedCos = cosSql("c.embedding", "s.sv")
+      val probeCos = cosSql("q.embedding", "s.sv")
+      val cos = cosSql("cc.cv", "qp.qv")
+      val bcos = cosSql("c.embedding", "q.embedding")
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
+         |  WHERE vec_id < $cells),
+         |corpus_cells AS (
+         | SELECT neighbor_id, cv, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, c.embedding AS cv, s.cell,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell) AS rn
+         |  FROM embeddings c, seeds s)
+         | WHERE rn = 1),
+         |query_probes AS (
+         | SELECT query_id, qv, cell FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, s.cell,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY $probeCos DESC, s.cell) AS rn
+         |  FROM embeddings q, seeds s WHERE q.vec_id < 10)
+         | WHERE rn <= $nProbe),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         | SELECT qp.query_id, cc.neighbor_id,
+         |  row_number() OVER (PARTITION BY qp.query_id
+         |    ORDER BY $cos DESC, cc.neighbor_id) AS rank
+         | FROM corpus_cells cc JOIN query_probes qp USING (cell)
+         | WHERE qp.query_id != cc.neighbor_id)
+         |WHERE rank <= 5),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $bcos DESC, c.vec_id) AS rank
+         | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         | WHERE q.vec_id < 10)
+         |WHERE rank <= 5),
+         |hits AS (SELECT a.query_id, count(*) AS n_overlap
+         | FROM approx a JOIN exact e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         | GROUP BY 1)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         | CAST(coalesce(max(h.n_overlap), 0) AS BIGINT) AS n_overlap,
+         | CAST(coalesce(max(h.n_overlap), 0) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE) AS recall
+         |FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+         |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.annRecall(
+          Similarity.ivfKnn(e, q, "vec_id", "embedding", k = 5,
+            cells = 16, nProbe = 4),
+          Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5),
+          k = 5)
+        .orderBy(col("query_id"))
     },
 
     // Hard-negative mining over IVF candidate generation — the

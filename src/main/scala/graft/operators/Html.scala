@@ -103,10 +103,15 @@ object Html {
         a => lower(regexp_extract(a, "^([\\w-]+)", 1)) === name)
       val body = regexp_extract(get(hits, lit(0)),
         "(?s)^[\\w-]+\\s*=\\s*(.*)$", 1)
+      // a body starting with an UNMATCHED quote is a malformed tag
+      // (src="x with no closing quote): a browser consumes to end of
+      // tag, so surfacing the quote-prefixed fragment as a URL would
+      // be wrong either way — report null, like a missing attribute
       when(body.rlike("(?s)^\".*\"$"),
           regexp_extract(body, "(?s)^\"(.*)\"$", 1))
         .when(body.rlike("(?s)^'.*'$"),
           regexp_extract(body, "(?s)^'(.*)'$", 1))
+        .when(body.rlike("(?s)^[\"']"), lit(null))
         .otherwise(body)
     }
     transform(tags, t => struct(

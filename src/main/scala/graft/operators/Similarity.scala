@@ -464,6 +464,99 @@ object Similarity {
     assignCells(index.centroids, fanOut(batch), idCol, vecCol,
       "neighbor_id", "cv", 1)
 
+  /** Cell-balance report over an IVF index — the operational health
+    * check of the append-only serving story: [[ivfAppend]] fixes the
+    * centroids forever (by design — re-seeding would silently
+    * re-cluster the whole store), so months of appends can skew the
+    * cell sizes and probe cost (`|postings| × nProbe / cells` assumes
+    * roughly uniform cells) degrades silently. One row per CENTROID
+    * (cells that lost or never gained postings report 0):
+    * `(cell, n_postings, frac, load_ratio)` — `frac` = the cell's
+    * share of all postings, `load_ratio` = `n_postings × |cells| /
+    * total` (1.0 = perfectly uniform; a probe of a cell at
+    * load_ratio L costs L× the uniform estimate). Alert on
+    * `max(load_ratio)` and re-seed via [[ivfRebalance]] when it
+    * drifts past the probe-latency budget.
+    *
+    * Scale shape: one map-side-combining count agg keyed by cell
+    * (≤ |cells| output rows), a broadcast-able left join from the
+    * centroid table, and a 1-row totals cross join. The postings
+    * store is scanned once, vectors never deserialized (column
+    * pruning keeps the scan to `cell`).
+    */
+  def ivfStats(index: IvfIndexFrames): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val counts = index.postings.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_postings"))
+    val totals = index.centroids.agg(count(lit(1)).as("__k"))
+      .crossJoin(index.postings.agg(count(lit(1)).as("__n")))
+    index.centroids.select(col("cell"))
+      .join(counts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_postings"))
+      .crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_postings"),
+        (col("n_postings").cast(DoubleType) / col("__n").cast(DoubleType))
+          .as("frac"),
+        (col("n_postings").cast(DoubleType) * col("__k").cast(DoubleType) /
+          col("__n").cast(DoubleType)).as("load_ratio"))
+  }
+
+  /** Re-seed and re-file a skewed index from its CURRENT postings —
+    * the expensive, EXPLICIT maintenance operation the [[ivfAppend]]
+    * scaladoc says append must never do implicitly. The postings rows
+    * carry the full vectors, so the store itself is the corpus:
+    * rebalance ≡ `ivfIndex` over `postings(neighbor_id, cv)`, which
+    * makes the contract exact — rebalancing an index grown by any
+    * append history yields the SAME index as building fresh over the
+    * union corpus (ivfIndex is deterministic in the (id, vector)
+    * set; spec-pinned). Run it offline on the skew signal from
+    * [[ivfStats]], then atomically swap the persisted centroid +
+    * postings tables; in-flight probes keep reading the old store.
+    */
+  def ivfRebalance(index: IvfIndexFrames, cells: Int = 16,
+                   refineIters: Int = 0,
+                   refineFraction: Double = 1.0): IvfIndexFrames =
+    ivfIndex(index.postings.select(col("neighbor_id"), col("cv")),
+      "neighbor_id", "cv", cells, refineIters, refineFraction)
+
+  /** Recall@k of an approximate neighbor frame against the exact one
+    * — the missing measurement in any ANN rollout: every index
+    * variant ([[lshKnn]], [[ivfKnn]], [[Pq.pqKnn]], IVF+PQ, int8, JL)
+    * trades recall for cost, and the trade must be MEASURED on the
+    * live corpus before a probe parameter ships (recall depends on
+    * how the embeddings cluster, not just on `nProbe`). Both inputs
+    * are `(query_id, neighbor_id, rank, …)` frames (any score column
+    * — only membership at rank ≤ k is compared). One row per query
+    * WITH EXACT NEIGHBORS: `(query_id, n_exact, n_overlap, recall)`,
+    * recall = |approx ∩ exact| / |exact| at rank ≤ k — so ties
+    * broken differently by two variants still score fairly, and a
+    * query with fewer than k exact neighbors (tiny corpus) is not
+    * penalized for the shortfall.
+    *
+    * Scale shape: two rank filters, one (query, neighbor)-keyed
+    * left-semi join, two per-query hash aggs — every frame is
+    * ≤ |queries| × k rows, nothing touches corpus vectors. Composes
+    * as `annRecall(ivfKnn(...), bruteKnn(...), k)`; on a corpus too
+    * big for a full brute pass, measure over a query/corpus SAMPLE —
+    * recall estimates converge fast in |queries|.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    require(k >= 1, s"k must be >= 1, got $k")
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(col("query_id"), col("n_exact"), col("n_overlap"),
+        (col("n_overlap").cast(DoubleType) / col("n_exact").cast(DoubleType))
+          .as("recall"))
+  }
+
   /** Top-k neighbors of each batch vector against a PERSISTED index —
     * the incremental-ingestion probe ([[ivfKnn]]'s semantics with the
     * corpus-side work done once at index build). The batch's probes

@@ -296,9 +296,13 @@ object TextAnalysis {
                     maxDocFreq: Int = 100): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    // feeds the frequency gate and both join sides. persist, NOT
+    // localCheckpoint (the knBigramScore cb convention): checkpoint
+    // blocks can never be released by unpersist, so every call would
+    // pin a corpus-sized frame for the application's lifetime
     val wf = winnow(docs, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp")).distinct()
-      .localCheckpoint() // feeds the frequency gate and both join sides
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = wf.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq).select(col("fp"))
     val idx = wf.join(hot, Seq("fp"), "left_anti")
@@ -306,6 +310,48 @@ object TextAnalysis {
         col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** [[winnowMatches]] with the match EXTENTS — the actionable MOSS
+    * report: a reviewer acts on WHERE the overlap sits, not just that
+    * it exists, so each pair also carries the min/max matched k-gram
+    * start position per doc. One row per qualifying pair:
+    * `(id_a, id_b, n_shared, a_from, a_to, b_from, b_to)` with
+    * `n_shared` = distinct shared fingerprints (identical to
+    * [[winnowMatches]]'s count — spec-pinned) and positions 1-based
+    * k-gram starts; the matched passage in doc a spans characters
+    * `[a_from, a_to + k − 1]`. A shared license block inside two
+    * otherwise-unrelated pages reports the block's extent in each.
+    *
+    * Scale shape: [[winnowMatches]]'s inverted-index self-join with
+    * the same hot-fingerprint gate, but position-carrying: the join
+    * key is still `fp`, so a fingerprint at p positions in doc a and
+    * q in doc b contributes p×q rows — bounded in practice because
+    * winnowing already deduplicates repeated picks per position and
+    * the `maxDocFreq` gate drops ubiquitous boilerplate fps; the
+    * min/max extent agg then collapses per pair map-side.
+    */
+  def winnowSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Int = 2,
+                  maxDocFreq: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    // position-carrying picks; persisted (NOT localCheckpoint — see
+    // winnowMatches) for the gate + both join sides
+    val wp = winnow(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("pos"), col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = wp.select(col("__id"), col("fp")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select(col("fp"))
+    val idx = wp.join(hot, Seq("fp"), "left_anti")
+    idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(countDistinct(col("a.fp")).as("n_shared"),
+        min(col("a.pos")).as("a_from"), max(col("a.pos")).as("a_to"),
+        min(col("b.pos")).as("b_from"), max(col("b.pos")).as("b_to"))
       .filter(col("n_shared") >= minShared)
   }
 
@@ -694,12 +740,27 @@ object TextAnalysis {
     * n-gram fragments carried from construction (no string
     * re-splitting on the oracle-sensitive path) plus one per-doc hash
     * agg — no window, nothing driver-side.
+    *
+    * `minCount` is the 100 TB cost lever: at corpus scale the type
+    * table is DOMINATED by hapax trigrams (Zipf — roughly half of all
+    * trigram types occur once), which cost the persisted table and
+    * all six scoring joins their width while contributing counts of 1
+    * that the discount mostly cancels anyway. `minCount = c` drops
+    * type rows with c123 < c BEFORE every consumer, so the three
+    * model reaggs (c12t/n12f, n1c23, nmid) stay mutually consistent
+    * with the pruned table and a pruned trigram's mass re-routes
+    * through the bigram backoff exactly like a never-seen trigram —
+    * the standard count-cutoff LM pruning. The bigram/unigram backoff
+    * tables are NOT pruned (they are |V|-bounded, not |V|³-bounded,
+    * and absorb the re-routed mass). Default 1 = exact behavior.
     */
   def knTrigramScore(train: DataFrame, score: DataFrame, idCol: String,
                      textCol: String,
-                     discount: Double = 0.75): DataFrame = {
+                     discount: Double = 0.75,
+                     minCount: Int = 1): DataFrame = {
     require(discount > 0 && discount < 1,
       s"discount must be in (0,1), got $discount")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // each trigram carries its join fragments from construction so
@@ -723,9 +784,13 @@ object TextAnalysis {
     val tg = fanOut(train)
       .select(explode(trigrams(col(textCol))).as("g")).select(col("g.*"))
     // trigram type table: four consumers (ctx3, mid23, midw2, scoring)
-    val ct = tg.groupBy(col("tri"), col("p12"), col("s23"), col("w2"),
+    // — pruned BEFORE the persist and before all of them, so the
+    // model tables derive from the same (smaller) type set
+    val ct0 = tg.groupBy(col("tri"), col("p12"), col("s23"), col("w2"),
         col("w3"))
       .agg(count(lit(1)).as("__c123"))
+    val ct = (if (minCount > 1) ct0.filter(col("__c123") >= minCount)
+              else ct0)
       .persist(MEMORY_AND_DISK)
     val ctx3 = ct.groupBy(col("p12"))
       .agg(sum(col("__c123")).as("__c12t"), count(lit(1)).as("__n12f"))

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** In-place maintenance merge for the `batch=<id>`-partitioned parquet
+  * stores the streaming sinks append to (the near-dedup MinHash index,
+  * the incremental-ANN postings store): at a 5 s trigger a sink
+  * creates ~17k directories/day, and join planning degrades with file
+  * count long before data size matters.
+  *
+  * The merge is IN PLACE under the store root: every `batch=<b>`
+  * directory with b ≤ `upToBatch` (including prior merges, which live
+  * at negative ids) is rewritten into one `batch=-(upToBatch+1)`
+  * directory, then the covered sources are deleted. The root itself is
+  * never renamed or replaced, so:
+  *
+  *  - a CONCURRENT live stream is safe: its appends land at batch ids
+  *    > `upToBatch` (ids the checkpoint has not committed yet) and are
+  *    never listed, read, or deleted by the merge;
+  *  - readers never observe a missing or partial store: the staging
+  *    write is dot-prefixed (invisible to parquet listing), the
+  *    publish is one rename, and a crash between the publish and the
+  *    source deletes leaves duplicate rows — harmless to
+  *    existence-check joins and removed by the next merge's `project`
+  *    dedup.
+  *
+  * Re-running after any crash completes the merge: a surviving staging
+  * dir is discarded, an already-published target flips the call to
+  * cleanup-only. `upToBatch` must be a batch id the streaming
+  * checkpoint has COMMITTED: the one batch that can still replay after
+  * a crash must keep its own `batch=` directory, or its replay's
+  * self-match exclusion (the readers' `excludeBatch`) would stop
+  * seeing it. Merged rows sit at negative batch ids, which no live
+  * batch id equals, so they stay visible to every exclusion filter.
+  * No-op if the store does not exist or holds at most one covered
+  * directory.
+  */
+private[streaming] object BatchDirs {
+
+  /** Merge as described above; `project` selects/dedups the store's
+    * row shape (it must drop the discovered `batch` column).
+    */
+  def compactInPlace(spark: SparkSession, rootPath: String,
+                     upToBatch: Long,
+                     project: DataFrame => DataFrame): Unit = {
+    val root = new Path(rootPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val target = new Path(root, s"batch=${-(upToBatch + 1)}")
+    val covered = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
+            .toOption.exists(_ <= upToBatch)
+      }
+    // compare by name: listStatus paths are scheme-qualified, target
+    // is not — URI equality would silently keep the target in sources
+    val sources = covered.filterNot(_.getName == target.getName)
+    if (fs.exists(target)) {
+      // a prior merge to this same target crashed after its publish
+      // rename: only the source cleanup remains
+      sources.foreach(fs.delete(_, true))
+    } else if (sources.size > 1) {
+      val tmp = new Path(root, ".__merge_tmp")
+      fs.delete(tmp, true) // stale staging from a crash mid-write
+      project(spark.read.parquet(sources.map(_.toString): _*))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(tmp.toString)
+      if (!fs.rename(tmp, target))
+        throw new IOException(s"store merge: cannot publish $target")
+      sources.foreach(fs.delete(_, true))
+    }
+  }
+}

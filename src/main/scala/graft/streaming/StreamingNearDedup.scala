@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.io.IOException
-
 import graft.operators.Dedup
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -124,71 +122,16 @@ object StreamingNearDedup {
     gateBatchParts(batch, index, idCol, textCol, n, k, bands,
       threshold)._1
 
-  /** Merge the per-micro-batch index directories — at a 5 s trigger
-    * the sink creates ~17k directories/day, and band-join planning
-    * degrades with file count long before data size matters. The merge
-    * is IN PLACE under the index root: every `batch=<b>` directory
-    * with b ≤ `upToBatch` (including prior merges, which live at
-    * negative ids) is rewritten into one `batch=-(upToBatch+1)`
-    * directory, then the covered sources are deleted. The root itself
-    * is never renamed or replaced, so:
-    *
-    *  - a CONCURRENT live stream is safe: its appends land at batch
-    *    ids > `upToBatch` (ids the checkpoint has not committed yet)
-    *    and are never listed, read, or deleted by the merge;
-    *  - readers never observe a missing or partial index: the staging
-    *    write is dot-prefixed (invisible to parquet listing), the
-    *    publish is one rename, and a crash between the publish and the
-    *    source deletes leaves duplicate rows — harmless to the gate
-    *    (its joins are existence checks) and removed by the next
-    *    merge's `distinct`.
-    *
-    * Re-running after any crash completes the merge: a surviving
-    * staging dir is discarded, an already-published target flips the
-    * call to cleanup-only. `upToBatch` must be a batch id the
-    * streaming checkpoint has COMMITTED: the one batch that can still
-    * replay after a crash must keep its own `batch=` directory, or its
-    * replay's self-match exclusion ([[readIndex]] `excludeBatch`)
-    * would stop seeing it. Merged rows sit at negative batch ids,
-    * which no live batch id equals, so they are visible to every
-    * exclusion filter. No-op if the index does not exist or holds at
-    * most one covered directory.
+  /** Merge the per-micro-batch index directories — the
+    * [[BatchDirs.compactInPlace]] in-place maintenance merge (see its
+    * scaladoc for the concurrency/crash-safety contract) with this
+    * store's row shape: the `distinct` heals duplicates from a crash
+    * between a prior publish and its source deletes.
     */
   def compactIndex(spark: SparkSession, indexPath: String,
-                   upToBatch: Long): Unit = {
-    val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return
-    val target = new Path(root, s"batch=${-(upToBatch + 1)}")
-    val covered = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
-            .toOption.exists(_ <= upToBatch)
-      }
-    // compare by name: listStatus paths are scheme-qualified, target
-    // is not — URI equality would silently keep the target in sources
-    val sources = covered.filterNot(_.getName == target.getName)
-    if (fs.exists(target)) {
-      // a prior merge to this same target crashed after its publish
-      // rename: only the source cleanup remains
-      sources.foreach(fs.delete(_, true))
-    } else if (sources.size > 1) {
-      val tmp = new Path(root, ".__merge_tmp")
-      fs.delete(tmp, true) // stale staging from a crash mid-write
-      spark.read.parquet(sources.map(_.toString): _*)
-        .select(col("did"), col("sig"), col("band"))
-        .distinct() // heals duplicates from a crash between a prior
-                    // publish and its source deletes
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(tmp.toString)
-      if (!fs.rename(tmp, target))
-        throw new IOException(s"index merge: cannot publish $target")
-      sources.foreach(fs.delete(_, true))
-    }
-  }
+                   upToBatch: Long): Unit =
+    BatchDirs.compactInPlace(spark, indexPath, upToBatch,
+      _.select(col("did"), col("sig"), col("band")).distinct())
 
   /** Attach the near-dedup gate to a streaming document frame.
     * Survivors land under `outPath/batch=<id>/`; their banded

@@ -25,6 +25,14 @@ class BenchRegistrySpec extends AnyFunSuite {
     assert(Bench.select(Some("no_such_query")).isEmpty)
   }
 
+  test("parseIso reads the forked re-timer's payload; missing or " +
+      "empty entries stay absent") {
+    assert(Bench.parseIso("""{"a":[1.5,2.0],"b_x":[0.25]}""") ===
+      Map("a" -> Seq(1.5, 2.0), "b_x" -> Seq(0.25)))
+    assert(Bench.parseIso("""{"a":[]}""") === Map("a" -> Seq.empty))
+    assert(Bench.parseIso("{}") === Map.empty)
+  }
+
   private def read(f: java.io.File): String = {
     val s = scala.io.Source.fromFile(f, "UTF-8")
     try s.mkString finally s.close()

@@ -91,6 +91,20 @@ class HtmlSpec extends SparkSpec {
       (Some("https://h/s.jpg"), Some("real"))))
   }
 
+  test("htmlImages: an unterminated quoted value (malformed tag) " +
+      "reports null, never a quote-prefixed URL; unquoted values " +
+      "still pass through") {
+    val html = "<img src=\"https://h/broken.jpg alt='x'>" +
+      "<img src=https://h/bare.jpg>"
+    val got = Seq((1L, html)).toDF("id", "html")
+      .select(posexplode(Html.htmlImages($"html")).as(Seq("i", "im")))
+      .selectExpr("im.src", "im.alt")
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(got === Seq(
+      (None, Some("x")),
+      (Some("https://h/bare.jpg"), None)))
+  }
+
   test("extract adds title, text_plain and links together") {
     val r = Html.extract(
         Seq((7L, "<title>T</title><body><a href='/x'>L</a></body>"))

@@ -292,6 +292,62 @@ class TextAnalysisSpec extends SparkSpec {
       k = 5, w = 4, minShared = 1, maxDocFreq = 2).count() === 0)
   }
 
+  test("winnowSpans: a shared license block localizes to its extent " +
+      "in each doc; n_shared agrees with winnowMatches") {
+    // disjoint alphabets outside the block, so every shared
+    // fingerprint derives from a 5-gram fully inside the block; no
+    // 5-gram repeats INSIDE the block, so a matched fingerprint sits
+    // at the same relative offset in both docs (the extent-shift
+    // assertion below depends on that)
+    val license = "distributed under the apache terms version two"
+    val pre1 = "qqqq qqqq "   // block starts at pos 11 in doc 1
+    val pre2 = "0123456789012345 " // and at pos 18 in doc 2
+    val d = Seq(
+      (1L, pre1 + license + " zz"),
+      (2L, pre2 + license + " ww"),
+      (3L, "totally unrelated body here")).toDF("id", "text")
+    val spans = TextAnalysis.winnowSpans(d, "id", "text",
+        k = 5, w = 4, minShared = 2, maxDocFreq = 100)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(spans.map(r => (r._1, r._2)) === Seq((1L, 2L)))
+    val (_, _, nShared, aFrom, aTo, bFrom, bTo) = spans.head
+    val s1 = pre1.length + 1
+    val s2 = pre2.length + 1
+    val lastGram = license.length - 5 // 0-based offset of last 5-gram
+    assert(aFrom >= s1 && aTo <= s1 + lastGram,
+      s"doc-1 span [$aFrom,$aTo] outside block [$s1,${s1 + lastGram}]")
+    assert(bFrom >= s2 && bTo <= s2 + lastGram,
+      s"doc-2 span [$bFrom,$bTo] outside block [$s2,${s2 + lastGram}]")
+    // the two extents frame the SAME passage: identical relative size
+    assert(aTo - aFrom === bTo - bFrom)
+    val matches = TextAnalysis.winnowMatches(d, "id", "text",
+        k = 5, w = 4, minShared = 2, maxDocFreq = 100)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(matches.map(_._3) === Seq(nShared))
+  }
+
+  test("knTrigramScore minCount: 1 is exact behavior; pruning every " +
+      "type routes all mass through the bigram backoff (hand value)") {
+    val train = Seq((1L, "x y x y x")).toDF("id", "text")
+    val score = Seq((9L, "x y x")).toDF("id", "text")
+    val exact = TextAnalysis.knTrigramScore(train, score, "id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    val mc1 = TextAnalysis.knTrigramScore(train, score, "id", "text",
+        minCount = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(mc1 === exact)
+    // minCount above every count empties the type table: c123 = 0,
+    // nmid = 0, so p = pbo = pc(w3). Here cb = {"x y", "y x"}, T = 2,
+    // V = 2, n1c(x) = 1 -> pc = (1+1)/(2+2+1) = 0.4
+    val pruned = TextAnalysis.knTrigramScore(train, score, "id", "text",
+        minCount = 100)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pruned.size === 1)
+    val (_, nTri, nll) = pruned.head
+    assert(nTri === 1L)
+    assert(math.abs(nll - (-math.log(0.4))) < 1e-5, s"avg_nll=$nll")
+  }
+
   test("oovRate: head tokens score 0, tail tokens count as OOV, " +
       "boundary ties break lexicographically") {
     // vocabSize=2: counts x:3 y:2 z:1 -> head {x, y}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The incremental-ANN ingestion sink: batch-parity against the
+  * one-shot operators, cross-batch index growth, replay idempotency,
+  * and the postings-store maintenance merge.
+  */
+class StreamingKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  /** Deterministic non-zero 4-dim vector (period 11 in i). */
+  private def tvec(i: Long): Array[Float] =
+    Array.tabulate(4)(j => (((i * 7 + j * 3) % 11).toFloat / 11f) - 0.4f)
+
+  /** A second value space disjoint from [[tvec]]'s, so batch vectors
+    * are never exact duplicates of corpus vectors (duplicates lose
+    * every cosine tie to the smaller corpus id, which would hide
+    * cross-batch retrieval from the assertions below).
+    */
+  private def uvec(i: Long): Array[Float] =
+    Array.tabulate(4)(j => (((i * 5 + j * 2) % 13).toFloat / 13f) - 0.3f)
+
+  private def corpusDf: DataFrame =
+    (0 until 40).map(i => (i.toLong, tvec(i.toLong)))
+      .toDF("vec_id", "embedding")
+
+  private def batchDf(from: Long, n: Int): DataFrame =
+    (0 until n).map(r => (from + r, tvec(from + r)))
+      .toDF("vec_id", "embedding")
+
+  private def knnSet(df: DataFrame): Set[(Long, Long, Int)] =
+    df.select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("streaming probe == one-shot ivfKnn for batch 1; batch 2 " +
+      "retrieves against corpus + batch 1 (the grown index)") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = tmp("sknn_c"); val posts = tmp("sknn_p")
+    val out = tmp("sknn_o"); val cp = tmp("sknn_ckpt")
+    StreamingKnn.initIndex(corpusDf, "vec_id", "embedding", cents,
+      posts, cells = 8)
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = StreamingKnn.knnSink(src.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, posts, out, cp,
+        k = 3, nProbe = 8,
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      .start()
+    // batch 2 repeats batch 1's VECTORS under fresh ids: its nearest
+    // neighbors must come from batch 1 (cosine 1.0, absent from the
+    // corpus value space)
+    try {
+      src.addData((100L until 106L).map(i => (i, uvec(i))))
+      q.processAllAvailable()
+      src.addData((200L until 206L).map(i => (i, uvec(i - 100L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val b1 = (0 until 6).map(r => (100L + r, uvec(100L + r)))
+      .toDF("vec_id", "embedding")
+    val b2 = (0 until 6).map(r => (200L + r, uvec(100L + r)))
+      .toDF("vec_id", "embedding")
+    assert(knnSet(spark.read.parquet(s"$out/batch=0")) ===
+      knnSet(Similarity.ivfKnn(corpusDf, b1, "vec_id", "embedding",
+        k = 3, cells = 8, nProbe = 8)))
+    // batch 2's reference: the init index grown by batch 1's postings
+    // under the FIXED centroids
+    val ix0 = Similarity.ivfIndex(corpusDf, "vec_id", "embedding",
+      cells = 8)
+    val grown = Similarity.IvfIndexFrames(ix0.centroids,
+      ix0.postings.unionByName(
+        Similarity.ivfAppend(ix0, b1, "vec_id", "embedding")))
+    assert(knnSet(spark.read.parquet(s"$out/batch=1")) ===
+      knnSet(Similarity.knnAgainstIndex(grown, b2, "vec_id",
+        "embedding", k = 3, nProbe = 8)))
+    // and batch 2 DID see batch 1: its ids appear among the neighbors
+    assert(knnSet(spark.read.parquet(s"$out/batch=1"))
+      .exists { case (_, n, _) => n >= 100L && n < 106L })
+  }
+
+  test("a replayed batch rewrites its directories idempotently: no " +
+      "double-append, no self-match, identical neighbor output") {
+    val cents = tmp("sknn_rc"); val posts = tmp("sknn_rp")
+    val out = tmp("sknn_ro")
+    StreamingKnn.initIndex(corpusDf, "vec_id", "embedding", cents,
+      posts, cells = 8)
+    val b = batchDf(100L, 5)
+    StreamingKnn.processBatch(b, 0L, "vec_id", "embedding", cents,
+      posts, out, k = 3, nProbe = 8)
+    val out1 = knnSet(spark.read.parquet(s"$out/batch=0"))
+    assert(spark.read.parquet(posts).count() === 45) // 40 + 5
+    // replay (at-least-once redelivery after a crash)
+    StreamingKnn.processBatch(b, 0L, "vec_id", "embedding", cents,
+      posts, out, k = 3, nProbe = 8)
+    assert(knnSet(spark.read.parquet(s"$out/batch=0")) === out1)
+    assert(spark.read.parquet(posts).count() === 45)
+    // the replayed probe must not have matched the batch against its
+    // own pre-crash postings: no neighbor from the batch's own ids
+    assert(!out1.exists { case (_, n, _) => n >= 100L })
+  }
+
+  test("compactPostings merges batch directories in place; the index " +
+      "the probe sees is unchanged") {
+    val cents = tmp("sknn_cc"); val posts = tmp("sknn_cpst")
+    val out = tmp("sknn_co")
+    StreamingKnn.initIndex(corpusDf, "vec_id", "embedding", cents,
+      posts, cells = 8)
+    StreamingKnn.processBatch(batchDf(100L, 5), 0L, "vec_id",
+      "embedding", cents, posts, out, k = 3, nProbe = 8)
+    StreamingKnn.processBatch(batchDf(200L, 5), 1L, "vec_id",
+      "embedding", cents, posts, out, k = 3, nProbe = 8)
+    val before = StreamingKnn.readIndex(spark, cents, posts)
+      .postings.select("neighbor_id", "cell")
+      .as[(Long, Long)].collect().toSet
+    StreamingKnn.compactPostings(spark, posts, upToBatch = 1L)
+    val dirs = new java.io.File(posts).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.map(_.getName).toSeq === Seq("batch=-2"))
+    assert(StreamingKnn.readIndex(spark, cents, posts)
+      .postings.select("neighbor_id", "cell")
+      .as[(Long, Long)].collect().toSet === before)
+    // a post-merge probe answers exactly like the pre-merge index
+    val b3 = batchDf(300L, 4)
+    val viaStore = Similarity.knnAgainstIndex(
+      StreamingKnn.readIndex(spark, cents, posts), b3, "vec_id",
+      "embedding", k = 3, nProbe = 8)
+    val ix0 = Similarity.ivfIndex(corpusDf, "vec_id", "embedding",
+      cells = 8)
+    val grown = Similarity.IvfIndexFrames(ix0.centroids,
+      ix0.postings
+        .unionByName(Similarity.ivfAppend(ix0, batchDf(100L, 5),
+          "vec_id", "embedding"))
+        .unionByName(Similarity.ivfAppend(ix0, batchDf(200L, 5),
+          "vec_id", "embedding")))
+    assert(knnSet(viaStore) === knnSet(Similarity.knnAgainstIndex(
+      grown, b3, "vec_id", "embedding", k = 3, nProbe = 8)))
+  }
+}
