@@ -147,7 +147,7 @@ object Bench {
     // numbers.
     val outliers = measured.collect {
       case (name, ps)
-        if ps.min > 0.5 && ps.nonEmpty && ps.max / ps.min > 1.5 => name
+        if ps.nonEmpty && ps.min > 0.5 && ps.max / ps.min > 1.5 => name
     }.toSeq.sorted
     val iso: Map[String, Seq[Double]] =
       if (outliers.isEmpty ||
@@ -155,7 +155,11 @@ object Bench {
       else forkMain("graft.BenchIsolated", Seq(outliers.mkString(",")),
         BenchIsolated.Marker).map(parseIso).getOrElse(Map.empty)
     val results = measured.map { case (name, ps) =>
-      name -> (ps ++ iso.getOrElse(name, Seq.empty))
+      // only positive isolated passes fold in: a crash INSIDE the fork
+      // surfaces as a negated sentinel there, and folding it into a
+      // query that succeeded in-process would flip it to "failed" and
+      // corrupt the headline min
+      name -> (ps ++ iso.getOrElse(name, Seq.empty).filter(_ > 0))
     }
     // "queries" stays name→min-sec (the driver contract); "runs" adds
     // the raw passes (isolated re-times appended) so a reader can
@@ -185,7 +189,8 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
       else forkMain("graft.StreamBenchMain", Seq.empty,
           StreamBenchMain.Marker)
-        .getOrElse(StreamBench.run(spark))
+        .getOrElse(StreamBench.run(spark,
+          StreamBenchMain.envBatches, StreamBenchMain.envRows))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"isolated":$isoNames,"streaming":$streaming,"sf":$sf,"sfDir":"$sfDir"}""")
     spark.stop()
   }
@@ -222,14 +227,16 @@ object BenchIsolated {
 object StreamBenchMain {
   private[graft] val Marker = "STREAMBENCH_JSON="
 
+  // dev-loop knobs (unset in the driver's run — full defaults); read
+  // here AND by Bench's in-process fallback, so both paths honor them
+  private[graft] def envBatches: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_BATCHES").map(_.toInt).getOrElse(12)
+  private[graft] def envRows: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_ROWS").map(_.toInt).getOrElse(2000)
+
   def main(args: Array[String]): Unit = {
     val spark = Bench.mkSession()
-    // dev-loop knobs (unset in the driver's run — full defaults)
-    val batches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
-      .map(_.toInt).getOrElse(12)
-    val rows = sys.env.get("SPARK_GRAFT_STREAM_ROWS")
-      .map(_.toInt).getOrElse(2000)
-    println(Marker + StreamBench.run(spark, batches, rows))
+    println(Marker + StreamBench.run(spark, envBatches, envRows))
     spark.stop()
   }
 }

@@ -490,14 +490,20 @@ object Similarity {
       .agg(count(lit(1)).as("n_postings"))
     val totals = index.centroids.agg(count(lit(1)).as("__k"))
       .crossJoin(index.postings.agg(count(lit(1)).as("__n")))
+    // an EMPTY postings store (fresh swap, everything filtered) must
+    // report 0.0, not the null Spark's non-ANSI divide-by-zero yields
+    // — a max(load_ratio) alert reading null would silently never fire
+    def safe(c: org.apache.spark.sql.Column) =
+      when(col("__n") > 0, c).otherwise(lit(0.0))
     index.centroids.select(col("cell"))
       .join(counts, Seq("cell"), "left")
       .na.fill(0L, Seq("n_postings"))
       .crossJoin(broadcast(totals))
       .select(col("cell"), col("n_postings"),
-        (col("n_postings").cast(DoubleType) / col("__n").cast(DoubleType))
-          .as("frac"),
-        (col("n_postings").cast(DoubleType) * col("__k").cast(DoubleType) /
+        safe(col("n_postings").cast(DoubleType) /
+          col("__n").cast(DoubleType)).as("frac"),
+        safe(col("n_postings").cast(DoubleType) *
+          col("__k").cast(DoubleType) /
           col("__n").cast(DoubleType)).as("load_ratio"))
   }
 
@@ -512,12 +518,18 @@ object Similarity {
     * set; spec-pinned). Run it offline on the skew signal from
     * [[ivfStats]], then atomically swap the persisted centroid +
     * postings tables; in-flight probes keep reading the old store.
+    * `cells` defaults (-1) to the index's own cell count.
     */
-  def ivfRebalance(index: IvfIndexFrames, cells: Int = 16,
+  def ivfRebalance(index: IvfIndexFrames, cells: Int = -1,
                    refineIters: Int = 0,
-                   refineFraction: Double = 1.0): IvfIndexFrames =
+                   refineFraction: Double = 1.0): IvfIndexFrames = {
+    // default cells = the index's OWN cell count (one tiny centroid
+    // count) — a fixed default would silently re-cluster a 64-cell
+    // production index down to it on the no-args maintenance call
+    val k = if (cells > 0) cells else index.centroids.count().toInt
     ivfIndex(index.postings.select(col("neighbor_id"), col("cv")),
-      "neighbor_id", "cv", cells, refineIters, refineFraction)
+      "neighbor_id", "cv", k, refineIters, refineFraction)
+  }
 
   /** Recall@k of an approximate neighbor frame against the exact one
     * — the missing measurement in any ANN rollout: every index

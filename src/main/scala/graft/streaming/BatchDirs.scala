@@ -46,6 +46,13 @@ private[streaming] object BatchDirs {
   def compactInPlace(spark: SparkSession, rootPath: String,
                      upToBatch: Long,
                      project: DataFrame => DataFrame): Unit = {
+    // -(Long.MaxValue + 1) would overflow to Long.MinValue — exactly
+    // StreamingKnn's seed-directory id — and the crashed-merge
+    // cleanup branch would then delete every source without merging.
+    // Real batch ids are checkpoint-assigned small longs; reject the
+    // boundary instead of corrupting the store.
+    require(upToBatch < Long.MaxValue,
+      "upToBatch must be a committed batch id, not Long.MaxValue")
     val root = new Path(rootPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return

@@ -199,6 +199,14 @@ class SimilaritySpec extends SparkSpec {
       .filter($"cell" === firstCell)
       .as[(Long, Long, Double, Double)].head()
     assert(zeroRow._2 === 0L && zeroRow._3 === 0.0 && zeroRow._4 === 0.0)
+    // a fully-empty postings store reports 0.0 everywhere, never the
+    // null a naive divide-by-zero would yield (alerts read these)
+    val empty = Similarity.IvfIndexFrames(ix.centroids,
+      ix.postings.filter(lit(false)))
+    val er = Similarity.ivfStats(empty)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(er.size === 16)
+    assert(er.forall { case (_, n, f, l) => n === 0L && f === 0.0 && l === 0.0 })
   }
 
   test("ivfRebalance after a skewed append history == a fresh ivfIndex " +
@@ -226,6 +234,9 @@ class SimilaritySpec extends SparkSpec {
     // gives (no monotone-skew assertion — on a near-uniform fixture
     // the 8→16-cell re-seed can report a higher max load_ratio while
     // still being the fresh-build optimum)
+    // default cells derives from the index's OWN centroid count (8
+    // here), never a fixed constant
+    assert(Similarity.ivfRebalance(grown).centroids.count() === 8L)
   }
 
   test("annRecall: 1.0 when the probe covers every cell; bounded and " +

@@ -140,5 +140,12 @@ class StreamingKnnSpec extends SparkSpec {
           "vec_id", "embedding")))
     assert(knnSet(viaStore) === knnSet(Similarity.knnAgainstIndex(
       grown, b3, "vec_id", "embedding", k = 3, nProbe = 8)))
+    // the Long.MaxValue boundary is rejected: -(MaxValue+1) would
+    // overflow to the seed directory's id and the crashed-merge
+    // cleanup branch would delete the store without merging
+    intercept[IllegalArgumentException] {
+      StreamingKnn.compactPostings(spark, posts, upToBatch = Long.MaxValue)
+    }
+    ()
   }
 }
