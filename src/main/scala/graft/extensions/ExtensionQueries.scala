@@ -1835,6 +1835,154 @@ object ExtensionQueries {
         .orderBy(col("query_id"))
     },
 
+    // The LSH variant's recall@5 against the same brute reference —
+    // annRecall composing with a second index family (OR-amplified
+    // hyperplane buckets): an LSH query can return FEWER than 5
+    // candidates, which is exactly the shortfall recall@k must (and
+    // here does) penalize. Oracle replays the bucket blocking, the
+    // brute ranks, and the recall join.
+    Q("ext_ann_recall_lsh", {
+      val (planes, tabs) = (6, 4)
+      val cos = cosSql("c.embedding", "q.embedding")
+      val bucketCase = (0 until tabs).map(t =>
+        s"WHEN $t THEN ${bucketSql("embedding", planes, t)}")
+        .mkString("CASE t ", " ", " END")
+      s"""WITH b AS (
+         | SELECT vec_id, embedding, t, $bucketCase AS bucket
+         | FROM embeddings, (SELECT unnest(range(0, $tabs)) AS t)),
+         |cand AS (
+         | SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+         | FROM b bq JOIN b bc
+         |   ON bq.t = bc.t AND bq.bucket = bc.bucket
+         |   AND bq.vec_id != bc.vec_id
+         | WHERE bq.vec_id < 10),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         | SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY $cos DESC, neighbor_id) AS rank
+         | FROM cand
+         | JOIN embeddings q ON q.vec_id = query_id
+         | JOIN embeddings c ON c.vec_id = neighbor_id)
+         |WHERE rank <= 5),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY $cos DESC, c.vec_id) AS rank
+         | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         | WHERE q.vec_id < 10)
+         |WHERE rank <= 5),
+         |hits AS (SELECT a.query_id, count(*) AS n_overlap
+         | FROM approx a JOIN exact e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         | GROUP BY 1)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         | CAST(coalesce(max(h.n_overlap), 0) AS BIGINT) AS n_overlap,
+         | CAST(coalesce(max(h.n_overlap), 0) AS DOUBLE) /
+         |   CAST(count(*) AS DOUBLE) AS recall
+         |FROM exact e LEFT JOIN hits h ON h.query_id = e.query_id
+         |GROUP BY 1 ORDER BY e.query_id""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.annRecall(
+          Similarity.lshKnn(e, q, "vec_id", "embedding", k = 5,
+            planes = 6, tables = 4),
+          Similarity.bruteKnn(e, q, "vec_id", "embedding", k = 5),
+          k = 5)
+        .orderBy(col("query_id"))
+    },
+
+    // Rebalance closes the maintenance loop: the skew-grown index of
+    // ext_ivf_stats is RE-SEEDED from its own postings (rebalance ≡
+    // fresh build over the union corpus — the spec-pinned contract),
+    // and the post-rebalance cell-balance report is the oracle-gated
+    // output. The oracle therefore seeds from the WHOLE corpus
+    // (ORDER BY vec_id LIMIT 16, no residue filter) — exactly what a
+    // fresh build over all postings does.
+    Q("ext_ivf_rebalance", {
+      val cells = 16
+      val seedCos = cosSql("c.embedding", "s.sv")
+      s"""WITH seeds AS (
+         |  SELECT vec_id AS cell, embedding AS sv FROM embeddings
+         |  ORDER BY vec_id LIMIT $cells),
+         |cc AS (
+         | SELECT neighbor_id, cell FROM (
+         |  SELECT c.vec_id AS neighbor_id, s.cell,
+         |   row_number() OVER (PARTITION BY c.vec_id
+         |     ORDER BY $seedCos DESC, s.cell) AS rn
+         |  FROM embeddings c, seeds s)
+         | WHERE rn = 1),
+         |cnt AS (SELECT cell, count(*) AS n FROM cc GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM cc) AS n,
+         |  (SELECT count(*) FROM seeds) AS k)
+         |SELECT s.cell,
+         | CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_postings,
+         | CAST(coalesce(cnt.n, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+         |   AS frac,
+         | CAST(coalesce(cnt.n, 0) AS DOUBLE) * CAST(tot.k AS DOUBLE) /
+         |   CAST(tot.n AS DOUBLE) AS load_ratio
+         |FROM seeds s LEFT JOIN cnt ON cnt.cell = s.cell CROSS JOIN tot
+         |ORDER BY s.cell""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val resident = e.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val ix0 = Similarity.ivfIndex(resident, "vec_id", "embedding",
+        cells = 16)
+      val grown = Similarity.IvfIndexFrames(ix0.centroids,
+        ix0.postings.unionByName(Similarity.ivfAppend(ix0,
+          e.filter(pmod(col("vec_id"), lit(8)) === 0),
+          "vec_id", "embedding")))
+      Similarity.ivfStats(Similarity.ivfRebalance(grown))
+        .orderBy(col("cell"))
+    },
+
+    // Bradley-Terry preference strengths via Hunter's MM algorithm —
+    // the RLHF comparison-log analysis: (winner, loser) pairs are
+    // synthesized from doc_id arithmetic over 32 items, two MM
+    // updates with mean-1 renormalization, every double reduction
+    // fixed-point. The oracle unrolls both iterations op-for-op
+    // (pagerank's unrolled-CTE discipline), so any drift in the
+    // update or normalization order breaks the hash.
+    Q("ext_bt_strengths", {
+      val sc = "1000000000.0"
+      def iterSql(prev: String, n: Int): String =
+        s"""d$n AS (SELECT o.i,
+           |   ${fxSql("CAST(o.n AS DOUBLE) / (si.s + sj.s)", sc)} AS dfx
+           |  FROM opp o JOIN $prev si ON si.i = o.i
+           |  JOIN $prev sj ON sj.i = o.j GROUP BY 1),
+           |r$n AS (SELECT b.i,
+           |   CAST(b.wn AS DOUBLE) / (CAST(d$n.dfx AS DOUBLE) / $sc) AS s
+           |  FROM base b JOIN d$n ON d$n.i = b.i),
+           |t$n AS (SELECT ${fxSql("s", sc)} AS tfx, count(*) AS k
+           |  FROM r$n),
+           |s$n AS (SELECT i, s * CAST(k AS DOUBLE) /
+           |   (CAST(tfx AS DOUBLE) / $sc) AS s FROM r$n, t$n)"""
+          .stripMargin
+      s"""WITH p AS (SELECT doc_id % 32 AS w, (3 * doc_id + 1) % 32 AS l
+         |  FROM documents WHERE doc_id % 32 != (3 * doc_id + 1) % 32),
+         |opp AS (SELECT i, j, count(*) AS n FROM (
+         |  SELECT w AS i, l AS j FROM p
+         |  UNION ALL SELECT l AS i, w AS j FROM p) GROUP BY 1, 2),
+         |wins AS (SELECT w AS i, count(*) AS wn FROM p GROUP BY 1),
+         |base AS (SELECT o.i, CAST(sum(o.n) AS BIGINT) AS nc,
+         |   CAST(coalesce(max(w.wn), 0) AS BIGINT) AS wn
+         |  FROM opp o LEFT JOIN wins w ON w.i = o.i GROUP BY 1),
+         |s0 AS (SELECT i, 1.0 AS s FROM base),
+         |${iterSql("s0", 1)},
+         |${iterSql("s1", 2)}
+         |SELECT b.i AS item, b.wn AS wins, b.nc AS n_comparisons,
+         | s2.s AS strength
+         |FROM base b JOIN s2 ON s2.i = b.i ORDER BY item""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val pairs = documents(s, d)
+        .select(pmod(id, lit(32)).as("w"),
+          pmod(id * 3 + 1, lit(32)).as("l"))
+        .filter(col("w") =!= col("l"))
+      graft.operators.Stats.btStrengths(pairs, "w", "l", iters = 2)
+        .orderBy(col("item"))
+    },
+
     // Hard-negative mining over IVF candidate generation — the
     // ANN-composed variant of ext_hard_negatives (broadcast-queries
     // full scan replaced by the probed-cell equi-join, the shape for

@@ -6,6 +6,86 @@ import org.apache.spark.sql.functions._
 /** Distribution-shaping operators over numeric fact columns. */
 object Stats {
 
+  /** Bradley-Terry preference strengths from pairwise outcomes — the
+    * preference-data analysis operator an RLHF pipeline runs over its
+    * comparison logs: rank response sources / models / annotator arms
+    * from "(winner, loser)" rows, detect drift between batches, and
+    * weight pairs for reward-model training. Fitted with Hunter's MM
+    * algorithm (Hunter, "MM algorithms for generalized Bradley-Terry
+    * models", Ann. Statist. 2004), `iters` updates of
+    *
+    *   s_i ← W_i / Σ_j n_ij / (s_i + s_j)
+    *
+    * (W_i = i's win count, n_ij = comparisons between i and j), each
+    * followed by a mean-1 renormalization (BT strengths are only
+    * identified up to scale). Unlike Elo, the fit is ORDER-FREE — a
+    * pure function of the (W_i, n_ij) aggregates — so it is exactly
+    * reproducible and oracle-checkable. Emits one row per item:
+    * (item, wins, n_comparisons, strength).
+    *
+    * Identifiability preconditions (standard BT): every item should
+    * win at least once — a zero-win item's strength converges to 0,
+    * and a comparison BETWEEN two zero-win items would divide by
+    * zero. Disconnected comparison components fit independently but
+    * share the global normalization.
+    *
+    * Determinism: the MM denominator and the normalization total are
+    * cross-row double sums, so both run fixed-point
+    * ([[graft.functions.Cols.fxSum]], `scale` — each term
+    * `n_ij/(s_i+s_j)` must stay within 2^53/scale; the default 1e9
+    * covers n_ij up to ~9×10^6 per opponent pair) and the remaining
+    * double ops are mirrored op-for-op by the SQL oracle.
+    *
+    * Scale shape: the comparison log collapses ONCE into the
+    * symmetrized (i, j, n) opponent table and a per-item wins/total
+    * table (two map-side-combining hash aggs, both persisted — the
+    * loop invariants); each MM iteration is two item-keyed equi-joins
+    * of the ≤|items| strengths frame into the opponent table, one
+    * per-item hash agg, and a 1-row broadcast normalization — no
+    * window, nothing driver-side, lineage linear in `iters` (the
+    * strengths chain is lazy; each frame feeds exactly the next
+    * iteration).
+    */
+  def btStrengths(pairs: DataFrame, winnerCol: String, loserCol: String,
+                  iters: Int = 2, scale: Double = 1e9): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"iters must be in [1, 16], got $iters")
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+    val opp = p.select(col("__w").as("i"), col("__l").as("j"))
+      .unionByName(p.select(col("__l").as("i"), col("__w").as("j")))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("__n"))
+      .persist(MEMORY_AND_DISK)
+    val wins = p.groupBy(col("__w").as("i")).agg(count(lit(1)).as("wins"))
+    val base = opp.groupBy(col("i"))
+      .agg(sum(col("__n")).as("n_comparisons"))
+      .join(wins, Seq("i"), "left")
+      .na.fill(0L, Seq("wins"))
+      .persist(MEMORY_AND_DISK)
+    var s = base.select(col("i"), lit(1.0).as("__s"))
+    (1 to iters).foreach { _ =>
+      val d = opp
+        .join(s.select(col("i"), col("__s").as("__si")), Seq("i"))
+        .join(s.select(col("i").as("j"), col("__s").as("__sj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(fxSum(col("__n").cast("double") /
+          (col("__si") + col("__sj")), scale).as("__dfx"))
+      val r = base.select(col("i"), col("wins"))
+        .join(d, Seq("i"))
+        .select(col("i"), (col("wins").cast("double") /
+          fxVal(col("__dfx"), scale)).as("__s"))
+      val t = r.agg(fxSum(col("__s"), scale).as("__tfx"),
+        count(lit(1)).as("__k"))
+      s = r.crossJoin(broadcast(t))
+        .select(col("i"), (col("__s") * col("__k").cast("double") /
+          fxVal(col("__tfx"), scale)).as("__s"))
+    }
+    base.join(s, Seq("i"))
+      .select(col("i").as("item"), col("wins"), col("n_comparisons"),
+        col("__s").as("strength"))
+  }
+
   /** Per-group winsorization: clip `valCol` into the [`lo`, `hi`]
     * exact quantiles of its own group (outlier remediation before a
     * sum/mean that a single corrupt value would dominate). Emits the

@@ -85,4 +85,38 @@ class StatsSpec extends SparkSpec {
     assert(out(2)._4 === 0.0 && out(2)._5 === 0.0)
     assert(!out.exists(r => r._5.isNaN))
   }
+
+  test("btStrengths: hand-computed MM updates, mean-1 normalization, " +
+      "partition invariance") {
+    // A(1) beats B(2) twice, B beats C(3) once, C beats A once:
+    // W = (2, 1, 1), n_AB = 2, n_BC = 1, n_CA = 1
+    val pairs = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L))
+      .toDF("w", "l")
+    // iteration 1 from s = 1: denom_A = 2/2 + 1/2 = 1.5 -> 4/3,
+    // denom_B = 2/2 + 1/2 = 1.5 -> 2/3, denom_C = 1/2 + 1/2 = 1 -> 1;
+    // sum = 3 = k, so the mean-1 normalization is the identity here
+    val it1 = Stats.btStrengths(pairs, "w", "l", iters = 1)
+      .orderBy($"item")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(it1.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, 2L, 3L), (2L, 1L, 3L), (3L, 1L, 2L)))
+    assert(math.abs(it1(0)._4 - 4.0 / 3) < 1e-6)
+    assert(math.abs(it1(1)._4 - 2.0 / 3) < 1e-6)
+    assert(math.abs(it1(2)._4 - 1.0) < 1e-6)
+    // iteration 2: denom_A = 2/2 + 3/7 = 10/7 -> 1.4,
+    // denom_B = 2/2 + 3/5 = 8/5 -> 0.625, denom_C = 3/7 + 3/5 ->
+    // 35/36; then the mean-1 factor 3/2.99722…
+    val it2 = Stats.btStrengths(pairs, "w", "l", iters = 2)
+      .orderBy($"item")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(math.abs(it2(0)._4 - 1.40130) < 1e-4)
+    assert(math.abs(it2(1)._4 - 0.62558) < 1e-4)
+    assert(math.abs(it2(2)._4 - 0.97312) < 1e-4)
+    assert(it2(0)._4 > it2(2)._4 && it2(2)._4 > it2(1)._4) // A > C > B
+    // fx sums make the fit partition-order-invariant, bit for bit
+    val repart = Stats.btStrengths(pairs.repartition(7), "w", "l",
+        iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(repart === it2.toSet)
+  }
 }
