@@ -411,14 +411,16 @@ object Similarity {
                                   postings: DataFrame)
 
   /** Nearest-`keep` cell assignment of `df`'s vectors against a
-    * centroid table (ties to the lower cell id): `(idName, vName,
-    * cell)`. The window partitions by vector id — ≤ |centroids| rows
-    * per partition, never a global sort.
+    * centroid table (ties to the lower cell id), WITH the rank:
+    * `(idName, vName, cell, cell_rank)`. The window partitions by
+    * vector id — ≤ |centroids| rows per partition, never a global
+    * sort.
     */
-  private[operators] def assignCells(seeds: DataFrame, df: DataFrame,
-                                     idCol: String, vecCol: String,
-                                     idName: String, vName: String,
-                                     keep: Int): DataFrame = {
+  private[operators] def assignCellsRanked(seeds: DataFrame,
+                                           df: DataFrame,
+                                           idCol: String, vecCol: String,
+                                           idName: String, vName: String,
+                                           keep: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = df.select(col(idCol).as(idName), col(vecCol).as(vName))
       .join(broadcast(seeds))
@@ -427,8 +429,16 @@ object Similarity {
       .orderBy(col("seed_cos").desc, col("cell"))
     scored.withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= keep)
-      .select(col(idName), col(vName), col("cell"))
+      .select(col(idName), col(vName), col("cell"), col("cell_rank"))
   }
+
+  /** [[assignCellsRanked]] without the rank column. */
+  private[operators] def assignCells(seeds: DataFrame, df: DataFrame,
+                                     idCol: String, vecCol: String,
+                                     idName: String, vName: String,
+                                     keep: Int): DataFrame =
+    assignCellsRanked(seeds, df, idCol, vecCol, idName, vName, keep)
+      .drop("cell_rank")
 
   /** Build the IVF index over a corpus: deterministic seeds (first
     * `cells` vectors by id — the seed's own id IS the cell id, no
@@ -583,6 +593,36 @@ object Similarity {
                       idCol: String, vecCol: String, k: Int,
                       nProbe: Int = 4): DataFrame =
     topK(scoredAgainstIndex(index, batch, idCol, vecCol, nProbe), k)
+
+  /** The ingestion micro-batch's probe AND append from ONE cell
+    * assignment — [[knnAgainstIndex]] + [[ivfAppend]] compute the
+    * same |batch| × |centroids| cosine ranking twice (the probe keeps
+    * rank ≤ nProbe, the append keeps rank 1); at a streaming
+    * trigger that assignment is the dominant per-batch CPU, so the
+    * fused form halves it. Returns (neighbors, appendPostings) with
+    * EXACTLY the contracts of the two one-shot operators
+    * (spec-pinned): same window ordering, so the append cell IS the
+    * probe ranking's first row. The ranked frame is locally
+    * checkpointed — bounded at |batch| × nProbe rows — because both
+    * outputs consume it.
+    */
+  def knnAndAppend(index: IvfIndexFrames, batch: DataFrame,
+                   idCol: String, vecCol: String, k: Int,
+                   nProbe: Int = 4): (DataFrame, DataFrame) = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val ranked = assignCellsRanked(index.centroids, fanOut(batch),
+        idCol, vecCol, "query_id", "qv", nProbe)
+      .localCheckpoint()
+    val scored = index.postings
+      .join(broadcast(ranked.select(col("query_id"), col("qv"),
+        col("cell"))), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+    val appended = ranked.filter(col("cell_rank") === 1)
+      .select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
+        col("cell"))
+    (topK(scored, k), appended)
+  }
 
   private def scoredAgainstIndex(index: IvfIndexFrames, queries: DataFrame,
                                  idCol: String, vecCol: String,

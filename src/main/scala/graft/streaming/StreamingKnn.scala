@@ -76,13 +76,15 @@ object StreamingKnn {
       posts.select(col("neighbor_id"), col("cv"), col("cell")))
   }
 
-  /** One micro-batch: probe then append (order is free — the probe's
-    * exclusion filter already hides this batch's directory — but
-    * probing first keeps the failure mode clean: a crash between the
-    * writes leaves a neighbor output whose replay overwrites it
-    * byte-identically). The batch is persisted across its two
-    * consumers (probe assignment + append assignment) so the source
-    * is read once.
+  /** One micro-batch: probe then append from ONE fused cell
+    * assignment ([[Similarity.knnAndAppend]] — the assignment is the
+    * dominant per-batch CPU, and the two one-shot operators would
+    * compute it twice; outputs are spec-pinned identical to
+    * `knnAgainstIndex` + `ivfAppend`). Probe writes first: a crash
+    * between the writes leaves a neighbor output whose replay
+    * overwrites it byte-identically, and the probe's exclusion
+    * filter already hides this batch's postings directory either
+    * way.
     */
   private[streaming] def processBatch(batch: DataFrame, bid: Long,
                                       idCol: String, vecCol: String,
@@ -91,15 +93,13 @@ object StreamingKnn {
                                       outPath: String,
                                       k: Int, nProbe: Int): Unit = {
     val spark = batch.sparkSession
-    val cached = batch.persist()
-    try {
-      val ix = readIndex(spark, centroidsPath, postingsPath,
-        excludeBatch = Some(bid))
-      Similarity.knnAgainstIndex(ix, cached, idCol, vecCol, k, nProbe)
-        .write.mode("overwrite").parquet(s"$outPath/batch=$bid")
-      Similarity.ivfAppend(ix, cached, idCol, vecCol)
-        .write.mode("overwrite").parquet(s"$postingsPath/batch=$bid")
-    } finally { cached.unpersist(); () }
+    val ix = readIndex(spark, centroidsPath, postingsPath,
+      excludeBatch = Some(bid))
+    val (neighbors, appended) =
+      Similarity.knnAndAppend(ix, batch, idCol, vecCol, k, nProbe)
+    neighbors.write.mode("overwrite").parquet(s"$outPath/batch=$bid")
+    appended.write.mode("overwrite").parquet(s"$postingsPath/batch=$bid")
+    ()
   }
 
   /** Attach the probe-and-append sink to a streaming vector frame.

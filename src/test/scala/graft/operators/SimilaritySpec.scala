@@ -239,6 +239,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfRebalance(grown).centroids.count() === 8L)
   }
 
+  test("knnAndAppend == knnAgainstIndex + ivfAppend (the fused " +
+      "ingestion micro-batch contract)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val resident = e.filter($"vec_id" % 8 =!= 0)
+    val batch = e.filter($"vec_id" % 8 === 0 && $"vec_id" < 80)
+    val ix = Similarity.ivfIndex(resident, "vec_id", "embedding",
+      cells = 16)
+    val (nbrs, app) = Similarity.knnAndAppend(ix, batch, "vec_id",
+      "embedding", k = 5, nProbe = 4)
+    assert(nbrs.as[(Long, Long, Int, Double)].collect().toSet ===
+      Similarity.knnAgainstIndex(ix, batch, "vec_id", "embedding",
+          k = 5, nProbe = 4)
+        .as[(Long, Long, Int, Double)].collect().toSet)
+    assert(app.select("neighbor_id", "cell")
+        .as[(Long, Long)].collect().toSet ===
+      Similarity.ivfAppend(ix, batch, "vec_id", "embedding")
+        .select("neighbor_id", "cell")
+        .as[(Long, Long)].collect().toSet)
+  }
+
   test("annRecall: 1.0 when the probe covers every cell; bounded and " +
       "defaulting sanely at the default probe") {
     val e = Tables.embeddings(spark, sf0001)
