@@ -449,6 +449,30 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Preference-outcome ingestion: one (winner, loser) count partial
+    * landed per batch — the StreamingBt foreachBatch body (the MM fit
+    * itself is an on-demand pull, not a per-batch cost).
+    */
+  private def benchBt(spark: SparkSession, batches: Int,
+                      rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long)]
+    val outcomes = src.toDF().toDF("w", "l")
+    val store = tmpDir("bt"); val cp = ckpt("bt")
+    val q = StreamingBt.btSink(outcomes, "w", "l", store)
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        (i % 64, (3 * i + 7) % 64) // never equal: 2i ≡ -7 (mod 64) has
+                                   // no solution (odd vs even)
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Deterministic 64-dim float vector from an id — bounded value
     * pool so IVF cells get real multi-member structure.
     */
@@ -531,7 +555,8 @@ object StreamBench {
     "graph_degrees" -> "StreamingGraph",
     "manifest" -> "StreamingManifest",
     "sketch" -> "StreamingSketch",
-    "knn" -> "StreamingKnn")
+    "knn" -> "StreamingKnn",
+    "bt" -> "StreamingBt")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
   private[graft] def apps(spark: SparkSession, batches: Int,
@@ -548,7 +573,8 @@ object StreamBench {
     "graph_degrees" -> (() => benchGraphDegrees(spark, batches, rows)),
     "manifest" -> (() => benchManifest(spark, batches, rows)),
     "sketch" -> (() => benchSketch(spark, batches, rows)),
-    "knn" -> (() => benchKnn(spark, batches, rows)))
+    "knn" -> (() => benchKnn(spark, batches, rows)),
+    "bt" -> (() => benchBt(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline; returns the JSON fragment for
     * Bench's output line.

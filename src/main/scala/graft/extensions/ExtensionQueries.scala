@@ -1983,6 +1983,115 @@ object ExtensionQueries {
         .orderBy(col("item"))
     },
 
+    // Fleiss' kappa inter-annotator agreement — the label-QA gate
+    // before training on human labels: 40 items rated by ~12 raters
+    // each (doc_id arithmetic), mostly-consistent categories with a
+    // deterministic noise arm (doc_id % 7 = 0 re-votes from a wider
+    // category set). Exact integer count tables; the two cross-row
+    // double sums fixed-point at 1e12, every division mirrored
+    // op-for-op.
+    Q("ext_fleiss_kappa", {
+      val sc = "1000000000000.0"
+      s"""WITH r AS (SELECT doc_id % 40 AS item,
+         |  CASE WHEN doc_id % 7 = 0 THEN doc_id % 5
+         |   ELSE (doc_id % 40) % 3 END AS cat FROM documents),
+         |nij AS (SELECT item, cat, count(*) AS nij FROM r GROUP BY 1, 2),
+         |ni AS (SELECT item, sum(nij) AS ni, sum(nij * nij) AS sq
+         |  FROM nij GROUP BY 1 HAVING sum(nij) >= 2),
+         |pb AS (SELECT ${fxSql(
+             "CAST(sq - ni AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE)",
+             sc)} AS pfx,
+         |  CAST(count(*) AS BIGINT) AS n_items FROM ni),
+         |mg AS (SELECT cat, sum(nij.nij) AS cj FROM nij
+         |  JOIN ni USING (item) GROUP BY 1),
+         |nt AS (SELECT CAST(sum(cj) AS BIGINT) AS n_ratings FROM mg),
+         |pe AS (SELECT ${fxSql(
+             "(CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE)) * " +
+               "(CAST(cj AS DOUBLE) / CAST(n_ratings AS DOUBLE))",
+             sc)} AS pefx FROM mg, nt)
+         |SELECT n_items, n_ratings,
+         | (CAST(pfx AS DOUBLE) / $sc) / CAST(n_items AS DOUBLE) AS p_bar,
+         | CAST(pefx AS DOUBLE) / $sc AS p_e,
+         | CASE WHEN CAST(pefx AS DOUBLE) / $sc != 1.0 THEN
+         |  ((CAST(pfx AS DOUBLE) / $sc) / CAST(n_items AS DOUBLE) -
+         |    CAST(pefx AS DOUBLE) / $sc) /
+         |  (1.0 - CAST(pefx AS DOUBLE) / $sc) END AS kappa
+         |FROM pb, nt, pe""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val ratings = documents(s, d).select(
+        pmod(id, lit(40)).as("item"),
+        when(pmod(id, lit(7)) === 0, pmod(id, lit(5)))
+          .otherwise(pmod(pmod(id, lit(40)), lit(3))).as("cat"))
+      graft.operators.Stats.fleissKappa(ratings, "item", "cat")
+    },
+
+    // Unbiased pass@4 (Chen et al. 2021, eq. 1) over a synthesized
+    // eval sample table: 50 problems × ~10 samples, pass arbitrated
+    // by doc_id arithmetic. The oracle unrolls the k=4 product
+    // factor-for-factor (the operator's sequential fold is
+    // left-associated, so 1·f0·f1·f2·f3 matches exactly); an
+    // all-passed problem exercises the exact-zero factor path.
+    Q("ext_pass_at_k",
+      s"""WITH s AS (SELECT doc_id % 50 AS problem,
+         |  ((doc_id * 7) % 11 < 4) AS passed FROM documents),
+         |a AS (SELECT problem, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS c
+         |  FROM s GROUP BY 1 HAVING count(*) >= 4)
+         |SELECT problem, n, c,
+         | 1.0 - (CAST(n - c - 0 AS DOUBLE) / CAST(n - 0 AS DOUBLE)) *
+         |  (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)) *
+         |  (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)) *
+         |  (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+         |   AS pass_at_k
+         |FROM a ORDER BY problem""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val samples = documents(s, d).select(
+        pmod(id, lit(50)).as("problem"),
+        (pmod(id * 7, lit(11)) < 4).as("passed"))
+      graft.operators.Stats.passAtK(samples, "problem", "passed", k = 4)
+        .orderBy(col("problem"))
+    },
+
+    // Expected-calibration-error report over a deterministically
+    // miscalibrated score/label fixture (label correlates with score,
+    // confidence ≠ accuracy per decile). The scalar ECE is
+    // sum(contrib); per-bin rows keep the gate hash-strong. Bin
+    // membership and accuracies are exact integers; the confidence
+    // sum is fixed-point at 1e9.
+    Q("ext_ece",
+      s"""WITH p AS (SELECT
+         |  CAST((doc_id * 13) % 100 AS DOUBLE) / 100.0 AS s,
+         |  ((doc_id * 7) % 100 < (doc_id * 13) % 100) AS y
+         | FROM documents),
+         |b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+         |   CAST(count(*) AS BIGINT) AS n_bin,
+         |   sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+         |   ${fxSql("s", "1000000000.0")} AS sfx
+         |  FROM p GROUP BY 1),
+         |t AS (SELECT sum(n_bin) AS nt FROM b)
+         |SELECT bin, n_bin,
+         | CAST(n_bin AS DOUBLE) / CAST(nt AS DOUBLE) AS frac,
+         | (CAST(sfx AS DOUBLE) / 1000000000.0) / CAST(n_bin AS DOUBLE)
+         |   AS avg_conf,
+         | CAST(pos AS DOUBLE) / CAST(n_bin AS DOUBLE) AS acc_rate,
+         | abs(CAST(pos AS DOUBLE) / CAST(n_bin AS DOUBLE) -
+         |   (CAST(sfx AS DOUBLE) / 1000000000.0) /
+         |     CAST(n_bin AS DOUBLE)) AS abs_gap,
+         | (CAST(n_bin AS DOUBLE) / CAST(nt AS DOUBLE)) *
+         |  abs(CAST(pos AS DOUBLE) / CAST(n_bin AS DOUBLE) -
+         |   (CAST(sfx AS DOUBLE) / 1000000000.0) /
+         |     CAST(n_bin AS DOUBLE)) AS contrib
+         |FROM b, t ORDER BY bin""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(
+        (pmod(id * 13, lit(100)).cast("double") / 100.0).as("score"),
+        (pmod(id * 7, lit(100)) < pmod(id * 13, lit(100))).as("label"))
+      graft.operators.Stats.ece(preds, "score", "label", bins = 10)
+        .orderBy(col("bin"))
+    },
+
     // Hard-negative mining over IVF candidate generation — the
     // ANN-composed variant of ext_hard_negatives (broadcast-queries
     // full scan replaced by the probed-cell equi-join, the shape for

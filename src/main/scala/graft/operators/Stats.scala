@@ -47,17 +47,36 @@ object Stats {
     * iteration).
     */
   def btStrengths(pairs: DataFrame, winnerCol: String, loserCol: String,
-                  iters: Int = 2, scale: Double = 1e9): DataFrame = {
+                  iters: Int = 2, scale: Double = 1e9): DataFrame =
+    btStrengthsFromCounts(
+      pairs.groupBy(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+        .agg(count(lit(1)).as("__n")),
+      "__w", "__l", "__n", iters, scale)
+
+  /** [[btStrengths]] over PRE-AGGREGATED directed outcome counts
+    * `(winnerCol, loserCol, nCol)` — the shape a streaming
+    * comparison-log store accumulates ([[graft.streaming]]'s SumStore
+    * partials): the MM fit is a pure function of these aggregates, so
+    * fitting the merged store equals fitting the full replayed log
+    * row-for-row (spec-pinned via the pair form above, which is
+    * exactly this on its own count aggregation).
+    */
+  def btStrengthsFromCounts(counts: DataFrame, winnerCol: String,
+                            loserCol: String, nCol: String,
+                            iters: Int = 2,
+                            scale: Double = 1e9): DataFrame = {
     require(iters >= 1 && iters <= 16,
       s"iters must be in [1, 16], got $iters")
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val p = pairs.select(col(winnerCol).as("__w"), col(loserCol).as("__l"))
-    val opp = p.select(col("__w").as("i"), col("__l").as("j"))
-      .unionByName(p.select(col("__l").as("i"), col("__w").as("j")))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("__n"))
+    val p = counts.select(col(winnerCol).as("__w"),
+      col(loserCol).as("__l"), col(nCol).as("__c"))
+    val opp = p.select(col("__w").as("i"), col("__l").as("j"), col("__c"))
+      .unionByName(
+        p.select(col("__l").as("i"), col("__w").as("j"), col("__c")))
+      .groupBy(col("i"), col("j")).agg(sum(col("__c")).as("__n"))
       .persist(MEMORY_AND_DISK)
-    val wins = p.groupBy(col("__w").as("i")).agg(count(lit(1)).as("wins"))
+    val wins = p.groupBy(col("__w").as("i")).agg(sum(col("__c")).as("wins"))
     val base = opp.groupBy(col("i"))
       .agg(sum(col("__n")).as("n_comparisons"))
       .join(wins, Seq("i"), "left")
@@ -84,6 +103,152 @@ object Stats {
     base.join(s, Seq("i"))
       .select(col("i").as("item"), col("wins"), col("n_comparisons"),
         col("__s").as("strength"))
+  }
+
+  /** Fleiss' kappa inter-annotator agreement over a ratings table —
+    * the label-QA gate a human-annotation pipeline runs before
+    * training on the labels (chance-corrected agreement; raw
+    * percent-agreement rewards skewed label distributions). Input is
+    * one row per individual rating `(itemCol, categoryCol)`; items
+    * with fewer than 2 ratings are dropped entirely (pairwise
+    * agreement is undefined on them — the generalized unequal-raters
+    * form of Fleiss 1971 over the rest). One output row:
+    * (n_items, n_ratings, p_bar, p_e, kappa) with
+    *
+    *   P_i = (Σ_j n_ij² − n_i) / (n_i (n_i − 1)),  p̄ = mean_i P_i,
+    *   p_j = Σ_i n_ij / N,  P_e = Σ_j p_j²,
+    *   κ   = (p̄ − P_e) / (1 − P_e)
+    *
+    * κ is undefined (null) when P_e = 1 — every qualifying rating in
+    * one category. Determinism: n_ij / n_i / Σn_ij² are exact integer
+    * aggs; the two cross-row double sums (p̄'s numerator, P_e) run
+    * fixed-point at 1e12 (each term is ≤ 1, so the quantized terms
+    * stay far inside 2^53 up to ~10³ categories / ~10³ items per
+    * unit); the remaining double ops are mirrored op-for-op by the
+    * SQL oracle.
+    *
+    * Scale shape: two map-side-combining hash aggs ((item, category)
+    * then item), one category-keyed agg for the marginals, and three
+    * 1-row reductions cross-joined at the end — no window, no pair
+    * join, nothing driver-side.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+                  categoryCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.DoubleType
+    val sc = 1e12
+    val nij = ratings.groupBy(col(itemCol).as("__it"),
+        col(categoryCol).as("__cat"))
+      .agg(count(lit(1)).as("__nij"))
+    val ni = nij.groupBy(col("__it"))
+      .agg(sum(col("__nij")).as("__ni"),
+        sum(col("__nij") * col("__nij")).as("__sq"))
+      .filter(col("__ni") >= 2)
+    // qualifying items feed BOTH the per-item agreement and the
+    // category marginals (dropped items must not skew p_j)
+    val pbar = ni
+      .select(((col("__sq") - col("__ni")).cast(DoubleType) /
+        (col("__ni") * (col("__ni") - 1)).cast(DoubleType)).as("__pi"))
+      .agg(fxSum(col("__pi"), sc).as("__pfx"),
+        count(lit(1)).as("n_items"))
+    val margs = nij.join(ni.select(col("__it")), Seq("__it"))
+      .groupBy(col("__cat")).agg(sum(col("__nij")).as("__cj"))
+    val nTotal = margs.agg(sum(col("__cj")).as("n_ratings"))
+    val pe = margs.crossJoin(broadcast(nTotal))
+      .select(((col("__cj").cast(DoubleType) /
+        col("n_ratings").cast(DoubleType)) *
+        (col("__cj").cast(DoubleType) /
+          col("n_ratings").cast(DoubleType))).as("__pj2"))
+      .agg(fxSum(col("__pj2"), sc).as("__pefx"))
+    val pBar = fxVal(col("__pfx"), sc) / col("n_items").cast(DoubleType)
+    val pE = fxVal(col("__pefx"), sc)
+    pbar.crossJoin(broadcast(nTotal)).crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_ratings"),
+        pBar.as("p_bar"), pE.as("p_e"),
+        when(pE =!= 1.0, (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
+  }
+
+  /** Unbiased pass@k over an eval sample table — the code/reasoning
+    * eval metric (Chen et al., "Evaluating Large Language Models
+    * Trained on Code", 2021, eq. 1): from `n` samples per problem of
+    * which `c` passed,
+    *
+    *   pass@k = 1 − C(n−c, k) / C(n, k)
+    *          = 1 − Π_{i=0..k−1} (n−c−i) / (n−i)
+    *
+    * computed in the product form (the paper's numerically-stable
+    * recommendation — the binomials overflow long before n = 100).
+    * Input is one row per sample `(problemCol, passedCol: boolean)`;
+    * problems with fewer than `k` samples are dropped (the estimator
+    * needs n ≥ k). When n − c < k the product passes through an exact
+    * zero factor, so pass@k = 1 with no special-casing. One row per
+    * problem: (problemCol, n, c, pass_at_k).
+    *
+    * Determinism: n and c are exact counts; the product is a
+    * SEQUENTIAL higher-order fold over i (left-associated, mirrored
+    * factor-for-factor by the SQL oracle) — never a cross-row float
+    * reduction.
+    *
+    * Scale shape: one (problem)-keyed map-side-combining hash agg,
+    * then a narrow per-row projection. Nothing else.
+    */
+  def passAtK(samples: DataFrame, problemCol: String,
+              passedCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    import org.apache.spark.sql.types.DoubleType
+    val agg0 = samples.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passedCol), 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k)
+    val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
+      (acc, i) => acc *
+        ((col("n") - col("c") - i).cast(DoubleType) /
+          (col("n") - i).cast(DoubleType)))
+    agg0.select(col(problemCol), col("n"), col("c"),
+      (lit(1.0) - prod).as("pass_at_k"))
+  }
+
+  /** Expected-calibration-error report over scored predictions — the
+    * quality-classifier health check a curation pipeline runs before
+    * trusting its scores as probabilities (a filter thresholding an
+    * over-confident classifier silently shifts the corpus mix). Bins
+    * `scoreCol` (∈ [0, 1]) into `bins` equal-width bins
+    * (`min(floor(score·bins), bins−1)` — 1.0 lands in the top bin)
+    * and emits one row per NON-EMPTY bin:
+    * (bin, n_bin, frac, avg_conf, acc_rate, abs_gap, contrib) — the
+    * scalar ECE is `sum(contrib)` = Σ_b (n_b/N)·|acc_b − conf_b|.
+    *
+    * Determinism: bin membership and accuracy are exact integers; the
+    * per-bin confidence sum is the one cross-row double reduction and
+    * runs fixed-point at 1e9; the divisions are mirrored op-for-op.
+    *
+    * Scale shape: one bin-keyed map-side-combining hash agg (≤ `bins`
+    * output rows) + a 1-row total cross join. Nothing else.
+    */
+  def ece(preds: DataFrame, scoreCol: String, labelCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"bins must be in [1, 10000], got $bins")
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.DoubleType
+    val bin = least(floor(col(scoreCol).cast(DoubleType) * bins),
+      lit(bins - 1)).cast("long")
+    val byBin = preds.select(bin.as("bin"),
+        col(scoreCol).cast(DoubleType).as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("__y")).as("__pos"),
+        fxSum(col("__s"), 1e9).as("__sfx"))
+    val total = byBin.agg(sum(col("n_bin")).as("__N"))
+    val avgConf = fxVal(col("__sfx"), 1e9) / col("n_bin").cast(DoubleType)
+    val accRate = col("__pos").cast(DoubleType) /
+      col("n_bin").cast(DoubleType)
+    val frac = col("n_bin").cast(DoubleType) / col("__N").cast(DoubleType)
+    byBin.crossJoin(broadcast(total))
+      .select(col("bin"), col("n_bin"), frac.as("frac"),
+        avgConf.as("avg_conf"), accRate.as("acc_rate"),
+        abs(accRate - avgConf).as("abs_gap"),
+        (frac * abs(accRate - avgConf)).as("contrib"))
   }
 
   /** Per-group winsorization: clip `valCol` into the [`lo`, `hi`]

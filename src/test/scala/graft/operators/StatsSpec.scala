@@ -119,4 +119,76 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(repart === it2.toSet)
   }
+
+  test("passAtK: hand-computed estimator, all-passed hits the exact-" +
+      "zero factor, under-sampled problems drop") {
+    val samples = Seq(
+      (1L, true), (1L, true), (1L, false), (1L, false), (1L, false),
+      (2L, true), (2L, true), (2L, true),
+      (3L, true)) // n = 1 < k -> dropped
+      .toDF("problem", "passed")
+    val got = Stats.passAtK(samples, "problem", "passed", k = 2)
+      .orderBy($"problem")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // problem 1: 1 - C(3,2)/C(5,2) = 1 - 3/10 = 0.7
+    // problem 2: all passed -> first factor exactly 0 -> 1.0
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, 5L, 2L), (2L, 3L, 3L)))
+    assert(math.abs(got(0)._4 - 0.7) < 1e-12)
+    assert(got(1)._4 === 1.0)
+  }
+
+  test("ece: per-bin gaps and contributions; score 1.0 clamps into " +
+      "the top bin") {
+    val preds = Seq((0.95, true), (0.95, false), (0.15, false),
+      (0.15, true)).toDF("score", "label")
+    val got = Stats.ece(preds, "score", "label", bins = 10)
+      .orderBy($"bin")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((1L, 2L), (9L, 2L)))
+    val b1 = got(0); val b9 = got(1)
+    assert(math.abs(b1._4 - 0.15) < 1e-9 && b1._5 === 0.5)
+    assert(math.abs(b1._6 - 0.35) < 1e-9)
+    assert(math.abs(b1._7 - 0.175) < 1e-9) // 0.5 x 0.35
+    assert(math.abs(b9._4 - 0.95) < 1e-9 && b9._5 === 0.5)
+    assert(math.abs(b9._6 - 0.45) < 1e-9)
+    assert(math.abs(b9._7 - 0.225) < 1e-9)
+    // scalar ECE = sum of contribs
+    assert(math.abs(got.map(_._7).sum - 0.4) < 1e-9)
+    val clamp = Stats.ece(Seq((1.0, true)).toDF("score", "label"),
+        "score", "label", bins = 10)
+      .select("bin").as[Long].head()
+    assert(clamp === 9L)
+  }
+
+  test("fleissKappa: hand-computed two-item fixture, perfect-agreement " +
+      "kappa 1, under-rated items dropped") {
+    // item 1: raters said (a, a, b); item 2: (b, b, b);
+    // item 3 has ONE rating -> dropped entirely (also from marginals)
+    val r = Seq((1L, "a"), (1L, "a"), (1L, "b"),
+      (2L, "b"), (2L, "b"), (2L, "b"), (3L, "c"))
+      .toDF("item", "cat")
+    val row = Stats.fleissKappa(r, "item", "cat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    // P_1 = (4+1-3)/6 = 1/3, P_2 = (9-3)/6 = 1 -> p_bar = 2/3
+    // p_a = 2/6, p_b = 4/6 -> P_e = 1/9 + 4/9 = 5/9
+    // kappa = (2/3 - 5/9)/(1 - 5/9) = (1/9)/(4/9) = 0.25
+    assert(row._1 === 2L && row._2 === 6L)
+    assert(math.abs(row._3 - 2.0 / 3) < 1e-9)
+    assert(math.abs(row._4 - 5.0 / 9) < 1e-9)
+    assert(math.abs(row._5 - 0.25) < 1e-9)
+    // unanimous ratings across two items, two categories: p_bar = 1,
+    // P_e < 1 -> kappa = 1 exactly
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cat")
+    val p = Stats.fleissKappa(perfect, "item", "cat")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(p._3 === 1.0 && math.abs(p._5 - 1.0) < 1e-9)
+    // degenerate single-category input: P_e = 1 -> kappa null
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "cat")
+    assert(Stats.fleissKappa(mono, "item", "cat")
+      .select("kappa").head().isNullAt(0))
+  }
 }
