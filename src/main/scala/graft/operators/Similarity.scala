@@ -599,29 +599,38 @@ object Similarity {
     * same |batch| × |centroids| cosine ranking twice (the probe keeps
     * rank ≤ nProbe, the append keeps rank 1); at a streaming
     * trigger that assignment is the dominant per-batch CPU, so the
-    * fused form halves it. Returns (neighbors, appendPostings) with
-    * EXACTLY the contracts of the two one-shot operators
-    * (spec-pinned): same window ordering, so the append cell IS the
-    * probe ranking's first row. The ranked frame is locally
-    * checkpointed — bounded at |batch| × nProbe rows — because both
-    * outputs consume it.
+    * fused form halves it. `consume` receives (neighbors,
+    * appendPostings) with EXACTLY the contracts of the two one-shot
+    * operators (spec-pinned): same window ordering, so the append
+    * cell IS the probe ranking's first row.
+    *
+    * Callback shape, not a returned pair: the shared ranked frame is
+    * persisted (bounded at |batch| × nProbe rows) ONLY for the
+    * consume call and released in a finally — a returned pair would
+    * either pin one such frame per micro-batch for the streaming
+    * app's lifetime (the localCheckpoint leak) or recompute the
+    * assignment per consumer (the cost this operator exists to
+    * avoid).
     */
-  def knnAndAppend(index: IvfIndexFrames, batch: DataFrame,
-                   idCol: String, vecCol: String, k: Int,
-                   nProbe: Int = 4): (DataFrame, DataFrame) = {
+  def knnAndAppend[T](index: IvfIndexFrames, batch: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int = 4)(
+      consume: (DataFrame, DataFrame) => T): T = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val ranked = assignCellsRanked(index.centroids, fanOut(batch),
         idCol, vecCol, "query_id", "qv", nProbe)
-      .localCheckpoint()
-    val scored = index.postings
-      .join(broadcast(ranked.select(col("query_id"), col("qv"),
-        col("cell"))), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
-    val appended = ranked.filter(col("cell_rank") === 1)
-      .select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
-        col("cell"))
-    (topK(scored, k), appended)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val scored = index.postings
+        .join(broadcast(ranked.select(col("query_id"), col("qv"),
+          col("cell"))), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+      val appended = ranked.filter(col("cell_rank") === 1)
+        .select(col("query_id").as("neighbor_id"), col("qv").as("cv"),
+          col("cell"))
+      consume(topK(scored, k), appended)
+    } finally { ranked.unpersist(); () }
   }
 
   private def scoredAgainstIndex(index: IvfIndexFrames, queries: DataFrame,

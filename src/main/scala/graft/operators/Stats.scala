@@ -137,13 +137,19 @@ object Stats {
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.sql.types.DoubleType
     val sc = 1e12
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // nij feeds the per-item rollup AND the marginals; ni feeds the
+    // agreement mean AND the marginals' qualifying-item join — both
+    // persisted (the cb convention) so the ratings scan runs once
     val nij = ratings.groupBy(col(itemCol).as("__it"),
         col(categoryCol).as("__cat"))
       .agg(count(lit(1)).as("__nij"))
+      .persist(MEMORY_AND_DISK)
     val ni = nij.groupBy(col("__it"))
       .agg(sum(col("__nij")).as("__ni"),
         sum(col("__nij") * col("__nij")).as("__sq"))
       .filter(col("__ni") >= 2)
+      .persist(MEMORY_AND_DISK)
     // qualifying items feed BOTH the per-item agreement and the
     // category marginals (dropped items must not skew p_j)
     val pbar = ni

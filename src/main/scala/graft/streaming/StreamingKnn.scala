@@ -95,11 +95,13 @@ object StreamingKnn {
     val spark = batch.sparkSession
     val ix = readIndex(spark, centroidsPath, postingsPath,
       excludeBatch = Some(bid))
-    val (neighbors, appended) =
-      Similarity.knnAndAppend(ix, batch, idCol, vecCol, k, nProbe)
-    neighbors.write.mode("overwrite").parquet(s"$outPath/batch=$bid")
-    appended.write.mode("overwrite").parquet(s"$postingsPath/batch=$bid")
-    ()
+    Similarity.knnAndAppend(ix, batch, idCol, vecCol, k, nProbe) {
+      (neighbors, appended) =>
+        neighbors.write.mode("overwrite")
+          .parquet(s"$outPath/batch=$bid")
+        appended.write.mode("overwrite")
+          .parquet(s"$postingsPath/batch=$bid")
+    }
   }
 
   /** Attach the probe-and-append sink to a streaming vector frame.

@@ -246,14 +246,17 @@ class SimilaritySpec extends SparkSpec {
     val batch = e.filter($"vec_id" % 8 === 0 && $"vec_id" < 80)
     val ix = Similarity.ivfIndex(resident, "vec_id", "embedding",
       cells = 16)
-    val (nbrs, app) = Similarity.knnAndAppend(ix, batch, "vec_id",
-      "embedding", k = 5, nProbe = 4)
-    assert(nbrs.as[(Long, Long, Int, Double)].collect().toSet ===
+    val (gotNbrs, gotApp) = Similarity.knnAndAppend(ix, batch,
+        "vec_id", "embedding", k = 5, nProbe = 4) { (nbrs, app) =>
+      (nbrs.as[(Long, Long, Int, Double)].collect().toSet,
+        app.select("neighbor_id", "cell")
+          .as[(Long, Long)].collect().toSet)
+    }
+    assert(gotNbrs ===
       Similarity.knnAgainstIndex(ix, batch, "vec_id", "embedding",
           k = 5, nProbe = 4)
         .as[(Long, Long, Int, Double)].collect().toSet)
-    assert(app.select("neighbor_id", "cell")
-        .as[(Long, Long)].collect().toSet ===
+    assert(gotApp ===
       Similarity.ivfAppend(ix, batch, "vec_id", "embedding")
         .select("neighbor_id", "cell")
         .as[(Long, Long)].collect().toSet)
