@@ -473,6 +473,29 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Eval-outcome ingestion: one per-problem (n, c) count partial
+    * landed per batch — the StreamingEval foreachBatch body (pass@k
+    * is an on-demand pull, not a per-batch cost).
+    */
+  private def benchEvals(spark: SparkSession, batches: Int,
+                         rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Boolean)]
+    val samples = src.toDF().toDF("problem", "passed")
+    val store = tmpDir("evals"); val cp = ckpt("evals")
+    val q = StreamingEval.evalSink(samples, "problem", "passed", store)
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        (i % 200, (i * 7) % 11 < 4)
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Deterministic 64-dim float vector from an id — bounded value
     * pool so IVF cells get real multi-member structure.
     */
@@ -556,7 +579,8 @@ object StreamBench {
     "manifest" -> "StreamingManifest",
     "sketch" -> "StreamingSketch",
     "knn" -> "StreamingKnn",
-    "bt" -> "StreamingBt")
+    "bt" -> "StreamingBt",
+    "evals" -> "StreamingEval")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
   private[graft] def apps(spark: SparkSession, batches: Int,
@@ -574,7 +598,8 @@ object StreamBench {
     "manifest" -> (() => benchManifest(spark, batches, rows)),
     "sketch" -> (() => benchSketch(spark, batches, rows)),
     "knn" -> (() => benchKnn(spark, batches, rows)),
-    "bt" -> (() => benchBt(spark, batches, rows)))
+    "bt" -> (() => benchBt(spark, batches, rows)),
+    "evals" -> (() => benchEvals(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline; returns the JSON fragment for
     * Bench's output line.

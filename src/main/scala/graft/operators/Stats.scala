@@ -199,18 +199,32 @@ object Stats {
     * then a narrow per-row projection. Nothing else.
     */
   def passAtK(samples: DataFrame, problemCol: String,
-              passedCol: String, k: Int): DataFrame = {
+              passedCol: String, k: Int): DataFrame =
+    passAtKFromCounts(
+      samples.groupBy(col(problemCol))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(passedCol), 1L).otherwise(0L)).as("c")),
+      problemCol, "n", "c", k)
+
+  /** [[passAtK]] over PRE-AGGREGATED per-problem (n, c) counts — the
+    * shape a streaming eval-outcome store accumulates: the estimator
+    * is a pure function of the aggregates, so computing it over the
+    * merged store equals computing it over the full replayed sample
+    * log (spec-pinned via the sample form above, which is exactly
+    * this on its own aggregation).
+    */
+  def passAtKFromCounts(counts: DataFrame, problemCol: String,
+                        nCol: String, cCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     import org.apache.spark.sql.types.DoubleType
-    val agg0 = samples.groupBy(col(problemCol))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col(passedCol), 1L).otherwise(0L)).as("c"))
+    val a = counts.select(col(problemCol), col(nCol).as("n"),
+        col(cCol).as("c"))
       .filter(col("n") >= k)
     val prod = aggregate(sequence(lit(0), lit(k - 1)), lit(1.0),
       (acc, i) => acc *
         ((col("n") - col("c") - i).cast(DoubleType) /
           (col("n") - i).cast(DoubleType)))
-    agg0.select(col(problemCol), col("n"), col("c"),
+    a.select(col(problemCol), col("n"), col("c"),
       (lit(1.0) - prod).as("pass_at_k"))
   }
 
