@@ -610,7 +610,11 @@ object Similarity {
     * either pin one such frame per micro-batch for the streaming
     * app's lifetime (the localCheckpoint leak) or recompute the
     * assignment per consumer (the cost this operator exists to
-    * avoid).
+    * avoid). Consequently `consume` must RUN its actions (write /
+    * collect) before returning: a frame that escapes the callback
+    * still computes correct values, but every later action on it
+    * re-derives the assignment uncached — exactly the double cost
+    * the fusion removes.
     */
   def knnAndAppend[T](index: IvfIndexFrames, batch: DataFrame,
                       idCol: String, vecCol: String, k: Int,

@@ -200,11 +200,19 @@ object Stats {
     */
   def passAtK(samples: DataFrame, problemCol: String,
               passedCol: String, k: Int): DataFrame =
-    passAtKFromCounts(
-      samples.groupBy(col(problemCol))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col(passedCol), 1L).otherwise(0L)).as("c")),
+    passAtKFromCounts(passCounts(samples, problemCol, passedCol),
       problemCol, "n", "c", k)
+
+  /** The per-problem (n, c) aggregation [[passAtK]] runs and a
+    * streaming eval store accumulates — ONE definition so the batch
+    * and streamed metrics cannot drift (a null `passedCol` counts as
+    * a failed sample in both): `(problemCol, n, c)`.
+    */
+  def passCounts(samples: DataFrame, problemCol: String,
+                 passedCol: String): DataFrame =
+    samples.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(passedCol), 1L).otherwise(0L)).as("c"))
 
   /** [[passAtK]] over PRE-AGGREGATED per-problem (n, c) counts — the
     * shape a streaming eval-outcome store accumulates: the estimator

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.operators.Stats
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -30,14 +29,16 @@ object StreamingEval {
   private val Keys = Seq("problem")
   private val SumCols = Seq("n", "c")
 
-  /** foreachBatch body: land this batch's per-problem counts. */
+  /** foreachBatch body: land this batch's per-problem counts — the
+    * aggregation is [[Stats.passCounts]], the SAME definition the
+    * batch metric runs, so the two paths cannot drift.
+    */
   def recordBatch(batch: DataFrame, problemCol: String,
                   passedCol: String, storePath: String,
                   batchId: Long): Unit =
     SumStore.writeBatch(
-      batch.groupBy(col(problemCol).as("problem"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col(passedCol), 1L).otherwise(0L)).as("c")),
+      Stats.passCounts(batch, problemCol, passedCol)
+        .withColumnRenamed(problemCol, "problem"),
       storePath, batchId)
 
   /** Wire a (problem, passed) sample stream into the count store. */
