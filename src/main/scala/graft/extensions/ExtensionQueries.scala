@@ -2026,6 +2026,43 @@ object ExtensionQueries {
       graft.operators.Stats.fleissKappa(ratings, "item", "cat")
     },
 
+    // Length-bias diagnostic over preference pairs — consecutive docs
+    // paired, the winner arbitrated by doc_id arithmetic (so longer
+    // and shorter texts win on a deterministic mix). The oracle
+    // mirrors the length comparison, the tie exclusion and the
+    // binomial z op-for-op.
+    Q("ext_length_bias",
+      s"""WITH p AS (SELECT
+         |  CASE WHEN a.doc_id % 3 = 0 THEN b.text ELSE a.text END AS wt,
+         |  CASE WHEN a.doc_id % 3 = 0 THEN a.text ELSE b.text END AS lt
+         | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN length(wt) > length(lt) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS longer_wins,
+         |  CAST(sum(CASE WHEN length(wt) = length(lt) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS ties
+         | FROM p)
+         |SELECT n_pairs, longer_wins, ties,
+         | CASE WHEN n_pairs - ties > 0 THEN
+         |  CAST(longer_wins AS DOUBLE) / CAST(n_pairs - ties AS DOUBLE)
+         |  END AS frac_longer_wins,
+         | CASE WHEN n_pairs - ties > 0 THEN
+         |  CAST(2 * longer_wins - (n_pairs - ties) AS DOUBLE) /
+         |   sqrt(CAST(n_pairs - ties AS DOUBLE)) END AS z
+         |FROM agg""".stripMargin) { (s, d) =>
+      val docs = documents(s, d)
+      val a = docs.select(col("doc_id"), col("text"))
+      val b = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__bt"))
+      val pairs = a.join(b, Seq("doc_id"))
+        .select(
+          when(pmod(col("doc_id"), lit(3)) === 0, col("__bt"))
+            .otherwise(col("text")).as("wt"),
+          when(pmod(col("doc_id"), lit(3)) === 0, col("text"))
+            .otherwise(col("__bt")).as("lt"))
+      graft.operators.Stats.lengthBias(pairs, "wt", "lt")
+    },
+
     // Unbiased pass@4 (Chen et al. 2021, eq. 1) over a synthesized
     // eval sample table: 50 problems × ~10 samples, pass arbitrated
     // by doc_id arithmetic. The oracle unrolls the k=4 product

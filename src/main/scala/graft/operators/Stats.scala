@@ -105,6 +105,41 @@ object Stats {
         col("__s").as("strength"))
   }
 
+  /** Length-bias diagnostic over preference pairs — the classic RLHF
+    * data pathology check: if the LONGER response wins far more than
+    * half the time, the comparisons (or the annotators, or the judge
+    * model) are rewarding verbosity, and a reward model trained on
+    * them inherits it. Input is one row per comparison with both
+    * texts; equal-length pairs are ties and sit out the test. One
+    * output row: (n_pairs, longer_wins, ties, frac_longer_wins, z) —
+    * `z` is the two-sided binomial z-score of `longer_wins` against
+    * the unbiased null p = ½ over the n − ties informative pairs
+    * (`(2·wins − m)/√m`); |z| ≳ 3 on a large log is systematic bias,
+    * not noise. `frac`/`z` are null when every pair ties.
+    *
+    * Determinism: counts are exact integers; the two doubles are one
+    * division and one √ of exact integers, mirrored op-for-op.
+    *
+    * Scale shape: ONE map-side-combining global aggregation over a
+    * narrow length projection. Nothing else.
+    */
+  def lengthBias(pairs: DataFrame, winTextCol: String,
+                 loseTextCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val lw = length(col(winTextCol))
+    val ll = length(col(loseTextCol))
+    val m = (col("n_pairs") - col("ties"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(lw > ll, 1L).otherwise(0L)).as("longer_wins"),
+        sum(when(lw === ll, 1L).otherwise(0L)).as("ties"))
+      .select(col("n_pairs"), col("longer_wins"), col("ties"),
+        when(m > 0, col("longer_wins").cast(DoubleType) /
+          m.cast(DoubleType)).as("frac_longer_wins"),
+        when(m > 0, (lit(2) * col("longer_wins") - m).cast(DoubleType) /
+          sqrt(m.cast(DoubleType))).as("z"))
+  }
+
   /** Fleiss' kappa inter-annotator agreement over a ratings table —
     * the label-QA gate a human-annotation pipeline runs before
     * training on the labels (chance-corrected agreement; raw

@@ -138,6 +138,21 @@ class StatsSpec extends SparkSpec {
     assert(got(1)._4 === 1.0)
   }
 
+  test("lengthBias: hand-computed counts, ties sit out, all-ties " +
+      "yields null frac/z") {
+    val pairs = Seq(("aaaa", "aa"), ("a", "bbb"), ("cc", "dd"),
+      ("eeee", "e")).toDF("wt", "lt")
+    val row = Stats.lengthBias(pairs, "wt", "lt")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(row._1 === 4L && row._2 === 2L && row._3 === 1L)
+    assert(math.abs(row._4 - 2.0 / 3) < 1e-12)
+    assert(math.abs(row._5 - 1.0 / math.sqrt(3.0)) < 1e-12)
+    val allTies = Stats.lengthBias(
+        Seq(("xx", "yy"), ("a", "b")).toDF("wt", "lt"), "wt", "lt")
+      .select("frac_longer_wins", "z").head()
+    assert(allTies.isNullAt(0) && allTies.isNullAt(1))
+  }
+
   test("ece: per-bin gaps and contributions; score 1.0 clamps into " +
       "the top bin") {
     val preds = Seq((0.95, true), (0.95, false), (0.15, false),
