@@ -2037,9 +2037,10 @@ object ExtensionQueries {
          |  CASE WHEN a.doc_id % 3 = 0 THEN a.text ELSE b.text END AS lt
          | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
          |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(CASE WHEN length(wt) > length(lt) THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS longer_wins,
-         |  CAST(sum(CASE WHEN length(wt) = length(lt) THEN 1 ELSE 0 END)
+         |  CAST(coalesce(sum(CASE WHEN length(wt) > length(lt)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS longer_wins,
+         |  CAST(coalesce(sum(CASE WHEN length(wt) = length(lt)
+         |    OR wt IS NULL OR lt IS NULL THEN 1 ELSE 0 END), 0)
          |    AS BIGINT) AS ties
          | FROM p)
          |SELECT n_pairs, longer_wins, ties,

@@ -110,7 +110,10 @@ object Stats {
     * half the time, the comparisons (or the annotators, or the judge
     * model) are rewarding verbosity, and a reward model trained on
     * them inherits it. Input is one row per comparison with both
-    * texts; equal-length pairs are ties and sit out the test. One
+    * texts; equal-length pairs are ties and sit out the test, and a
+    * pair with a NULL text on either side is unmeasurable and sits
+    * out the same way (counted under `ties` — including it as
+    * "shorter won" would deflate the bias estimate). One
     * output row: (n_pairs, longer_wins, ties, frac_longer_wins, z) —
     * `z` is the two-sided binomial z-score of `longer_wins` against
     * the unbiased null p = ½ over the n − ties informative pairs
@@ -131,8 +134,10 @@ object Stats {
     val m = (col("n_pairs") - col("ties"))
     pairs.agg(
         count(lit(1)).as("n_pairs"),
-        sum(when(lw > ll, 1L).otherwise(0L)).as("longer_wins"),
-        sum(when(lw === ll, 1L).otherwise(0L)).as("ties"))
+        coalesce(sum(when(lw > ll, 1L).otherwise(0L)), lit(0L))
+          .as("longer_wins"),
+        coalesce(sum(when(lw === ll || lw.isNull || ll.isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("ties"))
       .select(col("n_pairs"), col("longer_wins"), col("ties"),
         when(m > 0, col("longer_wins").cast(DoubleType) /
           m.cast(DoubleType)).as("frac_longer_wins"),

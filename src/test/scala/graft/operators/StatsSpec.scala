@@ -151,6 +151,14 @@ class StatsSpec extends SparkSpec {
         Seq(("xx", "yy"), ("a", "b")).toDF("wt", "lt"), "wt", "lt")
       .select("frac_longer_wins", "z").head()
     assert(allTies.isNullAt(0) && allTies.isNullAt(1))
+    // a null text makes the pair unmeasurable: it sits out with the
+    // ties instead of counting as "shorter won"
+    val withNull = Stats.lengthBias(
+        Seq((null.asInstanceOf[String], "xx"), ("aaaa", "b"))
+          .toDF("wt", "lt"), "wt", "lt")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(withNull._1 === 2L && withNull._2 === 1L && withNull._3 === 1L)
+    assert(withNull._4 === 1.0)
   }
 
   test("ece: per-bin gaps and contributions; score 1.0 clamps into " +
@@ -205,5 +213,13 @@ class StatsSpec extends SparkSpec {
       .toDF("item", "cat")
     assert(Stats.fleissKappa(mono, "item", "cat")
       .select("kappa").head().isNullAt(0))
+    // EVERY item under-rated: one row, n_items = 0, the rest null —
+    // the report never throws on an empty qualifying set
+    val allDropped = Stats.fleissKappa(
+        Seq((1L, "a"), (2L, "b")).toDF("item", "cat"), "item", "cat")
+      .collect()
+    assert(allDropped.length === 1)
+    assert(allDropped.head.getLong(0) === 0L)
+    assert((2 to 4).forall(allDropped.head.isNullAt))
   }
 }

@@ -92,7 +92,14 @@ object EvalMetricsProps extends Properties("evalMetrics") {
   property("fleissKappa matches the direct Fleiss-1971 evaluation") =
     Prop.forAll(ratingsGen) { rows =>
       fleissModel(rows) match {
-        case None => Prop(rows.groupBy(_._1).values.forall(_.size < 2))
+        case None =>
+          // all items under-rated: the operator must still return its
+          // one-row report with n_items = 0 and null metrics (the
+          // deterministic StatsSpec twin pins the exact shape)
+          val r = Stats.fleissKappa(rows.toDF("item", "cat"),
+            "item", "cat").head()
+          Prop(r.getLong(0) == 0L && r.isNullAt(2) && r.isNullAt(4)) :|
+            s"degenerate report: $r"
         case Some((mi, mn, mpb, mpe, mk)) =>
           val r = Stats.fleissKappa(rows.toDF("item", "cat"),
             "item", "cat").head()
