@@ -2064,6 +2064,42 @@ object ExtensionQueries {
       graft.operators.Stats.lengthBias(pairs, "wt", "lt")
     },
 
+    // Self-consistency majority-vote accuracy (Wang et al. 2022) —
+    // pass@k's companion: the MODAL answer per problem vs gold, ties
+    // to the smaller answer. Samples are doc_id arithmetic: the
+    // answer is usually gold (problem % 5) but every third sample
+    // derails, so some problems vote wrong. The oracle replays the
+    // two-level vote (count, then min-struct argmax as ORDER BY
+    // count DESC, answer) and the gold compare.
+    Q("ext_majority_vote",
+      s"""WITH s AS (SELECT doc_id % 50 AS problem,
+         |  CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7) % 5
+         |   ELSE (doc_id % 50) % 5 END AS answer,
+         |  (doc_id % 50) % 5 AS gold FROM documents),
+         |v AS (SELECT problem, answer, count(*) AS v
+         |  FROM s GROUP BY 1, 2),
+         |w AS (SELECT problem, CAST(sum(v) OVER
+         |   (PARTITION BY problem) AS BIGINT) AS n, answer AS vote,
+         |   CAST(v AS BIGINT) AS votes,
+         |   row_number() OVER (PARTITION BY problem
+         |     ORDER BY v DESC, answer) AS rn
+         |  FROM v),
+         |g AS (SELECT problem, min(gold) AS gold FROM s GROUP BY 1)
+         |SELECT w.problem, w.n, w.vote, w.votes,
+         | (w.vote = g.gold) AS correct
+         |FROM w JOIN g ON g.problem = w.problem
+         |WHERE rn = 1 ORDER BY w.problem""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val samples = documents(s, d).select(
+        pmod(id, lit(50)).as("problem"),
+        when(pmod(id, lit(3)) === 0, pmod(id * 7, lit(5)))
+          .otherwise(pmod(pmod(id, lit(50)), lit(5))).as("answer"),
+        pmod(pmod(id, lit(50)), lit(5)).as("gold"))
+      graft.operators.Stats.majorityVote(samples, "problem", "answer",
+          "gold")
+        .orderBy(col("problem"))
+    },
+
     // Unbiased pass@4 (Chen et al. 2021, eq. 1) over a synthesized
     // eval sample table: 50 problems × ~10 samples, pass arbitrated
     // by doc_id arithmetic. The oracle unrolls the k=4 product

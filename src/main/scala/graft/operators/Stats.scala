@@ -276,6 +276,38 @@ object Stats {
       (lit(1.0) - prod).as("pass_at_k"))
   }
 
+  /** Self-consistency majority-vote accuracy (Wang et al.,
+    * "Self-Consistency Improves Chain of Thought Reasoning", 2022) —
+    * pass@k's companion metric: instead of "any sample passed", the
+    * MODAL answer across a problem's n samples is compared to gold.
+    * Input is one row per sample `(problemCol, answerCol, goldCol)`
+    * (gold constant per problem); the vote ties to the smaller answer
+    * (deterministic, engine-portable — the [[graft.operators
+    * .Similarity.knnClassify]] rule). One row per problem:
+    * (problemCol, n, vote, votes, correct).
+    *
+    * Scale shape: two map-side-combining hash aggs — votes per
+    * (problem, answer), then a min-struct argmax per problem (no
+    * window, skew-safe for any answer distribution) — plus one
+    * problem-keyed join to re-attach gold.
+    */
+  def majorityVote(samples: DataFrame, problemCol: String,
+                   answerCol: String, goldCol: String): DataFrame = {
+    val votes = samples.groupBy(col(problemCol), col(answerCol))
+      .agg(count(lit(1)).as("__v"))
+      .groupBy(col(problemCol))
+      .agg(sum(col("__v")).as("n"),
+        min(struct((-col("__v")).as("nv"),
+          col(answerCol).as("ans"))).as("__w"))
+      .select(col(problemCol), col("n"), col("__w.ans").as("vote"),
+        (-col("__w.nv")).as("votes"))
+    val gold = samples.groupBy(col(problemCol))
+      .agg(min(col(goldCol)).as("__g"))
+    votes.join(gold, Seq(problemCol))
+      .select(col(problemCol), col("n"), col("vote"), col("votes"),
+        (col("vote") === col("__g")).as("correct"))
+  }
+
   /** Expected-calibration-error report over scored predictions — the
     * quality-classifier health check a curation pipeline runs before
     * trusting its scores as probabilities (a filter thresholding an

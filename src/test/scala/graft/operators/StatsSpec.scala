@@ -138,6 +138,21 @@ class StatsSpec extends SparkSpec {
     assert(got(1)._4 === 1.0)
   }
 
+  test("majorityVote: modal answer wins, ties to the smaller answer, " +
+      "correctness vs gold") {
+    // p1: answers 2,2,3 gold 2 -> vote 2 (2 votes), correct
+    // p2: answers 1,4 gold 4 -> tie of 1s -> vote 1, wrong
+    // p3: answers 0 gold 0 -> vote 0, correct
+    val s = Seq((1L, 2L, 2L), (1L, 2L, 2L), (1L, 3L, 2L),
+      (2L, 1L, 4L), (2L, 4L, 4L), (3L, 0L, 0L))
+      .toDF("problem", "answer", "gold")
+    val got = Stats.majorityVote(s, "problem", "answer", "gold")
+      .orderBy($"problem")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 3L, 2L, 2L, true), (2L, 2L, 1L, 1L, false),
+      (3L, 1L, 0L, 1L, true)))
+  }
+
   test("lengthBias: hand-computed counts, ties sit out, all-ties " +
       "yields null frac/z") {
     val pairs = Seq(("aaaa", "aa"), ("a", "bbb"), ("cc", "dd"),
