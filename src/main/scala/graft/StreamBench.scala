@@ -601,8 +601,9 @@ object StreamBench {
     "bt" -> (() => benchBt(spark, batches, rows)),
     "evals" -> (() => benchEvals(spark, batches, rows)))
 
-  /** Run every [[covers]] pipeline; returns the JSON fragment for
-    * Bench's output line.
+  /** Run every [[covers]] pipeline (or just `only`'s — the
+    * escalation re-drive path); returns the JSON fragment for Bench's
+    * output line.
     *
     * Shuffle partitions are right-sized to the micro-batch volume for
     * the streaming section (and restored after): the batch bench's 32
@@ -615,12 +616,15 @@ object StreamBench {
     * per-app launch setting, not a runtime knob).
     */
   def run(spark: SparkSession, batches: Int = 12,
-          rows: Int = 2000): String = {
+          rows: Int = 2000,
+          only: Option[Set[String]] = None): String = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "8")
     try {
-      apps(spark, batches, rows).map { case (name, f) =>
+      apps(spark, batches, rows)
+        .filter { case (name, _) => only.forall(_(name)) }
+        .map { case (name, f) =>
         // min-of-2 drives per pipeline (fresh checkpoint each), same
         // rationale as the batch bench's min-of-3: a single drive's
         // p95 over ~11 steady batches is one-GC-pause noisy — measured

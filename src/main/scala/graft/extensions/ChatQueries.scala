@@ -247,6 +247,46 @@ private[graft] object ChatQueries {
         .orderBy(col("conv_id"), col("turn_idx"))
     },
 
+    // Context-budget truncation: fit each conversation into 9 tokens
+    // by keeping every system turn plus the longest suffix of
+    // non-system turns that still fits (whole turns only — the
+    // crossing turn drops; a training sample must fit the context
+    // window). The fixture's 2/4/6-turn conversations land on both
+    // sides of the budget, and the system-turn conversations exercise
+    // the reserved-system-budget arithmetic. The oracle mirrors the
+    // reverse prefix sum, the system reservation and the truncation
+    // flag window-for-window.
+    Q("ext_chat_trunc",
+      s"""WITH $oracleTurns,
+         |n AS (SELECT doc_id, t, role, txt,
+         |  CAST(len(string_split_regex(lower(txt), '\\s+')) AS BIGINT)
+         |   AS nt FROM r),
+         |w AS (SELECT doc_id, t, role, txt, nt,
+         |  sum(CASE WHEN role = 'system' THEN nt ELSE 0 END)
+         |   OVER (PARTITION BY doc_id) AS sys_nt,
+         |  sum(CASE WHEN role = 'system' THEN 0 ELSE nt END)
+         |   OVER (PARTITION BY doc_id ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS rev_cum,
+         |  sum(CASE WHEN role = 'system' THEN 0 ELSE 1 END)
+         |   OVER (PARTITION BY doc_id) AS non_tot
+         | FROM n),
+         |k AS (SELECT *, (role = 'system' OR rev_cum <= 9 - sys_nt)
+         |  AS keep FROM w),
+         |f AS (SELECT *, sum(CASE WHEN keep AND role != 'system'
+         |   THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id) AS non_kept
+         | FROM k)
+         |SELECT doc_id AS conv_id, CAST(t AS INT) AS turn_idx, role,
+         | txt AS text, nt AS n_tokens, non_kept < non_tot AS truncated
+         |FROM f WHERE keep ORDER BY conv_id, turn_idx""".stripMargin) {
+      (sp, dir) =>
+        Chat.truncateToBudget(turns(sp, dir), "conv_id", "t", "role",
+            "text", maxTokens = 9L)
+          .select(col("conv_id"), col("t").cast("int").as("turn_idx"),
+            col("role"), col("text"), col("n_tokens"), col("truncated"))
+          .orderBy(col("conv_id"), col("turn_idx"))
+    },
+
     // DPO preference pairs over REAL document texts: ~5 responses per
     // prompt (doc_id % 101), scored by an md5-prefix hash both engines
     // derive identically; the oracle picks chosen/rejected with twin

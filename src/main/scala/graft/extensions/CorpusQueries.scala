@@ -1350,6 +1350,62 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- tokenizer-TRUE token quotas -------------------------------------
+    // ext_token_quota meters whitespace tokens, but a training run
+    // consumes TOKENIZER tokens — budgeting the wrong unit silently
+    // re-weights the mixture toward whatever whitespace undercounts
+    // (code, CJK, URLs). Here the same 8-merge BPE tokenizer is
+    // learned (shared CTE prefix with ext_bpe_train/encode), applied,
+    // and each source fills a 2500-BPE-symbol budget in the same
+    // md5-priority order. The oracle replays the merges, the n_bpe
+    // symbol counts and the rank + running-sum window.
+    Q("ext_token_quota_bpe", {
+      val merges = 8
+      val budget = 2500
+      val chain = (1 to merges).map { i =>
+        s"""d$i AS (SELECT doc_id, replace(s,
+           |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |  chr(31) || lhs || rhs || chr(31)) AS s
+           | FROM d${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeCtes(merges)},
+         |d0 AS (SELECT doc_id, regexp_replace(
+         |  array_to_string($TOKS, ' '),
+         |  '(\\S)', chr(31) || '\\1' || chr(31), 'g') AS s
+         | FROM documents),
+         |$chain,
+         |enc AS (SELECT doc_id,
+         |  (len(s) - len(replace(s, chr(31), ''))) // 2 AS n_tokens
+         | FROM d$merges),
+         |qs AS (SELECT d.doc_id, d.source,
+         |  CAST(enc.n_tokens AS BIGINT) AS n_tokens
+         | FROM documents d JOIN enc ON enc.doc_id = d.doc_id),
+         |qc AS (SELECT doc_id, source, n_tokens,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY ${h32("CAST(doc_id AS VARCHAR)")}, doc_id)
+         |   AS INT) AS tok_rank,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY ${h32("CAST(doc_id AS VARCHAR)")}, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS cum_tokens
+         | FROM qs)
+         |SELECT doc_id, source, tok_rank, n_tokens, cum_tokens FROM qc
+         |WHERE cum_tokens - n_tokens < $budget
+         |ORDER BY source, tok_rank""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d)
+      val enc = Corpus.bpeEncode(docs0, "doc_id", "text",
+          Corpus.bpeTrain(docs0, "text", merges = 8))
+        .select(col("doc_id"), col("n_bpe"))
+      Corpus.tokenQuotaByGroupCounts(
+          docs0.select(col("doc_id"), col("source"))
+            .join(enc, Seq("doc_id")),
+          "source", "doc_id", "n_bpe", tokenBudget = 2500L)
+        .select(col("doc_id"), col("source"), col("tok_rank"),
+          col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("tok_rank"))
+    },
+
     // ---- temperature-balanced source mixing -----------------------------
     // α = 0.5 sampling shares per source; sqrt is IEEE
     // correctly-rounded so both engines see the same double, then all

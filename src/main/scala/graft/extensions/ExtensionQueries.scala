@@ -2166,6 +2166,50 @@ object ExtensionQueries {
         .orderBy(col("bin"))
     },
 
+    // Deterministic Poisson-bootstrap CI for a win rate — the
+    // uncertainty every point-estimate eval metric above lacks (a
+    // 0.52 win rate over 40 comparisons is noise). 64 resamples; each
+    // unit's per-resample weight is the Poisson(1) inverse CDF of an
+    // md5 hash cut by EXACT integer thresholds both engines embed as
+    // literals, each resample mean is fixed-point, and the percentile
+    // bounds are Spark `percentile` ≡ DuckDB `quantile_cont` (parity
+    // proven by a8_percentiles/ext_winsorize). The oracle replays
+    // draws, weights, means and the percentile cut op-for-op.
+    Q("ext_eval_ci", {
+      val sc = "1000000000.0"
+      val b = 64
+      val wCase = graft.operators.Stats.PoissonCdf32.zipWithIndex
+        .map { case (t, k) => s"WHEN hu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |  CAST(CASE WHEN (doc_id * 7) % 11 < 6 THEN 1 ELSE 0 END
+         |   AS DOUBLE) AS x
+         | FROM documents),
+         |dr AS (SELECT r.i AS r,
+         |  ${h32("CAST(r.i AS VARCHAR) || ':' || id")} AS hu, x
+         | FROM u, range($b) r(i)),
+         |m AS (SELECT r,
+         |  CASE WHEN sum($wCase) > 0 THEN
+         |   CAST(${fxSql(s"CAST(($wCase) AS DOUBLE) * x", sc)}
+         |     AS DOUBLE) / $sc / CAST(sum($wCase) AS DOUBLE)
+         |  END AS mm
+         | FROM dr GROUP BY r),
+         |ci AS (SELECT quantile_cont(mm, 0.025) AS lo,
+         |  quantile_cont(mm, 0.975) AS hi FROM m),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${fxSql("x", sc)} AS sfx FROM u)
+         |SELECT n, CAST($b AS INT) AS b,
+         | CASE WHEN n > 0 THEN
+         |  CAST(sfx AS DOUBLE) / $sc / CAST(n AS DOUBLE) END AS mean,
+         | lo, hi
+         |FROM pt, ci""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(id,
+        when(pmod(id * 7, lit(11)) < 6, 1.0).otherwise(0.0).as("win"))
+      graft.operators.Stats.bootstrapCi(preds, "doc_id", "win", b = 64)
+    },
+
     // Hard-negative mining over IVF candidate generation — the
     // ANN-composed variant of ext_hard_negatives (broadcast-queries
     // full scan replaced by the probed-cell equi-join, the shape for

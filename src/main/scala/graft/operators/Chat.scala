@@ -119,6 +119,63 @@ object Chat {
         col("char_end").cast("long").as("char_end"))
   }
 
+  /** Context-budget truncation — the step between conversation
+    * assembly ([[linearizeTree]] → turn tables) and packing
+    * ([[graft.operators.Corpus.packSequences]]): fit each
+    * conversation into `maxTokens` by keeping every SYSTEM turn plus
+    * the longest SUFFIX of non-system turns (the most recent context
+    * — dropping the head of a dialogue loses less than dropping its
+    * tail) whose token total, system turns included, still fits.
+    * Whole turns only — the boundary turn that would cross the budget
+    * DROPS entirely (a hard cap, unlike [[Corpus.tokenQuotaByGroup]]'s
+    * greedy fill: a training sample must fit the context window, so
+    * "one over" is not an option; a split turn would train on a
+    * half-utterance). If the system turns alone exceed the budget
+    * they still all survive — the caller's invariant is "the system
+    * prompt is never silently lost", and such conversations surface
+    * via `truncated` with zero non-system turns kept.
+    *
+    * Output: one row per KEPT turn — the input columns plus
+    * `n_tokens` (the turn's whitespace token count — swap in a
+    * [[Corpus.bpeEncode]]-derived count upstream for tokenizer-true
+    * budgeting, the [[Corpus.tokenQuotaByGroupCounts]] pattern) and
+    * `truncated` (true on every row of a conversation that lost at
+    * least one turn).
+    *
+    * Scale shape: one narrow token-count projection, then ONE
+    * conversation-keyed hash-partitioned window computing the
+    * reverse prefix sum (ORDER BY `idxCol` DESC) alongside the
+    * unordered per-conversation aggregates (system token total,
+    * non-system turn counts) — conversations are tens of turns, so
+    * every window group is tiny; no join, nothing driver-side.
+    */
+  def truncateToBudget(df: DataFrame, convCol: String, idxCol: String,
+                       roleCol: String, textCol: String,
+                       maxTokens: Long): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens must be >= 0, got $maxTokens")
+    import graft.functions.TextFns
+    val conv = Window.partitionBy(col(convCol))
+    val rev = conv.orderBy(col(idxCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isSys = col(roleCol) === "system"
+    val n = df.withColumn("n_tokens",
+      size(TextFns.toks(col(textCol))).cast("long"))
+    val w = n
+      .withColumn("__sys_nt",
+        sum(when(isSys, col("n_tokens")).otherwise(0L)).over(conv))
+      .withColumn("__rev_cum",
+        sum(when(isSys, 0L).otherwise(col("n_tokens"))).over(rev))
+      .withColumn("__non_tot",
+        sum(when(isSys, 0L).otherwise(1L)).over(conv))
+      .withColumn("__keep",
+        isSys || col("__rev_cum") <= lit(maxTokens) - col("__sys_nt"))
+    w.withColumn("__non_kept",
+        sum(when(col("__keep") && !isSys, 1L).otherwise(0L)).over(conv))
+      .filter(col("__keep"))
+      .withColumn("truncated", col("__non_kept") < col("__non_tot"))
+      .drop("__sys_nt", "__rev_cum", "__non_tot", "__keep", "__non_kept")
+  }
+
   /** BRANCHING conversation-tree linearization — the SFT-prep step for
     * message tables where a turn can have multiple alternative
     * children (edit/regenerate trees): every LEAF becomes one training

@@ -192,12 +192,31 @@ object Corpus {
     * rank and running sum share the single sort.
     */
   def tokenQuotaByGroup(df: DataFrame, groupCol: String, idCol: String,
-                        textCol: String, tokenBudget: Long): DataFrame = {
+                        textCol: String, tokenBudget: Long): DataFrame =
+    tokenQuotaByGroupCounts(
+      df.withColumn("n_tokens",
+        size(TextFns.toks(col(textCol))).cast("long")),
+      groupCol, idCol, "n_tokens", tokenBudget)
+
+  /** [[tokenQuotaByGroup]] over a PRE-COMPUTED per-row token count
+    * column — the tokenizer-true form: the text variant meters
+    * whitespace tokens, but a training run consumes TOKENIZER tokens,
+    * and budgeting the wrong unit silently re-weights the mixture
+    * toward whatever the whitespace heuristic undercounts (code,
+    * CJK, URLs). Feed it [[bpeEncode]]'s `n_bpe` (join the encode
+    * frame onto the corpus, then budget on that column) and the
+    * quota meters what the trainer actually pays. Same ordering,
+    * window and greedy-fill semantics; `nTokensCol` re-emits
+    * (cast to long) as `n_tokens` alongside `tok_rank` /
+    * `cum_tokens`.
+    */
+  def tokenQuotaByGroupCounts(df: DataFrame, groupCol: String,
+                              idCol: String, nTokensCol: String,
+                              tokenBudget: Long): DataFrame = {
     require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(TextFns.hash32(col(idCol).cast("string")), col(idCol))
-    df.withColumn("n_tokens",
-        size(TextFns.toks(col(textCol))).cast("long"))
+    df.withColumn("n_tokens", col(nTokensCol).cast("long"))
       .withColumn("tok_rank", row_number().over(w).cast(IntegerType))
       .withColumn("cum_tokens", sum(col("n_tokens"))
         .over(w.rowsBetween(Window.unboundedPreceding,

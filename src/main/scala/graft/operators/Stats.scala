@@ -24,10 +24,13 @@ object Stats {
     * (item, wins, n_comparisons, strength).
     *
     * Identifiability preconditions (standard BT): every item should
-    * win at least once — a zero-win item's strength converges to 0,
-    * and a comparison BETWEEN two zero-win items would divide by
-    * zero. Disconnected comparison components fit independently but
-    * share the global normalization.
+    * win at least once — a zero-win item's strength converges to 0.
+    * A comparison BETWEEN two zero-win items (the divide-by-zero
+    * degeneracy) cannot arise from real outcomes — every positive
+    * count gives its winner a win — and the count form drops the one
+    * input that could synthesize it (non-positive count rows; see
+    * [[btStrengthsFromCounts]]). Disconnected comparison components
+    * fit independently but share the global normalization.
     *
     * Determinism: the MM denominator and the normalization total are
     * cross-row double sums, so both run fixed-point
@@ -60,6 +63,28 @@ object Stats {
     * fitting the merged store equals fitting the full replayed log
     * row-for-row (spec-pinned via the pair form above, which is
     * exactly this on its own count aggregation).
+    *
+    * Degenerate-input enforcement: rows with a null or non-positive
+    * count are DROPPED up front (they carry no comparisons). This is
+    * what makes the identifiability precondition above cheap to hold:
+    * with every retained n_ij > 0, any compared pair has a winner
+    * among its two items, so two items with s_i = s_j = 0 can never
+    * share a comparison and the MM denominator term n_ij/(s_i+s_j)
+    * never divides by zero — one zero-count row cannot poison every
+    * item's strength through the global renormalization. Items that
+    * appear ONLY in dropped rows vanish from the output (no
+    * comparisons → nothing to fit).
+    *
+    * Caller-lifetime pinning: the two loop invariants (`opp`, the
+    * symmetrized opponent table, and `base`, the per-item wins/totals)
+    * are persisted MEMORY_AND_DISK and — like every lazy-returning
+    * operator here (the pageRank/knBigramScore cb convention) — stay
+    * pinned for the RETURNED PLAN's lifetime: each of the `iters` MM
+    * joins re-reads both, so an unpersist hook would either force
+    * eager materialization or recompute the comparison-log scan
+    * `iters`× over. A long-running driver fitting many separate logs
+    * accumulates one pair of pinned aggregate frames per fit until
+    * the results become unreachable.
     */
   def btStrengthsFromCounts(counts: DataFrame, winnerCol: String,
                             loserCol: String, nCol: String,
@@ -71,6 +96,7 @@ object Stats {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val p = counts.select(col(winnerCol).as("__w"),
       col(loserCol).as("__l"), col(nCol).as("__c"))
+      .filter(col("__c").isNotNull && col("__c") > 0)
     val opp = p.select(col("__w").as("i"), col("__l").as("j"), col("__c"))
       .unionByName(
         p.select(col("__l").as("i"), col("__w").as("j"), col("__c")))
@@ -474,5 +500,102 @@ object Stats {
         when(col("cal_n") > 1L,
           expr(s"(cal_rank - 1L) * ${scale}L div (cal_n - 1L)"))
           .otherwise(0L))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds on the 32-bit hash domain:
+    * `PoissonCdf32(k) = floor(P(W ≤ k) · 2³²)` for k = 0..7, so a
+    * uniform 32-bit hash u maps to the bootstrap weight
+    * `w = min{k : u < PoissonCdf32(k)}` (8 past the table — the tail
+    * above 8 has mass < 1e-6) by EXACT integer comparisons: no float
+    * compare can disagree between engines, and the oracle SQL embeds
+    * these very values as literals.
+    */
+  private[graft] val PoissonCdf32: Seq[Long] = {
+    var term = math.exp(-1.0)
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) term /= k
+      cum += term
+      math.floor(cum * 4294967296.0).toLong
+    }
+  }
+
+  /** Deterministic bootstrap confidence interval for the MEAN of
+    * `valueCol` — the uncertainty the point-estimate eval metrics
+    * ([[passAtK]], [[btStrengths]]' win rates, [[majorityVote]]
+    * accuracy) lack: a 0.52 win rate over 40 comparisons is noise,
+    * and no ship/no-ship comparison should read a point estimate
+    * without its interval. One output row:
+    * (n, b, mean, lo, hi) — `mean` the exact fixed-point mean over
+    * the data, `[lo, hi]` the [`lower`, `upper`] percentile of `b`
+    * bootstrap resample means (the percentile method; for a win-rate
+    * or pass-indicator column this is the binomial CI without a
+    * normality assumption).
+    *
+    * Resampling is the POISSON bootstrap (the distributed-data
+    * standard — Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams", Google TR 2012): each unit enters resample r with
+    * weight W ~ Poisson(1), approximating multinomial resampling
+    * exactly as n grows, and requiring NO global indexing of the
+    * data. The weight is hash-seeded, never `rand()` (the
+    * [[Corpus.epochShuffle]] determinism rule): u = hash32(r ":" id)
+    * and w = the [[PoissonCdf32]] inverse-CDF cut — both engines
+    * compare the same integers, so every resample is bit-identical
+    * and oracle-checkable. Null values are excluded up front (they
+    * carry no measurement); a resample with total weight 0 yields a
+    * null mean and sits out the percentile (never occurs beyond toy
+    * n — P = e^(-n)).
+    *
+    * Determinism: the per-resample weighted sums and the global sum
+    * run fixed-point ([[graft.functions.Cols.fxSum]], `scale` — terms
+    * are ≤ 8·|value|); the percentile is Spark's exact linear
+    * interpolation (≡ DuckDB `quantile_cont`, parity proven by
+    * a8_percentiles/ext_winsorize).
+    *
+    * Scale shape: one narrow `explode(sequence(0, b−1))` fan-out
+    * (b× the data, the [[Corpus.epochShuffle]] shape), one
+    * resample-keyed map-side-combining hash agg (b output rows), one
+    * b-row percentile agg, one 1-row cross join. No window, no
+    * global sort, nothing driver-side.
+    */
+  def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+                  b: Int, lower: Double = 0.025, upper: Double = 0.975,
+                  scale: Double = 1e9): DataFrame = {
+    require(b >= 2 && b <= 100000, s"b must be in [2, 100000], got $b")
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      s"need 0 <= lower < upper <= 1, got lower=$lower upper=$upper")
+    import graft.functions.Cols.{fxSum, fxVal}
+    import graft.functions.TextFns
+    import org.apache.spark.sql.types.DoubleType
+    val units = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast(DoubleType).as("__x"))
+    val pt = units.agg(count(lit(1)).as("n"),
+      fxSum(col("__x"), scale).as("__sfx"))
+    val u = TextFns.hash32(concat(col("__r").cast("string"), lit(":"),
+      col("__id")))
+    val w = PoissonCdf32.zipWithIndex.foldRight(lit(8L)) {
+      case ((t, k), rest) => when(col("__u") < t, lit(k.toLong))
+        .otherwise(rest)
+    }
+    val means = units
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy(col("__r"))
+      .agg(fxSum(col("__w").cast(DoubleType) * col("__x"), scale)
+          .as("__mfx"),
+        sum(col("__w")).as("__wn"))
+      .select(when(col("__wn") > 0,
+        fxVal(col("__mfx"), scale) / col("__wn").cast(DoubleType))
+        .as("__m"))
+    val ci = means.agg(percentile(col("__m"), lit(lower)).as("lo"),
+      percentile(col("__m"), lit(upper)).as("hi"))
+    pt.crossJoin(broadcast(ci))
+      .select(col("n"), lit(b).as("b"),
+        when(col("n") > 0,
+          fxVal(col("__sfx"), scale) / col("n").cast(DoubleType))
+          .as("mean"),
+        col("lo"), col("hi"))
   }
 }

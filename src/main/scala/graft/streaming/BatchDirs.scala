@@ -17,15 +17,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory, then the covered sources are deleted. The root itself is
   * never renamed or replaced, so:
   *
-  *  - a CONCURRENT live stream is safe: its appends land at batch ids
-  *    > `upToBatch` (ids the checkpoint has not committed yet) and are
-  *    never listed, read, or deleted by the merge;
-  *  - readers never observe a missing or partial store: the staging
-  *    write is dot-prefixed (invisible to parquet listing), the
-  *    publish is one rename, and a crash between the publish and the
-  *    source deletes leaves duplicate rows — harmless to
-  *    existence-check joins and removed by the next merge's `project`
-  *    dedup.
+  *  - a CONCURRENT live stream's APPENDS are safe: they land at batch
+  *    ids > `upToBatch` (ids the checkpoint has not committed yet) and
+  *    are never listed, read, or deleted by the merge. Its READS are
+  *    not: a micro-batch that planned its parquet scan of the store
+  *    before the merge's source deletes fails mid-job with
+  *    missing-file errors when the deletes land
+  *    (`spark.sql.files.ignoreMissingFiles` is false by default; the
+  *    stream's retry replans and heals, but at the cost of a failed
+  *    attempt). Run the merge in a maintenance window — between
+  *    micro-batches, or with the stream stopped — exactly like
+  *    [[SumStore]]'s compact; or set `ignoreMissingFiles` on the
+  *    store-reading session if concurrent merges are required;
+  *  - the store is never missing or partial: the staging write is
+  *    dot-prefixed (invisible to parquet listing) and the publish is
+  *    one rename. A crash BETWEEN the publish and the source deletes
+  *    leaves duplicate rows until the merge is re-run — harmless to
+  *    existence-check consumers (the near-dedup gate's semi-joins),
+  *    but NOT to top-k consumers, where a duplicated neighbor occupies
+  *    two ranks and displaces the true k-th ([[StreamingKnn]]'s
+  *    probe). Top-k readers detect the window with
+  *    [[crashedMergeDups]] and dedup only when it is open.
   *
   * Re-running after any crash completes the merge: a surviving staging
   * dir is discarded, an already-published target flips the call to
@@ -39,6 +51,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory.
   */
 private[streaming] object BatchDirs {
+
+  /** True when a crashed merge's duplicate window is OPEN: some merge
+    * target `batch=-(u+1)` exists alongside a surviving covered source
+    * (any other directory with id ≤ u) — the state left by a crash
+    * between [[compactInPlace]]'s publish rename and its source
+    * deletes, in which every row of the surviving sources also exists
+    * inside the target. Exact-rank consumers (top-k probes) dedup
+    * their read when this is true; re-running the merge closes the
+    * window. One filesystem listing, no data read. The store's seed
+    * directory (`batch=Long.MinValue`, [[StreamingKnn.InitBatch]]) is
+    * never itself a merge target — merge ids are `-(u+1)` for a
+    * committed u ∈ [0, MaxValue) — but it IS a coverable source.
+    */
+  def crashedMergeDups(spark: SparkSession, rootPath: String): Boolean = {
+    val root = new Path(rootPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return false
+    val ids = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    ids.exists { t =>
+      t < 0 && t != Long.MinValue &&
+        ids.exists(s => s != t && s <= -(t + 1))
+    }
+  }
 
   /** Merge as described above; `project` selects/dedups the store's
     * row shape (it must drop the discovered `batch` column).

@@ -62,6 +62,16 @@ object StreamingKnn {
     * `excludeBatch` drops one `batch=` partition (partition-pruned,
     * not scanned): a REPLAYED micro-batch must not probe its own
     * pre-crash postings append.
+    *
+    * Crashed-merge duplicates: a [[compactPostings]] crash between
+    * its publish rename and its source deletes leaves every surviving
+    * source row duplicated inside the merge target — and the probe is
+    * a top-k heap ([[Similarity.topK]] keeps duplicates as separate
+    * entries), so a duplicated neighbor would occupy two ranks and
+    * displace the true k-th. The window is detected per read with one
+    * filesystem listing ([[BatchDirs.crashedMergeDups]]) and the
+    * postings dedup by id ONLY while it is open — zero plan cost on
+    * the normal path, and re-running the merge closes the window.
     */
   private[streaming] def readIndex(spark: SparkSession,
                                    centroidsPath: String,
@@ -69,11 +79,15 @@ object StreamingKnn {
                                    excludeBatch: Option[Long] = None)
       : Similarity.IvfIndexFrames = {
     val posts0 = spark.read.parquet(postingsPath)
-    val posts = excludeBatch.fold(posts0)(b =>
+    val posts1 = excludeBatch.fold(posts0)(b =>
       posts0.filter(col("batch") =!= b))
+    val posts2 = posts1.select(col("neighbor_id"), col("cv"), col("cell"))
+    val posts =
+      if (BatchDirs.crashedMergeDups(spark, postingsPath))
+        posts2.dropDuplicates("neighbor_id")
+      else posts2
     Similarity.IvfIndexFrames(
-      spark.read.parquet(centroidsPath),
-      posts.select(col("neighbor_id"), col("cv"), col("cell")))
+      spark.read.parquet(centroidsPath), posts)
   }
 
   /** One micro-batch: probe then append from ONE fused cell
@@ -135,4 +149,155 @@ object StreamingKnn {
                       upToBatch: Long): Unit =
     BatchDirs.compactInPlace(spark, postingsPath, upToBatch,
       _.select(col("neighbor_id"), col("cv"), col("cell")).distinct())
+
+  /** Cell-balance report over the LIVE store —
+    * [[Similarity.ivfStats]] on the persisted index: the skew monitor
+    * the append-only streaming design needs, because [[knnSink]]
+    * files every batch under FIXED centroids forever and months of
+    * micro-batch appends drift the cell sizes (and with them the
+    * probe cost) silently. Alert on `max(load_ratio)` and run
+    * [[rebalanceSwap]] when it crosses the probe-latency budget —
+    * [[maintainIndex]] wires the two together.
+    */
+  def storeStats(spark: SparkSession, centroidsPath: String,
+                 postingsPath: String): org.apache.spark.sql.DataFrame =
+    Similarity.ivfStats(readIndex(spark, centroidsPath, postingsPath))
+
+  /** Re-seed and re-file the ENTIRE persisted store — the
+    * skew-repair maintenance operation for a [[knnSink]] store, with
+    * the exact [[Similarity.ivfRebalance]] contract: the rebuilt
+    * index equals a fresh [[Similarity.ivfIndex]] over everything
+    * ever ingested (the postings ARE the corpus; duplicates from a
+    * crashed merge are healed by id first). Directory layout after
+    * the swap:
+    *
+    *  - every directory with id ≤ `upToBatch` (a COMMITTED batch id —
+    *    the [[compactPostings]] contract) merges into ONE re-filed
+    *    `batch=-(upToBatch+1)` directory;
+    *  - every LATER directory (an uncommitted batch that may still
+    *    replay) is re-filed IN PLACE under its own id, so a replayed
+    *    batch's `excludeBatch` pruning keeps working across the swap
+    *    — and the replay itself overwrites the dir with the same
+    *    vectors re-assigned under the new centroids, converging to
+    *    the identical store;
+    *  - the centroid table is replaced last.
+    *
+    * MAINTENANCE WINDOW ONLY (the [[BatchDirs.compactInPlace]]
+    * read-path contract, which this operation widens to the centroid
+    * table): run it between micro-batches or with the stream
+    * stopped. The live store stays fully intact until the staging
+    * writes complete (phase A — all dot-prefixed, invisible to
+    * readers; in-flight probes keep reading the old store), then the
+    * publish (phase B) replaces directories by rename. A crash
+    * anywhere is healed by RE-RUNNING with the same arguments:
+    * before the commit marker (the staged-centroids rename) phase A
+    * simply re-runs against the untouched live store; after it,
+    * phase B's per-directory publishes are existence-guarded and
+    * complete without recomputation.
+    */
+  def rebalanceSwap(spark: SparkSession, centroidsPath: String,
+                    postingsPath: String, upToBatch: Long,
+                    cells: Int = -1, refineIters: Int = 0,
+                    refineFraction: Double = 1.0): Unit = {
+    require(upToBatch < Long.MaxValue,
+      "upToBatch must be a committed batch id, not Long.MaxValue")
+    val root = new org.apache.hadoop.fs.Path(postingsPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cLive = new org.apache.hadoop.fs.Path(centroidsPath)
+    val cParent = cLive.getParent
+    val cStage = new org.apache.hadoop.fs.Path(cParent,
+      "." + cLive.getName + "__rebal_stage")
+    val cCommit = new org.apache.hadoop.fs.Path(cParent,
+      "." + cLive.getName + "__rebal_commit")
+    def batchDirs(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+        .flatMap(p => scala.util.Try(
+          p.getName.stripPrefix("batch=").toLong).toOption
+          .filter(_ => p.getName.startsWith("batch=")).map(_ -> p))
+    def stageOf(name: String) =
+      new org.apache.hadoop.fs.Path(root, ".__rebal_" + name)
+    if (!fs.exists(cCommit)) {
+      // ---- phase A: stage everything; the live store is untouched
+      val dirs = batchDirs()
+      require(dirs.nonEmpty, s"no postings directories under $postingsPath")
+      val all = spark.read.parquet(dirs.map(_._2.toString): _*)
+        .select(col("neighbor_id"), col("cv"))
+        .dropDuplicates("neighbor_id") // heal a crashed-merge window
+      val k =
+        if (cells > 0) cells
+        else spark.read.parquet(centroidsPath).count().toInt
+      // refineIters > 0 is the lever that actually SPLITS a hot cell
+      // (deterministic re-seeding alone re-files under id-order seeds,
+      // which a near-constant ingest stream still collapses onto);
+      // refineIters = 0 keeps the rebalance ≡ fresh-ivfIndex parity
+      // the spec pins
+      val ix = Similarity.ivfIndex(all, "neighbor_id", "cv", k,
+        refineIters, refineFraction)
+      ix.centroids.write.mode("overwrite").parquet(cStage.toString)
+      val cents = spark.read.parquet(cStage.toString)
+      // re-filing is ivfAppend under the staged centroids (postings
+      // frame unused by append — the empty frame keeps the contract
+      // visible)
+      def refile(src: Seq[org.apache.hadoop.fs.Path], stage: String): Unit =
+        Similarity.ivfAppend(
+            Similarity.IvfIndexFrames(cents, cents.limit(0)),
+            spark.read.parquet(src.map(_.toString): _*)
+              .select(col("neighbor_id"), col("cv"))
+              .dropDuplicates("neighbor_id"),
+            "neighbor_id", "cv")
+          .write.mode("overwrite").parquet(stageOf(stage).toString)
+      val (covered, later) = dirs.partition(_._1 <= upToBatch)
+      if (covered.nonEmpty) refile(covered.map(_._2), "merged")
+      later.foreach { case (b, p) => refile(Seq(p), s"b_$b") }
+      // ---- commit marker: one rename; phase B is now inevitable
+      if (!fs.rename(cStage, cCommit))
+        throw new java.io.IOException(s"rebalance: cannot commit $cCommit")
+    }
+    // ---- phase B: publish by rename, each step existence-guarded so
+    // a re-run after any crash completes without recomputation
+    val mergedStage = stageOf("merged")
+    if (fs.exists(mergedStage)) {
+      batchDirs().filter(_._1 <= upToBatch)
+        .foreach { case (_, p) => fs.delete(p, true) }
+      val target = new org.apache.hadoop.fs.Path(root,
+        s"batch=${-(upToBatch + 1)}")
+      if (!fs.rename(mergedStage, target))
+        throw new java.io.IOException(s"rebalance: cannot publish $target")
+    }
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".__rebal_b_"))
+      .foreach { st =>
+        val b = st.getName.stripPrefix(".__rebal_b_")
+        val live = new org.apache.hadoop.fs.Path(root, s"batch=$b")
+        fs.delete(live, true)
+        if (!fs.rename(st, live))
+          throw new java.io.IOException(s"rebalance: cannot publish $live")
+      }
+    fs.delete(cLive, true)
+    if (!fs.rename(cCommit, cLive))
+      throw new java.io.IOException(s"rebalance: cannot publish $cLive")
+    ()
+  }
+
+  /** The closed maintenance loop: [[storeStats]] over the live store,
+    * and past `maxLoadRatio` the [[rebalanceSwap]] (same maintenance-
+    * window contract). Returns true when a swap ran. `maxLoadRatio`
+    * is in [[Similarity.ivfStats]] units — 1.0 = perfectly uniform
+    * cells; a probe of a cell at ratio L costs L× the uniform
+    * estimate, so the threshold IS the probe-latency budget.
+    */
+  def maintainIndex(spark: SparkSession, centroidsPath: String,
+                    postingsPath: String, upToBatch: Long,
+                    maxLoadRatio: Double = 4.0,
+                    cells: Int = -1, refineIters: Int = 0,
+                    refineFraction: Double = 1.0): Boolean = {
+    val worst = storeStats(spark, centroidsPath, postingsPath)
+      .agg(org.apache.spark.sql.functions.max(col("load_ratio")))
+      .head().getDouble(0)
+    if (worst > maxLoadRatio) {
+      rebalanceSwap(spark, centroidsPath, postingsPath, upToBatch,
+        cells, refineIters, refineFraction)
+      true
+    } else false
+  }
 }

@@ -33,6 +33,40 @@ class BenchRegistrySpec extends AnyFunSuite {
     assert(Bench.parseIso("{}") === Map.empty)
   }
 
+  test("alwaysIsolate names real registry queries — the standing " +
+      "re-time list cannot drift from a rename") {
+    assert(Bench.alwaysIsolate.subsetOf(SparkEntry.queries.keySet),
+      s"unknown queries: ${Bench.alwaysIsolate diff
+        SparkEntry.queries.keySet}")
+    assert(Bench.alwaysIsolate.contains("ext_dedup_editdist"))
+  }
+
+  test("streaming escalation: parse/render round-trip, lower valid " +
+      "p95 wins the merge, sentinels lose to any valid reading") {
+    val frag = """{"dau":{"p50_ms":2025.0,"p95_ms":5750.0},""" +
+      """"knn":{"p50_ms":1187.0,"p95_ms":1362.0},""" +
+      """"bt":{"p50_ms":-1.0,"p95_ms":-1.0}}"""
+    val lat = Bench.parseStream(frag)
+    assert(lat === Seq(
+      "dau" -> ((2025.0, 5750.0)), "knn" -> ((1187.0, 1362.0)),
+      "bt" -> ((-1.0, -1.0))))
+    assert(Bench.renderStream(lat) === frag) // order preserved
+    // only dau breaches the 40%-of-trigger escalation threshold
+    assert(lat.collect {
+      case (n, (_, p95)) if p95 > Bench.StreamP95EscalateMs => n
+    } === Seq("dau"))
+    val merged = Bench.mergeStream(lat, Map(
+      "dau" -> ((348.0, 402.0)),  // re-drive better: replaces
+      "knn" -> ((2000.0, 3000.0)), // re-drive worse: original stays
+      "bt" -> ((210.0, 230.0))))  // crash sentinel loses to valid
+    assert(merged === Seq(
+      "dau" -> ((348.0, 402.0)), "knn" -> ((1187.0, 1362.0)),
+      "bt" -> ((210.0, 230.0))))
+    // a re-drive that itself crashed never overwrites a valid reading
+    assert(Bench.mergeStream(Seq("x" -> ((100.0, 200.0))),
+      Map("x" -> ((-1.0, -1.0)))) === Seq("x" -> ((100.0, 200.0))))
+  }
+
   private def read(f: java.io.File): String = {
     val s = scala.io.Source.fromFile(f, "UTF-8")
     try s.mkString finally s.close()

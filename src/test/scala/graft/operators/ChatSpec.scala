@@ -101,6 +101,46 @@ class ChatSpec extends SparkSpec {
     assert(got(2) === ((2L, 1, 32L, 35L)))
   }
 
+  test("truncateToBudget: system always survives, longest fitting " +
+      "suffix kept, crossing turn drops whole, flag per conversation") {
+    // conv 1: system (2 tokens) + 3 user/assistant turns of 3 tokens
+    // each (total 11). Budget 9: suffix budget 7 → the last TWO
+    // non-system turns fit (6 ≤ 7); turn 1 would cross and drops
+    // whole. conv 2: 2 turns of 3 tokens (total 6 ≤ 9) — untouched.
+    // conv 3: system alone already over budget (10 tokens) — it still
+    // survives, zero non-system turns kept, flagged truncated.
+    val t = Seq(
+      (1L, 0, "system", "be brief"),
+      (1L, 1, "user", "first question here"),
+      (1L, 2, "assistant", "first answer text"),
+      (1L, 3, "user", "second question here"),
+      (2L, 0, "user", "only question here"),
+      (2L, 1, "assistant", "the answer text"),
+      (3L, 0, "system", "a very long system prompt of ten whole tokens x"),
+      (3L, 1, "user", "hi there")
+    ).toDF("conv_id", "t", "role", "text")
+    val out = Chat.truncateToBudget(t, "conv_id", "t", "role", "text",
+        maxTokens = 9L)
+      .select($"conv_id", $"t", $"role", $"truncated")
+      .as[(Long, Int, String, Boolean)].collect().toSet
+    assert(out === Set(
+      (1L, 0, "system", true), (1L, 2, "assistant", true),
+      (1L, 3, "user", true),
+      (2L, 0, "user", false), (2L, 1, "assistant", false),
+      (3L, 0, "system", true)))
+    // n_tokens is the whitespace count of the turn's own text
+    val nt = Chat.truncateToBudget(t, "conv_id", "t", "role", "text",
+        maxTokens = 9L)
+      .filter($"conv_id" === 1L && $"t" === 0)
+      .select($"n_tokens").as[Long].head()
+    assert(nt === 2L)
+    // a zero budget keeps exactly the system turns
+    val zero = Chat.truncateToBudget(t, "conv_id", "t", "role", "text",
+        maxTokens = 0L)
+      .select($"conv_id", $"t").as[(Long, Int)].collect().toSet
+    assert(zero === Set((1L, 0), (3L, 0)))
+  }
+
   test("linearizeTree: every leaf becomes one root-first path; " +
       "branches share their prefix") {
     // tree: 1(sys) -> 2(user) -> {3(asst), 4(asst)}; 5(sys) solo root

@@ -25,6 +25,50 @@ class CorpusSpec extends SparkSpec {
       (3L, "apple", 3L, 2L, 4.5, 1)))
   }
 
+  test("tokenQuotaByGroupCounts: budgets meter the supplied count " +
+      "column — whitespace vs BPE budgets admit different docs on a " +
+      "code-heavy fixture") {
+    // same source, two docs: code (one giant identifier chain — 2
+    // whitespace tokens but 73 non-space characters) vs prose (12
+    // one-letter words — 12 whitespace tokens, 12 characters). Hash
+    // priority orders code (doc 4, h=2826958457) before prose (doc 3,
+    // h=3972778110) — pinned below. A 2-whitespace-token budget sees
+    // code as CHEAP and fills on it alone; a 80-char (BPE-proxy)
+    // budget sees the same code as nearly the whole budget and the
+    // prose doc still fits as the crossing doc — the budgeting UNIT
+    // changes which docs a source ships.
+    val prose = "a b c d e f g h i j k l"
+    val code = "fooBarBazQuxVeryLongIdentifierChain(another_extremely" +
+      "_long_name) secondTok"
+    val df = Seq((3L, "s", prose), (4L, "s", code))
+      .toDF("doc_id", "source", "text")
+    val h = (i: Long) => graft.functions.TextFns.hash32(lit(i.toString))
+    val order = df.select(h(3L).as("h3"), h(4L).as("h4")).head()
+    assert(order.getLong(1) < order.getLong(0)) // code ranks first
+    val ws = Corpus.tokenQuotaByGroup(df, "source", "doc_id", "text",
+        tokenBudget = 2L)
+      .select($"doc_id").as[Long].collect().toSet
+    val counts = df.withColumn("n_chars",
+      length(regexp_replace($"text", "\\s+", "")).cast("long"))
+    val byChars = Corpus.tokenQuotaByGroupCounts(counts, "source",
+        "doc_id", "n_chars", tokenBudget = 80L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ws === Set(4L))           // code fills the 2-token budget
+    assert(byChars === Set(4L, 3L))  // 73 chars + crossing prose doc
+    assert(ws !== byChars)
+    // the text form IS the counts form on the whitespace count column
+    val viaCounts = Corpus.tokenQuotaByGroupCounts(
+      df.withColumn("n_tokens",
+        size(graft.functions.TextFns.toks($"text")).cast("long")),
+      "source", "doc_id", "n_tokens", tokenBudget = 2L)
+    assert(viaCounts.select($"doc_id", $"tok_rank", $"n_tokens",
+        $"cum_tokens").as[(Long, Int, Long, Long)].collect().toSet ===
+      Corpus.tokenQuotaByGroup(df, "source", "doc_id", "text",
+          tokenBudget = 2L)
+        .select($"doc_id", $"tok_rank", $"n_tokens", $"cum_tokens")
+        .as[(Long, Int, Long, Long)].collect().toSet)
+  }
+
   test("sampleByHash: deterministic, and a filter of the input") {
     val big = spark.range(1000).withColumnRenamed("id", "k")
     val a = Corpus.sampleByHash(big, "k", 10).as[Long].collect().sorted

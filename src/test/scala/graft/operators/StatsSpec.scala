@@ -120,6 +120,61 @@ class StatsSpec extends SparkSpec {
     assert(repart === it2.toSet)
   }
 
+  test("bootstrapCi: constant data collapses the interval; nulls sit " +
+      "out; bounds bracket the mean on mixed data; deterministic") {
+    // constant column: every resample mean equals the value, so
+    // lo = mean = hi exactly
+    val const = (0L until 40L).map(i => (i, 0.25)).toDF("id", "x")
+    val c = Stats.bootstrapCi(const, "id", "x", b = 32)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(c === ((40L, 32, 0.25, 0.25, 0.25)))
+    // mixed 0/1 data: n counts non-null units only, mean is the exact
+    // win rate, and the percentile bounds bracket it
+    val mixed = ((0L until 30L).map(i => (i, Some(if (i % 3 == 0) 1.0 else 0.0)))
+      ++ Seq((97L, Option.empty[Double]))).toDF("id", "x")
+    val m = Stats.bootstrapCi(mixed, "id", "x", b = 64)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(m._1 === 30L && m._2 === 64)
+    assert(math.abs(m._3 - 10.0 / 30.0) < 1e-9)
+    assert(m._4 <= m._3 && m._3 <= m._5)
+    assert(m._4 < m._5) // non-degenerate data → a real interval
+    // hash-seeded, never rand(): bit-identical under repartitioning
+    val again = Stats.bootstrapCi(mixed.repartition(7), "id", "x", b = 64)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(again === m)
+  }
+
+  test("btStrengthsFromCounts: null/zero-count rows drop up front — " +
+      "one degenerate pair cannot poison the whole fit") {
+    val real = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L))
+    // items 8 and 9 never win anything and meet only through a
+    // zero-count row: without the up-front drop their strengths hit 0
+    // after iteration 1 and the n/(s_i+s_j) term divides by zero,
+    // flowing Infinity/null through the global renormalization
+    val poisoned = (real ++ Seq((8L, 9L, 0L), (9L, 8L, 0L)))
+      .toDF("w", "l", "n")
+    val clean = real.toDF("w", "l", "n")
+    val fitP = Stats.btStrengthsFromCounts(poisoned, "w", "l", "n",
+        iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val fitC = Stats.btStrengthsFromCounts(clean, "w", "l", "n",
+        iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fitP === fitC) // dropped rows leave no trace
+    assert(fitP.forall { case (_, _, _, s) =>
+      !s.isNaN && !s.isInfinite })
+    assert(!fitP.exists(r => r._1 == 8L || r._1 == 9L))
+    // null counts drop the same way
+    val withNull = Stats.btStrengthsFromCounts(
+      real.toDF("w", "l", "n").unionByName(
+        Seq((8L, 9L)).toDF("w", "l")
+          .withColumn("n",
+            org.apache.spark.sql.functions.lit(null).cast("long"))),
+      "w", "l", "n", iters = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(withNull === fitC)
+  }
+
   test("passAtK: hand-computed estimator, all-passed hits the exact-" +
       "zero factor, under-sampled problems drop") {
     val samples = Seq(

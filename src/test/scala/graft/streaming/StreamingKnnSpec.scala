@@ -148,4 +148,112 @@ class StreamingKnnSpec extends SparkSpec {
     }
     ()
   }
+
+  test("maintenance loop: skew-grown streaming store → stats detect → " +
+      "rebalance swap → probe parity with a fresh build over " +
+      "everything ingested; uncommitted batch dirs survive re-filed") {
+    val cents = tmp("sknn_mc"); val posts = tmp("sknn_mp")
+    val out = tmp("sknn_mo")
+    StreamingKnn.initIndex(corpusDf, "vec_id", "embedding", cents,
+      posts, cells = 8)
+    // three micro-batches of NEAR-CONSTANT vectors — every append
+    // lands in the same Voronoi cell, the skew scenario months of
+    // ingestion produce
+    def skewVec(i: Long): Array[Float] =
+      Array.tabulate(4)(j => 1.0f + (i % 7).toFloat / 1000f + j * 0.01f)
+    def skewBatch(from: Long, n: Int): DataFrame =
+      (0 until n).map(r => (from + r, skewVec(from + r)))
+        .toDF("vec_id", "embedding")
+    (0 to 2).foreach { b =>
+      StreamingKnn.processBatch(skewBatch(100L * (b + 1), 20), b.toLong,
+        "vec_id", "embedding", cents, posts, out, k = 3, nProbe = 8)
+    }
+    // stats over the live store detect the skew (60 of 100 vectors in
+    // one cell → load_ratio 8 * 60/100 = 4.8 > the 4.0 budget)
+    val worst = StreamingKnn.storeStats(spark, cents, posts)
+      .agg(org.apache.spark.sql.functions.max($"load_ratio"))
+      .head().getDouble(0)
+    assert(worst > 4.0)
+    // maintenance window: batches 0..1 committed, batch 2 may replay
+    val swapped = StreamingKnn.maintainIndex(spark, cents, posts,
+      upToBatch = 1L, maxLoadRatio = 4.0)
+    assert(swapped)
+    // the uncommitted batch keeps its own directory (re-filed), so a
+    // replay's excludeBatch pruning still works across the swap
+    val dirNames = new java.io.File(posts).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(dirNames === Set("batch=-2", "batch=2"))
+    // probe parity: the swapped store answers exactly like a fresh
+    // ivfIndex over everything ever ingested
+    val everything = corpusDf
+      .unionByName(skewBatch(100L, 20)).unionByName(skewBatch(200L, 20))
+      .unionByName(skewBatch(300L, 20))
+    val b4 = batchDf(500L, 5)
+    val viaStore = Similarity.knnAgainstIndex(
+      StreamingKnn.readIndex(spark, cents, posts), b4, "vec_id",
+      "embedding", k = 3, nProbe = 8)
+    val fresh = Similarity.knnAgainstIndex(
+      Similarity.ivfIndex(everything, "vec_id", "embedding", cells = 8),
+      b4, "vec_id", "embedding", k = 3, nProbe = 8)
+    assert(knnSet(viaStore) === knnSet(fresh))
+    // replay safety ACROSS the swap: re-running batch 2 overwrites
+    // its re-filed directory and converges to the identical store
+    val beforeReplay = StreamingKnn.readIndex(spark, cents, posts)
+      .postings.select("neighbor_id", "cell")
+      .as[(Long, Long)].collect().toSet
+    StreamingKnn.processBatch(skewBatch(300L, 20), 2L, "vec_id",
+      "embedding", cents, posts, out, k = 3, nProbe = 8)
+    assert(StreamingKnn.readIndex(spark, cents, posts)
+      .postings.select("neighbor_id", "cell")
+      .as[(Long, Long)].collect().toSet === beforeReplay)
+    // and the replayed probe saw everything EXCEPT its own batch
+    assert(!knnSet(spark.read.parquet(s"$out/batch=2"))
+      .exists { case (_, n, _) => n >= 300L && n < 320L })
+    // a balanced store does NOT swap
+    assert(!StreamingKnn.maintainIndex(spark, cents, posts,
+      upToBatch = 2L, maxLoadRatio = 1000.0))
+  }
+
+  test("crashed-merge duplicate window: detected, probe dedups while " +
+      "open, closed by re-running the merge") {
+    val cents = tmp("sknn_dc"); val posts = tmp("sknn_dp")
+    val out = tmp("sknn_do")
+    StreamingKnn.initIndex(corpusDf, "vec_id", "embedding", cents,
+      posts, cells = 8)
+    StreamingKnn.processBatch(batchDf(100L, 5), 0L, "vec_id",
+      "embedding", cents, posts, out, k = 3, nProbe = 8)
+    assert(!BatchDirs.crashedMergeDups(spark, posts))
+    val clean = StreamingKnn.readIndex(spark, cents, posts)
+      .postings.select("neighbor_id", "cell")
+      .as[(Long, Long)].collect().toSet
+    val b3 = batchDf(300L, 4)
+    val cleanKnn = knnSet(Similarity.knnAgainstIndex(
+      StreamingKnn.readIndex(spark, cents, posts), b3, "vec_id",
+      "embedding", k = 3, nProbe = 8))
+    // simulate a merge that crashed between its publish rename and
+    // its source deletes: the covered rows exist BOTH in the merge
+    // target and in their surviving source directories
+    spark.read.parquet(posts)
+      .select($"neighbor_id", $"cv", $"cell")
+      .write.parquet(s"$posts/batch=-1")
+    assert(BatchDirs.crashedMergeDups(spark, posts))
+    // every store row is now duplicated, yet the probe read dedups:
+    // same index contents, and the top-k heap sees no duplicate
+    // neighbor occupying two ranks
+    val ix = StreamingKnn.readIndex(spark, cents, posts)
+    assert(ix.postings.select("neighbor_id", "cell")
+      .as[(Long, Long)].collect().toSet === clean)
+    assert(ix.postings.groupBy("neighbor_id").count()
+      .filter($"count" > 1).count() === 0L)
+    assert(knnSet(Similarity.knnAgainstIndex(ix, b3, "vec_id",
+      "embedding", k = 3, nProbe = 8)) === cleanKnn)
+    // re-running the merge completes the crashed cleanup (deletes the
+    // covered sources) and closes the window
+    StreamingKnn.compactPostings(spark, posts, upToBatch = 0L)
+    assert(!BatchDirs.crashedMergeDups(spark, posts))
+    assert(StreamingKnn.readIndex(spark, cents, posts)
+      .postings.select("neighbor_id", "cell")
+      .as[(Long, Long)].collect().toSet === clean)
+  }
 }
