@@ -2210,6 +2210,52 @@ object ExtensionQueries {
       graft.operators.Stats.bootstrapCi(preds, "doc_id", "win", b = 64)
     },
 
+    // Per-model win-rate CIs — the eval-report shape: 8 models with
+    // engineered win rates 40%..75%, one interval per model, so
+    // "model 7 beats model 0" is readable off non-overlapping
+    // intervals instead of noise. Resampling is within-group with
+    // the same hash-seeded weights as ext_eval_ci; the oracle
+    // replays draws, per-(model, resample) means and the per-model
+    // percentile cut.
+    Q("ext_eval_ci_by_model", {
+      val sc = "1000000000.0"
+      val b = 32
+      val wCase = graft.operators.Stats.PoissonCdf32.zipWithIndex
+        .map { case (t, k) => s"WHEN hu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH u AS (SELECT doc_id % 8 AS model,
+         |  CAST(doc_id AS VARCHAR) AS id,
+         |  CAST(CASE WHEN (doc_id * 7) % 100 < 40 + (doc_id % 8) * 5
+         |   THEN 1 ELSE 0 END AS DOUBLE) AS x
+         | FROM documents),
+         |dr AS (SELECT model, r.i AS r,
+         |  ${h32("CAST(r.i AS VARCHAR) || ':' || id")} AS hu, x
+         | FROM u, range($b) r(i)),
+         |m AS (SELECT model, r,
+         |  CASE WHEN sum($wCase) > 0 THEN
+         |   CAST(${fxSql(s"CAST(($wCase) AS DOUBLE) * x", sc)}
+         |     AS DOUBLE) / $sc / CAST(sum($wCase) AS DOUBLE)
+         |  END AS mm
+         | FROM dr GROUP BY model, r),
+         |ci AS (SELECT model, quantile_cont(mm, 0.025) AS lo,
+         |  quantile_cont(mm, 0.975) AS hi FROM m GROUP BY model),
+         |pt AS (SELECT model, CAST(count(*) AS BIGINT) AS n,
+         |  ${fxSql("x", sc)} AS sfx FROM u GROUP BY model)
+         |SELECT pt.model, n, CAST($b AS INT) AS b,
+         | CASE WHEN n > 0 THEN
+         |  CAST(sfx AS DOUBLE) / $sc / CAST(n AS DOUBLE) END AS mean,
+         | lo, hi
+         |FROM pt JOIN ci USING (model) ORDER BY model""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(pmod(id, lit(8)).as("model"), id,
+        when(pmod(id * 7, lit(100)) < lit(40) + pmod(id, lit(8)) * 5,
+          1.0).otherwise(0.0).as("win"))
+      graft.operators.Stats.bootstrapCiByGroup(preds, "model",
+          "doc_id", "win", b = 32)
+        .orderBy(col("model"))
+    },
+
     // Hard-negative mining over IVF candidate generation — the
     // ANN-composed variant of ext_hard_negatives (broadcast-queries
     // full scan replaced by the probed-cell equi-join, the shape for

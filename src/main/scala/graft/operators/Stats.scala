@@ -598,4 +598,64 @@ object Stats {
           .as("mean"),
         col("lo"), col("hi"))
   }
+
+  /** [[bootstrapCi]] per group — the shape an eval REPORT needs: one
+    * interval per problem / model / source (a per-model win rate
+    * without its interval invites reading noise as a ranking; with
+    * one, overlapping intervals say "not distinguishable on this
+    * log"). Resampling is WITHIN each group (each group is its own
+    * sample; units are only exchangeable within it), with the same
+    * hash-seeded Poisson weights — a unit's weight in resample r is
+    * identical to the ungrouped operator's, so a single-group input
+    * reproduces [[bootstrapCi]] exactly (spec-pinned). One row per
+    * group: (groupCol, n, b, mean, lo, hi).
+    *
+    * Scale shape: the fan-out and two hash aggs of [[bootstrapCi]]
+    * keyed by (group, resample) then group, plus ONE group-keyed
+    * equi-join of two ≤|groups|-row frames — no window, nothing
+    * driver-side, skew-safe for any group-size distribution.
+    */
+  def bootstrapCiByGroup(df: DataFrame, groupCol: String, idCol: String,
+                         valueCol: String, b: Int,
+                         lower: Double = 0.025, upper: Double = 0.975,
+                         scale: Double = 1e9): DataFrame = {
+    require(b >= 2 && b <= 100000, s"b must be in [2, 100000], got $b")
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      s"need 0 <= lower < upper <= 1, got lower=$lower upper=$upper")
+    import graft.functions.Cols.{fxSum, fxVal}
+    import graft.functions.TextFns
+    import org.apache.spark.sql.types.DoubleType
+    val units = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol).cast("string").as("__id"),
+        col(valueCol).cast(DoubleType).as("__x"))
+    val pt = units.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), fxSum(col("__x"), scale).as("__sfx"))
+    val u = TextFns.hash32(concat(col("__r").cast("string"), lit(":"),
+      col("__id")))
+    val w = PoissonCdf32.zipWithIndex.foldRight(lit(8L)) {
+      case ((t, k), rest) => when(col("__u") < t, lit(k.toLong))
+        .otherwise(rest)
+    }
+    val ci = units
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", w)
+      .groupBy(col(groupCol), col("__r"))
+      .agg(fxSum(col("__w").cast(DoubleType) * col("__x"), scale)
+          .as("__mfx"),
+        sum(col("__w")).as("__wn"))
+      .select(col(groupCol),
+        when(col("__wn") > 0,
+          fxVal(col("__mfx"), scale) / col("__wn").cast(DoubleType))
+          .as("__m"))
+      .groupBy(col(groupCol))
+      .agg(percentile(col("__m"), lit(lower)).as("lo"),
+        percentile(col("__m"), lit(upper)).as("hi"))
+    pt.join(ci, Seq(groupCol))
+      .select(col(groupCol), col("n"), lit(b).as("b"),
+        when(col("n") > 0,
+          fxVal(col("__sfx"), scale) / col("n").cast(DoubleType))
+          .as("mean"),
+        col("lo"), col("hi"))
+  }
 }

@@ -144,6 +144,32 @@ class StatsSpec extends SparkSpec {
     assert(again === m)
   }
 
+  test("bootstrapCiByGroup: a single-group input reproduces the " +
+      "ungrouped operator exactly; groups resample independently") {
+    val vals = (0L until 40L).map(i => (i, if (i % 4 == 0) 1.0 else 0.0))
+    val one = vals.map { case (i, x) => ("g", i, x) }
+      .toDF("grp", "id", "x")
+    val grouped = Stats.bootstrapCiByGroup(one, "grp", "id", "x", b = 32)
+      .select($"n", $"b", $"mean", $"lo", $"hi")
+      .as[(Long, Int, Double, Double, Double)].head()
+    val flat = Stats.bootstrapCi(vals.toDF("id", "x"), "id", "x", b = 32)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(grouped === flat)
+    // two groups with different rates get their own intervals, and
+    // the clearly-separated rates yield non-overlapping intervals
+    val two = ((0L until 60L).map(i => ("lo", i, if (i % 10 == 0) 1.0 else 0.0))
+      ++ (100L until 160L).map(i => ("hi", i, if (i % 10 != 0) 1.0 else 0.0)))
+      .toDF("grp", "id", "x")
+    val byG = Stats.bootstrapCiByGroup(two, "grp", "id", "x", b = 64)
+      .select($"grp", $"n", $"mean", $"lo", $"hi")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(byG("lo")._2 === 60L && byG("hi")._2 === 60L)
+    assert(math.abs(byG("lo")._3 - 0.1) < 1e-9)
+    assert(math.abs(byG("hi")._3 - 0.9) < 1e-9)
+    assert(byG("lo")._5 < byG("hi")._4) // hi's lower bound above lo's upper
+  }
+
   test("btStrengthsFromCounts: null/zero-count rows drop up front — " +
       "one degenerate pair cannot poison the whole fit") {
     val real = Seq((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L))
