@@ -552,52 +552,22 @@ object Stats {
     * interpolation (≡ DuckDB `quantile_cont`, parity proven by
     * a8_percentiles/ext_winsorize).
     *
-    * Scale shape: one narrow `explode(sequence(0, b−1))` fan-out
-    * (b× the data, the [[Corpus.epochShuffle]] shape), one
-    * resample-keyed map-side-combining hash agg (b output rows), one
-    * b-row percentile agg, one 1-row cross join. No window, no
-    * global sort, nothing driver-side.
+    * Scale shape: [[bootstrapCiByGroup]] on one constant group — one
+    * narrow `explode(sequence(0, b−1))` fan-out (b× the data, the
+    * [[Corpus.epochShuffle]] shape), one resample-keyed
+    * map-side-combining hash agg (b output rows), one b-row
+    * percentile agg, one 1-row join. No window, no global sort,
+    * nothing driver-side.
     */
   def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
                   b: Int, lower: Double = 0.025, upper: Double = 0.975,
-                  scale: Double = 1e9): DataFrame = {
-    require(b >= 2 && b <= 100000, s"b must be in [2, 100000], got $b")
-    require(lower >= 0 && upper <= 1 && lower < upper,
-      s"need 0 <= lower < upper <= 1, got lower=$lower upper=$upper")
-    import graft.functions.Cols.{fxSum, fxVal}
-    import graft.functions.TextFns
-    import org.apache.spark.sql.types.DoubleType
-    val units = df.filter(col(valueCol).isNotNull)
-      .select(col(idCol).cast("string").as("__id"),
-        col(valueCol).cast(DoubleType).as("__x"))
-    val pt = units.agg(count(lit(1)).as("n"),
-      fxSum(col("__x"), scale).as("__sfx"))
-    val u = TextFns.hash32(concat(col("__r").cast("string"), lit(":"),
-      col("__id")))
-    val w = PoissonCdf32.zipWithIndex.foldRight(lit(8L)) {
-      case ((t, k), rest) => when(col("__u") < t, lit(k.toLong))
-        .otherwise(rest)
-    }
-    val means = units
-      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("__u", u)
-      .withColumn("__w", w)
-      .groupBy(col("__r"))
-      .agg(fxSum(col("__w").cast(DoubleType) * col("__x"), scale)
-          .as("__mfx"),
-        sum(col("__w")).as("__wn"))
-      .select(when(col("__wn") > 0,
-        fxVal(col("__mfx"), scale) / col("__wn").cast(DoubleType))
-        .as("__m"))
-    val ci = means.agg(percentile(col("__m"), lit(lower)).as("lo"),
-      percentile(col("__m"), lit(upper)).as("hi"))
-    pt.crossJoin(broadcast(ci))
-      .select(col("n"), lit(b).as("b"),
-        when(col("n") > 0,
-          fxVal(col("__sfx"), scale) / col("n").cast(DoubleType))
-          .as("mean"),
-        col("lo"), col("hi"))
-  }
+                  scale: Double = 1e9): DataFrame =
+    // exactly the grouped form on one constant group (the weight hash
+    // keys on (resample, id) alone, so the results are bit-identical
+    // — spec-pinned); an EMPTY input therefore yields no rows
+    bootstrapCiByGroup(df.withColumn("__bsg", lit(0)), "__bsg",
+        idCol, valueCol, b, lower, upper, scale)
+      .drop("__bsg")
 
   /** [[bootstrapCi]] per group — the shape an eval REPORT needs: one
     * interval per problem / model / source (a per-model win rate

@@ -52,6 +52,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[streaming] object BatchDirs {
 
+  /** The store's `batch=<id>` directories as (id, path) — the ONE
+    * parser of the partition naming scheme (merge, crash detection
+    * and the rebalance swap all list the same layout). Non-`batch=`
+    * and non-numeric names are ignored (staging dirs are
+    * dot-prefixed and never match).
+    */
+  private[streaming] def listBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+                                      root: Path): Seq[(Long, Path)] =
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .flatMap(p => scala.util.Try(
+        p.getName.stripPrefix("batch=").toLong).toOption.map(_ -> p))
+
   /** True when a crashed merge's duplicate window is OPEN: some merge
     * target `batch=-(u+1)` exists alongside a surviving covered source
     * (any other directory with id ≤ u) — the state left by a crash
@@ -68,12 +83,7 @@ private[streaming] object BatchDirs {
     val root = new Path(rootPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return false
-    val ids = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .flatMap(n =>
-        scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    val ids = listBatchIds(fs, root).map(_._1)
     ids.exists { t =>
       t < 0 && t != Long.MinValue &&
         ids.exists(s => s != t && s <= -(t + 1))
@@ -97,14 +107,8 @@ private[streaming] object BatchDirs {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
     val target = new Path(root, s"batch=${-(upToBatch + 1)}")
-    val covered = fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
-            .toOption.exists(_ <= upToBatch)
-      }
+    val covered = listBatchIds(fs, root)
+      .filter(_._1 <= upToBatch).map(_._2)
     // compare by name: listStatus paths are scheme-qualified, target
     // is not — URI equality would silently keep the target in sources
     val sources = covered.filterNot(_.getName == target.getName)

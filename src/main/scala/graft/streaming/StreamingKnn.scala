@@ -210,29 +210,36 @@ object StreamingKnn {
     val cCommit = new org.apache.hadoop.fs.Path(cParent,
       "." + cLive.getName + "__rebal_commit")
     def batchDirs(): Seq[(Long, org.apache.hadoop.fs.Path)] =
-      fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-        .flatMap(p => scala.util.Try(
-          p.getName.stripPrefix("batch=").toLong).toOption
-          .filter(_ => p.getName.startsWith("batch=")).map(_ -> p))
+      BatchDirs.listBatchIds(fs, root)
     def stageOf(name: String) =
       new org.apache.hadoop.fs.Path(root, ".__rebal_" + name)
     if (!fs.exists(cCommit)) {
-      // ---- phase A: stage everything; the live store is untouched
+      // ---- phase A: stage everything; the live store is untouched.
+      // Any surviving `.__rebal_*` staging first DELETES (the
+      // BatchDirs stale-`.__merge_tmp` rule): it belongs to a run
+      // that crashed BEFORE its commit rename, was filed under
+      // never-committed centroids, and phase B would otherwise
+      // resurrect it — publishing rows whose cell ids match no live
+      // centroid table.
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".__rebal_"))
+        .foreach(fs.delete(_, true))
       val dirs = batchDirs()
       require(dirs.nonEmpty, s"no postings directories under $postingsPath")
       val all = spark.read.parquet(dirs.map(_._2.toString): _*)
         .select(col("neighbor_id"), col("cv"))
         .dropDuplicates("neighbor_id") // heal a crashed-merge window
-      val k =
-        if (cells > 0) cells
-        else spark.read.parquet(centroidsPath).count().toInt
+      // the rebuild IS Similarity.ivfRebalance over the live store
+      // (store = corpus, default cells = the live centroid count);
       // refineIters > 0 is the lever that actually SPLITS a hot cell
-      // (deterministic re-seeding alone re-files under id-order seeds,
-      // which a near-constant ingest stream still collapses onto);
-      // refineIters = 0 keeps the rebalance ≡ fresh-ivfIndex parity
-      // the spec pins
-      val ix = Similarity.ivfIndex(all, "neighbor_id", "cv", k,
-        refineIters, refineFraction)
+      // (deterministic re-seeding alone re-files under id-order
+      // seeds, which a near-constant ingest stream still collapses
+      // onto); refineIters = 0 keeps the rebalance ≡ fresh-ivfIndex
+      // parity the spec pins
+      val ix = Similarity.ivfRebalance(
+        Similarity.IvfIndexFrames(
+          spark.read.parquet(centroidsPath), all),
+        cells, refineIters, refineFraction)
       ix.centroids.write.mode("overwrite").parquet(cStage.toString)
       val cents = spark.read.parquet(cStage.toString)
       // re-filing is ivfAppend under the staged centroids (postings

@@ -215,6 +215,45 @@ class StreamingKnnSpec extends SparkSpec {
       upToBatch = 2L, maxLoadRatio = 1000.0))
   }
 
+  test("rebalanceSwap deletes stale staging from a pre-commit crash " +
+      "instead of resurrecting it") {
+    val cents = tmp("sknn_sc"); val posts = tmp("sknn_sp")
+    val out = tmp("sknn_so")
+    StreamingKnn.initIndex(corpusDf, "vec_id", "embedding", cents,
+      posts, cells = 8)
+    StreamingKnn.processBatch(batchDf(100L, 5), 0L, "vec_id",
+      "embedding", cents, posts, out, k = 3, nProbe = 8)
+    StreamingKnn.processBatch(batchDf(200L, 5), 1L, "vec_id",
+      "embedding", cents, posts, out, k = 3, nProbe = 8)
+    // a prior rebalanceSwap(upToBatch=0) crashed BEFORE its commit
+    // rename, leaving batch 1 staged under never-committed centroids
+    // (poisoned here with an impossible cell id)
+    (900L until 905L).map(i => (i, tvec(i), 999L))
+      .toDF("neighbor_id", "cv", "cell")
+      .write.parquet(s"$posts/.__rebal_b_1")
+    // the re-run (now covering both batches) must discard that
+    // staging, not publish it
+    StreamingKnn.rebalanceSwap(spark, cents, posts, upToBatch = 1L)
+    val dirs = new java.io.File(posts).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(dirs === Set("batch=-2"))
+    val store = StreamingKnn.readIndex(spark, cents, posts).postings
+    assert(store.filter($"cell" === 999L).count() === 0L)
+    assert(!store.select("neighbor_id").as[Long].collect()
+      .exists(_ >= 900L))
+    // and the swapped store still answers like a fresh build
+    val everything = corpusDf.unionByName(batchDf(100L, 5))
+      .unionByName(batchDf(200L, 5))
+    val b3 = batchDf(300L, 4)
+    assert(knnSet(Similarity.knnAgainstIndex(
+        StreamingKnn.readIndex(spark, cents, posts), b3, "vec_id",
+        "embedding", k = 3, nProbe = 8)) ===
+      knnSet(Similarity.knnAgainstIndex(
+        Similarity.ivfIndex(everything, "vec_id", "embedding", cells = 8),
+        b3, "vec_id", "embedding", k = 3, nProbe = 8)))
+  }
+
   test("crashed-merge duplicate window: detected, probe dedups while " +
       "open, closed by re-running the merge") {
     val cents = tmp("sknn_dc"); val posts = tmp("sknn_dp")
