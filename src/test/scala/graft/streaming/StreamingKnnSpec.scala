@@ -254,6 +254,61 @@ class StreamingKnnSpec extends SparkSpec {
         b3, "vec_id", "embedding", k = 3, nProbe = 8)))
   }
 
+  test("rebalanceSwap re-run completes a crash AFTER the commit " +
+      "marker: publish finishes from the staging, no recompute, same " +
+      "store as an uninterrupted swap") {
+    // two identical stores; one swaps uninterrupted, the other is
+    // hand-placed into the post-commit crash state (commit marker +
+    // consumed staging) and healed by a re-run
+    def build(cents: String, posts: String, out: String): Unit = {
+      StreamingKnn.initIndex(corpusDf, "vec_id", "embedding", cents,
+        posts, cells = 8)
+      StreamingKnn.processBatch(batchDf(100L, 5), 0L, "vec_id",
+        "embedding", cents, posts, out, k = 3, nProbe = 8)
+      StreamingKnn.processBatch(batchDf(200L, 5), 1L, "vec_id",
+        "embedding", cents, posts, out, k = 3, nProbe = 8)
+    }
+    val (cA, pA, oA) = (tmp("sknn_ca"), tmp("sknn_pa"), tmp("sknn_oa"))
+    val (cB, pB, oB) = (tmp("sknn_cb"), tmp("sknn_pb"), tmp("sknn_ob"))
+    build(cA, pA, oA); build(cB, pB, oB)
+    StreamingKnn.rebalanceSwap(spark, cA, pA, upToBatch = 0L)
+    // store B: reconstruct the exact phase-A output (same public
+    // ops), place the commit marker, but "crash" before ANY publish
+    val all = spark.read.parquet(pB)
+      .select($"neighbor_id", $"cv").dropDuplicates("neighbor_id")
+    val ix = Similarity.ivfRebalance(Similarity.IvfIndexFrames(
+      spark.read.parquet(cB), all))
+    val cCommit = new java.io.File(new java.io.File(cB).getParent,
+      "." + new java.io.File(cB).getName + "__rebal_commit").toString
+    ix.centroids.write.mode("overwrite").parquet(cCommit)
+    val cents = spark.read.parquet(cCommit)
+    def refile(src: Seq[String], stage: String): Unit =
+      Similarity.ivfAppend(
+          Similarity.IvfIndexFrames(cents, cents.limit(0)),
+          spark.read.parquet(src: _*)
+            .select($"neighbor_id", $"cv").dropDuplicates("neighbor_id"),
+          "neighbor_id", "cv")
+        .write.mode("overwrite").parquet(s"$pB/.__rebal_$stage")
+    refile(Seq(s"$pB/batch=${Long.MinValue}", s"$pB/batch=0"), "merged")
+    refile(Seq(s"$pB/batch=1"), "b_1")
+    // the re-run must complete the publish from the staging alone
+    StreamingKnn.rebalanceSwap(spark, cB, pB, upToBatch = 0L)
+    def state(c: String, p: String) = (
+      spark.read.parquet(c).select($"cell", $"sv")
+        .as[(Long, Seq[Float])].collect().toSet,
+      StreamingKnn.readIndex(spark, c, p).postings
+        .select($"neighbor_id", $"cell").as[(Long, Long)]
+        .collect().toSet,
+      new java.io.File(p).listFiles()
+        .filter(f => f.getName.startsWith("batch=")).map(_.getName)
+        .toSet)
+    assert(state(cB, pB) === state(cA, pA))
+    // no staging or marker survives either path
+    assert(!new java.io.File(cCommit).exists())
+    assert(new java.io.File(pB).listFiles()
+      .forall(!_.getName.startsWith(".__rebal_")))
+  }
+
   test("crashed-merge duplicate window: detected, probe dedups while " +
       "open, closed by re-running the merge") {
     val cents = tmp("sknn_dc"); val posts = tmp("sknn_dp")
