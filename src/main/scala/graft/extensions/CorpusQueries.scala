@@ -1406,6 +1406,47 @@ object CorpusQueries {
         .orderBy(col("source"), col("tok_rank"))
     },
 
+    // Tokenizer-true release manifest: the same 8-merge tokenizer's
+    // per-doc symbol counts roll into the shard token totals (what a
+    // training recipe actually budgets against), while the content
+    // fingerprint stays the count-independent Σ-hash32 over id|text.
+    // Shares the BPE CTE prefix; the oracle re-derives shards, BPE
+    // counts and fingerprint sums.
+    Q("ext_manifest_bpe", {
+      val merges = 8
+      val chain = (1 to merges).map { i =>
+        s"""d$i AS (SELECT doc_id, replace(s,
+           |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |  chr(31) || lhs || rhs || chr(31)) AS s
+           | FROM d${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeCtes(merges)},
+         |d0 AS (SELECT doc_id, regexp_replace(
+         |  array_to_string($TOKS, ' '),
+         |  '(\\S)', chr(31) || '\\1' || chr(31), 'g') AS s
+         | FROM documents),
+         |$chain,
+         |enc AS (SELECT doc_id,
+         |  (len(s) - len(replace(s, chr(31), ''))) // 2 AS n_bpe
+         | FROM d$merges)
+         |SELECT ${h32("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(enc.n_bpe) AS BIGINT) AS n_tokens,
+         | CAST(sum(${h32("CAST(doc_id AS VARCHAR) || '|' || text")})
+         |  AS BIGINT) AS content_fp
+         |FROM documents JOIN enc USING (doc_id)
+         |GROUP BY 1 ORDER BY shard""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d)
+      val enc = Corpus.bpeEncode(docs0, "doc_id", "text",
+          Corpus.bpeTrain(docs0, "text", merges = 8))
+        .select(col("doc_id"), col("n_bpe"))
+      Corpus.manifestCounts(
+          docs0.select(col("doc_id"), col("text")).join(enc, Seq("doc_id")),
+          "doc_id", "text", "n_bpe", nShards = 8)
+        .orderBy(col("shard"))
+    },
+
     // ---- temperature-balanced source mixing -----------------------------
     // α = 0.5 sampling shares per source; sqrt is IEEE
     // correctly-rounded so both engines see the same double, then all

@@ -2210,6 +2210,89 @@ object ExtensionQueries {
       graft.operators.Stats.bootstrapCi(preds, "doc_id", "win", b = 64)
     },
 
+    // Paired A/B comparison with a significance verdict: per-prompt
+    // score difference (model A engineered +0.08 over B on otherwise
+    // unrelated score streams), unit-resampled so the pairing is
+    // preserved, interval excluding 0 → significant. The oracle
+    // replays the diff arithmetic and the full CI machinery.
+    Q("ext_eval_paired", {
+      val sc = "1000000000.0"
+      val b = 64
+      val wCase = graft.operators.Stats.PoissonCdf32.zipWithIndex
+        .map { case (t, k) => s"WHEN hu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |  ((CAST((doc_id * 7) % 100 AS DOUBLE) / 100.0 + 0.08) -
+         |   CAST((doc_id * 13) % 100 AS DOUBLE) / 100.0) AS x
+         | FROM documents),
+         |dr AS (SELECT r.i AS r,
+         |  ${h32("CAST(r.i AS VARCHAR) || ':' || id")} AS hu, x
+         | FROM u, range($b) r(i)),
+         |m AS (SELECT r,
+         |  CASE WHEN sum($wCase) > 0 THEN
+         |   CAST(${fxSql(s"CAST(($wCase) AS DOUBLE) * x", sc)}
+         |     AS DOUBLE) / $sc / CAST(sum($wCase) AS DOUBLE)
+         |  END AS mm
+         | FROM dr GROUP BY r),
+         |ci AS (SELECT quantile_cont(mm, 0.025) AS lo,
+         |  quantile_cont(mm, 0.975) AS hi FROM m),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${fxSql("x", sc)} AS sfx FROM u)
+         |SELECT n, CAST($b AS INT) AS b,
+         | CASE WHEN n > 0 THEN
+         |  CAST(sfx AS DOUBLE) / $sc / CAST(n AS DOUBLE) END AS mean,
+         | lo, hi, (lo > 0.0 OR hi < 0.0) AS significant
+         |FROM pt, ci""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val scores = documents(s, d).select(id,
+        (pmod(id * 7, lit(100)).cast("double") / 100.0 + 0.08)
+          .as("score_a"),
+        (pmod(id * 13, lit(100)).cast("double") / 100.0).as("score_b"))
+      graft.operators.Stats.pairedDiffCi(scores, "doc_id",
+        "score_a", "score_b", b = 64)
+    },
+
+    // Per-rater agreement with the leave-one-out consensus — which
+    // annotator to retrain: 40 items × 7 raters (doc_id arithmetic),
+    // rater 3 votes from a wider category set so their agreement
+    // rate drops while the consensus raters stay high. The oracle
+    // replays the vote dedup, the leave-one-out count adjustment and
+    // the (count desc, category) majority tie-break.
+    Q("ext_rater_agreement",
+      s"""WITH r0 AS (SELECT doc_id % 40 AS item, doc_id % 7 AS rater,
+         |  CASE WHEN doc_id % 7 = 3 THEN doc_id % 5
+         |   ELSE (doc_id % 40) % 3 END AS cat FROM documents),
+         |v AS (SELECT item, rater, min(cat) AS owncat
+         |  FROM r0 GROUP BY 1, 2),
+         |c AS (SELECT item, owncat AS cat, count(*) AS n
+         |  FROM v GROUP BY 1, 2),
+         |cand AS (SELECT v.item, v.rater, v.owncat, c.cat,
+         |  c.n - CASE WHEN c.cat = v.owncat THEN 1 ELSE 0 END AS adj
+         | FROM v JOIN c ON c.item = v.item),
+         |mj AS (SELECT item, rater, owncat, cat AS mjc FROM (
+         |  SELECT item, rater, owncat, cat,
+         |   row_number() OVER (PARTITION BY item, rater
+         |     ORDER BY adj DESC, cat) AS rn
+         |  FROM cand WHERE adj > 0) WHERE rn = 1)
+         |SELECT rater, CAST(count(*) AS BIGINT) AS n_items,
+         | CAST(sum(CASE WHEN mjc = owncat THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_agree,
+         | CAST(sum(CASE WHEN mjc = owncat THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS agree_rate
+         |FROM mj GROUP BY rater ORDER BY rater""".stripMargin) {
+      (s, d) =>
+        val id = col("doc_id")
+        val ratings = documents(s, d).select(
+          pmod(id, lit(40)).as("item"),
+          pmod(id, lit(7)).as("rater"),
+          when(pmod(id, lit(7)) === 3, pmod(id, lit(5)))
+            .otherwise(pmod(pmod(id, lit(40)), lit(3))).as("cat"))
+        graft.operators.Stats.raterAgreement(ratings, "item", "rater",
+            "cat")
+          .orderBy(col("rater"))
+    },
+
     // Per-model win-rate CIs — the eval-report shape: 8 models with
     // engineered win rates 40%..75%, one interval per model, so
     // "model 7 beats model 0" is readable off non-overlapping

@@ -314,7 +314,23 @@ object Corpus {
     * with 10 bits to spare; beyond that, shard finer.
     */
   def manifest(df: DataFrame, idCol: String, textCol: String,
-               nShards: Int): DataFrame = {
+               nShards: Int): DataFrame =
+    manifestCounts(
+      df.withColumn("__mct",
+        size(TextFns.toks(col(textCol))).cast("long")),
+      idCol, textCol, "__mct", nShards)
+
+  /** [[manifest]] with a PRE-COMPUTED per-doc token count column —
+    * the tokenizer-true release artifact: a manifest's `n_tokens`
+    * totals are what downstream recipes budget against, and a
+    * whitespace count misstates what the trainer consumes on code /
+    * CJK / URL-heavy shards. Feed it [[bpeEncode]]'s `n_bpe` (the
+    * [[tokenQuotaByGroupCounts]] composition) and the shard totals
+    * meter tokenizer tokens; the content fingerprint still hashes
+    * `id|text`, so identity stays count-independent.
+    */
+  def manifestCounts(df: DataFrame, idCol: String, textCol: String,
+                     nTokensCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 20),
       s"nShards must be in [1, 2^20], got $nShards")
     val h = TextFns.hash32(
@@ -322,7 +338,7 @@ object Corpus {
     df.select(pmod(TextFns.hash32(col(idCol).cast("string")),
           lit(nShards.toLong)).as("shard"),
         h.as("__h"),
-        size(TextFns.toks(col(textCol))).cast("long").as("__nt"))
+        col(nTokensCol).cast("long").as("__nt"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
         sum(col("__h")).as("content_fp"))

@@ -569,6 +569,79 @@ object Stats {
         idCol, valueCol, b, lower, upper, scale)
       .drop("__bsg")
 
+  /** Paired-difference bootstrap CI — the A/B model-comparison
+    * decision in one row: given PAIRED per-unit scores (two models
+    * on the same prompts, two checkpoints on the same eval items),
+    * the interval on the mean difference `aCol − bCol`, resampling
+    * UNITS so the pairing is preserved (an unpaired comparison of
+    * two separately-bootstrapped means throws away the per-prompt
+    * correlation and needs far more data for the same power).
+    * Output: (n, b, mean, lo, hi, significant) — `mean` the exact
+    * mean difference and `significant` true when the interval
+    * excludes 0 (lo > 0: A better; hi < 0: B better). Pairs with a
+    * null on either side sit out ([[lengthBias]]'s rule). Exactly
+    * [[bootstrapCi]] on the difference column — same hash-seeded
+    * Poisson draws, same determinism and scale shape.
+    */
+  def pairedDiffCi(df: DataFrame, idCol: String, aCol: String,
+                   bCol: String, b: Int,
+                   lower: Double = 0.025, upper: Double = 0.975,
+                   scale: Double = 1e9): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    bootstrapCi(
+      df.withColumn("__pd",
+        col(aCol).cast(DoubleType) - col(bCol).cast(DoubleType)),
+      idCol, "__pd", b, lower, upper, scale)
+      .withColumn("significant",
+        col("lo") > 0.0 || col("hi") < 0.0)
+  }
+
+  /** Per-rater agreement with the leave-one-out consensus — the
+    * annotator-QA companion to [[fleissKappa]]: kappa says whether
+    * the LABEL SET is reliable, this says WHICH rater to retrain or
+    * drop. For each (item, rater) vote, the consensus is the
+    * majority category among the item's OTHER raters (ties to the
+    * smaller category — the [[graft.operators.Similarity
+    * .knnClassify]] rule); a rater scores agreement when their own
+    * vote matches it. Items where a rater has no co-raters
+    * contribute nothing for that rater (no consensus to compare
+    * against). Duplicate ratings by the same rater on the same item
+    * collapse to the smallest category first (deterministic,
+    * engine-portable). One row per rater:
+    * (raterCol, n_items, n_agree, agree_rate).
+    *
+    * Scale shape: two map-side-combining hash aggs (vote dedup, then
+    * per-(item, category) counts), ONE item-keyed equi-join fanning
+    * each vote out over its item's ≤|categories| count rows, a
+    * min-struct argmax per (item, rater) (no window), and a final
+    * rater-keyed agg. Nothing driver-side; skew bounded by
+    * categories-per-item, which annotation schemas keep small.
+    */
+  def raterAgreement(ratings: DataFrame, itemCol: String,
+                     raterCol: String, categoryCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val votes = ratings.groupBy(col(itemCol).as("__it"),
+        col(raterCol).as("__rt"))
+      .agg(min(col(categoryCol)).as("__own"))
+    val counts = votes.groupBy(col("__it"), col("__own").as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+    val cand = votes.join(counts, Seq("__it"))
+      .withColumn("__adj", col("__n") -
+        when(col("__cat") === col("__own"), 1L).otherwise(0L))
+      .filter(col("__adj") > 0)
+    cand.groupBy(col("__it"), col("__rt"))
+      .agg(min(struct((-col("__adj")).as("na"), col("__cat").as("c")))
+          .as("__mj"),
+        max(col("__own")).as("__o"))
+      .select(col("__rt"),
+        (col("__mj.c") === col("__o")).as("__agree"))
+      .groupBy(col("__rt").as(raterCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__agree"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_rate",
+        col("n_agree").cast(DoubleType) / col("n_items").cast(DoubleType))
+  }
+
   /** [[bootstrapCi]] per group — the shape an eval REPORT needs: one
     * interval per problem / model / source (a per-model win rate
     * without its interval invites reading noise as a ranking; with

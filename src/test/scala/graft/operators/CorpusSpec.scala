@@ -69,6 +69,31 @@ class CorpusSpec extends SparkSpec {
         .as[(Long, Int, Long, Long)].collect().toSet)
   }
 
+  test("manifestCounts: token totals meter the supplied count column; " +
+      "identity (shards, doc counts, fingerprints) is count-independent") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("id", "text")
+    val ws = Corpus.manifest(df, "id", "text", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the text form IS the counts form on the whitespace count
+    val viaCounts = Corpus.manifestCounts(
+      df.withColumn("n",
+        size(graft.functions.TextFns.toks($"text")).cast("long")),
+      "id", "text", "n", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaCounts === ws)
+    // a different unit changes ONLY n_tokens
+    val doubled = Corpus.manifestCounts(
+      df.withColumn("n",
+        size(graft.functions.TextFns.toks($"text")).cast("long") * 2),
+      "id", "text", "n", nShards = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(doubled.map(r => (r._1, r._2, r._4)) ===
+      ws.map(r => (r._1, r._2, r._4)))
+    assert(doubled.map(r => r._1 -> r._3) ===
+      ws.map(r => r._1 -> r._3 * 2))
+  }
+
   test("sampleByHash: deterministic, and a filter of the input") {
     val big = spark.range(1000).withColumnRenamed("id", "k")
     val a = Corpus.sampleByHash(big, "k", 10).as[Long].collect().sorted

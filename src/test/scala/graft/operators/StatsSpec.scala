@@ -144,6 +144,48 @@ class StatsSpec extends SparkSpec {
     assert(again === m)
   }
 
+  test("pairedDiffCi: constant gap collapses to a significant " +
+      "interval; identical scores are insignificant; null pairs sit " +
+      "out") {
+    val gap = (0L until 30L)
+      .map(i => (i, 0.6 + (i % 5) / 10.0, 0.1 + (i % 5) / 10.0))
+      .toDF("id", "a", "b")
+    val g = Stats.pairedDiffCi(gap, "id", "a", "b", b = 32)
+      .as[(Long, Int, Double, Double, Double, Boolean)].head()
+    assert(g === ((30L, 32, 0.5, 0.5, 0.5, true)))
+    val same = (0L until 30L).map(i => (i, 0.4 + (i % 7) / 10.0))
+      .map { case (i, x) => (i, x, x) }.toDF("id", "a", "b")
+    val s0 = Stats.pairedDiffCi(same, "id", "a", "b", b = 32)
+      .as[(Long, Int, Double, Double, Double, Boolean)].head()
+    assert(s0._3 === 0.0 && !s0._6)
+    val withNull = gap.unionByName(
+      Seq((99L, Option.empty[Double], Option(0.5)))
+        .toDF("id", "a", "b"))
+    assert(Stats.pairedDiffCi(withNull, "id", "a", "b", b = 32)
+      .as[(Long, Int, Double, Double, Double, Boolean)].head()._1 === 30L)
+  }
+
+  test("raterAgreement: leave-one-out majority, ties to the smaller " +
+      "category, sole raters contribute nothing, duplicates collapse") {
+    val ratings = Seq(
+      // item 1: r1 votes a (duplicate b collapses to min a), r2 a,
+      // r3 b — r1/r2 see an a-vs-b tie (tie → a, agree), r3 sees a
+      // 2-0 consensus for a (disagree)
+      (1L, "r1", "a"), (1L, "r1", "b"), (1L, "r2", "a"), (1L, "r3", "b"),
+      // item 2: a sole rater — no consensus to compare against
+      (2L, "r1", "z"),
+      // item 3: unanimous
+      (3L, "r1", "x"), (3L, "r2", "x")
+    ).toDF("item", "rater", "cat")
+    val out = Stats.raterAgreement(ratings, "item", "rater", "cat")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      "r1" -> ((2L, 2L, 1.0)),
+      "r2" -> ((2L, 2L, 1.0)),
+      "r3" -> ((1L, 0L, 0.0))))
+  }
+
   test("bootstrapCiByGroup: a single-group input reproduces the " +
       "ungrouped operator exactly; groups resample independently") {
     val vals = (0L until 40L).map(i => (i, if (i % 4 == 0) 1.0 else 0.0))
