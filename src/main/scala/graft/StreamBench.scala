@@ -496,6 +496,31 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Annotation-log ingestion: one (item, rater, category) count
+    * partial landed per batch — the StreamingRatings foreachBatch
+    * body (Fleiss' κ / rater agreement are on-demand pulls, not a
+    * per-batch cost).
+    */
+  private def benchRatings(spark: SparkSession, batches: Int,
+                           rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Long, Long)]
+    val ratings = src.toDF().toDF("item", "rater", "cat")
+    val store = tmpDir("rat"); val cp = ckpt("rat")
+    val q = StreamingRatings.ratingsSink(ratings, "item", "rater",
+        "cat", store)
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val i = b.toLong * rows + r
+        (i % 200, i % 9, if (i % 9 == 3) i % 5 else (i % 200) % 3)
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Deterministic 64-dim float vector from an id — bounded value
     * pool so IVF cells get real multi-member structure.
     */
@@ -580,7 +605,8 @@ object StreamBench {
     "sketch" -> "StreamingSketch",
     "knn" -> "StreamingKnn",
     "bt" -> "StreamingBt",
-    "evals" -> "StreamingEval")
+    "evals" -> "StreamingEval",
+    "ratings" -> "StreamingRatings")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
   private[graft] def apps(spark: SparkSession, batches: Int,
@@ -599,7 +625,8 @@ object StreamBench {
     "sketch" -> (() => benchSketch(spark, batches, rows)),
     "knn" -> (() => benchKnn(spark, batches, rows)),
     "bt" -> (() => benchBt(spark, batches, rows)),
-    "evals" -> (() => benchEvals(spark, batches, rows)))
+    "evals" -> (() => benchEvals(spark, batches, rows)),
+    "ratings" -> (() => benchRatings(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline (or just `only`'s — the
     * escalation re-drive path); returns the JSON fragment for Bench's

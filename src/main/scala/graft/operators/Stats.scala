@@ -199,17 +199,36 @@ object Stats {
     * join, nothing driver-side.
     */
   def fleissKappa(ratings: DataFrame, itemCol: String,
-                  categoryCol: String): DataFrame = {
+                  categoryCol: String): DataFrame =
+    fleissKappaFromCounts(
+      ratings.groupBy(col(itemCol), col(categoryCol))
+        .agg(count(lit(1)).as("__n")),
+      itemCol, categoryCol, "__n")
+
+  /** [[fleissKappa]] over PRE-AGGREGATED per-(item, category) rating
+    * counts — the shape a streaming annotation-log store accumulates
+    * ([[passAtKFromCounts]]'s pattern): every Fleiss quantity is a
+    * pure function of the n_ij table, so computing it over the
+    * merged store equals computing it over the full replayed rating
+    * log (spec-pinned via the row form above, which is exactly this
+    * on its own count aggregation). Null or non-positive count rows
+    * drop up front (no ratings to count — the
+    * [[btStrengthsFromCounts]] rule).
+    */
+  def fleissKappaFromCounts(counts: DataFrame, itemCol: String,
+                            categoryCol: String,
+                            nCol: String): DataFrame = {
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.sql.types.DoubleType
     val sc = 1e12
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // nij feeds the per-item rollup AND the marginals; ni feeds the
     // agreement mean AND the marginals' qualifying-item join — both
-    // persisted (the cb convention) so the ratings scan runs once
-    val nij = ratings.groupBy(col(itemCol).as("__it"),
-        col(categoryCol).as("__cat"))
-      .agg(count(lit(1)).as("__nij"))
+    // persisted (the cb convention) so the counts scan runs once
+    val nij = counts
+      .filter(col(nCol).isNotNull && col(nCol) > 0)
+      .groupBy(col(itemCol).as("__it"), col(categoryCol).as("__cat"))
+      .agg(sum(col(nCol)).as("__nij"))
       .persist(MEMORY_AND_DISK)
     val ni = nij.groupBy(col("__it"))
       .agg(sum(col("__nij")).as("__ni"),
@@ -618,15 +637,32 @@ object Stats {
     * categories-per-item, which annotation schemas keep small.
     */
   def raterAgreement(ratings: DataFrame, itemCol: String,
-                     raterCol: String, categoryCol: String): DataFrame = {
+                     raterCol: String, categoryCol: String): DataFrame =
+    raterAgreementFromCounts(
+      ratings.groupBy(col(itemCol), col(raterCol), col(categoryCol))
+        .agg(count(lit(1)).as("__n")),
+      itemCol, raterCol, categoryCol, "__n")
+
+  /** [[raterAgreement]] over PRE-AGGREGATED per-(item, rater,
+    * category) rating counts — the streamed-store shape
+    * ([[fleissKappaFromCounts]]'s sibling): the vote dedup is a min
+    * over the categories PRESENT for an (item, rater), which only
+    * needs count existence, so the merged store reproduces the full
+    * replayed log's fit exactly (spec-pinned via the row form).
+    * Null or non-positive count rows drop up front.
+    */
+  def raterAgreementFromCounts(counts: DataFrame, itemCol: String,
+                               raterCol: String, categoryCol: String,
+                               nCol: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val votes = ratings.groupBy(col(itemCol).as("__it"),
-        col(raterCol).as("__rt"))
+    val votes = counts
+      .filter(col(nCol).isNotNull && col(nCol) > 0)
+      .groupBy(col(itemCol).as("__it"), col(raterCol).as("__rt"))
       .agg(min(col(categoryCol)).as("__own"))
-    val counts = votes.groupBy(col("__it"), col("__own").as("__cat"))
-      .agg(count(lit(1)).as("__n"))
-    val cand = votes.join(counts, Seq("__it"))
-      .withColumn("__adj", col("__n") -
+    val tallies = votes.groupBy(col("__it"), col("__own").as("__cat"))
+      .agg(count(lit(1)).as("__vn"))
+    val cand = votes.join(tallies, Seq("__it"))
+      .withColumn("__adj", col("__vn") -
         when(col("__cat") === col("__own"), 1L).otherwise(0L))
       .filter(col("__adj") > 0)
     cand.groupBy(col("__it"), col("__rt"))
