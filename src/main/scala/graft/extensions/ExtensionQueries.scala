@@ -2293,6 +2293,61 @@ object ExtensionQueries {
           .orderBy(col("rater"))
     },
 
+    // Pairwise win-rate matrix with CIs — the head-to-head eval
+    // report over a comparison log: 4 models, every comparison keyed
+    // by its unordered pair, win rate of the smaller-named model per
+    // pair with a within-pair bootstrap interval (bootstrapCiByGroup
+    // on the pair key — non-overlap with 0.5 is the readable
+    // "actually better head-to-head" signal BT's global strengths
+    // summarize away). The oracle replays the pair key, the win
+    // indicator and the full grouped CI machinery.
+    Q("ext_winrate_pairs", {
+      val sc = "1000000000.0"
+      val b = 32
+      val wCase = graft.operators.Stats.PoissonCdf32.zipWithIndex
+        .map { case (t, k) => s"WHEN hu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH p AS (SELECT doc_id, doc_id % 4 AS w,
+         |  (doc_id // 4) % 4 AS l FROM documents
+         | WHERE doc_id % 4 != (doc_id // 4) % 4),
+         |u AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |  CAST(least(w, l) AS VARCHAR) || '|' ||
+         |   CAST(greatest(w, l) AS VARCHAR) AS pair,
+         |  CAST(CASE WHEN w < l THEN 1 ELSE 0 END AS DOUBLE) AS x
+         | FROM p),
+         |dr AS (SELECT pair, r.i AS r,
+         |  ${h32("CAST(r.i AS VARCHAR) || ':' || id")} AS hu, x
+         | FROM u, range($b) r(i)),
+         |m AS (SELECT pair, r,
+         |  CASE WHEN sum($wCase) > 0 THEN
+         |   CAST(${fxSql(s"CAST(($wCase) AS DOUBLE) * x", sc)}
+         |     AS DOUBLE) / $sc / CAST(sum($wCase) AS DOUBLE)
+         |  END AS mm
+         | FROM dr GROUP BY pair, r),
+         |ci AS (SELECT pair, quantile_cont(mm, 0.025) AS lo,
+         |  quantile_cont(mm, 0.975) AS hi FROM m GROUP BY pair),
+         |pt AS (SELECT pair, CAST(count(*) AS BIGINT) AS n,
+         |  ${fxSql("x", sc)} AS sfx FROM u GROUP BY pair)
+         |SELECT pt.pair, n, CAST($b AS INT) AS b,
+         | CASE WHEN n > 0 THEN
+         |  CAST(sfx AS DOUBLE) / $sc / CAST(n AS DOUBLE) END AS mean,
+         | lo, hi
+         |FROM pt JOIN ci USING (pair) ORDER BY pair""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val p = documents(s, d)
+        .select(id, pmod(id, lit(4)).as("w"),
+          pmod(expr("doc_id div 4"), lit(4)).as("l"))
+        .filter(col("w") =!= col("l"))
+      val u = p.select(id,
+        concat(least(col("w"), col("l")).cast("string"), lit("|"),
+          greatest(col("w"), col("l")).cast("string")).as("pair"),
+        when(col("w") < col("l"), 1.0).otherwise(0.0).as("win_lo"))
+      graft.operators.Stats.bootstrapCiByGroup(u, "pair", "doc_id",
+          "win_lo", b = 32)
+        .orderBy(col("pair"))
+    },
+
     // Per-model win-rate CIs — the eval-report shape: 8 models with
     // engineered win rates 40%..75%, one interval per model, so
     // "model 7 beats model 0" is readable off non-overlapping
