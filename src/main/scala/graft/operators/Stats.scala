@@ -655,10 +655,16 @@ object Stats {
                                raterCol: String, categoryCol: String,
                                nCol: String): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // votes feeds the per-(item, category) tallies AND the candidate
+    // join — persisted (the cb convention, as in
+    // fleissKappaFromCounts) so the counts scan runs once; on the
+    // streamed path that scan is the whole merged store
     val votes = counts
       .filter(col(nCol).isNotNull && col(nCol) > 0)
       .groupBy(col(itemCol).as("__it"), col(raterCol).as("__rt"))
       .agg(min(col(categoryCol)).as("__own"))
+      .persist(MEMORY_AND_DISK)
     val tallies = votes.groupBy(col("__it"), col("__own").as("__cat"))
       .agg(count(lit(1)).as("__vn"))
     val cand = votes.join(tallies, Seq("__it"))
