@@ -2026,6 +2026,45 @@ object ExtensionQueries {
       graft.operators.Stats.fleissKappa(ratings, "item", "cat")
     },
 
+    // Krippendorff's alpha (nominal) — the missing-data-robust
+    // reliability coefficient over the same rating fixture as
+    // ext_fleiss_kappa (unequal rater counts are exactly alpha's home
+    // turf). Exact integer count tables; the one cross-row double sum
+    // (observed-disagreement terms) fixed-point at 1e12; the closing
+    // arithmetic mirrored op-for-op.
+    Q("ext_kripp_alpha", {
+      val sc = "1000000000000.0"
+      s"""WITH r AS (SELECT doc_id % 40 AS item,
+         |  CASE WHEN doc_id % 7 = 0 THEN doc_id % 5
+         |   ELSE (doc_id % 40) % 3 END AS cat FROM documents),
+         |nij AS (SELECT item, cat, count(*) AS nij FROM r GROUP BY 1, 2),
+         |ni AS (SELECT item, sum(nij) AS ni FROM nij GROUP BY 1
+         |  HAVING sum(nij) >= 2),
+         |dobs AS (SELECT ${fxSql(
+             "CAST(nij * (ni - nij) AS DOUBLE) / CAST(ni - 1 AS DOUBLE)",
+             sc)} AS dofx
+         |  FROM nij JOIN ni USING (item)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(ni) AS BIGINT) AS n_ratings FROM ni),
+         |mg AS (SELECT cat, sum(nij.nij) AS nc FROM nij
+         |  JOIN ni USING (item) GROUP BY 1),
+         |de AS (SELECT CAST(sum(nc * (n_ratings - nc)) AS BIGINT)
+         |  AS dev FROM mg, tot)
+         |SELECT n_items, n_ratings,
+         | CASE WHEN dev > 0 THEN
+         |  1.0 - CAST(n_ratings - 1 AS DOUBLE) *
+         |   (CAST(dofx AS DOUBLE) / $sc) / CAST(dev AS DOUBLE)
+         | END AS alpha
+         |FROM tot, dobs, de""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val ratings = documents(s, d).select(
+        pmod(id, lit(40)).as("item"),
+        when(pmod(id, lit(7)) === 0, pmod(id, lit(5)))
+          .otherwise(pmod(pmod(id, lit(40)), lit(3))).as("cat"))
+      graft.operators.Stats.krippendorffAlpha(ratings, "item", "cat")
+    },
+
     // Length-bias diagnostic over preference pairs — consecutive docs
     // paired, the winner arbitrated by doc_id arithmetic (so longer
     // and shorter texts win on a deterministic mix). The oracle

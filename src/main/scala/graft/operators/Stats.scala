@@ -259,6 +259,84 @@ object Stats {
         when(pE =!= 1.0, (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
   }
 
+  /** Krippendorff's alpha (nominal) over a ratings table —
+    * [[fleissKappa]]'s missing-data-robust companion (Krippendorff,
+    * "Content Analysis", the standard reliability coefficient when
+    * raters differ per item and rating counts are unequal — exactly
+    * the shape crowdsourced annotation produces). Computed in the
+    * closed nominal form over per-(item, category) counts n_uc with
+    * m_u ratings on item u (items with m_u < 2 drop; n = Σ m_u over
+    * the rest, n_c = the category marginals over the rest):
+    *
+    *   α = 1 − (n − 1) · [Σ_u Σ_c n_uc (m_u − n_uc)/(m_u − 1)]
+    *             / Σ_c n_c (n − n_c)
+    *
+    * One output row: (n_items, n_ratings, alpha); α is null when the
+    * expected-disagreement denominator is 0 (every qualifying rating
+    * in one category — agreement is vacuous, not perfect).
+    *
+    * Determinism: every count is exact; the one cross-row double sum
+    * (the observed-disagreement terms, each a ratio of exact
+    * integers) runs fixed-point at 1e12 ([[fleissKappa]]'s scale
+    * argument — terms are ≤ m_u ≤ 10³-ish per item); the closing
+    * arithmetic is mirrored op-for-op by the SQL oracle.
+    *
+    * Scale shape: identical to [[fleissKappa]] — two map-side
+    * hash aggs, category marginals over qualifying items, 1-row
+    * reductions cross-joined at the end. The counts form below is
+    * the streamed-store pull ([[fleissKappaFromCounts]]'s sibling).
+    */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame =
+    krippendorffAlphaFromCounts(
+      ratings.groupBy(col(itemCol), col(categoryCol))
+        .agg(count(lit(1)).as("__n")),
+      itemCol, categoryCol, "__n")
+
+  /** [[krippendorffAlpha]] over PRE-AGGREGATED per-(item, category)
+    * rating counts — the [[graft.streaming]] annotation-store shape;
+    * α is a pure function of the count table, so the merged store
+    * reproduces the full replayed log's value (spec-pinned via the
+    * row form). Null/non-positive count rows drop up front.
+    */
+  def krippendorffAlphaFromCounts(counts: DataFrame, itemCol: String,
+                                  categoryCol: String,
+                                  nCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.DoubleType
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sc = 1e12
+    // nij feeds the observed-disagreement terms AND the marginals;
+    // ni gates both on m_u >= 2 — persisted, the cb convention
+    val nij = counts
+      .filter(col(nCol).isNotNull && col(nCol) > 0)
+      .groupBy(col(itemCol).as("__it"), col(categoryCol).as("__cat"))
+      .agg(sum(col(nCol)).as("__nij"))
+      .persist(MEMORY_AND_DISK)
+    val ni = nij.groupBy(col("__it"))
+      .agg(sum(col("__nij")).as("__ni"))
+      .filter(col("__ni") >= 2)
+      .persist(MEMORY_AND_DISK)
+    val dObs = nij.join(ni, Seq("__it"))
+      .select(((col("__nij") * (col("__ni") - col("__nij")))
+        .cast(DoubleType) /
+        (col("__ni") - 1).cast(DoubleType)).as("__t"))
+      .agg(fxSum(col("__t"), sc).as("__dofx"))
+    val qualifying = nij.join(ni.select(col("__it")), Seq("__it"))
+    val totals = ni.agg(count(lit(1)).as("n_items"),
+      sum(col("__ni")).as("n_ratings"))
+    val de = qualifying.groupBy(col("__cat"))
+      .agg(sum(col("__nij")).as("__nc"))
+      .crossJoin(broadcast(totals.select(col("n_ratings").as("__N"))))
+      .agg(sum(col("__nc") * (col("__N") - col("__nc"))).as("__de"))
+    totals.crossJoin(broadcast(dObs)).crossJoin(broadcast(de))
+      .select(col("n_items"), col("n_ratings"),
+        when(col("__de") > 0,
+          lit(1.0) - (col("n_ratings") - 1).cast(DoubleType) *
+            fxVal(col("__dofx"), sc) / col("__de").cast(DoubleType))
+          .as("alpha"))
+  }
+
   /** Unbiased pass@k over an eval sample table — the code/reasoning
     * eval metric (Chen et al., "Evaluating Large Language Models
     * Trained on Code", 2021, eq. 1): from `n` samples per problem of

@@ -65,6 +65,16 @@ object StreamingRatings {
     Stats.fleissKappaFromCounts(counts(spark, storePath),
       "item", "cat", "n")
 
+  /** Krippendorff's alpha (nominal) over everything landed so far —
+    * row-identical to [[Stats.krippendorffAlpha]] over the full
+    * rating log (spec-pinned); the reliability pull for logs with
+    * unequal rater counts, where κ's equal-rater framing strains.
+    */
+  def krippendorffAlpha(spark: SparkSession,
+                        storePath: String): DataFrame =
+    Stats.krippendorffAlphaFromCounts(counts(spark, storePath),
+      "item", "cat", "n")
+
   /** Per-rater leave-one-out consensus agreement over everything
     * landed so far — row-identical to [[Stats.raterAgreement]] over
     * the full rating log (spec-pinned).

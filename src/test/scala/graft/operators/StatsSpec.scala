@@ -120,6 +120,28 @@ class StatsSpec extends SparkSpec {
     assert(repart === it2.toSet)
   }
 
+  test("krippendorffAlpha: perfect agreement = 1, systematic " +
+      "disagreement hits the textbook -0.5, sub-2-rating items drop, " +
+      "one-category data is null") {
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cat")
+    assert(Stats.krippendorffAlpha(perfect, "item", "cat")
+      .as[(Long, Long, Option[Double])].head() ===
+      ((2L, 4L, Some(1.0))))
+    // the classic 2-unit, 2-coder, all-disagree case: D_o = 1,
+    // D_e = 2/3, alpha = 1 - 3/2 = -0.5 — with a sub-2 item dropped
+    val disagree = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "c")).toDF("item", "cat")
+    assert(Stats.krippendorffAlpha(disagree, "item", "cat")
+      .as[(Long, Long, Option[Double])].head() ===
+      ((2L, 4L, Some(-0.5))))
+    // every qualifying rating in one category: vacuous, null
+    val mono = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "cat")
+    assert(Stats.krippendorffAlpha(mono, "item", "cat")
+      .as[(Long, Long, Option[Double])].head() === ((2L, 4L, None)))
+  }
+
   test("bootstrapCi: constant data collapses the interval; nulls sit " +
       "out; bounds bracket the mean on mixed data; deterministic") {
     // constant column: every resample mean equals the value, so

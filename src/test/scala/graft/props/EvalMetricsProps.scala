@@ -114,4 +114,46 @@ object EvalMetricsProps extends Properties("evalMetrics") {
           Prop(ok) :| s"got=$r want=($mi,$mn,$mpb,$mpe,$mk)"
       }
     }
+
+  // ---- Krippendorff's alpha vs the direct nominal formula ------------
+
+  private def alphaModel(rows: Seq[(Long, String)])
+      : Option[(Long, Long, Option[Double])] = {
+    val byItem = rows.groupBy(_._1).filter(_._2.size >= 2)
+    if (byItem.isEmpty) None
+    else {
+      val n = byItem.values.map(_.size).sum.toLong
+      val dObs = byItem.values.map { rs =>
+        val m = rs.size.toDouble
+        rs.groupBy(_._2).values
+          .map(g => g.size * (m - g.size) / (m - 1)).sum
+      }.sum
+      val nc = byItem.values.flatten.groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      val de = nc.values.map(c => c * (n - c)).sum
+      val alpha = if (de == 0L) None
+        else Some(1.0 - (n - 1) * dObs / de.toDouble)
+      Some((byItem.size.toLong, n, alpha))
+    }
+  }
+
+  property("krippendorffAlpha matches the direct nominal-alpha " +
+      "evaluation") =
+    Prop.forAll(ratingsGen) { rows =>
+      val r = Stats.krippendorffAlpha(rows.toDF("item", "cat"),
+        "item", "cat").head()
+      alphaModel(rows) match {
+        case None =>
+          Prop(r.getLong(0) == 0L && r.isNullAt(2)) :|
+            s"degenerate report: $r"
+        case Some((mi, mn, ma)) =>
+          val ok = r.getLong(0) == mi && r.getLong(1) == mn &&
+            (ma match {
+              case None => r.isNullAt(2)
+              case Some(a) =>
+                !r.isNullAt(2) && math.abs(r.getDouble(2) - a) < 1e-7
+            })
+          Prop(ok) :| s"got=$r want=($mi,$mn,$ma)"
+      }
+    }
 }

@@ -35,6 +35,11 @@ class StreamingRatingsSpec extends SparkSpec {
         "item", "rater", "cat")
       .as[(Long, Long, Long, Double)].collect().toSet
 
+  private def batchAlpha =
+    Stats.krippendorffAlpha(log.toDF("item", "rater", "cat"),
+        "item", "cat")
+      .as[(Long, Long, Option[Double])].collect().toSet
+
   test("streamed kappa and rater agreement == the batch operators " +
       "over the full rating log; compaction preserves both") {
     implicit val sqlCtx = spark.sqlContext
@@ -54,6 +59,8 @@ class StreamingRatingsSpec extends SparkSpec {
       .toSet === batchKappa)
     assert(StreamingRatings.raterAgreement(spark, store)
       .as[(Long, Long, Long, Double)].collect().toSet === batchAgree)
+    assert(StreamingRatings.krippendorffAlpha(spark, store)
+      .as[(Long, Long, Option[Double])].collect().toSet === batchAlpha)
     StreamingRatings.compactCounts(spark, store)
     assert(StreamingRatings.fleissKappa(spark, store)
       .as[(Long, Long, Double, Double, Option[Double])].collect()
