@@ -2205,6 +2205,56 @@ object ExtensionQueries {
         .orderBy(col("bin"))
     },
 
+    // Population-stability-index drift report between two score
+    // distributions — even doc_ids are the reference scores, odd
+    // doc_ids a compressed-and-shifted current batch, so several
+    // bins empty on one side and the Laplace smoothing is exercised.
+    // The oracle mirrors binning, smoothing, the ln term and the
+    // 1e9 quantization bin-for-bin.
+    Q("ext_psi", {
+      // parenthesized: these substitute into `$p / $q` and `$p - $q`,
+      // where an unparenthesized A/B / C/D would left-associate
+      def pq(n: String, tot: String) =
+        s"(CAST(coalesce($n, 0) + 1 AS DOUBLE) / " +
+          s"CAST($tot + 10 AS DOUBLE))"
+      val p = pq("rb.n_ref", "nr")
+      val q = pq("cb.n_cur", "nc")
+      val binOf =
+        "least(CAST(9 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+          "CAST(floor((s - 0.0) / 1.0 * 10) AS BIGINT)))"
+      s"""WITH ref AS (SELECT CAST((doc_id * 13) % 100 AS DOUBLE) /
+         |   100.0 AS s FROM documents WHERE doc_id % 2 = 0),
+         |cur AS (SELECT CAST((doc_id * 13) % 100 AS DOUBLE) /
+         |   100.0 * 0.6 + 0.35 AS s FROM documents
+         | WHERE doc_id % 2 = 1),
+         |rb AS (SELECT $binOf AS bin, count(*) AS n_ref
+         |  FROM ref GROUP BY 1),
+         |cb AS (SELECT $binOf AS bin, count(*) AS n_cur
+         |  FROM cur GROUP BY 1),
+         |tot AS (SELECT
+         |  (SELECT coalesce(sum(n_ref), 0) FROM rb) AS nr,
+         |  (SELECT coalesce(sum(n_cur), 0) FROM cb) AS nc),
+         |sp AS (SELECT r.i AS bin FROM range(10) r(i))
+         |SELECT sp.bin,
+         | CAST(coalesce(rb.n_ref, 0) AS BIGINT) AS n_ref,
+         | CAST(coalesce(cb.n_cur, 0) AS BIGINT) AS n_cur,
+         | $p AS p_ref, $q AS p_cur,
+         | CAST(floor(($p - $q) * ln($p / $q) * 1000000000.0 + 0.5)
+         |  AS BIGINT) AS term_fx
+         |FROM sp LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+         |CROSS JOIN tot ORDER BY sp.bin""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val score = pmod(id * 13, lit(100)).cast("double") / 100.0
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(score.as("score"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select((score * 0.6 + 0.35).as("score"))
+      graft.operators.Stats.psi(ref, cur, "score", bins = 10)
+        .orderBy(col("bin"))
+    },
+
     // Deterministic Poisson-bootstrap CI for a win rate — the
     // uncertainty every point-estimate eval metric above lacks (a
     // 0.52 win rate over 40 comparisons is noise). 64 resamples; each

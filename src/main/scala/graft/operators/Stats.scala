@@ -474,6 +474,65 @@ object Stats {
         (frac * abs(accRate - avgConf)).as("contrib"))
   }
 
+  /** Population-stability-index report between two score
+    * distributions — the drift detector a curation pipeline runs on
+    * its quality-classifier scores between crawls / checkpoints
+    * (credit-risk's standard PSI, applied to data pipelines: a
+    * filter threshold tuned on last month's score distribution
+    * silently shifts the corpus mix when the distribution moves).
+    * Scores bin into `bins` equal-width bins over [`lo`, `hi`]
+    * (outside values clamp into the edge bins; nulls drop); shares
+    * are Laplace-smoothed — `p_b = (n_b + 1)/(N + bins)` — so empty
+    * bins stay finite and deterministic instead of needing an
+    * epsilon. One row per bin (all `bins` rows, empty included):
+    * (bin, n_ref, n_cur, p_ref, p_cur, term_fx) — `term_fx` is the
+    * bin's PSI contribution `(p_ref − p_cur)·ln(p_ref/p_cur)`
+    * quantized at 1e9 ([[graft.functions.Cols.fxTerm]]'s convention
+    * — the ln is the one transcendental, and quantization absorbs
+    * its last-bit engine variation, the [[Corpus]] KL precedent).
+    * The scalar PSI is `sum(term_fx)/1e9`; the classic reading:
+    * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 investigate.
+    *
+    * Scale shape: one bin-keyed map-side-combining hash agg per
+    * side (≤ `bins` output rows each), both joined onto a
+    * `bins`-row spine, one 1-row totals cross join, then a narrow
+    * projection. No window, nothing driver-side; both inputs are
+    * scanned exactly once.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, scoreCol: String,
+          bins: Int = 10, lo: Double = 0.0,
+          hi: Double = 1.0): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"bins must be in [1, 10000], got $bins")
+    require(lo < hi, s"need lo < hi, got lo=$lo hi=$hi")
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def binned(df: DataFrame, n: String): DataFrame = {
+      val b = least(lit(bins - 1L), greatest(lit(0L),
+        floor((col(scoreCol).cast(DoubleType) - lo) / (hi - lo) * bins)
+          .cast(LongType)))
+      df.filter(col(scoreCol).isNotNull)
+        .select(b.as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    }
+    val spark = ref.sparkSession
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    val totals = r.agg(coalesce(sum(col("n_ref")), lit(0L)).as("__nr"))
+      .crossJoin(c.agg(coalesce(sum(col("n_cur")), lit(0L)).as("__nc")))
+    val p = (col("n_ref") + 1L).cast(DoubleType) /
+      (col("__nr") + bins).cast(DoubleType)
+    val q = (col("n_cur") + 1L).cast(DoubleType) /
+      (col("__nc") + bins).cast(DoubleType)
+    spine.join(r, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        p.as("p_ref"), q.as("p_cur"),
+        floor((p - q) * log(p / q) * 1e9 + 0.5).cast(LongType)
+          .as("term_fx"))
+  }
+
   /** Per-group winsorization: clip `valCol` into the [`lo`, `hi`]
     * exact quantiles of its own group (outlier remediation before a
     * sum/mean that a single corrupt value would dominate). Emits the

@@ -120,6 +120,29 @@ class StatsSpec extends SparkSpec {
     assert(repart === it2.toSet)
   }
 
+  test("psi: identical distributions score exactly zero; a full " +
+      "shift yields symmetric positive terms; out-of-range scores " +
+      "clamp into edge bins; empty bins smooth, nulls drop") {
+    val a = (0 until 8).map(_ / 10.0).toDF("score")
+    assert(Stats.psi(a, a, "score", bins = 4)
+      .select($"term_fx").as[Long].collect().forall(_ === 0L))
+    val ref = Seq[java.lang.Double](0.05, 0.05, 0.05, -0.3, null)
+      .toDF("score")
+    val cur = Seq[java.lang.Double](0.95, 0.95, 0.95, 1.5, null)
+      .toDF("score")
+    val out = Stats.psi(ref, cur, "score", bins = 2).orderBy($"bin")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Array((0L, 4L, 0L), (1L, 0L, 4L)))
+    // Laplace-smoothed shares: (4+1)/(4+2) and (0+1)/(4+2)
+    assert(out(0)._4 === 5.0 / 6 && out(0)._5 === 1.0 / 6)
+    // (p-q)·ln(p/q) is swap-symmetric, so the two bins' terms match
+    assert(out(0)._6 > 0L && out(0)._6 === out(1)._6)
+    // scalar PSI: 2 · (2/3)·ln(5) ≈ 2.146 — far past the 0.25 alarm
+    assert(math.abs(out.map(_._6).sum / 1e9 -
+      2 * (2.0 / 3) * math.log(5.0)) < 1e-8)
+  }
+
   test("krippendorffAlpha: perfect agreement = 1, systematic " +
       "disagreement hits the textbook -0.5, sub-2-rating items drop, " +
       "one-category data is null") {
