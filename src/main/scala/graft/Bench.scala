@@ -128,6 +128,66 @@ object Bench {
     */
   private[graft] val alwaysIsolate: Set[String] = Set("ext_dedup_editdist")
 
+  /** Deterministic chunk id for a query name. Hash-of-name (not a
+    * contiguous index range over the sorted registry) so a query's
+    * chunk membership is stable round-over-round even as the registry
+    * GROWS — new queries land in their own hash slot instead of
+    * shifting every later name into a different chunk, which would
+    * break cross-round per-chunk comparability.
+    */
+  private[graft] def chunkOf(name: String, chunks: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(name), chunks)
+
+  /** Batch-bench chunk count: the full registry in ONE JVM puts the
+    * tail queries under 200+ queries of accumulated heap/GC pressure
+    * (r12 verdict: three untouched tail queries read 2.2-2.8× their
+    * prior-round numbers — the same disease the streaming section had
+    * before its r10 fork). Default 4 forked JVMs of ~60 queries;
+    * small dev selections stay in-process. SPARK_GRAFT_BENCH_CHUNKS
+    * overrides (1 forces the single-JVM path).
+    */
+  private[graft] def benchChunks(nQueries: Int): Int =
+    sys.env.get("SPARK_GRAFT_BENCH_CHUNKS").map(_.toInt)
+      .getOrElse(if (nQueries >= 60) 4 else 1)
+
+  /** Per-query historical-minimum floor (`{"name":sec,...}`, committed
+    * as bench_floor.json and refreshed each round from quiet-box runs)
+    * — the cross-round regression trigger's reference. Empty map when
+    * the file is absent/unreadable: the trigger simply stays dark.
+    */
+  private[graft] def loadFloor(path: String): Map[String, Double] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        "\"([^\"]+)\"\\s*:\\s*([-0-9.eE]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Cross-round regression trigger (r12 verdict): the in-run spread
+    * trigger is structurally blind to a query whose passes are ALL
+    * slow (uniform ambient load — r12 shipped three unpinned >2×
+    * artifact-tail regressions that way). A query whose in-run min
+    * exceeds [[FloorRegressFactor]]× its historical floor gets one
+    * isolated-fork re-time, published under `regressed_isolated`.
+    * The [[FloorMinSec]] guard keeps sub-half-second queries out —
+    * 2× of a tiny floor is scheduler jitter, not a regression.
+    */
+  private[graft] val FloorRegressFactor = 2.0
+  private[graft] val FloorMinSec = 0.5
+
+  private[graft] def floorRegressed(results: Map[String, Seq[Double]],
+                                    floor: Map[String, Double])
+      : Seq[String] =
+    results.collect {
+      case (n, ps) if ps.nonEmpty && ps.min > FloorMinSec &&
+          floor.get(n).exists(f =>
+            f > 0 && ps.min > FloorRegressFactor * f) => n
+    }.toSeq.sorted
+
   /** Parse StreamBench's `{"name":{"p50_ms":x,"p95_ms":y},...}`
     * fragment into ordered (name, (p50, p95)) pairs.
     */
@@ -176,11 +236,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = mkSession()
+    // the orchestrator JVM only needs a session for in-process
+    // fallbacks (fork failure) — created lazily so the chunked path
+    // measures on quiet forked heaps only
+    var sparkOpt: Option[SparkSession] = None
+    def session: SparkSession = sparkOpt.getOrElse {
+      val s = mkSession(); sparkOpt = Some(s); s
+    }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 times just those queries
     // (unset in the driver's run — full registry, same contract)
     val selected = select(sys.env.get("SPARK_GRAFT_ONLY"))
-    warmup(spark, selected.values)
     // Three timed passes per query, min reported: single-pass numbers
     // mix steady-state plan cost with one-time JIT/codegen and GC
     // noise (observed 3x swings on identical plans run-to-run), and
@@ -188,9 +253,30 @@ object Bench {
     // window (r02 logged 3-5x spikes on unchanged plans); the min of
     // three spread passes is the steady-state measure a long-running
     // cluster job actually sees.
-    val measured = selected.map { case (name, fn) =>
-      name -> timeQuery(spark, sfDir, fn, passes = 3)
+    def timeInProcess(names: Iterable[String]): Map[String, Seq[Double]] = {
+      val sel = select(Some(names.mkString(",")))
+      warmup(session, sel.values)
+      sel.map { case (name, fn) =>
+        name -> timeQuery(session, sfDir, fn, passes = 3)
+      }
     }
+    // chunked main run (r12 verdict): the registry split across fresh
+    // sequential forked JVMs so tail queries are measured on a quiet
+    // heap, not under 200+ queries of accumulated GC pressure; each
+    // fork repeats the warm-up discipline for its own queries. A fork
+    // that fails to launch falls back in-process — the bench never
+    // breaks on an exotic launch mechanism.
+    val chunks = benchChunks(selected.size)
+    val measured: Map[String, Seq[Double]] =
+      if (chunks <= 1) timeInProcess(selected.keys)
+      else selected.keys.toSeq.sorted.groupBy(chunkOf(_, chunks))
+        .toSeq.sortBy(_._1)
+        .flatMap { case (_, names) =>
+          forkMain("graft.BenchIsolated",
+              Seq(names.mkString(","), "3"), BenchIsolated.Marker)
+            .map(parseIso)
+            .getOrElse(timeInProcess(names))
+        }.toMap
     // End-of-run outlier re-time, ISOLATED (r10 verdict): a query
     // whose pass spread exceeds 1.5x with min > 0.5 s was measured
     // under ambient shared-JVM load (GC/heap pressure from the 200+
@@ -211,13 +297,35 @@ object Bench {
           sys.env.get("SPARK_GRAFT_ISOLATE").contains("0")) Map.empty
       else forkMain("graft.BenchIsolated", Seq(outliers.mkString(",")),
         BenchIsolated.Marker).map(parseIso).getOrElse(Map.empty)
-    val results = measured.map { case (name, ps) =>
+    val folded = measured.map { case (name, ps) =>
       // only positive isolated passes fold in: a crash INSIDE the fork
       // surfaces as a negated sentinel there, and folding it into a
       // query that succeeded in-process would flip it to "failed" and
       // corrupt the headline min
       name -> (ps ++ iso.getOrElse(name, Seq.empty).filter(_ > 0))
     }
+    // cross-round regression trigger: any query whose min (isolated
+    // re-times already folded) still exceeds 2x its historical floor
+    // gets one more isolated-fork re-time — the uniformly-slow-triple
+    // blind spot the in-run spread trigger cannot see. `floor_breached`
+    // then names what STILL exceeds the floor after every fold: a
+    // non-empty list is a real plan regression (or a floor needing a
+    // refresh), never an unexamined ambient number.
+    val floor = loadFloor(sys.env.getOrElse("SPARK_GRAFT_FLOOR_FILE",
+      "bench_floor.json"))
+    val regressed = floorRegressed(folded, floor)
+    val regIso: Map[String, Seq[Double]] =
+      if (regressed.isEmpty ||
+          sys.env.get("SPARK_GRAFT_ISOLATE").contains("0")) Map.empty
+      else forkMain("graft.BenchIsolated", Seq(regressed.mkString(",")),
+        BenchIsolated.Marker).map(parseIso).getOrElse(Map.empty)
+    val results = folded.map { case (name, ps) =>
+      name -> (ps ++ regIso.getOrElse(name, Seq.empty).filter(_ > 0))
+    }
+    val regIsoNames = regIso.keys.toSeq.sorted.map(n => s"\"$n\"")
+      .mkString("[", ",", "]")
+    val breached = floorRegressed(results, floor)
+      .map(n => s"\"$n\"").mkString("[", ",", "]")
     // "queries" stays name→min-sec (the driver contract); "runs" adds
     // the raw passes (isolated re-times appended) so a reader can
     // separate contention noise from a real plan regression;
@@ -246,7 +354,7 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
       else forkMain("graft.StreamBenchMain", Seq.empty,
           StreamBenchMain.Marker)
-        .getOrElse(StreamBench.run(spark,
+        .getOrElse(StreamBench.run(session,
           StreamBenchMain.envBatches, StreamBenchMain.envRows))
     // streaming outlier escalation (r11 verdict): a pipeline whose
     // min-of-2 p95 still exceeds 40 % of the 5 s trigger was likely
@@ -270,27 +378,31 @@ object Bench {
         .getOrElse((stream0, Seq.empty[String]))
     val streamIsoNames = streamIso.map(n => s"\"$n\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"isolated":$isoNames,"streaming":$streaming,"stream_isolated":$streamIsoNames,"sf":$sf,"sfDir":"$sfDir"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"failed":$failed,"isolated":$isoNames,"regressed_isolated":$regIsoNames,"floor_breached":$breached,"chunks":$chunks,"streaming":$streaming,"stream_isolated":$streamIsoNames,"sf":$sf,"sfDir":"$sfDir"}""")
+    sparkOpt.foreach(_.stop())
   }
 }
 
-/** Fresh-JVM re-time of specific registry queries (forked by
-  * [[Bench]] for spread outliers): same session shape, same warm-up
-  * discipline, one unrecorded + two recorded passes per query,
-  * result as one marker-prefixed JSON line on stdout.
+/** Fresh-JVM timing of specific registry queries (forked by
+  * [[Bench]]): same session shape, same warm-up discipline, one
+  * unrecorded + `passes` recorded passes per query, result as one
+  * marker-prefixed JSON line on stdout. Serves both roles — the
+  * spread-outlier / floor-regression re-timer (default 2 passes) and
+  * the chunked main run's per-chunk worker (second argument "3", the
+  * main-run pass count).
   */
 object BenchIsolated {
   private[graft] val Marker = "BENCHISO_JSON="
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = Bench.mkSession()
     val selected = Bench.select(args.headOption)
     Bench.warmup(spark, selected.values)
     val results = selected.map { case (name, fn) =>
       s"\"" + name + "\":" +
-        Bench.timeQuery(spark, sfDir, fn, passes = 2)
+        Bench.timeQuery(spark, sfDir, fn, passes)
           .mkString("[", ",", "]")
     }
     println(Marker + results.mkString("{", ",", "}"))

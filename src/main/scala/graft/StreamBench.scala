@@ -583,6 +583,27 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Streaming PSI drift monitor: per-batch binned-count partials into
+    * the sum-merged drift store (read path is psiFromCounts over the
+    * merged counts — the write side dominates per-batch cost).
+    */
+  private def benchDrift(spark: SparkSession, batches: Int,
+                         rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Double]
+    val scores = src.toDF().toDF("score")
+    val store = tmpDir("drift"); val cp = ckpt("drift")
+    val q = StreamingDrift.driftSink(scores, store, "score")
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map(r =>
+        ((r * 7 + b * 31) % 1000) / 1000.0))
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Pipeline name → the streaming source object it drives. The
     * coverage contract StreamBenchSpec lints: every
     * `streaming/Streaming*.scala` with a foreachBatch entry point
@@ -606,7 +627,8 @@ object StreamBench {
     "knn" -> "StreamingKnn",
     "bt" -> "StreamingBt",
     "evals" -> "StreamingEval",
-    "ratings" -> "StreamingRatings")
+    "ratings" -> "StreamingRatings",
+    "drift" -> "StreamingDrift")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
   private[graft] def apps(spark: SparkSession, batches: Int,
@@ -626,7 +648,8 @@ object StreamBench {
     "knn" -> (() => benchKnn(spark, batches, rows)),
     "bt" -> (() => benchBt(spark, batches, rows)),
     "evals" -> (() => benchEvals(spark, batches, rows)),
-    "ratings" -> (() => benchRatings(spark, batches, rows)))
+    "ratings" -> (() => benchRatings(spark, batches, rows)),
+    "drift" -> (() => benchDrift(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline (or just `only`'s — the
     * escalation re-drive path); returns the JSON fragment for Bench's

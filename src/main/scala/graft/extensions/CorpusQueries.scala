@@ -1406,6 +1406,59 @@ object CorpusQueries {
         .orderBy(col("source"), col("tok_rank"))
     },
 
+    // Tokenizer-TRUE sequence packing: the same 8-merge BPE's n_bpe
+    // counts drive the pack layout, so every cut lands where the
+    // TOKENIZER's stream crosses the 96-symbol boundary — on code or
+    // CJK a whitespace-packed "96-token" sequence would overflow or
+    // starve a real context window 2-5x (CorpusSpec pins the
+    // divergence on a code-heavy fixture). Layout only (no
+    // piece_text — only the tokenizer can slice its own stream); the
+    // oracle replays the merges, the n_bpe counts, the global offset
+    // cumsum and the piece bounds.
+    Q("ext_pack_bpe", {
+      val merges = 8
+      val L = 96
+      val chain = (1 to merges).map { i =>
+        s"""d$i AS (SELECT doc_id, replace(s,
+           |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |  chr(31) || lhs || rhs || chr(31)) AS s
+           | FROM d${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeCtes(merges)},
+         |d0 AS (SELECT doc_id, regexp_replace(
+         |  array_to_string($TOKS, ' '),
+         |  '(\\S)', chr(31) || '\\1' || chr(31), 'g') AS s
+         | FROM documents),
+         |$chain,
+         |nb AS (SELECT doc_id,
+         |  CAST((len(s) - len(replace(s, chr(31), ''))) // 2
+         |    AS BIGINT) AS n
+         | FROM d$merges),
+         |n AS (SELECT doc_id, n FROM nb WHERE n >= 1),
+         |o AS (SELECT doc_id, n,
+         |  CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS off
+         | FROM n),
+         |p AS (SELECT doc_id, n, off, CAST(s AS BIGINT) AS seq_id,
+         |   CAST(greatest(s*$L - off, 0) AS BIGINT) AS st,
+         |   CAST(least((s+1)*$L - off, n) AS BIGINT) AS en
+         |  FROM o, unnest(range(off // $L, (off + n - 1) // $L + 1))
+         |    AS u(s))
+         |SELECT doc_id, seq_id,
+         | st + 1 AS doc_tok_start,
+         | off + st - seq_id*$L + 1 AS seq_tok_start,
+         | en - st AS piece_len
+         |FROM p ORDER BY doc_id, seq_id""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d)
+      val enc = Corpus.bpeEncode(docs0, "doc_id", "text",
+          Corpus.bpeTrain(docs0, "text", merges = 8))
+        .select(col("doc_id"), col("n_bpe"))
+      Corpus.packSequencesCounts(enc, "doc_id", "n_bpe", seqLen = 96)
+        .orderBy(col("doc_id"), col("seq_id"))
+    },
+
     // Tokenizer-true release manifest: the same 8-merge tokenizer's
     // per-doc symbol counts roll into the shard token totals (what a
     // training recipe actually budgets against), while the content

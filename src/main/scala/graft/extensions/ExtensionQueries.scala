@@ -2228,9 +2228,9 @@ object ExtensionQueries {
          |   100.0 * 0.6 + 0.35 AS s FROM documents
          | WHERE doc_id % 2 = 1),
          |rb AS (SELECT $binOf AS bin, count(*) AS n_ref
-         |  FROM ref GROUP BY 1),
+         |  FROM ref WHERE s IS NOT NULL AND NOT isnan(s) GROUP BY 1),
          |cb AS (SELECT $binOf AS bin, count(*) AS n_cur
-         |  FROM cur GROUP BY 1),
+         |  FROM cur WHERE s IS NOT NULL AND NOT isnan(s) GROUP BY 1),
          |tot AS (SELECT
          |  (SELECT coalesce(sum(n_ref), 0) FROM rb) AS nr,
          |  (SELECT coalesce(sum(n_cur), 0) FROM cb) AS nc),

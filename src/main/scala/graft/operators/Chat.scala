@@ -155,7 +155,14 @@ object Chat {
     require(maxTokens >= 0, s"maxTokens must be >= 0, got $maxTokens")
     import graft.functions.TextFns
     val conv = Window.partitionBy(col(convCol))
-    val rev = conv.orderBy(col(idxCol).desc)
+    // idxCol is expected unique per conversation (a turn ORDER); the
+    // (role, text) tiebreak makes the cumulative sum — and therefore
+    // which boundary turn survives — deterministic even when an
+    // upstream bug duplicates an index, instead of varying with
+    // partitioning (exact-duplicate rows remain interchangeable,
+    // which is output-identical either way)
+    val rev = conv.orderBy(col(idxCol).desc, col(roleCol).desc,
+        col(textCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isSys = col(roleCol) === "system"
     val n = df.withColumn("n_tokens",

@@ -1134,20 +1134,74 @@ object Corpus {
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     seqLen: Int, bucketSize: Int = 0): DataFrame = {
+    val toks = TextFns.toks(col(textCol))
+    val base = fanOut(docs).select(col(idCol), col(textCol),
+      size(toks).cast("long").as("__n"))
+    packLayout(base, idCol, seqLen, bucketSize)
+      .select(col(idCol), col("seq_id"),
+        (col("__start") + 1).as("doc_tok_start"),
+        (col("__off") + col("__start") - col("seq_id") * seqLen + 1)
+          .as("seq_tok_start"),
+        (col("__end") - col("__start")).as("piece_len"),
+        array_join(slice(TextFns.toks(col(textCol)),
+          (col("__start") + 1).cast("int"),
+          (col("__end") - col("__start")).cast("int")), " ")
+          .as("piece_text"))
+  }
+
+  /** [[packSequences]] over a PRE-COMPUTED per-doc token count column
+    * — the tokenizer-true form (the [[tokenQuotaByGroupCounts]]
+    * pattern): the text variant cuts the stream in WHITESPACE token
+    * units, but a trainer's context window is measured in TOKENIZER
+    * tokens, and on code or CJK the two diverge 2-5× — a
+    * "4096-token" whitespace-packed sequence overflows or starves a
+    * real BPE window. Feed it [[bpeEncode]]'s `n_bpe` and every cut
+    * lands where the tokenizer's stream actually crosses `seqLen`.
+    * Emits the LAYOUT only — (id, seq_id, doc_tok_start,
+    * seq_tok_start, piece_len), same 1-based offset semantics — and
+    * no `piece_text`: the pieces are spans of the TOKENIZED stream,
+    * which only the tokenizer that produced the counts can slice;
+    * the trainer applies the layout to its own token ids.
+    * [[packBoundaries]] composes unchanged (it reads only the layout
+    * columns), so cu_seqlens stay consistent with the same counts.
+    * Same two-level zipWithIndex scale shape; `nTokCol` casts to
+    * long, docs with count < 1 drop (the text variant's rule).
+    */
+  def packSequencesCounts(docs: DataFrame, idCol: String,
+                          nTokCol: String, seqLen: Int,
+                          bucketSize: Int = 0): DataFrame = {
+    val base = fanOut(docs).select(col(idCol),
+      col(nTokCol).cast("long").as("__n"))
+    packLayout(base, idCol, seqLen, bucketSize)
+      .select(col(idCol), col("seq_id"),
+        (col("__start") + 1).as("doc_tok_start"),
+        (col("__off") + col("__start") - col("seq_id") * seqLen + 1)
+          .as("seq_tok_start"),
+        (col("__end") - col("__start")).as("piece_len"))
+  }
+
+  /** The shared packing core: global token offsets via the two-level
+    * zipWithIndex shape, then the per-(doc × sequence) piece bounds.
+    * `base0` carries `idCol` (integral — validated here), a long
+    * `__n` count, and any pass-through columns; output is the base
+    * columns plus (`__off`, `seq_id`, `__start`, `__end`) for the
+    * callers' final projections. See [[packSequences]]'s scaladoc for
+    * the full scale rationale (bucketed cumsum, driver offsets,
+    * localCheckpoint eagerness).
+    */
+  private def packLayout(base0: DataFrame, idCol: String,
+                         seqLen: Int, bucketSize: Int): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     require(bucketSize >= 0,
       s"bucketSize must be >= 1 (or 0 = auto), got $bucketSize")
-    docs.schema(idCol).dataType match {
+    base0.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
       case other => throw new IllegalArgumentException(
         s"packSequences needs an integral id column (bucket grid and " +
           s"window sort must share the numeric ordering domain); " +
           s"'$idCol' is ${other.simpleString}")
     }
-    val toks = TextFns.toks(col(textCol))
-    val base = fanOut(docs).select(col(idCol), col(textCol),
-        size(toks).cast("long").as("__n"))
-      .localCheckpoint()
+    val base = base0.localCheckpoint()
     val effBucketSize: Long =
       if (bucketSize > 0) bucketSize.toLong
       else {
@@ -1181,7 +1235,7 @@ object Corpus {
     val offRows = totals.map { r =>
       val o = acc; acc += r.getLong(1); (r.getLong(0), o)
     }.toSeq
-    val sp = docs.sparkSession
+    val sp = base0.sparkSession
     import sp.implicits._
     val offsets = offRows.toDF("__bkt", "__boff")
     val withOff = cumIn.join(broadcast(offsets), "__bkt")
@@ -1190,21 +1244,12 @@ object Corpus {
     val sFirst = floor(col("__off") / seqLen).cast("long")
     val sLast = floor((col("__off") + col("__n") - 1) / seqLen).cast("long")
     withOff
-      .select(col(idCol), col(textCol), col("__off"), col("__n"),
-        explode(sequence(sFirst, sLast)).as("seq_id"))
+      .select(base0.columns.map(col).toSeq ++ Seq(col("__off"),
+        explode(sequence(sFirst, sLast)).as("seq_id")): _*)
       .withColumn("__start", // 0-based within doc
         greatest(col("seq_id") * seqLen - col("__off"), lit(0L)))
       .withColumn("__end", // exclusive
         least((col("seq_id") + 1) * seqLen - col("__off"), col("__n")))
-      .select(col(idCol), col("seq_id"),
-        (col("__start") + 1).as("doc_tok_start"),
-        (col("__off") + col("__start") - col("seq_id") * seqLen + 1)
-          .as("seq_tok_start"),
-        (col("__end") - col("__start")).as("piece_len"),
-        array_join(slice(TextFns.toks(col(textCol)),
-          (col("__start") + 1).cast("int"),
-          (col("__end") - col("__start")).cast("int")), " ")
-          .as("piece_text"))
   }
 
   /** Attention-boundary export over [[packSequences]] output — the

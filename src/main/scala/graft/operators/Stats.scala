@@ -481,7 +481,8 @@ object Stats {
     * filter threshold tuned on last month's score distribution
     * silently shifts the corpus mix when the distribution moves).
     * Scores bin into `bins` equal-width bins over [`lo`, `hi`]
-    * (outside values clamp into the edge bins; nulls drop); shares
+    * (outside values clamp into the edge bins; nulls AND NaNs drop —
+    * Spark would floor NaN into bin 0 where DuckDB errors); shares
     * are Laplace-smoothed — `p_b = (n_b + 1)/(N + bins)` — so empty
     * bins stay finite and deterministic instead of needing an
     * epsilon. One row per bin (all `bins` rows, empty included):
@@ -501,23 +502,52 @@ object Stats {
     */
   def psi(ref: DataFrame, cur: DataFrame, scoreCol: String,
           bins: Int = 10, lo: Double = 0.0,
-          hi: Double = 1.0): DataFrame = {
+          hi: Double = 1.0): DataFrame =
+    psiFromCounts(binCounts(ref, scoreCol, bins, lo, hi),
+      binCounts(cur, scoreCol, bins, lo, hi), bins)
+
+  /** Fixed-range bin counts — [[psi]]'s binning step as a standalone
+    * operator: (bin, n) with nulls AND NaNs dropped (see [[psi]]).
+    * This expression IS the binning contract the streamed drift
+    * monitor shares: [[graft.streaming.StreamingDrift]] lands these
+    * counts per micro-batch into a sum-merged store and feeds the
+    * merged counts to [[psiFromCounts]], so streamed PSI provably
+    * equals the batch [[psi]] over the replayed log. One bin-keyed
+    * map-side-combining hash agg, ≤ `bins` output rows.
+    */
+  def binCounts(df: DataFrame, scoreCol: String, bins: Int,
+                lo: Double, hi: Double): DataFrame = {
     require(bins >= 1 && bins <= 10000,
       s"bins must be in [1, 10000], got $bins")
     require(lo < hi, s"need lo < hi, got lo=$lo hi=$hi")
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    def binned(df: DataFrame, n: String): DataFrame = {
-      val b = least(lit(bins - 1L), greatest(lit(0L),
-        floor((col(scoreCol).cast(DoubleType) - lo) / (hi - lo) * bins)
-          .cast(LongType)))
-      df.filter(col(scoreCol).isNotNull)
-        .select(b.as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(n))
-    }
-    val spark = ref.sparkSession
+    val b = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col(scoreCol).cast(DoubleType) - lo) / (hi - lo) * bins)
+        .cast(LongType)))
+    // NaN must drop WITH the nulls: floor(NaN) casts to 0 in Spark
+    // and would silently land in bin 0 (DuckDB errors instead)
+    df.filter(col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol).cast(DoubleType)))
+      .select(b.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+  }
+
+  /** [[psi]] over PRE-BINNED counts — both sides `(bin, n)` frames
+    * from [[binCounts]] (missing bins = zero; extra rows outside
+    * [0, bins) are the caller's bug and simply never join the spine).
+    * Same smoothing, ln term and 1e9 quantization; this is the read
+    * path of the streamed drift monitor, where `curCounts` is a
+    * sum-merged store snapshot and `refCounts` a pinned reference.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                    bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"bins must be in [1, 10000], got $bins")
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val spark = refCounts.sparkSession
     val spine = spark.range(bins).select(col("id").as("bin"))
-    val r = binned(ref, "n_ref")
-    val c = binned(cur, "n_cur")
+    val r = refCounts.select(col("bin"), col("n").as("n_ref"))
+    val c = curCounts.select(col("bin"), col("n").as("n_cur"))
     val totals = r.agg(coalesce(sum(col("n_ref")), lit(0L)).as("__nr"))
       .crossJoin(c.agg(coalesce(sum(col("n_cur")), lit(0L)).as("__nc")))
     val p = (col("n_ref") + 1L).cast(DoubleType) /
@@ -734,7 +764,11 @@ object Stats {
     * correlation and needs far more data for the same power).
     * Output: (n, b, mean, lo, hi, significant) — `mean` the exact
     * mean difference and `significant` true when the interval
-    * excludes 0 (lo > 0: A better; hi < 0: B better). Pairs with a
+    * excludes 0 (lo > 0: A better; hi < 0: B better). `significant`
+    * is an interval-exclusion test at the CHOSEN coverage
+    * (`lower`/`upper`), NOT a p-value — it answers "does the
+    * (1 − 2·lower) CI exclude zero", and says nothing about the
+    * probability of the observed difference under the null. Pairs with a
     * null on either side sit out ([[lengthBias]]'s rule). Exactly
     * [[bootstrapCi]] on the difference column — same hash-seeded
     * Poisson draws, same determinism and scale shape.

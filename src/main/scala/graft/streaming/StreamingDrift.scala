@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import graft.operators.Stats
+
+/** Streaming score-distribution drift monitor — PSI at INGEST time,
+  * where drift detection actually pays (a batch
+  * [[Stats.psi]] report over last week's landed data tells you a week
+  * late that a source went bad; this sink tells you within a
+  * micro-batch trigger). Composition, not a new operator: each
+  * micro-batch's [[Stats.binCounts]] (the EXACT binning expression the
+  * batch PSI uses) lands as a [[SumStore]] partial, and the reader
+  * feeds the sum-merged counts plus a PINNED reference snapshot to
+  * [[Stats.psiFromCounts]] — so the streamed PSI is provably equal,
+  * bin for bin and term for term, to the batch `psi` over the
+  * replayed log (StreamingDriftSpec pins it).
+  *
+  * Replay safety is [[SumStore]]'s: counts SUM across batches, so each
+  * batch's partial OVERWRITES its own `batch=<id>` directory and an
+  * at-least-once redelivery rewrites identical bytes — never
+  * double-counts. [[compactCounts]] folds the store to ≤ `bins` rows
+  * (same maintenance-window contract as every SumStore fold).
+  *
+  * The reference snapshot is the caller's to pin: run
+  * [[Stats.binCounts]] once over the blessed reference corpus with the
+  * SAME (bins, lo, hi) and persist it; comparing against a drifting
+  * reference would define drift away.
+  *
+  * Scale shape: per batch ONE bin-keyed map-side hash agg over the
+  * micro-batch (≤ `bins` rows written); the read is a ≤
+  * bins×batches-row store scan folded to `bins` rows plus
+  * [[Stats.psiFromCounts]]'s spine join — nothing keyed by corpus
+  * size anywhere, no state store at all (the parquet store IS the
+  * state, CRDT-merged by summation).
+  */
+object StreamingDrift {
+
+  /** foreachBatch body: this batch's bin counts, owned-by-path. */
+  def writeBatch(batch: DataFrame, storePath: String, scoreCol: String,
+                 bins: Int, lo: Double, hi: Double,
+                 batchId: Long): Unit =
+    SumStore.writeBatch(
+      Stats.binCounts(batch, scoreCol, bins, lo, hi),
+      storePath, batchId)
+
+  /** Wire a score stream into a binned-count drift store. */
+  def driftSink(stream: DataFrame, storePath: String, scoreCol: String,
+                bins: Int = 10, lo: Double = 0.0,
+                hi: Double = 1.0): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, storePath, scoreCol, bins, lo, hi, batchId)
+    }
+
+  /** Current sum-merged (bin, n) counts over everything landed. */
+  def binnedCounts(spark: SparkSession, storePath: String): DataFrame =
+    SumStore.merged(spark, storePath, Seq("bin"), Seq("n"))
+
+  /** The monitor's read: PSI of the landed distribution against the
+    * pinned reference counts (a persisted [[Stats.binCounts]] over the
+    * blessed corpus, same bins/range). Same output schema and
+    * fixed-point terms as the batch [[Stats.psi]]; the scalar PSI is
+    * `sum(term_fx)/1e9`.
+    */
+  def psiAgainstReference(spark: SparkSession, storePath: String,
+                          refCounts: DataFrame, bins: Int): DataFrame =
+    Stats.psiFromCounts(refCounts, binnedCounts(spark, storePath), bins)
+
+  /** Fold the store to one summed partition (≤ `bins` rows) — run
+    * from a maintenance window with the stream stopped ([[SumStore]]
+    * contract).
+    */
+  def compactCounts(spark: SparkSession, storePath: String): Unit =
+    SumStore.compact(spark, storePath, Seq("bin"), Seq("n"))
+}

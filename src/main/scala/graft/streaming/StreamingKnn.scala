@@ -42,6 +42,27 @@ object StreamingKnn {
     */
   private[streaming] val InitBatch = Long.MinValue
 
+  /** Deterministic postings dedup by id — the crashed-merge /
+    * rebalance healing step. [[knnSink]]'s contract is that
+    * `neighbor_id` is unique across the stream (an id re-ingested
+    * with a DIFFERENT vector is an upstream bug — the store is
+    * append-only and cannot represent both), but healing must not
+    * depend on it: when duplicates carry distinct payloads this
+    * keeps, per id, the row with the MINIMUM struct over the
+    * remaining columns (array ordering is lexicographic), so every
+    * read site — and [[compactPostings]]'s full-row `distinct`
+    * composed with it — converges on the same row regardless of
+    * partitioning, unlike `dropDuplicates(id)` which picks an
+    * arbitrary row per run.
+    */
+  private[streaming] def dedupPostingsById(df: DataFrame): DataFrame = {
+    val others = df.columns.filter(_ != "neighbor_id").toSeq
+    df.groupBy(col("neighbor_id"))
+      .agg(min(struct(others.map(col): _*)).as("__row"))
+      .select(col("neighbor_id") +:
+        others.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Build the index over the resident corpus and persist it:
     * centroids at `centroidsPath`, postings under
     * `postingsPath/batch=<InitBatch>/`. Must run once before the sink
@@ -84,7 +105,7 @@ object StreamingKnn {
     val posts2 = posts1.select(col("neighbor_id"), col("cv"), col("cell"))
     val posts =
       if (BatchDirs.crashedMergeDups(spark, postingsPath))
-        posts2.dropDuplicates("neighbor_id")
+        dedupPostingsById(posts2)
       else posts2
     Similarity.IvfIndexFrames(
       spark.read.parquet(centroidsPath), posts)
@@ -122,7 +143,12 @@ object StreamingKnn {
     * Per batch: top-`k` neighbors of each vector against everything
     * landed so far under `outPath/batch=<id>/`, the batch's own
     * postings appended under `postingsPath/batch=<id>/`. `idCol` must
-    * be a bigint; [[initIndex]] must have run against the same paths.
+    * be a bigint and UNIQUE across the stream — the store is
+    * append-only, so re-ingesting an id with a different vector
+    * cannot be represented; healing paths resolve such duplicates
+    * deterministically ([[dedupPostingsById]]) but the second vector
+    * is lost by contract. [[initIndex]] must have run against the
+    * same paths.
     */
   def knnSink(vecs: DataFrame, idCol: String, vecCol: String,
               centroidsPath: String, postingsPath: String,
@@ -226,9 +252,9 @@ object StreamingKnn {
         .foreach(fs.delete(_, true))
       val dirs = batchDirs()
       require(dirs.nonEmpty, s"no postings directories under $postingsPath")
-      val all = spark.read.parquet(dirs.map(_._2.toString): _*)
-        .select(col("neighbor_id"), col("cv"))
-        .dropDuplicates("neighbor_id") // heal a crashed-merge window
+      val all = dedupPostingsById( // heal a crashed-merge window
+        spark.read.parquet(dirs.map(_._2.toString): _*)
+          .select(col("neighbor_id"), col("cv")))
       // the rebuild IS Similarity.ivfRebalance over the live store
       // (store = corpus, default cells = the live centroid count);
       // refineIters > 0 is the lever that actually SPLITS a hot cell
@@ -248,9 +274,9 @@ object StreamingKnn {
       def refile(src: Seq[org.apache.hadoop.fs.Path], stage: String): Unit =
         Similarity.ivfAppend(
             Similarity.IvfIndexFrames(cents, cents.limit(0)),
-            spark.read.parquet(src.map(_.toString): _*)
-              .select(col("neighbor_id"), col("cv"))
-              .dropDuplicates("neighbor_id"),
+            dedupPostingsById(
+              spark.read.parquet(src.map(_.toString): _*)
+                .select(col("neighbor_id"), col("cv"))),
             "neighbor_id", "cv")
           .write.mode("overwrite").parquet(stageOf(stage).toString)
       val (covered, later) = dirs.partition(_._1 <= upToBatch)
@@ -298,9 +324,13 @@ object StreamingKnn {
                     maxLoadRatio: Double = 4.0,
                     cells: Int = -1, refineIters: Int = 0,
                     refineFraction: Double = 1.0): Boolean = {
-    val worst = storeStats(spark, centroidsPath, postingsPath)
+    // a store with no postings rows aggregates max(load_ratio) to
+    // null — "nothing to rebalance", not an NPE
+    val row = storeStats(spark, centroidsPath, postingsPath)
       .agg(org.apache.spark.sql.functions.max(col("load_ratio")))
-      .head().getDouble(0)
+      .head()
+    val worst = if (row.isNullAt(0)) Double.NegativeInfinity
+                else row.getDouble(0)
     if (worst > maxLoadRatio) {
       rebalanceSwap(spark, centroidsPath, postingsPath, upToBatch,
         cells, refineIters, refineFraction)

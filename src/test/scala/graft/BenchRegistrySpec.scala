@@ -41,6 +41,59 @@ class BenchRegistrySpec extends AnyFunSuite {
     assert(Bench.alwaysIsolate.contains("ext_dedup_editdist"))
   }
 
+  test("chunking: assignment is a pure function of the NAME (stable " +
+      "as the registry grows), covers every chunk id, and the dev " +
+      "default keeps small selections in-process") {
+    val names = SparkEntry.queries.keySet
+    val assign = names.map(n => n -> Bench.chunkOf(n, 4)).toMap
+    assert(assign.values.forall(c => c >= 0 && c < 4))
+    // every chunk non-empty at registry scale — 4 forked JVMs of
+    // roughly equal work, none degenerate
+    assert(assign.values.toSet === Set(0, 1, 2, 3))
+    val sizes = assign.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.min > names.size / 10,
+      s"degenerate chunk split: $sizes")
+    // stability: adding queries cannot move existing ones
+    assert(Bench.chunkOf("q1_agg", 4) ===
+      Bench.chunkOf("q1_agg", 4))
+    assert(Bench.benchChunks(241) === 4)
+    assert(Bench.benchChunks(5) === 1)
+  }
+
+  test("floor trigger: loadFloor parses the committed shape, absent " +
+      "file stays dark, floorRegressed fires only past 2x-of-floor " +
+      "AND the half-second guard") {
+    val f = java.io.File.createTempFile("floor", ".json")
+    f.deleteOnExit()
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.write("""{"fast": 0.1, "big": 1.2, "zero": 0.0}""")
+    w.close()
+    val floor = Bench.loadFloor(f.getAbsolutePath)
+    assert(floor === Map("fast" -> 0.1, "big" -> 1.2, "zero" -> 0.0))
+    assert(Bench.loadFloor("/no/such/file.json") === Map.empty)
+    val results = Map(
+      "fast" -> Seq(0.4, 0.45),   // 4x floor but under the 0.5 s guard
+      "big" -> Seq(3.0, 2.9),     // 2.4x floor: fires
+      "bigok" -> Seq(3.0),        // no floor recorded: dark
+      "zero" -> Seq(5.0),         // zero floor: dark (not a division)
+      "crash" -> Seq(-7.0))       // sentinel: dark
+    assert(Bench.floorRegressed(results, floor) === Seq("big"))
+    // after a successful isolated re-time folds in a fast pass, the
+    // breach clears
+    assert(Bench.floorRegressed(
+      results.updated("big", Seq(3.0, 2.9, 1.3)), floor) === Seq.empty)
+    // the committed floor file parses and names only registry queries
+    val committed = Bench.loadFloor("bench_floor.json")
+    assert(committed.nonEmpty)
+    assert(committed.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"stale floor entries: ${committed.keySet diff
+        SparkEntry.queries.keySet}")
+    assert(committed.contains("svc_detail_by_item") &&
+      committed.contains("ext_hll_dau") &&
+      committed.contains("ext_source_drift"),
+      "the r12 unpinned regressions must have committed floors")
+  }
+
   test("streaming escalation: parse/render round-trip, lower valid " +
       "p95 wins the merge, sentinels lose to any valid reading") {
     val frag = """{"dau":{"p50_ms":2025.0,"p95_ms":5750.0},""" +

@@ -802,6 +802,75 @@ class CorpusSpec extends SparkSpec {
       .foreach { case (_, ps) => assert(ps.map(_._5).sum === 7L) }
   }
 
+  test("packSequencesCounts: layout equals packSequences on the same " +
+      "counts; BPE counts diverge from whitespace on code-heavy text " +
+      "while tiling invariants hold") {
+    // parity: feeding the counts variant the whitespace token counts
+    // must reproduce packSequences' layout exactly (minus piece_text)
+    val d = Seq(
+      (1L, "a1 a2 a3"), (2L, "b1 b2 b3 b4"), (3L, "c1 c2 c3 c4 c5"))
+      .toDF("id", "text")
+    val viaText = Corpus.packSequences(d, "id", "text", seqLen = 5)
+      .select($"id", $"seq_id", $"doc_tok_start", $"seq_tok_start",
+        $"piece_len")
+      .orderBy($"seq_id", $"seq_tok_start").collect()
+    val viaCounts = Corpus.packSequencesCounts(
+        d.withColumn("n", org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " "))),
+        "id", "n", seqLen = 5)
+      .orderBy($"seq_id", $"seq_tok_start").collect()
+    assert(viaCounts === viaText)
+
+    // divergence: a code-heavy doc is ONE whitespace token but many
+    // tokenizer tokens — whitespace packing calls it 1 token and
+    // never splits it; tokenizer-true packing cuts where the real
+    // token stream crosses seqLen
+    val code = Seq(
+      (1L, "df.groupBy(col(\"k\")).agg(sum(col(\"v\")).as(\"s\"))", 18L),
+      (2L, "x=1", 3L),
+      (3L, "val y = x + 1", 6L))
+      .toDF("id", "text", "n_tok")
+    val ws = Corpus.packSequences(code, "id", "text", seqLen = 8)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    // whitespace: doc 1 contributes ONE 1-token piece
+    assert(ws.filter(_._1 == 1L).map(_._5).toSeq === Seq(1L))
+    val bpe = Corpus.packSequencesCounts(code, "id", "n_tok", seqLen = 8)
+      .orderBy($"seq_id", $"seq_tok_start")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // tokenizer-true: doc 1 is 18 tokens → split across 3 sequences
+    assert(bpe.filter(_._1 == 1L).map(_._5).toSeq === Seq(8L, 8L, 2L))
+    // tiling invariants on the counts layout: full sequences sum to
+    // exactly seqLen, pieces abut with no gaps or overlaps
+    val bySeq = bpe.groupBy(_._2).toSeq.sortBy(_._1)
+    bySeq.init.foreach { case (_, ps) => assert(ps.map(_._5).sum === 8L) }
+    bySeq.foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.head._4 === 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._5)
+        case _           => ()
+      }
+    }
+    // and packBoundaries composes unchanged over the counts layout
+    val cu = Corpus.packBoundaries(
+        Corpus.packSequencesCounts(code, "id", "n_tok", seqLen = 8), "id")
+      .as[(Long, Int, Long, Long, Long, Boolean, Boolean, Int)]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    cu.groupBy(_._1).values.foreach { pieces =>
+      val s = pieces.sortBy(_._2)
+      assert(s.head._4 === 0L)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 === a._5)
+        case _ => ()
+      }
+    }
+    // doc 1 (18 tokens over 3 seqs): opens as a doc start, closes as
+    // a doc end, middles are neither
+    val doc1 = cu.filter(_._3 == 1L).sortBy(_._1)
+    assert(doc1.head._6 && !doc1.head._7)
+    assert(doc1.last._7 && !doc1.last._6)
+  }
+
   test("packSequences rejects a non-integral id column") {
     val d = Seq(("10", "a b"), ("9", "c d")).toDF("id", "text")
     val e = intercept[IllegalArgumentException] {

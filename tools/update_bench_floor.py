@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Maintain bench_floor.json — per-query historical-minimum seconds.
+
+The floor is Bench's cross-round regression reference: a query whose
+in-run min exceeds 2x its floor gets an isolated-fork re-time and is
+published under `regressed_isolated` (and `floor_breached` if it still
+exceeds the floor after the fold). The in-run spread trigger is blind
+to uniformly-slow passes; the floor trigger is not.
+
+Usage:
+  python3 tools/update_bench_floor.py BENCH_OUTPUT.json [...]
+
+Each argument is either a raw Bench stdout JSON line (with "runs" or
+"queries") or a driver BENCH_r*.json wrapper (whose "tail" holds a
+truncated runs fragment). Positive per-query minimums fold into the
+committed floor with min(old, new); crash sentinels (negative) are
+ignored. Floors only ever go DOWN — a slow round never raises the bar.
+"""
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOOR = os.path.join(ROOT, "bench_floor.json")
+
+
+def mins_from_text(txt):
+    """Per-query min over every `"name":[p1,p2,...]` or `"name":sec`
+    fragment found; robust to truncated driver tails."""
+    out = {}
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":\[([-0-9.eE,\s]*)\]', txt):
+        vals = [float(v) for v in m.group(2).split(",") if v.strip()]
+        vals = [v for v in vals if v > 0]
+        if vals:
+            out[m.group(1)] = min(out.get(m.group(1), 1e18), min(vals))
+    return out
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    floor = {}
+    if os.path.isfile(FLOOR):
+        floor = json.load(open(FLOOR))
+    for path in sys.argv[1:]:
+        txt = open(path).read()
+        try:
+            obj = json.loads(txt)
+            if isinstance(obj, dict) and "tail" in obj:
+                txt = obj["tail"]
+        except ValueError:
+            pass
+        new = mins_from_text(txt)
+        for k, v in new.items():
+            if k in ("p50_ms", "p95_ms"):
+                continue
+            floor[k] = min(floor.get(k, 1e18), v)
+    with open(FLOOR, "w") as f:
+        json.dump(dict(sorted(floor.items())), f, indent=1)
+        f.write("\n")
+    print(f"bench_floor.json: {len(floor)} queries")
+
+
+if __name__ == "__main__":
+    main()
