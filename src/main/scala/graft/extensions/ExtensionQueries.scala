@@ -2065,6 +2065,50 @@ object ExtensionQueries {
       graft.operators.Stats.krippendorffAlpha(ratings, "item", "cat")
     },
 
+    // Krippendorff's alpha with the squared-difference (interval)
+    // kernel — the ordered-scale form for Likert-style scores: raters
+    // here sit mostly within ±1 of each item's base score, which
+    // nominal alpha punishes as if random and the (c−k)² kernel
+    // forgives proportionally. The pairwise form collapses to exact
+    // per-item integer moments (no category self-join); the oracle
+    // mirrors the moments, the fixed-point per-item division and the
+    // closing arithmetic op-for-op.
+    Q("ext_kripp_ordinal", {
+      val sc = "1000000000000.0"
+      s"""WITH r AS (SELECT doc_id % 40 AS item,
+         |  1 + (doc_id % 40) % 4 +
+         |   CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS cat
+         | FROM documents),
+         |nij AS (SELECT item, CAST(cat AS BIGINT) AS c,
+         |  count(*) AS nij FROM r GROUP BY 1, 2),
+         |pi AS (SELECT item, sum(nij) AS mi, sum(nij * c) AS s1,
+         |  sum(nij * c * c) AS s2
+         | FROM nij GROUP BY 1 HAVING sum(nij) >= 2),
+         |dobs AS (SELECT ${fxSql(
+             "CAST(2 * (mi * s2 - s1 * s1) AS DOUBLE) / " +
+               "CAST(mi - 1 AS DOUBLE)",
+             sc)} AS dofx FROM pi),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(mi) AS BIGINT) AS n_ratings,
+         |  CAST(sum(s1) AS BIGINT) AS ts1,
+         |  CAST(sum(s2) AS BIGINT) AS ts2 FROM pi)
+         |SELECT n_items, n_ratings,
+         | CASE WHEN 2 * (n_ratings * ts2 - ts1 * ts1) > 0 THEN
+         |  1.0 - CAST(n_ratings - 1 AS DOUBLE) *
+         |   (CAST(dofx AS DOUBLE) / $sc) /
+         |   CAST(2 * (n_ratings * ts2 - ts1 * ts1) AS DOUBLE)
+         | END AS alpha
+         |FROM tot, dobs""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val ratings = documents(s, d).select(
+        pmod(id, lit(40)).as("item"),
+        (lit(1) + pmod(pmod(id, lit(40)), lit(4)) +
+          when(pmod(id, lit(11)) === 0, 1).otherwise(0)).as("cat"))
+      graft.operators.Stats.krippendorffAlphaOrdinal(ratings, "item",
+        "cat")
+    },
+
     // Length-bias diagnostic over preference pairs — consecutive docs
     // paired, the winner arbitrated by doc_id arithmetic (so longer
     // and shorter texts win on a deterministic mix). The oracle

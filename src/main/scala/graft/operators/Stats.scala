@@ -337,6 +337,79 @@ object Stats {
           .as("alpha"))
   }
 
+  /** Krippendorff's alpha with the SQUARED-DIFFERENCE distance kernel
+    * — the reliability coefficient for ORDERED rating scales (Likert
+    * 1-5, star ratings): where the nominal [[krippendorffAlpha]]
+    * scores a 4-vs-5 disagreement as harshly as 1-vs-5, here the
+    * penalty is δ(c,k) = (c−k)², so near-miss raters on an ordered
+    * scale stop being punished as if they were random (this is the
+    * interval metric in Krippendorff's taxonomy — the standard kernel
+    * for Likert-style scores). `categoryCol` must cast to an integer
+    * code (re-code labels upstream); rows whose category does not
+    * cast drop with the nulls.
+    *
+    * The pairwise form collapses to per-item moments — no category
+    * self-join anywhere: Σ_{c,k} n_uc n_uk (c−k)² = 2(m_u·S2_u −
+    * S1_u²) with S1 = Σ n_uc·c, S2 = Σ n_uc·c², and the expected
+    * disagreement is the same identity over the pooled marginals. So
+    *
+    *   α = 1 − (n−1) · [Σ_u 2(m_u S2_u − S1_u²)/(m_u − 1)]
+    *             / [2(n·S2 − S1²)]
+    *
+    * All moments are exact integers (overflow headroom: n·S2 must fit
+    * a long — recode categories 0-based-small to keep S2 down); the
+    * per-item division is the one double step, fixed-point summed at
+    * 1e12 ([[krippendorffAlpha]]'s convention); α is null when the
+    * expected disagreement is 0 (all qualifying ratings equal —
+    * vacuous, not perfect). Same two-hash-agg scale shape and same
+    * counts-form streamed-store pull as the nominal form.
+    */
+  def krippendorffAlphaOrdinal(ratings: DataFrame, itemCol: String,
+                               categoryCol: String): DataFrame =
+    krippendorffAlphaOrdinalFromCounts(
+      ratings.groupBy(col(itemCol), col(categoryCol))
+        .agg(count(lit(1)).as("__n")),
+      itemCol, categoryCol, "__n")
+
+  /** [[krippendorffAlphaOrdinal]] over PRE-AGGREGATED per-(item,
+    * category) counts — the streamed annotation-store pull.
+    */
+  def krippendorffAlphaOrdinalFromCounts(counts: DataFrame,
+                                         itemCol: String,
+                                         categoryCol: String,
+                                         nCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val sc = 1e12
+    val cat = col(categoryCol).cast(LongType)
+    val perItem = counts
+      .filter(col(nCol).isNotNull && col(nCol) > 0 && cat.isNotNull)
+      .groupBy(col(itemCol).as("__it"), cat.as("__c"))
+      .agg(sum(col(nCol)).as("__nij"))
+      .groupBy(col("__it"))
+      .agg(sum(col("__nij")).as("__mi"),
+        sum(col("__nij") * col("__c")).as("__s1"),
+        sum(col("__nij") * col("__c") * col("__c")).as("__s2"))
+      .filter(col("__mi") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dObs = perItem
+      .select(((lit(2L) * (col("__mi") * col("__s2") -
+          col("__s1") * col("__s1"))).cast(DoubleType) /
+        (col("__mi") - 1).cast(DoubleType)).as("__t"))
+      .agg(fxSum(col("__t"), sc).as("__dofx"))
+    val totals = perItem.agg(count(lit(1)).as("n_items"),
+      sum(col("__mi")).as("n_ratings"),
+      sum(col("__s1")).as("__S1"), sum(col("__s2")).as("__S2"))
+    totals.crossJoin(broadcast(dObs))
+      .withColumn("__de", lit(2L) *
+        (col("n_ratings") * col("__S2") - col("__S1") * col("__S1")))
+      .select(col("n_items"), col("n_ratings"),
+        when(col("__de") > 0,
+          lit(1.0) - (col("n_ratings") - 1).cast(DoubleType) *
+            fxVal(col("__dofx"), sc) / col("__de").cast(DoubleType))
+          .as("alpha"))
+  }
+
   /** Unbiased pass@k over an eval sample table — the code/reasoning
     * eval metric (Chen et al., "Evaluating Large Language Models
     * Trained on Code", 2021, eq. 1): from `n` samples per problem of

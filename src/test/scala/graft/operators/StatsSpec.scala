@@ -165,6 +165,51 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].head() === ((2L, 4L, None)))
   }
 
+  test("krippendorffAlphaOrdinal: equal to nominal on exact raters, " +
+      "strictly higher on near-miss raters, textbook pairwise value, " +
+      "vacuous data null") {
+    def alpha(df: org.apache.spark.sql.DataFrame,
+              ordinal: Boolean): Option[Double] =
+      (if (ordinal) Stats.krippendorffAlphaOrdinal(df, "item", "cat")
+       else Stats.krippendorffAlpha(df, "item", "cat"))
+        .as[(Long, Long, Option[Double])].head()._3
+    // exact raters: D_o = 0 under ANY kernel — both alphas are 1
+    val perfect = Seq((1L, 1), (1L, 1), (2L, 5), (2L, 5))
+      .toDF("item", "cat")
+    assert(alpha(perfect, ordinal = true) === Some(1.0))
+    assert(alpha(perfect, ordinal = false) ===
+      alpha(perfect, ordinal = true))
+    // near-miss raters on a 1-5 scale (always within ±1, items far
+    // apart): nominal punishes each miss as random, squared-difference
+    // forgives proportionally — ordinal alpha strictly higher
+    val nearMiss = Seq((1L, 1), (1L, 2), (2L, 2), (2L, 1),
+      (3L, 4), (3L, 5), (4L, 5), (4L, 4)).toDF("item", "cat")
+    val ord = alpha(nearMiss, ordinal = true).get
+    val nom = alpha(nearMiss, ordinal = false).get
+    assert(ord > nom,
+      s"ordinal $ord should exceed nominal $nom on near-miss raters")
+    // hand-checked pairwise value: per item D_o term
+    // 2(m·S2 − S1²)/(m−1) = 2(2·5−9)=2 each (×4 items) = 8;
+    // marginals: two 1s,2s,4s,5s → S1=24, S2=92, n=8,
+    // D_e = 2(8·92−576)=320; alpha = 1 − 7·8/320 = 0.825
+    assert(math.abs(ord - 0.825) < 1e-9)
+    // one category everywhere: expected disagreement 0 → null
+    val mono = Seq((1L, 3), (1L, 3), (2L, 3), (2L, 3))
+      .toDF("item", "cat")
+    assert(alpha(mono, ordinal = true) === None)
+    // sub-2-rating items drop from n_items/n_ratings
+    val withSingleton = nearMiss.union(Seq((9L, 1)).toDF("item", "cat"))
+    assert(Stats.krippendorffAlphaOrdinal(withSingleton, "item", "cat")
+      .as[(Long, Long, Option[Double])].head()._1 === 4L)
+    // counts form reproduces the row form (streamed-store pull)
+    val counts = nearMiss.groupBy($"item", $"cat")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(Stats.krippendorffAlphaOrdinalFromCounts(counts, "item",
+        "cat", "n")
+      .as[(Long, Long, Option[Double])].head()._3.get === ord)
+  }
+
   test("bootstrapCi: constant data collapses the interval; nulls sit " +
       "out; bounds bracket the mean on mixed data; deterministic") {
     // constant column: every resample mean equals the value, so
