@@ -2343,6 +2343,129 @@ object ExtensionQueries {
       graft.operators.Stats.bootstrapCi(preds, "doc_id", "win", b = 64)
     },
 
+    // CLUSTERED bootstrap CI — eval items correlated within prompt
+    // templates (25 clusters of ~20 docs): the per-resample Poisson
+    // weight keys on the CLUSTER id, so resamples draw whole
+    // clusters and the interval carries the between-cluster variance
+    // unit resampling misses. Oracle = the ext_eval_ci machinery with
+    // the hash keyed on the cluster id.
+    Q("ext_eval_ci_clustered", {
+      val sc = "1000000000.0"
+      val b = 64
+      val wCase = graft.operators.Stats.PoissonCdf32.zipWithIndex
+        .map { case (t, k) => s"WHEN hu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH u AS (SELECT CAST(doc_id % 25 AS VARCHAR) AS id,
+         |  CAST(CASE WHEN (doc_id * 7) % 11 < 6 THEN 1 ELSE 0 END
+         |   AS DOUBLE) AS x
+         | FROM documents),
+         |dr AS (SELECT r.i AS r,
+         |  ${h32("CAST(r.i AS VARCHAR) || ':' || id")} AS hu, x
+         | FROM u, range($b) r(i)),
+         |m AS (SELECT r,
+         |  CASE WHEN sum($wCase) > 0 THEN
+         |   CAST(${fxSql(s"CAST(($wCase) AS DOUBLE) * x", sc)}
+         |     AS DOUBLE) / $sc / CAST(sum($wCase) AS DOUBLE)
+         |  END AS mm
+         | FROM dr GROUP BY r),
+         |ci AS (SELECT quantile_cont(mm, 0.025) AS lo,
+         |  quantile_cont(mm, 0.975) AS hi FROM m),
+         |pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${fxSql("x", sc)} AS sfx FROM u)
+         |SELECT n, CAST($b AS INT) AS b,
+         | CASE WHEN n > 0 THEN
+         |  CAST(sfx AS DOUBLE) / $sc / CAST(n AS DOUBLE) END AS mean,
+         | lo, hi
+         |FROM pt, ci""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(
+        pmod(id, lit(25)).as("cluster"),
+        when(pmod(id * 7, lit(11)) < 6, 1.0).otherwise(0.0).as("win"))
+      graft.operators.Stats.bootstrapCiClustered(preds, "cluster",
+        "win", b = 64)
+    },
+
+    // Exact tie-aware ROC AUC of a fixed-point quality score against
+    // a keep/reject label — the Mann-Whitney rank-sum form over a
+    // per-distinct-score count table (100 distinct scores, heavy
+    // ties). The engine computes ranks-below via the bucketed
+    // two-level prefix sum (no global window, no pos×neg pair join);
+    // the oracle states the same semantics with a plain window
+    // cumsum. All numerator terms are exact integers; the one double
+    // division closes.
+    Q("ext_auc",
+      s"""WITH u AS (SELECT (doc_id * 13) % 100 AS s,
+         |  (doc_id * 7) % 11 < 5 AS y FROM documents),
+         |g AS (SELECT s,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         | FROM u GROUP BY 1),
+         |c AS (SELECT s, np, nn,
+         |  CAST(coalesce(sum(nn) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS cnn
+         | FROM g),
+         |t AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+         |  CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+         |  coalesce(sum(np * (2 * cnn) + np * nn), 0) AS num2 FROM c)
+         |SELECT n_pos, n_neg,
+         | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |  CAST(num2 AS DOUBLE) /
+         |   (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         | END AS auc FROM t""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(
+        pmod(id * 13, lit(100)).as("score_fx"),
+        (pmod(id * 7, lit(11)) < 5).as("label"))
+      graft.operators.Stats.auc(preds, "score_fx", "label")
+    },
+
+    // Spearman rank correlation between two fixed-point scorers
+    // (y is a monotone transform of x plus bounded noise, so rho is
+    // high but < 1). Tie-averaged ranks as exact DOUBLED integers via
+    // the same two-level prefix sum; Pearson over them closes in pure
+    // double ops on exact integer sums — the oracle replays ranks,
+    // sums and the closing arithmetic op-for-op.
+    Q("ext_spearman",
+      s"""WITH u AS (SELECT (doc_id * 13) % 100 AS x,
+         |  ((doc_id * 13) % 100) * 3 + (doc_id * 7) % 10 AS y
+         | FROM documents),
+         |gx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM u
+         |  GROUP BY 1),
+         |rx AS (SELECT x, 2 * CAST(coalesce(sum(c) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) + c + 1 AS r2x
+         | FROM gx),
+         |gy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM u
+         |  GROUP BY 1),
+         |ry AS (SELECT y, 2 * CAST(coalesce(sum(c) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) + c + 1 AS r2y
+         | FROM gy),
+         |j AS (SELECT r2x, r2y FROM u JOIN rx USING (x)
+         |  JOIN ry USING (y)),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(r2x) AS DOUBLE) AS sx,
+         |  CAST(sum(r2y) AS DOUBLE) AS sy,
+         |  CAST(sum(r2x * r2x) AS DOUBLE) AS sxx,
+         |  CAST(sum(r2y * r2y) AS DOUBLE) AS syy,
+         |  CAST(sum(r2x * r2y) AS DOUBLE) AS sxy FROM j)
+         |SELECT n,
+         | CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |   AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+         |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |   (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |    sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+         | END AS rho FROM st""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val scores = documents(s, d).select(
+        pmod(id * 13, lit(100)).as("x_fx"),
+        (pmod(id * 13, lit(100)) * 3 + pmod(id * 7, lit(10)))
+          .as("y_fx"))
+      graft.operators.Stats.spearman(scores, "x_fx", "y_fx")
+    },
+
     // Paired A/B comparison with a significance verdict: per-prompt
     // score difference (model A engineered +0.08 over B on otherwise
     // unrelated score streams), unit-resampled so the pairing is

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distribution-shaping operators over numeric fact columns. */
@@ -257,6 +257,186 @@ object Stats {
       .select(col("n_items"), col("n_ratings"),
         pBar.as("p_bar"), pE.as("p_e"),
         when(pE =!= 1.0, (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
+  }
+
+  /** Per-distinct-value table of `valCol` (an INTEGRAL column) with
+    * the EXCLUSIVE cumulative sum of each `sumCols` entry over all
+    * SMALLER values — the global order statistic every rank-based
+    * metric needs ([[auc]]'s ranks-below, [[spearman]]'s tie-averaged
+    * ranks), computed WITHOUT the single-partition global window that
+    * a naive `sum over (ORDER BY value)` plans (PlanLint bans it).
+    * Same two-level zipWithIndex shape as
+    * [[Corpus.packSequences]]: values bucket by integer division
+    * (width derived from the observed range so the driver pass is
+    * ≤ 2^20 rows), one hash-partitioned in-bucket window, bucket
+    * totals prefix-summed on the driver and broadcast back. Input
+    * must already be one row per distinct value (a grouped count
+    * table); output adds `cum_<c>` per sum column. Eager (the range
+    * agg + totals collect run at call time); input is locally
+    * checkpointed so upstream aggs run once.
+    */
+  private[operators] def cumBelowByValue(grouped: DataFrame,
+                                         valCol: String,
+                                         sumCols: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val base = grouped.localCheckpoint()
+    val r = base.agg(min(col(valCol).cast(LongType)),
+      max(col(valCol).cast(LongType))).head()
+    val width: Long =
+      if (r.isNullAt(0)) 4096L
+      else {
+        val range = r.getLong(1).toDouble - r.getLong(0).toDouble + 1
+        math.max(4096L, math.ceil(range / (1 << 20)).toLong)
+      }
+    val bkt = base.withColumn("__bkt",
+      expr(s"(cast($valCol as long) - pmod(cast($valCol as long), " +
+        s"${width}L)) div ${width}L"))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = sumCols.foldLeft(bkt)((d, c) =>
+      d.withColumn(s"__in_$c", sum(col(c)).over(w)))
+    val totals = bkt.groupBy(col("__bkt"))
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .orderBy(col("__bkt"))
+      .collect()
+    val accs = Array.fill(sumCols.size)(0L)
+    val offRows = totals.map { row =>
+      val offs = accs.toSeq
+      sumCols.indices.foreach(i => accs(i) += row.getLong(i + 1))
+      Row.fromSeq(row.getLong(0) +: offs)
+    }
+    val sp = grouped.sparkSession
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__bkt", LongType) +:
+        sumCols.map(c => org.apache.spark.sql.types.StructField(
+          s"__off_$c", LongType)))
+    val offsets = sp.createDataFrame(
+      sp.sparkContext.parallelize(offRows.toSeq, 1), offSchema)
+    sumCols.foldLeft(withIn.join(broadcast(offsets), "__bkt")) {
+      (d, c) =>
+        d.withColumn(s"cum_$c",
+          col(s"__off_$c") + col(s"__in_$c") - col(c))
+          .drop(s"__in_$c", s"__off_$c")
+    }.drop("__bkt")
+  }
+
+  /** Exact tie-aware ROC AUC of an integral score column against a
+    * boolean label — the quality-classifier acceptance metric (does
+    * the scorer actually rank keepers above rejects?), in the
+    * Mann-Whitney rank-sum form: AUC = P(score⁺ > score⁻) +
+    * ½·P(score⁺ = score⁻). `scoreFxCol` must be INTEGRAL — this
+    * engine's scores are fixed-point by convention
+    * ([[graft.functions.Cols.fxTerm]]), which is exactly what makes
+    * the metric exact: per distinct score s with n⁺_s positives and
+    * n⁻_s negatives,
+    *
+    *   AUC = [Σ_s n⁺_s · 2·N⁻_(<s)  +  Σ_s n⁺_s n⁻_s] / (2 n⁺ n⁻)
+    *
+    * where N⁻_(<s) is the negative count below s — one grouped count
+    * table + [[cumBelowByValue]]; no per-pair join (the naive
+    * P(pos>neg) is an n⁺×n⁻ cross product) and no global window. The
+    * numerator terms sum through DECIMAL(38,0) (exact at any corpus
+    * size; a long wraps near n ≈ 2e6 on the n³-ish products), and
+    * the one division is the only double op. One row: (n_pos, n_neg,
+    * auc); null AUC when either class is empty. Nulls in score or
+    * label drop.
+    */
+  def auc(df: DataFrame, scoreFxCol: String, labelCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(scoreFxCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"auc needs an integral (fixed-point) score column; " +
+          s"'$scoreFxCol' is ${other.simpleString}")
+    }
+    val g = df
+      .filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreFxCol).cast(LongType).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    cumBelowByValue(g, "__s", Seq("nn"))
+      .agg(
+        coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+        coalesce(sum((col("np") * (lit(2L) * col("cum_nn")) +
+            col("np") * col("nn")).cast(DecimalType(38, 0))),
+          lit(0L).cast(DecimalType(38, 0))).as("__num2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__num2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos").cast(DoubleType) *
+              col("n_neg").cast(DoubleType)))
+          .as("auc"))
+  }
+
+  /** Spearman rank correlation between two integral (fixed-point)
+    * score columns — the judge-vs-human / scorer-vs-scorer agreement
+    * metric that asks "do they RANK the corpus the same way",
+    * immune to either scorer's calibration. Tie-averaged ranks via
+    * DOUBLED ranks (2·rank is an integer even when ties average to
+    * a half): per distinct value v with count c and C values below,
+    * every row at v gets r₂ = 2C + c + 1 — one grouped count +
+    * [[cumBelowByValue]] per side, joined back by value (equi-joins,
+    * no global window, no per-pair work). ρ is then Pearson over the
+    * doubled ranks:
+    *
+    *   ρ = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²)·√(n·Σyy − Σy²))
+    *
+    * with every Σ an exact DECIMAL(38,0) integer sum (rank products
+    * are n³-ish — a long wraps near 2e6 rows) and the closing
+    * arithmetic pure double ops on exactly-representable inputs —
+    * bit-identical in any IEEE engine, mirrored op-for-op by the SQL
+    * oracle. One row: (n, rho); null when either side is constant.
+    * Rows with a null on either side drop.
+    */
+  def spearman(df: DataFrame, xFxCol: String, yFxCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    Seq(xFxCol, yFxCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"spearman needs integral (fixed-point) score columns; " +
+            s"'$c' is ${other.simpleString}")
+      }
+    }
+    val rows = df
+      .filter(col(xFxCol).isNotNull && col(yFxCol).isNotNull)
+      .select(col(xFxCol).cast(LongType).as("__x"),
+        col(yFxCol).cast(LongType).as("__y"))
+      .localCheckpoint()
+    def ranks2(vc: String): DataFrame =
+      cumBelowByValue(
+        rows.groupBy(col(vc)).agg(count(lit(1)).as("c")), vc, Seq("c"))
+        .select(col(vc),
+          (lit(2L) * col("cum_c") + col("c") + 1L).as(s"__r$vc"))
+    val ranked = rows
+      .join(ranks2("__x"), "__x")
+      .join(ranks2("__y"), "__y")
+    def dec(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    val s = ranked.agg(
+      count(lit(1)).as("n"),
+      dec(col("__r__x")).as("__sx"), dec(col("__r__y")).as("__sy"),
+      dec(col("__r__x") * col("__r__x")).as("__sxx"),
+      dec(col("__r__y") * col("__r__y")).as("__syy"),
+      dec(col("__r__x") * col("__r__y")).as("__sxy"))
+    val nD = col("n").cast(DoubleType)
+    val vx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nD * col("__syy") - col("__sy") * col("__sy")
+    s.select(col("n"),
+      when(vx > 0.0 && vy > 0.0,
+        (nD * col("__sxy") - col("__sx") * col("__sy")) /
+          (sqrt(vx) * sqrt(vy)))
+        .as("rho"))
   }
 
   /** Krippendorff's alpha (nominal) over a ratings table —
@@ -858,6 +1038,29 @@ object Stats {
       .withColumn("significant",
         col("lo") > 0.0 || col("hi") < 0.0)
   }
+
+  /** CLUSTERED Poisson-bootstrap CI — resample whole CLUSTERS, not
+    * units: when eval items are correlated within a group (prompts
+    * generated from one template, docs from one source/domain),
+    * unit-level resampling treats n correlated items as n independent
+    * draws and the interval comes out too narrow — the classic
+    * clustered-standard-error failure. Keying the per-resample
+    * Poisson weight on the CLUSTER id (this is exactly
+    * [[bootstrapCi]] with the cluster as the resample unit — every
+    * unit in a cluster shares its weight) makes each resample draw
+    * whole clusters, so the between-cluster variance — the part unit
+    * resampling misses — survives into the interval; larger clusters
+    * weight by their size through the ratio-estimator mean, the
+    * standard one-stage cluster bootstrap. Output as
+    * [[bootstrapCi]]: (n, b, mean, lo, hi) with `n` the UNIT count
+    * (the point mean stays the plain per-unit mean). Same hash-seeded
+    * determinism and narrow-fan-out scale shape.
+    */
+  def bootstrapCiClustered(df: DataFrame, clusterCol: String,
+                           valueCol: String, b: Int,
+                           lower: Double = 0.025, upper: Double = 0.975,
+                           scale: Double = 1e9): DataFrame =
+    bootstrapCi(df, clusterCol, valueCol, b, lower, upper, scale)
 
   /** Per-rater agreement with the leave-one-out consensus — the
     * annotator-QA companion to [[fleissKappa]]: kappa says whether

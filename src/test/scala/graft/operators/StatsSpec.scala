@@ -165,6 +165,85 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].head() === ((2L, 4L, None)))
   }
 
+  test("cumBelowByValue: exclusive prefix sums over value order, " +
+      "gaps and negative values included, no global window") {
+    val g = Seq((-5L, 2L), (0L, 3L), (7L, 1L), (1000000L, 4L))
+      .toDF("v", "c")
+    val got = Stats.cumBelowByValue(g, "v", Seq("c"))
+      .select($"v", $"c", $"cum_c")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((-5L, 2L, 0L), (0L, 3L, 2L), (7L, 1L, 5L),
+      (1000000L, 4L, 6L)))
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Stats.cumBelowByValue(g, "v", Seq("c"))
+      .queryExecution.executedPlan
+    val unpartitioned = plan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "global window leaked into the plan")
+  }
+
+  test("auc: hand value with ties, perfect separation 1, reversed 0, " +
+      "all-tied 0.5, empty class null, non-integral score rejected") {
+    def a(rows: Seq[(Long, Boolean)]): Option[Double] =
+      Stats.auc(rows.toDF("s", "y"), "s", "y")
+        .as[(Long, Long, Option[Double])].head()._3
+    // pos {3,2}, neg {1,2}: 3 beats both (2), 2 beats 1 + ties 2
+    // (1.5) → 3.5/4
+    assert(a(Seq((3L, true), (2L, true), (1L, false), (2L, false)))
+      === Some(0.875))
+    assert(a(Seq((9L, true), (8L, true), (1L, false))) === Some(1.0))
+    assert(a(Seq((1L, true), (9L, false))) === Some(0.0))
+    assert(a(Seq((5L, true), (5L, false), (5L, true))) === Some(0.5))
+    assert(a(Seq((5L, true), (6L, true))) === None)
+    intercept[IllegalArgumentException] {
+      Stats.auc(Seq((0.5, true)).toDF("s", "y"), "s", "y")
+    }
+  }
+
+  test("spearman: monotone = 1 (ties included), reversed = -1, " +
+      "textbook 0.8 on one swap, constant side null") {
+    def r(rows: Seq[(Long, Long)]): Option[Double] =
+      Stats.spearman(rows.toDF("x", "y"), "x", "y")
+        .as[(Long, Option[Double])].head()._2
+    // sqrt rounding can land 1 ulp past the ideal ±1
+    assert(math.abs(r(Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 40L)))
+      .get - 1.0) < 1e-12)
+    assert(math.abs(r(Seq((1L, 30L), (2L, 20L), (3L, 10L)))
+      .get + 1.0) < 1e-12)
+    // classic: ranks (1,2,3,4) vs (1,3,2,4) → 1 - 6*2/(4*15) = 0.8
+    val swapped = r(Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L))).get
+    assert(math.abs(swapped - 0.8) < 1e-12)
+    assert(r(Seq((1L, 5L), (2L, 5L), (3L, 5L))) === None)
+  }
+
+  test("bootstrapCiClustered: singleton clusters reproduce the unit " +
+      "bootstrap exactly; correlated clusters widen the interval") {
+    val units = (0L until 200L)
+      .map(i => (i, i % 20, if ((i * 7) % 11 < 6) 1.0 else 0.0))
+      .toDF("id", "cluster", "x")
+    // every unit its own cluster == bootstrapCi keyed on the id
+    val single = Stats.bootstrapCiClustered(units, "id", "x", b = 32)
+      .as[(Long, Int, Double, Double, Double)].head()
+    val unit = Stats.bootstrapCi(units, "id", "x", b = 32)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(single === unit)
+    // perfectly correlated clusters (all units share the cluster's
+    // value): unit resampling treats 10 copies as independent and
+    // narrows; cluster resampling must stay wider
+    val corr = (0L until 200L)
+      .map(i => (i, i % 20, if (i % 20 < 9) 1.0 else 0.0))
+      .toDF("id", "cluster", "x")
+    val cl = Stats.bootstrapCiClustered(corr, "cluster", "x", b = 64)
+      .as[(Long, Int, Double, Double, Double)].head()
+    val un = Stats.bootstrapCi(corr, "id", "x", b = 64)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(cl._5 - cl._4 > un._5 - un._4,
+      s"clustered width ${cl._5 - cl._4} should exceed unit width " +
+        s"${un._5 - un._4} on correlated clusters")
+    assert(cl._3 === un._3) // same point mean
+  }
+
   test("krippendorffAlphaOrdinal: equal to nominal on exact raters, " +
       "strictly higher on near-miss raters, textbook pairwise value, " +
       "vacuous data null") {
