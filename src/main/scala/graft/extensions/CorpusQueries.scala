@@ -136,6 +136,77 @@ object CorpusQueries {
         .orderBy(col("source"))
     },
 
+    // Per-source Jensen-Shannon divergence from the blend — the
+    // symmetric, [0, ln2]-bounded companion of ext_source_kl (KL
+    // explodes on rare-token sources; JS thresholds stably). The
+    // source-support terms are 1e-9 fx-quantized; the out-of-support
+    // tail is the closed form 0.5*ln2*(1 - Q_s) over exact integer
+    // counts, with ln2 the same 17-digit literal in both engines.
+    Q("ext_js_divergence", {
+      val p = "(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))"
+      val q = "(CAST(gc AS DOUBLE) / CAST(n AS DOUBLE))"
+      val m = s"(($p + $q) / 2.0)"
+      val term = s"($p * ln($p / $m) + $q * ln($q / $m)) * 0.5"
+      s"""WITH tk AS (SELECT source, unnest($TOKS) AS tok
+         |  FROM documents),
+         |st AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |g AS (SELECT tok, sum(c) AS gc FROM st GROUP BY 1),
+         |nsx AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+         |nt AS (SELECT sum(c) AS n FROM st),
+         |t AS (SELECT st.source, st.c, nsx.ns, g.gc, nt.n
+         |  FROM st JOIN g USING (tok) JOIN nsx USING (source)
+         |  CROSS JOIN nt)
+         |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+         | CAST(${fxSql(term, "1000000000.0")} AS DOUBLE) / 1000000000.0
+         |  + (1.0 - CAST(sum(gc) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+         |    * 0.6931471805599453 * 0.5 AS js_nats
+         |FROM t GROUP BY 1 ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      Corpus.sourceTokenJs(documents(s, d), "source", "text")
+        .orderBy(col("source"))
+    },
+
+    // Tokenizer fertility by source — BPE symbols paid per whitespace
+    // word under the same shared 8-merge tokenizer: the table that
+    // says WHICH sources whitespace budgeting misestimates and by how
+    // much. Exact integer sums; the ratio is engine-portable integer
+    // division in ppm.
+    Q("ext_bpe_fertility", {
+      val merges = 8
+      val chain = (1 to merges).map { i =>
+        s"""d$i AS (SELECT doc_id, replace(s,
+           |  chr(31) || lhs || chr(31) || chr(31) || rhs || chr(31),
+           |  chr(31) || lhs || rhs || chr(31)) AS s
+           | FROM d${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeCtes(merges)},
+         |d0 AS (SELECT doc_id, regexp_replace(
+         |  array_to_string($TOKS, ' '),
+         |  '(\\S)', chr(31) || '\\1' || chr(31), 'g') AS s
+         | FROM documents),
+         |$chain,
+         |enc AS (SELECT doc_id,
+         |  CAST((len(s) - len(replace(s, chr(31), ''))) // 2
+         |    AS BIGINT) AS n_bpe
+         | FROM d$merges),
+         |w AS (SELECT doc_id, source,
+         |  CAST(len($TOKS) AS BIGINT) AS nw FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(nw) AS BIGINT) AS n_ws,
+         | CAST(sum(enc.n_bpe) AS BIGINT) AS n_bpe,
+         | CASE WHEN sum(nw) > 0 THEN
+         |  (CAST(sum(enc.n_bpe) AS BIGINT) * 1000000)
+         |    // CAST(sum(nw) AS BIGINT)
+         | ELSE 0 END AS fertility_ppm
+         |FROM w JOIN enc USING (doc_id)
+         |GROUP BY 1 ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val docs0 = documents(s, d)
+      Corpus.tokenizerFertility(docs0, "source", "doc_id", "text",
+          Corpus.bpeTrain(docs0, "text", merges = 8))
+        .orderBy(col("source"))
+    },
+
     // Uniform-target mixture reweighting (DoReMi-lite): sampling
     // weights ∝ 1/tok_s normalized, the denominator 1e12 fx-quantized
     // so normalization is order-independent on both engines.

@@ -2109,6 +2109,38 @@ object ExtensionQueries {
         "cat")
     },
 
+    // Per-item vote-distribution difficulty report over the same
+    // Likert fixture — ranks ITEMS by ambiguity where raterAgreement
+    // ranks raters: vote entropy (terms 1e-9 fx-quantized, the psi ln
+    // convention) plus the exact modal share.
+    Q("ext_item_difficulty", {
+      val sh = "(CAST(nij AS DOUBLE) / CAST(m AS DOUBLE))"
+      s"""WITH r AS (SELECT doc_id % 40 AS item,
+         |  1 + (doc_id % 40) % 4 +
+         |   CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS cat
+         | FROM documents),
+         |nij AS (SELECT item, cat, count(*) AS nij FROM r
+         |  GROUP BY 1, 2),
+         |mi AS (SELECT item, sum(nij) AS m FROM nij GROUP BY 1),
+         |t AS (SELECT nij.item, nij.nij, mi.m FROM nij
+         |  JOIN mi USING (item))
+         |SELECT item, CAST(max(m) AS BIGINT) AS n_ratings,
+         | CAST(count(*) AS BIGINT) AS n_cats,
+         | CAST(max(nij) AS DOUBLE) / CAST(max(m) AS DOUBLE)
+         |   AS majority_share,
+         | CAST(${fxSql(s"-$sh * ln($sh)", "1000000000.0")} AS DOUBLE)
+         |   / 1000000000.0 AS entropy_nats
+         |FROM t GROUP BY 1 ORDER BY item""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val ratings = documents(s, d).select(
+        pmod(id, lit(40)).as("item"),
+        (lit(1) + pmod(pmod(id, lit(40)), lit(4)) +
+          when(pmod(id, lit(11)) === 0, 1).otherwise(0)).as("cat"))
+      graft.operators.Stats.annotationEntropy(ratings, "item", "cat")
+        .orderBy(col("item"))
+    },
+
     // Length-bias diagnostic over preference pairs — consecutive docs
     // paired, the winner arbitrated by doc_id arithmetic (so longer
     // and shorter texts win on a deterministic mix). The oracle
@@ -2297,6 +2329,62 @@ object ExtensionQueries {
         .select((score * 0.6 + 0.35).as("score"))
       graft.operators.Stats.psi(ref, cur, "score", bins = 10)
         .orderBy(col("bin"))
+    },
+
+    // Per-SOURCE drift scorecard — psiByGroup computes every source's
+    // reference-vs-current PSI bin table in one pass (20 sources ×
+    // 10 bins); per-source scalar = sum(term_fx)/1e9 per source. Same
+    // smoothing/quantization as ext_psi, keyed by source.
+    Q("ext_psi_by_source", {
+      def pq(n: String, tot: String) =
+        s"(CAST(coalesce($n, 0) + 1 AS DOUBLE) / " +
+          s"CAST($tot + 10 AS DOUBLE))"
+      val p = pq("rb.n_ref", "nr")
+      val q = pq("cb.n_cur", "nc")
+      val binOf =
+        "least(CAST(9 AS BIGINT), greatest(CAST(0 AS BIGINT), " +
+          "CAST(floor((s - 0.0) / 1.0 * 10) AS BIGINT)))"
+      s"""WITH ref AS (SELECT source, CAST((doc_id * 13) % 100
+         |   AS DOUBLE) / 100.0 AS s FROM documents
+         | WHERE doc_id % 2 = 0),
+         |cur AS (SELECT source, CAST((doc_id * 13) % 100 AS DOUBLE) /
+         |   100.0 * 0.6 + 0.35 AS s FROM documents
+         | WHERE doc_id % 2 = 1),
+         |rb AS (SELECT source, $binOf AS bin, count(*) AS n_ref
+         |  FROM ref WHERE s IS NOT NULL AND NOT isnan(s)
+         |  GROUP BY 1, 2),
+         |cb AS (SELECT source, $binOf AS bin, count(*) AS n_cur
+         |  FROM cur WHERE s IS NOT NULL AND NOT isnan(s)
+         |  GROUP BY 1, 2),
+         |gs AS (SELECT source FROM rb UNION SELECT source FROM cb),
+         |sp AS (SELECT gs.source, r.i AS bin FROM gs, range(10) r(i)),
+         |tr AS (SELECT source, sum(n_ref) AS nr FROM rb GROUP BY 1),
+         |tc AS (SELECT source, sum(n_cur) AS nc FROM cb GROUP BY 1),
+         |tot AS (SELECT coalesce(tr.source, tc.source) AS source,
+         |  coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+         | FROM tr FULL JOIN tc ON tr.source = tc.source)
+         |SELECT sp.source, sp.bin,
+         | CAST(coalesce(rb.n_ref, 0) AS BIGINT) AS n_ref,
+         | CAST(coalesce(cb.n_cur, 0) AS BIGINT) AS n_cur,
+         | $p AS p_ref, $q AS p_cur,
+         | CAST(floor(($p - $q) * ln($p / $q) * 1000000000.0 + 0.5)
+         |  AS BIGINT) AS term_fx
+         |FROM sp
+         |LEFT JOIN rb ON rb.source = sp.source AND rb.bin = sp.bin
+         |LEFT JOIN cb ON cb.source = sp.source AND cb.bin = sp.bin
+         |JOIN tot ON tot.source = sp.source
+         |ORDER BY sp.source, sp.bin""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val score = pmod(id * 13, lit(100)).cast("double") / 100.0
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(col("source"), score.as("score"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select(col("source"), (score * 0.6 + 0.35).as("score"))
+      graft.operators.Stats.psiByGroup(ref, cur, "source", "score",
+          bins = 10)
+        .orderBy(col("source"), col("bin"))
     },
 
     // Deterministic Poisson-bootstrap CI for a win rate — the

@@ -1768,6 +1768,88 @@ object Corpus {
         fxVal(col("__q"), 1e9).as("kl_nats"))
   }
 
+  /** Per-source Jensen-Shannon divergence from the corpus blend —
+    * [[sourceTokenKl]]'s SYMMETRIC, BOUNDED companion: KL explodes on
+    * tokens the blend barely holds (and is infinite the other way
+    * around), while JS ∈ [0, ln 2] ranks sources on a stable scale a
+    * dashboard can threshold. JS(P_s ‖ Q) = ½ Σ p·ln(p/m) +
+    * ½ Σ q·ln(q/m) with m = (p+q)/2, split into the source-support
+    * part (both terms, fx-quantized at 1e9 per term) and the closed
+    * form for tokens OUTSIDE the source — there p = 0, m = q/2, so
+    * the tail is ½·ln2·(1 − Q_s) with Q_s = Σ_{t∈s} q an EXACT
+    * integer ratio (Σ gc over the source's support / N); ln 2 is
+    * embedded as the same 17-digit literal in both engines. Emits
+    * (groupCol, n_tokens, js_nats).
+    *
+    * Scale shape: identical to [[sourceTokenKl]] — one (source,
+    * token) hash agg, a token-keyed equi-join onto the global
+    * marginals, a broadcast source-totals join, one grouped fx sum.
+    */
+  def sourceTokenJs(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val st = fanOut(docs)
+      .select(col(groupCol),
+        explode(TextFns.toks(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(MEMORY_AND_DISK)
+    val glob = st.groupBy(col("__tok")).agg(sum(col("__c")).as("__g"))
+    val ns = st.groupBy(col(groupCol)).agg(sum(col("__c")).as("__ns"))
+    val nRow = st.agg(sum(col("__c"))).head()
+    require(!nRow.isNullAt(0), "sourceTokenJs needs a non-empty corpus")
+    val bigN = nRow.getLong(0).toDouble
+    val ln2 = 0.6931471805599453 // math.log(2.0), literal both engines
+    val p = col("__c").cast("double") / col("__ns").cast("double")
+    val q = col("__g").cast("double") / lit(bigN)
+    val m = (p + q) / 2.0
+    st.join(glob, Seq("__tok"))
+      .join(broadcast(ns), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("__ns")).as("n_tokens"),
+        fxSum((p * log(p / m) + q * log(q / m)) * 0.5, 1e9)
+          .as("__q"),
+        sum(col("__g")).as("__sgc"))
+      .select(col(groupCol), col("n_tokens"),
+        (fxVal(col("__q"), 1e9) +
+          (lit(1.0) - col("__sgc").cast("double") / lit(bigN)) *
+            lit(ln2) * 0.5)
+          .as("js_nats"))
+  }
+
+  /** Tokenizer fertility by group — the tokenizer-eval scorecard
+    * ("how many BPE symbols does this source pay per whitespace
+    * word"): joins [[bpeEncode]]'s per-doc symbol counts back onto
+    * the corpus and aggregates per `groupCol`. High-fertility groups
+    * (code, CJK, URL-heavy crawls) are where whitespace budgeting
+    * misestimates worst — this table says by how much, per source.
+    * Emits (groupCol, n_docs, n_ws, n_bpe, fertility_ppm) with
+    * `fertility_ppm = n_bpe · 10⁶ div n_ws` (exact integer division,
+    * engine-portable). Docs with zero whitespace tokens still count
+    * into n_docs/n_bpe; the ratio guards the zero denominator.
+    *
+    * Scale shape: the [[bpeEncode]] projection (one narrow codegen
+    * pass), an id-keyed equi-join, one group hash agg.
+    */
+  def tokenizerFertility(docs: DataFrame, groupCol: String,
+                         idCol: String, textCol: String,
+                         mergeTable: DataFrame): DataFrame = {
+    val enc = bpeEncode(docs, idCol, textCol, mergeTable)
+      .select(col(idCol), col("n_bpe"))
+    fanOut(docs)
+      .select(col(idCol), col(groupCol),
+        size(TextFns.toks(col(textCol))).cast("long").as("__nw"))
+      .join(enc, Seq(idCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_ws"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .withColumn("fertility_ppm",
+        when(col("n_ws") > 0L, expr("n_bpe * 1000000L div n_ws"))
+          .otherwise(0L))
+  }
+
   /** Uniform-target mixture reweighting — the simplest DoReMi-style
     * domain-weight correction: sampling weights proportional to
     * target_share / current_share with a UNIFORM target, i.e.

@@ -816,6 +816,106 @@ object Stats {
           .as("term_fx"))
   }
 
+  /** Per-GROUP population stability index — the drift SCORECARD form
+    * of [[psi]]: one pass over each side computes every source's
+    * reference-vs-current bin table, so a 20-source corpus gets its
+    * per-source drift report without 20 filtered re-scans. Emits one
+    * row per (group, bin) with the same columns and smoothing as
+    * [[psi]]; the per-group scalar is `sum(term_fx)/1e9 GROUP BY
+    * group`. Groups present on only one side still report (their
+    * missing side is all-zero counts — maximal drift, which is the
+    * right alarm for a source that appeared or vanished).
+    *
+    * Scale shape: one (group, bin)-keyed map-side hash agg per side
+    * (≤ |groups|·bins rows each), a |groups|·bins spine from the
+    * distinct-group union crossed with the bin range, two left
+    * joins, one group-keyed totals join. No window, nothing
+    * driver-side.
+    */
+  def psiByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+                 scoreCol: String, bins: Int = 10, lo: Double = 0.0,
+                 hi: Double = 1.0): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"bins must be in [1, 10000], got $bins")
+    require(lo < hi, s"need lo < hi, got lo=$lo hi=$hi")
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    def binned(df: DataFrame, n: String): DataFrame = {
+      val b = least(lit(bins - 1L), greatest(lit(0L),
+        floor((col(scoreCol).cast(DoubleType) - lo) / (hi - lo) * bins)
+          .cast(LongType)))
+      df.filter(col(scoreCol).isNotNull &&
+          !isnan(col(scoreCol).cast(DoubleType)))
+        .select(col(groupCol), b.as("bin"))
+        .groupBy(col(groupCol), col("bin"))
+        .agg(count(lit(1)).as(n))
+    }
+    val spark = ref.sparkSession
+    val r = binned(ref, "n_ref")
+    val c = binned(cur, "n_cur")
+    val groups = r.select(col(groupCol))
+      .union(c.select(col(groupCol))).distinct()
+    val spine = groups.crossJoin(
+      spark.range(bins).select(col("id").as("bin")))
+    val totals = r.groupBy(col(groupCol))
+      .agg(sum(col("n_ref")).as("__nr"))
+      .join(c.groupBy(col(groupCol)).agg(sum(col("n_cur")).as("__nc")),
+        Seq(groupCol), "full")
+      .na.fill(0L, Seq("__nr", "__nc"))
+    val p = (col("n_ref") + 1L).cast(DoubleType) /
+      (col("__nr") + bins).cast(DoubleType)
+    val q = (col("n_cur") + 1L).cast(DoubleType) /
+      (col("__nc") + bins).cast(DoubleType)
+    spine.join(r, Seq(groupCol, "bin"), "left")
+      .join(c, Seq(groupCol, "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(totals, Seq(groupCol))
+      .select(col(groupCol), col("bin"), col("n_ref"), col("n_cur"),
+        p.as("p_ref"), q.as("p_cur"),
+        floor((p - q) * log(p / q) * 1e9 + 0.5).cast(LongType)
+          .as("term_fx"))
+  }
+
+  /** Per-item vote-distribution report — the annotation DIFFICULTY
+    * table [[raterAgreement]] ranks raters with; this ranks ITEMS:
+    * an item whose votes spread across categories is ambiguous
+    * (rewrite the guideline or drop the item), one with a crushing
+    * majority is easy. Per item: `n_ratings`, `n_cats`,
+    * `majority_share` (modal count / ratings — exact ratio) and
+    * `entropy_nats` (−Σ share·ln share, each term 1e9 fx-quantized —
+    * the [[psi]] ln convention, so the oracle matches bit-for-bit;
+    * 0 = unanimous, ln(k) = uniform over k categories). Null/empty
+    * categories drop with their rows.
+    *
+    * Scale shape: one (item, category) hash agg, one item-keyed agg
+    * — both map-side-combining; no window, no join, nothing
+    * driver-side.
+    */
+  def annotationEntropy(ratings: DataFrame, itemCol: String,
+                        categoryCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.DoubleType
+    val nij = ratings
+      .filter(col(categoryCol).isNotNull)
+      .groupBy(col(itemCol), col(categoryCol))
+      .agg(count(lit(1)).as("__nij"))
+    val withTot = nij
+      .withColumn("__mi", sum(col("__nij"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(itemCol))))
+    val share = col("__nij").cast(DoubleType) /
+      col("__mi").cast(DoubleType)
+    withTot
+      .groupBy(col(itemCol))
+      .agg(max(col("__mi")).as("n_ratings"),
+        count(lit(1)).as("n_cats"),
+        (max(col("__nij")).cast(DoubleType) /
+          max(col("__mi")).cast(DoubleType)).as("majority_share"),
+        fxSum(-share * log(share), 1e9).as("__e"))
+      .select(col(itemCol), col("n_ratings"), col("n_cats"),
+        col("majority_share"),
+        fxVal(col("__e"), 1e9).as("entropy_nats"))
+  }
+
   /** Per-group winsorization: clip `valCol` into the [`lo`, `hi`]
     * exact quantiles of its own group (outlier remediation before a
     * sum/mean that a single corrupt value would dominate). Emits the

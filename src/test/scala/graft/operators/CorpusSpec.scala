@@ -802,6 +802,41 @@ class CorpusSpec extends SparkSpec {
       .foreach { case (_, ps) => assert(ps.map(_._5).sum === 7L) }
   }
 
+  test("sourceTokenJs: symmetric twins score equal, bounded by ln2, " +
+      "a blend-identical source scores ~0") {
+    // A and B hold identical disjoint-from-each-other vocabularies:
+    // by symmetry their JS from the blend is equal and strictly
+    // inside (0, ln 2)
+    val d = Seq(("A", "x x y"), ("A", "y"), ("B", "p p q"), ("B", "q"))
+      .toDF("src", "text")
+    val js = Corpus.sourceTokenJs(d, "src", "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(js("A") - js("B")) < 1e-9)
+    assert(js("A") > 0.0 && js("A") < 0.6931471805599453)
+    // one source whose distribution IS the blend: JS ~ 0 (exact up to
+    // the 1e-9 term quantization)
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("src", "text")
+    val js2 = Corpus.sourceTokenJs(same, "src", "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(js2("A")) < 1e-8 && math.abs(js2("B")) < 1e-8)
+  }
+
+  test("tokenizerFertility: group sums reconcile with bpeEncode, " +
+      "fertility is the exact ppm ratio") {
+    val d = Seq((1L, "A", "aa bb"), (2L, "A", "cc"), (3L, "B", "dd ee"))
+      .toDF("id", "src", "text")
+    val mt = Corpus.bpeTrain(d, "text", merges = 1)
+    val got = Corpus.tokenizerFertility(d, "src", "id", "text", mt)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val enc = Corpus.bpeEncode(d, "id", "text", mt)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got("A")._2 === 2L && got("A")._3 === 3L)
+    assert(got("A")._4 === enc(1L) + enc(2L))
+    assert(got("A")._5 === got("A")._4 * 1000000L / got("A")._3)
+    assert(got("B")._3 === 2L && got("B")._4 === enc(3L))
+  }
+
   test("packSequencesCounts: layout equals packSequences on the same " +
       "counts; BPE counts diverge from whitespace on code-heavy text " +
       "while tiling invariants hold") {

@@ -165,6 +165,47 @@ class StatsSpec extends SparkSpec {
       .as[(Long, Long, Option[Double])].head() === ((2L, 4L, None)))
   }
 
+  test("psiByGroup: per-group tables match the ungrouped psi; a " +
+      "group on one side only reports maximal drift, not a dropout") {
+    val ref = (Seq(("a", 0.1), ("a", 0.2), ("a", 0.9)) ++
+      Seq.fill(10)(("b", 0.5))).toDF("g", "score")
+    val cur = Seq(("a", 0.85), ("a", 0.95), ("c", 0.4))
+      .toDF("g", "score")
+    val byG = Stats.psiByGroup(ref, cur, "g", "score", bins = 10)
+      .as[(String, Long, Long, Long, Double, Double, Long)].collect()
+    // group a's rows equal psi() run on a alone
+    val aOnly = Stats.psi(ref.filter($"g" === "a"),
+        cur.filter($"g" === "a"), "score", bins = 10)
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(byG.filter(_._1 == "a").sortBy(_._2)
+      .map(t => (t._2, t._3, t._4, t._5, t._6, t._7)).toSeq === aOnly)
+    // every group from either side present, 10 bins each
+    assert(byG.map(_._1).distinct.sorted.toSeq === Seq("a", "b", "c"))
+    assert(byG.groupBy(_._1).values.forall(_.length == 10))
+    // b (vanished) and c (appeared): all-zero on one side still
+    // yields finite smoothed terms, and the scalar flags real drift
+    val bPsi = byG.filter(_._1 == "b").map(_._7).sum / 1e9
+    assert(bPsi > 0.25)
+  }
+
+  test("annotationEntropy: unanimous item is zero-entropy with modal " +
+      "share 1, uniform item hits ln(k), nulls drop") {
+    val votes = Seq((1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, null.asInstanceOf[String]))
+      .toDF("item", "cat")
+    val got = Stats.annotationEntropy(votes, "item", "cat")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(got(0) === ((1L, 3L, 1L, 1.0, 0.0)))
+    assert(got(1)._2 === 3L && got(1)._3 === 3L)
+    assert(math.abs(got(1)._5 - math.log(3.0)) < 1e-8)
+    assert(math.abs(got(1)._4 - 1.0 / 3) < 1e-12)
+    // the null vote dropped: item 3 is a single unanimous rating
+    assert(got(2) === ((3L, 1L, 1L, 1.0, 0.0)))
+  }
+
   test("cumBelowByValue: exclusive prefix sums over value order, " +
       "gaps and negative values included, no global window") {
     val g = Seq((-5L, 2L), (0L, 3L), (7L, 1L), (1000000L, 4L))
