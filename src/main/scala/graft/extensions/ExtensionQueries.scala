@@ -1518,6 +1518,56 @@ object ExtensionQueries {
         .orderBy(col("vec_id"))
     },
 
+    // Per-group embedding-centroid drift between two snapshots — the
+    // semantic companion of the score-PSI monitor: even/odd vec_ids
+    // play reference/current samples of 4 groups; the cosine between
+    // each group's two fixed-point centroids says how far its content
+    // moved. Mirrors ext_centroid_outlier's fx conventions.
+    Q("ext_embedding_drift", {
+      val sc = "1000000000.0"
+      def cent(name: String, par: String) =
+        s"""$name AS (SELECT grp, pos,
+           |  CAST(${fxSql("v", sc)} AS DOUBLE) / $sc
+           |    / CAST(count(*) AS DOUBLE) AS c
+           | FROM (SELECT vec_id % 4 AS grp,
+           |    CAST(embedding[pos + 1] AS DOUBLE) AS v, pos
+           |   FROM embeddings, unnest(range(0, len(embedding))) u(pos)
+           |   WHERE vec_id % 2 = $par)
+           | GROUP BY 1, 2)""".stripMargin
+      s"""WITH ${cent("pr", "0")},
+         |${cent("pc", "1")},
+         |d AS (SELECT grp,
+         |  ${fxSql("pr.c * pc.c", sc)} AS qd,
+         |  ${fxSql("pr.c * pr.c", sc)} AS qr,
+         |  ${fxSql("pc.c * pc.c", sc)} AS qc
+         | FROM pr JOIN pc USING (grp, pos) GROUP BY 1),
+         |e AS (SELECT grp, CAST(qd AS DOUBLE) / $sc
+         |   / (sqrt(CAST(qr AS DOUBLE) / $sc)
+         |      * sqrt(CAST(qc AS DOUBLE) / $sc)) AS centroid_cos
+         | FROM d),
+         |nr AS (SELECT vec_id % 4 AS grp,
+         |  CAST(count(*) AS BIGINT) AS n_ref FROM embeddings
+         | WHERE vec_id % 2 = 0 GROUP BY 1),
+         |ncu AS (SELECT vec_id % 4 AS grp,
+         |  CAST(count(*) AS BIGINT) AS n_cur FROM embeddings
+         | WHERE vec_id % 2 = 1 GROUP BY 1)
+         |SELECT coalesce(nr.grp, ncu.grp) AS grp,
+         | coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur,
+         | centroid_cos
+         |FROM nr FULL JOIN ncu ON nr.grp = ncu.grp
+         |LEFT JOIN e ON e.grp = coalesce(nr.grp, ncu.grp)
+         |ORDER BY grp""".stripMargin
+    }) { (s, d) =>
+      val e = embeddings(s, d)
+      val grp = pmod(col("vec_id"), lit(4)).as("grp")
+      val ref = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(grp, col("embedding"))
+      val cur = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(grp, col("embedding"))
+      Similarity.embeddingDrift(ref, cur, "grp", "embedding")
+        .orderBy(col("grp"))
+    },
+
     // Diversity-aware shortlist selection: greedy MMR over the 200
     // vectors nearest-in-id to the probe (vec_id 0), k=8, λ=0.5. The
     // oracle unrolls the greedy loop as k chained CTE steps — each
@@ -2507,6 +2557,70 @@ object ExtensionQueries {
         pmod(id * 13, lit(100)).as("score_fx"),
         (pmod(id * 7, lit(11)) < 5).as("label"))
       graft.operators.Stats.auc(preds, "score_fx", "label")
+    },
+
+    // Per-source AUC scorecard — the scorer validated on EVERY source
+    // separately (a classifier tuned on web prose can be random on
+    // code). Group-partitioned window over the per-(source, score)
+    // count table; same tie-aware Mann-Whitney arithmetic as ext_auc.
+    Q("ext_auc_by_source",
+      s"""WITH u AS (SELECT source, (doc_id * 13) % 100 AS s,
+         |  (doc_id * 7) % 11 < 5 AS y FROM documents),
+         |g AS (SELECT source, s,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         | FROM u GROUP BY 1, 2),
+         |c AS (SELECT source, s, np, nn,
+         |  CAST(coalesce(sum(nn) OVER (PARTITION BY source ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS cnn
+         | FROM g),
+         |t AS (SELECT source,
+         |  CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  sum(np * (2 * cnn) + np * nn) AS num2
+         | FROM c GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |  CAST(num2 AS DOUBLE) /
+         |   (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         | END AS auc FROM t ORDER BY source""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(col("source"),
+        pmod(id * 13, lit(100)).as("score_fx"),
+        (pmod(id * 7, lit(11)) < 5).as("label"))
+      graft.operators.Stats.aucByGroup(preds, "source", "score_fx",
+          "label")
+        .orderBy(col("source"))
+    },
+
+    // McNemar's paired test — did model B fix more than it broke on
+    // the shared eval set: only discordant pairs carry signal, z is
+    // the binomial split on them (no continuity correction). Exact
+    // counts, one sqrt.
+    Q("ext_mcnemar",
+      s"""WITH u AS (SELECT (doc_id * 7) % 11 < 6 AS a,
+         |  (doc_id * 13) % 17 < 10 AS b FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(coalesce(sum(CASE WHEN a AND b THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_both,
+         |  CAST(coalesce(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0
+         |    END), 0) AS BIGINT) AS n_neither,
+         |  CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS a_only,
+         |  CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END),
+         |    0) AS BIGINT) AS b_only
+         | FROM u)
+         |SELECT n, n_both, n_neither, a_only, b_only,
+         | CASE WHEN a_only + b_only > 0 THEN
+         |  CAST(a_only - b_only AS DOUBLE) /
+         |   sqrt(CAST(a_only + b_only AS DOUBLE)) END AS z
+         |FROM t""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val pairs = documents(s, d).select(
+        (pmod(id * 7, lit(11)) < 6).as("a"),
+        (pmod(id * 13, lit(17)) < 10).as("b"))
+      graft.operators.Stats.mcnemar(pairs, "a", "b")
     },
 
     // Spearman rank correlation between two fixed-point scorers

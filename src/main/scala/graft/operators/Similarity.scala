@@ -273,6 +273,56 @@ object Similarity {
         (cos < threshold).as("is_outlier"))
   }
 
+  /** Per-group EMBEDDING drift between a reference and a current
+    * snapshot — the semantic companion of the score-PSI monitor
+    * ([[Stats.psiByGroup]]): a source whose scalar quality scores
+    * look stable can still drift in CONTENT (topic shift, language
+    * mix, spam injection), and the cheapest tell is its centroid
+    * moving. Per group: both sample counts and the cosine between
+    * the two per-group centroids (1.0 = no movement; null when the
+    * group is missing on either side — an appeared/vanished source
+    * is its own alarm, carried by the zero count).
+    *
+    * Determinism: [[centroidScores]]'s convention — per-dim centroid
+    * means and the three cross-dim dot/norm sums all run fixed-point
+    * at 1e9, `sqrt` is IEEE exact, so the cosine is bit-identical
+    * across engines.
+    *
+    * Scale shape: one posexplode + (group, dim) map-side hash agg per
+    * side (output = groups × dims rows each — config-scale), a
+    * (group, dim)-keyed equi-join of the two tiny centroid tables,
+    * one group-keyed agg, and a broadcast-friendly full join with the
+    * two count tables. The corpus is scanned once per side; nothing
+    * scales with corpus² and nothing is driver-side.
+    */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    def cent(df: DataFrame, c: String): DataFrame =
+      fanOut(df)
+        .select(col(groupCol),
+          posexplode(col(vecCol)).as(Seq("pos", "__f")))
+        .withColumn("__v", col("__f").cast("double"))
+        .groupBy(col(groupCol), col("pos"))
+        .agg(fxSum(col("__v"), 1e9).as("__q"), count(lit(1)).as("__n"))
+        .select(col(groupCol), col("pos"),
+          (fxVal(col("__q"), 1e9) / col("__n").cast("double")).as(c))
+    val cos = fxVal(col("__dot"), 1e9) /
+      (sqrt(fxVal(col("__nr"), 1e9)) * sqrt(fxVal(col("__nc"), 1e9)))
+    val cosByGroup = cent(ref, "__cr")
+      .join(cent(cur, "__cc"), Seq(groupCol, "pos"))
+      .groupBy(col(groupCol))
+      .agg(fxSum(col("__cr") * col("__cc"), 1e9).as("__dot"),
+        fxSum(col("__cr") * col("__cr"), 1e9).as("__nr"),
+        fxSum(col("__cc") * col("__cc"), 1e9).as("__nc"))
+      .select(col(groupCol), cos.as("centroid_cos"))
+    ref.groupBy(col(groupCol)).agg(count(lit(1)).as("n_ref"))
+      .join(cur.groupBy(col(groupCol)).agg(count(lit(1)).as("n_cur")),
+        Seq(groupCol), "full")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .join(cosByGroup, Seq(groupCol), "left")
+  }
+
   /** Maximal-marginal-relevance selection: greedily pick `k` items
     * maximizing `lambda·relevance − (1−lambda)·maxSimToSelected` — the
     * diversity-aware sampler (relevance alone picks k near-duplicates;

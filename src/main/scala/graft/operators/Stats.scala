@@ -375,6 +375,86 @@ object Stats {
           .as("auc"))
   }
 
+  /** Per-GROUP [[auc]] — the scorer-validation scorecard ("does the
+    * quality classifier still separate keepers from rejects on EVERY
+    * source, or only on the ones it was tuned on"). Within a group
+    * the rank statistic only needs that group's order, so the
+    * ranks-below come from one GROUP-PARTITIONED window over the
+    * per-(group, distinct-score) count table — bounded partitions
+    * (≤ distinct scores per group), no global window, no pair join.
+    * Same tie handling, exactness and output semantics as [[auc]];
+    * one row per group: (group, n_pos, n_neg, auc).
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, scoreFxCol: String,
+                 labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(scoreFxCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"aucByGroup needs an integral (fixed-point) score column; " +
+          s"'$scoreFxCol' is ${other.simpleString}")
+    }
+    val g = df
+      .filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreFxCol).cast(LongType).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum((col("np") * (lit(2L) * col("cnn")) +
+            col("np") * col("nn")).cast(DecimalType(38, 0)))
+          .as("__num2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("__num2").cast(DoubleType) /
+            (lit(2.0) * col("n_pos").cast(DoubleType) *
+              col("n_neg").cast(DoubleType)))
+          .as("auc"))
+  }
+
+  /** McNemar's test over paired boolean outcomes — the significance
+    * check for "model B fixed more than it broke" on a shared eval
+    * set: only the DISCORDANT pairs carry signal (`a_only` = A right
+    * where B wrong, `b_only` the reverse), and the statistic is the
+    * binomial z on their split, z = (a_only − b_only)/√(a_only +
+    * b_only) (no continuity correction — document the convention;
+    * |z| > 1.96 ≈ the 5 % level). The concordant counts ride along
+    * for the report. Null on either side drops the pair; z is null
+    * with no discordant pairs (the models are operationally
+    * identical). All counts exact; the one sqrt closes. One output
+    * row: (n, n_both, n_neither, a_only, b_only, z) — `n_both` not
+    * `both`, which is a reserved word in standard SQL.
+    *
+    * Scale shape: a single map-side-combining hash agg to one row.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val d = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    d.agg(
+        count(lit(1)).as("n"),
+        sum(when(col(aCol) && col(bCol), 1L).otherwise(0L)).as("n_both"),
+        sum(when(!col(aCol) && !col(bCol), 1L).otherwise(0L))
+          .as("n_neither"),
+        sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L))
+          .as("a_only"),
+        sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L))
+          .as("b_only"))
+      .na.fill(0L, Seq("n", "n_both", "n_neither", "a_only", "b_only"))
+      .select(col("n"), col("n_both"), col("n_neither"), col("a_only"),
+        col("b_only"),
+        when(col("a_only") + col("b_only") > 0,
+          (col("a_only") - col("b_only")).cast(DoubleType) /
+            sqrt((col("a_only") + col("b_only")).cast(DoubleType)))
+          .as("z"))
+  }
+
   /** Spearman rank correlation between two integral (fixed-point)
     * score columns — the judge-vs-human / scorer-vs-scorer agreement
     * metric that asks "do they RANK the corpus the same way",
@@ -855,7 +935,7 @@ object Stats {
     val groups = r.select(col(groupCol))
       .union(c.select(col(groupCol))).distinct()
     val spine = groups.crossJoin(
-      spark.range(bins).select(col("id").as("bin")))
+      broadcast(spark.range(bins).select(col("id").as("bin"))))
     val totals = r.groupBy(col(groupCol))
       .agg(sum(col("n_ref")).as("__nr"))
       .join(c.groupBy(col(groupCol)).agg(sum(col("n_cur")).as("__nc")),
@@ -891,13 +971,28 @@ object Stats {
     * driver-side.
     */
   def annotationEntropy(ratings: DataFrame, itemCol: String,
-                        categoryCol: String): DataFrame = {
+                        categoryCol: String): DataFrame =
+    annotationEntropyFromCounts(
+      ratings.groupBy(col(itemCol), col(categoryCol))
+        .agg(count(lit(1)).as("__n")),
+      itemCol, categoryCol, "__n")
+
+  /** [[annotationEntropy]] over PRE-AGGREGATED per-(item, category)
+    * counts — the [[graft.streaming.StreamingRatings]] store pull;
+    * like the α counts forms, the report is a pure function of the
+    * count table, so the streamed store reproduces the replayed
+    * log's values exactly. Null/non-positive count rows drop.
+    */
+  def annotationEntropyFromCounts(counts: DataFrame, itemCol: String,
+                                  categoryCol: String,
+                                  nCol: String): DataFrame = {
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.sql.types.DoubleType
-    val nij = ratings
-      .filter(col(categoryCol).isNotNull)
+    val nij = counts
+      .filter(col(nCol).isNotNull && col(nCol) > 0 &&
+        col(categoryCol).isNotNull)
       .groupBy(col(itemCol), col(categoryCol))
-      .agg(count(lit(1)).as("__nij"))
+      .agg(sum(col(nCol)).as("__nij"))
     val withTot = nij
       .withColumn("__mi", sum(col("__nij"))
         .over(org.apache.spark.sql.expressions.Window

@@ -84,6 +84,27 @@ object StreamingRatings {
     Stats.raterAgreementFromCounts(counts(spark, storePath),
       "item", "rater", "cat", "n")
 
+  /** Krippendorff's alpha with the squared-difference (ordinal)
+    * kernel over everything landed so far — row-identical to
+    * [[Stats.krippendorffAlphaOrdinal]] over the full rating log
+    * (spec-pinned); the pull for Likert-style ORDERED scores, where
+    * the nominal form punishes a 4-vs-5 near-miss like a 1-vs-5 miss.
+    */
+  def krippendorffAlphaOrdinal(spark: SparkSession,
+                               storePath: String): DataFrame =
+    Stats.krippendorffAlphaOrdinalFromCounts(counts(spark, storePath),
+      "item", "cat", "n")
+
+  /** Per-item vote-distribution difficulty over everything landed so
+    * far — row-identical to [[Stats.annotationEntropy]] over the
+    * full rating log (spec-pinned): WHICH items are ambiguous, while
+    * [[raterAgreement]] says which raters drift.
+    */
+  def itemDifficulty(spark: SparkSession,
+                     storePath: String): DataFrame =
+    Stats.annotationEntropyFromCounts(counts(spark, storePath),
+      "item", "cat", "n")
+
   /** Fold the count store (see [[SumStore.compact]]). */
   def compactCounts(spark: SparkSession, storePath: String): Unit =
     SumStore.compact(spark, storePath, Keys, SumCols)

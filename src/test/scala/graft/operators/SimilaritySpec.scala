@@ -329,6 +329,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(3)._3 - 1.0) < 1e-6 && !out(3)._4)
   }
 
+  test("embeddingDrift: unmoved group ~1, rotated group low, " +
+      "one-sided groups report counts with a null cosine") {
+    val ref = Seq(
+      ("a", Array(1f, 0f)), ("a", Array(1f, 0.2f)),
+      ("b", Array(0f, 1f)), ("b", Array(0.2f, 1f)),
+      ("gone", Array(1f, 1f)))
+      .toDF("grp", "embedding")
+    val cur = Seq(
+      ("a", Array(1f, 0.1f)), ("a", Array(1f, 0f)),   // unmoved
+      ("b", Array(1f, 0f)), ("b", Array(1f, -0.1f)),  // rotated ~90°
+      ("new", Array(0f, 1f)))
+      .toDF("grp", "embedding")
+    val got = Similarity.embeddingDrift(ref, cur, "grp", "embedding")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a")._4.get > 0.99)
+    assert(got("b")._4.get < 0.3)
+    assert(got("gone") === (("gone", 1L, 0L, None)))
+    assert(got("new") === (("new", 0L, 1L, None)))
+  }
+
   test("mmrSelect: diversity penalty reorders a redundant shortlist") {
     // probe direction = (1,0). a is the best match, b is a near-copy
     // of a, c is orthogonal. Pure relevance ranks a,b,c; MMR must

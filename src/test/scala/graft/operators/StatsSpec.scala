@@ -242,6 +242,45 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("aucByGroup: each group's AUC equals the ungrouped auc on its " +
+      "slice; degenerate groups report null") {
+    val rows = Seq(
+      ("g1", 3L, true), ("g1", 2L, true), ("g1", 1L, false),
+      ("g1", 2L, false),
+      ("g2", 1L, true), ("g2", 9L, false),
+      ("g3", 4L, true), ("g3", 5L, true)) // no negatives
+      .toDF("g", "s", "y")
+    val got = Stats.aucByGroup(rows, "g", "s", "y")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g1")._4 === Some(0.875))
+    assert(got("g2")._4 === Some(0.0))
+    assert(got("g3")._4 === None)
+    val single = Stats.auc(rows.filter($"g" === "g1"), "s", "y")
+      .as[(Long, Long, Option[Double])].head()
+    assert((got("g1")._2, got("g1")._3, got("g1")._4) === single)
+  }
+
+  test("mcnemar: discordant split drives z, concordant pairs ride " +
+      "along, all-concordant is null, null pairs drop") {
+    val pairs = Seq[(Option[Boolean], Option[Boolean])](
+      (Some(true), Some(true)), (Some(false), Some(false)), // concordant
+      (Some(true), Some(false)), (Some(true), Some(false)),
+      (Some(true), Some(false)),                            // a_only = 3
+      (Some(false), Some(true)),                            // b_only = 1
+      (None, Some(true)))                                   // drops
+      .toDF("a", "b")
+    val got = Stats.mcnemar(pairs, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()
+    assert(got._1 === 6L && got._2 === 1L && got._3 === 1L &&
+      got._4 === 3L && got._5 === 1L)
+    assert(math.abs(got._6.get - 2.0 / math.sqrt(4.0)) < 1e-12)
+    val same = Seq((true, true), (false, false)).toDF("a", "b")
+    assert(Stats.mcnemar(same, "a", "b")
+      .as[(Long, Long, Long, Long, Long, Option[Double])].head()._6
+      === None)
+  }
+
   test("spearman: monotone = 1 (ties included), reversed = -1, " +
       "textbook 0.8 on one swap, constant side null") {
     def r(rows: Seq[(Long, Long)]): Option[Double] =

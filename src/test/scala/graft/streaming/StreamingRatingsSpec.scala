@@ -40,6 +40,16 @@ class StreamingRatingsSpec extends SparkSpec {
         "item", "cat")
       .as[(Long, Long, Option[Double])].collect().toSet
 
+  private def batchAlphaOrd =
+    Stats.krippendorffAlphaOrdinal(log.toDF("item", "rater", "cat"),
+        "item", "cat")
+      .as[(Long, Long, Option[Double])].collect().toSet
+
+  private def batchDifficulty =
+    Stats.annotationEntropy(log.toDF("item", "rater", "cat"),
+        "item", "cat")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet
+
   test("streamed kappa and rater agreement == the batch operators " +
       "over the full rating log; compaction preserves both") {
     implicit val sqlCtx = spark.sqlContext
@@ -61,6 +71,12 @@ class StreamingRatingsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet === batchAgree)
     assert(StreamingRatings.krippendorffAlpha(spark, store)
       .as[(Long, Long, Option[Double])].collect().toSet === batchAlpha)
+    assert(StreamingRatings.krippendorffAlphaOrdinal(spark, store)
+      .as[(Long, Long, Option[Double])].collect().toSet ===
+      batchAlphaOrd)
+    assert(StreamingRatings.itemDifficulty(spark, store)
+      .as[(Long, Long, Long, Double, Double)].collect().toSet ===
+      batchDifficulty)
     StreamingRatings.compactCounts(spark, store)
     assert(StreamingRatings.fleissKappa(spark, store)
       .as[(Long, Long, Double, Double, Option[Double])].collect()
