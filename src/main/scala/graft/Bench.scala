@@ -354,8 +354,15 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_STREAM_BENCH", "1") == "0") "{}"
       else forkMain("graft.StreamBenchMain", Seq.empty,
           StreamBenchMain.Marker)
-        .getOrElse(StreamBench.run(session,
-          StreamBenchMain.envBatches, StreamBenchMain.envRows))
+        .getOrElse {
+          // the fallback session may be COLD under chunking (the
+          // chunk forks did all the batch work) — pay first-use
+          // codegen/init before the measured micro-batches, as the
+          // pre-chunking shared session implicitly did
+          warmup(session, selected.values)
+          StreamBench.run(session,
+            StreamBenchMain.envBatches, StreamBenchMain.envRows)
+        }
     // streaming outlier escalation (r11 verdict): a pipeline whose
     // min-of-2 p95 still exceeds 40 % of the 5 s trigger was likely
     // measured in a loaded window (both drives share it) — re-drive

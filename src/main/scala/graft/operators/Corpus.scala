@@ -1201,45 +1201,15 @@ object Corpus {
           s"window sort must share the numeric ordering domain); " +
           s"'$idCol' is ${other.simpleString}")
     }
-    val base = base0.localCheckpoint()
-    val effBucketSize: Long =
-      if (bucketSize > 0) bucketSize.toLong
-      else {
-        val r = base.agg(min(col(idCol).cast("long")).as("__lo"),
-          max(col(idCol).cast("long")).as("__hi")).head()
-        if (r.isNullAt(0)) 4096L // empty input — any grid works
-        else {
-          // double arithmetic: max-min on extreme ids would overflow
-          // long, and the bound only needs to hold approximately
-          val range = r.getLong(1).toDouble - r.getLong(0).toDouble + 1
-          math.max(4096L, math.ceil(range / (1 << 20)).toLong)
-        }
-      }
-    // exact floor-div keeps bucket monotone in id (negative ids
-    // included) without the double-precision detour of floor(a / b),
-    // which can misplace ids above 2^53 by one bucket
-    val cumBase = base.withColumn("__bkt",
-      expr(s"(cast($idCol as long) - pmod(cast($idCol as long), " +
-        s"${effBucketSize}L)) div ${effBucketSize}L"))
-    val inBucket = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cumIn = cumBase.withColumn("__cum", sum(col("__n")).over(inBucket))
-    // occupied-bucket rows reduced then prefix-summed on the driver —
-    // the RDD.zipWithIndex pattern; never a corpus-sized sequential
-    // pass, and ≤ 2^20 rows under auto bucket sizing
-    val totals = cumBase.groupBy(col("__bkt"))
-      .agg(sum(col("__n")).as("__bn"))
-      .orderBy(col("__bkt"))
-      .collect()
-    var acc = 0L
-    val offRows = totals.map { r =>
-      val o = acc; acc += r.getLong(1); (r.getLong(0), o)
-    }.toSeq
-    val sp = base0.sparkSession
-    import sp.implicits._
-    val offsets = offRows.toDF("__bkt", "__boff")
-    val withOff = cumIn.join(broadcast(offsets), "__bkt")
-      .withColumn("__off", col("__boff") + col("__cum") - col("__n"))
+    // the global token offset IS the exclusive prefix sum of __n in
+    // id order — Stats.cumBelowByValue holds the ONE copy of the
+    // bucketed two-level zipWithIndex machinery (in-bucket window +
+    // driver-folded bucket offsets, ≤ 2^20 driver rows under auto
+    // sizing); doc ids are the unique "values", so its one-row-per-
+    // value contract is the packer's unique-id contract
+    val withOff = Stats.cumBelowByValue(base0, idCol, Seq("__n"),
+        bucketSize)
+      .withColumnRenamed("cum___n", "__off")
       .filter(col("__n") >= 1)
     val sFirst = floor(col("__off") / seqLen).cast("long")
     val sLast = floor((col("__off") + col("__n") - 1) / seqLen).cast("long")

@@ -271,24 +271,34 @@ object Stats {
     * ≤ 2^20 rows), one hash-partitioned in-bucket window, bucket
     * totals prefix-summed on the driver and broadcast back. Input
     * must already be one row per distinct value (a grouped count
-    * table); output adds `cum_<c>` per sum column. Eager (the range
-    * agg + totals collect run at call time); input is locally
+    * table, or any frame with a UNIQUE integral key — this is also
+    * [[Corpus.packSequences]]'s offset engine; rows TIED on the value
+    * order their cumulative sums arbitrarily). `bucketSize` > 0
+    * overrides the auto width (the packer's knob for clustered sparse
+    * id spaces). Output adds `cum_<c>` per sum column. Eager (the
+    * range agg + totals collect run at call time); input is locally
     * checkpointed so upstream aggs run once.
     */
   private[operators] def cumBelowByValue(grouped: DataFrame,
                                          valCol: String,
-                                         sumCols: Seq[String])
+                                         sumCols: Seq[String],
+                                         bucketSize: Int = 0)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
     val base = grouped.localCheckpoint()
-    val r = base.agg(min(col(valCol).cast(LongType)),
-      max(col(valCol).cast(LongType))).head()
     val width: Long =
-      if (r.isNullAt(0)) 4096L
+      if (bucketSize > 0) bucketSize.toLong
       else {
-        val range = r.getLong(1).toDouble - r.getLong(0).toDouble + 1
-        math.max(4096L, math.ceil(range / (1 << 20)).toLong)
+        val r = base.agg(min(col(valCol).cast(LongType)),
+          max(col(valCol).cast(LongType))).head()
+        if (r.isNullAt(0)) 4096L // empty input — any grid works
+        else {
+          // double arithmetic: max-min on extreme values would
+          // overflow long; the bound only needs to hold approximately
+          val range = r.getLong(1).toDouble - r.getLong(0).toDouble + 1
+          math.max(4096L, math.ceil(range / (1 << 20)).toLong)
+        }
       }
     val bkt = base.withColumn("__bkt",
       expr(s"(cast($valCol as long) - pmod(cast($valCol as long), " +
@@ -338,8 +348,10 @@ object Stats {
     * where N⁻_(<s) is the negative count below s — one grouped count
     * table + [[cumBelowByValue]]; no per-pair join (the naive
     * P(pos>neg) is an n⁺×n⁻ cross product) and no global window. The
-    * numerator terms sum through DECIMAL(38,0) (exact at any corpus
-    * size; a long wraps near n ≈ 2e6 on the n³-ish products), and
+    * numerator products run in DECIMAL with 19-digit factors (a LONG
+    * np·(2·cnn + nn) silently wraps past 2^63 on billion-row
+    * heavy-tie inputs) and sum in DECIMAL(38,0) — exact count
+    * arithmetic at any realistic corpus size — and
     * the one division is the only double op. One row: (n_pos, n_neg,
     * auc); null AUC when either class is empty. Nulls in score or
     * label drop.
@@ -360,12 +372,17 @@ object Stats {
       .groupBy(col(scoreFxCol).cast(LongType).as("__s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    // factors cast to DECIMAL(19,0) BEFORE multiplying — a long
+    // product np·(2·cnn + nn) would silently wrap past 2^63 on
+    // billion-row heavy-tie inputs; 19-digit factors keep the decimal
+    // product exact (and DuckDB's BIGINT→HUGEINT sum mirrors it)
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
     cumBelowByValue(g, "__s", Seq("nn"))
       .agg(
         coalesce(sum(col("np")), lit(0L)).as("n_pos"),
         coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
-        coalesce(sum((col("np") * (lit(2L) * col("cum_nn")) +
-            col("np") * col("nn")).cast(DecimalType(38, 0))),
+        coalesce(sum(d19(col("np")) *
+            (d19(col("cum_nn")) * 2 + d19(col("nn")))),
           lit(0L).cast(DecimalType(38, 0))).as("__num2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
@@ -404,12 +421,13 @@ object Stats {
         sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // 19-digit decimal factors: see auc — long products wrap silently
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
     g.withColumn("cnn", coalesce(sum(col("nn")).over(w), lit(0L)))
       .groupBy(col(groupCol))
       .agg(
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum((col("np") * (lit(2L) * col("cnn")) +
-            col("np") * col("nn")).cast(DecimalType(38, 0)))
+        sum(d19(col("np")) * (d19(col("cnn")) * 2 + d19(col("nn"))))
           .as("__num2"))
       .select(col(groupCol), col("n_pos"), col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
@@ -468,8 +486,9 @@ object Stats {
     *
     *   ρ = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²)·√(n·Σyy − Σy²))
     *
-    * with every Σ an exact DECIMAL(38,0) integer sum (rank products
-    * are n³-ish — a long wraps near 2e6 rows) and the closing
+    * with every Σ an exact DECIMAL(38,0) integer sum over products of
+    * 19-digit decimal factors (a LONG r2x·r2y wraps near n ≈ 1.5e9
+    * rows — doubled ranks are ~2n) and the closing
     * arithmetic pure double ops on exactly-representable inputs —
     * bit-identical in any IEEE engine, mirrored op-for-op by the SQL
     * oracle. One row: (n, rho); null when either side is constant.
@@ -501,14 +520,18 @@ object Stats {
     val ranked = rows
       .join(ranks2("__x"), "__x")
       .join(ranks2("__y"), "__y")
+    // factors cast to DECIMAL(19,0) before the product: doubled ranks
+    // are ~2n, so a LONG r2x·r2y wraps near n ≈ 1.5e9 rows; 19-digit
+    // decimal factors make the (38,0) product exact at any long rank
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
     def dec(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+      sum(c).cast(DoubleType)
     val s = ranked.agg(
       count(lit(1)).as("n"),
-      dec(col("__r__x")).as("__sx"), dec(col("__r__y")).as("__sy"),
-      dec(col("__r__x") * col("__r__x")).as("__sxx"),
-      dec(col("__r__y") * col("__r__y")).as("__syy"),
-      dec(col("__r__x") * col("__r__y")).as("__sxy"))
+      dec(d19(col("__r__x"))).as("__sx"), dec(d19(col("__r__y"))).as("__sy"),
+      dec(d19(col("__r__x")) * d19(col("__r__x"))).as("__sxx"),
+      dec(d19(col("__r__y")) * d19(col("__r__y"))).as("__syy"),
+      dec(d19(col("__r__x")) * d19(col("__r__y"))).as("__sxy"))
     val nD = col("n").cast(DoubleType)
     val vx = nD * col("__sxx") - col("__sx") * col("__sx")
     val vy = nD * col("__syy") - col("__sy") * col("__sy")
@@ -966,9 +989,10 @@ object Stats {
     * 0 = unanimous, ln(k) = uniform over k categories). Null/empty
     * categories drop with their rows.
     *
-    * Scale shape: one (item, category) hash agg, one item-keyed agg
-    * — both map-side-combining; no window, no join, nothing
-    * driver-side.
+    * Scale shape: one (item, category) hash agg, ONE item-partitioned
+    * window for the per-item totals (groups are an item's distinct
+    * categories — bounded by the label set), one item-keyed agg;
+    * nothing driver-side, no global window.
     */
   def annotationEntropy(ratings: DataFrame, itemCol: String,
                         categoryCol: String): DataFrame =

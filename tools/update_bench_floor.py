@@ -25,15 +25,28 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR = os.path.join(ROOT, "bench_floor.json")
 
 
+# non-query scalar keys a bench line/artifact carries alongside the
+# per-query numbers
+NON_QUERY_KEYS = {"metric", "value", "sf", "n", "rc", "cpus", "chunks",
+                  "p50_ms", "p95_ms"}
+
+
 def mins_from_text(txt):
-    """Per-query min over every `"name":[p1,p2,...]` or `"name":sec`
-    fragment found; robust to truncated driver tails."""
+    """Per-query min over every `"name":[p1,p2,...]` (runs) or bare
+    `"name":sec` (queries map) fragment found; robust to truncated
+    driver tails that carry only one of the two shapes."""
     out = {}
-    for m in re.finditer(r'"([A-Za-z0-9_]+)":\[([-0-9.eE,\s]*)\]', txt):
-        vals = [float(v) for v in m.group(2).split(",") if v.strip()]
+
+    def fold(name, vals):
         vals = [v for v in vals if v > 0]
-        if vals:
-            out[m.group(1)] = min(out.get(m.group(1), 1e18), min(vals))
+        if vals and name not in NON_QUERY_KEYS:
+            out[name] = min(out.get(name, 1e18), min(vals))
+
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":\[([-0-9.eE,\s]*)\]', txt):
+        fold(m.group(1),
+             [float(v) for v in m.group(2).split(",") if v.strip()])
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":(-?[0-9][-0-9.eE]*)', txt):
+        fold(m.group(1), [float(m.group(2))])
     return out
 
 
@@ -51,10 +64,7 @@ def main():
                 txt = obj["tail"]
         except ValueError:
             pass
-        new = mins_from_text(txt)
-        for k, v in new.items():
-            if k in ("p50_ms", "p95_ms"):
-                continue
+        for k, v in mins_from_text(txt).items():
             floor[k] = min(floor.get(k, 1e18), v)
     with open(FLOOR, "w") as f:
         json.dump(dict(sorted(floor.items())), f, indent=1)
