@@ -2623,6 +2623,118 @@ object ExtensionQueries {
       graft.operators.Stats.mcnemar(pairs, "a", "b")
     },
 
+    // Tie-corrected Mann-Whitney rank-sum z over the ext_auc fixture
+    // — separation vs chance, with the tie correction the heavy-tie
+    // fixture (100 distinct scores) actually needs. Exact integer
+    // moments; the closing z mirrored op-for-op.
+    Q("ext_ranksum",
+      s"""WITH u AS (SELECT (doc_id * 13) % 100 AS s,
+         |  (doc_id * 7) % 11 < 5 AS y FROM documents),
+         |g AS (SELECT s,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         | FROM u GROUP BY 1),
+         |c AS (SELECT s, np, nn,
+         |  CAST(coalesce(sum(nn) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS cnn
+         | FROM g),
+         |t AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+         |  CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+         |  coalesce(sum(np * (2 * cnn) + np * nn), 0) AS num2,
+         |  coalesce(sum((np + nn) * (np + nn) * (np + nn)
+         |    - (np + nn)), 0) AS tsum
+         | FROM c)
+         |SELECT n_pos, n_neg,
+         | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |  CAST(num2 AS DOUBLE) /
+         |   (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         | END AS auc,
+         | CASE WHEN n_pos > 0 AND n_neg > 0 AND
+         |   CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0 *
+         |    ((CAST(n_pos + n_neg AS DOUBLE) + 1.0) -
+         |     CAST(tsum AS DOUBLE) /
+         |      (CAST(n_pos + n_neg AS DOUBLE) *
+         |       (CAST(n_pos + n_neg AS DOUBLE) - 1.0))) > 0.0 THEN
+         |  (CAST(num2 AS DOUBLE) / 2.0 -
+         |   CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 2.0) /
+         |  sqrt(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) / 12.0 *
+         |    ((CAST(n_pos + n_neg AS DOUBLE) + 1.0) -
+         |     CAST(tsum AS DOUBLE) /
+         |      (CAST(n_pos + n_neg AS DOUBLE) *
+         |       (CAST(n_pos + n_neg AS DOUBLE) - 1.0))))
+         | END AS z
+         |FROM t""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(
+        pmod(id * 13, lit(100)).as("score_fx"),
+        (pmod(id * 7, lit(11)) < 5).as("label"))
+      graft.operators.Stats.rankSumTest(preds, "score_fx", "label")
+    },
+
+    // Bootstrap CI on AUC — the separation estimate with its
+    // uncertainty: hash-seeded Poisson resamples (the ext_eval_ci
+    // machinery), each resample's AUC the same tie-aware rank-sum
+    // over WEIGHTED integer counts with a resample-partitioned
+    // window; class-dropping resamples yield null and sit out the
+    // percentile on both engines.
+    Q("ext_auc_ci", {
+      val b = 48
+      val wCase = graft.operators.Stats.PoissonCdf32.zipWithIndex
+        .map { case (t, k) => s"WHEN hu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      s"""WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |  (doc_id * 13) % 100 AS s,
+         |  (doc_id * 7) % 11 < 5 AS y FROM documents),
+         |dr AS (SELECT r.i AS r,
+         |  ${h32("CAST(r.i AS VARCHAR) || ':' || id")} AS hu, s, y
+         | FROM u, range($b) r(i)),
+         |wc AS (SELECT r, s,
+         |  CAST(sum(CASE WHEN y THEN $wCase ELSE 0 END) AS BIGINT)
+         |    AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE $wCase END) AS BIGINT)
+         |    AS nn
+         | FROM dr GROUP BY 1, 2),
+         |cw AS (SELECT r, s, np, nn,
+         |  CAST(coalesce(sum(nn) OVER (PARTITION BY r ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS cnn
+         | FROM wc),
+         |ar AS (SELECT r,
+         |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |   CAST(sum(np * (2 * cnn) + np * nn) AS DOUBLE) /
+         |    (2.0 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE))
+         |  END AS a
+         | FROM cw GROUP BY 1),
+         |ci AS (SELECT quantile_cont(a, 0.025) AS lo,
+         |  quantile_cont(a, 0.975) AS hi FROM ar),
+         |g AS (SELECT s,
+         |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |  CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         | FROM u GROUP BY 1),
+         |c AS (SELECT s, np, nn,
+         |  CAST(coalesce(sum(nn) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS cnn
+         | FROM g),
+         |t AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+         |  CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+         |  coalesce(sum(np * (2 * cnn) + np * nn), 0) AS num2 FROM c)
+         |SELECT n_pos, n_neg, CAST($b AS INT) AS b,
+         | CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |  CAST(num2 AS DOUBLE) /
+         |   (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+         | END AS auc, lo, hi
+         |FROM t, ci""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(id,
+        pmod(id * 13, lit(100)).as("score_fx"),
+        (pmod(id * 7, lit(11)) < 5).as("label"))
+      graft.operators.Stats.aucCi(preds, "doc_id", "score_fx", "label",
+        b = 48)
+    },
+
     // Spearman rank correlation between two fixed-point scorers
     // (y is a monotone transform of x plus bounded noise, so rho is
     // high but < 1). Tie-averaged ranks as exact DOUBLED integers via

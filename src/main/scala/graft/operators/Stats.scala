@@ -473,6 +473,130 @@ object Stats {
           .as("z"))
   }
 
+  /** Tie-corrected Mann-Whitney rank-sum test over the same inputs
+    * as [[auc]] — AUC says HOW WELL the score separates the classes;
+    * this says whether the separation is DISTINGUISHABLE FROM CHANCE
+    * on this sample (two-sided normal approximation): U = AUC·n⁺n⁻,
+    * z = (U − n⁺n⁻/2) / σ with the tie-corrected variance
+    *
+    *   σ² = n⁺n⁻/12 · [(n + 1) − Σ_s(t_s³ − t_s) / (n(n−1))]
+    *
+    * (t_s = total count at tied score s). Every moment is an exact
+    * DECIMAL integer (19-digit factors — t³ wraps a long at t ≈ 2e6);
+    * the closing z is pure double ops, mirrored op-for-op by the
+    * oracle. One row: (n_pos, n_neg, auc, z); z null when either
+    * class is empty or every observation ties (σ = 0). Same count
+    * table and [[cumBelowByValue]] machinery as [[auc]] — one extra
+    * agg, no new shuffle shape.
+    */
+  def rankSumTest(df: DataFrame, scoreFxCol: String,
+                  labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(scoreFxCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"rankSumTest needs an integral (fixed-point) score column; " +
+          s"'$scoreFxCol' is ${other.simpleString}")
+    }
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val g = df
+      .filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreFxCol).cast(LongType).as("__s"))
+      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    val t = col("np") + col("nn")
+    val agg = cumBelowByValue(g, "__s", Seq("nn"))
+      .agg(
+        coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+        coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+        coalesce(sum(d19(col("np")) *
+            (d19(col("cum_nn")) * 2 + d19(col("nn")))),
+          lit(0L).cast(DecimalType(38, 0))).as("__num2"),
+        coalesce(sum(d19(t) * d19(t) * d19(t) - d19(t)),
+          lit(0L).cast(DecimalType(38, 0))).as("__tsum"))
+    val nP = col("n_pos").cast(DoubleType)
+    val nN = col("n_neg").cast(DoubleType)
+    val n = (col("n_pos") + col("n_neg")).cast(DoubleType)
+    val u = col("__num2").cast(DoubleType) / 2.0
+    val varU = nP * nN / 12.0 *
+      ((n + 1.0) - col("__tsum").cast(DoubleType) / (n * (n - 1.0)))
+    agg.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        col("__num2").cast(DoubleType) / (lit(2.0) * nP * nN)).as("auc"),
+      when(col("n_pos") > 0 && col("n_neg") > 0 && varU > 0.0,
+        (u - nP * nN / 2.0) / sqrt(varU)).as("z"))
+  }
+
+  /** Deterministic Poisson-bootstrap CI for [[auc]] — an AUC point
+    * estimate over a small labeled sample is noise without an
+    * interval ("0.61 on 300 labels" can be chance). Units resample
+    * with the hash-seeded Poisson(1) weights ([[bootstrapCi]]'s
+    * machinery — bit-identical draws cross-engine); each resample's
+    * AUC is the SAME tie-aware rank-sum arithmetic over WEIGHTED
+    * counts (weights are small exact integers, so every resample's
+    * count table stays integer-exact), ranks-below per resample via a
+    * RESAMPLE-PARTITIONED window over the (resample, distinct-score)
+    * count table — bounded partitions, no global window. Resamples
+    * that lose a class entirely yield a null AUC and sit out the
+    * percentile (both engines skip nulls). One row:
+    * (n_pos, n_neg, b, auc, lo, hi) — `auc` the exact unweighted
+    * point estimate.
+    *
+    * Scale shape: the b× fan-out lands on the UNIT rows once
+    * (narrow), then everything is (resample, score)-keyed map-side
+    * hash aggs + one resample-partitioned window + a b-row
+    * percentile. Nothing corpus² and nothing driver-side.
+    */
+  def aucCi(df: DataFrame, idCol: String, scoreFxCol: String,
+            labelCol: String, b: Int,
+            lower: Double = 0.025, upper: Double = 0.975): DataFrame = {
+    require(b >= 2 && b <= 100000, s"b must be in [2, 100000], got $b")
+    require(lower >= 0 && upper <= 1 && lower < upper,
+      s"need 0 <= lower < upper <= 1, got lower=$lower upper=$upper")
+    import graft.functions.TextFns
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val units = df
+      .filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        col(scoreFxCol).cast(LongType).as("__s"),
+        col(labelCol).as("__y"))
+    val u = TextFns.hash32(concat(col("__r").cast("string"), lit(":"),
+      col("__id")))
+    val wgt = PoissonCdf32.zipWithIndex.foldRight(lit(8L)) {
+      case ((thr, k), rest) => when(col("__u") < thr, lit(k.toLong))
+        .otherwise(rest)
+    }
+    val wCounts = units
+      .withColumn("__r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", wgt)
+      .groupBy(col("__r"), col("__s"))
+      .agg(sum(when(col("__y"), col("__w")).otherwise(0L)).as("np"),
+        sum(when(col("__y"), 0L).otherwise(col("__w"))).as("nn"))
+    val w = Window.partitionBy(col("__r")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perR = wCounts
+      .withColumn("cnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("__r"))
+      .agg(sum(col("np")).as("__p"), sum(col("nn")).as("__n"),
+        sum(d19(col("np")) * (d19(col("cnn")) * 2 + d19(col("nn"))))
+          .as("__m2"))
+      .select(when(col("__p") > 0 && col("__n") > 0,
+        col("__m2").cast(DoubleType) /
+          (lit(2.0) * col("__p").cast(DoubleType) *
+            col("__n").cast(DoubleType))).as("__a"))
+    val ci = perR.agg(percentile(col("__a"), lit(lower)).as("lo"),
+      percentile(col("__a"), lit(upper)).as("hi"))
+    auc(units, "__s", "__y")
+      .crossJoin(broadcast(ci))
+      .select(col("n_pos"), col("n_neg"), lit(b).as("b"), col("auc"),
+        col("lo"), col("hi"))
+  }
+
   /** Spearman rank correlation between two integral (fixed-point)
     * score columns — the judge-vs-human / scorer-vs-scorer agreement
     * metric that asks "do they RANK the corpus the same way",

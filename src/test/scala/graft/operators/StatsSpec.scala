@@ -297,6 +297,57 @@ class StatsSpec extends SparkSpec {
     assert(r(Seq((1L, 5L), (2L, 5L), (3L, 5L))) === None)
   }
 
+  test("rankSumTest: hand z on a tie-free fixture, tie correction " +
+      "engages, all-tied and one-class null") {
+    // pos {2,3}, neg {1}: U = 2, n=3, no ties → var = 2/12·4 = 2/3,
+    // z = (2 − 1)/√(2/3)
+    val z1 = Stats.rankSumTest(
+        Seq((2L, true), (3L, true), (1L, false)).toDF("s", "y"),
+        "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(z1._1 === 2L && z1._2 === 1L)
+    assert(math.abs(z1._4.get - 1.0 / math.sqrt(2.0 / 3.0)) < 1e-12)
+    // ties shrink the variance term: same U, tied extra pair
+    val z2 = Stats.rankSumTest(
+        Seq((2L, true), (2L, false), (3L, true), (1L, false))
+          .toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(z2._4.isDefined && z2._3.isDefined)
+    // all observations tied: sigma = 0 → null z, auc = 0.5
+    val tied = Stats.rankSumTest(
+        Seq((5L, true), (5L, false), (5L, true)).toDF("s", "y"),
+        "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(tied._3 === Some(0.5) && tied._4 === None)
+    assert(Stats.rankSumTest(Seq((1L, true)).toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+      ._4 === None)
+  }
+
+  test("aucCi: deterministic, point estimate is the exact auc, " +
+      "perfect separation collapses the interval to [1, 1]") {
+    val mixed = (0L until 160L)
+      .map(i => (i, (i * 13) % 20, (i * 7) % 11 < 5))
+      .toDF("id", "s", "y")
+    val a = Stats.aucCi(mixed, "id", "s", "y", b = 32)
+      .as[(Long, Long, Int, Option[Double], Double, Double)].head()
+    val b2 = Stats.aucCi(mixed, "id", "s", "y", b = 32)
+      .as[(Long, Long, Int, Option[Double], Double, Double)].head()
+    assert(a === b2)
+    val point = Stats.auc(mixed, "s", "y")
+      .as[(Long, Long, Option[Double])].head()
+    assert((a._1, a._2, a._4) === point)
+    assert(a._5 <= a._4.get && a._4.get <= a._6)
+    // perfectly separated: every resample that keeps both classes
+    // scores exactly 1.0
+    val sep = (0L until 120L)
+      .map(i => (i, if (i % 2 == 0) 100L + i else i % 40, i % 2 == 0))
+      .toDF("id", "s", "y")
+    val c = Stats.aucCi(sep, "id", "s", "y", b = 32)
+      .as[(Long, Long, Int, Option[Double], Double, Double)].head()
+    assert(c._4 === Some(1.0) && c._5 === 1.0 && c._6 === 1.0)
+  }
+
   test("bootstrapCiClustered: singleton clusters reproduce the unit " +
       "bootstrap exactly; correlated clusters widen the interval") {
     val units = (0L until 200L)
