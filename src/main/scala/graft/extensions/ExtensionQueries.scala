@@ -3018,6 +3018,48 @@ object ExtensionQueries {
     // A (docs in both runs must fuse higher), both by md5 order. The
     // oracle replays the runs, the 1e-12 fixed-point 1/(60+rank)
     // terms, the exact sum and the fused tie order.
+    // Rank-biased overlap between two deterministic rankers (Webber
+    // 2010, truncated @ k=20, p=0.9) — the label-free "did the ranker
+    // change what users see" comparison. The per-depth weight table
+    // is computed ONCE in Scala and shared with the oracle as
+    // LITERALS, so pow never runs data-side in either engine; the
+    // rest is an equi-join + broadcast + hash agg over exact fx sums.
+    Q("ext_rbo", {
+      val vals = graft.operators.Relevance.rboTable(0.9, 20)
+        .map { case (m, t) => s"($m, ${t}::BIGINT)" }.mkString(", ")
+      s"""WITH base AS (SELECT doc_id % 5 AS q, doc_id AS doc,
+         |  (doc_id * 13) % 97 AS ka, (doc_id * 17) % 89 AS kb
+         | FROM documents WHERE doc_id < 250),
+         |ra AS (SELECT q, doc, CAST(row_number() OVER (PARTITION BY q
+         |   ORDER BY ka, doc) AS BIGINT) AS r FROM base),
+         |rb AS (SELECT q, doc, CAST(row_number() OVER (PARTITION BY q
+         |   ORDER BY kb, doc) AS BIGINT) AS r FROM base),
+         |t(m, tfx) AS (VALUES $vals),
+         |j AS (SELECT ra.q AS q, greatest(ra.r, rb.r) AS m
+         | FROM ra JOIN rb USING (q, doc)
+         | WHERE ra.r <= 20 AND rb.r <= 20),
+         |agg AS (SELECT q, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  CAST(sum(t.tfx) AS BIGINT) AS s
+         | FROM j JOIN t ON t.m = j.m GROUP BY 1)
+         |SELECT qs.q, coalesce(n_overlap, 0) AS n_overlap,
+         | CAST(coalesce(s, 0) AS DOUBLE) / 1000000000000.0 AS rbo
+         |FROM (SELECT DISTINCT q FROM base) qs LEFT JOIN agg USING (q)
+         |ORDER BY qs.q""".stripMargin
+    }) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = documents(s, d).filter(col("doc_id") < 250)
+        .select(pmod(col("doc_id"), lit(5)).as("q"),
+          col("doc_id").as("doc"),
+          pmod(col("doc_id") * 13, lit(97)).as("ka"),
+          pmod(col("doc_id") * 17, lit(89)).as("kb"))
+      def run(key: String) = base.select(col("q"), col("doc"),
+        row_number().over(Window.partitionBy(col("q"))
+          .orderBy(col(key), col("doc"))).cast("long").as("r"))
+      graft.operators.Relevance.rbo(run("ka"), run("kb"), "q", "doc",
+          "r", p = 0.9, k = 20)
+        .orderBy(col("q"))
+    },
+
     Q("ext_rrf_fusion", {
       val hA = h32("'a:' || CAST(doc_id AS VARCHAR)")
       val hB = h32("'b:' || CAST(doc_id AS VARCHAR)")

@@ -284,6 +284,65 @@ object Relevance {
     * map-side combining — and one per-query window whose groups hold
     * only that query's fused candidates (≤ Σ run depths, hundreds).
     */
+  /** Per-depth rank-biased-overlap contribution table: `T(m) =
+    * Σ_{d=m..k} (1−p)·p^(d−1)/d`, 1e12 fixed-point — the TOTAL weight
+    * an item entering the intersection at depth m adds to truncated
+    * RBO. Computed ONCE driver-side with plain doubles and shared
+    * with the SQL oracle as literals, so `pow` (which no engine
+    * guarantees correctly rounded) never executes data-side in either
+    * engine.
+    */
+  private[graft] def rboTable(p: Double, k: Int): Seq[(Int, Long)] = {
+    val w = (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d)
+    (1 to k).map { m =>
+      val t = w.drop(m - 1).sum
+      m -> math.floor(t * 1e12 + 0.5).toLong
+    }
+  }
+
+  /** Rank-biased overlap (Webber et al., TOIS 2010) between two
+    * ranked runs, truncated at depth `k` — the label-free ranker
+    * comparison: "did swapping the embedding model / BM25 params
+    * actually change what users see", weighted so rank-1 disagreement
+    * matters most (weight (1−p)p^(d−1) at depth d; p = 0.9 ≈ the
+    * top-10 carrying ~86 % of the mass). Per query:
+    * `RBO@k = Σ_d (1−p)p^(d−1)·|A_d ∩ B_d|/d`, computed WITHOUT
+    * per-depth set intersections: an item in both runs enters the
+    * intersection at depth m = max(rank_A, rank_B) and contributes
+    * the CLOSED per-m total [[rboTable]] — so the whole metric is one
+    * (query, doc) equi-join, a ≤ k-row broadcast join and a
+    * query-keyed hash agg; exact fixed-point sums, identical
+    * cross-engine because the weight table is shared literally.
+    * Queries present in either run report (0 overlap → rbo 0.0); one
+    * row per query: (query, n_overlap, rbo). 1-based ranks; rows
+    * past `k` ignore.
+    */
+  def rbo(runA: DataFrame, runB: DataFrame, queryCol: String,
+          docCol: String, rankCol: String, p: Double = 0.9,
+          k: Int = 20): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val sp = runA.sparkSession
+    import sp.implicits._
+    val t = broadcast(rboTable(p, k).toDF("__m", "__tfx"))
+    def side(run: DataFrame, r: String): DataFrame =
+      run.filter(col(rankCol) <= k && col(rankCol) >= 1)
+        .select(col(queryCol), col(docCol), col(rankCol).as(r))
+    val joined = side(runA, "__ra").join(side(runB, "__rb"),
+        Seq(queryCol, docCol))
+      .withColumn("__m",
+        greatest(col("__ra"), col("__rb")).cast("int"))
+      .join(t, "__m")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_overlap"), sum(col("__tfx")).as("__s"))
+    val queries = runA.select(col(queryCol))
+      .union(runB.select(col(queryCol))).distinct()
+    queries.join(joined, Seq(queryCol), "left")
+      .na.fill(0L, Seq("n_overlap", "__s"))
+      .select(col(queryCol), col("n_overlap"),
+        (col("__s").cast(DoubleType) / 1e12).as("rbo"))
+  }
+
   def rrfFuse(runs: DataFrame, queryCol: String, docCol: String,
               rankCol: String, k: Int, k0: Int = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -141,6 +141,46 @@ class Bm25Spec extends SparkSpec {
     assert(q1 === ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("rbo: identical runs score the truncated-mass maximum, " +
+      "disjoint runs 0, partial overlap matches a direct per-depth " +
+      "evaluation, one-sided queries still report") {
+    val p = 0.9; val k = 10
+    // T(1) = Σ_{d=1..k} (1−p)p^(d−1)/d (the depth-1 entry sums every
+    // per-depth weight INCLUDING the /d); `mass` = Σ d·w_d is the
+    // full-k identical-run maximum
+    val mass = (1 to k).map(d => (1 - p) * math.pow(p, d - 1)).sum
+    val t1 = (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+    assert(math.abs(
+      Relevance.rboTable(p, k).head._2 / 1e12 - t1) < 1e-9)
+    val runA = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 10L, 1L), (3L, 77L, 1L))
+      .toDF("q", "doc", "r")
+    // q1: same set, ranks 1/2 swapped; q2: disjoint; q3: only in A
+    val runB = Seq((1L, 20L, 1L), (1L, 10L, 2L), (1L, 30L, 3L),
+      (2L, 99L, 1L))
+      .toDF("q", "doc", "r")
+    val got = Relevance.rbo(runA, runB, "q", "doc", "r", p, k)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // identical-run sanity: A vs A — each of q1's 3 docs enters at
+    // its own rank, so rbo = T(1)+T(2)+T(3) (a SUB-k list cannot
+    // reach the full truncated mass: X_d/d < 1 past the list end)
+    val tbl = Relevance.rboTable(p, k).toMap
+    val self = Relevance.rbo(runA, runA, "q", "doc", "r", p, k)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(self(1L) -
+      (tbl(1) + tbl(2) + tbl(3)) / 1e12) < 1e-9)
+    assert(math.abs(self(2L) - tbl(1) / 1e12) < 1e-9)
+    assert(self(1L) < mass)
+    // q1 direct evaluation: docs 10,20 enter at depth 2, doc 30 at 3
+    // → X_1 = 0, X_2 = 2, X_3.. = 3
+    val w = (1 to k).map(d => (1 - p) * math.pow(p, d - 1) / d)
+    val want = 2 * w(1) + 3 * w.drop(2).sum
+    assert(got(1L)._2 === 3L)
+    assert(math.abs(got(1L)._3 - want) < 1e-6)
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((3L, 0L, 0.0)))
+  }
+
   test("rrfFuse: cross-run agreement outranks any single run; ties " +
       "break by ascending doc; exact fixed-point terms") {
     val runs = Seq(
