@@ -604,6 +604,28 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Streamed embedding-centroid drift: per-batch (group, dim)
+    * fixed-point centroid partials into the sum-merged store.
+    */
+  private def benchEmbedDrift(spark: SparkSession, batches: Int,
+                              rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, Array[Float])]
+    val vecs = src.toDF().toDF("grp", "vec")
+    val store = tmpDir("edrift"); val cp = ckpt("edrift")
+    val q = StreamingEmbedDrift.driftSink(vecs, store, "grp", "vec")
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        (s"g${r % 4}", Array.tabulate(16)(j =>
+          ((r * 7 + j * 13 + b * 31) % 100) / 100f))
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Pipeline name → the streaming source object it drives. The
     * coverage contract StreamBenchSpec lints: every
     * `streaming/Streaming*.scala` with a foreachBatch entry point
@@ -628,7 +650,8 @@ object StreamBench {
     "bt" -> "StreamingBt",
     "evals" -> "StreamingEval",
     "ratings" -> "StreamingRatings",
-    "drift" -> "StreamingDrift")
+    "drift" -> "StreamingDrift",
+    "embed_drift" -> "StreamingEmbedDrift")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
   private[graft] def apps(spark: SparkSession, batches: Int,
@@ -649,7 +672,8 @@ object StreamBench {
     "bt" -> (() => benchBt(spark, batches, rows)),
     "evals" -> (() => benchEvals(spark, batches, rows)),
     "ratings" -> (() => benchRatings(spark, batches, rows)),
-    "drift" -> (() => benchDrift(spark, batches, rows)))
+    "drift" -> (() => benchDrift(spark, batches, rows)),
+    "embed_drift" -> (() => benchEmbedDrift(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline (or just `only`'s — the
     * escalation re-drive path); returns the JSON fragment for Bench's

@@ -296,29 +296,59 @@ object Similarity {
     * scales with corpus² and nothing is driver-side.
     */
   def embeddingDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    embeddingDriftFromCounts(
+      centroidCounts(ref, groupCol, vecCol),
+      centroidCounts(cur, groupCol, vecCol), groupCol)
+
+  /** Per-(group, dim) fixed-point component sums + vector counts —
+    * [[embeddingDrift]]'s mergeable state, and the per-micro-batch
+    * partial of the STREAMED monitor
+    * ([[graft.streaming.StreamingEmbedDrift]]): fxSum is a sum of
+    * per-row quantized terms, so partials SUM-merge into exactly the
+    * full-corpus value — the streamed centroid is bit-identical to
+    * the batch one, not approximately so. Emits (groupCol, pos, qfx,
+    * n).
+    */
+  def centroidCounts(df: DataFrame, groupCol: String,
                      vecCol: String): DataFrame = {
-    import graft.functions.Cols.{fxSum, fxVal}
-    def cent(df: DataFrame, c: String): DataFrame =
-      fanOut(df)
-        .select(col(groupCol),
-          posexplode(col(vecCol)).as(Seq("pos", "__f")))
-        .withColumn("__v", col("__f").cast("double"))
-        .groupBy(col(groupCol), col("pos"))
-        .agg(fxSum(col("__v"), 1e9).as("__q"), count(lit(1)).as("__n"))
-        .select(col(groupCol), col("pos"),
-          (fxVal(col("__q"), 1e9) / col("__n").cast("double")).as(c))
+    import graft.functions.Cols.fxSum
+    fanOut(df)
+      .select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("pos", "__f")))
+      .withColumn("__v", col("__f").cast("double"))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(fxSum(col("__v"), 1e9).as("qfx"), count(lit(1)).as("n"))
+  }
+
+  /** [[embeddingDrift]] over PRE-AGGREGATED [[centroidCounts]] tables
+    * — the streamed-store read path. Group counts derive from the
+    * dim-0 row (every vector contributes one row per dimension).
+    */
+  def embeddingDriftFromCounts(refCounts: DataFrame,
+                               curCounts: DataFrame,
+                               groupCol: String): DataFrame = {
+    import graft.functions.Cols.fxVal
+    def cent(counts: DataFrame, c: String): DataFrame =
+      counts.select(col(groupCol), col("pos"),
+        (fxVal(col("qfx"), 1e9) / col("n").cast("double")).as(c))
+    def nVecs(counts: DataFrame, c: String): DataFrame =
+      counts.filter(col("pos") === 0)
+        .select(col(groupCol), col("n").as(c))
     val cos = fxVal(col("__dot"), 1e9) /
       (sqrt(fxVal(col("__nr"), 1e9)) * sqrt(fxVal(col("__nc"), 1e9)))
-    val cosByGroup = cent(ref, "__cr")
-      .join(cent(cur, "__cc"), Seq(groupCol, "pos"))
+    val cosByGroup = cent(refCounts, "__cr")
+      .join(cent(curCounts, "__cc"), Seq(groupCol, "pos"))
       .groupBy(col(groupCol))
-      .agg(fxSum(col("__cr") * col("__cc"), 1e9).as("__dot"),
-        fxSum(col("__cr") * col("__cr"), 1e9).as("__nr"),
-        fxSum(col("__cc") * col("__cc"), 1e9).as("__nc"))
+      .agg(graft.functions.Cols.fxSum(col("__cr") * col("__cc"), 1e9)
+          .as("__dot"),
+        graft.functions.Cols.fxSum(col("__cr") * col("__cr"), 1e9)
+          .as("__nr"),
+        graft.functions.Cols.fxSum(col("__cc") * col("__cc"), 1e9)
+          .as("__nc"))
       .select(col(groupCol), cos.as("centroid_cos"))
-    ref.groupBy(col(groupCol)).agg(count(lit(1)).as("n_ref"))
-      .join(cur.groupBy(col(groupCol)).agg(count(lit(1)).as("n_cur")),
-        Seq(groupCol), "full")
+    nVecs(refCounts, "n_ref")
+      .join(nVecs(curCounts, "n_cur"), Seq(groupCol), "full")
       .na.fill(0L, Seq("n_ref", "n_cur"))
       .join(cosByGroup, Seq(groupCol), "left")
   }
