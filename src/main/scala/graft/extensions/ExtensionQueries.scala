@@ -2159,6 +2159,51 @@ object ExtensionQueries {
         "cat")
     },
 
+    // Two-sample Kolmogorov-Smirnov drift test over the ext_psi
+    // fixture in fixed-point — the binning-free companion: exact
+    // integer |cum1*n2 - cum2*n1| maximum over the union support,
+    // with the smallest breaking score as the pointer. Every moment
+    // mirrored; the one division closes.
+    Q("ext_ks_test",
+      s"""WITH r AS (SELECT (doc_id * 13) % 100 AS s,
+         |  CAST(count(*) AS BIGINT) AS c1 FROM documents
+         | WHERE doc_id % 2 = 0 GROUP BY 1),
+         |c AS (SELECT ((doc_id * 13) % 100) * 6 // 10 + 35 AS s,
+         |  CAST(count(*) AS BIGINT) AS c2 FROM documents
+         | WHERE doc_id % 2 = 1 GROUP BY 1),
+         |b AS (SELECT coalesce(r.s, c.s) AS s,
+         |  coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         | FROM r FULL JOIN c ON r.s = c.s),
+         |cum AS (SELECT s, c1, c2,
+         |  CAST(sum(c1) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS ic1,
+         |  CAST(sum(c2) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS ic2
+         | FROM b),
+         |tot AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
+         |  CAST(coalesce(sum(c2), 0) AS BIGINT) AS n2 FROM b),
+         |dd AS (SELECT abs(ic1 * n2 - ic2 * n1) AS dn, s
+         | FROM cum, tot),
+         |m AS (SELECT max(dn) AS dmax FROM dd),
+         |a AS (SELECT min(s) AS ks_at FROM dd, m WHERE dn = dmax)
+         |SELECT n1 AS n_ref, n2 AS n_cur,
+         | CAST(dmax AS DOUBLE) /
+         |  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d,
+         | ks_at
+         |FROM tot, m, a""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val score = pmod(id * 13, lit(100))
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(score.as("score_fx"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select((expr("(doc_id * 13) % 100 * 6 div 10") + 35)
+          .as("score_fx"))
+      graft.operators.Stats.ksTest(ref, cur, "score_fx")
+    },
+
     // Per-item vote-distribution difficulty report over the same
     // Likert fixture — ranks ITEMS by ambiguity where raterAgreement
     // ranks raters: vote entropy (terms 1e-9 fx-quantized, the psi ln

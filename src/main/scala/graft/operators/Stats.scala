@@ -473,6 +473,67 @@ object Stats {
           .as("z"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic over integral
+    * (fixed-point) scores — the BINNING-FREE drift test: [[psi]]
+    * answers "how far apart are the binned shares" under a chosen
+    * grid, KS answers "what is the largest CDF gap anywhere" with no
+    * grid to tune (a shift smaller than a PSI bin is invisible to
+    * PSI; KS sees it). D = max_x |F_ref(x) − F_cur(x)| computed over
+    * the union of observed values as an EXACT INTEGER maximum —
+    * |cum₁·n₂ − cum₂·n₁| with DECIMAL 19-digit factors — so the
+    * statistic is bit-identical cross-engine; the one division
+    * closes. `ks_at` is the SMALLEST score achieving the max (a
+    * deterministic "where does the distribution break" pointer). One
+    * row: (n_ref, n_cur, d, ks_at); d/ks_at null when either side is
+    * empty. Nulls drop.
+    *
+    * Scale shape: one count agg per side, a value-keyed full join,
+    * [[cumBelowByValue]] (two sum columns share the one pass), a
+    * 1-row broadcast totals cross join, one max agg. No global
+    * window, no pair work.
+    */
+  def ksTest(ref: DataFrame, cur: DataFrame,
+             scoreFxCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    Seq(ref, cur).foreach(df => df.schema(scoreFxCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ksTest needs an integral (fixed-point) score column; " +
+          s"'$scoreFxCol' is ${other.simpleString}")
+    })
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.filter(col(scoreFxCol).isNotNull)
+        .groupBy(col(scoreFxCol).cast(LongType).as("__s"))
+        .agg(count(lit(1)).as(n))
+    val both = counts(ref, "c1").join(counts(cur, "c2"),
+        Seq("__s"), "full")
+      .na.fill(0L, Seq("c1", "c2"))
+    val cum = cumBelowByValue(both, "__s", Seq("c1", "c2"))
+    val totals = both.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("__n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("__n2"))
+    val dn = abs(d19(col("cum_c1") + col("c1")) * d19(col("__n2")) -
+      d19(col("cum_c2") + col("c2")) * d19(col("__n1")))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__n1"), col("__n2"), dn.as("__dn"),
+        col("__s"))
+      .agg(max(col("__n1")).as("n_ref"), max(col("__n2")).as("n_cur"),
+        max(struct(col("__dn").as("dn"),
+          (lit(-1L) * col("__s")).as("negs"))).as("__t"))
+      .select(
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__t.dn").cast(DoubleType) /
+            (col("n_ref").cast(DoubleType) *
+              col("n_cur").cast(DoubleType))).as("d"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__t.negs") * -1L).as("ks_at"))
+  }
+
   /** Tie-corrected Mann-Whitney rank-sum test over the same inputs
     * as [[auc]] — AUC says HOW WELL the score separates the classes;
     * this says whether the separation is DISTINGUISHABLE FROM CHANCE

@@ -297,6 +297,24 @@ class StatsSpec extends SparkSpec {
     assert(r(Seq((1L, 5L), (2L, 5L), (3L, 5L))) === None)
   }
 
+  test("ksTest: hand D with the smallest breaking score, identical " +
+      "samples 0, disjoint samples 1, empty side null") {
+    def ks(r: Seq[Long], c: Seq[Long]) =
+      Stats.ksTest(r.toDF("s"), c.toDF("s"), "s")
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+    // F_ref jumps at 1,2,3; F_cur at 3,4,5 → max gap 2/3 first at s=2
+    val g = ks(Seq(1L, 2L, 3L), Seq(3L, 4L, 5L))
+    assert(g._1 === 3L && g._2 === 3L)
+    assert(math.abs(g._3.get - 2.0 / 3) < 1e-12)
+    assert(g._4 === Some(2L))
+    val same = ks(Seq(1L, 2L, 2L), Seq(1L, 2L, 2L))
+    assert(same._3 === Some(0.0))
+    val disj = ks(Seq(1L, 2L), Seq(9L))
+    assert(disj._3 === Some(1.0) && disj._4 === Some(2L))
+    val empty = ks(Seq(1L), Seq.empty[Long])
+    assert(empty._2 === 0L && empty._3 === None && empty._4 === None)
+  }
+
   test("rankSumTest: hand z on a tie-free fixture, tie correction " +
       "engages, all-tied and one-class null") {
     // pos {2,3}, neg {1}: U = 2, n=3, no ties → var = 2/12·4 = 2/3,
