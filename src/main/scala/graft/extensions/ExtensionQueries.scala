@@ -3057,12 +3057,6 @@ object ExtensionQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
-    // Reciprocal-rank fusion of two overlapping ranked runs (hybrid
-    // lexical+dense search's default ensembling): run A ranks each
-    // query's residue-class docs, run B a coarser class that overlaps
-    // A (docs in both runs must fuse higher), both by md5 order. The
-    // oracle replays the runs, the 1e-12 fixed-point 1/(60+rank)
-    // terms, the exact sum and the fused tie order.
     // Rank-biased overlap between two deterministic rankers (Webber
     // 2010, truncated @ k=20, p=0.9) — the label-free "did the ranker
     // change what users see" comparison. The per-depth weight table
@@ -3105,6 +3099,12 @@ object ExtensionQueries {
         .orderBy(col("q"))
     },
 
+    // Reciprocal-rank fusion of two overlapping ranked runs (hybrid
+    // lexical+dense search's default ensembling): run A ranks each
+    // query's residue-class docs, run B a coarser class that overlaps
+    // A (docs in both runs must fuse higher), both by md5 order. The
+    // oracle replays the runs, the 1e-12 fixed-point 1/(60+rank)
+    // terms, the exact sum and the fused tie order.
     Q("ext_rrf_fusion", {
       val hA = h32("'a:' || CAST(doc_id AS VARCHAR)")
       val hB = h32("'b:' || CAST(doc_id AS VARCHAR)")

@@ -284,6 +284,26 @@ object Relevance {
     * map-side combining — and one per-query window whose groups hold
     * only that query's fused candidates (≤ Σ run depths, hundreds).
     */
+  def rrfFuse(runs: DataFrame, queryCol: String, docCol: String,
+              rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    import org.apache.spark.sql.expressions.Window
+    val term = lit(1.0) /
+      (lit(k0.toDouble) + col(rankCol).cast(DoubleType))
+    val fused = runs
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(Cols.fxTerm(term, 1e12)).as("rrf_fx"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_fx").desc, col(docCol)))
+        .cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col(docCol), col("rrf_fx"),
+        (col("rrf_fx").cast(DoubleType) / lit(1e12)).as("rrf"),
+        col("rank"))
+  }
   /** Per-depth rank-biased-overlap contribution table: `T(m) =
     * Σ_{d=m..k} (1−p)·p^(d−1)/d`, 1e12 fixed-point — the TOTAL weight
     * an item entering the intersection at depth m adds to truncated
@@ -343,24 +363,4 @@ object Relevance {
         (col("__s").cast(DoubleType) / 1e12).as("rbo"))
   }
 
-  def rrfFuse(runs: DataFrame, queryCol: String, docCol: String,
-              rankCol: String, k: Int, k0: Int = 60): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k0 >= 0, s"k0 must be >= 0, got $k0")
-    import org.apache.spark.sql.expressions.Window
-    val term = lit(1.0) /
-      (lit(k0.toDouble) + col(rankCol).cast(DoubleType))
-    val fused = runs
-      .groupBy(col(queryCol), col(docCol))
-      .agg(sum(Cols.fxTerm(term, 1e12)).as("rrf_fx"))
-    fused
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col(queryCol))
-          .orderBy(col("rrf_fx").desc, col(docCol)))
-        .cast("int"))
-      .filter(col("rank") <= k)
-      .select(col(queryCol), col(docCol), col("rrf_fx"),
-        (col("rrf_fx").cast(DoubleType) / lit(1e12)).as("rrf"),
-        col("rank"))
-  }
 }

@@ -308,32 +308,46 @@ object Similarity {
     * per-row quantized terms, so partials SUM-merge into exactly the
     * full-corpus value — the streamed centroid is bit-identical to
     * the batch one, not approximately so. Emits (groupCol, pos, qfx,
-    * n).
+    * n) dimension rows plus one pos = −1 sentinel row per group
+    * carrying the RAW row count (null/empty vectors included).
     */
   def centroidCounts(df: DataFrame, groupCol: String,
                      vecCol: String): DataFrame = {
     import graft.functions.Cols.fxSum
-    fanOut(df)
+    val fanned = fanOut(df)
+    val dims = fanned
       .select(col(groupCol),
         posexplode(col(vecCol)).as(Seq("pos", "__f")))
       .withColumn("__v", col("__f").cast("double"))
       .groupBy(col(groupCol), col("pos"))
       .agg(fxSum(col("__v"), 1e9).as("qfx"), count(lit(1)).as("n"))
+    // the pos = -1 sentinel carries the RAW group row count —
+    // null/empty vectors included, which the exploded rows cannot
+    // see: an alive-but-broken embedder (every vector null) must
+    // still report its n with a null cosine, not masquerade as a
+    // vanished source
+    val rows = fanned.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(groupCol), lit(-1).as("pos"), lit(0L).as("qfx"),
+        col("n"))
+    dims.unionByName(rows)
   }
 
   /** [[embeddingDrift]] over PRE-AGGREGATED [[centroidCounts]] tables
-    * — the streamed-store read path. Group counts derive from the
-    * dim-0 row (every vector contributes one row per dimension).
+    * — the streamed-store read path. Group counts come from the
+    * pos = −1 sentinel rows (raw row counts); the cosine uses only
+    * the real dimension rows.
     */
   def embeddingDriftFromCounts(refCounts: DataFrame,
                                curCounts: DataFrame,
                                groupCol: String): DataFrame = {
     import graft.functions.Cols.fxVal
     def cent(counts: DataFrame, c: String): DataFrame =
-      counts.select(col(groupCol), col("pos"),
-        (fxVal(col("qfx"), 1e9) / col("n").cast("double")).as(c))
+      counts.filter(col("pos") >= 0)
+        .select(col(groupCol), col("pos"),
+          (fxVal(col("qfx"), 1e9) / col("n").cast("double")).as(c))
     def nVecs(counts: DataFrame, c: String): DataFrame =
-      counts.filter(col("pos") === 0)
+      counts.filter(col("pos") === -1)
         .select(col(groupCol), col("n").as(c))
     val cos = fxVal(col("__dot"), 1e9) /
       (sqrt(fxVal(col("__nr"), 1e9)) * sqrt(fxVal(col("__nc"), 1e9)))

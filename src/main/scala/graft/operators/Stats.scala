@@ -512,7 +512,10 @@ object Stats {
         Seq("__s"), "full")
       .na.fill(0L, Seq("c1", "c2"))
     val cum = cumBelowByValue(both, "__s", Seq("c1", "c2"))
-    val totals = both.agg(
+    // totals from the RETURNED frame: it sits on cumBelowByValue's
+    // localCheckpoint, so the per-side count aggs + full join run
+    // once — totals planned off `both` would re-execute the lineage
+    val totals = cum.agg(
       coalesce(sum(col("c1")), lit(0L)).as("__n1"),
       coalesce(sum(col("c2")), lit(0L)).as("__n2"))
     val dn = abs(d19(col("cum_c1") + col("c1")) * d19(col("__n2")) -
@@ -620,11 +623,14 @@ object Stats {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    // persisted: the bootstrap fan-out and the unweighted point
+    // estimate both read this frame (the cb convention)
     val units = df
       .filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
         col(scoreFxCol).cast(LongType).as("__s"),
         col(labelCol).as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val u = TextFns.hash32(concat(col("__r").cast("string"), lit(":"),
       col("__id")))
     val wgt = PoissonCdf32.zipWithIndex.foldRight(lit(8L)) {

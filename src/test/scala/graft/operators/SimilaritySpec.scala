@@ -348,6 +348,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got("b")._4.get < 0.3)
     assert(got("gone") === (("gone", 1L, 0L, None)))
     assert(got("new") === (("new", 0L, 1L, None)))
+    // an alive-but-broken source (every vector null) still reports
+    // its row count with a null cosine — it must not masquerade as a
+    // vanished source (the pos = -1 sentinel carries raw row counts)
+    val broken = Seq(("x", null.asInstanceOf[Array[Float]]),
+      ("x", null.asInstanceOf[Array[Float]])).toDF("grp", "embedding")
+    val got2 = Similarity.embeddingDrift(ref, broken, "grp", "embedding")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got2("x") === (("x", 0L, 2L, None)))
+    assert(got2("a")._2 === 2L && got2("a")._3 === 0L)
   }
 
   test("mmrSelect: diversity penalty reorders a redundant shortlist") {

@@ -73,7 +73,6 @@ class StreamingEmbedDriftSpec extends SparkSpec {
     // counts are the true fx sums over both batches
     val want = Similarity.centroidCounts(
         (batchRows(0) ++ batchRows(1)).toDF("grp", "vec"), "grp", "vec")
-      .withColumnRenamed("grp", "grp")
       .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
       .toSeq
     assert(after === want)
@@ -82,6 +81,7 @@ class StreamingEmbedDriftSpec extends SparkSpec {
       .as[(String, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
       .toSeq
     assert(compacted === before)
-    assert(spark.read.parquet(store).count() <= 3 * 8)
+    // 3 groups x (8 dims + the pos = -1 raw-count sentinel)
+    assert(spark.read.parquet(store).count() <= 3 * 9)
   }
 }
