@@ -207,6 +207,39 @@ object CorpusQueries {
         .orderBy(col("source"))
     },
 
+    // Neyman sample-size allocation over doc lengths — "how many of
+    // my 500 review labels does each source get": n_h*sigma_h
+    // weights, exact integer moments, the one sqrt + floor-division
+    // mirrored op-for-op; zero-variance sources get 0 by design.
+    Q("ext_neyman", {
+      val sig = "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+      s"""WITH u AS (SELECT source, CAST(length(text) AS BIGINT) AS x
+         |  FROM documents WHERE text IS NOT NULL),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS DOUBLE) AS sx,
+         |  CAST(sum(x * x) AS DOUBLE) AS sxx
+         | FROM u GROUP BY 1),
+         |q AS (SELECT source, n, $sig AS sigma,
+         |  CAST(floor(CAST(n AS DOUBLE) * $sig * 1000000.0 + 0.5)
+         |   AS BIGINT) AS qq
+         | FROM g),
+         |t AS (SELECT CAST(coalesce(sum(qq), 0) AS BIGINT) AS tq
+         | FROM q)
+         |SELECT source, n, sigma,
+         | CASE WHEN tq > 0 THEN
+         |  CAST(floor(CAST(500 AS DOUBLE) * CAST(qq AS DOUBLE) /
+         |   CAST(tq AS DOUBLE)) AS BIGINT)
+         | ELSE 0 END AS alloc
+         |FROM q, t ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      Corpus.neymanAllocation(
+          documents(s, d).select(col("source"),
+            length(col("text")).as("len")),
+          "source", "len", k = 500)
+        .orderBy(col("source"))
+    },
+
     // Uniform-target mixture reweighting (DoReMi-lite): sampling
     // weights ∝ 1/tok_s normalized, the denominator 1e12 fx-quantized
     // so normalization is order-independent on both engines.

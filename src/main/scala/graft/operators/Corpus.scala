@@ -1820,6 +1820,56 @@ object Corpus {
           .otherwise(0L))
   }
 
+  /** Neyman sample-size allocation across groups — the survey-design
+    * answer to "I can afford k human-review labels; how many should
+    * each source get": proportional-to-size allocation wastes labels
+    * on homogeneous sources, Neyman allocates ∝ n_h·σ_h (Neyman 1934
+    * — minimizes the variance of the stratified mean at fixed k), so
+    * high-variance sources get audited harder. `valCol` must be an
+    * INTEGRAL measurement (length, fixed-point score): the per-group
+    * moments (n, Σx, Σx²) are then exact integers, σ_h is one sqrt on
+    * an exact rational, and each weight n_h·σ_h quantizes at 1e6
+    * before the cross-group total — so the allocation is
+    * bit-reproducible cross-engine. `alloc = floor(k·w_h/W)` (floor,
+    * no remainder redistribution — Σ alloc ≤ k, the conservative
+    * budget reading; zero-variance groups get 0 by design). One row
+    * per group: (groupCol, n, sigma, alloc).
+    *
+    * Scale shape: ONE map-side-combining hash agg to a groups-row
+    * frame + a 1-row broadcast total; nothing driver-side, no window.
+    */
+  def neymanAllocation(df: DataFrame, groupCol: String, valCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(valCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"neymanAllocation needs an integral measurement column; " +
+          s"'$valCol' is ${other.simpleString}")
+    }
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
+    val x = col(valCol).cast(LongType)
+    val g = df.filter(col(valCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(d19(x)).cast(DoubleType).as("__sx"),
+        sum(d19(x) * d19(x)).cast(DoubleType).as("__sxx"))
+    val nD = col("n").cast(DoubleType)
+    val sigma = sqrt((nD * col("__sxx") - col("__sx") * col("__sx")) /
+      (nD * nD))
+    val q = g.withColumn("__q",
+      floor(nD * sigma * 1e6 + 0.5).cast(LongType))
+    val tot = q.agg(coalesce(sum(col("__q")), lit(0L)).as("__qt"))
+    q.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"), sigma.as("sigma"),
+        when(col("__qt") > 0,
+          floor(lit(k).cast(DoubleType) *
+            col("__q").cast(DoubleType) /
+            col("__qt").cast(DoubleType)).cast(LongType))
+          .otherwise(0L).as("alloc"))
+  }
+
   /** Uniform-target mixture reweighting — the simplest DoReMi-style
     * domain-weight correction: sampling weights proportional to
     * target_share / current_share with a UNIFORM target, i.e.

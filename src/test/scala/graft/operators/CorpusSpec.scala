@@ -802,6 +802,24 @@ class CorpusSpec extends SparkSpec {
       .foreach { case (_, ps) => assert(ps.map(_._5).sum === 7L) }
   }
 
+  test("neymanAllocation: labels follow n*sigma, zero-variance " +
+      "groups get 0, floor never overspends the budget") {
+    // A: high variance (0/100), B: same size, zero variance,
+    // C: half the rows of A at the same variance → half A's weight
+    val rows = Seq.fill(20)(("A", 0L)) ++ Seq.fill(20)(("A", 100L)) ++
+      Seq.fill(40)(("B", 50L)) ++
+      Seq.fill(10)(("C", 0L)) ++ Seq.fill(10)(("C", 100L))
+    val got = Corpus.neymanAllocation(rows.toDF("g", "x"), "g", "x",
+        k = 90)
+      .as[(String, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("B")._4 === 0L)       // sigma = 0 → no labels
+    assert(got("A")._3 === 50.0 && got("C")._3 === 50.0)
+    // weights 40·50 : 0 : 20·50 = 2 : 0 : 1 → 60 and 30 of 90
+    assert(got("A")._4 === 60L && got("C")._4 === 30L)
+    assert(got.values.map(_._4).sum <= 90L)
+  }
+
   test("sourceTokenJs: symmetric twins score equal, bounded by ln2, " +
       "a blend-identical source scores ~0") {
     // A and B hold identical disjoint-from-each-other vocabularies:
