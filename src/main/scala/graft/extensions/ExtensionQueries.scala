@@ -2198,9 +2198,11 @@ object ExtensionQueries {
       val docs = documents(s, d)
       val ref = docs.filter(pmod(id, lit(2)) === 0)
         .select(score.as("score_fx"))
+      // built from the same pmod-based score as ref — a raw `%`
+      // twin would diverge on negative ids
       val cur = docs.filter(pmod(id, lit(2)) === 1)
-        .select((expr("(doc_id * 13) % 100 * 6 div 10") + 35)
-          .as("score_fx"))
+        .select(score.as("__s0"))
+        .select((expr("__s0 * 6 div 10") + 35).as("score_fx"))
       graft.operators.Stats.ksTest(ref, cur, "score_fx")
     },
 

@@ -1858,8 +1858,12 @@ object Corpus {
     val nD = col("n").cast(DoubleType)
     val sigma = sqrt((nD * col("__sxx") - col("__sx") * col("__sx")) /
       (nD * nD))
+    // checkpointed: the groups-row frame feeds BOTH the cross-group
+    // total and the output — planned twice, the corpus scan + hash
+    // agg would run twice (the mixtureWeights rationale)
     val q = g.withColumn("__q",
-      floor(nD * sigma * 1e6 + 0.5).cast(LongType))
+        floor(nD * sigma * 1e6 + 0.5).cast(LongType))
+      .localCheckpoint()
     val tot = q.agg(coalesce(sum(col("__q")), lit(0L)).as("__qt"))
     q.crossJoin(broadcast(tot))
       .select(col(groupCol), col("n"), sigma.as("sigma"),

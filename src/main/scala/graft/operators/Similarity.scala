@@ -346,9 +346,19 @@ object Similarity {
       counts.filter(col("pos") >= 0)
         .select(col(groupCol), col("pos"),
           (fxVal(col("qfx"), 1e9) / col("n").cast("double")).as(c))
+    // sentinel-first with a dim-0 fallback: a counts table written
+    // before the pos = -1 sentinel existed (or by a foreign producer)
+    // still reports its groups' vector counts instead of silently
+    // reading as vanished; where the sentinel exists it wins, so
+    // null-vector rows stay counted
     def nVecs(counts: DataFrame, c: String): DataFrame =
       counts.filter(col("pos") === -1)
-        .select(col(groupCol), col("n").as(c))
+        .select(col(groupCol), col("n").as("__ns"))
+        .join(counts.filter(col("pos") === 0)
+          .select(col(groupCol), col("n").as("__nd")),
+          Seq(groupCol), "full")
+        .select(col(groupCol),
+          coalesce(col("__ns"), col("__nd")).as(c))
     val cos = fxVal(col("__dot"), 1e9) /
       (sqrt(fxVal(col("__nr"), 1e9)) * sqrt(fxVal(col("__nc"), 1e9)))
     val cosByGroup = cent(refCounts, "__cr")
