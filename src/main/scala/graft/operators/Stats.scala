@@ -493,22 +493,44 @@ object Stats {
     * window, no pair work.
     */
   def ksTest(ref: DataFrame, cur: DataFrame,
-             scoreFxCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    Seq(ref, cur).foreach(df => df.schema(scoreFxCol).dataType match {
+             scoreFxCol: String): DataFrame =
+    ksTestFromCounts(scoreCounts(ref, scoreFxCol),
+      scoreCounts(cur, scoreFxCol))
+
+  /** Per-distinct-score counts `(s, n)` — [[ksTest]]'s mergeable
+    * state and the per-micro-batch partial of the STREAMED monitor
+    * ([[graft.streaming.StreamingDrift]]'s KS store): counts SUM
+    * across batches, so the merged store reproduces the replayed
+    * log's table exactly. Nulls drop; score must be integral.
+    */
+  def scoreCounts(df: DataFrame, scoreFxCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    df.schema(scoreFxCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | LongType => ()
       case other => throw new IllegalArgumentException(
         s"ksTest needs an integral (fixed-point) score column; " +
           s"'$scoreFxCol' is ${other.simpleString}")
-    })
+    }
+    df.filter(col(scoreFxCol).isNotNull)
+      .groupBy(col(scoreFxCol).cast(LongType).as("s"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[ksTest]] over PRE-AGGREGATED `(s, n)` count tables from
+    * [[scoreCounts]] (re-aggregated here, so sum-merged store
+    * partials feed in directly) — the streamed drift monitor's read
+    * path. Same output and exact-integer arithmetic.
+    */
+  def ksTestFromCounts(refCounts: DataFrame,
+                       curCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
-    def counts(df: DataFrame, n: String): DataFrame =
-      df.filter(col(scoreFxCol).isNotNull)
-        .groupBy(col(scoreFxCol).cast(LongType).as("__s"))
-        .agg(count(lit(1)).as(n))
-    val both = counts(ref, "c1").join(counts(cur, "c2"),
+    def agg(counts: DataFrame, n: String): DataFrame =
+      counts.filter(col("n").isNotNull && col("n") > 0)
+        .groupBy(col("s").as("__s")).agg(sum(col("n")).as(n))
+    val both = agg(refCounts, "c1").join(agg(curCounts, "c2"),
         Seq("__s"), "full")
       .na.fill(0L, Seq("c1", "c2"))
     val cum = cumBelowByValue(both, "__s", Seq("c1", "c2"))

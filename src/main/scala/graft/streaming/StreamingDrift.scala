@@ -75,4 +75,48 @@ object StreamingDrift {
     */
   def compactCounts(spark: SparkSession, storePath: String): Unit =
     SumStore.compact(spark, storePath, Seq("bin"), Seq("n"))
+
+  // ---- exact (binning-free) KS drift over the same stream ----------
+  //
+  // The PSI store above bins; a shift smaller than a bin is invisible
+  // to it. The KS store keeps per-DISTINCT-SCORE counts (scores are
+  // fixed-point by engine convention, so the value space is bounded
+  // by the quantization, not the corpus) and the read is the exact
+  // [[Stats.ksTest]] against a pinned reference — same SumStore
+  // replay/compaction contract, same provable streamed ≡ batch
+  // equality (counts SUM-merge losslessly).
+
+  /** foreachBatch body: this batch's per-score counts, owned-by-path.
+    * `scoreFxCol` must be integral ([[Stats.scoreCounts]]).
+    */
+  def writeScoreCounts(batch: DataFrame, storePath: String,
+                       scoreFxCol: String, batchId: Long): Unit =
+    SumStore.writeBatch(Stats.scoreCounts(batch, scoreFxCol),
+      storePath, batchId)
+
+  /** Wire a fixed-point score stream into a per-score count store. */
+  def ksSink(stream: DataFrame, storePath: String,
+             scoreFxCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeScoreCounts(batch, storePath, scoreFxCol, batchId)
+    }
+
+  /** Current sum-merged (s, n) score counts over everything landed. */
+  def scoreCounts(spark: SparkSession, storePath: String): DataFrame =
+    SumStore.merged(spark, storePath, Seq("s"), Seq("n"))
+
+  /** Exact KS of the landed distribution against pinned reference
+    * counts (a persisted [[Stats.scoreCounts]]) — output as
+    * [[Stats.ksTest]]: (n_ref, n_cur, d, ks_at).
+    */
+  def ksAgainstReference(spark: SparkSession, storePath: String,
+                         refCounts: DataFrame): DataFrame =
+    Stats.ksTestFromCounts(refCounts, scoreCounts(spark, storePath))
+
+  /** Fold the KS store to one row per distinct score — maintenance
+    * window only ([[SumStore]] contract).
+    */
+  def compactScoreCounts(spark: SparkSession, storePath: String): Unit =
+    SumStore.compact(spark, storePath, Seq("s"), Seq("n"))
 }

@@ -55,6 +55,47 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed KS equals the batch ksTest over the replayed log; " +
+      "replay and compaction cannot move it") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("ks_store")
+    // fixed-point scores (the engine convention): permille ints
+    def fx(b: Int): Seq[Long] =
+      (0 until 150).map(i => ((i * 7 + b * 31) % 60 + 35).toLong)
+    val src = MemoryStream[Long]
+    val q = StreamingDrift.ksSink(src.toDF().toDF("score_fx"), store,
+        "score_fx")
+      .option("checkpointLocation", tmp("ks_ckpt"))
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        src.addData(fx(b): _*)
+        q.processAllAvailable()
+      }
+      val ref = (0 until 400).map(i => (i % 100).toLong)
+        .toDF("score_fx")
+      val refCounts = Stats.scoreCounts(ref, "score_fx")
+      val streamed = StreamingDrift.ksAgainstReference(spark, store,
+          refCounts)
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      val batch = Stats.ksTest(ref,
+          (0 until 3).flatMap(fx).toDF("score_fx"), "score_fx")
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+      assert(streamed === batch)
+      assert(streamed._3.get > 0.2) // the shift is visible
+      // replay: re-land batch 1's partial, nothing moves
+      StreamingDrift.writeScoreCounts(fx(1).toDF("score_fx"), store,
+        "score_fx", 1L)
+      assert(StreamingDrift.ksAgainstReference(spark, store, refCounts)
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+        === streamed)
+      StreamingDrift.compactScoreCounts(spark, store)
+      assert(StreamingDrift.ksAgainstReference(spark, store, refCounts)
+        .as[(Long, Long, Option[Double], Option[Long])].head()
+        === streamed)
+    } finally q.stop()
+  }
+
   test("replayed batch overwrite cannot double-count; compaction " +
       "view-equal and bounds the store") {
     val store = tmp("drift_store2")
