@@ -2206,6 +2206,59 @@ object ExtensionQueries {
       graft.operators.Stats.ksTest(ref, cur, "score_fx")
     },
 
+    // Per-SOURCE exact KS drift scorecard — ext_psi_by_source's
+    // binning-free companion: every source's CDF-gap maximum in one
+    // pass via group-partitioned windows; same integer-exact D and
+    // smallest-breaking-score pointer as ext_ks_test.
+    Q("ext_ks_by_source",
+      s"""WITH r AS (SELECT source, (doc_id * 13) % 100 AS s,
+         |  CAST(count(*) AS BIGINT) AS c1 FROM documents
+         | WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |c AS (SELECT source, ((doc_id * 13) % 100) * 6 // 10 + 35
+         |   AS s, CAST(count(*) AS BIGINT) AS c2 FROM documents
+         | WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |b AS (SELECT coalesce(r.source, c.source) AS source,
+         |  coalesce(r.s, c.s) AS s,
+         |  coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         | FROM r FULL JOIN c ON r.source = c.source AND r.s = c.s),
+         |cum AS (SELECT source, s, c1, c2,
+         |  CAST(sum(c1) OVER (PARTITION BY source ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS ic1,
+         |  CAST(sum(c2) OVER (PARTITION BY source ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS BIGINT) AS ic2,
+         |  CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n1,
+         |  CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS n2
+         | FROM b),
+         |dd AS (SELECT source, n1, n2,
+         |  abs(ic1 * n2 - ic2 * n1) AS dn, s FROM cum),
+         |m AS (SELECT source, max(n1) AS n_ref, max(n2) AS n_cur,
+         |  max(dn) AS dmax FROM dd GROUP BY 1),
+         |a AS (SELECT dd.source, min(s) AS ks_at FROM dd
+         |  JOIN m ON m.source = dd.source AND dd.dn = m.dmax
+         |  GROUP BY 1)
+         |SELECT m.source, n_ref, n_cur,
+         | CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         |  CAST(dmax AS DOUBLE) /
+         |   (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) END AS d,
+         | CASE WHEN n_ref > 0 AND n_cur > 0 THEN ks_at END AS ks_at
+         |FROM m JOIN a ON a.source = m.source
+         |ORDER BY m.source""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val score = pmod(id * 13, lit(100))
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(col("source"), score.as("score_fx"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select(col("source"), score.as("__s0"))
+        .select(col("source"),
+          (expr("__s0 * 6 div 10") + 35).as("score_fx"))
+      graft.operators.Stats.ksTestByGroup(ref, cur, "source",
+          "score_fx")
+        .orderBy(col("source"))
+    },
+
     // Per-item vote-distribution difficulty report over the same
     // Likert fixture — ranks ITEMS by ambiguity where raterAgreement
     // ranks raters: vote entropy (terms 1e-9 fx-quantized, the psi ln

@@ -559,6 +559,61 @@ object Stats {
           col("__t.negs") * -1L).as("ks_at"))
   }
 
+  /** Per-GROUP [[ksTest]] — the drift SCORECARD form ([[psiByGroup]]'s
+    * exact companion): every source's reference-vs-current KS in one
+    * pass. Within a group the CDFs only need that group's order, so
+    * the cumulative counts come from one GROUP-PARTITIONED window
+    * over the per-(group, score) count table (bounded partitions —
+    * a group's distinct scores). Same exact-integer max and
+    * smallest-breaking-score pointer as [[ksTest]]; one row per group
+    * present on EITHER side: (group, n_ref, n_cur, d, ks_at) — d
+    * null when the group is missing from one side (the
+    * appeared/vanished alarm rides on the zero count).
+    */
+  def ksTestByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+                    scoreFxCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    Seq(ref, cur).foreach(df => df.schema(scoreFxCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ksTestByGroup needs an integral (fixed-point) score " +
+          s"column; '$scoreFxCol' is ${other.simpleString}")
+    })
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    def counts(df: DataFrame, n: String): DataFrame =
+      df.filter(col(scoreFxCol).isNotNull)
+        .groupBy(col(groupCol), col(scoreFxCol).cast(LongType).as("__s"))
+        .agg(count(lit(1)).as(n))
+    val both = counts(ref, "c1").join(counts(cur, "c2"),
+        Seq(groupCol, "__s"), "full")
+      .na.fill(0L, Seq("c1", "c2"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dn = abs(d19(col("__ic1")) * d19(col("__n2")) -
+      d19(col("__ic2")) * d19(col("__n1")))
+    both
+      .withColumn("__ic1", sum(col("c1")).over(w))
+      .withColumn("__ic2", sum(col("c2")).over(w))
+      .withColumn("__n1", sum(col("c1"))
+        .over(Window.partitionBy(col(groupCol))))
+      .withColumn("__n2", sum(col("c2"))
+        .over(Window.partitionBy(col(groupCol))))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n1")).as("n_ref"), max(col("__n2")).as("n_cur"),
+        max(struct(dn.as("dn"),
+          (lit(-1L) * col("__s")).as("negs"))).as("__t"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__t.dn").cast(DoubleType) /
+            (col("n_ref").cast(DoubleType) *
+              col("n_cur").cast(DoubleType))).as("d"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__t.negs") * -1L).as("ks_at"))
+  }
+
   /** Tie-corrected Mann-Whitney rank-sum test over the same inputs
     * as [[auc]] — AUC says HOW WELL the score separates the classes;
     * this says whether the separation is DISTINGUISHABLE FROM CHANCE

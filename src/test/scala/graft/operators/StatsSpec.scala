@@ -315,6 +315,26 @@ class StatsSpec extends SparkSpec {
     assert(empty._2 === 0L && empty._3 === None && empty._4 === None)
   }
 
+  test("ksTestByGroup: each group's D equals ksTest on its slice; " +
+      "one-sided groups report counts with null D") {
+    val ref = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L),
+      ("gone", 7L)).toDF("g", "s")
+    val cur = Seq(("a", 3L), ("a", 4L), ("a", 5L), ("b", 5L),
+      ("new", 9L)).toDF("g", "s")
+    val byG = Stats.ksTestByGroup(ref, cur, "g", "s")
+      .as[(String, Long, Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    val aOnly = Stats.ksTest(ref.filter($"g" === "a").select($"s"),
+        cur.filter($"g" === "a").select($"s"), "s")
+      .as[(Long, Long, Option[Double], Option[Long])].head()
+    assert((byG("a")._2, byG("a")._3, byG("a")._4, byG("a")._5)
+      === aOnly)
+    assert(byG("a")._4 === Some(2.0 / 3) && byG("a")._5 === Some(2L))
+    assert(byG("b")._4 === Some(0.0)) // identical singleton samples
+    assert(byG("gone") === (("gone", 1L, 0L, None, None)))
+    assert(byG("new") === (("new", 0L, 1L, None, None)))
+  }
+
   test("rankSumTest: hand z on a tie-free fixture, tie correction " +
       "engages, all-tied and one-class null") {
     // pos {2,3}, neg {1}: U = 2, n=3, no ties → var = 2/12·4 = 2/3,
