@@ -147,7 +147,8 @@ object Bench {
     * overrides (1 forces the single-JVM path).
     */
   private[graft] def benchChunks(nQueries: Int): Int =
-    sys.env.get("SPARK_GRAFT_BENCH_CHUNKS").map(_.toInt)
+    sys.env.get("SPARK_GRAFT_BENCH_CHUNKS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .getOrElse(if (nQueries >= 60) 4 else 1)
 
   /** Per-query historical-minimum floor (`{"name":sec,...}`, committed
@@ -173,19 +174,26 @@ object Bench {
     * artifact-tail regressions that way). A query whose in-run min
     * exceeds [[FloorRegressFactor]]× its historical floor gets one
     * isolated-fork re-time, published under `regressed_isolated`.
-    * The [[FloorMinSec]] guard keeps sub-half-second queries out —
-    * 2× of a tiny floor is scheduler jitter, not a regression.
+    * The breach threshold is `max(2×floor, floor + FloorSlackSec)`:
+    * the absolute-slack term keeps small-FLOOR queries from breaching
+    * on fork-overhead + scheduler jitter (r13 verdict: a 0.44 s-floor
+    * query measured 0.95 s is 2.2× its floor but only half a second
+    * of drift — exactly the jitter class the guard exists to exclude,
+    * and unfalsifiable by isolated re-times, which read 1.1-3× slow
+    * from cold codegen). The r13 guard compared the MEASURED min
+    * against 0.5 s, which exempts nothing with a small floor — wrong
+    * operand.
     */
   private[graft] val FloorRegressFactor = 2.0
-  private[graft] val FloorMinSec = 0.5
+  private[graft] val FloorSlackSec = 0.5
 
   private[graft] def floorRegressed(results: Map[String, Seq[Double]],
                                     floor: Map[String, Double])
       : Seq[String] =
     results.collect {
-      case (n, ps) if ps.nonEmpty && ps.min > FloorMinSec &&
-          floor.get(n).exists(f =>
-            f > 0 && ps.min > FloorRegressFactor * f) => n
+      case (n, ps) if ps.nonEmpty &&
+          floor.get(n).exists(f => f > 0 && ps.min >
+            math.max(FloorRegressFactor * f, f + FloorSlackSec)) => n
     }.toSeq.sorted
 
   /** Parse StreamBench's `{"name":{"p50_ms":x,"p95_ms":y},...}`

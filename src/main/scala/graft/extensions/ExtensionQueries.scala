@@ -2140,13 +2140,15 @@ object ExtensionQueries {
              sc)} AS dofx FROM pi),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
          |  CAST(sum(mi) AS BIGINT) AS n_ratings,
-         |  CAST(sum(s1) AS BIGINT) AS ts1,
-         |  CAST(sum(s2) AS BIGINT) AS ts2 FROM pi)
+         |  CAST(sum(s1) AS HUGEINT) AS ts1,
+         |  CAST(sum(s2) AS HUGEINT) AS ts2 FROM pi)
          |SELECT n_items, n_ratings,
-         | CASE WHEN 2 * (n_ratings * ts2 - ts1 * ts1) > 0 THEN
+         | CASE WHEN 2 * (CAST(n_ratings AS HUGEINT) * ts2
+         |     - ts1 * ts1) > 0 THEN
          |  1.0 - CAST(n_ratings - 1 AS DOUBLE) *
          |   (CAST(dofx AS DOUBLE) / $sc) /
-         |   CAST(2 * (n_ratings * ts2 - ts1 * ts1) AS DOUBLE)
+         |   CAST(2 * (CAST(n_ratings AS HUGEINT) * ts2
+         |     - ts1 * ts1) AS DOUBLE)
          | END AS alpha
          |FROM tot, dobs""".stripMargin
     }) { (s, d) =>

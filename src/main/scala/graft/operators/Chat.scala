@@ -156,13 +156,16 @@ object Chat {
     import graft.functions.TextFns
     val conv = Window.partitionBy(col(convCol))
     // idxCol is expected unique per conversation (a turn ORDER); the
-    // (role, text) tiebreak makes the cumulative sum — and therefore
-    // which boundary turn survives — deterministic even when an
-    // upstream bug duplicates an index, instead of varying with
-    // partitioning (exact-duplicate rows remain interchangeable,
-    // which is output-identical either way)
+    // (role, length, hash-of-text) tiebreak makes the cumulative
+    // sum — and therefore which boundary turn survives —
+    // deterministic even when an upstream bug duplicates an index,
+    // instead of varying with partitioning (exact-duplicate rows
+    // remain interchangeable, which is output-identical either way).
+    // Cheap fixed-width keys, NOT the raw text column: the tiebreak
+    // only matters on duplicated indexes, so every healthy sort
+    // should not be comparing message bodies
     val rev = conv.orderBy(col(idxCol).desc, col(roleCol).desc,
-        col(textCol).desc)
+        length(col(textCol)).desc, xxhash64(col(textCol)).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val isSys = col(roleCol) === "system"
     val n = df.withColumn("n_tokens",

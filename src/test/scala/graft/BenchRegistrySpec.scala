@@ -61,23 +61,33 @@ class BenchRegistrySpec extends AnyFunSuite {
   }
 
   test("floor trigger: loadFloor parses the committed shape, absent " +
-      "file stays dark, floorRegressed fires only past 2x-of-floor " +
-      "AND the half-second guard") {
+      "file stays dark, floorRegressed fires only past " +
+      "max(2x-floor, floor + half-second slack)") {
     val f = java.io.File.createTempFile("floor", ".json")
     f.deleteOnExit()
     val w = new java.io.PrintWriter(f, "UTF-8")
-    w.write("""{"fast": 0.1, "big": 1.2, "zero": 0.0}""")
+    w.write("""{"fast": 0.1, "big": 1.2, "zero": 0.0, "small": 0.44}""")
     w.close()
     val floor = Bench.loadFloor(f.getAbsolutePath)
-    assert(floor === Map("fast" -> 0.1, "big" -> 1.2, "zero" -> 0.0))
+    assert(floor === Map("fast" -> 0.1, "big" -> 1.2, "zero" -> 0.0,
+      "small" -> 0.44))
     assert(Bench.loadFloor("/no/such/file.json") === Map.empty)
     val results = Map(
-      "fast" -> Seq(0.4, 0.45),   // 4x floor but under the 0.5 s guard
-      "big" -> Seq(3.0, 2.9),     // 2.4x floor: fires
+      "fast" -> Seq(0.4, 0.45),   // 4x floor, but < floor+0.5: jitter
+      "big" -> Seq(3.0, 2.9),     // 2.4x floor and > floor+0.5: fires
+      "small" -> Seq(0.90),       // 2.05x floor yet only 0.46 s of
+                                  // drift: dark (the r13 guard put the
+                                  // half-second test on the MEASURED
+                                  // min and would have fired here)
       "bigok" -> Seq(3.0),        // no floor recorded: dark
       "zero" -> Seq(5.0),         // zero floor: dark (not a division)
       "crash" -> Seq(-7.0))       // sentinel: dark
     assert(Bench.floorRegressed(results, floor) === Seq("big"))
+    // past BOTH terms a small-floor query still fires — the guard
+    // excludes jitter, not regressions
+    assert(Bench.floorRegressed(
+      results.updated("small", Seq(1.1)), floor) ===
+      Seq("big", "small"))
     // after a successful isolated re-time folds in a fast pass, the
     // breach clears
     assert(Bench.floorRegressed(
@@ -92,6 +102,29 @@ class BenchRegistrySpec extends AnyFunSuite {
       committed.contains("ext_hll_dau") &&
       committed.contains("ext_source_drift"),
       "the r12 unpinned regressions must have committed floors")
+  }
+
+  /** New-this-round queries whose first quiet-box floor has not yet
+    * been merged. MUST be empty at round close — the coverage lint
+    * below fails on any other gap, so the floor trigger can never
+    * again be silently dark for a registry query (r13 shipped
+    * ext_ks_by_source unfloored).
+    */
+  private val floorPending: Set[String] = Set.empty
+
+  test("floor coverage: every registry query has a committed floor " +
+      "(new-this-round names must be explicitly grandfathered, and " +
+      "that list empties at round close)") {
+    val committed = Bench.loadFloor("bench_floor.json").keySet
+    assert(floorPending.subsetOf(SparkEntry.queries.keySet),
+      s"floorPending names unknown queries: ${
+        floorPending diff SparkEntry.queries.keySet}")
+    val unfloored =
+      SparkEntry.queries.keySet diff committed diff floorPending
+    assert(unfloored.isEmpty,
+      s"registry queries with no bench_floor.json entry (merge a " +
+        s"quiet run via tools/update_bench_floor.py or grandfather " +
+        s"in floorPending): $unfloored")
   }
 
   test("streaming escalation: parse/render round-trip, lower valid " +

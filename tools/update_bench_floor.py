@@ -25,28 +25,36 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR = os.path.join(ROOT, "bench_floor.json")
 
 
-# non-query scalar keys a bench line/artifact carries alongside the
-# per-query numbers
-NON_QUERY_KEYS = {"metric", "value", "sf", "n", "rc", "cpus", "chunks",
-                  "p50_ms", "p95_ms"}
-
-
-def mins_from_text(txt):
+def mins_from_text(txt, known=frozenset()):
     """Per-query min over every `"name":[p1,p2,...]` (runs) or bare
     `"name":sec` (queries map) fragment found; robust to truncated
-    driver tails that carry only one of the two shapes."""
+    driver tails that carry only one of the two shapes.
+
+    The runs-array pass is unambiguous (only per-query runs carry a
+    numeric-array value). The bare-number pass is NOT — any scalar
+    metadata field the bench line grows ("chunks", "value", ...) would
+    match — so it folds a name only when it sits inside an explicit
+    `"queries":{...}` object or is already a known query (the
+    committed floor's key set): an allowlist, not a denylist a new
+    field can silently slip past."""
     out = {}
 
     def fold(name, vals):
         vals = [v for v in vals if v > 0]
-        if vals and name not in NON_QUERY_KEYS:
+        if vals:
             out[name] = min(out.get(name, 1e18), min(vals))
 
     for m in re.finditer(r'"([A-Za-z0-9_]+)":\[([-0-9.eE,\s]*)\]', txt):
         fold(m.group(1),
              [float(v) for v in m.group(2).split(",") if v.strip()])
+    qspans = []
+    for m in re.finditer(r'"queries":\{', txt):
+        end = txt.find("}", m.end())
+        qspans.append((m.end(), end if end >= 0 else len(txt)))
     for m in re.finditer(r'"([A-Za-z0-9_]+)":(-?[0-9][-0-9.eE]*)', txt):
-        fold(m.group(1), [float(m.group(2))])
+        name = m.group(1)
+        if name in known or any(s <= m.start() < e for s, e in qspans):
+            fold(name, [float(m.group(2))])
     return out
 
 
@@ -64,7 +72,7 @@ def main():
                 txt = obj["tail"]
         except ValueError:
             pass
-        for k, v in mins_from_text(txt).items():
+        for k, v in mins_from_text(txt, known=set(floor)).items():
             floor[k] = min(floor.get(k, 1e18), v)
     with open(FLOOR, "w") as f:
         json.dump(dict(sorted(floor.items())), f, indent=1)
