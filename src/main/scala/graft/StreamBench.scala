@@ -604,6 +604,28 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Per-source streamed PSI drift monitor: per-batch (source, bin)
+    * count partials into the sum-merged store — the grouped twin of
+    * [[benchDrift]]; the key set gains one column, so this prices the
+    * |sources|× partial-size write amplification.
+    */
+  private def benchDriftBySource(spark: SparkSession, batches: Int,
+                                 rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, Double)]
+    val scores = src.toDF().toDF("source", "score")
+    val store = tmpDir("driftsrc"); val cp = ckpt("driftsrc")
+    val q = StreamingDrift.driftSinkBy(scores, store, "source", "score")
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map(r =>
+        (s"s${r % 8}", ((r * 7 + b * 31) % 1000) / 1000.0)))
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Streamed embedding-centroid drift: per-batch (group, dim)
     * fixed-point centroid partials into the sum-merged store.
     */
@@ -651,6 +673,7 @@ object StreamBench {
     "evals" -> "StreamingEval",
     "ratings" -> "StreamingRatings",
     "drift" -> "StreamingDrift",
+    "drift_by_source" -> "StreamingDrift",
     "embed_drift" -> "StreamingEmbedDrift")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
@@ -673,6 +696,7 @@ object StreamBench {
     "evals" -> (() => benchEvals(spark, batches, rows)),
     "ratings" -> (() => benchRatings(spark, batches, rows)),
     "drift" -> (() => benchDrift(spark, batches, rows)),
+    "drift_by_source" -> (() => benchDriftBySource(spark, batches, rows)),
     "embed_drift" -> (() => benchEmbedDrift(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline (or just `only`'s — the

@@ -333,6 +333,72 @@ object Stats {
     }.drop("__bkt")
   }
 
+  /** Per-GROUP [[cumBelowByValue]] — the same two-level bucketed
+    * prefix sum, fully distributed (no driver pass: a grouped call
+    * can't bound groups×buckets the way the ungrouped packer bounds
+    * buckets). Input is one row per (group..., distinct `valCol`);
+    * output adds the EXCLUSIVE within-group cumulative sum `cum_<c>`
+    * over smaller values. Three bounded pieces instead of one
+    * group-partitioned window over the whole distinct-value table
+    * (whose partition is a one-task sort of a group's ENTIRE distinct
+    * set — corpus-sized under adversarial quantization, the r13 scale
+    * watch):
+    *
+    *  1. in-bucket exclusive window, partitioned (group..., bucket) —
+    *     ≤ `width` rows per partition by construction;
+    *  2. per-(group, bucket) totals hash agg, then the bucket-level
+    *     exclusive window partitioned by group — ≤ range/width ≤ 2^20
+    *     rows per group regardless of the corpus;
+    *  3. a co-partitioned equi-join adding offset + in-bucket.
+    *
+    * Exact integer sums, so callers' results are bit-identical to the
+    * single-window form they replace.
+    */
+  private[operators] def cumBelowByValueGrouped(grouped: DataFrame,
+                                                groupCols: Seq[String],
+                                                valCol: String,
+                                                sumCols: Seq[String])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val base = grouped.localCheckpoint()
+    val r = base.agg(min(col(valCol).cast(LongType)),
+      max(col(valCol).cast(LongType))).head()
+    val width: Long =
+      if (r.isNullAt(0)) 4096L // empty input — any grid works
+      else {
+        // double arithmetic: max-min on extreme values would overflow
+        // long; the bound only needs to hold approximately
+        val range = r.getLong(1).toDouble - r.getLong(0).toDouble + 1
+        math.max(4096L, math.ceil(range / (1 << 20)).toLong)
+      }
+    val gcols = groupCols.map(col)
+    val bkt = base.withColumn("__bkt",
+      expr(s"(cast($valCol as long) - pmod(cast($valCol as long), " +
+        s"${width}L)) div ${width}L"))
+    val inW = Window.partitionBy(gcols :+ col("__bkt"): _*)
+      .orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = sumCols.foldLeft(bkt)((d, c) =>
+      d.withColumn(s"__in_$c",
+        coalesce(sum(col(c)).over(inW), lit(0L))))
+    val totW = Window.partitionBy(gcols: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sumCols.foldLeft(
+        bkt.groupBy(gcols :+ col("__bkt"): _*)
+          .agg(sum(col(sumCols.head)).as(s"__t_${sumCols.head}"),
+            sumCols.tail.map(c => sum(col(c)).as(s"__t_$c")): _*))(
+        (d, c) => d.withColumn(s"__off_$c",
+          coalesce(sum(col(s"__t_$c")).over(totW), lit(0L))))
+      .select(gcols ++ (col("__bkt") +:
+        sumCols.map(c => col(s"__off_$c"))): _*)
+    sumCols.foldLeft(
+        withIn.join(offsets, groupCols :+ "__bkt")) { (d, c) =>
+      d.withColumn(s"cum_$c", col(s"__off_$c") + col(s"__in_$c"))
+        .drop(s"__in_$c", s"__off_$c")
+    }.drop("__bkt")
+  }
+
   /** Exact tie-aware ROC AUC of an integral score column against a
     * boolean label — the quality-classifier acceptance metric (does
     * the scorer actually rank keepers above rejects?), in the
@@ -394,17 +460,18 @@ object Stats {
 
   /** Per-GROUP [[auc]] — the scorer-validation scorecard ("does the
     * quality classifier still separate keepers from rejects on EVERY
-    * source, or only on the ones it was tuned on"). Within a group
-    * the rank statistic only needs that group's order, so the
-    * ranks-below come from one GROUP-PARTITIONED window over the
-    * per-(group, distinct-score) count table — bounded partitions
-    * (≤ distinct scores per group), no global window, no pair join.
+    * source, or only on the ones it was tuned on"). The ranks-below
+    * come from [[cumBelowByValueGrouped]] over the per-(group,
+    * distinct-score) count table — the same bucketed two-level prefix
+    * sum as the ungrouped [[auc]], so no partition is ever one
+    * group's ENTIRE distinct-score set (a 1e9-quantized continuous
+    * score could make that ~corpus-sized and its window a one-task
+    * sort — the r13 scale watch); no global window, no pair join.
     * Same tie handling, exactness and output semantics as [[auc]];
     * one row per group: (group, n_pos, n_neg, auc).
     */
   def aucByGroup(df: DataFrame, groupCol: String, scoreFxCol: String,
                  labelCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     df.schema(scoreFxCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
@@ -419,11 +486,10 @@ object Stats {
       .groupBy(col(groupCol), col(scoreFxCol).cast(LongType).as("__s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     // 19-digit decimal factors: see auc — long products wrap silently
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
-    g.withColumn("cnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+    cumBelowByValueGrouped(g, Seq(groupCol), "__s", Seq("nn"))
+      .withColumn("cnn", col("cum_nn"))
       .groupBy(col(groupCol))
       .agg(
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
@@ -561,46 +627,77 @@ object Stats {
 
   /** Per-GROUP [[ksTest]] — the drift SCORECARD form ([[psiByGroup]]'s
     * exact companion): every source's reference-vs-current KS in one
-    * pass. Within a group the CDFs only need that group's order, so
-    * the cumulative counts come from one GROUP-PARTITIONED window
-    * over the per-(group, score) count table (bounded partitions —
-    * a group's distinct scores). Same exact-integer max and
-    * smallest-breaking-score pointer as [[ksTest]]; one row per group
-    * present on EITHER side: (group, n_ref, n_cur, d, ks_at) — d
-    * null when the group is missing from one side (the
+    * pass. The within-group cumulative counts come from
+    * [[cumBelowByValueGrouped]] over the per-(group, score) count
+    * table — the same bucketed two-level prefix sum as the ungrouped
+    * [[ksTest]], so no partition is ever one group's entire
+    * distinct-score set (the r13 scale watch: a 1e9-quantized
+    * continuous score makes that ~corpus-sized); the per-group totals
+    * are a groups-sized hash agg broadcast back. Same exact-integer
+    * max and smallest-breaking-score pointer as [[ksTest]]; one row
+    * per group present on EITHER side: (group, n_ref, n_cur, d,
+    * ks_at) — d null when the group is missing from one side (the
     * appeared/vanished alarm rides on the zero count).
     */
   def ksTestByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
+                    scoreFxCol: String): DataFrame =
+    ksTestByGroupFromCounts(
+      scoreCountsBy(ref, groupCol, scoreFxCol),
+      scoreCountsBy(cur, groupCol, scoreFxCol), groupCol)
+
+  /** Per-(group, distinct-score) count table — [[scoreCounts]] keyed
+    * by a source column: the partial a per-source streamed KS drift
+    * store sums and the per-side input of
+    * [[ksTestByGroupFromCounts]]. `(groupCol, s, n)`.
+    */
+  def scoreCountsBy(df: DataFrame, groupCol: String,
                     scoreFxCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    Seq(ref, cur).foreach(df => df.schema(scoreFxCol).dataType match {
+    import org.apache.spark.sql.types.LongType
+    df.schema(scoreFxCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | LongType => ()
       case other => throw new IllegalArgumentException(
-        s"ksTestByGroup needs an integral (fixed-point) score " +
+        s"scoreCountsBy needs an integral (fixed-point) score " +
           s"column; '$scoreFxCol' is ${other.simpleString}")
-    })
+    }
+    df.filter(col(scoreFxCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreFxCol).cast(LongType).as("s"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[ksTestByGroup]] over PRE-AGGREGATED per-(group, score) count
+    * tables from [[scoreCountsBy]] (both sides `(groupCol, s, n)`,
+    * re-aggregation-safe: sum-merged store partials feed in
+    * directly) — the read path of the per-source streamed KS drift
+    * monitor, where `curCounts` is a sum-merged store snapshot and
+    * `refCounts` a pinned reference
+    * ([[graft.streaming.StreamingDrift]]).
+    */
+  def ksTestByGroupFromCounts(refCounts: DataFrame,
+                              curCounts: DataFrame,
+                              groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
-    def counts(df: DataFrame, n: String): DataFrame =
-      df.filter(col(scoreFxCol).isNotNull)
-        .groupBy(col(groupCol), col(scoreFxCol).cast(LongType).as("__s"))
-        .agg(count(lit(1)).as(n))
-    val both = counts(ref, "c1").join(counts(cur, "c2"),
+    def side(df: DataFrame, n: String): DataFrame =
+      df.groupBy(col(groupCol), col("s").cast("long").as("__s"))
+        .agg(sum(col("n")).as(n))
+    val both = side(refCounts, "c1").join(side(curCounts, "c2"),
         Seq(groupCol, "__s"), "full")
       .na.fill(0L, Seq("c1", "c2"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cumBelowByValueGrouped(both, Seq(groupCol), "__s",
+      Seq("c1", "c2"))
+    // totals from the cum output, not `both` — cumBelowByValueGrouped
+    // local-checkpoints its input, so this agg reads the materialized
+    // count table instead of re-running the full join
+    val totals = cum.groupBy(col(groupCol))
+      .agg(sum(col("c1")).as("__n1"), sum(col("c2")).as("__n2"))
     val dn = abs(d19(col("__ic1")) * d19(col("__n2")) -
       d19(col("__ic2")) * d19(col("__n1")))
-    both
-      .withColumn("__ic1", sum(col("c1")).over(w))
-      .withColumn("__ic2", sum(col("c2")).over(w))
-      .withColumn("__n1", sum(col("c1"))
-        .over(Window.partitionBy(col(groupCol))))
-      .withColumn("__n2", sum(col("c2"))
-        .over(Window.partitionBy(col(groupCol))))
+    cum
+      .withColumn("__ic1", col("cum_c1") + col("c1"))
+      .withColumn("__ic2", col("cum_c2") + col("c2"))
+      .join(broadcast(totals), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(max(col("__n1")).as("n_ref"), max(col("__n2")).as("n_cur"),
         max(struct(dn.as("dn"),
@@ -907,8 +1004,10 @@ object Stats {
     *   α = 1 − (n−1) · [Σ_u 2(m_u S2_u − S1_u²)/(m_u − 1)]
     *             / [2(n·S2 − S1²)]
     *
-    * All moments are exact integers (overflow headroom: n·S2 must fit
-    * a long — recode categories 0-based-small to keep S2 down); the
+    * All moments are exact integers; the pooled products n·S2 and S1²
+    * route through DECIMAL(19,0) factors (the auc/ksTest convention —
+    * long would wrap silently past ~3e9 of summed rating mass; the
+    * per-ITEM moments stay long, bounded by per-item rater count); the
     * per-item division is the one double step, fixed-point summed at
     * 1e12 ([[krippendorffAlpha]]'s convention); α is null when the
     * expected disagreement is 0 (all qualifying ratings equal —
@@ -951,9 +1050,17 @@ object Stats {
     val totals = perItem.agg(count(lit(1)).as("n_items"),
       sum(col("__mi")).as("n_ratings"),
       sum(col("__s1")).as("__S1"), sum(col("__s2")).as("__S2"))
+    // pooled factors cast to DECIMAL(19,0) BEFORE multiplying (the
+    // auc/ksTest convention): S1² in long arithmetic wraps silently
+    // past ~3e9 of summed rating mass, and the oracle's HUGEINT would
+    // error rather than wrap — the engines must agree loudly or not
+    // at all; 19-digit factors keep the Decimal(38,0) product exact
+    def d19(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(19, 0))
     totals.crossJoin(broadcast(dObs))
       .withColumn("__de", lit(2L) *
-        (col("n_ratings") * col("__S2") - col("__S1") * col("__S1")))
+        (d19(col("n_ratings")) * d19(col("__S2")) -
+          d19(col("__S1")) * d19(col("__S1"))))
       .select(col("n_items"), col("n_ratings"),
         when(col("__de") > 0,
           lit(1.0) - (col("n_ratings") - 1).cast(DoubleType) *
@@ -1205,24 +1312,53 @@ object Stats {
     */
   def psiByGroup(ref: DataFrame, cur: DataFrame, groupCol: String,
                  scoreCol: String, bins: Int = 10, lo: Double = 0.0,
-                 hi: Double = 1.0): DataFrame = {
+                 hi: Double = 1.0): DataFrame =
+    psiByGroupFromCounts(
+      binCountsBy(ref, groupCol, scoreCol, bins, lo, hi),
+      binCountsBy(cur, groupCol, scoreCol, bins, lo, hi),
+      groupCol, bins)
+
+  /** Per-(group, bin) histogram — [[binCounts]] keyed by a source
+    * column: the partial a per-source streamed drift store sums and
+    * the per-side input of [[psiByGroupFromCounts]]. Same binning
+    * expression and NaN/null drop as [[binCounts]], so the grouped
+    * streamed monitor is bit-identical to the batch scorecard. One
+    * (group, bin)-keyed map-side hash agg, ≤ |groups|·bins rows.
+    */
+  def binCountsBy(df: DataFrame, groupCol: String, scoreCol: String,
+                  bins: Int, lo: Double, hi: Double): DataFrame = {
     require(bins >= 1 && bins <= 10000,
       s"bins must be in [1, 10000], got $bins")
     require(lo < hi, s"need lo < hi, got lo=$lo hi=$hi")
     import org.apache.spark.sql.types.{DoubleType, LongType}
-    def binned(df: DataFrame, n: String): DataFrame = {
-      val b = least(lit(bins - 1L), greatest(lit(0L),
-        floor((col(scoreCol).cast(DoubleType) - lo) / (hi - lo) * bins)
-          .cast(LongType)))
-      df.filter(col(scoreCol).isNotNull &&
-          !isnan(col(scoreCol).cast(DoubleType)))
-        .select(col(groupCol), b.as("bin"))
-        .groupBy(col(groupCol), col("bin"))
-        .agg(count(lit(1)).as(n))
-    }
-    val spark = ref.sparkSession
-    val r = binned(ref, "n_ref")
-    val c = binned(cur, "n_cur")
+    val b = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col(scoreCol).cast(DoubleType) - lo) / (hi - lo) * bins)
+        .cast(LongType)))
+    // NaN must drop WITH the nulls — see binCounts
+    df.filter(col(scoreCol).isNotNull &&
+        !isnan(col(scoreCol).cast(DoubleType)))
+      .select(col(groupCol), b.as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[psiByGroup]] over PRE-BINNED per-(group, bin) count tables
+    * from [[binCountsBy]] (both sides `(groupCol, bin, n)`) — the
+    * read path of the PER-SOURCE streamed drift monitor
+    * ([[graft.streaming.StreamingDrift]]), where `curCounts` is a
+    * sum-merged store snapshot and `refCounts` a pinned reference.
+    * Same smoothing, spine, and 1e9-quantized terms as [[psiByGroup]].
+    */
+  def psiByGroupFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                           groupCol: String, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"bins must be in [1, 10000], got $bins")
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val spark = refCounts.sparkSession
+    val r = refCounts.select(col(groupCol), col("bin"),
+      col("n").as("n_ref"))
+    val c = curCounts.select(col(groupCol), col("bin"),
+      col("n").as("n_cur"))
     val groups = r.select(col(groupCol))
       .union(c.select(col(groupCol))).distinct()
     val spine = groups.crossJoin(

@@ -119,4 +119,110 @@ object StreamingDrift {
     */
   def compactScoreCounts(spark: SparkSession, storePath: String): Unit =
     SumStore.compact(spark, storePath, Seq("s"), Seq("n"))
+
+  // ---- PER-SOURCE twins ---------------------------------------------
+  //
+  // The global monitors above answer "did the corpus drift"; the
+  // commonest real alarm is "did SOURCE X go bad" — visible per-source
+  // long before it moves the pooled distribution (a 5 % source can
+  // collapse entirely inside global noise). The batch scorecards
+  // ([[Stats.psiByGroup]], [[Stats.ksTestByGroup]]) already exist;
+  // these stores just carry the group key through the same SumStore
+  // partials — the key set gains one column, the replay/compaction
+  // contract and the provable streamed ≡ batch equality (counts
+  // SUM-merge losslessly, shared binning/count expressions, shared
+  // FromCounts readers) are unchanged.
+
+  /** foreachBatch body: this batch's per-(group, bin) counts. */
+  def writeBatchBy(batch: DataFrame, storePath: String,
+                   groupCol: String, scoreCol: String, bins: Int,
+                   lo: Double, hi: Double, batchId: Long): Unit =
+    SumStore.writeBatch(
+      Stats.binCountsBy(batch, groupCol, scoreCol, bins, lo, hi),
+      storePath, batchId)
+
+  /** Wire a (source, score) stream into a per-source binned-count
+    * drift store.
+    */
+  def driftSinkBy(stream: DataFrame, storePath: String,
+                  groupCol: String, scoreCol: String, bins: Int = 10,
+                  lo: Double = 0.0,
+                  hi: Double = 1.0): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeBatchBy(batch, storePath, groupCol, scoreCol, bins, lo,
+          hi, batchId)
+    }
+
+  /** Current sum-merged (group, bin, n) counts over everything
+    * landed.
+    */
+  def binnedCountsBy(spark: SparkSession, storePath: String,
+                     groupCol: String): DataFrame =
+    SumStore.merged(spark, storePath, Seq(groupCol, "bin"), Seq("n"))
+
+  /** Per-source PSI scorecard of the landed distributions against
+    * pinned per-source reference counts (a persisted
+    * [[Stats.binCountsBy]] over the blessed corpus, same bins/range).
+    * Output as [[Stats.psiByGroup]]: one row per (group, bin); the
+    * per-group scalar is `sum(term_fx)/1e9 GROUP BY group`.
+    */
+  def psiByGroupAgainstReference(spark: SparkSession, storePath: String,
+                                 refCounts: DataFrame, groupCol: String,
+                                 bins: Int): DataFrame =
+    Stats.psiByGroupFromCounts(refCounts,
+      binnedCountsBy(spark, storePath, groupCol), groupCol, bins)
+
+  /** Fold the per-source PSI store to ≤ |groups|·bins rows —
+    * maintenance window only ([[SumStore]] contract).
+    */
+  def compactCountsBy(spark: SparkSession, storePath: String,
+                      groupCol: String): Unit =
+    SumStore.compact(spark, storePath, Seq(groupCol, "bin"), Seq("n"))
+
+  /** foreachBatch body: this batch's per-(group, score) counts.
+    * `scoreFxCol` must be integral ([[Stats.scoreCountsBy]]).
+    */
+  def writeScoreCountsBy(batch: DataFrame, storePath: String,
+                         groupCol: String, scoreFxCol: String,
+                         batchId: Long): Unit =
+    SumStore.writeBatch(Stats.scoreCountsBy(batch, groupCol, scoreFxCol),
+      storePath, batchId)
+
+  /** Wire a (source, fixed-point score) stream into a per-source
+    * score-count store.
+    */
+  def ksSinkBy(stream: DataFrame, storePath: String, groupCol: String,
+               scoreFxCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeScoreCountsBy(batch, storePath, groupCol, scoreFxCol,
+          batchId)
+    }
+
+  /** Current sum-merged (group, s, n) score counts over everything
+    * landed.
+    */
+  def scoreCountsBy(spark: SparkSession, storePath: String,
+                    groupCol: String): DataFrame =
+    SumStore.merged(spark, storePath, Seq(groupCol, "s"), Seq("n"))
+
+  /** Per-source exact KS scorecard of the landed distributions
+    * against pinned per-source reference counts (a persisted
+    * [[Stats.scoreCountsBy]]) — output as [[Stats.ksTestByGroup]]:
+    * (group, n_ref, n_cur, d, ks_at), d null when a source is missing
+    * from one side (the appeared/vanished alarm).
+    */
+  def ksByGroupAgainstReference(spark: SparkSession, storePath: String,
+                                refCounts: DataFrame,
+                                groupCol: String): DataFrame =
+    Stats.ksTestByGroupFromCounts(refCounts,
+      scoreCountsBy(spark, storePath, groupCol), groupCol)
+
+  /** Fold the per-source KS store to one row per (group, distinct
+    * score) — maintenance window only ([[SumStore]] contract).
+    */
+  def compactScoreCountsBy(spark: SparkSession, storePath: String,
+                           groupCol: String): Unit =
+    SumStore.compact(spark, storePath, Seq(groupCol, "s"), Seq("n"))
 }

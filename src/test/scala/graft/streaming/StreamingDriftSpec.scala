@@ -128,4 +128,116 @@ class StreamingDriftSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(postReplay === before)
   }
+
+  // per-source fixtures: sources s0/s1 stay on the reference
+  // distribution, s2 drifts hard — the alarm the per-source monitor
+  // exists to raise while the pooled distribution barely moves
+  private def srcScores(b: Int): Seq[(String, Double)] =
+    (0 until 240).map { i =>
+      val s = s"s${i % 3}"
+      val v =
+        if (i % 3 == 2) ((i * 7 + b * 31) % 30 + 65) / 100.0
+        else ((i * 7 + b * 31) % 100) / 100.0
+      (s, v)
+    }
+
+  private def srcRef: Seq[(String, Double)] =
+    (0 until 600).map(i => (s"s${i % 3}", (i % 100) / 100.0))
+
+  test("per-source streamed PSI equals the batch psiByGroup over the " +
+      "replayed log, (group, bin, term_fx) for (group, bin, term_fx); " +
+      "replay and compaction cannot move it") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("driftsrc_store")
+    val src = MemoryStream[(String, Double)]
+    val q = StreamingDrift.driftSinkBy(
+        src.toDF().toDF("source", "score"), store, "source", "score",
+        bins = 10, lo = 0.0, hi = 1.0)
+      .option("checkpointLocation", tmp("driftsrc_ckpt"))
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        src.addData(srcScores(b): _*)
+        q.processAllAvailable()
+      }
+      val ref = srcRef.toDF("source", "score")
+      val refCounts = Stats.binCountsBy(ref, "source", "score", 10,
+        0.0, 1.0)
+      def snap() = StreamingDrift.psiByGroupAgainstReference(
+          spark, store, refCounts, "source", bins = 10)
+        .orderBy($"source", $"bin")
+        .as[(String, Long, Long, Long, Double, Double, Long)].collect()
+      val streamed = snap()
+      val replayed = (0 until 3).flatMap(srcScores)
+        .toDF("source", "score")
+      val batch = Stats.psiByGroup(ref, replayed, "source", "score",
+          bins = 10)
+        .orderBy($"source", $"bin")
+        .as[(String, Long, Long, Long, Double, Double, Long)].collect()
+      assert(streamed === batch)
+      // the per-source alarm fires where it should: s2 is
+      // investigate-level, the on-distribution sources are not
+      val psi = streamed.groupBy(_._1).view
+        .mapValues(_.map(_._7).sum / 1e9).toMap
+      assert(psi("s2") > 0.25, s"drifted source under alarm: $psi")
+      assert(psi("s0") < 0.1 && psi("s1") < 0.1,
+        s"stable sources over alarm: $psi")
+      // replay: re-land batch 1's partial, nothing moves
+      StreamingDrift.writeBatchBy(srcScores(1).toDF("source", "score"),
+        store, "source", "score", 10, 0.0, 1.0, 1L)
+      assert(snap() === streamed)
+      // compaction: view-equal, store bounded by |groups|*bins
+      StreamingDrift.compactCountsBy(spark, store, "source")
+      assert(snap() === streamed)
+      assert(spark.read.parquet(store).count() <= 30)
+    } finally q.stop()
+  }
+
+  test("per-source streamed KS equals the batch ksTestByGroup over " +
+      "the replayed log; the drifted source alarms, the stable ones " +
+      "do not") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("kssrc_store")
+    def fx(b: Int): Seq[(String, Long)] =
+      srcScores(b).map { case (s, v) => (s, math.round(v * 100)) }
+    val src = MemoryStream[(String, Long)]
+    val q = StreamingDrift.ksSinkBy(
+        src.toDF().toDF("source", "score_fx"), store, "source",
+        "score_fx")
+      .option("checkpointLocation", tmp("kssrc_ckpt"))
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        src.addData(fx(b): _*)
+        q.processAllAvailable()
+      }
+      val ref = srcRef.map { case (s, v) => (s, math.round(v * 100)) }
+        .toDF("source", "score_fx")
+      val refCounts = Stats.scoreCountsBy(ref, "source", "score_fx")
+      def snap() = StreamingDrift.ksByGroupAgainstReference(
+          spark, store, refCounts, "source")
+        .orderBy($"source")
+        .as[(String, Long, Long, Option[Double], Option[Long])]
+        .collect()
+      val streamed = snap()
+      val batch = Stats.ksTestByGroup(ref,
+          (0 until 3).flatMap(fx).toDF("source", "score_fx"),
+          "source", "score_fx")
+        .orderBy($"source")
+        .as[(String, Long, Long, Option[Double], Option[Long])]
+        .collect()
+      assert(streamed === batch)
+      val d = streamed.map(r => r._1 -> r._4.get).toMap
+      assert(d("s2") > 0.2, s"drifted source under alarm: $d")
+      assert(d("s0") < 0.1 && d("s1") < 0.1,
+        s"stable sources over alarm: $d")
+      // replay + compaction: nothing moves
+      StreamingDrift.writeScoreCountsBy(
+        fx(1).toDF("source", "score_fx"), store, "source", "score_fx",
+        1L)
+      assert(snap() === streamed)
+      StreamingDrift.compactScoreCountsBy(spark, store, "source")
+      assert(snap() === streamed)
+    } finally q.stop()
+  }
 }
