@@ -753,6 +753,15 @@ object TextAnalysis {
     * the standard count-cutoff LM pruning. The bigram/unigram backoff
     * tables are NOT pruned (they are |V|-bounded, not |V|³-bounded,
     * and absorb the re-routed mass). Default 1 = exact behavior.
+    *
+    * PRODUCTION DEFAULT at corpus scale: `minCount = 2` (the
+    * `ext_kn3_pruned` configuration — hash-gated, so the pruned model
+    * is bit-reproducible, not approximate). The sf0.1 bench shows the
+    * two paths at parity ONLY because the fixture's type table is too
+    * small for the cut to pay; under a Zipf corpus hapax trigrams are
+    * ~half of all types, so `minCount = 2` roughly halves the
+    * persisted table and all six scoring joins. Keep `minCount = 1`
+    * only when scoring must match an unpruned external model.
     */
   def knTrigramScore(train: DataFrame, score: DataFrame, idCol: String,
                      textCol: String,

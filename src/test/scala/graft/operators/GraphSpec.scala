@@ -107,6 +107,32 @@ class GraphSpec extends SparkSpec {
       m(Graph.hits(e, "src", "dst", iters = 2)))
   }
 
+  test("hits exact-fixed-point early exit: a deep-iteration run " +
+      "stops at convergence + 1, bit-identical to the full run, " +
+      "and ext_hits' cold iters=2 shape never pays the check") {
+    val e = fixture200
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "hub_fx", "auth_fx")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val (full2, exec2) =
+      Graph.hitsFromCounted(e, "src", "dst", 2, None)
+    assert(exec2 === 2) // cold start, nothing to skip at iters=2
+    val (deep, execDeep) =
+      Graph.hitsFromCounted(e, "src", "dst", 12, None)
+    // the dense fixture converges fast; the exit must fire well
+    // before 12 and the result must equal the honest full unroll
+    assert(execDeep < 12, "early exit never fired")
+    assert(m(deep) === m(Graph.hits(e, "src", "dst",
+      iters = execDeep)))
+    // a warm start FROM the converged state exits after the single
+    // iteration that proves the fixed point
+    val seed = deep.select("node", "hub_fx")
+    val (warm, execWarm) =
+      Graph.hitsFromCounted(e, "src", "dst", 5, Some(seed))
+    assert(execWarm === 1)
+    assert(m(warm) === m(deep))
+  }
+
   test("pageRank is deterministic across repartitionings") {
     val e = (0L until 200L).map(i => (i % 16, (i * 7 + 3) % 16))
       .filter(p => p._1 != p._2).distinct.toDF("src", "dst")
