@@ -2261,6 +2261,102 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // Exact 1-Wasserstein drift over the ext_ks_test fixture — the
+    // MAGNITUDE companion (total mass moved, in fx units) to KS's
+    // worst-gap D. The neighbor-free telescoped form (W1*n1*n2 =
+    // sum s*(|E|-|D|), E the exclusive scaled CDF gap) is mirrored
+    // op-for-op in HUGEINT; the one division closes.
+    Q("ext_w1_test",
+      s"""WITH r AS (SELECT (doc_id * 13) % 100 AS s,
+         |  CAST(count(*) AS BIGINT) AS c1 FROM documents
+         | WHERE doc_id % 2 = 0 GROUP BY 1),
+         |c AS (SELECT ((doc_id * 13) % 100) * 6 // 10 + 35 AS s,
+         |  CAST(count(*) AS BIGINT) AS c2 FROM documents
+         | WHERE doc_id % 2 = 1 GROUP BY 1),
+         |b AS (SELECT coalesce(r.s, c.s) AS s,
+         |  coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         | FROM r FULL JOIN c ON r.s = c.s),
+         |cum AS (SELECT s, c1, c2,
+         |  CAST(sum(c1) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS HUGEINT) AS ic1,
+         |  CAST(sum(c2) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS HUGEINT) AS ic2
+         | FROM b),
+         |tot AS (SELECT CAST(coalesce(sum(c1), 0) AS HUGEINT) AS n1,
+         |  CAST(coalesce(sum(c2), 0) AS HUGEINT) AS n2 FROM b),
+         |t AS (SELECT CAST(s AS HUGEINT) *
+         |   (abs((ic1 - c1) * n2 - (ic2 - c2) * n1)
+         |    - abs(ic1 * n2 - ic2 * n1)) AS term
+         | FROM cum, tot),
+         |num AS (SELECT sum(term) AS w1num FROM t)
+         |SELECT CAST(n1 AS BIGINT) AS n_ref,
+         | CAST(n2 AS BIGINT) AS n_cur,
+         | CAST(w1num AS DOUBLE) /
+         |  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS w1
+         |FROM tot, num""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val score = pmod(id * 13, lit(100))
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(score.as("score_fx"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select(score.as("__s0"))
+        .select((expr("__s0 * 6 div 10") + 35).as("score_fx"))
+      graft.operators.Stats.wasserstein1(ref, cur, "score_fx")
+    },
+
+    // Per-SOURCE W1 drift scorecard over the ext_ks_by_source
+    // fixture — how much mass moved per source, not just each
+    // source's worst gap. Reads compose with the per-source streamed
+    // KS store (one store, two alarms).
+    Q("ext_w1_by_source",
+      s"""WITH r AS (SELECT source, (doc_id * 13) % 100 AS s,
+         |  CAST(count(*) AS BIGINT) AS c1 FROM documents
+         | WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+         |c AS (SELECT source, ((doc_id * 13) % 100) * 6 // 10 + 35
+         |   AS s, CAST(count(*) AS BIGINT) AS c2 FROM documents
+         | WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |b AS (SELECT coalesce(r.source, c.source) AS source,
+         |  coalesce(r.s, c.s) AS s,
+         |  coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         | FROM r FULL JOIN c ON r.source = c.source AND r.s = c.s),
+         |cum AS (SELECT source, s, c1, c2,
+         |  CAST(sum(c1) OVER (PARTITION BY source ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS HUGEINT) AS ic1,
+         |  CAST(sum(c2) OVER (PARTITION BY source ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS HUGEINT) AS ic2,
+         |  CAST(sum(c1) OVER (PARTITION BY source) AS HUGEINT) AS n1,
+         |  CAST(sum(c2) OVER (PARTITION BY source) AS HUGEINT) AS n2
+         | FROM b),
+         |t AS (SELECT source, n1, n2, CAST(s AS HUGEINT) *
+         |   (abs((ic1 - c1) * n2 - (ic2 - c2) * n1)
+         |    - abs(ic1 * n2 - ic2 * n1)) AS term
+         | FROM cum)
+         |SELECT source, CAST(max(n1) AS BIGINT) AS n_ref,
+         | CAST(max(n2) AS BIGINT) AS n_cur,
+         | CASE WHEN max(n1) > 0 AND max(n2) > 0 THEN
+         |  CAST(sum(term) AS DOUBLE) /
+         |   (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE))
+         | END AS w1
+         |FROM t GROUP BY 1 ORDER BY source""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val score = pmod(id * 13, lit(100))
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(col("source"), score.as("score_fx"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select(col("source"), score.as("__s0"))
+        .select(col("source"),
+          (expr("__s0 * 6 div 10") + 35).as("score_fx"))
+      graft.operators.Stats.wasserstein1ByGroup(ref, cur, "source",
+          "score_fx")
+        .orderBy(col("source"))
+    },
+
     // Per-item vote-distribution difficulty report over the same
     // Likert fixture — ranks ITEMS by ambiguity where raterAgreement
     // ranks raters: vote entropy (terms 1e-9 fx-quantized, the psi ln

@@ -625,6 +625,133 @@ object Stats {
           col("__t.negs") * -1L).as("ks_at"))
   }
 
+  /** Exact 1-Wasserstein (earth-mover) distance between two
+    * fixed-point score samples — the MAGNITUDE companion to
+    * [[ksTest]]: KS reports the worst single CDF gap (a sharp local
+    * shift on 1 % of the mass can out-score a broad 2-point drift),
+    * W1 = ∫|F−G| dx reports how much probability mass moved how far —
+    * the number a re-calibration budget actually wants. Score units
+    * are the caller's fixed-point quantization, so W1 is in fx units.
+    *
+    * The CDF-gap integral needs each support gap s_(i+1) − s_i, which
+    * would take a lead() over the global support order (PlanLint bans
+    * the unpartitioned window and a bucketed lead needs cross-bucket
+    * stitching). Telescoping removes the neighbor entirely: with
+    * D_i = ic1_i·n2 − ic2_i·n1 (the scaled inclusive CDF gap) and
+    * E_i = its EXCLUSIVE twin (= D_(i−1)), D_m = 0 at the last
+    * support point, so
+    *
+    *   W1·n1·n2 = Σ_i |D_i|·(s_(i+1) − s_i) = Σ_i s_i·(|E_i| − |D_i|)
+    *
+    * — one row-local expression over [[cumBelowByValue]]'s output
+    * (which IS the exclusive cum), no lead, no extra shuffle. All
+    * products run in DECIMAL with 19-digit factors; the one division
+    * by n1·n2 closes. Headroom: the running Σ s·|E| partial must fit
+    * DECIMAL(38,0) — distinct-scores × s_max × n1 × n2 < 1e38, which
+    * holds for any realistic quantization (1e6 distinct × 1e9 fx-max
+    * × 1e9 × 1e9 rows ≈ 1e33; the oracle's HUGEINT matches the
+    * headroom and errors rather than wraps, like every sibling).
+    * One row: (n_ref, n_cur, w1) — w1 null when either side is empty.
+    *
+    * Scale shape: identical to [[ksTest]] — two map-side hash aggs,
+    * one full join, the bucketed two-level prefix sum, one 1-row
+    * broadcast of totals, one closing agg.
+    */
+  def wasserstein1(ref: DataFrame, cur: DataFrame,
+                   scoreFxCol: String): DataFrame =
+    wasserstein1FromCounts(scoreCounts(ref, scoreFxCol),
+      scoreCounts(cur, scoreFxCol))
+
+  /** [[wasserstein1]] over PRE-AGGREGATED `(s, n)` count tables from
+    * [[scoreCounts]] (re-aggregated, so sum-merged store partials
+    * feed in directly) — the streamed drift monitor's read path: the
+    * SAME per-score count store the exact-KS monitor reads
+    * ([[graft.streaming.StreamingDrift]]), one store, two alarms.
+    */
+  def wasserstein1FromCounts(refCounts: DataFrame,
+                             curCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    def agg(counts: DataFrame, n: String): DataFrame =
+      counts.filter(col("n").isNotNull && col("n") > 0)
+        .groupBy(col("s").as("__s")).agg(sum(col("n")).as(n))
+    val both = agg(refCounts, "c1").join(agg(curCounts, "c2"),
+        Seq("__s"), "full")
+      .na.fill(0L, Seq("c1", "c2"))
+    val cum = cumBelowByValue(both, "__s", Seq("c1", "c2"))
+    val totals = cum.agg(
+      coalesce(sum(col("c1")), lit(0L)).as("__n1"),
+      coalesce(sum(col("c2")), lit(0L)).as("__n2"))
+    val eAbs = abs(d19(col("cum_c1")) * d19(col("__n2")) -
+      d19(col("cum_c2")) * d19(col("__n1")))
+    val dAbs = abs(d19(col("cum_c1") + col("c1")) * d19(col("__n2")) -
+      d19(col("cum_c2") + col("c2")) * d19(col("__n1")))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__n1"), col("__n2"),
+        (d19(col("__s")) * (eAbs - dAbs)).as("__t"))
+      .agg(max(col("__n1")).as("n_ref"), max(col("__n2")).as("n_cur"),
+        sum(col("__t")).as("__num"))
+      .select(
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__num").cast(DoubleType) /
+            (col("n_ref").cast(DoubleType) *
+              col("n_cur").cast(DoubleType))).as("w1"))
+  }
+
+  /** Per-GROUP [[wasserstein1]] — the mass-moved drift SCORECARD
+    * ([[ksTestByGroup]]'s magnitude companion, same one-pass shape):
+    * within-group exclusive cums from [[cumBelowByValueGrouped]],
+    * groups-sized totals broadcast back, the telescoped row-local
+    * term, one group-keyed agg. One row per group present on either
+    * side: (group, n_ref, n_cur, w1) — w1 null when the group is
+    * missing from one side.
+    */
+  def wasserstein1ByGroup(ref: DataFrame, cur: DataFrame,
+                          groupCol: String,
+                          scoreFxCol: String): DataFrame =
+    wasserstein1ByGroupFromCounts(
+      scoreCountsBy(ref, groupCol, scoreFxCol),
+      scoreCountsBy(cur, groupCol, scoreFxCol), groupCol)
+
+  /** [[wasserstein1ByGroup]] over PRE-AGGREGATED per-(group, score)
+    * count tables from [[scoreCountsBy]] — the per-source streamed
+    * monitor's read path (same stores as the per-source KS).
+    */
+  def wasserstein1ByGroupFromCounts(refCounts: DataFrame,
+                                    curCounts: DataFrame,
+                                    groupCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    def side(df: DataFrame, n: String): DataFrame =
+      df.filter(col("n").isNotNull && col("n") > 0)
+        .groupBy(col(groupCol), col("s").cast("long").as("__s"))
+        .agg(sum(col("n")).as(n))
+    val both = side(refCounts, "c1").join(side(curCounts, "c2"),
+        Seq(groupCol, "__s"), "full")
+      .na.fill(0L, Seq("c1", "c2"))
+    val cum = cumBelowByValueGrouped(both, Seq(groupCol), "__s",
+      Seq("c1", "c2"))
+    val totals = cum.groupBy(col(groupCol))
+      .agg(sum(col("c1")).as("__n1"), sum(col("c2")).as("__n2"))
+    val eAbs = abs(d19(col("cum_c1")) * d19(col("__n2")) -
+      d19(col("cum_c2")) * d19(col("__n1")))
+    val dAbs = abs(d19(col("cum_c1") + col("c1")) * d19(col("__n2")) -
+      d19(col("cum_c2") + col("c2")) * d19(col("__n1")))
+    cum.join(broadcast(totals), Seq(groupCol))
+      .select(col(groupCol), col("__n1"), col("__n2"),
+        (d19(col("__s")) * (eAbs - dAbs)).as("__t"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n1")).as("n_ref"), max(col("__n2")).as("n_cur"),
+        sum(col("__t")).as("__num"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          col("__num").cast(DoubleType) /
+            (col("n_ref").cast(DoubleType) *
+              col("n_cur").cast(DoubleType))).as("w1"))
+  }
+
   /** Per-GROUP [[ksTest]] — the drift SCORECARD form ([[psiByGroup]]'s
     * exact companion): every source's reference-vs-current KS in one
     * pass. The within-group cumulative counts come from

@@ -120,6 +120,17 @@ object StreamingDrift {
   def compactScoreCounts(spark: SparkSession, storePath: String): Unit =
     SumStore.compact(spark, storePath, Seq("s"), Seq("n"))
 
+  /** Exact 1-Wasserstein distance of the landed distribution against
+    * pinned reference counts — a SECOND alarm off the SAME per-score
+    * count store [[ksSink]] feeds (no new write path): KS flags the
+    * worst local CDF gap, W1 the total mass moved. Output as
+    * [[Stats.wasserstein1]]: (n_ref, n_cur, w1).
+    */
+  def w1AgainstReference(spark: SparkSession, storePath: String,
+                         refCounts: DataFrame): DataFrame =
+    Stats.wasserstein1FromCounts(refCounts,
+      scoreCounts(spark, storePath))
+
   // ---- PER-SOURCE twins ---------------------------------------------
   //
   // The global monitors above answer "did the corpus drift"; the
@@ -225,4 +236,14 @@ object StreamingDrift {
   def compactScoreCountsBy(spark: SparkSession, storePath: String,
                            groupCol: String): Unit =
     SumStore.compact(spark, storePath, Seq(groupCol, "s"), Seq("n"))
+
+  /** Per-source exact W1 scorecard off the SAME per-(group, score)
+    * store [[ksSinkBy]] feeds — output as
+    * [[Stats.wasserstein1ByGroup]]: (group, n_ref, n_cur, w1).
+    */
+  def w1ByGroupAgainstReference(spark: SparkSession, storePath: String,
+                                refCounts: DataFrame,
+                                groupCol: String): DataFrame =
+    Stats.wasserstein1ByGroupFromCounts(refCounts,
+      scoreCountsBy(spark, storePath, groupCol), groupCol)
 }

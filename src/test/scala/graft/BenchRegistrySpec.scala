@@ -110,7 +110,8 @@ class BenchRegistrySpec extends AnyFunSuite {
     * again be silently dark for a registry query (r13 shipped
     * ext_ks_by_source unfloored).
     */
-  private val floorPending: Set[String] = Set.empty
+  private val floorPending: Set[String] =
+    Set("ext_w1_test", "ext_w1_by_source")
 
   test("floor coverage: every registry query has a committed floor " +
       "(new-this-round names must be explicitly grandfathered, and " +

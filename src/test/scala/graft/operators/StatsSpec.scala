@@ -335,6 +335,47 @@ class StatsSpec extends SparkSpec {
     assert(byG("new") === (("new", 0L, 1L, None, None)))
   }
 
+  test("wasserstein1: pure shift moves W1 by the shift, hand value " +
+      "on unequal sizes, identical 0, empty side null, negative " +
+      "support exact") {
+    def w1(r: Seq[Long], c: Seq[Long]) =
+      Stats.wasserstein1(r.toDF("s"), c.toDF("s"), "s")
+        .as[(Long, Long, Option[Double])].head()
+    // a pure +7 shift of any sample moves every quantile by 7
+    val shift = w1(Seq(1L, 2L, 5L, 5L), Seq(8L, 9L, 12L, 12L))
+    assert(shift._1 === 4L && shift._2 === 4L)
+    assert(math.abs(shift._3.get - 7.0) < 1e-12)
+    // unequal sizes: ref {0}, cur {0, 10} → F−G = 1/2 on [0, 10)
+    assert(math.abs(w1(Seq(0L), Seq(0L, 10L))._3.get - 5.0) < 1e-12)
+    // hand check vs the probe pair: ref {0}, cur {10} → mass 1 moves 10
+    assert(w1(Seq(0L), Seq(10L))._3 === Some(10.0))
+    assert(w1(Seq(1L, 2L, 2L), Seq(1L, 2L, 2L))._3 === Some(0.0))
+    assert(w1(Seq(1L), Seq.empty[Long])._3 === None)
+    // negative support: the telescoped form never assumed s >= 0
+    assert(w1(Seq(-10L), Seq(-3L))._3 === Some(7.0))
+    assert(w1(Seq(-5L, 5L), Seq(0L, 0L))._3 === Some(5.0))
+  }
+
+  test("wasserstein1ByGroup: each group equals the ungrouped W1 on " +
+      "its slice; one-sided groups report counts with null w1") {
+    val ref = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("b", 5L),
+      ("gone", 7L)).toDF("g", "s")
+    val cur = Seq(("a", 8L), ("a", 9L), ("a", 12L), ("b", 5L),
+      ("new", 9L)).toDF("g", "s")
+    val byG = Stats.wasserstein1ByGroup(ref, cur, "g", "s")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val aOnly = Stats.wasserstein1(
+        ref.filter($"g" === "a").select($"s"),
+        cur.filter($"g" === "a").select($"s"), "s")
+      .as[(Long, Long, Option[Double])].head()
+    assert((byG("a")._2, byG("a")._3, byG("a")._4) === aOnly)
+    assert(math.abs(byG("a")._4.get - 7.0) < 1e-12) // pure +7 shift
+    assert(byG("b")._4 === Some(0.0))
+    assert(byG("gone") === (("gone", 1L, 0L, None)))
+    assert(byG("new") === (("new", 0L, 1L, None)))
+  }
+
   test("rankSumTest: hand z on a tie-free fixture, tie correction " +
       "engages, all-tied and one-class null") {
     // pos {2,3}, neg {1}: U = 2, n=3, no ties → var = 2/12·4 = 2/3,

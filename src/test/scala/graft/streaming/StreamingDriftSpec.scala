@@ -93,6 +93,16 @@ class StreamingDriftSpec extends SparkSpec {
       assert(StreamingDrift.ksAgainstReference(spark, store, refCounts)
         .as[(Long, Long, Option[Double], Option[Long])].head()
         === streamed)
+      // the SAME store serves the W1 alarm, equal to the batch
+      // wasserstein1 over the replayed log
+      val w1s = StreamingDrift.w1AgainstReference(spark, store,
+          refCounts)
+        .as[(Long, Long, Option[Double])].head()
+      val w1b = Stats.wasserstein1(ref,
+          (0 until 3).flatMap(fx).toDF("score_fx"), "score_fx")
+        .as[(Long, Long, Option[Double])].head()
+      assert(w1s === w1b)
+      assert(w1s._3.get > 0) // the shift moved mass
     } finally q.stop()
   }
 
@@ -238,6 +248,21 @@ class StreamingDriftSpec extends SparkSpec {
       assert(snap() === streamed)
       StreamingDrift.compactScoreCountsBy(spark, store, "source")
       assert(snap() === streamed)
+      // the SAME store serves the per-source W1 scorecard, equal to
+      // the batch wasserstein1ByGroup over the replayed log
+      val w1s = StreamingDrift.w1ByGroupAgainstReference(spark, store,
+          refCounts, "source")
+        .orderBy($"source")
+        .as[(String, Long, Long, Option[Double])].collect()
+      val w1b = Stats.wasserstein1ByGroup(ref,
+          (0 until 3).flatMap(fx).toDF("source", "score_fx"),
+          "source", "score_fx")
+        .orderBy($"source")
+        .as[(String, Long, Long, Option[Double])].collect()
+      assert(w1s === w1b)
+      val w1 = w1s.map(r => r._1 -> r._4.get).toMap
+      assert(w1("s2") > w1("s0") && w1("s2") > w1("s1"),
+        s"drifted source should move the most mass: $w1")
     } finally q.stop()
   }
 }
