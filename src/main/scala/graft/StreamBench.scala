@@ -626,6 +626,27 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Streamed categorical (chi-squared) drift monitor: per-batch
+    * per-category count partials into the sum-merged store — the
+    * unordered-column companion of [[benchDrift]].
+    */
+  private def benchCatDrift(spark: SparkSession, batches: Int,
+                            rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[String]
+    val cats = src.toDF().toDF("cat")
+    val store = tmpDir("catdrift"); val cp = ckpt("catdrift")
+    val q = StreamingDrift.catSink(cats, store, "cat")
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map(r =>
+        s"lang${(r * 7 + b * 31) % 24}"))
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Streamed embedding-centroid drift: per-batch (group, dim)
     * fixed-point centroid partials into the sum-merged store.
     */
@@ -674,6 +695,7 @@ object StreamBench {
     "ratings" -> "StreamingRatings",
     "drift" -> "StreamingDrift",
     "drift_by_source" -> "StreamingDrift",
+    "cat_drift" -> "StreamingDrift",
     "embed_drift" -> "StreamingEmbedDrift")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
@@ -697,6 +719,7 @@ object StreamBench {
     "ratings" -> (() => benchRatings(spark, batches, rows)),
     "drift" -> (() => benchDrift(spark, batches, rows)),
     "drift_by_source" -> (() => benchDriftBySource(spark, batches, rows)),
+    "cat_drift" -> (() => benchCatDrift(spark, batches, rows)),
     "embed_drift" -> (() => benchEmbedDrift(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline (or just `only`'s — the

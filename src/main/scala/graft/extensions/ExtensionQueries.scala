@@ -2357,6 +2357,104 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // Two-sample chi-squared homogeneity drift over the CATEGORICAL
+    // lang column — the alarm PSI/KS/W1 cannot raise (no order to
+    // cumulate). The fixture perturbs the current side (every 9th doc
+    // relabeled to a novel 'xx' lang) so both the new-category path
+    // and the mix-shift path carry signal. Exact HUGEINT numerators,
+    // fx-1e9 term sums, Cramer's V effect size — all mirrored
+    // op-for-op.
+    Q("ext_chi2_drift", {
+      val term = "CAST(dn * dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * " +
+        "CAST(n2 AS DOUBLE) * CAST(ca + cb AS DOUBLE))"
+      s"""WITH ra AS (SELECT lang AS cat,
+         |  CAST(count(*) AS BIGINT) AS ca FROM documents
+         | WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+         |rb AS (SELECT CASE WHEN doc_id % 9 = 0 THEN 'xx'
+         |    ELSE lang END AS cat,
+         |  CAST(count(*) AS BIGINT) AS cb FROM documents
+         | WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1),
+         |j AS (SELECT coalesce(ra.cat, rb.cat) AS cat,
+         |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         | FROM ra FULL JOIN rb ON ra.cat = rb.cat),
+         |tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n1,
+         |  CAST(coalesce(sum(cb), 0) AS BIGINT) AS n2 FROM j),
+         |t AS (SELECT ca, cb, n1, n2,
+         |  CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1 AS dn
+         | FROM j, tot),
+         |s AS (SELECT ${fxSql(term, "1000000000.0")} AS cfx,
+         |  CAST(count(*) AS BIGINT) AS n_cats FROM t)
+         |SELECT n1 AS n_ref, n2 AS n_cur, n_cats,
+         | greatest(n_cats - 1, 0) AS df,
+         | CAST(cfx AS DOUBLE) / 1000000000.0 AS chi2,
+         | CASE WHEN n_cats > 1 THEN
+         |  sqrt((CAST(cfx AS DOUBLE) / 1000000000.0) /
+         |   CAST(n1 + n2 AS DOUBLE)) END AS cramers_v
+         |FROM tot, s""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(col("lang").as("cat"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select(when(pmod(id, lit(9)) === 0, lit("xx"))
+          .otherwise(col("lang")).as("cat"))
+      graft.operators.Stats.chiSquaredDrift(ref, cur, "cat")
+    },
+
+    // Per-SOURCE categorical drift scorecard: each source's lang-mix
+    // chi-squared in one pass — "source X started shipping a new
+    // language" fires here per source while the pooled ext_chi2_drift
+    // may barely move.
+    Q("ext_chi2_by_source", {
+      // the CASE mirrors the engine's ANSI-safe zero-divisor guard: a
+      // one-sided source's terms are 0 (its chi2 is nulled anyway)
+      val term = "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "CAST(dn * dn AS DOUBLE) / (CAST(n1 AS DOUBLE) * " +
+        "CAST(n2 AS DOUBLE) * CAST(ca + cb AS DOUBLE)) ELSE 0.0 END"
+      s"""WITH ra AS (SELECT source, lang AS cat,
+         |  CAST(count(*) AS BIGINT) AS ca FROM documents
+         | WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1, 2),
+         |rb AS (SELECT source, CASE WHEN doc_id % 9 = 0 THEN 'xx'
+         |    ELSE lang END AS cat,
+         |  CAST(count(*) AS BIGINT) AS cb FROM documents
+         | WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1, 2),
+         |j AS (SELECT coalesce(ra.source, rb.source) AS source,
+         |  coalesce(ra.cat, rb.cat) AS cat,
+         |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+         | FROM ra FULL JOIN rb
+         |  ON ra.source = rb.source AND ra.cat = rb.cat),
+         |tot AS (SELECT source, CAST(sum(ca) AS BIGINT) AS n1,
+         |  CAST(sum(cb) AS BIGINT) AS n2 FROM j GROUP BY 1),
+         |t AS (SELECT j.source, ca, cb, n1, n2,
+         |  CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1 AS dn
+         | FROM j JOIN tot ON tot.source = j.source),
+         |s AS (SELECT source, ${fxSql(term, "1000000000.0")} AS cfx,
+         |  CAST(count(*) AS BIGINT) AS n_cats,
+         |  CAST(max(n1) AS BIGINT) AS n_ref,
+         |  CAST(max(n2) AS BIGINT) AS n_cur
+         | FROM t GROUP BY 1)
+         |SELECT source, n_ref, n_cur, n_cats,
+         | greatest(n_cats - 1, 0) AS df,
+         | CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+         |  CAST(cfx AS DOUBLE) / 1000000000.0 END AS chi2,
+         | CASE WHEN n_ref > 0 AND n_cur > 0 AND n_cats > 1 THEN
+         |  sqrt((CAST(cfx AS DOUBLE) / 1000000000.0) /
+         |   CAST(n_ref + n_cur AS DOUBLE)) END AS cramers_v
+         |FROM s ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val docs = documents(s, d)
+      val ref = docs.filter(pmod(id, lit(2)) === 0)
+        .select(col("source"), col("lang").as("cat"))
+      val cur = docs.filter(pmod(id, lit(2)) === 1)
+        .select(col("source"), when(pmod(id, lit(9)) === 0, lit("xx"))
+          .otherwise(col("lang")).as("cat"))
+      graft.operators.Stats.chiSquaredDriftByGroup(ref, cur, "source",
+          "cat")
+        .orderBy(col("source"))
+    },
+
     // Per-item vote-distribution difficulty report over the same
     // Likert fixture — ranks ITEMS by ambiguity where raterAgreement
     // ranks raters: vote entropy (terms 1e-9 fx-quantized, the psi ln

@@ -1509,6 +1509,141 @@ object Stats {
           .as("term_fx"))
   }
 
+  /** Per-category count table — the CATEGORICAL side's [[binCounts]]:
+    * `(catCol, n)`, nulls dropped (a null category is an upstream
+    * bug, not a level). The partial a streamed categorical-drift
+    * store sums and the per-side input of
+    * [[chiSquaredDriftFromCounts]].
+    */
+  def catCounts(df: DataFrame, catCol: String): DataFrame =
+    df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("n"))
+
+  /** Two-sample chi-squared homogeneity test over a CATEGORICAL
+    * column — the drift alarm for the columns PSI/KS/W1 cannot see
+    * (language, source, license, format: no order, no binning). For
+    * the 2×k table with per-category counts a_c (ref), b_c (cur),
+    * row totals r_c = a_c + b_c and side totals n1, n2, the standard
+    * Σ(O−E)²/E collapses to
+    *
+    *   χ² = Σ_c (a_c·n2 − b_c·n1)² / (n1·n2·r_c)
+    *
+    * — per-category numerators are EXACT (19-digit decimal factors,
+    * squared well inside DECIMAL(38,0) headroom; the oracle's
+    * HUGEINT mirrors); each term's one division is fx-summed at 1e9
+    * (the [[psi]] convention) so the total is order-independent and
+    * bit-identical cross-engine. Cramér's V = √(χ²/N) (for a 2×k
+    * table min(r−1, c−1) = 1) rides along as the effect size — χ²
+    * itself grows with N, so at corpus scale EVERYTHING is
+    * "significant" and V is the number to alert on. One row:
+    * (n_ref, n_cur, n_cats, df, chi2, cramers_v); chi2 null when
+    * either side is empty, V additionally null when df = 0 (a single
+    * shared category — no table to test).
+    *
+    * Scale shape: one (category)-keyed map-side hash agg per side
+    * (≤ |categories| rows), a full join on category, one 1-row
+    * broadcast of totals, one closing agg. Nothing driver-side.
+    */
+  def chiSquaredDrift(ref: DataFrame, cur: DataFrame,
+                      catCol: String): DataFrame =
+    chiSquaredDriftFromCounts(catCounts(ref, catCol),
+      catCounts(cur, catCol), catCol)
+
+  /** [[chiSquaredDrift]] over PRE-AGGREGATED `(catCol, n)` count
+    * tables from [[catCounts]] (re-aggregated, so sum-merged store
+    * partials feed in directly) — the streamed categorical-drift
+    * monitor's read path.
+    */
+  def chiSquaredDriftFromCounts(refCounts: DataFrame,
+                                curCounts: DataFrame,
+                                catCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val sc = 1e9
+    def side(df: DataFrame, n: String): DataFrame =
+      df.filter(col("n").isNotNull && col("n") > 0)
+        .groupBy(col(catCol)).agg(sum(col("n")).as(n))
+    val both = side(refCounts, "__a").join(side(curCounts, "__b"),
+        Seq(catCol), "full")
+      .na.fill(0L, Seq("__a", "__b"))
+      .localCheckpoint()
+    val totals = both.agg(
+      coalesce(sum(col("__a")), lit(0L)).as("__n1"),
+      coalesce(sum(col("__b")), lit(0L)).as("__n2"))
+    val num = d19(col("__a")) * d19(col("__n2")) -
+      d19(col("__b")) * d19(col("__n1"))
+    // ANSI-safe: an empty side zeroes the divisor; its chi2 is nulled
+    // below, so the term value is irrelevant — 0 keeps the fx sum
+    // well-defined instead of raising DIVIDE_BY_ZERO
+    val term = when(col("__n1") > 0 && col("__n2") > 0,
+      (num * num).cast(DoubleType) /
+        (col("__n1").cast(DoubleType) * col("__n2").cast(DoubleType) *
+          (col("__a") + col("__b")).cast(DoubleType)))
+      .otherwise(lit(0.0))
+    val chi2 = fxVal(col("__cfx"), sc)
+    both.crossJoin(broadcast(totals))
+      .groupBy()
+      .agg(max(col("__n1")).as("n_ref"), max(col("__n2")).as("n_cur"),
+        count(lit(1)).as("n_cats"), fxSum(term, sc).as("__cfx"))
+      .select(
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("n_cats"),
+        greatest(col("n_cats") - 1, lit(0L)).as("df"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, chi2).as("chi2"),
+        when(col("n_ref") > 0 && col("n_cur") > 0 &&
+            col("n_cats") > 1,
+          sqrt(chi2 / (col("n_ref") + col("n_cur"))
+            .cast(DoubleType))).as("cramers_v"))
+  }
+
+  /** Per-GROUP [[chiSquaredDrift]] — the categorical drift SCORECARD
+    * (per-source language/format/license mix shift in one pass).
+    * Same exact arithmetic per group; one row per group present on
+    * either side: (group, n_ref, n_cur, n_cats, df, chi2,
+    * cramers_v) — chi2 null when the group is missing from one side.
+    */
+  def chiSquaredDriftByGroup(ref: DataFrame, cur: DataFrame,
+                             groupCol: String,
+                             catCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val sc = 1e9
+    def side(df: DataFrame, n: String): DataFrame =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(groupCol), col(catCol))
+        .agg(count(lit(1)).as(n))
+    val both = side(ref, "__a").join(side(cur, "__b"),
+        Seq(groupCol, catCol), "full")
+      .na.fill(0L, Seq("__a", "__b"))
+      .localCheckpoint()
+    val totals = both.groupBy(col(groupCol))
+      .agg(sum(col("__a")).as("__n1"), sum(col("__b")).as("__n2"))
+    val num = d19(col("__a")) * d19(col("__n2")) -
+      d19(col("__b")) * d19(col("__n1"))
+    // ANSI-safe: a one-sided group zeroes the divisor — see
+    // chiSquaredDriftFromCounts
+    val term = when(col("__n1") > 0 && col("__n2") > 0,
+      (num * num).cast(DoubleType) /
+        (col("__n1").cast(DoubleType) * col("__n2").cast(DoubleType) *
+          (col("__a") + col("__b")).cast(DoubleType)))
+      .otherwise(lit(0.0))
+    val chi2 = fxVal(col("__cfx"), sc)
+    both.join(broadcast(totals), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n1")).as("n_ref"), max(col("__n2")).as("n_cur"),
+        count(lit(1)).as("n_cats"), fxSum(term, sc).as("__cfx"))
+      .select(col(groupCol), col("n_ref"), col("n_cur"), col("n_cats"),
+        greatest(col("n_cats") - 1, lit(0L)).as("df"),
+        when(col("n_ref") > 0 && col("n_cur") > 0, chi2).as("chi2"),
+        when(col("n_ref") > 0 && col("n_cur") > 0 &&
+            col("n_cats") > 1,
+          sqrt(chi2 / (col("n_ref") + col("n_cur"))
+            .cast(DoubleType))).as("cramers_v"))
+  }
+
   /** Per-item vote-distribution report — the annotation DIFFICULTY
     * table [[raterAgreement]] ranks raters with; this ranks ITEMS:
     * an item whose votes spread across categories is ambiguous

@@ -246,4 +246,48 @@ object StreamingDrift {
                                 groupCol: String): DataFrame =
     Stats.wasserstein1ByGroupFromCounts(refCounts,
       scoreCountsBy(spark, storePath, groupCol), groupCol)
+
+  // ---- CATEGORICAL drift (chi-squared) ------------------------------
+  //
+  // PSI/KS/W1 monitor an ORDERED score; language/source/license/format
+  // have no order to cumulate. Same SumStore partial pattern over
+  // per-category counts; the read is the exact two-sample chi-squared
+  // homogeneity test against a pinned reference.
+
+  /** foreachBatch body: this batch's per-category counts. */
+  def writeCatCounts(batch: DataFrame, storePath: String,
+                     catCol: String, batchId: Long): Unit =
+    SumStore.writeBatch(Stats.catCounts(batch, catCol), storePath,
+      batchId)
+
+  /** Wire a categorical stream into a per-category count store. */
+  def catSink(stream: DataFrame, storePath: String,
+              catCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeCatCounts(batch, storePath, catCol, batchId)
+    }
+
+  /** Current sum-merged (cat, n) counts over everything landed. */
+  def catCountsMerged(spark: SparkSession, storePath: String,
+                      catCol: String): DataFrame =
+    SumStore.merged(spark, storePath, Seq(catCol), Seq("n"))
+
+  /** Chi-squared homogeneity of the landed categorical mix against
+    * pinned reference counts (a persisted [[Stats.catCounts]]) —
+    * output as [[Stats.chiSquaredDrift]]: (n_ref, n_cur, n_cats, df,
+    * chi2, cramers_v).
+    */
+  def chi2AgainstReference(spark: SparkSession, storePath: String,
+                           refCounts: DataFrame,
+                           catCol: String): DataFrame =
+    Stats.chiSquaredDriftFromCounts(refCounts,
+      catCountsMerged(spark, storePath, catCol), catCol)
+
+  /** Fold the categorical store to ≤ |categories| rows — maintenance
+    * window only ([[SumStore]] contract).
+    */
+  def compactCatCounts(spark: SparkSession, storePath: String,
+                       catCol: String): Unit =
+    SumStore.compact(spark, storePath, Seq(catCol), Seq("n"))
 }

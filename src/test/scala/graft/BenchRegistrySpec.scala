@@ -111,7 +111,8 @@ class BenchRegistrySpec extends AnyFunSuite {
     * ext_ks_by_source unfloored).
     */
   private val floorPending: Set[String] =
-    Set("ext_w1_test", "ext_w1_by_source")
+    Set("ext_w1_test", "ext_w1_by_source",
+      "ext_chi2_drift", "ext_chi2_by_source")
 
   test("floor coverage: every registry query has a committed floor " +
       "(new-this-round names must be explicitly grandfathered, and " +

@@ -335,6 +335,50 @@ class StatsSpec extends SparkSpec {
     assert(byG("new") === (("new", 0L, 1L, None, None)))
   }
 
+  test("chiSquaredDrift: hand 2x2k value, identical mix 0, novel " +
+      "category counted, empty side null, single category df 0") {
+    def chi(r: Seq[String], c: Seq[String]) =
+      Stats.chiSquaredDrift(r.toDF("cat"), c.toDF("cat"), "cat")
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+        .head()
+    // ref AABB vs cur ABBB: chi2 = 16/48 + 16/80 = 8/15
+    val h = chi(Seq("A", "A", "B", "B"), Seq("A", "B", "B", "B"))
+    assert(h._1 === 4L && h._2 === 4L && h._3 === 2L && h._4 === 1L)
+    assert(math.abs(h._5.get - 8.0 / 15) < 1e-8)
+    assert(math.abs(h._6.get - math.sqrt((8.0 / 15) / 8)) < 1e-8)
+    val same = chi(Seq("A", "B", "B"), Seq("A", "B", "B"))
+    assert(same._5 === Some(0.0) && same._6 === Some(0.0))
+    // a category only the current side ships still enters the table
+    val novel = chi(Seq("A", "A"), Seq("A", "xx"))
+    assert(novel._3 === 2L && novel._5.get > 0)
+    val empty = chi(Seq("A"), Seq.empty[String])
+    assert(empty._2 === 0L && empty._5 === None && empty._6 === None)
+    val one = chi(Seq("A", "A"), Seq("A"))
+    assert(one._4 === 0L && one._5 === Some(0.0) && one._6 === None)
+  }
+
+  test("chiSquaredDriftByGroup: each group equals the ungrouped " +
+      "test on its slice; one-sided groups report null chi2") {
+    val ref = Seq(("g1", "A"), ("g1", "A"), ("g1", "B"), ("g1", "B"),
+      ("g2", "A"), ("gone", "A")).toDF("g", "cat")
+    val cur = Seq(("g1", "A"), ("g1", "B"), ("g1", "B"), ("g1", "B"),
+      ("g2", "A"), ("new", "B")).toDF("g", "cat")
+    val byG = Stats.chiSquaredDriftByGroup(ref, cur, "g", "cat")
+      .as[(String, Long, Long, Long, Long, Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val g1 = Stats.chiSquaredDrift(
+        ref.filter($"g" === "g1").select($"cat"),
+        cur.filter($"g" === "g1").select($"cat"), "cat")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head()
+    assert((byG("g1")._2, byG("g1")._3, byG("g1")._4, byG("g1")._5,
+      byG("g1")._6, byG("g1")._7) === g1)
+    assert(math.abs(byG("g1")._6.get - 8.0 / 15) < 1e-8)
+    assert(byG("g2")._6 === Some(0.0))
+    assert(byG("gone")._6 === None && byG("new")._6 === None)
+  }
+
   test("wasserstein1: pure shift moves W1 by the shift, hand value " +
       "on unequal sizes, identical 0, empty side null, negative " +
       "support exact") {

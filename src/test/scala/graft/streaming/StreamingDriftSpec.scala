@@ -139,6 +139,50 @@ class StreamingDriftSpec extends SparkSpec {
     assert(postReplay === before)
   }
 
+  test("streamed categorical chi-squared equals the batch " +
+      "chiSquaredDrift over the replayed log; replay and compaction " +
+      "cannot move it") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("cat_store")
+    // current mix shifts toward one category and ships a novel one
+    def cats(b: Int): Seq[String] =
+      (0 until 120).map { i =>
+        if (i % 5 == 0) "xx"
+        else s"lang${(i * 7 + b * 31) % 3}"
+      }
+    val src = MemoryStream[String]
+    val q = StreamingDrift.catSink(src.toDF().toDF("cat"), store,
+        "cat")
+      .option("checkpointLocation", tmp("cat_ckpt"))
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        src.addData(cats(b): _*)
+        q.processAllAvailable()
+      }
+      val ref = (0 until 400).map(i => s"lang${i % 4}").toDF("cat")
+      val refCounts = Stats.catCounts(ref, "cat")
+      def snap() = StreamingDrift.chi2AgainstReference(spark, store,
+          refCounts, "cat")
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+        .head()
+      val streamed = snap()
+      val batch = Stats.chiSquaredDrift(ref,
+          (0 until 3).flatMap(cats).toDF("cat"), "cat")
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+        .head()
+      assert(streamed === batch)
+      assert(streamed._5.get > 0 && streamed._6.get > 0.1,
+        s"the mix shift + novel category must alarm: $streamed")
+      StreamingDrift.writeCatCounts(cats(1).toDF("cat"), store, "cat",
+        1L)
+      assert(snap() === streamed)
+      StreamingDrift.compactCatCounts(spark, store, "cat")
+      assert(snap() === streamed)
+      assert(spark.read.parquet(store).count() <= 6)
+    } finally q.stop()
+  }
+
   // per-source fixtures: sources s0/s1 stay on the reference
   // distribution, s2 drifts hard — the alarm the per-source monitor
   // exists to raise while the pooled distribution barely moves
