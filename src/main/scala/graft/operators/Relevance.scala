@@ -363,4 +363,150 @@ object Relevance {
         (col("__s").cast(DoubleType) / 1e12).as("rbo"))
   }
 
+  /** Per-rank DCG discount table: `w(r) = 1/log2(r+1)`, 1e12
+    * fixed-point — computed ONCE driver-side and shared with the SQL
+    * oracle as literals (the [[rboTable]] pattern: `log` is not
+    * guaranteed correctly rounded, so no transcendental ever executes
+    * data-side in either engine).
+    */
+  private[graft] def dcgTable(k: Int): Seq[(Int, Long)] =
+    (1 to k).map { r =>
+      r -> math.floor(1e12 / (math.log(r + 1.0) / math.log(2.0))
+        + 0.5).toLong
+    }
+
+  /** nDCG@k (Järvelin & Kekäläinen, TOIS 2002) over a judged run —
+    * one row per (query, doc) with a 1-based `rankCol` (unique per
+    * query) and an integer GRADED `relCol` ≥ 0: the ranking-quality
+    * acceptance metric for a retrieval stack (exponential gains
+    * 2^rel − 1, so a grade-3 hit at rank 1 dominates three grade-1
+    * hits). This is [[retrievalMetrics]]' nDCG generalized to GRADES
+    * and the annotated-run input shape (relevance as a column, not a
+    * separate binary qrels table; binary 0/1 grades reduce to gains
+    * of exactly 1, but the IDCG convention differs — the ideal here
+    * re-ranks the query's own judged pool rather than assuming
+    * n_rel perfect hits); use [[retrievalMetrics]] when judgments
+    * live in a qrels table and one pass should also return
+    * recall/MRR. `DCG@k = Σ_{r≤k} (2^rel − 1)·w(r)`; the IDEAL ranking
+    * re-sorts the query's own judged documents by grade (zero-gain
+    * docs contribute nothing at any position, so the ideal window
+    * runs over `rel > 0` rows only — the pool a real run keeps
+    * small). Gains are exact integers, discounts come from the
+    * shared literal [[dcgTable]], products run in DECIMAL with
+    * 19-digit factors, so both engines sum identical integers; the
+    * one division closes. One row per query: (query, dcg, idcg,
+    * ndcg) — ndcg null when the query has no relevant document
+    * (nothing to rank). Grades above ~40 would overflow the 2^rel
+    * long gain — grades are small ordinals by construction.
+    *
+    * Scale shape: two rank-bounded filters, a ≤ k-row broadcast
+    * join each, one query-partitioned window over RELEVANT docs only
+    * (groups ≤ judged-relevant per query), two query-keyed hash aggs,
+    * one outer join onto the query spine. Nothing driver-side but
+    * the k-row literal table.
+    */
+  def ndcgAtK(run: DataFrame, queryCol: String, rankCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val sp = run.sparkSession
+    import sp.implicits._
+    def d19(c: Column) = c.cast(DecimalType(19, 0))
+    val t = broadcast(dcgTable(k).toDF("__r", "__wfx"))
+    val gain = expr(s"shiftleft(1L, cast($relCol as int)) - 1L")
+    val judged = run.filter(col(relCol).isNotNull &&
+      col(relCol) >= 0 && col(rankCol) >= 1)
+    val dcg = judged.filter(col(rankCol) <= k)
+      .join(t, col(rankCol).cast("int") === col("__r"))
+      .groupBy(col(queryCol))
+      .agg(sum(d19(gain) * d19(col("__wfx"))).as("__dcg"))
+    val ideal = judged.filter(col(relCol) > 0)
+      .withColumn("__ir", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col(relCol).desc)))
+      .filter(col("__ir") <= k)
+      .join(t, col("__ir") === col("__r"))
+      .groupBy(col(queryCol))
+      .agg(sum(d19(gain) * d19(col("__wfx"))).as("__idcg"))
+    run.select(col(queryCol)).distinct()
+      .join(dcg, Seq(queryCol), "left")
+      .join(ideal, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("__dcg").cast(DoubleType) / 1e12, lit(0.0))
+          .as("dcg"),
+        coalesce(col("__idcg").cast(DoubleType) / 1e12, lit(0.0))
+          .as("idcg"),
+        when(col("__idcg").isNotNull,
+          col("__dcg").cast(DoubleType) /
+            col("__idcg").cast(DoubleType)).as("ndcg"))
+  }
+
+  /** Mean reciprocal rank at depth `k` over the same judged-run shape
+    * as [[ndcgAtK]] — the "how far does a user scroll to the first
+    * good hit" metric: per query RR = 1/rank of the first relevant
+    * document within the top k (0 when none — the standard MRR@k
+    * miss convention, so absent queries PULL the mean down instead of
+    * silently dropping). The AGGREGATE twin of [[retrievalMetrics]]'
+    * per-query mrr: that one reports each JUDGED query;
+    * this one folds the whole run — every query in it, judged or
+    * not — to the single number a dashboard tracks. The reciprocal is one IEEE division
+    * (exactly mirrored), per-query values fx-sum at 1e12. One row:
+    * (n_queries, n_hit, mrr); mrr null when the run is empty.
+    *
+    * Scale shape: one filtered query-keyed hash agg (min rank), one
+    * spine outer join, one 1-row agg.
+    */
+  def mrrAtK(run: DataFrame, queryCol: String, rankCol: String,
+             relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val first = run
+      .filter(col(relCol).isNotNull && col(relCol) > 0 &&
+        col(rankCol) >= 1 && col(rankCol) <= k)
+      .groupBy(col(queryCol))
+      .agg(min(col(rankCol)).as("__fr"))
+    val rr = when(col("__fr").isNotNull,
+      lit(1.0) / col("__fr").cast(DoubleType)).otherwise(lit(0.0))
+    run.select(col(queryCol)).distinct()
+      .join(first, Seq(queryCol), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__fr").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        Cols.fxSum(rr, 1e12).as("__s"))
+      .select(col("n_queries"), col("n_hit"),
+        when(col("n_queries") > 0,
+          col("__s").cast(DoubleType) / 1e12 /
+            col("n_queries").cast(DoubleType)).as("mrr"))
+  }
+
+  /** Recall@k over the same judged-run shape — per query, the share
+    * of its relevant documents surfaced in the top k. Exact integer
+    * counts; the one division closes. One row per query: (query,
+    * n_rel_topk, n_rel, recall) — recall null when the query has no
+    * relevant document. [[retrievalMetrics]]' recall on the
+    * annotated-run shape: that one needs a separate qrels table and
+    * reports judged queries only; this one keeps EVERY query in the
+    * run on the spine (a query with no relevant docs reports null,
+    * not absence — the "our judgments don't cover this query" signal).
+    *
+    * Scale shape: one query-keyed hash agg with conditional counts,
+    * one spine outer join.
+    */
+  def recallAtK(run: DataFrame, queryCol: String, rankCol: String,
+                relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = run.filter(col(relCol).isNotNull && col(relCol) > 0 &&
+        col(rankCol) >= 1)
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col(rankCol) <= k, 1L).otherwise(0L))
+          .as("n_rel_topk"))
+    run.select(col(queryCol)).distinct()
+      .join(rel, Seq(queryCol), "left")
+      .na.fill(0L, Seq("n_rel", "n_rel_topk"))
+      .select(col(queryCol), col("n_rel_topk"), col("n_rel"),
+        when(col("n_rel") > 0,
+          col("n_rel_topk").cast(DoubleType) /
+            col("n_rel").cast(DoubleType)).as("recall"))
+  }
+
 }

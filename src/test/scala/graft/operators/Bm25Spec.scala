@@ -141,6 +141,64 @@ class Bm25Spec extends SparkSpec {
     assert(q1 === ((1L, 1L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("ndcgAtK: hand graded value, perfect ranking exactly 1, " +
+      "no-relevant query null, binary grades reduce to gain 1") {
+    // q0: grade-1 at rank 1, grade-3 at rank 2, grade-0 at rank 3
+    val run = Seq((0L, 1L, 1), (0L, 2L, 3), (0L, 3L, 0),
+      (1L, 1L, 3), (1L, 2L, 1),  // q1: already ideal
+      (2L, 1L, 0), (2L, 2L, 0))  // q2: nothing relevant
+      .toDF("qid", "rnk", "rel")
+    val got = Relevance.ndcgAtK(run, "qid", "rnk", "rel", k = 3)
+      .as[(Long, Double, Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    val w = Relevance.dcgTable(3).map(_._2 / 1e12).toArray
+    val dcg0 = 1 * w(0) + 7 * w(1)
+    val idcg0 = 7 * w(0) + 1 * w(1)
+    assert(math.abs(got(0)._2 - dcg0) < 1e-9)
+    assert(math.abs(got(0)._3 - idcg0) < 1e-9)
+    assert(math.abs(got(0)._4.get - dcg0 / idcg0) < 1e-9)
+    assert(got(1)._4 === Some(1.0)) // ideal order: exact 1
+    assert(got(2)._2 === 0.0 && got(2)._3 === 0.0 &&
+      got(2)._4 === None)
+    // binary 0/1 grades: gains are exactly 1 — nDCG matches the
+    // hand formula with unit gains
+    val bin = Seq((0L, 1L, 0), (0L, 2L, 1), (0L, 3L, 1))
+      .toDF("qid", "rnk", "rel")
+    val b = Relevance.ndcgAtK(bin, "qid", "rnk", "rel", k = 3)
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(math.abs(b._4.get - (w(1) + w(2)) / (w(0) + w(1))) < 1e-9)
+  }
+
+  test("mrrAtK: hand mean with the miss-zero convention; depth " +
+      "cutoff turns a deep hit into a miss") {
+    val run = Seq((0L, 1L, 0), (0L, 3L, 2),  // first hit rank 3
+      (1L, 1L, 0), (1L, 2L, 0),              // no hit: rr 0
+      (2L, 1L, 1))                           // hit at rank 1
+      .toDF("qid", "rnk", "rel")
+    val got = Relevance.mrrAtK(run, "qid", "rnk", "rel", k = 10)
+      .as[(Long, Long, Option[Double])].head()
+    assert(got._1 === 3L && got._2 === 2L)
+    assert(math.abs(got._3.get - (1.0 / 3 + 0.0 + 1.0) / 3) < 1e-9)
+    // k = 2 pushes q0's rank-3 hit out
+    val cut = Relevance.mrrAtK(run, "qid", "rnk", "rel", k = 2)
+      .as[(Long, Long, Option[Double])].head()
+    assert(cut._2 === 1L)
+    assert(math.abs(cut._3.get - 1.0 / 3) < 1e-9)
+  }
+
+  test("recallAtK: per-query coverage, unjudged query reports null " +
+      "on the spine") {
+    val run = Seq((0L, 1L, 1), (0L, 2L, 0), (0L, 11L, 2),
+      (0L, 12L, 1),           // q0: 3 relevant, 1 in top-10
+      (1L, 1L, 0), (1L, 2L, 0)) // q1: no relevant docs at all
+      .toDF("qid", "rnk", "rel")
+    val got = Relevance.recallAtK(run, "qid", "rnk", "rel", k = 10)
+      .as[(Long, Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) === ((0L, 1L, 3L, Some(1.0 / 3))))
+    assert(got(1) === ((1L, 0L, 0L, None)))
+  }
+
   test("rbo: identical runs score the truncated-mass maximum, " +
       "disjoint runs 0, partial overlap matches a direct per-depth " +
       "evaluation, one-sided queries still report") {
