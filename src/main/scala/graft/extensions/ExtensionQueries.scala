@@ -2472,6 +2472,58 @@ object ExtensionQueries {
         .orderBy(col("source"))
     },
 
+    // Pairwise Cohen's kappa matrix over a 4-rater panel — names the
+    // PAIR that disagrees where Fleiss/Krippendorff pool the panel:
+    // per pair, observed vs chance agreement from each rater's label
+    // marginal WITHIN the common items; exact HUGEINT marginal
+    // products, the two closing divisions mirrored op-for-op.
+    Q("ext_kappa_pairs",
+      s"""WITH b0 AS (SELECT (doc_id // 4) % 97 AS it,
+         |  doc_id % 4 AS ra FROM documents),
+         |r AS (SELECT DISTINCT it, ra,
+         |  CASE WHEN (it + ra * 3) % 13 = 0 THEN (it % 3 + 1) % 3
+         |   WHEN (it * (ra + 1)) % 17 = 0 THEN (it % 3 + 2) % 3
+         |   ELSE it % 3 END AS la FROM b0),
+         |p AS (SELECT r1.ra AS ra, r2.ra AS rb, r1.la AS la,
+         |  r2.la AS lb
+         | FROM r r1 JOIN r r2 ON r1.it = r2.it AND r1.ra < r2.ra),
+         |ag AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS agree FROM p GROUP BY 1, 2),
+         |m1 AS (SELECT ra, rb, la, CAST(count(*) AS BIGINT) AS c1
+         | FROM p GROUP BY 1, 2, 3),
+         |m2 AS (SELECT ra, rb, lb AS la,
+         |  CAST(count(*) AS BIGINT) AS c2 FROM p GROUP BY 1, 2, 3),
+         |ch AS (SELECT coalesce(m1.ra, m2.ra) AS ra,
+         |  coalesce(m1.rb, m2.rb) AS rb,
+         |  CAST(sum(CAST(coalesce(c1, 0) AS HUGEINT) *
+         |    coalesce(c2, 0)) AS HUGEINT) AS s
+         | FROM m1 FULL JOIN m2 ON m1.ra = m2.ra AND m1.rb = m2.rb
+         |  AND m1.la = m2.la GROUP BY 1, 2),
+         |fin AS (SELECT ag.ra, ag.rb, n_items, agree,
+         |  CAST(agree AS DOUBLE) / CAST(n_items AS DOUBLE) AS po,
+         |  CAST(s AS DOUBLE) / (CAST(n_items AS DOUBLE) *
+         |    CAST(n_items AS DOUBLE)) AS pe
+         | FROM ag JOIN ch ON ch.ra = ag.ra AND ch.rb = ag.rb)
+         |SELECT ra AS rater_a, rb AS rater_b, n_items, agree,
+         | po AS p_o, pe AS p_e,
+         | CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe) END AS kappa
+         |FROM fin ORDER BY rater_a, rater_b""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val it = pmod(expr("doc_id div 4"), lit(97))
+      val ra = pmod(id, lit(4))
+      val base = pmod(it, lit(3))
+      val ratings = documents(s, d).select(it.as("item"),
+        ra.as("rater"),
+        when(pmod(it + ra * 3, lit(13)) === 0, pmod(base + 1, lit(3)))
+          .when(pmod(it * (ra + 1), lit(17)) === 0,
+            pmod(base + 2, lit(3)))
+          .otherwise(base).as("label"))
+      graft.operators.Stats.cohenKappaPairs(ratings, "item", "rater",
+          "label")
+        .orderBy(col("rater_a"), col("rater_b"))
+    },
+
     // Per-item vote-distribution difficulty report over the same
     // Likert fixture — ranks ITEMS by ambiguity where raterAgreement
     // ranks raters: vote entropy (terms 1e-9 fx-quantized, the psi ln

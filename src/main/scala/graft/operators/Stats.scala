@@ -259,6 +259,72 @@ object Stats {
         when(pE =!= 1.0, (pBar - pE) / (lit(1.0) - pE)).as("kappa"))
   }
 
+  /** Pairwise Cohen's κ matrix over a rating log `(itemCol,
+    * raterCol, labelCol)` — the WHO-disagrees-with-WHOM diagnostic
+    * the pooled panel metrics can't localize ([[fleissKappa]] says
+    * the panel agrees poorly, [[raterAgreement]] ranks each rater
+    * against the majority; this names the PAIR — the drifted
+    * contractor batch, the two raters reading the rubric
+    * differently). One row per unordered rater pair over their
+    * COMMON items: observed agreement p_o = agree/n, chance
+    * agreement p_e = Σ_l c_a(l)·c_b(l)/n² from each rater's label
+    * marginal WITHIN the pair's common items, κ = (p_o − p_e)/(1 −
+    * p_e) — null when p_e = 1 (two constant raters on one label:
+    * chance explains everything). Counts and the marginal product
+    * sum are exact integers (19-digit decimal factors / HUGEINT);
+    * the two closing divisions are mirrored op-for-op.
+    *
+    * Input contract: ONE rating per (item, rater) — exact duplicate
+    * rows are deduped defensively, conflicting labels for the same
+    * (item, rater) are an upstream bug (both rows would pair).
+    *
+    * Scale shape: one item-keyed self-join (per-item fanout is
+    * raters-per-item², panel-sized by construction — items are rated
+    * by a handful of raters, never the whole rater pool), then three
+    * (pair[, label])-keyed hash aggs and one pair-keyed join.
+    * Nothing driver-side; output is |raters|² rows at most.
+    */
+  def cohenKappaPairs(ratings: DataFrame, itemCol: String,
+                      raterCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val r = ratings
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(labelCol).isNotNull)
+      .select(col(itemCol).as("__it"), col(raterCol).as("__ra"),
+        col(labelCol).as("__la"))
+      .distinct()
+    val pairs = r.join(
+        r.select(col("__it"), col("__ra").as("__rb"),
+          col("__la").as("__lb")),
+        Seq("__it"))
+      .filter(col("__ra") < col("__rb"))
+      .persist(MEMORY_AND_DISK)
+    val agg = pairs.groupBy(col("__ra"), col("__rb"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("__la") === col("__lb"), 1L).otherwise(0L))
+          .as("agree"))
+    val ma = pairs.groupBy(col("__ra"), col("__rb"), col("__la"))
+      .agg(count(lit(1)).as("__c1"))
+    val mb = pairs.groupBy(col("__ra"), col("__rb"),
+        col("__lb").as("__la"))
+      .agg(count(lit(1)).as("__c2"))
+    val chance = ma.join(mb, Seq("__ra", "__rb", "__la"), "full")
+      .na.fill(0L, Seq("__c1", "__c2"))
+      .groupBy(col("__ra"), col("__rb"))
+      .agg(sum(d19(col("__c1")) * d19(col("__c2"))).as("__s"))
+    val po = col("agree").cast(DoubleType) /
+      col("n_items").cast(DoubleType)
+    val pe = col("__s").cast(DoubleType) /
+      (col("n_items").cast(DoubleType) *
+        col("n_items").cast(DoubleType))
+    agg.join(chance, Seq("__ra", "__rb"))
+      .select(col("__ra").as("rater_a"), col("__rb").as("rater_b"),
+        col("n_items"), col("agree"), po.as("p_o"), pe.as("p_e"),
+        when(pe < 1.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
   /** Per-distinct-value table of `valCol` (an INTEGRAL column) with
     * the EXCLUSIVE cumulative sum of each `sumCols` entry over all
     * SMALLER values — the global order statistic every rank-based

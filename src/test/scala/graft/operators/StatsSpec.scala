@@ -335,6 +335,32 @@ class StatsSpec extends SparkSpec {
     assert(byG("new") === (("new", 0L, 1L, None, None)))
   }
 
+  test("cohenKappaPairs: hand po/pe/kappa, common-items-only " +
+      "restriction, constant identical raters null, duplicate rows " +
+      "dedup") {
+    // r1: A A B B, r2: A B B B over items 1-4; r3 shares only items
+    // 1-2 with the others (pair stats must restrict to common items)
+    val base = Seq(
+      (1L, "r1", "A"), (2L, "r1", "A"), (3L, "r1", "B"), (4L, "r1", "B"),
+      (1L, "r2", "A"), (2L, "r2", "B"), (3L, "r2", "B"), (4L, "r2", "B"),
+      (1L, "r3", "A"), (2L, "r3", "A"))
+    val got = Stats.cohenKappaPairs(
+        (base ++ base.take(3)).toDF("item", "rater", "label"),
+        "item", "rater", "label")
+      .as[(String, String, Long, Long, Double, Double, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val p12 = got(("r1", "r2"))
+    assert(p12._3 === 4L && p12._4 === 3L)
+    assert(p12._5 === 0.75)
+    assert(p12._6 === 0.5) // (2*1 + 2*3) / 16
+    assert(math.abs(p12._7.get - 0.5) < 1e-12)
+    // r1 vs r3: common items 1-2 only; r1 = A A, r3 = A A there
+    val p13 = got(("r1", "r3"))
+    assert(p13._3 === 2L && p13._4 === 2L)
+    assert(p13._7 === None) // both constant on one label: pe = 1
+    assert(got.size === 3)
+  }
+
   test("chiSquaredDrift: hand 2x2k value, identical mix 0, novel " +
       "category counted, empty side null, single category df 0") {
     def chi(r: Seq[String], c: Seq[String]) =
