@@ -2696,6 +2696,55 @@ object ExtensionQueries {
         .orderBy(col("bin"))
     },
 
+    // Murphy decomposition of the Brier score over the ext_ece
+    // fixture — the WHY behind ece's calibration gap: reliability
+    // (remappable miscalibration) vs resolution (discrimination) vs
+    // the base-rate uncertainty floor. Same binning, exact counts,
+    // fx-1e9 double reductions, every division mirrored.
+    Q("ext_brier", {
+      val pbarb = "((CAST(sfx AS DOUBLE) / 1000000000.0) / " +
+        "CAST(n_bin AS DOUBLE))"
+      val ybarb = "(CAST(pos AS DOUBLE) / CAST(n_bin AS DOUBLE))"
+      val fracb = "(CAST(n_bin AS DOUBLE) / CAST(nt AS DOUBLE))"
+      val ybar = "(CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))"
+      val relT = s"$fracb * (($pbarb - $ybarb) * ($pbarb - $ybarb))"
+      val resT = s"$fracb * (($ybarb - $ybar) * ($ybarb - $ybar))"
+      val se = "(s - CAST(CASE WHEN y THEN 1 ELSE 0 END AS DOUBLE))" +
+        " * (s - CAST(CASE WHEN y THEN 1 ELSE 0 END AS DOUBLE))"
+      s"""WITH p AS (SELECT
+         |  CAST((doc_id * 13) % 100 AS DOUBLE) / 100.0 AS s,
+         |  ((doc_id * 7) % 100 < (doc_id * 13) % 100) AS y
+         | FROM documents),
+         |b AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin,
+         |   CAST(count(*) AS BIGINT) AS n_bin,
+         |   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS pos,
+         |   ${fxSql("s", "1000000000.0")} AS sfx,
+         |   ${fxSql(se, "1000000000.0")} AS befx
+         |  FROM p GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_bin) AS BIGINT) AS nt,
+         |  CAST(sum(pos) AS BIGINT) AS pt,
+         |  CAST(sum(befx) AS BIGINT) AS bfx FROM b),
+         |terms AS (SELECT
+         |  ${fxSql(relT, "1000000000.0")} AS relfx,
+         |  ${fxSql(resT, "1000000000.0")} AS resfx
+         | FROM b, t)
+         |SELECT nt AS n, pt AS n_pos,
+         | (CAST(bfx AS DOUBLE) / 1000000000.0) / CAST(nt AS DOUBLE)
+         |  AS brier,
+         | CAST(relfx AS DOUBLE) / 1000000000.0 AS reliability,
+         | CAST(resfx AS DOUBLE) / 1000000000.0 AS resolution,
+         | $ybar * (1.0 - $ybar) AS uncertainty
+         |FROM t, terms""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      val preds = documents(s, d).select(
+        (pmod(id * 13, lit(100)).cast("double") / 100.0).as("score"),
+        (pmod(id * 7, lit(100)) < pmod(id * 13, lit(100))).as("label"))
+      graft.operators.Stats.brierDecomposition(preds, "score", "label",
+        bins = 10)
+    },
+
     // Population-stability-index drift report between two score
     // distributions — even doc_ids are the reference scores, odd
     // doc_ids a compressed-and-shifted current batch, so several

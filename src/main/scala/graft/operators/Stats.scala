@@ -1398,6 +1398,85 @@ object Stats {
         (frac * abs(accRate - avgConf)).as("contrib"))
   }
 
+  /** Murphy decomposition of the Brier score over scored
+    * predictions — [[ece]]'s quantitative companion (same binning,
+    * same inputs): ECE says HOW FAR the calibration curve sits from
+    * the diagonal; this splits the full probabilistic loss into WHY —
+    *
+    *   Brier = mean (p − y)²,
+    *   REL   = Σ_b (n_b/N)·(p̄_b − ȳ_b)²   (miscalibration — fixable
+    *                                        by remapping scores),
+    *   RES   = Σ_b (n_b/N)·(ȳ_b − ȳ)²     (discrimination — how much
+    *                                        the bins separate),
+    *   UNC   = ȳ(1 − ȳ)                    (the base-rate floor no
+    *                                        model can beat)
+    *
+    * with Brier ≈ REL − RES + UNC (exact when forecasts are constant
+    * within bins; the residual is the within-bin forecast variance —
+    * report the four numbers, don't assume the identity). A
+    * re-calibration pays off when REL dominates; more/better features
+    * are needed when RES is small.
+    *
+    * Determinism: bin membership and counts are exact integers; the
+    * three cross-row double reductions (per-row squared error,
+    * per-bin REL/RES terms) run fixed-point at 1e9 with every
+    * division mirrored op-for-op. One row: (n, n_pos, brier,
+    * reliability, resolution, uncertainty) — metrics null on empty
+    * input.
+    *
+    * Scale shape: one bin-keyed map-side hash agg (≤ `bins` rows),
+    * one 1-row totals broadcast, one closing agg.
+    */
+  def brierDecomposition(preds: DataFrame, scoreCol: String,
+                         labelCol: String,
+                         bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"bins must be in [1, 10000], got $bins")
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.DoubleType
+    val bin = least(floor(col(scoreCol).cast(DoubleType) * bins),
+      lit(bins - 1)).cast("long")
+    val se = (col("__s") - col("__y").cast(DoubleType)) *
+      (col("__s") - col("__y").cast(DoubleType))
+    val byBin = preds
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        !isnan(col(scoreCol).cast(DoubleType)))
+      .select(bin.as("bin"),
+        col(scoreCol).cast(DoubleType).as("__s"),
+        when(col(labelCol), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_bin"), sum(col("__y")).as("__pos"),
+        fxSum(col("__s"), 1e9).as("__sfx"),
+        fxSum(se, 1e9).as("__befx"))
+    val totals = byBin.agg(
+      coalesce(sum(col("n_bin")), lit(0L)).as("__N"),
+      coalesce(sum(col("__pos")), lit(0L)).as("__P"),
+      coalesce(sum(col("__befx")), lit(0L)).as("__Bfx"))
+    val yBar = col("__P").cast(DoubleType) / col("__N").cast(DoubleType)
+    val pBarB = fxVal(col("__sfx"), 1e9) / col("n_bin").cast(DoubleType)
+    val yBarB = col("__pos").cast(DoubleType) /
+      col("n_bin").cast(DoubleType)
+    val fracB = col("n_bin").cast(DoubleType) /
+      col("__N").cast(DoubleType)
+    val relT = fracB * ((pBarB - yBarB) * (pBarB - yBarB))
+    val resT = fracB * ((yBarB - yBar) * (yBarB - yBar))
+    byBin.crossJoin(broadcast(totals))
+      .agg(max(col("__N")).as("__N"), max(col("__P")).as("__P"),
+        max(col("__Bfx")).as("__Bfx"),
+        fxSum(relT, 1e9).as("__relfx"), fxSum(resT, 1e9).as("__resfx"))
+      .select(
+        coalesce(col("__N"), lit(0L)).as("n"),
+        coalesce(col("__P"), lit(0L)).as("n_pos"),
+        when(col("__N") > 0, fxVal(col("__Bfx"), 1e9) /
+          col("__N").cast(DoubleType)).as("brier"),
+        when(col("__N") > 0, fxVal(col("__relfx"), 1e9))
+          .as("reliability"),
+        when(col("__N") > 0, fxVal(col("__resfx"), 1e9))
+          .as("resolution"),
+        when(col("__N") > 0, yBar * (lit(1.0) - yBar))
+          .as("uncertainty"))
+  }
+
   /** Population-stability-index report between two score
     * distributions — the drift detector a curation pipeline runs on
     * its quality-classifier scores between crawls / checkpoints

@@ -113,7 +113,8 @@ class BenchRegistrySpec extends AnyFunSuite {
   private val floorPending: Set[String] =
     Set("ext_w1_test", "ext_w1_by_source",
       "ext_chi2_drift", "ext_chi2_by_source",
-      "ext_ndcg", "ext_mrr", "ext_recall_k", "ext_kappa_pairs")
+      "ext_ndcg", "ext_mrr", "ext_recall_k", "ext_kappa_pairs",
+      "ext_brier")
 
   test("floor coverage: every registry query has a committed floor " +
       "(new-this-round names must be explicitly grandfathered, and " +

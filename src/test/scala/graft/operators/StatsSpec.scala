@@ -335,6 +335,34 @@ class StatsSpec extends SparkSpec {
     assert(byG("new") === (("new", 0L, 1L, None, None)))
   }
 
+  test("brierDecomposition: hand values satisfy the Murphy identity " +
+      "on bin-constant forecasts; perfect certainty zeroes " +
+      "brier/reliability; empty input null") {
+    def brier(rows: Seq[(Double, Boolean)]) =
+      Stats.brierDecomposition(rows.toDF("score", "label"), "score",
+          "label", bins = 10)
+        .as[(Long, Long, Option[Double], Option[Double],
+          Option[Double], Option[Double])].head()
+    val h = brier(Seq((0.8, true), (0.8, true), (0.8, false),
+      (0.2, false)))
+    assert(h._1 === 4L && h._2 === 2L)
+    assert(math.abs(h._3.get - 0.19) < 1e-6)
+    val rel = 0.75 * math.pow(0.8 - 2.0 / 3, 2) + 0.25 * 0.04
+    val res = 0.75 * math.pow(2.0 / 3 - 0.5, 2) + 0.25 * 0.25
+    assert(math.abs(h._4.get - rel) < 1e-6)
+    assert(math.abs(h._5.get - res) < 1e-6)
+    assert(h._6 === Some(0.25))
+    // forecasts constant within bins: identity exact up to fx quanta
+    assert(math.abs(h._3.get - (h._4.get - h._5.get + h._6.get))
+      < 1e-6)
+    val perfect = brier(Seq((1.0, true), (0.0, false)))
+    assert(perfect._3 === Some(0.0) && perfect._4 === Some(0.0))
+    assert(math.abs(perfect._5.get - 0.25) < 1e-9)
+    assert(perfect._6 === Some(0.25))
+    val empty = brier(Seq.empty)
+    assert(empty._1 === 0L && empty._3 === None && empty._6 === None)
+  }
+
   test("cohenKappaPairs: hand po/pe/kappa, common-items-only " +
       "restriction, constant identical raters null, duplicate rows " +
       "dedup") {
