@@ -647,6 +647,30 @@ object StreamBench {
     finally deleteRec(new java.io.File(store))
   }
 
+  /** Streaming scorer-quality (AUC) monitor: per-batch labeled
+    * score-count partials into the sum-merged store — the
+    * discrimination companion of [[benchDrift]]'s distribution watch.
+    */
+  private def benchScorer(spark: SparkSession, batches: Int,
+                          rows: Int): Lat = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Boolean)]
+    val preds = src.toDF().toDF("score_fx", "label")
+    val store = tmpDir("scorer"); val cp = ckpt("scorer")
+    val q = StreamingScorer.scorerSink(preds, store, "score_fx",
+        "label")
+      .option("checkpointLocation", cp).start()
+    try drive(q, b => {
+      src.addData((0 until rows).map { r =>
+        val s = (r * 7 + b * 31) % 1000
+        (s.toLong, (r * 13 + b) % 1000 < s) // label tracks score
+      })
+      ()
+    }, batches, cp)
+    finally deleteRec(new java.io.File(store))
+  }
+
   /** Streamed embedding-centroid drift: per-batch (group, dim)
     * fixed-point centroid partials into the sum-merged store.
     */
@@ -696,6 +720,7 @@ object StreamBench {
     "drift" -> "StreamingDrift",
     "drift_by_source" -> "StreamingDrift",
     "cat_drift" -> "StreamingDrift",
+    "scorer" -> "StreamingScorer",
     "embed_drift" -> "StreamingEmbedDrift")
 
   /** The measured pipeline set — one entry per [[covers]] key. */
@@ -720,6 +745,7 @@ object StreamBench {
     "drift" -> (() => benchDrift(spark, batches, rows)),
     "drift_by_source" -> (() => benchDriftBySource(spark, batches, rows)),
     "cat_drift" -> (() => benchCatDrift(spark, batches, rows)),
+    "scorer" -> (() => benchScorer(spark, batches, rows)),
     "embed_drift" -> (() => benchEmbedDrift(spark, batches, rows)))
 
   /** Run every [[covers]] pipeline (or just `only`'s — the

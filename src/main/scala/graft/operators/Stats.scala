@@ -489,21 +489,41 @@ object Stats {
     * label drop.
     */
   def auc(df: DataFrame, scoreFxCol: String, labelCol: String)
-      : DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      : DataFrame =
+    aucFromCounts(labeledScoreCounts(df, scoreFxCol, labelCol))
+
+  /** Per-distinct-score LABELED count table `(s, np, nn)` —
+    * [[scoreCounts]] with the class split: the partial a streamed
+    * scorer-quality store sums ([[graft.streaming.StreamingScorer]])
+    * and the per-side input of [[aucFromCounts]] /
+    * [[rankSumTestFromCounts]]. Null score or label drops.
+    */
+  def labeledScoreCounts(df: DataFrame, scoreFxCol: String,
+                         labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
     df.schema(scoreFxCol).dataType match {
       case org.apache.spark.sql.types.ByteType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | LongType => ()
       case other => throw new IllegalArgumentException(
-        s"auc needs an integral (fixed-point) score column; " +
-          s"'$scoreFxCol' is ${other.simpleString}")
+        s"labeledScoreCounts needs an integral (fixed-point) score " +
+          s"column; '$scoreFxCol' is ${other.simpleString}")
     }
-    val g = df
-      .filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreFxCol).cast(LongType).as("__s"))
+    df.filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreFxCol).cast(LongType).as("s"))
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+  }
+
+  /** [[auc]] over a PRE-AGGREGATED `(s, np, nn)` table from
+    * [[labeledScoreCounts]] (re-aggregated, so sum-merged store
+    * partials feed in directly) — the streamed scorer monitor's read
+    * path. Same arithmetic, exactness and output.
+    */
+  def aucFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val g = counts.groupBy(col("s").cast("long").as("__s"))
+      .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"))
     // factors cast to DECIMAL(19,0) BEFORE multiplying — a long
     // product np·(2·cnn + nn) would silently wrap past 2^63 on
     // billion-row heavy-tie inputs; 19-digit factors keep the decimal
@@ -921,22 +941,19 @@ object Stats {
     * agg, no new shuffle shape.
     */
   def rankSumTest(df: DataFrame, scoreFxCol: String,
-                  labelCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
-    df.schema(scoreFxCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"rankSumTest needs an integral (fixed-point) score column; " +
-          s"'$scoreFxCol' is ${other.simpleString}")
-    }
+                  labelCol: String): DataFrame =
+    rankSumTestFromCounts(labeledScoreCounts(df, scoreFxCol, labelCol))
+
+  /** [[rankSumTest]] over a PRE-AGGREGATED `(s, np, nn)` table from
+    * [[labeledScoreCounts]] — the streamed scorer monitor's
+    * significance read ([[aucFromCounts]]' companion off the same
+    * store snapshot).
+    */
+  def rankSumTestFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
-    val g = df
-      .filter(col(scoreFxCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreFxCol).cast(LongType).as("__s"))
-      .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("np"),
-        sum(when(col(labelCol), 0L).otherwise(1L)).as("nn"))
+    val g = counts.groupBy(col("s").cast("long").as("__s"))
+      .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"))
     val t = col("np") + col("nn")
     val agg = cumBelowByValue(g, "__s", Seq("nn"))
       .agg(
