@@ -146,10 +146,23 @@ object Bench {
     * small dev selections stay in-process. SPARK_GRAFT_BENCH_CHUNKS
     * overrides (1 forces the single-JVM path).
     */
-  private[graft] def benchChunks(nQueries: Int): Int =
-    sys.env.get("SPARK_GRAFT_BENCH_CHUNKS")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .getOrElse(if (nQueries >= 60) 4 else 1)
+  private[graft] def benchChunks(nQueries: Int): Int = {
+    val default = if (nQueries >= 60) 4 else 1
+    sys.env.get("SPARK_GRAFT_BENCH_CHUNKS") match {
+      case None => default
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption match {
+        case Some(n) => n
+        // degrade LOUDLY: a typo'd override must not kill the run
+        // (the r13 advice), but silently running the other chunking
+        // regime would corrupt floor comparability — so warn and
+        // fall back
+        case None =>
+          System.err.println(s"[bench] ignoring malformed " +
+            s"SPARK_GRAFT_BENCH_CHUNKS='$v' — using $default chunks")
+          default
+      }
+    }
+  }
 
   /** Per-query historical-minimum floor (`{"name":sec,...}`, committed
     * as bench_floor.json and refreshed each round from quiet-box runs)

@@ -438,7 +438,11 @@ object Relevance {
         coalesce(col("__idcg").cast(DoubleType) / 1e12, lit(0.0))
           .as("idcg"),
         when(col("__idcg").isNotNull,
-          col("__dcg").cast(DoubleType) /
+          // numerator coalesces to 0 (mirroring the oracle): a query
+          // whose every judged row sits past k has an empty DCG group
+          // but a REAL ideal — that's nDCG 0 (missed everything), not
+          // the null reserved for "no relevant document"
+          coalesce(col("__dcg").cast(DoubleType), lit(0.0)) /
             col("__idcg").cast(DoubleType)).as("ndcg"))
   }
 

@@ -893,7 +893,8 @@ object Stats {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
     def side(df: DataFrame, n: String): DataFrame =
-      df.groupBy(col(groupCol), col("s").cast("long").as("__s"))
+      df.filter(col("n").isNotNull && col("n") > 0)
+        .groupBy(col(groupCol), col("s").cast("long").as("__s"))
         .agg(sum(col("n")).as(n))
     val both = side(refCounts, "c1").join(side(curCounts, "c2"),
         Seq(groupCol, "__s"), "full")
@@ -1760,6 +1761,17 @@ object Stats {
             .cast(DoubleType))).as("cramers_v"))
   }
 
+  /** Per-(group, category) count table — [[catCounts]] keyed by a
+    * source column: the partial a per-source streamed categorical
+    * store sums and the per-side input of
+    * [[chiSquaredDriftByGroupFromCounts]]. `(groupCol, catCol, n)`.
+    */
+  def catCountsBy(df: DataFrame, groupCol: String,
+                  catCol: String): DataFrame =
+    df.filter(col(catCol).isNotNull)
+      .groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("n"))
+
   /** Per-GROUP [[chiSquaredDrift]] — the categorical drift SCORECARD
     * (per-source language/format/license mix shift in one pass).
     * Same exact arithmetic per group; one row per group present on
@@ -1768,16 +1780,29 @@ object Stats {
     */
   def chiSquaredDriftByGroup(ref: DataFrame, cur: DataFrame,
                              groupCol: String,
-                             catCol: String): DataFrame = {
+                             catCol: String): DataFrame =
+    chiSquaredDriftByGroupFromCounts(
+      catCountsBy(ref, groupCol, catCol),
+      catCountsBy(cur, groupCol, catCol), groupCol, catCol)
+
+  /** [[chiSquaredDriftByGroup]] over PRE-AGGREGATED per-(group,
+    * category) count tables from [[catCountsBy]] (re-aggregated, so
+    * sum-merged store partials feed in directly) — the per-source
+    * streamed categorical monitor's read path.
+    */
+  def chiSquaredDriftByGroupFromCounts(refCounts: DataFrame,
+                                       curCounts: DataFrame,
+                                       groupCol: String,
+                                       catCol: String): DataFrame = {
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
     val sc = 1e9
     def side(df: DataFrame, n: String): DataFrame =
-      df.filter(col(catCol).isNotNull)
+      df.filter(col("n").isNotNull && col("n") > 0)
         .groupBy(col(groupCol), col(catCol))
-        .agg(count(lit(1)).as(n))
-    val both = side(ref, "__a").join(side(cur, "__b"),
+        .agg(sum(col("n")).as(n))
+    val both = side(refCounts, "__a").join(side(curCounts, "__b"),
         Seq(groupCol, catCol), "full")
       .na.fill(0L, Seq("__a", "__b"))
       .localCheckpoint()

@@ -290,4 +290,49 @@ object StreamingDrift {
   def compactCatCounts(spark: SparkSession, storePath: String,
                        catCol: String): Unit =
     SumStore.compact(spark, storePath, Seq(catCol), Seq("n"))
+
+  /** foreachBatch body: this batch's per-(group, category) counts. */
+  def writeCatCountsBy(batch: DataFrame, storePath: String,
+                       groupCol: String, catCol: String,
+                       batchId: Long): Unit =
+    SumStore.writeBatch(Stats.catCountsBy(batch, groupCol, catCol),
+      storePath, batchId)
+
+  /** Wire a (source, category) stream into a per-source
+    * category-count store.
+    */
+  def catSinkBy(stream: DataFrame, storePath: String,
+                groupCol: String, catCol: String): DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        writeCatCountsBy(batch, storePath, groupCol, catCol, batchId)
+    }
+
+  /** Current sum-merged (group, cat, n) counts over everything
+    * landed.
+    */
+  def catCountsMergedBy(spark: SparkSession, storePath: String,
+                        groupCol: String, catCol: String): DataFrame =
+    SumStore.merged(spark, storePath, Seq(groupCol, catCol), Seq("n"))
+
+  /** Per-source chi-squared scorecard of the landed categorical
+    * mixes against pinned per-source reference counts (a persisted
+    * [[Stats.catCountsBy]]) — output as
+    * [[Stats.chiSquaredDriftByGroup]].
+    */
+  def chi2ByGroupAgainstReference(spark: SparkSession,
+                                  storePath: String,
+                                  refCounts: DataFrame,
+                                  groupCol: String,
+                                  catCol: String): DataFrame =
+    Stats.chiSquaredDriftByGroupFromCounts(refCounts,
+      catCountsMergedBy(spark, storePath, groupCol, catCol),
+      groupCol, catCol)
+
+  /** Fold the per-source categorical store — maintenance window only
+    * ([[SumStore]] contract).
+    */
+  def compactCatCountsBy(spark: SparkSession, storePath: String,
+                         groupCol: String, catCol: String): Unit =
+    SumStore.compact(spark, storePath, Seq(groupCol, catCol), Seq("n"))
 }

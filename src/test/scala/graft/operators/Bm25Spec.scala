@@ -167,6 +167,14 @@ class Bm25Spec extends SparkSpec {
     val b = Relevance.ndcgAtK(bin, "qid", "rnk", "rel", k = 3)
       .as[(Long, Double, Double, Option[Double])].head()
     assert(math.abs(b._4.get - (w(1) + w(2)) / (w(0) + w(1))) < 1e-9)
+    // a query whose every judged row sits PAST k has an empty top-k
+    // but a real ideal: that's nDCG 0 (missed everything), not the
+    // null reserved for "no relevant document"
+    val deep = Seq((0L, 11L, 3), (0L, 12L, 1))
+      .toDF("qid", "rnk", "rel")
+    val dres = Relevance.ndcgAtK(deep, "qid", "rnk", "rel", k = 3)
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(dres._2 === 0.0 && dres._3 > 0 && dres._4 === Some(0.0))
   }
 
   test("mrrAtK: hand mean with the miss-zero convention; depth " +

@@ -183,6 +183,57 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-source streamed categorical chi-squared equals the batch " +
+      "chiSquaredDriftByGroup over the replayed log") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = tmp("catsrc_store")
+    // s1 keeps the reference mix; s0 ships a novel category
+    def cats(b: Int): Seq[(String, String)] =
+      (0 until 120).map { i =>
+        val s = s"s${i % 2}"
+        val c =
+          if (i % 2 == 0 && i % 6 == 0) "xx"
+          else s"lang${(i * 7 + b * 31) % 3}"
+        (s, c)
+      }
+    val src = MemoryStream[(String, String)]
+    val q = StreamingDrift.catSinkBy(
+        src.toDF().toDF("source", "cat"), store, "source", "cat")
+      .option("checkpointLocation", tmp("catsrc_ckpt"))
+      .start()
+    try {
+      (0 until 3).foreach { b =>
+        src.addData(cats(b): _*)
+        q.processAllAvailable()
+      }
+      val ref = (0 until 400).map(i => (s"s${i % 2}", s"lang${i % 3}"))
+        .toDF("source", "cat")
+      val refCounts = Stats.catCountsBy(ref, "source", "cat")
+      def snap() = StreamingDrift.chi2ByGroupAgainstReference(spark,
+          store, refCounts, "source", "cat")
+        .orderBy($"source")
+        .as[(String, Long, Long, Long, Long, Option[Double],
+          Option[Double])].collect()
+      val streamed = snap()
+      val batch = Stats.chiSquaredDriftByGroup(ref,
+          (0 until 3).flatMap(cats).toDF("source", "cat"),
+          "source", "cat")
+        .orderBy($"source")
+        .as[(String, Long, Long, Long, Long, Option[Double],
+          Option[Double])].collect()
+      assert(streamed === batch)
+      val v = streamed.map(r => r._1 -> r._7.get).toMap
+      assert(v("s0") > v("s1"),
+        s"novel-category source must out-alarm the stable one: $v")
+      // replay: nothing moves
+      StreamingDrift.writeCatCountsBy(
+        cats(1).toDF("source", "cat"), store, "source", "cat", 1L)
+      assert(snap() === streamed)
+      StreamingDrift.compactCatCountsBy(spark, store, "source", "cat")
+      assert(snap() === streamed)
+    } finally q.stop()
+  }
+
   // per-source fixtures: sources s0/s1 stay on the reference
   // distribution, s2 drifts hard — the alarm the per-source monitor
   // exists to raise while the pooled distribution barely moves

@@ -24,16 +24,27 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLOOR = os.path.join(ROOT, "bench_floor.json")
 
+# known array-valued metadata names a bench line/artifact carries (or
+# might grow) alongside the per-query runs — excluded from the
+# runs-array fold unless they are genuinely committed query names
+ARRAY_NON_QUERY = {"failed", "isolated", "regressed_isolated",
+                   "floor_breached", "stream_isolated", "chunks",
+                   "latencies", "runs", "queries"}
+
 
 def mins_from_text(txt, known=frozenset()):
     """Per-query min over every `"name":[p1,p2,...]` (runs) or bare
     `"name":sec` (queries map) fragment found; robust to truncated
     driver tails that carry only one of the two shapes.
 
-    The runs-array pass is unambiguous (only per-query runs carry a
-    numeric-array value). The bare-number pass is NOT — any scalar
-    metadata field the bench line grows ("chunks", "value", ...) would
-    match — so it folds a name only when it sits inside an explicit
+    Today only per-query runs carry a numeric-array value, but that is
+    a convention, not a contract — the array pass still excludes the
+    known metadata names (ARRAY_NON_QUERY, defense in depth) and the
+    committed BenchRegistrySpec floors-name-only-registry-queries
+    assertion is the backstop if a future array field slips both.
+    The bare-number pass is outright ambiguous — any scalar metadata
+    field the bench line grows ("chunks", "value", ...) matches — so
+    it folds a name only when it sits inside an explicit
     `"queries":{...}` object or is already a known query (the
     committed floor's key set): an allowlist, not a denylist a new
     field can silently slip past."""
@@ -45,6 +56,8 @@ def mins_from_text(txt, known=frozenset()):
             out[name] = min(out.get(name, 1e18), min(vals))
 
     for m in re.finditer(r'"([A-Za-z0-9_]+)":\[([-0-9.eE,\s]*)\]', txt):
+        if m.group(1) in ARRAY_NON_QUERY and m.group(1) not in known:
+            continue
         fold(m.group(1),
              [float(v) for v in m.group(2).split(",") if v.strip()])
     qspans = []
