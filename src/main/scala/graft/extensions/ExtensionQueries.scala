@@ -3621,6 +3621,100 @@ object ExtensionQueries {
         .orderBy(col("qid"))
     },
 
+    // SQuAD-style token F1 between a "prediction" (first 12 tokens)
+    // and a "gold answer" (tokens 4-12) of each doc — clipped
+    // bag-of-token overlap, the multiset-Dice F1. The oracle rebuilds
+    // the same strings, re-tokenizes, and mirrors the clipped-count
+    // fold; all counts exact, three closing divisions.
+    Q("ext_token_f1", {
+      val mk = (a: Int, b: Int) =>
+        s"string_split_regex(lower(array_to_string(" +
+          s"($TOKS)[$a:$b], ' ')), '\\s+')"
+      val ov = "coalesce(list_sum(list_transform(list_distinct(tp), " +
+        "u -> least(len(list_filter(tp, x -> x = u)), " +
+        "len(list_filter(tg, x -> x = u))))), 0)"
+      s"""WITH pg AS (SELECT doc_id, ${mk(1, 12)} AS tp,
+         |  ${mk(4, 12)} AS tg FROM documents),
+         |c AS (SELECT doc_id, CAST(len(tp) AS BIGINT) AS n_pred,
+         |  CAST(len(tg) AS BIGINT) AS n_gold,
+         |  CAST($ov AS BIGINT) AS n_common FROM pg)
+         |SELECT doc_id, n_pred, n_gold, n_common,
+         | CASE WHEN n_pred > 0 THEN
+         |  CAST(n_common AS DOUBLE) / CAST(n_pred AS DOUBLE)
+         | END AS prec,
+         | CASE WHEN n_gold > 0 THEN
+         |  CAST(n_common AS DOUBLE) / CAST(n_gold AS DOUBLE)
+         | END AS rec,
+         | CASE WHEN n_pred + n_gold > 0 THEN
+         |  2.0 * CAST(n_common AS DOUBLE) /
+         |   CAST(n_pred + n_gold AS DOUBLE)
+         | END AS f1
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val t = TextFns.toks(col("text"))
+      val pairs = documents(s, d).select(col("doc_id"),
+        array_join(slice(t, 1, 12), " ").as("pred"),
+        array_join(slice(t, 4, 9), " ").as("gold"))
+      TextAnalysis.tokenF1(pairs, "doc_id", "pred", "gold")
+        .orderBy(col("doc_id"))
+    },
+
+    // Sentence-BLEU components over the same pred/gold slices —
+    // clipped n-gram precisions 1..4, and the LOG-domain score whose
+    // one transcendental (ln) is fx-1e9 quantized data-side (the psi
+    // convention); the brevity term is an exact-rational min. The
+    // operator's convenience exp(bleu) column is deliberately NOT
+    // gated — gate on log_bleu, which BLEU is monotone in.
+    Q("ext_bleu", {
+      val mk = (a: Int, b: Int) =>
+        s"string_split_regex(lower(array_to_string(" +
+          s"($TOKS)[$a:$b], ' ')), '\\s+')"
+      def gr(side: String, n: Int) =
+        s"CASE WHEN len($side) >= $n THEN " +
+          s"list_transform(range(1, len($side) - ${n - 2}), " +
+          s"i -> array_to_string($side[i:i+${n - 1}], ' ')) " +
+          s"ELSE [] END"
+      def ov(a: String, b: String) =
+        s"coalesce(list_sum(list_transform(list_distinct($a), " +
+          s"u -> least(len(list_filter($a, x -> x = u)), " +
+          s"len(list_filter($b, x -> x = u))))), 0)"
+      val gdefs = (2 to 4).map(n => s"${gr("tp", n)} AS pn$n, " +
+        s"${gr("tg", n)} AS gn$n").mkString(", ")
+      val clips = (1 to 4).map(n =>
+        s"CAST(${ov(s"pn$n", s"gn$n")} AS BIGINT) AS clip_$n, " +
+          s"CAST(len(pn$n) AS BIGINT) AS tot_$n").mkString(", ")
+      val ts = (1 to 4).map(n =>
+        s"CAST(floor(ln(CAST(clip_$n AS DOUBLE) / " +
+          s"CAST(tot_$n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)")
+        .mkString(" + ")
+      val pos = (1 to 4).map(n => s"clip_$n > 0 AND tot_$n > 0")
+        .mkString(" AND ")
+      s"""WITH pg AS (SELECT doc_id, ${mk(1, 12)} AS tp,
+         |  ${mk(4, 12)} AS tg FROM documents),
+         |g AS (SELECT doc_id, tp, tg, tp AS pn1, tg AS gn1,
+         |  $gdefs FROM pg),
+         |c AS (SELECT doc_id, CAST(len(tp) AS BIGINT) AS n_pred,
+         |  CAST(len(tg) AS BIGINT) AS n_gold,
+         |  $clips FROM g)
+         |SELECT doc_id, n_pred, n_gold,
+         | ${(1 to 4).map(n => s"clip_$n, tot_$n").mkString(", ")},
+         | CASE WHEN $pos THEN
+         |  CAST($ts AS DOUBLE) / 4.0 / 1000000000.0 +
+         |   least(0.0, 1.0 - CAST(n_gold AS DOUBLE) /
+         |     CAST(n_pred AS DOUBLE))
+         | END AS log_bleu
+         |FROM c ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val t = TextFns.toks(col("text"))
+      val pairs = documents(s, d).select(col("doc_id"),
+        array_join(slice(t, 1, 12), " ").as("pred"),
+        array_join(slice(t, 4, 9), " ").as("gold"))
+      TextAnalysis.sentenceBleu(pairs, "doc_id", "pred", "gold",
+          maxN = 4)
+        .drop("bleu")
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic RANDOM-negative sampling over the md5 ring (the
     // contrastive baseline ext_hard_negatives upgrades from): the
     // oracle replays the ring ranks with one global row_number (fine

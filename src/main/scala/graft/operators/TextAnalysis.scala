@@ -1019,4 +1019,119 @@ object TextAnalysis {
           s => s.getField("__line")), "\n").as("body"),
         sum(when(col("__is_h"), 0).otherwise(1)).as("n_lines"))
   }
+
+  /** Row-local CLIPPED token overlap — Σ over distinct tokens of
+    * min(count in `a`, count in `b`): the shared core of [[tokenF1]]
+    * and [[sentenceBleu]]'s modified n-gram precision. O(|distinct a|
+    * · (|a| + |b|)) per row inside whole-stage codegen — sized for
+    * EVAL-ANSWER-length strings (tens of tokens), not documents; an
+    * exploded shuffle variant is the right shape past ~10³ tokens.
+    */
+  private def clippedOverlap(a: Column, b: Column): Column =
+    aggregate(array_distinct(a), lit(0), (acc, t) =>
+      acc + least(size(filter(a, x => x === t)),
+        size(filter(b, x => x === t))))
+
+  /** SQuAD-style token F1 between a prediction and a gold answer
+    * (Rajpurkar et al. 2016) — the extractive-QA / short-answer eval
+    * metric: whitespace tokens ([[TextFns.toks]], the engine's one
+    * tokenizer), CLIPPED bag-of-token overlap (a prediction repeating
+    * a gold token scores it once per gold occurrence, never free),
+    * F1 = 2·common/(n_pred + n_gold) — the multiset-Dice identity, so
+    * no separate P·R rounding. One row per input row: (idCol, n_pred,
+    * n_gold, n_common, prec, rec, f1) — `prec`/`rec`, not the reserved
+    * word PRECISION; each metric null when its denominator is empty. All counts exact integers; the three
+    * divisions close.
+    *
+    * Scale shape: ONE narrow row-local projection — no shuffle, no
+    * explode; see [[clippedOverlap]] for the per-row cost contract.
+    */
+  def tokenF1(df: DataFrame, idCol: String, predCol: String,
+              goldCol: String): DataFrame = {
+    val tp = TextFns.toks(col(predCol))
+    val tg = TextFns.toks(col(goldCol))
+    df.select(col(idCol), tp.as("__tp"), tg.as("__tg"))
+      .select(col(idCol),
+        size(col("__tp")).cast("long").as("n_pred"),
+        size(col("__tg")).cast("long").as("n_gold"),
+        clippedOverlap(col("__tp"), col("__tg")).cast("long")
+          .as("n_common"))
+      .select(col(idCol), col("n_pred"), col("n_gold"), col("n_common"),
+        when(col("n_pred") > 0, col("n_common").cast(DoubleType) /
+          col("n_pred").cast(DoubleType)).as("prec"),
+        when(col("n_gold") > 0, col("n_common").cast(DoubleType) /
+          col("n_gold").cast(DoubleType)).as("rec"),
+        when(col("n_pred") + col("n_gold") > 0,
+          lit(2.0) * col("n_common").cast(DoubleType) /
+            (col("n_pred") + col("n_gold")).cast(DoubleType))
+          .as("f1"))
+  }
+
+  /** Sentence BLEU components (Papineni et al. 2002) between a
+    * prediction and a reference — clipped n-gram precisions p_1..p_n
+    * plus the length ratio, and the LOG-domain score
+    *
+    *   log_bleu = (Σ_n t_n)/(maxN·1e9) + min(0, 1 − r/c)
+    *
+    * where t_n = the 1e-9-quantized ln p_n ([[graft.functions.Cols
+    * .fxTerm]] — the psi/KL convention: the ln is the one
+    * transcendental, and quantizing it data-side keeps both engines
+    * bit-identical) and the brevity-penalty term is an exact-rational
+    * min. BLEU itself is exp(log_bleu) — monotone in log_bleu, so
+    * thresholds and rankings need no exp; the `bleu` column carries
+    * it for convenience but is NOT hash-gated (a second unquantized
+    * transcendental layer would reintroduce the last-bit engine
+    * variation the fx convention exists to absorb — gate on
+    * `log_bleu`). log_bleu is null when any order's precision is 0
+    * or undefined (ln(0); the standard unsmoothed-BLEU zero) — the
+    * clip/tot counts still report, so a smoothed score can be
+    * derived downstream. One row per input row: (idCol, n_pred,
+    * n_gold, clip_1..maxN, tot_1..maxN, log_bleu, bleu).
+    *
+    * Scale shape: one row-local projection (n-gram lists built
+    * in-expression, [[clippedOverlap]] per order) — no shuffle;
+    * eval-answer-sized strings ([[clippedOverlap]]'s contract).
+    */
+  def sentenceBleu(df: DataFrame, idCol: String, predCol: String,
+                   goldCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1, 8], got $maxN")
+    import graft.functions.Cols.fxTerm
+    def grams(t: Column, n: Int): Column =
+      if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)), i =>
+          array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val base = df.select(col(idCol),
+      TextFns.toks(col(predCol)).as("__tp"),
+      TextFns.toks(col(goldCol)).as("__tg"))
+    val withN = (1 to maxN).foldLeft(base) { (d, n) =>
+      d.withColumn(s"__pn$n", grams(col("__tp"), n))
+        .withColumn(s"__gn$n", grams(col("__tg"), n))
+    }
+    val counted = (1 to maxN).foldLeft(
+        withN.withColumn("n_pred", size(col("__tp")).cast("long"))
+          .withColumn("n_gold", size(col("__tg")).cast("long"))) {
+      (d, n) =>
+        d.withColumn(s"clip_$n",
+            clippedOverlap(col(s"__pn$n"), col(s"__gn$n")).cast("long"))
+          .withColumn(s"tot_$n", size(col(s"__pn$n")).cast("long"))
+    }
+    val allPositive = (1 to maxN)
+      .map(n => col(s"clip_$n") > 0 && col(s"tot_$n") > 0)
+      .reduce(_ && _)
+    val tSum = (1 to maxN).map(n =>
+      fxTerm(log(col(s"clip_$n").cast(DoubleType) /
+        col(s"tot_$n").cast(DoubleType)), 1e9)).reduce(_ + _)
+    val bp = least(lit(0.0), lit(1.0) -
+      col("n_gold").cast(DoubleType) / col("n_pred").cast(DoubleType))
+    val logBleu = when(allPositive,
+      tSum.cast(DoubleType) / lit(maxN.toDouble) / lit(1e9) + bp)
+    counted.select(col(idCol) +: col("n_pred") +: col("n_gold") +:
+      ((1 to maxN).flatMap(n =>
+        Seq(col(s"clip_$n"), col(s"tot_$n"))) ++
+        Seq(logBleu.as("log_bleu"),
+          exp(logBleu).as("bleu"))): _*)
+  }
+
 }

@@ -450,4 +450,58 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "Top", "```bash\n# install deps\napt-get install x\n```"),
       (2L, "Next", "y")))
   }
+
+  test("tokenF1: clipped multiset overlap, hand P/R/F1, repeated " +
+      "prediction tokens never score free") {
+    val got = TextAnalysis.tokenF1(
+        Seq((1L, "a b b c", "b c d"), (2L, "x y", "x y"),
+          (3L, "q q q", "q")).toDF("id", "pred", "gold"),
+        "id", "pred", "gold")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val r1 = got(1L) // common: b (clipped to 1) + c = 2
+    assert(r1._2 === 4L && r1._3 === 3L && r1._4 === 2L)
+    assert(r1._5 === Some(0.5))
+    assert(math.abs(r1._6.get - 2.0 / 3) < 1e-12)
+    assert(math.abs(r1._7.get - 4.0 / 7) < 1e-12)
+    assert(got(2L)._7 === Some(1.0)) // exact match
+    val r3 = got(3L) // q q q vs q: clip = 1, not 3
+    assert(r3._4 === 1L && r3._5 === Some(1.0 / 3))
+  }
+
+  test("sentenceBleu: hand clipped n-gram precisions and log score, " +
+      "perfect match scores 0 (bleu 1), zero high-order overlap " +
+      "null, brevity penalty engages") {
+    import graft.functions.Cols
+    val got = TextAnalysis.sentenceBleu(
+        Seq((1L, "the cat sat on the mat", "the cat sat on a mat"),
+          (2L, "a b c d e", "a b c d e"),
+          (3L, "a b c d", "a b c e"))
+          .toDF("id", "pred", "gold"),
+        "id", "pred", "gold", maxN = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    // (n_pred, n_gold, clip/tot 1..4)
+    assert((r1.getLong(1), r1.getLong(2)) === ((6L, 6L)))
+    assert((r1.getLong(3), r1.getLong(4)) === ((5L, 6L)))
+    assert((r1.getLong(5), r1.getLong(6)) === ((3L, 5L)))
+    assert((r1.getLong(7), r1.getLong(8)) === ((2L, 4L)))
+    assert((r1.getLong(9), r1.getLong(10)) === ((1L, 3L)))
+    val want = (math.log(5.0 / 6) + math.log(3.0 / 5) +
+      math.log(2.0 / 4) + math.log(1.0 / 3)) / 4
+    assert(math.abs(r1.getDouble(11) - want) < 1e-6)
+    assert(math.abs(r1.getDouble(12) - math.exp(want)) < 1e-6)
+    val r2 = got(2L) // identical: every p_n = 1, bp = 0
+    assert(r2.getDouble(11) === 0.0 && r2.getDouble(12) === 1.0)
+    assert(got(3L).isNullAt(11)) // 4-gram overlap 0: unsmoothed null
+    // brevity: 2-token pred vs 3-token gold at maxN = 2 —
+    // precisions are 1, so log_bleu IS the penalty 1 - 3/2
+    val bp = TextAnalysis.sentenceBleu(
+        Seq((1L, "the cat", "the cat sat")).toDF("id", "pred", "gold"),
+        "id", "pred", "gold", maxN = 2)
+      .collect().head
+    assert(math.abs(bp.getDouble(7) - (-0.5)) < 1e-12)
+  }
+
 }
