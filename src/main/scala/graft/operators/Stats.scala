@@ -985,9 +985,11 @@ object Stats {
     * machinery — bit-identical draws cross-engine); each resample's
     * AUC is the SAME tie-aware rank-sum arithmetic over WEIGHTED
     * counts (weights are small exact integers, so every resample's
-    * count table stays integer-exact), ranks-below per resample via a
-    * RESAMPLE-PARTITIONED window over the (resample, distinct-score)
-    * count table — bounded partitions, no global window. Resamples
+    * count table stays integer-exact), ranks-below per resample via
+    * [[cumBelowByValueGrouped]] over the (resample, distinct-score)
+    * count table — the bucketed two-level prefix sum, so no partition
+    * is ever one resample's entire distinct-score set even under
+    * adversarial quantization; no global window. Resamples
     * that lose a class entirely yield a null AUC and sit out the
     * percentile (both engines skip nulls). One row:
     * (n_pos, n_neg, b, auc, lo, hi) — `auc` the exact unweighted
@@ -995,8 +997,9 @@ object Stats {
     *
     * Scale shape: the b× fan-out lands on the UNIT rows once
     * (narrow), then everything is (resample, score)-keyed map-side
-    * hash aggs + one resample-partitioned window + a b-row
-    * percentile. Nothing corpus² and nothing driver-side.
+    * hash aggs + the bucketed grouped prefix sum + a b-row
+    * percentile. Nothing corpus² and nothing driver-side beyond the
+    * prefix sum's bounded range probe.
     */
   def aucCi(df: DataFrame, idCol: String, scoreFxCol: String,
             labelCol: String, b: Int,
@@ -1005,7 +1008,6 @@ object Stats {
     require(lower >= 0 && upper <= 1 && lower < upper,
       s"need 0 <= lower < upper <= 1, got lower=$lower upper=$upper")
     import graft.functions.TextFns
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
     // persisted: the bootstrap fan-out and the unweighted point
@@ -1029,10 +1031,14 @@ object Stats {
       .groupBy(col("__r"), col("__s"))
       .agg(sum(when(col("__y"), col("__w")).otherwise(0L)).as("np"),
         sum(when(col("__y"), 0L).otherwise(col("__w"))).as("nn"))
-    val w = Window.partitionBy(col("__r")).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val perR = wCounts
-      .withColumn("cnn", coalesce(sum(col("nn")).over(w), lit(0L)))
+    // ranks-below per resample through the grouped bucketed prefix
+    // sum — a RESAMPLE-partitioned window's group is the whole
+    // distinct-score table, which a 1e9-quantized continuous score
+    // makes ~corpus-sized (the r13 by-group scale watch, closed here
+    // the same way as aucByGroup/ksTestByGroup)
+    val perR = cumBelowByValueGrouped(wCounts, Seq("__r"), "__s",
+        Seq("nn"))
+      .withColumn("cnn", col("cum_nn"))
       .groupBy(col("__r"))
       .agg(sum(col("np")).as("__p"), sum(col("nn")).as("__n"),
         sum(d19(col("np")) * (d19(col("cnn")) * 2 + d19(col("nn"))))
