@@ -3621,6 +3621,93 @@ object ExtensionQueries {
         .orderBy(col("qid"))
     },
 
+    // Exact Gini concentration of document sizes — the corpus-mix
+    // alarm ("few giant docs hold the mass"): the pairwise
+    // mean-absolute-difference form collapsed onto the distinct-value
+    // count table (one prefix-sum pass, no pair join); HUGEINT
+    // products, one closing division.
+    Q("ext_gini",
+      s"""WITH g AS (SELECT n_chars AS v,
+         |  CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(n_chars) AS BIGINT) AS s FROM documents
+         | WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1),
+         |cum AS (SELECT v, c, s,
+         |  CAST(coalesce(sum(c) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS HUGEINT) AS nc,
+         |  CAST(coalesce(sum(s) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS HUGEINT) AS ns
+         | FROM g),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(s) AS BIGINT) AS total,
+         |  CAST(sum(CAST(c AS HUGEINT) *
+         |    (CAST(v AS HUGEINT) * nc - ns)) AS HUGEINT) AS half
+         | FROM cum)
+         |SELECT n, total,
+         | CASE WHEN n > 0 AND total > 0 THEN
+         |  2.0 * CAST(half AS DOUBLE) /
+         |   (2.0 * CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+         | END AS gini
+         |FROM t""".stripMargin) { (s, d) =>
+      graft.operators.Stats.gini(documents(s, d), "n_chars")
+    },
+
+    // Per-SOURCE Gini scorecard over the same size column — each
+    // source's internal concentration in one pass.
+    Q("ext_gini_by_source",
+      s"""WITH g AS (SELECT source, n_chars AS v,
+         |  CAST(count(*) AS BIGINT) AS c,
+         |  CAST(sum(n_chars) AS BIGINT) AS s FROM documents
+         | WHERE n_chars IS NOT NULL AND n_chars >= 0 GROUP BY 1, 2),
+         |cum AS (SELECT source, v, c, s,
+         |  CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS HUGEINT) AS nc,
+         |  CAST(coalesce(sum(s) OVER (PARTITION BY source ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS HUGEINT) AS ns
+         | FROM g)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         | CAST(sum(s) AS BIGINT) AS total,
+         | CASE WHEN sum(c) > 0 AND sum(s) > 0 THEN
+         |  2.0 * CAST(CAST(sum(CAST(c AS HUGEINT) *
+         |    (CAST(v AS HUGEINT) * nc - ns)) AS HUGEINT) AS DOUBLE) /
+         |   (2.0 * CAST(sum(c) AS DOUBLE) * CAST(sum(s) AS DOUBLE))
+         | END AS gini
+         |FROM cum GROUP BY 1 ORDER BY source""".stripMargin) {
+      (s, d) =>
+        graft.operators.Stats.giniByGroup(documents(s, d), "source",
+            "n_chars")
+          .orderBy(col("source"))
+    },
+
+    // Kish effective sample size of a deterministic importance-weight
+    // fixture (~mean-1 weights) — the statistical-power health check
+    // for any weighted eval; both moments fx-1e6 summed, divisions
+    // mirrored.
+    Q("ext_ess", {
+      val sw = "(CAST(swfx AS DOUBLE) / 1000000.0)"
+      val sw2 = "(CAST(sw2fx AS DOUBLE) / 1000000.0)"
+      s"""WITH w AS (SELECT
+         |  CAST((doc_id * 13) % 100 AS DOUBLE) / 49.5 AS w
+         | FROM documents),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${fxSql("w", "1000000.0")} AS swfx,
+         |  ${fxSql("w * w", "1000000.0")} AS sw2fx
+         | FROM w WHERE w >= 0)
+         |SELECT n, $sw AS sum_w,
+         | CASE WHEN sw2fx > 0 THEN $sw * $sw / $sw2 END AS ess,
+         | CASE WHEN sw2fx > 0 AND n > 0 THEN
+         |  $sw * $sw / $sw2 / CAST(n AS DOUBLE) END AS ess_frac
+         |FROM a""".stripMargin
+    }) { (s, d) =>
+      val wdf = documents(s, d).select(
+        (pmod(col("doc_id") * 13, lit(100)).cast("double") / 49.5)
+          .as("w"))
+      graft.operators.Stats.effectiveSampleSize(wdf, "w")
+    },
+
     // SQuAD-style token F1 between a "prediction" (first 12 tokens)
     // and a "gold answer" (tokens 4-12) of each doc — clipped
     // bag-of-token overlap, the multiset-Dice F1. The oracle rebuilds

@@ -465,6 +465,128 @@ object Stats {
     }.drop("__bkt")
   }
 
+  /** Exact Gini coefficient of a NON-NEGATIVE integral column — the
+    * corpus-concentration alarm ("is the mix dominated by a few
+    * domains/sources", applied to per-domain doc counts, per-source
+    * token totals, per-shard sizes): 0 = perfectly even, →1 = one
+    * unit holds everything. Computed from the mean-absolute-
+    * difference form, Gini = Σ_{i,j}|x_i − x_j| / (2·n·Σx), whose
+    * pairwise sum collapses onto the distinct-value count table:
+    *
+    *   Σ_{i,j}|x_i − x_j| = 2·Σ_v c_v·(v·N_(<v) − S_(<v))
+    *
+    * with N_(<v) / S_(<v) the count and value-sum below v — ONE
+    * [[cumBelowByValue]] pass with two sum columns, no pair join, no
+    * global window, no sort. All products in DECIMAL with 19-digit
+    * factors (HUGEINT oracle mirror); the one division closes. One
+    * row: (n, total, gini) — gini null when n = 0 or Σx = 0 (an
+    * all-zero population has no concentration to measure). Nulls and
+    * negatives drop (a negative "count" is an upstream bug).
+    *
+    * Scale shape: one value-keyed map-side hash agg, the bucketed
+    * two-level prefix sum, one closing agg.
+    */
+  def gini(df: DataFrame, valCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(valCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"gini needs an integral column; '$valCol' is " +
+          other.simpleString)
+    }
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val g = df
+      .filter(col(valCol).isNotNull && col(valCol) >= 0)
+      .groupBy(col(valCol).cast(LongType).as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(col(valCol).cast(LongType)).as("__s"))
+    cumBelowByValue(g, "__v", Seq("__c", "__s"))
+      .agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n"),
+        coalesce(sum(col("__s")), lit(0L)).as("total"),
+        coalesce(sum(d19(col("__c")) *
+            (d19(col("__v")) * d19(col("cum___c")) -
+              d19(col("cum___s")))),
+          lit(0L).cast(DecimalType(38, 0))).as("__half"))
+      .select(col("n"), col("total"),
+        when(col("n") > 0 && col("total") > 0,
+          lit(2.0) * col("__half").cast(DoubleType) /
+            (lit(2.0) * col("n").cast(DoubleType) *
+              col("total").cast(DoubleType))).as("gini"))
+  }
+
+  /** Per-GROUP [[gini]] — each source's internal concentration in
+    * one pass (one row per group: (group, n, total, gini)), via
+    * [[cumBelowByValueGrouped]]; same exactness and null semantics.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String,
+                  valCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    df.schema(valCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"giniByGroup needs an integral column; '$valCol' is " +
+          other.simpleString)
+    }
+    def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+    val g = df
+      .filter(col(valCol).isNotNull && col(valCol) >= 0)
+      .groupBy(col(groupCol), col(valCol).cast(LongType).as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(col(valCol).cast(LongType)).as("__s"))
+    cumBelowByValueGrouped(g, Seq(groupCol), "__v", Seq("__c", "__s"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n"), sum(col("__s")).as("total"),
+        sum(d19(col("__c")) *
+          (d19(col("__v")) * d19(col("cum___c")) -
+            d19(col("cum___s")))).as("__half"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("n") > 0 && col("total") > 0,
+          lit(2.0) * col("__half").cast(DoubleType) /
+            (lit(2.0) * col("n").cast(DoubleType) *
+              col("total").cast(DoubleType))).as("gini"))
+  }
+
+  /** Effective sample size of an importance-weighted sample (Kish
+    * 1965), ESS = (Σw)²/Σw² — the "how many REAL examples is this
+    * weighted eval worth" health check that must accompany any
+    * weighted metric ([[graft.operators.Corpus]] DSIR weights, IPW
+    * evals): a 10⁶-row eval with ESS 50 has 50 rows of statistical
+    * power, and its tight-looking CI is a lie. Weights are doubles,
+    * so both moments run fixed-point ([[graft.functions.Cols.fxSum]]
+    * at 1e6 — the scale trades precision for headroom; the
+    * quantization is the determinism convention, not an approximation
+    * knob). Headroom contract: importance weights should arrive
+    * ~mean-1 normalized (the standard), keeping w² fx terms ~1e6 and
+    * the long sums safe past 10¹² rows; a max weight near 10⁶ eats
+    * that headroom quadratically. Non-finite/negative weights drop
+    * (their ESS is undefined). One row: (n, sum_w, ess, ess_frac) —
+    * null metrics when no positive-weight rows survive.
+    *
+    * Scale shape: one 1-row aggregation. Nothing else.
+    */
+  def effectiveSampleSize(df: DataFrame, wCol: String): DataFrame = {
+    import graft.functions.Cols.{fxSum, fxVal}
+    import org.apache.spark.sql.types.DoubleType
+    val sc = 1e6
+    val w = col(wCol).cast(DoubleType)
+    val agg = df
+      .filter(w.isNotNull && !isnan(w) && w >= 0 &&
+        w =!= Double.PositiveInfinity)
+      .agg(count(lit(1)).as("n"), fxSum(w, sc).as("__swfx"),
+        fxSum(w * w, sc).as("__sw2fx"))
+    val sw = fxVal(col("__swfx"), sc)
+    val sw2 = fxVal(col("__sw2fx"), sc)
+    agg.select(col("n"), sw.as("sum_w"),
+      when(col("__sw2fx") > 0, sw * sw / sw2).as("ess"),
+      when(col("__sw2fx") > 0 && col("n") > 0,
+        sw * sw / sw2 / col("n").cast(DoubleType)).as("ess_frac"))
+  }
+
   /** Exact tie-aware ROC AUC of an integral score column against a
     * boolean label — the quality-classifier acceptance metric (does
     * the scorer actually rank keepers above rejects?), in the

@@ -114,7 +114,8 @@ class BenchRegistrySpec extends AnyFunSuite {
     Set("ext_w1_test", "ext_w1_by_source",
       "ext_chi2_drift", "ext_chi2_by_source",
       "ext_ndcg", "ext_mrr", "ext_recall_k", "ext_kappa_pairs",
-      "ext_brier", "ext_token_f1", "ext_bleu")
+      "ext_brier", "ext_token_f1", "ext_bleu",
+      "ext_gini", "ext_gini_by_source", "ext_ess")
 
   test("floor coverage: every registry query has a committed floor " +
       "(new-this-round names must be explicitly grandfathered, and " +

@@ -335,6 +335,41 @@ class StatsSpec extends SparkSpec {
     assert(byG("new") === (("new", 0L, 1L, None, None)))
   }
 
+  test("gini: uniform 0, maximal concentration (n-1)/n, hand value, " +
+      "all-zero population null, byGroup matches per-slice") {
+    def g(xs: Seq[Long]) = Stats.gini(xs.toDF("v"), "v")
+      .as[(Long, Long, Option[Double])].head()
+    assert(g(Seq(1L, 1L, 1L, 1L))._3 === Some(0.0))
+    assert(g(Seq(0L, 0L, 0L, 4L))._3 === Some(0.75))
+    val h = g(Seq(1L, 2L, 3L))
+    assert(h._1 === 3L && h._2 === 6L)
+    assert(math.abs(h._3.get - 2.0 / 9) < 1e-12)
+    assert(g(Seq(0L, 0L))._3 === None)
+    val byG = Stats.giniByGroup(
+        Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 5L))
+          .toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(math.abs(byG("a")._4.get - 2.0 / 9) < 1e-12)
+    assert(byG("b")._4 === Some(0.0))
+  }
+
+  test("effectiveSampleSize: uniform weights = n, one-hot weights " +
+      "= 1, zero mass null, negatives and NaN drop") {
+    def ess(ws: Seq[Double]) =
+      Stats.effectiveSampleSize(ws.toDF("w"), "w")
+        .as[(Long, Option[Double], Option[Double], Option[Double])]
+        .head()
+    val u = ess(Seq(1.0, 1.0, 1.0, 1.0))
+    assert(u._1 === 4L && u._3 === Some(4.0) && u._4 === Some(1.0))
+    val one = ess(Seq(4.0, 0.0, 0.0, 0.0))
+    assert(one._3 === Some(1.0) && one._4 === Some(0.25))
+    assert(ess(Seq(0.0, 0.0))._3 === None)
+    // a negative and a NaN weight drop; the rest still count
+    val drop = ess(Seq(1.0, 1.0, -3.0, Double.NaN))
+    assert(drop._1 === 2L && drop._3 === Some(2.0))
+  }
+
   test("brierDecomposition: hand values satisfy the Murphy identity " +
       "on bin-constant forecasts; perfect certainty zeroes " +
       "brier/reliability; empty input null") {
