@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.DoubleType
   *    per-candidate sum over subspaces is exact integer arithmetic —
   *    rank order cannot depend on float addition order.
   *
-  * Scale shape: training is `rounds` × (ONE broadcast join of the
-  * m·ksub-row codebook + a per-(vector, subspace) argmin window with
-  * ksub rows per partition + a (sub, cell, dim) hash-agg). Encoding is
-  * the same broadcast argmin — a narrow pass. ADC joins the corpus
+  * Scale shape: training is `rounds` × (ONE narrow per-subspace
+  * [[graft.expressions.NearestCells]] argmin projection — the m·ksub
+  * codebook is bounded and driver-resident, so assignment has no join,
+  * no window and no exchange — + a (sub, cell, dim) hash-agg whose
+  * bounded m·ksub·dsub result paces the next round). Encoding is the
+  * same narrow argmin pass. ADC joins the corpus
   * code table (m small ints per vector — the entire point at 100 TB)
   * against a broadcast distance table of nq·m·ksub rows, then top-k via
   * the shared bounded-heap aggregate. No O(n²) anywhere; the corpus is
@@ -81,7 +83,6 @@ object Pq {
       s"rounds must be in [1, 16], got $rounds")
     val dsub = dims / m
     val spark = emb.sparkSession
-    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     // ksub whole seed vectors by (hash, id) — TakeOrdered, bounded —
     // sliced into one seed codeword per subspace
@@ -90,27 +91,34 @@ object Pq {
       .withColumn("h", TextFns.hash32(col("sid").cast("string")))
       .orderBy(col("h"), col("sid")).limit(ksub)
       .select(col("sv")).collect()
-    var cents: DataFrame = seedRows.zipWithIndex.flatMap { case (r, c) =>
-      // element type may be float OR double (sqDist handles either);
-      // read through Number so an array<double> vecCol doesn't throw
-      // an opaque ClassCastException at the driver
-      val v = r.getSeq[Number](0).map(_.doubleValue())
+    // element type may be float OR double; read through Number so an
+    // array<double> vecCol doesn't throw an opaque ClassCastException
+    var cents: Seq[Seq[(Long, IndexedSeq[Double])]] =
       (0 until m).map { s =>
-        (s, c, v.slice(s * dsub, (s + 1) * dsub).toSeq)
+        seedRows.zipWithIndex.map { case (r, c) =>
+          val v = r.getSeq[Number](0).map(_.doubleValue())
+          (c.toLong, v.slice(s * dsub, (s + 1) * dsub).toIndexedSeq)
+        }.toSeq
       }
-    }.toSeq.toDF("sub", "cell", "cv")
     val vs = subvecs(fanOut(emb), idCol, vecCol, m, dsub)
-    def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vid"), col("sub"))
-        .orderBy(col("d2").asc, col("cell"))
-      vs.join(broadcast(c), Seq("sub"))
-        .withColumn("d2", sqDist(col("sv"), col("cv")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // assignment = ONE narrow per-subspace NearestCells projection
+    // (r14: replaces the broadcast join + per-(vector, subspace)
+    // row_number window, which shuffled |corpus| × m × ksub
+    // subvector-carrying rows per round); same sequential-fold
+    // squared-L2, same (d2 ASC, cell ASC) argmin.
+    def assign(cb: Seq[Seq[(Long, IndexedSeq[Double])]]): DataFrame =
+      vs.select(col("vid"), col("sub"), col("sv"),
+          element_at(graft.expressions.NearestCells.bySub(
+            col("sub"), col("sv"), cb, 1, bySqDist = true), 1)
+            .getField("cell").cast("int").as("cell"))
         .select(col("vid"), col("sub"), col("cell"), col("sv"))
-    }
     var assigned = assign(cents)
     (2 to rounds).foreach { _ =>
-      val means = assigned
+      // per-round recompute: (sub, cell, dim) fixed-point means —
+      // m × ksub × dsub rows, collected to the driver (bounded:
+      // ≤ 4096 × dims) to pace the next round, the kmeansFixed
+      // pattern.
+      val meanRows = assigned
         .select(col("sub"), col("cell"),
           posexplode(col("sv")).as(Seq("i", "x")))
         .groupBy(col("sub"), col("cell"), col("i"))
@@ -118,13 +126,20 @@ object Pq {
           count(lit(1)).as("n"))
         .select(col("sub"), col("cell"), col("i"),
           (Cols.fxVal(col("q"), 1e9) / col("n").cast(DoubleType)).as("mc"))
-      cents = means.groupBy(col("sub"), col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("mc")))),
-          s => s.getField("mc")).as("cv"))
+        .collect()
+      cents = (0 until m).map { s =>
+        meanRows.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toSeq
+          .map { case (cell, rs) =>
+            (cell.toLong,
+              rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toIndexedSeq)
+          }.sortBy(_._1)
+      }
       assigned = assign(cents)
     }
-    (cents,
+    val centsDf = cents.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (cell, cv) => (s, cell.toInt, cv) }
+    }.toDF("sub", "cell", "cv")
+    (centsDf,
       assigned.select(col("vid"), col("sub"), col("cell").as("code")))
   }
 
@@ -143,15 +158,27 @@ object Pq {
                vecCol: String, m: Int = 4, dims: Int = 64): DataFrame = {
     require(m >= 1 && dims % m == 0,
       s"m must divide dims: m=$m dims=$dims")
-    import org.apache.spark.sql.expressions.Window
     val dsub = dims / m
+    // the m·ksub codebook is bounded — collect it once and encode in
+    // ONE narrow NearestCells projection (r14: replaces the broadcast
+    // join + per-(vector, subspace) argmin window; same squared-L2,
+    // same tie rule)
+    val rows = codebooks
+      .select(col("sub").cast("int"), col("cell").cast("long"),
+        col("cv")).collect()
+    val cb: Seq[Seq[(Long, IndexedSeq[Double])]] = (0 until m).map { s =>
+      rows.filter(_.getInt(0) == s)
+        .map(r => (r.getLong(1),
+          r.getSeq[Number](2).map(_.doubleValue()).toIndexedSeq))
+        .sortBy(_._1).toSeq
+    }
     val vs = subvecs(fanOut(batch), idCol, vecCol, m, dsub)
-    val w = Window.partitionBy(col("vid"), col("sub"))
-      .orderBy(col("d2").asc, col("cell"))
-    vs.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("d2", sqDist(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vid"), col("sub"), col("cell").as("code"))
+    vs.select(col("vid"), col("sub"),
+        element_at(graft.expressions.NearestCells.bySub(
+          col("sub"), col("sv"), cb, 1, bySqDist = true), 1)
+          .getField("cell").cast("int").as("code"))
+      .filter(col("code").isNotNull) // a sub with no codebook row
+                                     // matches the inner join it replaces
   }
 
   /** ADC top-k of a NEW batch against a PERSISTED IVF+PQ index — the
@@ -292,22 +319,21 @@ object Pq {
                cells: Int = 16, nProbe: Int = 4,
                m: Int = 4, ksub: Int = 16, rounds: Int = 2,
                dims: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // coarse cells: first `cells` vectors by id seed the Voronoi
-    // partition (the oracle-reproducible ivfKnn configuration)
-    val seeds = corpus.orderBy(col(idCol)).limit(cells)
-      .select(col(idCol).as("__cell0"), col(vecCol).as("__s0"))
-    def assign(df: DataFrame, id: String, keep: Int) = {
-      val scored = df.select(col(idCol).as(id), col(vecCol).as("__v"))
-        .join(broadcast(seeds))
-        .withColumn("__scos",
-          graft.functions.VectorFns.cosine(col("__v"), col("__s0")))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__scos").desc, col("__cell0"))
-      scored.withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .select(col(id), col("__cell0"))
-    }
+    // partition (the oracle-reproducible ivfKnn configuration); the
+    // bounded seed table is driver-collected and assignment is one
+    // narrow NearestCells projection (r14 — no join, no window)
+    val seedCents = corpus.orderBy(col(idCol)).limit(cells)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq))
+      .sortBy(_._1).toSeq
+    def assign(df: DataFrame, id: String, keep: Int) =
+      df.select(col(idCol).as(id), col(vecCol).as("__v"))
+        .select(col(id),
+          explode(graft.expressions.NearestCells.single(
+            col("__v"), seedCents, keep, bySqDist = false)).as("__c"))
+        .select(col(id), col("__c.cell").as("__cell0"))
     val corpusCells = assign(fanOut(corpus), "neighbor_id", 1)
     val queryProbes = assign(queries, "query_id", nProbe)
     val cand = corpusCells.join(broadcast(queryProbes), Seq("__cell0"))

@@ -514,26 +514,49 @@ object Similarity {
   final case class IvfIndexFrames(centroids: DataFrame,
                                   postings: DataFrame)
 
+  /** Driver-collect a bounded centroid table into the
+    * [[graft.expressions.NearestCells]] codebook shape: (cell asc,
+    * centroid widened to double). Bounded by the callers' `cells`/
+    * `ksub` ≤ 4096 contract — the same class of driver pass as the
+    * k seed rows every build already collects.
+    */
+  private[operators] def collectCents(seeds: DataFrame, cellCol: String,
+                                      vecCol: String)
+      : Seq[(Long, IndexedSeq[Double])] =
+    seeds.select(col(cellCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        (r.getLong(0),
+          r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq)
+      }.sortBy(_._1).toSeq
+
   /** Nearest-`keep` cell assignment of `df`'s vectors against a
     * centroid table (ties to the lower cell id), WITH the rank:
-    * `(idName, vName, cell, cell_rank)`. The window partitions by
-    * vector id — ≤ |centroids| rows per partition, never a global
-    * sort.
+    * `(idName, vName, cell, cell_rank)`.
+    *
+    * One narrow projection via [[graft.expressions.NearestCells]] over
+    * the driver-collected (bounded) centroid table — the r14 rewrite of
+    * the broadcast-join + per-vector row_number window, which
+    * materialized |df| × |centroids| vector-carrying rows and SHUFFLED
+    * them into the window sort; assignment now touches each input row
+    * once, with no exchange, at any corpus size. Scores and
+    * tie-breaking are bit-identical (same sequential-fold cosine, same
+    * (cos DESC, cell ASC) order) — oracle-pinned.
     */
   private[operators] def assignCellsRanked(seeds: DataFrame,
                                            df: DataFrame,
                                            idCol: String, vecCol: String,
                                            idName: String, vName: String,
                                            keep: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = df.select(col(idCol).as(idName), col(vecCol).as(vName))
-      .join(broadcast(seeds))
-      .withColumn("seed_cos", VectorFns.cosine(col(vName), col("sv")))
-    val w = Window.partitionBy(col(idName))
-      .orderBy(col("seed_cos").desc, col("cell"))
-    scored.withColumn("cell_rank", row_number().over(w))
-      .filter(col("cell_rank") <= keep)
-      .select(col(idName), col(vName), col("cell"), col("cell_rank"))
+    val cellType = seeds.schema("cell").dataType
+    val cents = collectCents(seeds, "cell", "sv")
+    df.select(col(idCol).as(idName), col(vecCol).as(vName))
+      .select(col(idName), col(vName),
+        posexplode(graft.expressions.NearestCells.single(
+          col(vName), cents, keep, bySqDist = false))
+          .as(Seq("__p", "__c")))
+      .select(col(idName), col(vName),
+        col("__c.cell").cast(cellType).as("cell"),
+        (col("__p") + 1).cast("int").as("cell_rank"))
   }
 
   /** [[assignCellsRanked]] without the rank column. */
@@ -841,53 +864,62 @@ object Similarity {
     *
     * Emits (id, cluster_id, centroid_cos) — one row per input vector.
     *
-    * Scale shape: per round, ONE broadcast join (k centroid rows)
-    * + a row_number window PARTITIONED BY vector id (k rows per
-    * partition) for the argmax, then a posexplode + (cell, dim)
-    * hash-agg (map-side partials; output k×dims rows) for the
-    * recompute. No driver collect beyond the k seed rows; no O(n²).
-    * Cosine is scale-invariant, so means need no re-normalization.
+    * Scale shape: per round, ONE narrow [[graft.expressions
+    * .NearestCells]] assignment projection (no join, no window, no
+    * exchange — the codebook is the bounded k-row table, resident on
+    * the driver like the seeds), then a posexplode + (cell, dim)
+    * hash-agg (map-side partials; output k×dims rows) whose k×dims
+    * result is collected to pace the next round — the bpeTrain
+    * pattern, bounded at 4096×dims rows. No O(n²). Cosine is
+    * scale-invariant, so means need no re-normalization.
     */
   def kmeansFixed(emb: DataFrame, idCol: String, vecCol: String,
                   k: Int, rounds: Int = 2): DataFrame = {
     require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1, 16], got $rounds")
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.Cols.{fxSum, fxVal}
-    val spark = emb.sparkSession
-    import spark.implicits._
     val seedRows = emb
       .select(col(idCol).as("sid"), col(vecCol).as("sv"))
       .withColumn("h", TextFns.hash32(col("sid").cast("string")))
       .orderBy(col("h"), col("sid")).limit(k) // TakeOrdered, k bounded
       .select(col("sid"), col("sv")).collect()
-    var cents = seedRows.zipWithIndex.map { case (r, i) =>
-      (i, r.getSeq[Float](1).map(_.toDouble))
-    }.toSeq.toDF("cell", "cv")
+    var cents: Seq[(Long, IndexedSeq[Double])] =
+      seedRows.zipWithIndex.map { case (r, i) =>
+        (i.toLong,
+          r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq)
+      }
     val vecs = fanOut(emb)
       .select(col(idCol).as("vid"), col(vecCol).as("v"))
-    def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("cos").desc, col("cell"))
-      vecs.join(broadcast(c))
-        .withColumn("cos", VectorFns.cosine(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vid"), col("cell"), col("cos"), col("v"))
-    }
+    // assignment = ONE narrow NearestCells projection (r14: replaces
+    // the broadcast join + per-vector row_number window, which
+    // shuffled |corpus| × k vector-carrying rows per round); same
+    // sequential-fold cosine, same (cos DESC, cell ASC) argmax.
+    def assign(c: Seq[(Long, IndexedSeq[Double])]): DataFrame =
+      vecs
+        .select(col("vid"), col("v"),
+          element_at(graft.expressions.NearestCells.single(
+            col("v"), c, 1, bySqDist = false), 1).as("__b"))
+        .select(col("vid"), col("__b.cell").cast("int").as("cell"),
+          col("__b.score").as("cos"), col("v"))
     var assigned = assign(cents)
     (2 to rounds).foreach { _ =>
-      val means = assigned
+      // per-round recompute: (cell, dim) fixed-point means — k × dims
+      // rows, collected to the driver (bounded: ≤ 4096 × dims — the
+      // same class as the k seed rows above) and fed to the next
+      // round's assignment as the NearestCells codebook.
+      val meanRows = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("cell"), col("i"))
         .agg(fxSum(col("x").cast("double"), 1e9).as("q"),
           count(lit(1)).as("n"))
         .select(col("cell"), col("i"),
           (fxVal(col("q"), 1e9) / col("n").cast("double")).as("m"))
-      cents = means.groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("i"), col("m")))),
-          s => s.getField("m")).as("cv"))
+        .collect()
+      cents = meanRows.groupBy(_.getInt(0)).toSeq.map { case (cell, rs) =>
+        (cell.toLong,
+          rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toIndexedSeq)
+      }.sortBy(_._1)
       assigned = assign(cents)
     }
     assigned.select(col("vid").as(idCol), col("cell").as("cluster_id"),

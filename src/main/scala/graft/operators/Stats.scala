@@ -45,9 +45,11 @@ object Stats {
     * loop invariants); each MM iteration is two item-keyed equi-joins
     * of the ≤|items| strengths frame into the opponent table, one
     * per-item hash agg, and a 1-row broadcast normalization — no
-    * window, nothing driver-side, lineage linear in `iters` (the
-    * strengths chain is lazy; each frame feeds exactly the next
-    * iteration).
+    * window, nothing driver-side; each iteration's strengths frame is
+    * localCheckpoint'd (it feeds the next iteration's two joins and
+    * the normalization total, so a lazy chain's plan tree would double
+    * per iteration — measured 271 Exchange nodes at iters = 2), which
+    * keeps every iteration's plan constant-size.
     */
   def btStrengths(pairs: DataFrame, winnerCol: String, loserCol: String,
                   iters: Int = 2, scale: Double = 1e9): DataFrame =
@@ -122,9 +124,19 @@ object Stats {
           fxVal(col("__dfx"), scale)).as("__s"))
       val t = r.agg(fxSum(col("__s"), scale).as("__tfx"),
         count(lit(1)).as("__k"))
+      // localCheckpoint per iteration: the strengths frame feeds the
+      // next iteration TWICE (the __si and __sj joins) and the 1-row
+      // normalization total a third time, so a lazy chain's plan tree
+      // doubles per iteration — at iters = 2 the benched query already
+      // planned 271 Exchange nodes (r14 measurement; Catalyst planning
+      // time, not data work). Truncating the lineage to the ≤|items|-
+      // row checkpoint keeps every iteration's plan constant-size; the
+      // values are untouched (same joins, same fx sums), which the
+      // oracle hash pins.
       s = r.crossJoin(broadcast(t))
         .select(col("i"), (col("__s") * col("__k").cast("double") /
           fxVal(col("__tfx"), scale)).as("__s"))
+        .localCheckpoint()
     }
     base.join(s, Seq("i"))
       .select(col("i").as("item"), col("wins"), col("n_comparisons"),
