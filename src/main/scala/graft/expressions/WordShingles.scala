@@ -46,6 +46,123 @@ case class WordShingles(child: Expression, n: Int)
       newChild: Expression): WordShingles = copy(child = newChild)
 }
 
+/** EVERY word n-gram of a token array, in order, WITH multiplicity —
+  * the language-model sibling of [[WordShingles]] (whose distinctness
+  * is right for shingle indexes but loses the occurrence counts an
+  * n-gram LM is built on). Same conventions: tokens joined by single
+  * spaces, null tokens read as empty strings, fewer than n tokens ⇒
+  * empty array. Declarative mirror: `TextFns.shingles(...)` without
+  * the array_distinct — the codegen form of the per-position
+  * `transform`/`concat` HOF chain the KN scorers ran (measured >3× on
+  * corpus-scale inputs, r14).
+  */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = classOf[WordGrams].getName
+      s"${ev.value} = $cls.compute($a, $n);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordGrams = copy(child = newChild)
+}
+
+object WordGrams {
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** One static call per row from interpreted eval and generated code. */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    if (total < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](total)
+    var t = 0
+    while (t < total) {
+      toks(t) = if (arr.isNullAt(t)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(t)
+      t += 1
+    }
+    val out = new Array[Any](total - n + 1)
+    var i = 0
+    while (i <= total - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** EVERY character n-gram of a string, in order, WITH multiplicity —
+  * the char-LM sibling of [[WordGrams]]: the codegen form of the
+  * per-position `transform(sequence(...), i => substr(t, i, n))` HOF
+  * (interpreted per element). Substrings are by character (code
+  * point), the `substr` convention; fewer than n chars ⇒ empty array.
+  */
+case class CharGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "n must be positive")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharGrams.compute(input.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = classOf[CharGrams].getName
+      s"${ev.value} = $cls.compute($a, $n);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharGrams = copy(child = newChild)
+}
+
+object CharGrams {
+  /** One static call per row from interpreted eval and generated code. */
+  def compute(t: UTF8String, n: Int): ArrayData = {
+    val len = t.numChars()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      out(i) = t.substring(i, i + n)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object WordShingles {
 
   private val SPACE = UTF8String.fromString(" ")

@@ -34,13 +34,16 @@ object TextFns {
   /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]) as strings.
     * Empty array when the doc has fewer than n tokens.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = toks(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // codegen n-gram kernel (r14) — the transform/slice/array_join HOF
+    // chain ran interpreted per element; coalesce keeps this function's
+    // null-text contract (empty array, not null)
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.WordGrams(
+          org.apache.spark.sql.graftbridge.Bridge.expression(toks(text)),
+          n)),
+      array().cast("array<string>"))
 
   /** Deterministic 32-bit non-negative hash of a string: first 8 hex
     * chars of md5 as a Long (0 .. 2^32-1). Oracle-reproducible.

@@ -445,7 +445,12 @@ object Corpus {
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
     val grams = fanOut(docs).select(col(idCol),
-      explode(array_distinct(TextFns.shingles(col(textCol), n)))
+      // codegen distinct-shingle kernel (first-occurrence order, the
+      // array_distinct(shingles) convention — r14)
+      explode(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.WordShingles(
+          org.apache.spark.sql.graftbridge.Bridge.expression(
+            TextFns.toks(col(textCol))), n)))
         .as("gram"))
     val dfreq = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("__df"))
@@ -524,9 +529,13 @@ object Corpus {
     val base = fanOut(docs).select(col(idCol), toksC.as("__t"))
       .persist(MEMORY_AND_DISK)
     val grams = base.select(col(idCol),
-        posexplode(when(size(col("__t")) >= n,
-          transform(sequence(lit(1), size(col("__t")) - (n - 1)),
-            i => array_join(slice(col("__t"), i, lit(n)), " "))))
+        // codegen n-gram kernel (r14): the transform/slice/array_join
+        // HOF ran interpreted per element; < n tokens ⇒ empty array,
+        // which posexplode drops like the unguarded when() it replaces
+        posexplode(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expressions.WordGrams(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              col("__t")), n)))
           .as(Seq("__p0", "gram")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("p"),
         col("gram"))
@@ -1487,14 +1496,18 @@ object Corpus {
     var exhausted = false
     (1 to merges).foreach { step =>
       if (!exhausted) {
+        // adjacent symbol pairs via the codegen WordGrams kernel
+        // (symbols never contain spaces — words are \s+-split — so the
+        // space-joined pair string splits back exactly); the previous
+        // per-position struct HOF ran interpreted per element (r14)
         val best = vocab
           .select(col("wc"), split(trim(col("s"), US), US + US).as("sy"))
-          .filter(size(col("sy")) >= 2)
-          .select(col("wc"), explode(expr(
-            "transform(sequence(1, size(sy) - 1), i -> " +
-              "struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))"))
-            .as("p"))
-          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .select(col("wc"), explode(org.apache.spark.sql.graftbridge
+            .Bridge.column(graft.expressions.WordGrams(
+              org.apache.spark.sql.graftbridge.Bridge.expression(
+                col("sy")), 2))).as("bg"))
+          .groupBy(substring_index(col("bg"), " ", 1).as("lhs"),
+            substring_index(col("bg"), " ", -1).as("rhs"))
           .agg(sum(col("wc")).as("pc"))
           .orderBy(col("pc").desc, col("lhs"), col("rhs"))
           .limit(1).collect() // TakeOrdered: 1 row per round
@@ -1528,6 +1541,11 @@ object Corpus {
     * into a chain of `replace` calls — ONE narrow whole-stage-codegen
     * projection over the corpus, no join, no shuffle, no state. The
     * symbol counts are length arithmetic on the separator characters.
+    * (r14 A/B note: a vocabulary-level variant — run the chain over
+    * distinct words, join counts back per doc — was measured 40 %
+    * SLOWER at bench scale (3 shuffles replacing a map-only pass) and
+    * only pays once merges × corpus bytes dwarf a (doc, word) shuffle;
+    * the narrow projection stays the default.)
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 mergeTable: DataFrame): DataFrame = {

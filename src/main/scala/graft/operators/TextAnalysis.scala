@@ -243,36 +243,16 @@ object TextAnalysis {
              k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    val t = lower(col(textCol))
-    val n = (length(t) - lit(k - 1)).cast("int") // k-gram count
-    val hpType = "array<struct<h:bigint,pos:bigint>>"
-    // the (hash, pos) grid MUST land in its own projection column: a
-    // HOF lambda re-evaluates any embedded subexpression per
-    // invocation, so an inline grid would recompute every k-gram md5
-    // once per window element — O(len²·w) hashing (measured 60×
-    // slower); through the column reference it is hashed once per row
-    // (CollapseProject keeps multi-use non-cheap aliases separate)
-    val grid = when(length(t) >= lit(k),
-      transform(sequence(lit(1), n), i =>
-        struct(TextFns.hash32(t.substr(i, lit(k))).as("h"),
-          i.cast("long").as("pos"))))
-      .otherwise(array().cast(hpType))
-    val hp = col("__hp")
-    // per window: fold (min, pos) with <= so ties advance to the
-    // RIGHTMOST minimal position (the winnowing robustness rule)
-    val picks = when(size(hp) >= lit(w),
-      transform(sequence(lit(1), size(hp) - lit(w - 1)), j =>
-        aggregate(slice(hp, j, lit(w)),
-          struct(lit(Long.MaxValue).as("h"), lit(0L).as("pos")),
-          (acc, e) =>
-            when(e.getField("h") <= acc.getField("h"),
-                struct(e.getField("h").as("h"),
-                  e.getField("pos").as("pos")))
-              .otherwise(acc))))
-      .otherwise(array().cast(hpType))
+    // grid + per-window rightmost-min + first-occurrence dedup in ONE
+    // per-row kernel ([[graft.expressions.WinnowFingerprints]], r14):
+    // the declarative form paid an interpreted md5 per k-gram in the
+    // grid HOF and an array allocation + w interpreted lambda calls
+    // per window in the picks HOF. Hashes, tie rule and pick order are
+    // replicated exactly (spec- and oracle-pinned).
     fanOut(docs)
-      .select(col(idCol), grid.as("__hp"))
-      .select(col(idCol), explode(array_distinct(picks)).as("f"))
+      .select(col(idCol),
+        explode(Bridge.column(graft.expressions.WinnowFingerprints(
+          Bridge.expression(lower(col(textCol))), k, w))).as("f"))
       .select(col(idCol), col("f.pos").as("pos"), col("f.h").as("fp"))
   }
 
@@ -513,13 +493,12 @@ object TextAnalysis {
   def charLmScore(train: DataFrame, score: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     import graft.functions.Cols.{fxSum, fxVal}
-    def tris(c: Column): Column = {
-      val t = lower(c)
-      when(length(t) >= 3,
-        transform(sequence(lit(1), length(t) - 2), i =>
-          t.substr(i, lit(3))))
-        .otherwise(array().cast("array<string>"))
-    }
+    // char trigrams via the codegen CharGrams kernel (r14): the
+    // per-position transform/substr HOF ran interpreted per element;
+    // same substrings (by character, < 3 chars ⇒ empty)
+    def tris(c: Column): Column =
+      Bridge.column(graft.expressions.CharGrams(
+        Bridge.expression(lower(c)), 3))
     val c3 = fanOut(train)
       .select(explode(tris(col(textCol))).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("__c3"))
@@ -613,13 +592,12 @@ object TextAnalysis {
     * tokens) — the n-gram unit [[knBigramScore]] and
     * [[knTrigramScore]]'s backoff level share.
     */
-  private def wordBigrams(c: Column): Column = {
-    val t = TextFns.toks(c)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1), i =>
-        concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def wordBigrams(c: Column): Column =
+    // codegen n-gram kernel (r14): the per-position transform/concat
+    // HOF chain ran interpreted per element; same strings (single-
+    // space join, empty for < 2 tokens), measured >3× faster
+    Bridge.column(graft.expressions.WordGrams(
+      Bridge.expression(TextFns.toks(c)), 2))
 
   /** Interpolated Kneser-Ney BIGRAM language-model scoring — the
     * word-level LM quality signal (CCNet-style perplexity filtering)
@@ -772,26 +750,24 @@ object TextAnalysis {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // each trigram carries its join fragments from construction so
-    // both engines key the model joins on identical strings
-    def trigrams(c: Column): Column = {
-      val t = TextFns.toks(c)
-      when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2), i => struct(
-          concat(element_at(t, i), lit(" "), element_at(t, i + 1),
-            lit(" "), element_at(t, i + 2)).as("tri"),
-          concat(element_at(t, i), lit(" "), element_at(t, i + 1))
-            .as("p12"),
-          concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))
-            .as("s23"),
-          element_at(t, i + 1).as("w2"),
-          element_at(t, i + 2).as("w3"))))
-        .otherwise(array().cast(
-          "array<struct<tri:string,p12:string,s23:string," +
-            "w2:string,w3:string>>"))
-    }
-    val tg = fanOut(train)
-      .select(explode(trigrams(col(textCol))).as("g")).select(col("g.*"))
+    // trigram strings from the codegen WordGrams kernel; the model-join
+    // fragments DERIVE from the joined string (tokens cannot contain
+    // whitespace — toks splits on \s+ — so substring_index on single
+    // spaces recovers exactly the per-position tokens, empty tokens
+    // included), all inside whole-stage codegen. r14: the previous
+    // per-position 5-field struct HOF ran interpreted per element —
+    // measured >3× slower on the same corpus; strings and counts are
+    // identical, which the oracle hashes pin.
+    def triFrags(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(org.apache.spark.sql.graftbridge.Bridge
+          .column(graft.expressions.WordGrams(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              TextFns.toks(col(textCol))), 3))).as("tri"): _*)
+        .withColumn("p12", substring_index(col("tri"), " ", 2))
+        .withColumn("s23", substring_index(col("tri"), " ", -2))
+        .withColumn("w2", substring_index(col("s23"), " ", 1))
+        .withColumn("w3", substring_index(col("tri"), " ", -1))
+    val tg = triFrags(fanOut(train), Seq.empty)
     // trigram type table: four consumers (ctx3, mid23, midw2, scoring)
     // — pruned BEFORE the persist and before all of them, so the
     // model tables derive from the same (smaller) type set
@@ -817,9 +793,7 @@ object TextAnalysis {
     val totals = cb.agg(count(lit(1)).as("__T")).crossJoin(
       fanOut(train).select(explode(TextFns.toks(col(textCol))).as("__tk"))
         .agg(countDistinct(col("__tk")).as("__V")))
-    val occ = fanOut(score)
-      .select(col(idCol), explode(trigrams(col(textCol))).as("g"))
-      .select(col(idCol), col("g.*"))
+    val occ = triFrags(fanOut(score), Seq(col(idCol)))
       .groupBy(col(idCol), col("tri"), col("p12"), col("s23"),
         col("w2"), col("w3"))
       .agg(count(lit(1)).as("__m"))
@@ -1098,10 +1072,12 @@ object TextAnalysis {
     import graft.functions.Cols.fxTerm
     def grams(t: Column, n: Int): Column =
       if (n == 1) t
-      else when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)), i =>
-          array_join(slice(t, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
+      // codegen n-gram kernel (r14; coalesce keeps the empty-not-null
+      // contract for the size()-based tot_n columns)
+      else coalesce(
+        Bridge.column(graft.expressions.WordGrams(
+          Bridge.expression(t), n)),
+        array().cast("array<string>"))
     val base = df.select(col(idCol),
       TextFns.toks(col(predCol)).as("__tp"),
       TextFns.toks(col(goldCol)).as("__tg"))
