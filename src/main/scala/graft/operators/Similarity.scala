@@ -351,18 +351,19 @@ object Similarity {
     // still reports its groups' vector counts instead of silently
     // reading as vanished; where the sentinel exists it wins, so
     // null-vector rows stay counted
+    // sentinel-preference as ONE hash agg (r14): the previous
+    // full-outer self-join of the sentinel and dim-0 slices planned a
+    // SortMergeJoin (full outer cannot broadcast) over a table the
+    // scaladoc bounds at config scale — same coalesce, zero joins
     def nVecs(counts: DataFrame, c: String): DataFrame =
-      counts.filter(col("pos") === -1)
-        .select(col(groupCol), col("n").as("__ns"))
-        .join(counts.filter(col("pos") === 0)
-          .select(col(groupCol), col("n").as("__nd")),
-          Seq(groupCol), "full")
-        .select(col(groupCol),
-          coalesce(col("__ns"), col("__nd")).as(c))
+      counts.filter(col("pos") === -1 || col("pos") === 0)
+        .groupBy(col(groupCol))
+        .agg(coalesce(max(when(col("pos") === -1, col("n"))),
+          max(when(col("pos") === 0, col("n")))).as(c))
     val cos = fxVal(col("__dot"), 1e9) /
       (sqrt(fxVal(col("__nr"), 1e9)) * sqrt(fxVal(col("__nc"), 1e9)))
     val cosByGroup = cent(refCounts, "__cr")
-      .join(cent(curCounts, "__cc"), Seq(groupCol, "pos"))
+      .join(broadcast(cent(curCounts, "__cc")), Seq(groupCol, "pos"))
       .groupBy(col(groupCol))
       .agg(graft.functions.Cols.fxSum(col("__cr") * col("__cc"), 1e9)
           .as("__dot"),
@@ -371,10 +372,18 @@ object Similarity {
         graft.functions.Cols.fxSum(col("__cc") * col("__cc"), 1e9)
           .as("__nc"))
       .select(col(groupCol), cos.as("centroid_cos"))
+    // ref ∪ cur counts folded in one agg instead of the full-outer
+    // SortMergeJoin — identical rows (groups present on either side)
     nVecs(refCounts, "n_ref")
-      .join(nVecs(curCounts, "n_cur"), Seq(groupCol), "full")
+      .select(col(groupCol), col("n_ref"),
+        lit(null).cast("long").as("n_cur"))
+      .unionByName(nVecs(curCounts, "n_cur")
+        .select(col(groupCol), lit(null).cast("long").as("n_ref"),
+          col("n_cur")))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
       .na.fill(0L, Seq("n_ref", "n_cur"))
-      .join(cosByGroup, Seq(groupCol), "left")
+      .join(broadcast(cosByGroup), Seq(groupCol), "left")
   }
 
   /** Maximal-marginal-relevance selection: greedily pick `k` items

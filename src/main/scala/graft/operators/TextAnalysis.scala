@@ -138,15 +138,15 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame = {
-    val toks = TextFns.toks(col(textCol))
-    // all n-grams by position; `when` guards the sequence bound (a
-    // descending sequence would be generated for docs shorter than n)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    // all n-grams by position via the codegen WordGrams kernel (r14 —
+    // the transform/slice/array_join HOF ran interpreted per element;
+    // < n tokens ⇒ empty array, which explode drops like the
+    // when-guarded form it replaces)
     val perGram = fanOut(docs)
       .select(col(idCol),
-        explode(when(size(toks) >= n, grams)).as("gram"))
+        explode(Bridge.column(graft.expressions.WordGrams(
+          Bridge.expression(TextFns.toks(col(textCol))), n)))
+          .as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
     perGram.groupBy(col(idCol)).agg(
       sum(col("c")).cast("long").as("n_ngrams"),
@@ -884,16 +884,21 @@ object TextAnalysis {
     val hits = occ.join(lnc, Seq("__tok"))
       .groupBy(col(idCol), col("__lab"))
       .agg(sum(col("__m") * col("__wfx")).as("__hfx"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sfx").desc, col("__lab"))
+    // argmax via min-struct over (-score, label) — identical to the
+    // row_number window it replaces ((score DESC, label ASC), exact
+    // integer fx scores so the negation is lossless) but map-side
+    // combining: the shuffle carries one row per doc instead of one
+    // per (doc, label), and there is no per-doc sort (r14)
     nd.crossJoin(broadcast(model))
       .join(hits, Seq(idCol, "__lab"), "left")
       .na.fill(0L, Seq("__hfx"))
       .withColumn("__sfx",
         col("__pfx") + col("__hfx") - col("__n") * col("__lfx"))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col(idCol), col("__lab").as(s"pred_$labelCol"),
-        (col("__sfx").cast(DoubleType) / 1e6).as("score"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__sfx")).as("ns"), col("__lab").as("l")))
+        .as("__b"))
+      .select(col(idCol), col("__b.l").as(s"pred_$labelCol"),
+        ((-col("__b.ns")).cast(DoubleType) / 1e6).as("score"))
   }
 
   /** Sentence segmentation: one row per sentence, `(df's columns,
