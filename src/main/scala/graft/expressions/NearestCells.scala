@@ -40,6 +40,16 @@ import org.apache.spark.sql.types._
   * All arithmetic is the same widen-to-double sequential fold as the
   * declarative forms, so assignments (and emitted scores) are
   * bit-identical — the DuckDB oracle hashes pin it.
+  *
+  * KNOWN DIVERGENCE on NULL input vectors (r15 advice note): as a
+  * BinaryExpression this returns null when `vec` is null, so a
+  * subsequent explode/posexplode DROPS the row — whereas the replaced
+  * broadcast-join + window assigned a null vector to the LOWEST cell
+  * with a null score. Length-MISMATCHED vectors are unaffected (they
+  * score null per cell and keep the window's null ordering, pinned by
+  * NearestCellsSpec). Every gated caller's vectors are non-null by
+  * construction; callers over nullable vector columns must pre-filter
+  * or coalesce if the old null-row behavior matters.
   */
 case class NearestCells(sub: Expression, vec: Expression,
                         centsBySub: Seq[Seq[(Long, IndexedSeq[Double])]],

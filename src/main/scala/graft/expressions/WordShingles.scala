@@ -54,7 +54,12 @@ case class WordShingles(child: Expression, n: Int)
   * empty array. Declarative mirror: `TextFns.shingles(...)` without
   * the array_distinct — the codegen form of the per-position
   * `transform`/`concat` HOF chain the KN scorers ran (measured >3× on
-  * corpus-scale inputs, r14).
+  * corpus-scale inputs, r14). KNOWN DIVERGENCE on null tokens (r15
+  * advice note): a null element renders as an empty string here
+  * ("a" null "b" → "a  b"), whereas `array_join(slice(...))` SKIPS
+  * nulls ("a b") — latent only, since every current caller feeds
+  * \s+-split tokens, which are never null; callers introducing
+  * nullable token arrays must pre-coalesce.
   */
 case class WordGrams(child: Expression, n: Int)
     extends UnaryExpression {

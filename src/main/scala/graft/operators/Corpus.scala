@@ -38,7 +38,7 @@ object Corpus {
     * see Dedup.fanOut for rationale.
     */
   private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.functions.Par.fanOut(df) // gated repartition (r15) — see Par
 
   /** Distinct word n-gram shingles via the codegen
     * [[graft.expressions.WordShingles]] expression — semantically
@@ -1537,15 +1537,23 @@ object Corpus {
     * so no pattern can span it).
     *
     * Scale shape: the merge table is collected once (bounded — a
-    * tokenizer is ≤ thousands of merges, enforced ≤ 4096) and compiled
-    * into a chain of `replace` calls — ONE narrow whole-stage-codegen
+    * tokenizer is ≤ thousands of merges, enforced ≤ 4096) and applied
+    * by the fused [[graft.expressions.BpeCounts]] kernel — ONE narrow
     * projection over the corpus, no join, no shuffle, no state. The
-    * symbol counts are length arithmetic on the separator characters.
-    * (r14 A/B note: a vocabulary-level variant — run the chain over
-    * distinct words, join counts back per doc — was measured 40 %
-    * SLOWER at bench scale (3 shuffles replacing a map-only pass) and
-    * only pays once merges × corpus bytes dwarf a (doc, word) shuffle;
-    * the narrow projection stays the default.)
+    * kernel replicates the per-merge `replace`-chain semantics exactly
+    * (leftmost-non-overlapping, step order, never across word
+    * boundaries, code-point symbols) but touches each document once in
+    * a tight loop over symbol arrays, instead of re-scanning and
+    * re-allocating the 3×-inflated unit-separator-wrapped string once
+    * per merge — the chain is O(merges × wrapped bytes) per doc with a
+    * full string rebuild per merge, the kernel O(merges × symbols)
+    * with none (r15, guide §1.2/2; at a production 4096-merge table
+    * the chain form is unusable). (r14 A/B note, still relevant to any
+    * future restructure: a vocabulary-level variant — encode distinct
+    * words, join counts back per doc — was measured 40 % SLOWER at
+    * bench scale (3 shuffles replacing a map-only pass) and only pays
+    * once merges × corpus bytes dwarf a (doc, word) shuffle; the
+    * narrow projection stays the default.)
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
                 mergeTable: DataFrame): DataFrame = {
@@ -1554,19 +1562,14 @@ object Corpus {
     require(ms.length <= 4096,
       s"merge table must have <= 4096 rows (got more) — not a " +
         "bpeTrain output?")
-    val US = "\u001f"
-    val wrapped = regexp_replace(
-      array_join(TextFns.toks(col(textCol)), " "),
-      "(\\S)", s"$US$$1$US")
-    val encoded = ms.foldLeft(wrapped) { (c, m) =>
-      val (l, r) = (m.getString(1), m.getString(2))
-      replace(c, lit(s"$US$l$US$US$r$US"), lit(s"$US$l$r$US"))
-    }
-    def nSyms(c: Column): Column =
-      ((length(c) - length(replace(c, lit(US), lit("")))) / 2)
-        .cast(LongType)
-    docs.select(col(idCol), nSyms(wrapped).as("n_sym"),
-        nSyms(encoded).as("n_bpe"))
+    val counts = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.BpeCounts(
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          TextFns.toks(col(textCol))),
+        ms.map(_.getString(1)).toSeq, ms.map(_.getString(2)).toSeq))
+    docs.select(col(idCol), counts.as("__bc"))
+      .select(col(idCol), col("__bc.n_sym").as("n_sym"),
+        col("__bc.n_bpe").as("n_bpe"))
       .withColumn("ratio_ppm",
         when(col("n_sym") > 0L, expr("n_bpe * 1000000L div n_sym"))
           .otherwise(0L))

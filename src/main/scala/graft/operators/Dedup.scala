@@ -136,12 +136,12 @@ object Dedup {
 
   /** Spread a (possibly single-split) corpus across the cluster before
     * CPU-heavy per-row work: hashing/shingling cost dwarfs the shuffle
-    * of raw text. On a real cluster big inputs arrive pre-split and
-    * this is a near-no-op; on small single-file inputs it's the
-    * difference between 1 busy core and all of them.
+    * of raw text. Gated (r15): on a real cluster big inputs arrive
+    * pre-split and the shuffle is skipped outright — see
+    * [[graft.functions.Par.fanOut]].
     */
   private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.functions.Par.fanOut(df) // gated repartition (r15) — see Par
 
   /** Agreeing-position count between two MinHash signatures via the
     * codegen [[graft.expressions.SigAgreeCount]] kernel — semantically

@@ -147,11 +147,12 @@ object Graph {
     * multiplying by the scale first, so no intermediate can overflow
     * BIGINT regardless of graph size; scores stay exact integers, so
     * the result is bit-identical under any partitioning and a plain
-    * unrolled-CTE SQL oracle reproduces it. Loop invariants and each
-    * half-step's |nodes|-bounded frames are persisted (GraphX/Pregel
-    * pattern) so the lineage stays linear in `iters`; like
-    * [[Corpus.decontaminateBloom]]'s index, they stay cached for the
-    * returned plan's lifetime (Spark evicts LRU under pressure).
+    * unrolled-CTE SQL oracle reproduces it. Loop invariants are
+    * persisted and each half-step's |nodes|-bounded frame is
+    * localCheckpoint'ed (r15 — see `normalize`), so both runtime work
+    * AND the logical plan stay linear in `iters`; like
+    * [[Corpus.decontaminateBloom]]'s index, the frames stay cached for
+    * the returned plan's lifetime (Spark evicts LRU under pressure).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int): DataFrame =
@@ -205,7 +206,18 @@ object Graph {
       .union(e.select(col("__dst").as("node"))).distinct()
       .persist(MEMORY_AND_DISK)
 
-    // raw keyed sums → L1-normalized scores joined back onto all nodes
+    // raw keyed sums → L1-normalized scores joined back onto all nodes.
+    // The normalized frame is localCheckpoint'ed, not just persisted
+    // (r15, the btStrengthsFromCounts fix, guide §3.3/§5): each
+    // half-step's frame feeds the next half-step's join AND the
+    // convergence check AND the final join, so a persist-only chain
+    // kept the full logical lineage — Catalyst re-planned a tree that
+    // doubled per half-step (the 4335-Exchange printed plan of
+    // ext_hits) even though runtime read every subtree from cache.
+    // The checkpoint truncates the plan to a LogicalRDD at the same
+    // ≤ |nodes| rows the persist already materialized eagerly (the
+    // totRow head paces each half-step), so no new job and no new
+    // memory class is introduced.
     def normalize(raw0: DataFrame, keyCol: String, out: String) = {
       val raw = raw0.persist(MEMORY_AND_DISK)
       val totRow = raw.agg(sum(col("__raw"))).head
@@ -214,7 +226,7 @@ object Graph {
       nodes.join(raw, col("node") === col(keyCol), "left_outer")
         .select(col("node"),
           expr(s"coalesce(__raw, 0L) div ${divisor}L").as(out))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint()
     }
 
     var hub = seedOpt match {

@@ -44,7 +44,7 @@ import org.apache.spark.sql.types.DoubleType
 object Pq {
 
   private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.functions.Par.fanOut(df) // gated repartition (r15) — see Par
 
   /** Sequential-fold squared-L2 distance between a float subvector and
     * a double codeword — bit-matches the oracle's
@@ -173,12 +173,17 @@ object Pq {
         .sortBy(_._1).toSeq
     }
     val vs = subvecs(fanOut(batch), idCol, vecCol, m, dsub)
+    // try_element_at (r15, advice hardening): a sub with no codebook
+    // rows makes NearestCells return an EMPTY array, and under Spark
+    // 4's default ANSI mode a plain element_at(empty, 1) throws before
+    // the isNotNull filter can emulate the inner join the projection
+    // replaced — try_element_at yields null instead, so the filter
+    // drops the row exactly like that join did
     vs.select(col("vid"), col("sub"),
-        element_at(graft.expressions.NearestCells.bySub(
-          col("sub"), col("sv"), cb, 1, bySqDist = true), 1)
+        try_element_at(graft.expressions.NearestCells.bySub(
+          col("sub"), col("sv"), cb, 1, bySqDist = true), lit(1))
           .getField("cell").cast("int").as("code"))
-      .filter(col("code").isNotNull) // a sub with no codebook row
-                                     // matches the inner join it replaces
+      .filter(col("code").isNotNull)
   }
 
   /** ADC top-k of a NEW batch against a PERSISTED IVF+PQ index — the

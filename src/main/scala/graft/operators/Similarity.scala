@@ -25,7 +25,7 @@ object Similarity {
     * — see Dedup.fanOut for rationale.
     */
   private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.functions.Par.fanOut(df) // gated repartition (r15) — see Par
 
   /** Per-query top-k of `scored(query_id, neighbor_id, cosine)` via the
     * bounded-heap aggregate [[graft.expressions.TopKByScore]] — runs
@@ -528,15 +528,30 @@ object Similarity {
     * centroid widened to double). Bounded by the callers' `cells`/
     * `ksub` ≤ 4096 contract — the same class of driver pass as the
     * k seed rows every build already collects.
+    *
+    * Cell ids must be INTEGRAL (r15, advice hardening): the codebook
+    * keys cells by a long, and the tie-to-lower-cell rule orders
+    * numerically — a string cell column would fail the ANSI cast (or
+    * silently swap lexicographic for numeric tie order, and '01'
+    * would round-trip as '1', desyncing postings.cell from
+    * centroids.cell). Checked upfront with a clear message instead.
     */
   private[operators] def collectCents(seeds: DataFrame, cellCol: String,
                                       vecCol: String)
-      : Seq[(Long, IndexedSeq[Double])] =
+      : Seq[(Long, IndexedSeq[Double])] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = seeds.schema(cellCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"cell column '$cellCol' must be an integral type (byte/short/" +
+        s"int/long) — got ${dt.simpleString}; non-numeric ids would " +
+        "change the tie-to-lower-cell order and cannot round-trip " +
+        "through the codebook")
     seeds.select(col(cellCol).cast("long"), col(vecCol)).collect()
       .map { r =>
         (r.getLong(0),
           r.getSeq[Number](1).map(_.doubleValue()).toIndexedSeq)
       }.sortBy(_._1).toSeq
+  }
 
   /** Nearest-`keep` cell assignment of `df`'s vectors against a
     * centroid table (ties to the lower cell id), WITH the rank:

@@ -16,7 +16,7 @@ object TextAnalysis {
     * see Dedup.fanOut for rationale.
     */
   private def fanOut(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    graft.functions.Par.fanOut(df) // gated repartition (r15) — see Par
 
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and public-knowledge; real pipelines
@@ -631,7 +631,14 @@ object TextAnalysis {
     * doc's distinct-bigram occurrences against the model plus two
     * token-keyed joins (context, continuation) and one per-doc hash
     * agg — no window, nothing driver-side, hot bigrams (boilerplate)
-    * reduce map-side before every shuffle.
+    * reduce map-side before every shuffle. (r15 A/B note: a
+    * restructure that pre-computed P on the DISTINCT score-side
+    * bigram table and joined occurrences once was measured ~1.4×
+    * SLOWER at bench scale and REVERTED — the |V|-bounded model
+    * tables all BROADCAST here, so the occurrence stream was never
+    * being re-shuffled in the first place and the distinct table only
+    * added a second score-side pass; the single-join form pays only
+    * once the fragments outgrow broadcast.)
     */
   def knBigramScore(train: DataFrame, score: DataFrame, idCol: String,
                     textCol: String,
@@ -714,10 +721,20 @@ object TextAnalysis {
     * Scale shape: the trigram TYPE table is ONE map-side-combining
     * hash agg (persisted — it feeds the three model reaggs and the
     * scoring join); the bigram/unigram backoff tables are
-    * [[knBigramScore]]'s. Scoring is six equi-joins keyed on the
-    * n-gram fragments carried from construction (no string
-    * re-splitting on the oracle-sensitive path) plus one per-doc hash
-    * agg — no window, nothing driver-side.
+    * [[knBigramScore]]'s. Scoring is six equi-joins keyed on fragments
+    * of the trigram string plus one per-doc hash agg — no window,
+    * nothing driver-side. The type table and the occurrence table are
+    * grouped by the TRIGRAM STRING ALONE (r15, guide §2.3): the four
+    * fragment keys are functions of it (`substring_index` on the
+    * single-space join — tokens are \s+-split so the split-back is
+    * exact) and are derived AFTER each aggregation, so the two widest
+    * exchanges carry one string instead of five. (r15 A/B note: a
+    * deeper restructure — P per DISTINCT score-side trigram, join
+    * occurrences once — measured ~2× SLOWER at bench scale and was
+    * REVERTED: the |V|-bounded fragment tables all BROADCAST, so the
+    * occurrence stream already crossed zero extra exchanges; the
+    * distinct-type table only added a second score-side pass. It
+    * pays only once the fragments outgrow broadcast.)
     *
     * `minCount` is the 100 TB cost lever: at corpus scale the type
     * table is DOMINATED by hapax trigrams (Zipf — roughly half of all
@@ -750,37 +767,33 @@ object TextAnalysis {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // trigram strings from the codegen WordGrams kernel; the model-join
-    // fragments DERIVE from the joined string (tokens cannot contain
-    // whitespace — toks splits on \s+ — so substring_index on single
-    // spaces recovers exactly the per-position tokens, empty tokens
-    // included), all inside whole-stage codegen. r14: the previous
-    // per-position 5-field struct HOF ran interpreted per element —
-    // measured >3× slower on the same corpus; strings and counts are
-    // identical, which the oracle hashes pin.
-    def triFrags(df: DataFrame, keep: Seq[Column]): DataFrame =
+    // trigram strings from the codegen WordGrams kernel (r14); the
+    // fragment keys derive from the joined string inside whole-stage
+    // codegen, AFTER the aggregations (r15) — same strings, same
+    // counts, narrower exchanges.
+    def tris(df: DataFrame, keep: Seq[Column]): DataFrame =
       df.select(keep :+ explode(org.apache.spark.sql.graftbridge.Bridge
           .column(graft.expressions.WordGrams(
             org.apache.spark.sql.graftbridge.Bridge.expression(
               TextFns.toks(col(textCol))), 3))).as("tri"): _*)
-        .withColumn("p12", substring_index(col("tri"), " ", 2))
-        .withColumn("s23", substring_index(col("tri"), " ", -2))
-        .withColumn("w2", substring_index(col("s23"), " ", 1))
-        .withColumn("w3", substring_index(col("tri"), " ", -1))
-    val tg = triFrags(fanOut(train), Seq.empty)
+    def p12Of(c: Column) = substring_index(c, " ", 2)
+    def s23Of(c: Column) = substring_index(c, " ", -2)
+    def w3Of(c: Column) = substring_index(c, " ", -1)
     // trigram type table: four consumers (ctx3, mid23, midw2, scoring)
     // — pruned BEFORE the persist and before all of them, so the
     // model tables derive from the same (smaller) type set
-    val ct0 = tg.groupBy(col("tri"), col("p12"), col("s23"), col("w2"),
-        col("w3"))
-      .agg(count(lit(1)).as("__c123"))
+    val ct0 = tris(fanOut(train), Seq.empty)
+      .groupBy(col("tri")).agg(count(lit(1)).as("__c123"))
     val ct = (if (minCount > 1) ct0.filter(col("__c123") >= minCount)
               else ct0)
       .persist(MEMORY_AND_DISK)
-    val ctx3 = ct.groupBy(col("p12"))
+    val ctx3 = ct.groupBy(p12Of(col("tri")).as("p12"))
       .agg(sum(col("__c123")).as("__c12t"), count(lit(1)).as("__n12f"))
-    val mid23 = ct.groupBy(col("s23")).agg(count(lit(1)).as("__n1c23"))
-    val midw2 = ct.groupBy(col("w2")).agg(count(lit(1)).as("__nmid"))
+    val mid23 = ct.groupBy(s23Of(col("tri")).as("s23"))
+      .agg(count(lit(1)).as("__n1c23"))
+    val midw2 = ct.groupBy(
+        substring_index(s23Of(col("tri")), " ", 1).as("w2"))
+      .agg(count(lit(1)).as("__nmid"))
     // bigram-level backoff tables — knBigramScore's model, reused
     val cb = fanOut(train)
       .select(explode(wordBigrams(col(textCol))).as("bg"))
@@ -793,10 +806,13 @@ object TextAnalysis {
     val totals = cb.agg(count(lit(1)).as("__T")).crossJoin(
       fanOut(train).select(explode(TextFns.toks(col(textCol))).as("__tk"))
         .agg(countDistinct(col("__tk")).as("__V")))
-    val occ = triFrags(fanOut(score), Seq(col(idCol)))
-      .groupBy(col(idCol), col("tri"), col("p12"), col("s23"),
-        col("w2"), col("w3"))
+    val occ = tris(fanOut(score), Seq(col(idCol)))
+      .groupBy(col(idCol), col("tri"))
       .agg(count(lit(1)).as("__m"))
+      .withColumn("p12", p12Of(col("tri")))
+      .withColumn("s23", s23Of(col("tri")))
+      .withColumn("w2", substring_index(col("s23"), " ", 1))
+      .withColumn("w3", w3Of(col("tri")))
     val d = lit(discount)
     val joined = occ
       .join(ct.select(col("tri"), col("__c123")), Seq("tri"), "left")
@@ -849,25 +865,41 @@ object TextAnalysis {
     * (id, pred_<label>, score) — the argmax label (ties to the
     * lexicographically first) and its score in nats.
     *
-    * Scale shape: the model is (labels × vocab) token counts — a
-    * hash-agg — plus a labels-row broadcast frame; scoring is one
-    * token-keyed equi-join (occurrences × label vocab) and a per-doc
-    * window over exactly |labels| rows. Nothing driver-side, no
-    * cross joins beyond the |labels|-row broadcast.
+    * Scale shape (r15 rewrite — the r14 min-struct form measured
+    * SLOWER than the window it replaced, 1.59 → 2.30 s in the round-14
+    * driver bench, because the `crossJoin(broadcast(model))` fanout
+    * still materialized AND SHUFFLED |docs| × |labels| rows through a
+    * (doc, label) join plus a non-codegen min-struct agg): the model
+    * is (labels × vocab) token counts — one persisted hash-agg — and
+    * the |labels|-row model head is collected (bounded ≤ 4096, the
+    * NearestCells codebook class of driver pass) so per-label scores
+    * become ORDINARY COLUMNS. Scoring is then one token-keyed join of
+    * the score-side occurrences against a per-token wfx row (vocab
+    * rows, one conditional-sum column per label — all codegen) and ONE
+    * map-side-combining per-doc hash agg carrying |labels|+1 longs per
+    * doc; the argmax is a `least` over |labels| structs in the final
+    * projection. No |docs| × |labels| fanout, no per-doc window or
+    * min-struct agg, nothing driver-side beyond the label catalog.
     */
   def nbClassify(train: DataFrame, score: DataFrame, labelCol: String,
                  idCol: String, textCol: String): DataFrame = {
     import graft.functions.Cols.fxTerm
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = explode(TextFns.toks(col(textCol)))
+    // (label, token) counts feed the model head AND the per-token wfx
+    // table — persist the one hash-agg both read
     val clt = fanOut(train)
       .select(col(labelCol).as("__lab"), toks.as("__tok"))
       .groupBy(col("__lab"), col("__tok")).agg(count(lit(1)).as("__c"))
+      .persist(MEMORY_AND_DISK)
     val vocab = clt.agg(countDistinct(col("__tok")).as("__V"))
     val labTok = clt.groupBy(col("__lab")).agg(sum(col("__c")).as("__tl"))
     val docsL = train.groupBy(col(labelCol).as("__lab"))
       .agg(count(lit(1)).as("__dl"))
     val docsT = train.agg(count(lit(1)).as("__dt"))
+    // the |labels|-row model head, driver-collected (a label catalog
+    // is bounded small — it was already broadcast in every prior
+    // form; require() guards the contract like the ANN codebooks)
     val model = labTok.join(docsL, Seq("__lab"))
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(docsT))
       .select(col("__lab"),
@@ -875,30 +907,51 @@ object TextAnalysis {
           log(col("__dt").cast(DoubleType)), 1e6).as("__pfx"),
         fxTerm(log((col("__tl") + col("__V")).cast(DoubleType)), 1e6)
           .as("__lfx"))
-    val lnc = clt.select(col("__lab"), col("__tok"),
-      fxTerm(log((col("__c") + lit(1)).cast(DoubleType)), 1e6).as("__wfx"))
-    val occ = fanOut(score)
+      .orderBy(col("__lab")).limit(4097).collect()
+    require(model.length <= 4096,
+      s"nbClassify supports <= 4096 labels, got more in '$labelCol'")
+    if (model.isEmpty) {
+      // no trained labels (empty/token-free train set): nothing can be
+      // scored — the old crossJoin form emitted zero rows too
+      val labT = train.schema(labelCol).dataType
+      return score.select(col(idCol),
+          lit(null).cast(labT).as(s"pred_$labelCol"),
+          lit(null).cast(DoubleType).as("score"))
+        .filter(lit(false))
+    }
+    val labs = model.map(_.get(0))
+    val pfx = model.map(_.getLong(1))
+    val lfx = model.map(_.getLong(2))
+    val nL = labs.length
+    // per-token smoothed log-count per label, pivoted to one column
+    // per label (conditional sums — plain codegen hash agg)
+    val wfx = fxTerm(log((col("__c") + lit(1)).cast(DoubleType)), 1e6)
+    val lncW = clt.groupBy(col("__tok"))
+      .agg((0 until nL).map(i =>
+          sum(when(col("__lab") === lit(labs(i)), wfx)).as(s"__w$i"))
+        .head, (1 until nL).map(i =>
+          sum(when(col("__lab") === lit(labs(i)), wfx)).as(s"__w$i")): _*)
+    // score side: raw token occurrences (hfx is an exact integer sum,
+    // so summing wfx per occurrence == summing m·wfx per distinct
+    // token), left-joined so out-of-vocabulary tokens keep counting
+    // toward N_d with 0 contribution
+    val perDoc = fanOut(score)
       .select(col(idCol), toks.as("__tok"))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__m"))
-    val nd = occ.groupBy(col(idCol)).agg(sum(col("__m")).as("__n"))
-    val hits = occ.join(lnc, Seq("__tok"))
-      .groupBy(col(idCol), col("__lab"))
-      .agg(sum(col("__m") * col("__wfx")).as("__hfx"))
-    // argmax via min-struct over (-score, label) — identical to the
-    // row_number window it replaces ((score DESC, label ASC), exact
-    // integer fx scores so the negation is lossless) but map-side
-    // combining: the shuffle carries one row per doc instead of one
-    // per (doc, label), and there is no per-doc sort (r14)
-    nd.crossJoin(broadcast(model))
-      .join(hits, Seq(idCol, "__lab"), "left")
-      .na.fill(0L, Seq("__hfx"))
-      .withColumn("__sfx",
-        col("__pfx") + col("__hfx") - col("__n") * col("__lfx"))
+      .join(lncW, Seq("__tok"), "left")
       .groupBy(col(idCol))
-      .agg(min(struct((-col("__sfx")).as("ns"), col("__lab").as("l")))
-        .as("__b"))
-      .select(col(idCol), col("__b.l").as(s"pred_$labelCol"),
-        ((-col("__b.ns")).cast(DoubleType) / 1e6).as("score"))
+      .agg(count(lit(1)).as("__n"), (0 until nL).map(i =>
+        sum(coalesce(col(s"__w$i"), lit(0L))).as(s"__h$i")): _*)
+    // argmax via least over (-score, label) structs — identical tie
+    // rule to the row_number window ((score DESC, label ASC); exact
+    // integer fx scores make the negation lossless)
+    def cand(i: Int) = struct(
+      (-(lit(pfx(i)) + col(s"__h$i") - col("__n") * lit(lfx(i))))
+        .as("ns"),
+      lit(labs(i)).as("l"))
+    val best = if (nL == 1) cand(0)
+      else least((0 until nL).map(cand): _*)
+    perDoc.select(col(idCol), best.getField("l").as(s"pred_$labelCol"),
+      ((-best.getField("ns")).cast(DoubleType) / 1e6).as("score"))
   }
 
   /** Sentence segmentation: one row per sentence, `(df's columns,
