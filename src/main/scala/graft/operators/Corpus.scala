@@ -59,6 +59,16 @@ object Corpus {
     * Spark/JVM and a SQL oracle may round differently).
     * Emits (id, token, tf, df, score, kw_rank), kw_rank 1..topK by
     * (score desc, token asc).
+    *
+    * (r15 A/B note: a bounded-heap rewrite of the per-doc rank — the
+    * shared TopKByScoreStr aggregate with the (token, tf, df) payload
+    * NUL-encoded in the heap id — measured 0.92× at bench scale and
+    * was REVERTED: per-doc groups are small, so the window sort is
+    * cheap, while the TypedImperativeAggregate pays object
+    * aggregation + buffer serialization per partial. The heap form
+    * pays once per-doc token counts are large enough that sorting
+    * every scored row dominates — revisit against a profile, not by
+    * default.)
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             topK: Int): DataFrame = {

@@ -111,11 +111,8 @@ class BenchRegistrySpec extends AnyFunSuite {
     * ext_ks_by_source unfloored).
     */
   private val floorPending: Set[String] =
-    Set("ext_w1_test", "ext_w1_by_source",
-      "ext_chi2_drift", "ext_chi2_by_source",
-      "ext_ndcg", "ext_mrr", "ext_recall_k", "ext_kappa_pairs",
-      "ext_brier", "ext_token_f1", "ext_bleu",
-      "ext_gini", "ext_gini_by_source", "ext_ess")
+    Set.empty // r15: the 14 r14-tail queries floored from quiet runs
+              // (plans/r15/bench_baseline.json + the r14 driver bench)
 
   test("floor coverage: every registry query has a committed floor " +
       "(new-this-round names must be explicitly grandfathered, and " +
