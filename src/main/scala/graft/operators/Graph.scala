@@ -128,6 +128,13 @@ object Graph {
           (lit(teleportFx) +
             expr(s"(85 * coalesce(__s, 0L)) div 100")).as("pr_fx"))
     }
+    // r15 A/B note: a per-iteration localCheckpoint (the hits fix) was
+    // measured ~1.5× SLOWER here and reverted — pageRank's lazy chain
+    // grows LINEARLY (each iteration references ranks once; ~90
+    // printed Exchanges at 10 iters, sub-second planning), unlike
+    // hits' per-half-step double reference (exponential, 4364), and
+    // the whole run is ONE job; eager checkpoints traded sub-second
+    // planning for iters× sequential job round-trips.
     ranks.select(col("node"), col("pr_fx"),
       (col("pr_fx").cast("double") / PrScale.toDouble).as("pr"))
   }
