@@ -499,15 +499,27 @@ object TextAnalysis {
     def tris(c: Column): Column =
       Bridge.column(graft.expressions.CharGrams(
         Bridge.expression(lower(c)), 3))
-    val c3 = fanOut(train)
-      .select(explode(tris(col(textCol))).as("tri"))
-      .groupBy(col("tri")).agg(count(lit(1)).as("__c3"))
+    // score-side occurrence table first: in SELF-SCORING mode (the
+    // ext_charlm_score shape — same frame as train and score) the
+    // model's trigram counts are the per-doc counts re-summed, so the
+    // train side is a reagg of the cached occurrence table instead of
+    // a second full corpus scan+explode (r15, the KN-scorer pattern)
+    val selfScore = train eq score
+    val occ0 = fanOut(score)
+      .select(col(idCol), explode(tris(col(textCol))).as("tri"))
+      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("__m"))
+    val occ = if (selfScore)
+      occ0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else occ0
+    val c3 = (if (selfScore)
+        occ.groupBy(col("tri")).agg(sum(col("__m")).as("__c3"))
+      else fanOut(train)
+        .select(explode(tris(col(textCol))).as("tri"))
+        .groupBy(col("tri")).agg(count(lit(1)).as("__c3")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("__ctx"))
       .agg(sum(col("__c3")).as("__c2"))
     val types = c3.agg(count(lit(1)).as("__T"))
-    val occ = fanOut(score)
-      .select(col(idCol), explode(tris(col(textCol))).as("tri"))
-      .groupBy(col(idCol), col("tri")).agg(count(lit(1)).as("__m"))
     val nll =
       log(col("__c2").cast(DoubleType) + col("__T").cast(DoubleType)) -
         log(col("__c3").cast(DoubleType) + lit(1.0))
@@ -648,11 +660,23 @@ object TextAnalysis {
     import graft.functions.Cols.{fxSum, fxVal}
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val bigrams = wordBigrams _
+    // score-side occurrence table first: in SELF-SCORING mode (the
+    // registry queries pass the SAME frame as train and score) the
+    // model's bigram counts are exactly the per-doc counts re-summed,
+    // so the train side becomes a reagg of the cached occurrence
+    // table instead of a second full corpus scan+explode (r15)
+    val selfScore = train eq score
+    val occ0 = fanOut(score)
+      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("__m"))
+    val occP = if (selfScore) occ0.persist(MEMORY_AND_DISK) else occ0
     // the bigram count table feeds FOUR consumers (ctx, cont, T, and
     // the scoring join) — persist it once
-    val cb = fanOut(train)
-      .select(explode(bigrams(col(textCol))).as("bg"))
-      .groupBy(col("bg")).agg(count(lit(1)).as("__c12"))
+    val cb = (if (selfScore)
+        occP.groupBy(col("bg")).agg(sum(col("__m")).as("__c12"))
+      else fanOut(train)
+        .select(explode(bigrams(col(textCol))).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("__c12")))
       .persist(MEMORY_AND_DISK)
     val ctx = cb.groupBy(substring_index(col("bg"), " ", 1).as("__w1"))
       .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1f"))
@@ -661,9 +685,7 @@ object TextAnalysis {
     val totals = cb.agg(count(lit(1)).as("__T")).crossJoin(
       fanOut(train).select(explode(TextFns.toks(col(textCol))).as("__tk"))
         .agg(countDistinct(col("__tk")).as("__V")))
-    val occ = fanOut(score)
-      .select(col(idCol), explode(bigrams(col(textCol))).as("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("__m"))
+    val occ = occP
       .withColumn("__w1", substring_index(col("bg"), " ", 1))
       .withColumn("__w2", substring_index(col("bg"), " ", -1))
     val d = lit(discount)
@@ -779,11 +801,24 @@ object TextAnalysis {
     def p12Of(c: Column) = substring_index(c, " ", 2)
     def s23Of(c: Column) = substring_index(c, " ", -2)
     def w3Of(c: Column) = substring_index(c, " ", -1)
+    // score-side occurrence table first: in SELF-SCORING mode (the
+    // registry queries pass the SAME frame as train and score) the
+    // type table is exactly the per-doc occurrence table re-summed,
+    // so the train side becomes a reagg of the cached occurrence
+    // table instead of a second full corpus scan+explode (r15)
+    val selfScore = train eq score
+    val occ0 = tris(fanOut(score), Seq(col(idCol)))
+      .groupBy(col(idCol), col("tri"))
+      .agg(count(lit(1)).as("__m"))
+    val occP = if (selfScore) occ0.persist(MEMORY_AND_DISK) else occ0
     // trigram type table: four consumers (ctx3, mid23, midw2, scoring)
     // — pruned BEFORE the persist and before all of them, so the
     // model tables derive from the same (smaller) type set
-    val ct0 = tris(fanOut(train), Seq.empty)
-      .groupBy(col("tri")).agg(count(lit(1)).as("__c123"))
+    val ct0 =
+      if (selfScore)
+        occP.groupBy(col("tri")).agg(sum(col("__m")).as("__c123"))
+      else tris(fanOut(train), Seq.empty)
+        .groupBy(col("tri")).agg(count(lit(1)).as("__c123"))
     val ct = (if (minCount > 1) ct0.filter(col("__c123") >= minCount)
               else ct0)
       .persist(MEMORY_AND_DISK)
@@ -806,9 +841,7 @@ object TextAnalysis {
     val totals = cb.agg(count(lit(1)).as("__T")).crossJoin(
       fanOut(train).select(explode(TextFns.toks(col(textCol))).as("__tk"))
         .agg(countDistinct(col("__tk")).as("__V")))
-    val occ = tris(fanOut(score), Seq(col(idCol)))
-      .groupBy(col(idCol), col("tri"))
-      .agg(count(lit(1)).as("__m"))
+    val occ = occP
       .withColumn("p12", p12Of(col("tri")))
       .withColumn("s23", s23Of(col("tri")))
       .withColumn("w2", substring_index(col("s23"), " ", 1))

@@ -239,6 +239,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(run(1) === run(16)) // bit-identical
   }
 
+  test("KN self-scoring reuse: passing the SAME frame as train and " +
+      "score (the registry shape) is bit-identical to passing two " +
+      "content-equal frames (r15 — the reagg'd model counts must " +
+      "match the second-explode path exactly)") {
+    val rows = (0 until 200)
+      .map(i => (i.toLong, s"tok${i % 11} tok${i % 7} tok${i % 5} end"))
+    val one = rows.toDF("id", "text")     // self: train eq score
+    val twoA = rows.toDF("id", "text")    // distinct instances,
+    val twoB = rows.toDF("id", "text")    // same content
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(canon(TextAnalysis.knBigramScore(one, one, "id", "text")) ===
+      canon(TextAnalysis.knBigramScore(twoA, twoB, "id", "text")))
+    assert(canon(TextAnalysis.knTrigramScore(one, one, "id", "text")) ===
+      canon(TextAnalysis.knTrigramScore(twoA, twoB, "id", "text")))
+    assert(canon(TextAnalysis.knTrigramScore(one, one, "id", "text",
+        minCount = 2)) ===
+      canon(TextAnalysis.knTrigramScore(twoA, twoB, "id", "text",
+        minCount = 2)))
+  }
+
   test("winnow: rightmost tie rule, short docs drop, and the " +
       "shared-substring locality guarantee") {
     // all-equal hashes ("aaaa", k=2, w=2): grams at 1,2,3; each
